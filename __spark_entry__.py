@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The registry itself lives in ``orange3_timeseries_spark.queries``; this file
+is a thin adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from orange3_timeseries_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY §7.2): per-series
+    sliding mean + first difference over events, rolled up per day."""
+    from pyspark.sql import functions as F
+
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.operators.difference import difference
+    from orange3_timeseries_spark.operators.moving_transform import (
+        KEEP_ALL,
+        period_aggregation,
+        sliding_window,
+    )
+    from orange3_timeseries_spark.sources import read_table
+
+    _q.ensure_session_conf(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    tsf = TimeSeriesFrame(read_table(spark, sf_dir, "events"),
+                          time_col="ts", series_cols=["user_id"])
+    tsf = sliding_window(tsf, {"value": ["mean"]}, 12, keep=KEEP_ALL)
+    tsf = difference(tsf, ["value"], op="diff")
+    daily = period_aggregation(
+        TimeSeriesFrame(tsf.df, time_col="ts"), "Days",
+        [("value", "mean"), ("value (mean)", "mean"), ("Δvalue", "mean")])
+    return daily.df.select(
+        "Time", F.col("Instance count").alias("n"),
+        F.col("value (mean)").alias("day_mean"),
+        F.col("value (mean) (mean)").alias("day_mean_sliding12"),
+        F.col("Δvalue (mean)").alias("day_mean_diff"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query."""
+    return dict(_q.ORACLE_SQL)

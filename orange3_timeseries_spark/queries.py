@@ -1,0 +1,433 @@
+"""The driver-contract query registry: named queries implemented through the
+engine's operators, each paired with an equivalent DuckDB oracle SQL.
+
+Conventions (driver compares row count + schema + order-insensitive value
+hash, cf. /root/repo/__spark_entry__.py docstring):
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides — 6 dp for means /
+  per-window values (error ~1e-13), 2 dp for large whole-table sums where
+  summation-order drift approaches 1e-6 absolute;
+- DuckDB ``date_trunc`` returns DATE at day+ granularity → oracles cast to
+  TIMESTAMP to match Spark's ``date_trunc``;
+- counts are BIGINT on both sides.
+
+Each Spark callable takes ``(spark, sf_dir)`` and is defensive about the
+driver's session: it pins the UTC timezone / non-ANSI / nanos-parquet confs
+at runtime (cf. session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.operators.difference import (
+    DIFF,
+    DIFF2,
+    PERC,
+    difference,
+)
+from orange3_timeseries_spark.operators.moving_transform import (
+    KEEP_ALL,
+    KEEP_COMPLETE,
+    KEEP_LAST,
+    period_aggregation,
+    sequential_blocks,
+    sliding_window,
+)
+from orange3_timeseries_spark.operators.spiralogram import spiralogram
+from orange3_timeseries_spark.operators.timeslice import time_slice
+from orange3_timeseries_spark.sources import read_table
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Pin the confs the engine's semantics rely on; all are runtime-settable
+    so a driver-created session works too."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return wrapped
+    return deco
+
+
+def _events(spark, sf_dir) -> TimeSeriesFrame:
+    df = read_table(spark, sf_dir, "events")
+    return TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+
+
+def r6(c, name):
+    return F.round(c, 6).alias(name)
+
+
+# --------------------------------------------------------------- window aggs
+@query("sliding_mean_sum", """
+SELECT user_id, ts,
+       round(avg(value) OVER w, 6) AS mean4,
+       round(sum(value) OVER w, 6) AS sum4
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 4
+""")
+def q_sliding_mean_sum(spark, sf_dir):
+    """Per-series sliding mean+sum, width 4, complete windows
+    (SURVEY §2.4 sliding mode)."""
+    out = sliding_window(_events(spark, sf_dir),
+                         {"value": ["mean", "sum"]}, 4, keep=KEEP_COMPLETE)
+    return out.df.select("user_id", "ts",
+                         r6(F.col("value (mean)"), "mean4"),
+                         r6(F.col("value (sum)"), "sum4"))
+
+
+@query("sliding_robust", """
+SELECT user_id, ts,
+       round(median(value) OVER w, 6) AS med7,
+       round(min(value) OVER w, 6) AS min7,
+       round(max(value) OVER w, 6) AS max7,
+       round(max(value) OVER w - min(value) OVER w, 6) AS span7
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 7
+""")
+def q_sliding_robust(spark, sf_dir):
+    """Sliding median/min/max/span, width 7 (SURVEY §2.4: median, span)."""
+    out = sliding_window(_events(spark, sf_dir),
+                         {"value": ["median", "min", "max", "span"]}, 7,
+                         keep=KEEP_COMPLETE)
+    return out.df.select("user_id", "ts",
+                         r6(F.col("value (median)"), "med7"),
+                         r6(F.col("value (min)"), "min7"),
+                         r6(F.col("value (max)"), "max7"),
+                         r6(F.col("value (span)"), "span7"))
+
+
+@query("sliding_var_std", """
+SELECT user_id, ts,
+       round(var_pop(value) OVER w, 6) AS var5,
+       round(stddev_pop(value) OVER w, 6) AS std5
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 5
+""")
+def q_sliding_var_std(spark, sf_dir):
+    """Population variance/std over sliding width 5 (ddof=0 parity,
+    SURVEY §4.6)."""
+    out = sliding_window(_events(spark, sf_dir),
+                         {"value": ["var", "std"]}, 5, keep=KEEP_COMPLETE)
+    return out.df.select("user_id", "ts",
+                         r6(F.col("value (var)"), "var5"),
+                         r6(F.col("value (std)"), "std5"))
+
+
+@query("strided_window", """
+SELECT user_id, ts, round(avg(value) OVER w, 6) AS mean4
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 4 AND (rn - 4) % 3 = 0
+""")
+def q_strided_window(spark, sf_dir):
+    """Strided sliding window: width 4, stride 3 (``aggregate.py:31-38``)."""
+    out = sliding_window(_events(spark, sf_dir), {"value": ["mean"]}, 4,
+                         keep=KEEP_COMPLETE, shift=3)
+    return out.df.select("user_id", "ts", r6(F.col("value (mean)"), "mean4"))
+
+
+@query("cumulative", """
+SELECT user_id, ts,
+       round(sum(value) OVER w, 6) AS csum,
+       count(value) OVER w AS cdefined
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_cumulative(spark, sf_dir):
+    """Per-series cumulative sum (``aggregate.py:86-87``) + running defined
+    count (the cumulative variant of the ``defined`` kernel)."""
+    from pyspark.sql import Window
+
+    tsf = _events(spark, sf_dir)
+    out = sliding_window(tsf, [("value", "cumsum")], 1, keep=KEEP_ALL)
+    cumwin = (Window.partitionBy("user_id").orderBy("ts")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    return out.df.select("user_id", "ts",
+                         r6(F.col("value (cumsum)"), "csum"),
+                         F.count("value").over(cumwin).alias("cdefined"))
+
+
+# ----------------------------------------------------------- lag/differences
+@query("difference_ops", """
+SELECT user_id, event_id,
+       round(value - lag(value, 1) OVER w, 6) AS diff1,
+       round(value - 2 * lag(value, 1) OVER w + lag(value, 2) OVER w, 6)
+           AS diff2,
+       round((value / nullif(lag(value, 1) OVER w, 0) - 1) * 100, 6) AS pct
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""")
+def q_difference_ops(spark, sf_dir):
+    """First/second difference + percent change per series
+    (``owdifference.py:153-201``)."""
+    tsf = _events(spark, sf_dir)
+    out = difference(tsf, ["value"], op=DIFF)
+    out = difference(out, ["value"], op=DIFF2)
+    out = difference(out, ["value"], op=PERC)
+    return out.df.select("user_id", "event_id",
+                         r6(F.col("Δvalue"), "diff1"),
+                         r6(F.col("ΔΔvalue"), "diff2"),
+                         r6(F.col("%value"), "pct"))
+
+
+@query("difference_inverted", """
+SELECT user_id, event_id,
+       round(value - lead(value, 2) OVER w, 6) AS dinv
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""")
+def q_difference_inverted(spark, sf_dir):
+    """Inverted-direction difference at shift 2
+    (``owdifference.py:164-165,188-189``)."""
+    out = difference(_events(spark, sf_dir), ["value"], op=DIFF, shift=2,
+                     invert_direction=True)
+    return out.df.select("user_id", "event_id",
+                         r6(F.col("Δvalue:2"), "dinv"))
+
+
+# ------------------------------------------------------- calendar period aggs
+@query("period_days", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "Time",
+       count(*) AS n,
+       round(avg(value), 6) AS mean_v,
+       round(sum(value), 2) AS sum_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(stddev_pop(value), 6) AS std_v
+FROM events GROUP BY 1
+""")
+def q_period_days(spark, sf_dir):
+    """Daily calendar rollup with count + 5 kernels
+    (``owmovingtransform.py:500-534``)."""
+    tsf = _events(spark, sf_dir)
+    tsf = TimeSeriesFrame(tsf.df, time_col="ts")  # global rollup
+    out = period_aggregation(
+        tsf, "Days",
+        [("value", "mean"), ("value", "sum"), ("value", "min"),
+         ("value", "max"), ("value", "std")])
+    return out.df.select(
+        "Time",
+        F.col("Instance count").cast("long").alias("n"),
+        r6(F.col("value (mean)"), "mean_v"),
+        F.round(F.col("value (sum)"), 2).alias("sum_v"),
+        r6(F.col("value (min)"), "min_v"),
+        r6(F.col("value (max)"), "max_v"),
+        r6(F.col("value (std)"), "std_v"))
+
+
+@query("period_month_of_year", """
+SELECT CAST(month(ts) AS INT) AS "Month", count(*) AS n,
+       round(avg(value), 6) AS mean_v
+FROM events GROUP BY 1
+""")
+def q_period_month_of_year(spark, sf_dir):
+    """Periodic month-of-year key (``aggregate.py:210-213``)."""
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = period_aggregation(tsf, "Month of year", [("value", "mean")])
+    return out.df.select(F.col("Month").cast("int").alias("Month"),
+                         F.col("Instance count").cast("long").alias("n"),
+                         r6(F.col("value (mean)"), "mean_v"))
+
+
+@query("period_day_of_week", """
+SELECT CAST(isodow(ts) - 1 AS INT) AS "Day", count(*) AS n,
+       round(avg(value), 6) AS mean_v,
+       round(median(value), 6) AS med_v
+FROM events GROUP BY 1
+""")
+def q_period_day_of_week(spark, sf_dir):
+    """Day-of-week key, Monday=0 (``aggregate.py:236-237``)."""
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = period_aggregation(tsf, "Day of week",
+                             [("value", "mean"), ("value", "median")])
+    return out.df.select(F.col("Day").cast("int").alias("Day"),
+                         F.col("Instance count").cast("long").alias("n"),
+                         r6(F.col("value (mean)"), "mean_v"),
+                         r6(F.col("value (median)"), "med_v"))
+
+
+@query("period_hour_of_day", """
+SELECT CAST(hour(ts) AS INT) AS "Hour", count(*) AS n,
+       round(avg(value), 6) AS mean_v
+FROM events GROUP BY 1
+""")
+def q_period_hour_of_day(spark, sf_dir):
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = period_aggregation(tsf, "Hour of day", [("value", "mean")])
+    return out.df.select(F.col("Hour").cast("int").alias("Hour"),
+                         F.col("Instance count").cast("long").alias("n"),
+                         r6(F.col("value (mean)"), "mean_v"))
+
+
+@query("period_geo_harmonic", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "Time",
+       round(exp(avg(ln(value))), 6) AS geo_v,
+       round(count(value) / sum(1.0 / value), 6) AS harm_v
+FROM events GROUP BY 1
+""")
+def q_period_geo_harmonic(spark, sf_dir):
+    """Geometric + harmonic mean rollups (``aggregate.py:106-117,170-173``);
+    events values are strictly positive so both are defined."""
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = period_aggregation(tsf, "Days",
+                             [("value", "geometric"), ("value", "harmonic")])
+    return out.df.select("Time",
+                         r6(F.col("value (geometric)"), "geo_v"),
+                         r6(F.col("value (harmonic)"), "harm_v"))
+
+
+@query("period_mode", """
+WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                  round(value / 50) AS v, count(*) AS c
+           FROM events GROUP BY 1, 2),
+m AS (SELECT d, max(c) AS mc FROM g GROUP BY 1)
+SELECT g.d AS "Time", round(min(g.v), 6) AS mode_v
+FROM g JOIN m ON g.d = m.d AND g.c = m.mc
+GROUP BY 1
+""")
+def q_period_mode(spark, sf_dir):
+    """Daily mode of a bucketed value, smallest-tie-break
+    (``aggregate.py:94-103``)."""
+    tsf = TimeSeriesFrame(
+        _events(spark, sf_dir).df
+        .withColumn("vbucket", F.round(F.col("value") / 50)),
+        time_col="ts")
+    out = period_aggregation(tsf, "Days", [("vbucket", "mode")])
+    return out.df.select("Time", r6(F.col("vbucket (mode)"), "mode_v"))
+
+
+# ------------------------------------------------------------ blocks & slices
+@query("tumbling_blocks", """
+WITH t AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+           FROM events),
+b AS (SELECT *, CAST(floor((rn - 1) / 10) AS BIGINT) blk FROM t),
+a AS (SELECT user_id, blk, count(*) cnt,
+             round(avg(value), 6) mean10, round(max(value), 6) max10
+      FROM b GROUP BY 1, 2)
+SELECT b.user_id, b.ts, a.mean10, a.max10
+FROM b JOIN a ON b.user_id = a.user_id AND b.blk = a.blk
+WHERE a.cnt = 10 AND b.rn = a.blk * 10 + 10
+""")
+def q_tumbling_blocks(spark, sf_dir):
+    """Count-based tumbling blocks of 10 with keep-last representative
+    (``owmovingtransform.py:446-498``)."""
+    out = sequential_blocks(_events(spark, sf_dir),
+                            [("value", "mean"), ("value", "max")], 10,
+                            keep=KEEP_LAST)
+    return out.df.select("user_id", "ts",
+                         r6(F.col("value (mean)"), "mean10"),
+                         r6(F.col("value (max)"), "max10"))
+
+
+@query("time_slice", """
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_v
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1
+""")
+def q_time_slice(spark, sf_dir):
+    """Half-open time-range selection (``owtimeslice.py:313-319``) +
+    downstream group."""
+    import datetime as dt
+    tsf = _events(spark, sf_dir)
+    sl = time_slice(tsf, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 12))
+    return (sl.df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 r6(F.avg("value"), "mean_v")))
+
+
+@query("spiralogram_2d", """
+SELECT CAST(month(ts) AS INT) AS x, event_type AS r,
+       count(*) AS "Count", round(avg(value), 6) AS agg_v
+FROM events GROUP BY 1, 2
+""")
+def q_spiralogram_2d(spark, sf_dir):
+    """2-D (month × discrete) grouping with count + one aggregate
+    (``owspiralogram.py:749-823``)."""
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = spiralogram(tsf, "Month of year", F.col("event_type"),
+                      agg_col="value", agg="mean", x_name="x", r_name="r",
+                      agg_out_name="agg_v")
+    return out.df.select(F.col("x").cast("int").alias("x"), "r",
+                         F.col("Count").cast("long").alias("Count"),
+                         r6(F.col("agg_v"), "agg_v"))
+
+
+# ------------------------------------------------------------- TPC-H-flavored
+@query("lineitem_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-flavored scan+agg over lineitem — exercises pushdown,
+    column pruning and partial aggregation at volume."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 r6(F.avg("l_quantity"), "avg_qty"),
+                 r6(F.avg("l_extendedprice"), "avg_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@query("orders_monthly_revenue", """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS "Time",
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""")
+def q_orders_monthly_revenue(spark, sf_dir):
+    """Monthly revenue rollup over orders via the period operator."""
+    o = read_table(spark, sf_dir, "orders")
+    tsf = TimeSeriesFrame(o, time_col="o_orderdate")
+    out = period_aggregation(tsf, "Months", [("o_totalprice", "sum")])
+    return out.df.select("Time",
+                         F.col("Instance count").cast("long").alias("n"),
+                         F.round(F.col("o_totalprice (sum)"), 2)
+                          .alias("revenue"))

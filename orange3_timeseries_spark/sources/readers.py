@@ -49,8 +49,10 @@ def read_parquet(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     for col in _nano_timestamp_cols(path):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
+            # integer division: int64 nanos exceed double precision (2^53),
+            # and truncation (not rounding) matches TIMESTAMP_NS readers
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 
