@@ -388,6 +388,96 @@ def q_spiralogram_2d(spark, sf_dir):
                          r6(F.col("agg_v"), "agg_v"))
 
 
+# -------------------------------------------------------------- interpolation
+@query("interp_linear", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN value > 150 THEN NULL ELSE value END AS v
+  FROM events),
+w AS (
+  SELECT user_id, ts, v,
+    last_value(v IGNORE NULLS) OVER pw AS pv,
+    first_value(v IGNORE NULLS) OVER nw AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        OVER pw AS pt,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        OVER nw AS nt,
+    count(v) OVER (PARTITION BY user_id) AS ndef
+  FROM e
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         nw AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, ts, round(CASE
+    WHEN ndef < 2 THEN v
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (epoch_us(ts) - pt) / nullif(nt - pt, 0)
+  END, 6) AS vi
+FROM w
+""")
+def q_interp_linear(spark, sf_dir):
+    """Linear interpolation over the time axis with edge clamping
+    (``functions.py:334-342``); high values nulled out to create gaps."""
+    from orange3_timeseries_spark.operators.interpolate import (
+        interpolate_timeseries,
+    )
+    tsf = _events(spark, sf_dir)
+    gapped = tsf._with_df(
+        tsf.df.withColumn(
+            "v", F.when(F.col("value") > 150, None).otherwise(F.col("value"))))
+    out = interpolate_timeseries(gapped, "linear", cols=["v"])
+    return out.df.select("user_id", "ts", r6(F.col("v"), "vi"))
+
+
+@query("sliding_weighted_ma", """
+SELECT user_id, ts,
+       round((value + 0.6 * lag(value, 1) OVER w
+                    + 0.36 * lag(value, 2) OVER w
+                    + 0.216 * lag(value, 3) OVER w) / 2.176, 6) AS ema4,
+       round((4 * value + 3 * lag(value, 1) OVER w
+                        + 2 * lag(value, 2) OVER w
+                        + 1 * lag(value, 3) OVER w) / 10, 6) AS lma4
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+QUALIFY rn >= 4
+""")
+def q_sliding_weighted_ma(spark, sf_dir):
+    """Linear + exponential moving averages, width 4 (``aggregate.py:50-83``;
+    oracle is the closed-form lag expansion, alpha=2/5)."""
+    out = sliding_window(_events(spark, sf_dir),
+                         {"value": ["exp. MA", "lin. MA"]}, 4,
+                         keep=KEEP_COMPLETE)
+    return out.df.select("user_id", "ts",
+                         r6(F.col("`value (exp. MA)`"), "ema4"),
+                         r6(F.col("`value (lin. MA)`"), "lma4"))
+
+
+@query("sliding_product_geometric", """
+SELECT user_id, ts,
+       round(ln(product(value) OVER w), 6) AS log_prod3,
+       round(exp(avg(ln(value)) OVER w), 6) AS geo3
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 3
+""")
+def q_sliding_product_geometric(spark, sf_dir):
+    """Sliding product (log-sum-exp path) + geometric mean, width 3.
+    The product is compared in the log domain: the engine's scalable
+    log-sum-exp accumulation and DuckDB's sequential multiply agree to
+    ~1e-15 in ln but drift in the last float ulp of the raw product."""
+    out = sliding_window(_events(spark, sf_dir),
+                         {"value": ["product", "geometric"]}, 3,
+                         keep=KEEP_COMPLETE)
+    return out.df.select("user_id", "ts",
+                         r6(F.log(F.col("`value (product)`")), "log_prod3"),
+                         r6(F.col("`value (geometric)`"), "geo3"))
+
+
 # ------------------------------------------------------------- TPC-H-flavored
 @query("lineitem_pricing_summary", """
 SELECT l_returnflag, l_linestatus,

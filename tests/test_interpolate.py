@@ -1,0 +1,131 @@
+"""Interpolation tests mirroring ``tests/test_interpolation.py`` (all
+methods leave no missing values; FIXTURES.md F1b null layout: head, middle,
+tail) plus value-level checks for linear/nearest/mean semantics."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.operators.interpolate import (
+    interpolate_timeseries,
+    natural_cubic_interp,
+)
+
+from conftest import approx_rows
+
+
+def _frame(spark, values, times=None):
+    n = len(values)
+    if times is None:
+        times = [dt.datetime(2000, 1, 1) + dt.timedelta(days=i)
+                 for i in range(n)]
+    rows = [(t, None if v is None else float(v))
+            for t, v in zip(times, values)]
+    df = spark.createDataFrame(rows, "t timestamp, x double")
+    return TimeSeriesFrame(df, time_col="t")
+
+
+# F1b layout: nulls at head (0-1), middle (10-14), tail (last 2)
+F1B = [None, None] + [float(i) for i in range(2, 10)] \
+    + [None] * 5 + [float(i) for i in range(15, 22)] + [None, None]
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest", "mean"])
+def test_no_nans_remain(spark, method):
+    tsf = _frame(spark, F1B)
+    out = interpolate_timeseries(tsf, method)
+    rows = [r["x"] for r in out.df.collect()]
+    assert all(v is not None and v == v for v in rows), (method, rows)
+
+
+def test_linear_values(spark):
+    tsf = _frame(spark, [None, 1.0, None, None, 7.0, None])
+    out = interpolate_timeseries(tsf, "linear")
+    vals = [r["x"] for r in out.df.orderBy("t").collect()]
+    # edges clamp (functions.py:341), interior linear on the day-spaced axis
+    approx_rows(vals, [1.0, 1.0, 3.0, 5.0, 7.0, 7.0])
+
+
+def test_nearest_tie_prefers_previous(spark):
+    # equidistant gap: scipy kind='nearest' rounds down
+    tsf = _frame(spark, [2.0, None, 8.0])
+    out = interpolate_timeseries(tsf, "nearest")
+    vals = [r["x"] for r in out.df.orderBy("t").collect()]
+    approx_rows(vals, [2.0, 2.0, 8.0])
+
+
+def test_mean_fill(spark):
+    tsf = _frame(spark, [1.0, None, 5.0, None])
+    out = interpolate_timeseries(tsf, "mean")
+    vals = [r["x"] for r in out.df.orderBy("t").collect()]
+    approx_rows(vals, [1.0, 3.0, 5.0, 3.0])
+
+
+def test_single_defined_left_alone(spark):
+    # <2 defined values: column untouched (functions.py:326)
+    tsf = _frame(spark, [None, 4.0, None])
+    out = interpolate_timeseries(tsf, "linear")
+    vals = [r["x"] for r in out.df.orderBy("t").collect()]
+    assert vals[0] is None and vals[2] is None and vals[1] == 4.0
+
+
+def test_discrete_mode_fill(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2000, 1, 1 + i), v)
+         for i, v in enumerate(["a", "b", None, "b", "a", "b"])],
+        "t timestamp, d string")
+    tsf = TimeSeriesFrame(df, time_col="t")
+    out = interpolate_timeseries(tsf, "linear")
+    vals = [r["d"] for r in out.df.orderBy("t").collect()]
+    assert vals == ["a", "b", "b", "b", "a", "b"]
+
+
+def test_discrete_nearest_fill(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2000, 1, 1 + i), v)
+         for i, v in enumerate([None, "a", "a", None, None, "c"])],
+        "t timestamp, d string")
+    tsf = TimeSeriesFrame(df, time_col="t")
+    out = interpolate_timeseries(tsf, "nearest")
+    vals = [r["d"] for r in out.df.orderBy("t").collect()]
+    assert vals == ["a", "a", "a", "a", "c", "c"]
+
+
+def test_cubic_matches_numpy_reference(spark):
+    # spline through sin samples: interpolated points close to the curve
+    xs = np.arange(0, 20, dtype=float)
+    ys = np.sin(xs / 3.0)
+    holes = [3, 7, 12]
+    vals = [None if i in holes else ys[i] for i in range(20)]
+    tsf = _frame(spark, vals)
+    out = interpolate_timeseries(tsf, "cubic")
+    got = [r["x"] for r in out.df.orderBy("t").collect()]
+    for i in holes:
+        assert abs(got[i] - ys[i]) < 0.01, (i, got[i], ys[i])
+
+
+def test_natural_cubic_interp_exact_on_line():
+    x = np.array([0.0, 1, 2, 3, 4])
+    y = 2 * x + 1
+    xq = np.array([0.5, 1.5, 3.5])
+    np.testing.assert_allclose(natural_cubic_interp(x, y, xq),
+                               2 * xq + 1, atol=1e-12)
+
+
+def test_per_series_interpolation(spark):
+    rows = []
+    for uid in (1, 2):
+        base = float(uid * 10)
+        series = [base, None, base + 2]
+        for i, v in enumerate(series):
+            rows.append((uid, dt.datetime(2000, 1, 1 + i), v))
+    df = spark.createDataFrame(rows, "uid int, t timestamp, x double")
+    tsf = TimeSeriesFrame(df, time_col="t", series_cols=["uid"])
+    out = interpolate_timeseries(tsf, "linear")
+    got = {(r["uid"], r["t"].day): r["x"]
+           for r in out.df.collect()}
+    assert got[(1, 2)] == pytest.approx(11.0)
+    assert got[(2, 2)] == pytest.approx(21.0)
