@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language identification,
+and document fingerprinting.
+
+These extend the reference's surface (it has no text operators) per the
+project brief; everything is built from native Spark SQL expressions — no
+Python UDFs — so the operators run at full codegen speed over 100 TB of
+documents, and each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.operators.hashing import phash
+
+#: regex for BPE-ish tokenization: word pieces or single non-space symbols
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+#: small stopword marker sets per language for the n-gram/stopword
+#: language-ID heuristic (deterministic, oracle-able)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["that", "for", "on", "with", "as"]
+
+
+def tokens_expr(c: Column) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_expr(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(c))
+
+
+def bpe_token_count_expr(c: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single symbols."""
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_features(c: Column) -> dict:
+    """Quality-scoring features: length, token count, mean token length,
+    punctuation ratio, stopword ratio (cf. quality filters in large-scale
+    corpus pipelines, e.g. Gopher/C4 rules — public heuristics)."""
+    toks = tokens_expr(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": (F.length(F.regexp_replace(c, r"\s+", ""))
+                           / F.nullif(n_tok.cast("double"), F.lit(0.0))),
+        "punct_ratio": n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0)),
+        "stopword_ratio": n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0)),
+    }
+
+
+def quality_score_expr(c: Column) -> Column:
+    """Composite quality score in [0, 1]: rewards mid-length docs, prose-like
+    token lengths, some stopwords, low punctuation density."""
+    f = quality_features(c)
+    len_score = F.least(f["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    tok_score = F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10),
+                       F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(f["stopword_ratio"] * 5, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5)
+    return (len_score + tok_score + stop_score + punct_pen) / 4
+
+
+def language_id_expr(c: Column) -> Column:
+    """Heuristic language ID: count marker-stopword hits per language and
+    take the argmax (first language in registry order on ties, 'und' when
+    no markers hit)."""
+    toks = tokens_expr(c)
+
+    def _has(markers):  # single-arg lambda: a 2-arg HOF lambda would be
+        return lambda t: t.isin(*markers)  # called with (element, index)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _has(markers))))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang, score in reversed(scores):
+        take = score >= best_score
+        best = F.when(take & (score > 0), F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint_expr(c: Column, modulus: int = (1 << 57) - 13) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized token stream:
+    ``h = (h * 31 + phash(token)) mod M`` — a deterministic document
+    signature, exactly reproducible in SQL via list_reduce.  M < 2^57 keeps
+    ``31*h + phash`` inside int64 (no overflow on either engine)."""
+    toks = tokens_expr(c)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + phash(t)) % F.lit(modulus))

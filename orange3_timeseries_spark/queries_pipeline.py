@@ -1,0 +1,266 @@
+"""Oracle-checked queries for the training-data pipeline operators
+(dedup / similarity / text analysis) over the ``documents`` and
+``embeddings`` tables.
+
+Because every hash in the engine is the portable md5-based ``phash``
+(operators/hashing.py), the DuckDB oracles replay the *entire* pipeline —
+shingling, minhash, banding, simhash bit votes, rolling fingerprints —
+value-for-value, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.operators import dedup as D
+from orange3_timeseries_spark.operators import similarity as S
+from orange3_timeseries_spark.operators import text as T
+from orange3_timeseries_spark.queries import query, r6
+from orange3_timeseries_spark.sources import read_table
+
+# DuckDB building blocks
+_PH = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES = ("list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)),"
+             " i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+             .format(t=_TOKS))
+
+
+# ------------------------------------------------------------------ text tier
+@query("text_token_counts", f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(lower(text),
+           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS n_bpe_tokens,
+       length(text) AS n_chars_m
+FROM documents
+""")
+def q_text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (pipeline brief: token counting)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_expr(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_m"))
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+
+@query("text_quality", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / nullif(len(toks), 0), 6) AS mean_token_len,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / nullif(length(text), 0), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> x IN ({_STOP_LIST})))
+             / nullif(len(toks), 0), 6) AS stopword_ratio
+FROM t
+""")
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features: mean token length, punctuation ratio,
+    stopword ratio."""
+    d = read_table(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return d.select("doc_id",
+                    r6(f["mean_token_len"], "mean_token_len"),
+                    r6(f["punct_ratio"], "punct_ratio"),
+                    r6(f["stopword_ratio"], "stopword_ratio"))
+
+
+def _lang_sql():
+    counts = {
+        lang: (f"len(list_filter({_TOKS}, x -> x IN "
+               f"({', '.join(repr(w) for w in m)})))")
+        for lang, m in T.LANG_MARKERS.items()
+    }
+    e, s, fr, de = counts["en"], counts["es"], counts["fr"], counts["de"]
+    return f"""
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN {e} >= {s} AND {e} >= {fr} AND {e} >= {de} AND {e} > 0 THEN 'en'
+       WHEN {s} >= {fr} AND {s} >= {de} AND {s} > 0 THEN 'es'
+       WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
+       WHEN {de} > 0 THEN 'de'
+       ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+@query("text_language_id", _lang_sql())
+def q_text_language_id(spark, sf_dir):
+    """Stopword-marker language-ID heuristic (argmax with registry-order
+    tie-break)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    T.language_id_expr(F.col("text")).alias("pred_lang"))
+
+
+_FP_M = (1 << 57) - 13
+
+
+@query("text_fingerprint", f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+                      list_transform({_TOKS}, t -> {_PH.format(e='t')})),
+         (a, b) -> (a * 31 + b) % {_FP_M}) AS fingerprint
+FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (token stream, mod 2^57-13)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    T.fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+# ----------------------------------------------------------------- dedup tier
+@query("dedup_exact", """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_members
+FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by content digest (hash-groupBy)."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "text", "doc_id")
+
+
+@query("dedup_ngram_jaccard", f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0),
+             6) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+      / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0) >= 0.2
+""")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at tau=0.2 (the quadratic
+    verifier; the LSH path below is the scale variant)."""
+    d = read_table(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    return out.select("id_a", "id_b", r6(F.col("jaccard"), "jaccard"))
+
+
+def _minhash_sig_sql(k=16):
+    mins = ", ".join(
+        "list_min(list_transform(s, x -> "
+        + _PH.format(e=f"(x || '#{i}')") + f")) AS m{i}"
+        for i in range(k))
+    return f"WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),\n" \
+           f"sig AS (SELECT doc_id, {mins} FROM sh)"
+
+
+def _minhash_query_sql(k=16):
+    cols = " || '-' || ".join(f"m{i}::VARCHAR" for i in range(k))
+    return (_minhash_sig_sql(k)
+            + f"\nSELECT doc_id, ({cols}) AS sig_str FROM sig")
+
+
+@query("dedup_minhash_signatures", _minhash_query_sql())
+def q_dedup_minhash_signatures(spark, sf_dir):
+    """16-permutation MinHash signatures (portable hashing — the oracle
+    recomputes identical signatures)."""
+    d = read_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "text", "doc_id", k=16, n=3)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws("-", *[F.col("sig")[i].cast("string")
+                           for i in range(16)]).alias("sig_str"))
+
+
+def _minhash_pairs_sql(k=16, bands=4, threshold=0.2):
+    rpb = k // bands
+    band_keys = ", ".join(
+        _PH.format(e="(" + " || ',' || ".join(
+            f"m{b * rpb + r}::VARCHAR" for r in range(rpb)) + ")")
+        + f" AS bk{b}" for b in range(bands))
+    return f"""{_minhash_sig_sql(k)},
+bk AS (SELECT doc_id, {band_keys} FROM sig),
+entries AS (
+  SELECT doc_id, u.band, u.key FROM bk,
+  LATERAL (SELECT * FROM (VALUES {", ".join(f"({b}, bk{b})" for b in range(bands))})
+           AS v(band, key)) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM entries a JOIN entries b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(len(list_intersect(x.s, y.s))::DOUBLE
+             / nullif(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 0),
+             6) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = id_a
+JOIN sh y ON y.doc_id = id_b
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / nullif(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 0)
+      >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh_pairs", _minhash_pairs_sql())
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (4 bands x 4 rows) verified with exact
+    Jaccard >= 0.2 — the oracle replays banding + verification exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    out = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                              threshold=0.2)
+    return out.select("id_a", "id_b", r6(F.col("jaccard"), "jaccard"))
+
+
+@query("dedup_simhash", f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+th AS (SELECT doc_id, {_PH.format(e='t')} AS h FROM tok),
+bits AS (SELECT doc_id, i,
+                sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM th, generate_series(0, 31) g(i) GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+FROM bits GROUP BY 1
+""")
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signatures via per-token bit votes."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    D.simhash_expr(F.col("text"), bits=32).alias("simhash"))
+
+
+# ------------------------------------------------------------ similarity tier
+@query("ann_bruteforce_topk", """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, c.vec_id AS nn_id,
+         round(list_cosine_similarity(c.v, q.qv), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(c.v, q.qv), 6)
+                                     DESC, c.vec_id) AS rank
+  FROM c, q WHERE c.vec_id != q.query_id) t
+WHERE rank <= 5
+""")
+def q_ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the first 10 query vectors
+    (broadcast cross-join + per-query window rank)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.brute_force_topk(e, queries, k=5)
+
+
+@query("embedding_neardup", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+""")
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs at tau=0.35."""
+    e = read_table(spark, sf_dir, "embeddings")
+    out = S.embedding_neardup_pairs(e, threshold=0.35)
+    return out.select("id_a", "id_b", "cosine")
