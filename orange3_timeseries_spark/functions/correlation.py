@@ -1,0 +1,74 @@
+"""Autocorrelation / partial autocorrelation (``functions.py:177-246``),
+NumPy-only.
+
+- :func:`acf_values` computes the biased (denominator n) FFT-based ACF,
+  matching statsmodels ``acf(x, fft=True, adjusted=False)``.
+- :func:`pacf_values` runs the Levinson-Durbin recursion on the biased
+  autocovariance, matching statsmodels ``pacf(method='ldb')``.
+- The public functions return only the **significant** lags — strict local
+  maxima of |corr| with neighborhood order 3 (``_significant_acf``,
+  ``functions.py:177-189``) — as (lag, value) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orange3_timeseries_spark.functions._extrema import argrel_greater
+
+
+def acf_values(x: np.ndarray, nlags: int) -> np.ndarray:
+    """Biased ACF at lags 0..nlags via FFT."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    xd = x - x.mean()
+    nfft = 1 << int(np.ceil(np.log2(2 * n - 1)))
+    fx = np.fft.rfft(xd, nfft)
+    acov = np.fft.irfft(fx * np.conjugate(fx), nfft)[:n] / n
+    return acov[:nlags + 1] / acov[0]
+
+
+def pacf_values(x: np.ndarray, nlags: int) -> np.ndarray:
+    """PACF at lags 0..nlags via Levinson-Durbin on the biased
+    autocovariance (statsmodels 'ldb')."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    xd = x - x.mean()
+    acov = np.array([np.dot(xd[: n - k], xd[k:]) for k in range(nlags + 1)]) / n
+    pacf = np.zeros(nlags + 1)
+    pacf[0] = 1.0
+    # Levinson-Durbin recursion
+    phi = np.zeros((nlags + 1, nlags + 1))
+    pacf_den = acov[0]
+    for k in range(1, nlags + 1):
+        num = acov[k] - np.dot(phi[k - 1, 1:k], acov[1:k][::-1])
+        phi[k, k] = num / pacf_den
+        for j in range(1, k):
+            phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
+        pacf_den = pacf_den * (1.0 - phi[k, k] ** 2)
+        pacf[k] = phi[k, k]
+    return pacf
+
+
+def _significant(corr: np.ndarray) -> np.ndarray:
+    lags = argrel_greater(np.abs(corr), 3)
+    return np.column_stack((lags, corr[lags])) if len(lags) else \
+        np.empty((0, 2))
+
+
+def autocorrelation(x, *, nlags=None):
+    """Significant ACF peaks as (lag, acf) rows; default
+    ``nlags = 0.9 * len(x)`` (``functions.py:215-216``)."""
+    x = np.asarray(x, dtype=float).ravel()
+    if nlags is None:
+        nlags = int(0.9 * len(x))
+    return _significant(acf_values(x, nlags))
+
+
+def partial_autocorrelation(x, *, nlags=None):
+    """Significant PACF peaks as (lag, pacf) rows; default
+    ``nlags = min(len(x)//2 - 1, len(x) - 1)`` (``functions.py:243-244``)."""
+    x = np.asarray(x, dtype=float).ravel()
+    if nlags is None:
+        nlags = min(len(x) // 2 - 1, len(x) - 1)
+    return _significant(pacf_values(x, nlags))

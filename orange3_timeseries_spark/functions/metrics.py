@@ -1,0 +1,78 @@
+"""Forecast evaluation metrics (``functions.py:21-49``), with the
+reference's quirks preserved:
+
+- ``mape`` is mean absolute error divided by the mean absolute true value
+  (not the standard per-point percentage, ``functions.py:34-37``);
+- ``mae`` is the **median** absolute error (``:40-43``);
+- ``pocid`` is the percentage of sign-agreeing consecutive differences
+  (``:46-49``);
+- all metrics align ``true[-len(pred):]`` with ``pred``.
+
+Provided both as NumPy functions (model tier) and as Spark aggregate
+expression builders (distributed scoring of prediction tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _align(true, pred):
+    true = np.asarray(true, dtype=float)
+    pred = np.asarray(pred, dtype=float)
+    return true[-len(pred):], pred
+
+
+def r2(true, pred) -> float:
+    """Coefficient of determination (``functions.py:21-25``)."""
+    true, pred = _align(true, pred)
+    return float(1 - np.sum((true - pred) ** 2)
+                 / np.sum((true - np.mean(true)) ** 2))
+
+
+def rmse(true, pred) -> float:
+    true, pred = _align(true, pred)
+    return float(np.sqrt(np.sum((true - pred) ** 2) / len(pred)))
+
+
+def mape(true, pred) -> float:
+    t, p = _align(true, pred)
+    return float(np.mean(np.abs(t - p)) / np.abs(np.asarray(true)).mean())
+
+
+def mae(true, pred) -> float:
+    true, pred = _align(true, pred)
+    return float(np.median(np.abs(true - pred)))
+
+
+def pocid(true, pred) -> float:
+    true, pred = _align(true, pred)
+    return float(100 * np.mean((np.diff(true) * np.diff(pred)) > 0))
+
+
+# ------------------------------------------------------ Spark agg expressions
+def rmse_expr(true: Column, pred: Column) -> Column:
+    return F.sqrt(F.avg(F.pow(true - pred, 2)))
+
+
+def mae_expr(true: Column, pred: Column) -> Column:
+    """Median absolute error (exact percentile)."""
+    return F.median(F.abs(true - pred))
+
+
+def mape_expr(true: Column, pred: Column) -> Column:
+    return F.avg(F.abs(true - pred)) / F.avg(F.abs(true))
+
+
+def r2_expr(true: Column, pred: Column) -> Column:
+    # algebraic form: 1 - ss_res / (sum(t^2) - n*mean(t)^2)
+    ss_res = F.sum(F.pow(true - pred, 2))
+    n = F.count(true)
+    return 1 - ss_res / (F.sum(F.pow(true, 2)) - n * F.pow(F.avg(true), 2))
+
+
+def pocid_expr(true_diff: Column, pred_diff: Column) -> Column:
+    """POCID over pre-computed consecutive diffs (use ``lag`` upstream)."""
+    return 100 * F.avg(((true_diff * pred_diff) > 0).cast("double"))

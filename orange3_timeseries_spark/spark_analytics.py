@@ -1,0 +1,231 @@
+"""Distributed wrappers for the analytics tier: each reference whole-column
+algorithm (SURVEY §2.7) runs as an Arrow-batched ``applyInPandas`` stage
+**per series**, so a million independent series parallelize across the
+cluster while each series computes with the exact NumPy semantics of the
+reference.  With no ``series_cols`` the frame degenerates to one group —
+the honest equivalent of the reference's single in-memory array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.functions.correlation import (
+    acf_values,
+    pacf_values,
+    _significant,
+)
+from orange3_timeseries_spark.functions.decomposition import (
+    seasonal_decompose_arrays,
+)
+from orange3_timeseries_spark.functions.granger import granger_causality_arrays
+from orange3_timeseries_spark.functions.spectral import (
+    periodogram,
+    periodogram_nonequispaced,
+)
+
+
+def _grouped(tsf: TimeSeriesFrame):
+    """(df_with_group, group_cols, added) — ensures at least one group key."""
+    if tsf.series_cols:
+        return tsf.df, list(tsf.series_cols), False
+    return tsf.df.withColumn("__g__", F.lit(1)), ["__g__"], True
+
+
+def _series_schema(group_cols, df, extra_fields):
+    fields = [df.schema[c] for c in group_cols]
+    return T.StructType(fields + extra_fields)
+
+
+def _sorted_values(pdf: pd.DataFrame, order_col: str, col: str) -> np.ndarray:
+    return pdf.sort_values(order_col)[col].to_numpy(dtype=float)
+
+
+def _order_col(tsf: TimeSeriesFrame) -> str:
+    if tsf.time_col is not None:
+        return tsf.time_col
+    from orange3_timeseries_spark.frame import ROW_IDX
+    if ROW_IDX not in tsf.df.columns:
+        raise ValueError("frame needs a time column or __row_idx__")
+    return ROW_IDX
+
+
+def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
+              significant_only: bool = False) -> DataFrame:
+    """Per-series ACF rows (series..., lag, acf); with ``significant_only``
+    just the reference's significant peaks (``functions.py:192-218``)."""
+    df, groups, added = _grouped(tsf)
+    order = _order_col(tsf)
+    schema = _series_schema(groups, df, [
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("acf", T.DoubleType())])
+
+    def compute(keys, pdf):
+        x = _sorted_values(pdf, order, col)
+        x = x[~np.isnan(x)]
+        nl = nlags if nlags is not None else int(0.9 * len(x))
+        nl = min(nl, len(x) - 1)
+        if len(x) < 3 or nl < 1:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        vals = acf_values(x, nl)
+        if significant_only:
+            rows = _significant(vals)
+        else:
+            rows = np.column_stack((np.arange(len(vals)), vals))
+        out = pd.DataFrame({"lag": rows[:, 0].astype(int),
+                            "acf": rows[:, 1]})
+        for k, v in zip(groups, keys):
+            out[k] = v
+        return out[[f.name for f in schema.fields]]
+
+    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
+    return out.drop("__g__") if added else out
+
+
+def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
+               significant_only: bool = False) -> DataFrame:
+    """Per-series PACF rows (``functions.py:221-246``)."""
+    df, groups, added = _grouped(tsf)
+    order = _order_col(tsf)
+    schema = _series_schema(groups, df, [
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("pacf", T.DoubleType())])
+
+    def compute(keys, pdf):
+        x = _sorted_values(pdf, order, col)
+        x = x[~np.isnan(x)]
+        nl = nlags if nlags is not None else min(len(x) // 2 - 1, len(x) - 1)
+        nl = min(nl, max(len(x) - 1, 0))
+        if len(x) < 4 or nl < 1:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        vals = pacf_values(x, nl)
+        if significant_only:
+            rows = _significant(vals)
+        else:
+            rows = np.column_stack((np.arange(len(vals)), vals))
+        out = pd.DataFrame({"lag": rows[:, 0].astype(int),
+                            "pacf": rows[:, 1]})
+        for k, v in zip(groups, keys):
+            out[k] = v
+        return out[[f.name for f in schema.fields]]
+
+    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
+    return out.drop("__g__") if added else out
+
+
+def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend="diff",
+                      equispaced: bool = True) -> DataFrame:
+    """Per-series significant spectral peaks (series..., period, power);
+    Lomb-Scargle when ``equispaced=False`` (``functions.py:76-174``)."""
+    df, groups, added = _grouped(tsf)
+    order = _order_col(tsf)
+    time_col = tsf.time_col
+    schema = _series_schema(groups, df, [
+        T.StructField("period", T.DoubleType()),
+        T.StructField("power", T.DoubleType())])
+
+    def compute(keys, pdf):
+        pdf = pdf.sort_values(order)
+        x = pdf[col].to_numpy(dtype=float)
+        mask = ~np.isnan(x)
+        x = x[mask]
+        if len(x) < 12:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        if equispaced:
+            periods, power = periodogram(x, detrend=detrend)
+        else:
+            tvals = pdf[time_col].astype("int64").to_numpy()[mask] / 1e9
+            periods, power = periodogram_nonequispaced(tvals, x,
+                                                       detrend=detrend)
+        out = pd.DataFrame({"period": periods, "power": power})
+        for k, v in zip(groups, keys):
+            out[k] = v
+        return out[[f.name for f in schema.fields]]
+
+    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
+    return out.drop("__g__") if added else out
+
+
+def seasonal_decompose(tsf: TimeSeriesFrame, cols: Sequence[str],
+                       model: str = "multiplicative", period: int = 12,
+                       ) -> TimeSeriesFrame:
+    """Append the 4 decomposition columns per variable
+    ('(season. adj.)', '(seasonal)', '(trend)', '(residual)' —
+    ``functions.py:417-424``).  Gaps are linearly interpolated before
+    decomposition (the reference decomposes ``data.interp()``,
+    ``functions.py:399``) and source NaNs re-applied (``:411-415``)."""
+    df, groups, added = _grouped(tsf)
+    order = _order_col(tsf)
+    suffixes = ["season. adj.", "seasonal", "trend", "residual"]
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField(f"{c} ({s})", T.DoubleType())
+        for c in cols for s in suffixes])
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        for c in cols:
+            raw = pdf[c].to_numpy(dtype=float)
+            isnan = np.isnan(raw)
+            x = raw.copy()
+            if isnan.any() and (~isnan).sum() >= 2:
+                idx = np.arange(len(x), dtype=float)
+                x[isnan] = np.interp(idx[isnan], idx[~isnan], x[~isnan])
+            adj, seas, trend, resid = seasonal_decompose_arrays(
+                x, model=model, period=period)
+            adj[isnan] = np.nan
+            trend[isnan] = np.nan
+            resid[isnan] = np.nan
+            pdf[f"{c} (season. adj.)"] = adj
+            pdf[f"{c} (seasonal)"] = seas
+            pdf[f"{c} (trend)"] = trend
+            pdf[f"{c} (residual)"] = resid
+        return pdf
+
+    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
+    out = out.drop("__g__") if added else out
+    return tsf._with_df(out)
+
+
+def granger_causality(tsf: TimeSeriesFrame, cols: Sequence[str],
+                      max_lag: int = 10, alpha: float = 0.05) -> DataFrame:
+    """Per-series Granger tests over all ordered pairs of ``cols``
+    (series..., lag, p, antecedent, consequent) — ``functions.py:433-492``.
+    Gaps linearly interpolated first (``:462``)."""
+    df, groups, added = _grouped(tsf)
+    order = _order_col(tsf)
+    schema = _series_schema(groups, df, [
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("antecedent", T.StringType()),
+        T.StructField("consequent", T.StringType())])
+
+    def compute(keys, pdf):
+        pdf = pdf.sort_values(order)
+        arrays = []
+        for c in cols:
+            x = pdf[c].to_numpy(dtype=float)
+            isnan = np.isnan(x)
+            if isnan.any() and (~isnan).sum() >= 2:
+                idx = np.arange(len(x), dtype=float)
+                x[isnan] = np.interp(idx[isnan], idx[~isnan], x[~isnan])
+            arrays.append(x)
+        rows = granger_causality_arrays(arrays, list(cols), max_lag, alpha)
+        out = pd.DataFrame(rows, columns=["lag", "p", "antecedent",
+                                          "consequent"])
+        if not len(rows):
+            out = pd.DataFrame(columns=["lag", "p", "antecedent",
+                                        "consequent"])
+        out["lag"] = out["lag"].astype("int32", errors="ignore")
+        for k, v in zip(groups, keys):
+            out[k] = v
+        return out[[f.name for f in schema.fields]]
+
+    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
+    return out.drop("__g__") if added else out

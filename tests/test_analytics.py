@@ -1,0 +1,156 @@
+"""Analytics goldens ported from the reference's test suite
+(``tests/test_periodogram.py``, ``tests/test_correlation.py``,
+``tests/test_seasonal.py``, F8 Granger design from ``doc/scripting.rst``),
+running both the NumPy cores and the per-series Spark wrappers."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from orange3_timeseries_spark.functions import (
+    autocorrelation,
+    granger_causality_arrays,
+    partial_autocorrelation,
+    periodogram,
+    periodogram_nonequispaced,
+    seasonal_decompose_arrays,
+    mae,
+    mape,
+    pocid,
+    r2,
+    rmse,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "airpassengers.csv")
+
+
+@pytest.fixture(scope="module")
+def airpassengers():
+    pdf = pd.read_csv(DATA, skiprows=[1, 2])
+    return pdf["Air passengers"].to_numpy(dtype=float)
+
+
+def test_periodogram_golden(airpassengers):
+    # reference: max scaled power == 1 at a period rounding to 6
+    # (tests/test_periodogram.py:12-14)
+    periods, pgram = periodogram(airpassengers)
+    assert max(pgram) == 1
+    assert round(float(periods[pgram == 1][0])) == 6
+
+
+def test_lombscargle_golden(airpassengers):
+    # times = equispaced epoch months; reference passes data.X (epoch secs)
+    times = np.arange(len(airpassengers), dtype=float) * 2629746.0
+    periods, pgram = periodogram_nonequispaced(times, airpassengers,
+                                               detrend="diff")
+    assert max(pgram) == 1
+
+
+def test_acf_golden(airpassengers):
+    acf = autocorrelation(airpassengers)
+    np.testing.assert_equal(acf[:4, 0], [12, 24, 36, 48])
+    assert (acf[:4, 1] > 0).all()
+
+
+def test_pacf_golden(airpassengers):
+    pacf = partial_autocorrelation(airpassengers)
+    np.testing.assert_equal(pacf[:3, 0], [9, 13, 25])
+    assert pacf[0, 1] > 0
+
+
+def test_seasonal_invariants(airpassengers):
+    # adjusted == trend * residual; observed == adjusted * seasonal
+    # (tests/test_seasonal.py:15-22)
+    adj, seas, trend, resid = seasonal_decompose_arrays(
+        airpassengers, model="multiplicative", period=12)
+    np.testing.assert_almost_equal(adj, trend * resid)
+    np.testing.assert_almost_equal(airpassengers, adj * seas)
+
+
+def test_seasonal_additive_invariants(airpassengers):
+    adj, seas, trend, resid = seasonal_decompose_arrays(
+        airpassengers, model="additive", period=12)
+    np.testing.assert_almost_equal(adj, trend + resid)
+    np.testing.assert_almost_equal(airpassengers, adj + seas)
+
+
+def test_granger_lagged_copies():
+    # F8: lagged copies are Granger-caused by the original at the
+    # construction lag (doc/scripting.rst:191-207)
+    rng = np.random.RandomState(42)
+    series = np.sin(np.arange(200) / 5.0) + rng.normal(0, 0.1, 200)
+    lag1 = np.roll(series, 1)
+    lag3 = np.roll(series, 3)
+    res = granger_causality_arrays([series, lag1, lag3],
+                                   ["orig", "lag1", "lag3"], max_lag=5)
+    caused = {(r[2], r[3]): r[0] for r in res}
+    assert ("orig", "lag1") in caused
+    assert caused[("orig", "lag1")] == 1
+    assert ("orig", "lag3") in caused
+    assert caused[("orig", "lag3")] <= 3
+
+
+def test_metrics_quirks():
+    true = np.array([1.0, 2, 3, 4, 5])
+    pred = np.array([1.5, 2.5, 2.5, 4.5, 4.5])
+    # mae is MEDIAN absolute error
+    assert mae(true, pred) == 0.5
+    # mape normalizes by mean |true|, not per-point
+    assert mape(true, pred) == pytest.approx(0.5 / 3.0)
+    assert rmse(true, pred) == pytest.approx(0.5)
+    assert r2(true, pred) == pytest.approx(1 - (5 * 0.25) / 10.0)
+    # pocid: % of sign-agreeing diffs (pred diffs [1,0,2,0] -> 2/4)
+    assert pocid(true, pred) == pytest.approx(50.0)
+
+
+# ---------------------------------------------------------- Spark wrappers
+def test_spark_acf_matches_numpy(spark, airpassengers):
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.spark_analytics import acf_table
+
+    rows = [(int(i), float(v)) for i, v in enumerate(airpassengers)]
+    df = spark.createDataFrame(rows, "__row_idx__ int, x double")
+    tsf = TimeSeriesFrame(df)
+    out = acf_table(tsf, "x", nlags=20).orderBy("lag").collect()
+    from orange3_timeseries_spark.functions.correlation import acf_values
+    expected = acf_values(airpassengers, 20)
+    got = [r["acf"] for r in out]
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+def test_spark_decompose_invariant(spark, airpassengers):
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.spark_analytics import seasonal_decompose
+
+    rows = [(int(i), float(v)) for i, v in enumerate(airpassengers)]
+    df = spark.createDataFrame(rows, "__row_idx__ int, x double")
+    out = seasonal_decompose(TimeSeriesFrame(df), ["x"],
+                             model="multiplicative", period=12)
+    pdf = out.df.orderBy("__row_idx__").toPandas()
+    np.testing.assert_almost_equal(
+        pdf["x (season. adj.)"].to_numpy(),
+        (pdf["x (trend)"] * pdf["x (residual)"]).to_numpy())
+    np.testing.assert_almost_equal(
+        pdf["x"].to_numpy(),
+        (pdf["x (season. adj.)"] * pdf["x (seasonal)"]).to_numpy())
+
+
+def test_spark_granger_per_series(spark):
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.spark_analytics import granger_causality
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for uid in (1, 2):
+        series = np.sin(np.arange(150) / 4.0) + rng.normal(0, 0.1, 150)
+        lag2 = np.roll(series, 2)
+        for i in range(150):
+            rows.append((uid, int(i), float(series[i]), float(lag2[i])))
+    df = spark.createDataFrame(rows, "uid int, __row_idx__ int, a double, b double")
+    tsf = TimeSeriesFrame(df, series_cols=["uid"])
+    res = granger_causality(tsf, ["a", "b"], max_lag=4).collect()
+    got = {(r["uid"], r["antecedent"], r["consequent"]): r["lag"] for r in res}
+    assert got.get((1, "a", "b")) is not None and got[(1, "a", "b")] <= 2
+    assert got.get((2, "a", "b")) is not None and got[(2, "a", "b")] <= 2
