@@ -1,0 +1,199 @@
+"""ARIMA(p, d, q) in pure NumPy via Hannan-Rissanen two-stage estimation
+(cf. the reference's statsmodels wrapper, ``models.py:279-328``; the
+estimation algorithm itself follows the published Hannan-Rissanen method —
+long-AR residual proxy, then OLS on AR + MA lag regressors).
+
+Forecast confidence intervals use the MA(infinity) psi-weight expansion of
+the integrated process: ``var_h = sigma^2 * sum_{i<h} psi_i^2``, CI =
+forecast ± z_{1-alpha/2} * sqrt(var_h) — the standard Box-Jenkins interval
+(what ``results.get_forecast().conf_int()`` produces for Gaussian ARIMA,
+``models.py:312-316``).
+
+Exogenous regressors (ARIMAX, ``use_exog`` — ``models.py:301-310``) enter
+the stage-2 OLS linearly; forecasting then requires future exog rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orange3_timeseries_spark.models._stats import lagmat, norm_ppf, ols
+from orange3_timeseries_spark.models.base import BaseModel
+
+
+class _ArimaResults:
+    def __init__(self, const, phi, theta, beta_exog, sigma2, resid,
+                 fitted_diff, aic, bic):
+        self.const = const
+        self.phi = phi
+        self.theta = theta
+        self.beta_exog = beta_exog
+        self.sigma2 = sigma2
+        self.resid = resid
+        self.fitted_diff = fitted_diff
+        self.aic = aic
+        self.bic = bic
+
+
+def arma_psi_weights(phi: np.ndarray, theta: np.ndarray, d: int,
+                     n: int) -> np.ndarray:
+    """First n psi weights of the ARIMA(p,d,q) MA(infinity) expansion:
+    psi(B) = theta(B) / (phi(B) * (1-B)^d)."""
+    # AR polynomial of the integrated process: phi(B)*(1-B)^d
+    ar = np.array([1.0] + [-p for p in phi])
+    for _ in range(d):
+        ar = np.convolve(ar, [1.0, -1.0])
+    ma = np.array([1.0] + list(theta))
+    psi = np.zeros(n)
+    psi[0] = 1.0
+    for i in range(1, n):
+        acc = ma[i] if i < len(ma) else 0.0
+        for j in range(1, min(i, len(ar) - 1) + 1):
+            acc -= ar[j] * psi[i - j]
+        psi[i] = acc
+    return psi
+
+
+class ARIMA(BaseModel):
+    """Autoregressive integrated moving average model (API parity with
+    ``models.py:279-328``)."""
+
+    REQUIRES_STATIONARY = False
+
+    def __init__(self, order=(1, 0, 0), use_exog=False):
+        super().__init__()
+        self.order = tuple(order)
+        self.use_exog = use_exog
+
+    def __str__(self):
+        return "{}({})".format(
+            "AR{}MA{}".format("I" if self.order[1] else "",
+                              "X" if self.use_exog else ""),
+            ",".join(map(str, self.order)))
+
+    # ------------------------------------------------------------------ fit
+    def _fit(self, endog, exog):
+        p, d, q = self.order
+        y = np.asarray(endog, dtype=float).ravel()
+        if not self.use_exog:
+            exog = None
+        X = np.asarray(exog, dtype=float) if exog is not None else None
+        self._y_levels = y.copy()
+        w = np.diff(y, d) if d else y.copy()
+        Xd = X[d:] if (X is not None and d) else X
+
+        n = len(w)
+        if n <= p + q + 1:
+            raise ValueError("series too short for the requested order")
+
+        # stage 1: long AR to proxy the innovations
+        m = min(max(2 * (p + q), 10, p, q), max(n // 2, 1))
+        if q > 0:
+            if n <= m + 1:
+                m = max(n - 2, 1)
+            Z = np.column_stack((np.ones(n - m), lagmat(w, m)))
+            beta1, e_tail, _ = ols(w[m:], Z)
+            e = np.concatenate((np.zeros(m), w[m:] - Z @ beta1))
+        else:
+            e = np.zeros(n)
+
+        # stage 2: OLS of w_t on const + w lags + e lags (+ exog)
+        r = max(p, q)
+        rows = n - r
+        parts = [np.ones((rows, 1))]
+        if p:
+            parts.append(lagmat(w, p)[r - p:] if r > p else lagmat(w, p))
+        if q:
+            eq = lagmat(e, q)
+            parts.append(eq[r - q:] if r > q else eq)
+        if Xd is not None:
+            parts.append(np.atleast_2d(Xd)[r:].reshape(rows, -1))
+        Z2 = np.hstack(parts)
+        target = w[r:]
+        beta, resid, rss = ols(target, Z2)
+
+        const = float(beta[0])
+        phi = np.array(beta[1:1 + p], dtype=float)
+        theta = np.array(beta[1 + p:1 + p + q], dtype=float)
+        beta_exog = np.array(beta[1 + p + q:], dtype=float) \
+            if Xd is not None else None
+
+        sigma2 = rss / rows
+        k = 1 + p + q + (len(beta_exog) if beta_exog is not None else 0)
+        loglik = -0.5 * rows * (np.log(2 * np.pi * sigma2) + 1)
+        aic = 2 * k - 2 * loglik
+        bic = k * np.log(rows) - 2 * loglik
+
+        fitted_diff = np.concatenate((w[:r], target - resid))
+        self.results = _ArimaResults(const, phi, theta, beta_exog,
+                                     float(sigma2), resid, fitted_diff,
+                                     float(aic), float(bic))
+        self._w = w
+        self._e = np.concatenate((np.zeros(r), resid))
+        self._exog = Xd
+
+    # -------------------------------------------------------------- predict
+    def _predict(self, steps, exog, alpha):
+        p, d, q = self.order
+        res = self.results
+        w = self._w
+        e_hist = self._e
+        X_fut = None
+        if self.use_exog and res.beta_exog is not None:
+            if exog is None:
+                raise ValueError("ARIMAX forecast requires future exog")
+            X_fut = np.atleast_2d(np.asarray(exog, dtype=float))
+
+        w_ext = list(w)
+        e_ext = list(e_hist)
+        preds_diff = []
+        for h in range(steps):
+            val = res.const
+            for i in range(p):
+                val += res.phi[i] * w_ext[-1 - i]
+            for j in range(q):
+                idx = len(e_ext) - 1 - j
+                e_val = e_ext[idx] if idx >= len(e_hist) - 0 - 0 else e_ext[idx]
+                # future innovations are zero
+                if idx >= len(e_hist):
+                    e_val = 0.0
+                val += res.theta[j] * e_val
+            if X_fut is not None:
+                val += float(X_fut[h] @ res.beta_exog)
+            preds_diff.append(val)
+            w_ext.append(val)
+            e_ext.append(0.0)
+
+        preds_diff = np.array(preds_diff)
+        if d:
+            # integrate d times, anchored at the last observed levels
+            forecast = preds_diff.copy()
+            tail = self._y_levels
+            for k in range(d, 0, -1):
+                base = np.diff(tail, k - 1)[-1]
+                forecast = base + np.cumsum(forecast)
+            # note: loop handles d=1 exactly; d=2 integrates twice
+        else:
+            forecast = preds_diff
+
+        psi = arma_psi_weights(res.phi, res.theta, d, steps)
+        var_h = res.sigma2 * np.cumsum(psi ** 2)
+        z = norm_ppf(1 - alpha / 2)
+        err = z * np.sqrt(var_h)
+        return forecast, forecast - err, forecast + err
+
+    def _fittedvalues(self):
+        """In-sample one-step predictions on the *levels* scale
+        (the reference's ``typ='levels'`` for d>0, ``models.py:324-328``)."""
+        p, d, q = self.order
+        fitted_diff = self.results.fitted_diff
+        if not d:
+            return fitted_diff
+        y = self._y_levels
+        # fitted level at t = y_{t-1} + ... (sum of lower-order diffs) +
+        # fitted d-th difference; reconstruct via the identity
+        # w_t = Δ^d y_t  =>  ŷ_t = y_t - (w_t - ŵ_t)
+        w = self._w
+        resid_full = np.concatenate(
+            (np.zeros(len(w) - len(self.results.resid)), self.results.resid))
+        return y[d:] - (w - fitted_diff)  # == y - residual on level scale

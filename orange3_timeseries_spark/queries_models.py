@@ -1,0 +1,119 @@
+"""Driver-contract queries for the forecast-model tier (SURVEY §2.8).
+
+``ar1_params_by_user`` has a full DuckDB value-hash oracle: fitting
+ARIMA(1,0,0) by conditional least squares IS the OLS regression of y_t on
+(1, y_{t-1}), so the engine's per-series fit (grouped ``applyInPandas``)
+is cross-checked against DuckDB's ``regr_slope`` / ``regr_intercept``,
+including the one-step-ahead forecast ``c + phi * y_n``.
+
+Multi-step ARIMA/VAR forecasts and rolling-origin evaluation are iterative
+algorithms with no reasonable single-query SQL form — registered without
+oracles (rows-only check) and golden-tested in tests/test_models.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.queries import query, r6
+from orange3_timeseries_spark.sources import read_table
+
+
+def _events(spark, sf_dir):
+    df = read_table(spark, sf_dir, "events")
+    return TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+
+
+@query("ar1_params_by_user", """
+WITH s AS (
+  SELECT user_id, ts, value AS y,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS ylag
+  FROM events),
+fit AS (
+  SELECT user_id,
+         regr_intercept(y, ylag) AS c,
+         regr_slope(y, ylag) AS phi,
+         last(y ORDER BY ts) AS y_last
+  FROM s WHERE ylag IS NOT NULL
+  GROUP BY user_id)
+SELECT user_id,
+       round(c, 6) AS const,
+       round(phi, 6) AS phi,
+       round(c + phi * y_last, 6) AS fc1
+FROM fit
+""")
+def q_ar1_params_by_user(spark, sf_dir):
+    """Per-series ARIMA(1,0,0) conditional-LS fit + 1-step forecast;
+    oracle = OLS regression aggregates in DuckDB (same normal equations)."""
+    from orange3_timeseries_spark.models import ARIMA
+
+    tsf = _events(spark, sf_dir)
+    schema = T.StructType([
+        tsf.df.schema["user_id"],
+        T.StructField("const", T.DoubleType()),
+        T.StructField("phi", T.DoubleType()),
+        T.StructField("fc1", T.DoubleType()),
+    ])
+
+    def compute(keys, pdf):
+        y = pdf.sort_values("ts")["value"].to_numpy(dtype=float)
+        m = ARIMA((1, 0, 0)).fit(y)
+        fc, _, _ = m.predict(1)
+        return pd.DataFrame([[keys[0], float(m.results.const),
+                              float(m.results.phi[0]), float(np.ravel(fc)[0])]],
+                            columns=["user_id", "const", "phi", "fc1"])
+
+    out = tsf.df.groupBy("user_id").applyInPandas(compute, schema=schema)
+    return out.select("user_id", r6(F.col("const"), "const"),
+                      r6(F.col("phi"), "phi"), r6(F.col("fc1"), "fc1"))
+
+
+@query("arima_forecast_by_user", None)
+def q_arima_forecast_by_user(spark, sf_dir):
+    """Per-series ARIMA(2,1,1) 5-step forecast with 95% CIs (Hannan-
+    Rissanen fit, psi-weight intervals) — rows-only check; invariants
+    (CI sandwich, widening) are golden-tested in tests/test_models.py."""
+    from orange3_timeseries_spark.models import ARIMA, forecast_by_series
+
+    out = forecast_by_series(_events(spark, sf_dir), ["value"],
+                             lambda: ARIMA((2, 1, 1)), steps=5)
+    return out.select("user_id", "step", r6(F.col("forecast"), "forecast"),
+                      r6(F.col("ci_low"), "ci_low"),
+                      r6(F.col("ci_high"), "ci_high"))
+
+
+@query("var_forecast_by_user", None)
+def q_var_forecast_by_user(spark, sf_dir):
+    """Per-series bivariate VAR(1) 3-step forecast over (value, its
+    12-wide moving mean) — rows-only check."""
+    from orange3_timeseries_spark.models import VAR, forecast_by_series
+    from orange3_timeseries_spark.operators.moving_transform import (
+        KEEP_COMPLETE,
+        sliding_window,
+    )
+
+    tsf = _events(spark, sf_dir)
+    tsf = sliding_window(tsf, {"value": ["mean"]}, 12, keep=KEEP_COMPLETE)
+    out = forecast_by_series(tsf, ["value", "value (mean)"],
+                             lambda: VAR(1), steps=3)
+    return out.select("user_id", "step", "var",
+                      r6(F.col("forecast"), "forecast"))
+
+
+@query("model_eval_by_user", None)
+def q_model_eval_by_user(spark, sf_dir):
+    """Per-series rolling-origin CV (2 folds x 5 steps) of AR(1) vs
+    ARIMA(0,1,1): RMSE/MAE/MAPE/POCID/R2 + AIC/BIC rows — rows-only."""
+    from orange3_timeseries_spark.models import ARIMA, evaluate_by_series
+
+    out = evaluate_by_series(_events(spark, sf_dir), "value",
+                             [lambda: ARIMA((1, 0, 0)),
+                              lambda: ARIMA((0, 1, 1))],
+                             n_folds=2, forecast_steps=5)
+    return out.select("user_id", "model", "in_sample",
+                      r6(F.col("rmse"), "rmse"), r6(F.col("mae"), "mae"),
+                      r6(F.col("r2"), "r2"))

@@ -1,0 +1,201 @@
+"""Model-tier tests: parameter recovery on synthetic processes, the
+reference's invariant assertions (CI sandwich, ``tests/test_models.py:29-30,
+46-47``; evaluation result shape, ``:61-62``), and the distributed
+per-series fit path."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from orange3_timeseries_spark.models import (
+    ARIMA, VAR, evaluate_by_series, forecast_by_series, model_evaluation,
+)
+from orange3_timeseries_spark.models.evaluation import HEADER
+
+HERE = os.path.dirname(__file__)
+
+
+def _airpassengers():
+    with open(os.path.join(HERE, "data", "airpassengers.csv")) as f:
+        rows = list(csv.reader(f))
+    return np.array([float(r[1]) for r in rows[3:]])
+
+
+def _ar1(n=400, phi=0.7, c=2.0, seed=7):
+    rng = np.random.RandomState(seed)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = c + phi * y[t - 1] + rng.normal(scale=0.5)
+    return y
+
+
+class TestARIMA:
+    def test_ar1_recovery(self):
+        y = _ar1()
+        m = ARIMA((1, 0, 0)).fit(y)
+        assert m.results.phi[0] == pytest.approx(0.7, abs=0.06)
+        # unconditional mean c/(1-phi) ~ 6.67
+        mean = m.results.const / (1 - m.results.phi[0])
+        assert mean == pytest.approx(2.0 / 0.3, rel=0.1)
+
+    def test_forecast_ci_sandwich(self):
+        y = _airpassengers()
+        m = ARIMA((2, 1, 1)).fit(y)
+        fc, lo, hi = m.predict(10)
+        assert np.all(lo <= fc) and np.all(fc <= hi)
+        # CI width grows with horizon for an integrated process
+        assert (hi - lo)[-1] > (hi - lo)[0]
+
+    def test_forecast_plausible_level(self):
+        y = _airpassengers()
+        m = ARIMA((1, 1, 0)).fit(y)
+        fc, lo, hi = m.predict(5)
+        # airpassengers ends at 432; a d=1 forecast stays in the ballpark
+        assert 300 < fc[0] < 600
+
+    def test_fitted_residual_identity(self):
+        y = _airpassengers()
+        m = ARIMA((1, 1, 1)).fit(y)
+        fitted = m.fittedvalues()
+        resid = m.residuals()
+        assert len(fitted) == len(y) - 1
+        np.testing.assert_allclose(y[-len(fitted):] - fitted, resid,
+                                   atol=1e-9)
+
+    def test_trailing_nan_truncation(self):
+        y = np.concatenate((_ar1(100), [np.nan, np.nan]))
+        m = ARIMA((1, 0, 0)).fit(y)
+        assert len(m._endog) == 100
+
+    def test_aic_bic_finite(self):
+        m = ARIMA((1, 0, 1)).fit(_ar1(200))
+        assert np.isfinite(m.results.aic) and np.isfinite(m.results.bic)
+
+    def test_forecast_table_naming(self):
+        m = ARIMA((1, 0, 0)).fit(_ar1(100), var_names=["Close"])
+        cols = m.predict(5, as_table=True)
+        assert set(cols) == {"Close (forecast)", "Close (95%CI low)",
+                             "Close (95%CI high)"}
+        assert len(cols["Close (forecast)"]) == 5
+
+
+def _var2(n=500, seed=3):
+    rng = np.random.RandomState(seed)
+    A = np.array([[0.5, 0.1], [0.2, 0.3]])
+    c = np.array([1.0, 0.5])
+    y = np.zeros((n, 2))
+    for t in range(1, n):
+        y[t] = c + A @ y[t - 1] + rng.normal(scale=0.3, size=2)
+    return y, A, c
+
+
+class TestVAR:
+    def test_var1_recovery(self):
+        y, A, c = _var2()
+        m = VAR(1).fit(y)
+        np.testing.assert_allclose(m.results.coefs[0], A, atol=0.08)
+        np.testing.assert_allclose(m.results.trend_coefs[0], c, atol=0.15)
+
+    def test_forecast_ci_sandwich(self):
+        y, *_ = _var2()
+        m = VAR(2).fit(y)
+        fc, lo, hi = m.predict(8)
+        assert fc.shape == (8, 2)
+        assert np.all(lo <= fc) and np.all(fc <= hi)
+        assert np.all((hi - lo)[-1] >= (hi - lo)[0])
+
+    def test_ic_selection_picks_true_order(self):
+        y, *_ = _var2()
+        m = VAR(6, ic="bic").fit(y)
+        assert m.order[0] == 1
+
+    def test_magic_ic(self):
+        y, *_ = _var2()
+        m = VAR(4, ic="magic").fit(y)
+        assert 0 <= m.order[0] <= 4
+
+    def test_trend_ct(self):
+        rng = np.random.RandomState(1)
+        t = np.arange(300, dtype=float)
+        y = np.column_stack((0.5 * t + rng.normal(size=300),
+                             -0.2 * t + rng.normal(size=300)))
+        m = VAR(1, trend="ct").fit(y)
+        fc, _, _ = m.predict(10)
+        # forecast continues the linear trends
+        assert fc[-1, 0] > fc[0, 0] > 140
+        assert fc[-1, 1] < fc[0, 1] < -55
+
+    def test_forecast_table_naming(self):
+        y, *_ = _var2(200)
+        m = VAR(1).fit(y, var_names=["a", "b"])
+        cols = m.predict(4, as_table=True, alpha=0.1)
+        assert "a (forecast)" in cols and "b (90%CI high)" in cols
+
+
+class TestEvaluation:
+    def test_shape_and_header(self):
+        y = _airpassengers()
+        models = [ARIMA((1, 1, 0)), ARIMA((0, 1, 1))]
+        res = model_evaluation(y, models, n_folds=3, forecast_steps=6)
+        assert res[0] == HEADER
+        assert len(res) == 1 + 2 * len(models)
+        for row in res[1:]:
+            assert len(row) == 8
+        assert res[2][0].endswith(" (in-sample)")
+        # scores are finite floats
+        assert all(np.isfinite(v) for v in res[1][1:])
+
+    def test_too_short_raises(self):
+        with pytest.raises(ValueError, match="too short"):
+            model_evaluation(np.arange(10.0), [ARIMA((1, 0, 0))],
+                             n_folds=5, forecast_steps=5)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = []
+    for uid in range(4):
+        y = _ar1(120, phi=0.6, c=1.0 + uid, seed=uid)
+        for t, v in enumerate(y):
+            rows.append((uid, t, float(v), float(v) * 0.5 + t * 0.01))
+    return spark.createDataFrame(rows, "user_id int, t int, x double, z double")
+
+
+class TestSparkModels:
+    def test_forecast_by_series_arima(self, spark, series_df):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        out = forecast_by_series(tsf, ["x"], lambda: ARIMA((1, 0, 0)),
+                                 steps=5).toPandas()
+        assert len(out) == 4 * 5
+        assert set(out.columns) == {"user_id", "step", "var", "forecast",
+                                    "ci_low", "ci_high"}
+        assert (out.ci_low <= out.forecast).all()
+        assert (out.forecast <= out.ci_high).all()
+        # per-series means differ (c = 1 + uid): forecasts should too
+        m = out.groupby("user_id").forecast.mean()
+        assert m[3] > m[0]
+
+    def test_forecast_by_series_var(self, spark, series_df):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        out = forecast_by_series(tsf, ["x", "z"], lambda: VAR(1),
+                                 steps=3).toPandas()
+        assert len(out) == 4 * 3 * 2
+        assert set(out["var"]) == {"x", "z"}
+
+    def test_evaluate_by_series(self, spark, series_df):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        out = evaluate_by_series(
+            tsf, "x", [lambda: ARIMA((1, 0, 0))],
+            n_folds=2, forecast_steps=5).toPandas()
+        # 4 series x 1 model x {cv, in-sample}
+        assert len(out) == 8
+        assert out.in_sample.sum() == 4
+        assert np.isfinite(out.rmse).all()
