@@ -23,6 +23,7 @@ from orange3_timeseries_spark import queries as _q  # noqa: E402
 from orange3_timeseries_spark import queries_pipeline  # noqa: E402,F401  (registers)
 from orange3_timeseries_spark import queries_analytics  # noqa: E402,F401  (registers)
 from orange3_timeseries_spark import queries_models  # noqa: E402,F401  (registers)
+from orange3_timeseries_spark import queries_multimodal  # noqa: E402,F401  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

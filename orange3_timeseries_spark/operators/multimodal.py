@@ -1,0 +1,344 @@
+"""Multimodal (image / audio / video) column operators.
+
+Media is carried as an opaque ``binary`` payload column plus typed metadata
+— the standard large-scale training-data layout (one row per asset, bytes
+inline for small assets).  Real decoders (PIL / soundfile / av) are not in
+this container, so the *codec* is a deterministic fake with a
+self-describing header, while everything Spark-side is real and tested:
+schemas, Arrow batch shapes, ``mapInPandas`` signatures, byte-aware
+partitioning.  Swap ``_decode_*_real`` in when the libraries exist — the
+plumbing does not change.
+
+Fake container formats (little-endian):
+
+- image: ``FIMG | u8 version | u16 width | u16 height | u8 channels`` +
+  ``width*height*channels`` pixel bytes;
+- audio: ``FAUD | u8 version | u16 sample_rate | u32 n_samples`` + u8
+  samples;
+- video: ``FVID | u8 version | u16 width | u16 height | u16 n_frames`` +
+  grayscale frames.
+
+Scale notes (100 TB): payload rows are large and skewed — operators here
+never shuffle payloads except through :func:`partition_by_bytes` (explicit
+byte-budget repartition), and every transform is a narrow ``mapInPandas``
+over Arrow batches with ``spark.sql.execution.arrow.maxRecordsPerBatch``
+sized so a batch of payloads stays within executor memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMG_MAGIC = b"FIMG"
+AUD_MAGIC = b"FAUD"
+VID_MAGIC = b"FVID"
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+# --------------------------------------------------------------------- codec
+def _pixel_bytes(seed: int, n: int) -> np.ndarray:
+    """Deterministic pseudo-raster: byte i = (seed*2654435761 + i*97) % 256
+    (Knuth multiplicative hash — reproducible on any platform)."""
+    i = np.arange(n, dtype=np.uint64)
+    return ((np.uint64(seed % (1 << 31)) * np.uint64(2654435761)
+             + i * np.uint64(97)) % np.uint64(256)).astype(np.uint8)
+
+
+def encode_fake_image(seed: int, width: int, height: int,
+                      channels: int = 3) -> bytes:
+    header = IMG_MAGIC + struct.pack("<BHHB", 1, width, height, channels)
+    return header + _pixel_bytes(seed, width * height * channels).tobytes()
+
+
+def decode_fake_image(payload: bytes) -> Tuple[dict, np.ndarray]:
+    """(metadata, HxWxC uint8 array). Raises ValueError on bad magic."""
+    if payload[:4] != IMG_MAGIC:
+        raise ValueError("not a FIMG payload")
+    _, w, h, c = struct.unpack("<BHHB", payload[4:10])
+    px = np.frombuffer(payload[10:10 + w * h * c], dtype=np.uint8)
+    return ({"format": "FIMG", "width": w, "height": h, "channels": c,
+             "n_bytes": len(payload)}, px.reshape(h, w, c))
+
+
+def encode_fake_audio(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    header = AUD_MAGIC + struct.pack("<BHI", 1, sample_rate, n_samples)
+    return header + _pixel_bytes(seed, n_samples).tobytes()
+
+
+def decode_fake_audio(payload: bytes) -> Tuple[dict, np.ndarray]:
+    if payload[:4] != AUD_MAGIC:
+        raise ValueError("not a FAUD payload")
+    _, sr, n = struct.unpack("<BHI", payload[4:11])
+    samples = np.frombuffer(payload[11:11 + n], dtype=np.uint8)
+    return ({"format": "FAUD", "sample_rate": sr, "n_samples": n,
+             "duration_ms": int(n * 1000 / sr) if sr else 0}, samples)
+
+
+def encode_fake_video(seed: int, width: int, height: int,
+                      n_frames: int) -> bytes:
+    header = VID_MAGIC + struct.pack("<BHHH", 1, width, height, n_frames)
+    return header + _pixel_bytes(seed, width * height * n_frames).tobytes()
+
+
+def decode_fake_video(payload: bytes) -> Tuple[dict, np.ndarray]:
+    if payload[:4] != VID_MAGIC:
+        raise ValueError("not a FVID payload")
+    _, w, h, nf = struct.unpack("<BHHH", payload[4:11])
+    px = np.frombuffer(payload[11:11 + w * h * nf], dtype=np.uint8)
+    return ({"format": "FVID", "width": w, "height": h, "n_frames": nf},
+            px.reshape(nf, h, w))
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover - gated path
+    """Real-codec decode (PIL). The container image stack is absent here;
+    the function exists so deployments with PIL flip one import."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: WPS433
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs pillow; this environment ships none — "
+            "use the FIMG fake codec or install PIL") from exc
+    img = Image.open(io.BytesIO(payload))
+    return np.asarray(img)
+
+
+# ------------------------------------------------------- synthesis (fixture)
+def synthesize_image_column(df: DataFrame, id_col: str, size_col: str,
+                            out: str = "image") -> DataFrame:
+    """Attach a deterministic FIMG payload per row: width = 16 + size%64,
+    height = 16 + (size*7)%64, channels = 3, pixels seeded by the id.
+    This is the fixture generator for environments without real media."""
+    id_f = df.schema[id_col].dataType
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_fake_image(int(i), 16 + int(s) % 64,
+                                  16 + (int(s) * 7) % 64, 3)
+                for i, s in zip(pdf[id_col], pdf[size_col])]
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def synthesize_video_column(df: DataFrame, id_col: str, size_col: str,
+                            out: str = "video") -> DataFrame:
+    """Attach a deterministic FVID payload per row: 16x16 grayscale,
+    n_frames = 10 + size % 20, pixels seeded by the id."""
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_fake_video(int(i), 16, 16, 10 + int(s) % 20)
+                for i, s in zip(pdf[id_col], pdf[size_col])]
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def synthesize_audio_column(df: DataFrame, id_col: str, size_col: str,
+                            out: str = "audio") -> DataFrame:
+    """Attach a deterministic FAUD payload per row: 8 kHz, n_samples =
+    1000 + 37*size, samples seeded by the id."""
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_fake_audio(int(i), 8000, 1000 + 37 * int(s))
+                for i, s in zip(pdf[id_col], pdf[size_col])]
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ------------------------------------------------------------------ metadata
+def image_metadata(df: DataFrame, col: str, out: str = "meta") -> DataFrame:
+    """Parse the payload header into a typed struct column. Narrow map —
+    no shuffle; corrupt payloads yield a null struct instead of failing
+    the job (at 100 TB some assets are always corrupt)."""
+    fields = df.schema.fields
+    schema = T.StructType(list(fields) + [T.StructField(out, IMAGE_META_SCHEMA)])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[col]:
+                try:
+                    meta, _ = decode_fake_image(bytes(payload))
+                    metas.append(meta)
+                except Exception:
+                    metas.append(None)
+            pdf = pdf.copy()
+            pdf[out] = metas
+            yield pdf
+
+    return df.mapInPandas(parse, schema=schema)
+
+
+# ------------------------------------------------------------------ features
+def image_features(df: DataFrame, col: str) -> DataFrame:
+    """Per-image per-channel statistics → a flat feature vector
+    ``array<float>`` ([mean_c..., std_c..., min_c..., max_c...]) ready for
+    the similarity tier. Keeps only the key columns + features (payload is
+    dropped — never carry bytes through later shuffles)."""
+    keep = [f for f in df.schema.fields if f.dataType != T.BinaryType()]
+    schema = T.StructType(keep + [
+        T.StructField("features", T.ArrayType(T.FloatType()))])
+    names = [f.name for f in keep]
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[col]:
+                try:
+                    _, px = decode_fake_image(bytes(payload))
+                    ch = px.reshape(-1, px.shape[2]).astype(np.float64)
+                    vec = np.concatenate([ch.mean(0), ch.std(0),
+                                          ch.min(0), ch.max(0)])
+                    out.append([float(v) for v in vec])
+                except Exception:
+                    out.append(None)
+            res = pdf[names].copy()
+            res["features"] = out
+            yield res
+
+    return df.mapInPandas(feat, schema=schema)
+
+
+def resize_image(df: DataFrame, col: str, size: Tuple[int, int],
+                 out: Optional[str] = None) -> DataFrame:
+    """Nearest-neighbor resize to (width, height), re-encoded as FIMG.
+    Real raster math on the fake codec; swap the decode for PIL in
+    deployments with real images."""
+    out = out or col
+    w_new, h_new = size
+    fields = [f for f in df.schema.fields if f.name != out]
+    schema = T.StructType(fields + [T.StructField(out, T.BinaryType())])
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = []
+            for payload in pdf[col]:
+                try:
+                    meta, px = decode_fake_image(bytes(payload))
+                    h, w, c = px.shape
+                    yi = (np.arange(h_new) * h // h_new)
+                    xi = (np.arange(w_new) * w // w_new)
+                    small = px[yi][:, xi]
+                    header = IMG_MAGIC + struct.pack("<BHHB", 1, w_new,
+                                                     h_new, c)
+                    res.append(header + small.tobytes())
+                except Exception:
+                    res.append(None)
+            keep = pdf[[f.name for f in fields]].copy()
+            keep[out] = res
+            yield keep
+
+    return df.mapInPandas(rs, schema=schema)
+
+
+def sample_frames(df: DataFrame, col: str, id_col: str,
+                  every: int = 10) -> DataFrame:
+    """Explode a video payload into one row per sampled frame
+    ``(id, frame_idx, frame)`` — frame re-encoded as a 1-channel FIMG so
+    downstream image ops apply unchanged. Row explosion happens inside the
+    Arrow batch (no collect, no join)."""
+    id_field = df.schema[id_col]
+    schema = T.StructType([
+        id_field,
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[col]):
+                try:
+                    meta, px = decode_fake_video(bytes(payload))
+                except Exception:
+                    continue
+                for k in range(0, meta["n_frames"], every):
+                    header = IMG_MAGIC + struct.pack(
+                        "<BHHB", 1, meta["width"], meta["height"], 1)
+                    ids.append(rid)
+                    idxs.append(k)
+                    frames.append(header + px[k].tobytes())
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return df.mapInPandas(sample, schema=schema)
+
+
+def audio_features(df: DataFrame, col: str) -> DataFrame:
+    """Per-clip features: [rms, mean, zero-crossing-rate(128-center),
+    duration_ms] as array<float>."""
+    keep = [f for f in df.schema.fields if f.dataType != T.BinaryType()]
+    schema = T.StructType(keep + [
+        T.StructField("features", T.ArrayType(T.FloatType()))])
+    names = [f.name for f in keep]
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[col]:
+                try:
+                    meta, s = decode_fake_audio(bytes(payload))
+                    x = s.astype(np.float64) - 128.0
+                    zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) \
+                        if len(x) > 1 else 0.0
+                    out.append([float(np.sqrt(np.mean(x ** 2))),
+                                float(np.mean(x)), zc,
+                                float(meta["duration_ms"])])
+                except Exception:
+                    out.append(None)
+            res = pdf[names].copy()
+            res["features"] = out
+            yield res
+
+    return df.mapInPandas(feat, schema=schema)
+
+
+# ----------------------------------------------------------------- partition
+def partition_by_bytes(df: DataFrame, col: str,
+                       target_mb: int = 128) -> DataFrame:
+    """Repartition a payload table so each partition carries ~target_mb of
+    payload bytes. One cheap aggregate decides the partition count; a
+    round-robin repartition spreads the (skewed) payloads — the explicit
+    alternative to letting a later shuffle move multi-GB partitions."""
+    row = df.select(
+        F.sum(F.octet_length(F.col(col))).alias("total"),
+        F.count(F.lit(1)).alias("n")).first()
+    total, n = (row["total"] or 0), row["n"]
+    if not n:
+        return df
+    parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
+    return df.repartition(parts)

@@ -1,0 +1,119 @@
+"""Driver-contract queries for the multimodal tier.
+
+The fake container codec (operators/multimodal.py) is deterministic from
+``(doc_id, n_chars)``, which makes the whole binary pipeline *value-hash
+oracle-able*: DuckDB recomputes the expected header fields from the
+synthesis formulas and even the per-channel pixel means via
+``generate_series`` over the pseudo-raster formula
+``(doc_id*2654435761 + i*97) % 256``.  The oracle therefore verifies the
+end-to-end byte path — encode → binary column → header parse / raster
+decode → aggregate — not just the arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orange3_timeseries_spark.queries import query, r6
+from orange3_timeseries_spark.sources import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+
+@query("multimodal_image_meta", """
+SELECT doc_id,
+       CAST(16 + n_chars % 64 AS INT) AS width,
+       CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(10 + (16 + n_chars % 64) * (16 + (n_chars * 7) % 64) * 3
+            AS BIGINT) AS n_bytes
+FROM documents
+""")
+def q_multimodal_image_meta(spark, sf_dir):
+    """Synthesize a binary FIMG payload per document, then parse its header
+    back out of the bytes — oracle recomputes the fields from the synthesis
+    formulas, so a mismatch anywhere in the byte path fails the hash."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_image_column,
+    )
+
+    df = synthesize_image_column(_docs(spark, sf_dir), "doc_id", "n_chars")
+    out = image_metadata(df, "image")
+    return out.select("doc_id", "meta.width", "meta.height",
+                      "meta.channels", "meta.n_bytes")
+
+
+@query("multimodal_frame_counts", """
+SELECT doc_id,
+       CAST(ceil((10 + n_chars % 20) / 5.0) AS BIGINT) AS n_sampled
+FROM documents
+""")
+def q_multimodal_frame_counts(spark, sf_dir):
+    """Synthesize FVID payloads, explode every-5th frame inside the Arrow
+    batch, count sampled frames per document — oracle = ceil(n_frames/5)."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_video_column,
+    )
+
+    df = synthesize_video_column(_docs(spark, sf_dir), "doc_id", "n_chars")
+    frames = sample_frames(df, "video", "doc_id", every=5)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query("multimodal_channel_means", """
+WITH d AS (
+  SELECT doc_id,
+         16 + n_chars % 64 AS w,
+         16 + (n_chars * 7) % 64 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id, t.i % 3 AS ch,
+         (d.doc_id * 2654435761 + t.i * 97) % 256 AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) t)
+SELECT doc_id,
+       round(avg(v) FILTER (ch = 0), 6) AS mean_r,
+       round(avg(v) FILTER (ch = 1), 6) AS mean_g,
+       round(avg(v) FILTER (ch = 2), 6) AS mean_b
+FROM px GROUP BY doc_id
+""")
+def q_multimodal_channel_means(spark, sf_dir):
+    """Decode the synthesized raster and average each channel — oracle
+    regenerates every pixel in SQL from the hash formula. Exercises the
+    full decode path with exact double arithmetic on both sides."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        decode_fake_image,
+        synthesize_image_column,
+    )
+
+    df = synthesize_image_column(_docs(spark, sf_dir), "doc_id", "n_chars")
+    schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+
+    def means(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["doc_id"], pdf["image"]):
+                _, px = decode_fake_image(bytes(payload))
+                m = px.reshape(-1, 3).astype(np.float64).mean(0)
+                rows.append((rid, m[0], m[1], m[2]))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_r",
+                                              "mean_g", "mean_b"])
+
+    out = df.mapInPandas(means, schema=schema)
+    return out.select("doc_id", r6(F.col("mean_r"), "mean_r"),
+                      r6(F.col("mean_g"), "mean_g"),
+                      r6(F.col("mean_b"), "mean_b"))

@@ -1,0 +1,132 @@
+"""Multimodal column operators: codec round-trips (pure NumPy) and the
+Spark plumbing (mapInPandas schemas, batch explode, byte partitioning)."""
+
+import numpy as np
+import pytest
+
+from orange3_timeseries_spark.operators.multimodal import (
+    _pixel_bytes,
+    audio_features,
+    decode_fake_audio,
+    decode_fake_image,
+    decode_fake_video,
+    encode_fake_audio,
+    encode_fake_image,
+    encode_fake_video,
+    image_features,
+    image_metadata,
+    partition_by_bytes,
+    resize_image,
+    sample_frames,
+    synthesize_audio_column,
+    synthesize_image_column,
+    synthesize_video_column,
+)
+
+
+class TestCodec:
+    def test_image_roundtrip(self):
+        p = encode_fake_image(42, 20, 12, 3)
+        meta, px = decode_fake_image(p)
+        assert meta == {"format": "FIMG", "width": 20, "height": 12,
+                        "channels": 3, "n_bytes": 10 + 20 * 12 * 3}
+        assert px.shape == (12, 20, 3)
+        # deterministic: same seed -> same bytes
+        assert p == encode_fake_image(42, 20, 12, 3)
+        assert p != encode_fake_image(43, 20, 12, 3)
+
+    def test_pixel_formula(self):
+        px = _pixel_bytes(7, 5)
+        expect = [(7 * 2654435761 + i * 97) % 256 for i in range(5)]
+        assert list(px) == expect
+
+    def test_audio_roundtrip(self):
+        p = encode_fake_audio(5, 8000, 4000)
+        meta, s = decode_fake_audio(p)
+        assert meta["sample_rate"] == 8000
+        assert meta["n_samples"] == 4000
+        assert meta["duration_ms"] == 500
+        assert len(s) == 4000
+
+    def test_video_roundtrip(self):
+        p = encode_fake_video(9, 16, 16, 12)
+        meta, px = decode_fake_video(p)
+        assert meta["n_frames"] == 12
+        assert px.shape == (12, 16, 16)
+
+    def test_bad_magic_raises(self):
+        with pytest.raises(ValueError):
+            decode_fake_image(b"JUNKxxxxxxxxxx")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [(i, 10 + i * 3) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+class TestSparkPlumbing:
+    def test_synthesize_and_metadata(self, spark, docs_df):
+        df = synthesize_image_column(docs_df, "doc_id", "n_chars")
+        out = image_metadata(df, "image").select("doc_id", "meta.*").toPandas()
+        assert len(out) == 20
+        row = out[out.doc_id == 4].iloc[0]  # n_chars=22
+        assert row.width == 16 + 22 % 64
+        assert row.height == 16 + (22 * 7) % 64
+        assert row.channels == 3
+        assert row.n_bytes == 10 + row.width * row.height * 3
+
+    def test_image_features_match_numpy(self, spark, docs_df):
+        df = synthesize_image_column(docs_df, "doc_id", "n_chars")
+        out = image_features(df, "image").toPandas().set_index("doc_id")
+        _, px = decode_fake_image(encode_fake_image(0, 16 + 10 % 64,
+                                                    16 + 70 % 64, 3))
+        ch = px.reshape(-1, 3).astype(float)
+        got = np.array(out.loc[0, "features"])
+        assert got[:3] == pytest.approx(ch.mean(0), abs=1e-4)
+        assert got[3:6] == pytest.approx(ch.std(0), abs=1e-4)
+        # payload column dropped from the feature table
+        assert "image" not in out.columns
+
+    def test_resize(self, spark, docs_df):
+        df = synthesize_image_column(docs_df, "doc_id", "n_chars")
+        small = resize_image(df, "image", (8, 8))
+        metas = image_metadata(small, "image").select(
+            "meta.width", "meta.height").distinct().collect()
+        assert [(r.width, r.height) for r in metas] == [(8, 8)]
+
+    def test_frame_sample_counts(self, spark, docs_df):
+        df = synthesize_video_column(docs_df, "doc_id", "n_chars")
+        frames = sample_frames(df, "video", "doc_id", every=5)
+        counts = frames.groupBy("doc_id").count().toPandas() \
+            .set_index("doc_id")["count"]
+        for i in range(20):
+            n_frames = 10 + (10 + i * 3) % 20
+            assert counts[i] == -(-n_frames // 5)
+        # sampled frames decode as 1-channel images
+        one = frames.filter("doc_id = 0 and frame_idx = 0").first()
+        meta, px = decode_fake_image(bytes(one.frame))
+        assert meta["channels"] == 1 and px.shape == (16, 16, 1)
+
+    def test_audio_features(self, spark, docs_df):
+        df = synthesize_audio_column(docs_df, "doc_id", "n_chars")
+        out = audio_features(df, "audio").toPandas()
+        assert len(out) == 20
+        f = np.array(out.loc[0, "features"])
+        assert len(f) == 4 and np.isfinite(f).all()
+        # duration: n_samples = 1000+37*10 = 1370 @ 8kHz -> 171 ms
+        row = out[out.doc_id == 0].iloc[0]
+        assert row.features[3] == pytest.approx(1370 * 1000 // 8000, abs=1)
+
+    def test_corrupt_payload_yields_null(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"JUNK" * 5))],
+                                   "id long, image binary")
+        out = image_metadata(df, "image").first()
+        assert out.meta is None
+
+    def test_partition_by_bytes(self, spark, docs_df):
+        df = synthesize_image_column(docs_df, "doc_id", "n_chars")
+        # tiny target forces multiple partitions
+        parts = partition_by_bytes(df, "image", target_mb=1)
+        assert parts.count() == 20
+        assert parts.rdd.getNumPartitions() >= 1
