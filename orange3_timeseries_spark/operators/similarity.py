@@ -109,18 +109,81 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", threshold: float = 0.99,
-                            block_col: Optional[str] = None) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold; optionally blocked by a
-    key column (at scale, block on an LSH bucket)."""
+                            block_col: Optional[str] = None,
+                            n_blocks: int = 8) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, as a **blocked
+    triangle join with vectorized GEMM** — the standard distributed
+    all-pairs-similarity plan.
+
+    Ids are hashed into ``n_blocks`` blocks; each of the
+    ``n_blocks*(n_blocks+1)/2`` unordered block pairs becomes one
+    ``applyInPandas`` group that multiplies its two row-normalized
+    sub-matrices with one NumPy matmul and emits only above-threshold
+    pairs.  Replication factor is ~``n_blocks`` per row (each row meets
+    every other block once) — choose ``n_blocks`` so one block of vectors
+    fits an executor core's memory; every pair of vectors is compared
+    exactly once, never materialized row-wise.
+
+    With ``block_col`` (e.g. an LSH bucket or a shard key), comparison is
+    further restricted to equal ``block_col`` values — the sub-quadratic
+    path for corpora where a full triangle is unaffordable.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    extra = [block_col] if block_col else []
     base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
-                     *([block_col] if block_col else []))
-    a, b = base.alias("a"), base.alias("b")
-    conds = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
-    if block_col:
-        conds.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (a.join(b, conds)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
-                     .alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+                     *extra)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tagged = base.withColumn("__blk__", blk)
+    pair_structs = F.array(*[
+        F.struct(F.lit(i).alias("pa"), F.lit(j).alias("pb"))
+        for i in range(n_blocks) for j in range(i, n_blocks)])
+    rep = (tagged
+           .withColumn("__pk__", F.explode(F.filter(
+               pair_structs,
+               lambda p: (p["pa"] == F.col("__blk__"))
+                         | (p["pb"] == F.col("__blk__")))))
+           .select(F.col("__pk__.pa").alias("pa"),
+                   F.col("__pk__.pb").alias("pb"),
+                   "__blk__", id_col, "v", *extra))
+
+    id_field = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_field), T.StructField("id_b", id_field),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    group_keys = ["pa", "pb"] + extra
+
+    def gemm(keys, pdf: pd.DataFrame):
+        pa, pb = keys[0], keys[1]
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        ids = pdf[id_col].to_numpy()
+        same = pa == pb
+        if same:
+            ia = ib = np.arange(len(ids))
+        else:
+            ia = np.flatnonzero((pdf["__blk__"] == pa).to_numpy())
+            ib = np.flatnonzero((pdf["__blk__"] == pb).to_numpy())
+        if not len(ia) or not len(ib):
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        S = Xn[ia] @ Xn[ib].T
+        S = np.round(S, 6)
+        if same:
+            ri, ci = np.triu_indices(len(ia), k=1)
+        else:
+            ri, ci = np.indices(S.shape).reshape(2, -1)
+        keepm = S[ri, ci] >= threshold
+        ri, ci = ri[keepm], ci[keepm]
+        id_a = ids[ia[ri]]
+        id_b = ids[ib[ci]]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": S[ri, ci]})
+
+    return rep.groupBy(*group_keys).applyInPandas(gemm, schema=out_schema)

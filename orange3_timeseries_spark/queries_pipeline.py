@@ -146,12 +146,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_sig_sql(k=16):
+    from orange3_timeseries_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    a, b = minhash_coeffs(k)
+    base = _PH.format(e="x") + " % 1073741824"
     mins = ", ".join(
-        "list_min(list_transform(s, x -> "
-        + _PH.format(e=f"(x || '#{i}')") + f")) AS m{i}"
+        f"coalesce(list_min(list_transform(hs, h -> "
+        f"({a[i]} * h + {b[i]}) % {MINHASH_P})), {MINHASH_P}) AS m{i}"
         for i in range(k))
     return f"WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),\n" \
-           f"sig AS (SELECT doc_id, {mins} FROM sh)"
+           f"hsrc AS (SELECT doc_id, list_transform(s, x -> {base}) AS hs," \
+           f" s FROM sh),\n" \
+           f"sig AS (SELECT doc_id, {mins} FROM hsrc)"
 
 
 def _minhash_query_sql(k=16):

@@ -1,0 +1,126 @@
+"""Streaming operator implementations.
+
+Scale notes: event-time windowed aggregation is Spark's native streaming
+shuffle (hash on (series, window)); the watermark bounds state so a
+1000-executor job holds only in-flight windows.  The stateful difference
+keeps O(k) state per series key — at 10^8 series that is still
+per-executor-bounded because state is partitioned by the grouping key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from orange3_timeseries_spark.operators.aggregate import (
+    AGG_OPTIONS,
+    Ctx,
+    ident,
+    null_norm,
+)
+
+Specs = Iterable[Tuple[str, str]]
+
+
+def stream_window_aggregation(sdf: DataFrame, time_col: str, specs: Specs,
+                              duration: str, slide: Optional[str] = None,
+                              series_cols: Sequence[str] = (),
+                              watermark: Optional[str] = None) -> DataFrame:
+    """Tumbling (``slide=None``) or sliding event-time window aggregation —
+    the streaming analog of period blocks / moving transform (SURVEY §2.4),
+    reusing the same registry expression builders in block form.
+
+    Output columns: series keys, ``window`` struct (start/end), ``Instance
+    count`` (the period-aggregation convention,
+    ``owmovingtransform.py:514-515``), and one ``"{var} ({agg})"`` per spec.
+    """
+    bad = [a for _, a in specs if not AGG_OPTIONS[a].has_block]
+    if bad:
+        raise ValueError(
+            f"aggregations not applicable to windows: {sorted(set(bad))}")
+    if watermark:
+        sdf = sdf.withWatermark(time_col, watermark)
+    win = F.window(F.col(time_col), duration, slide) if slide \
+        else F.window(F.col(time_col), duration)
+    aggs = [F.count(F.lit(1)).alias("Instance count")]
+    for var, agg in specs:
+        desc = AGG_OPTIONS[agg]
+        c = null_norm(F.col(var))
+        aggs.append(desc.builder(c, ident, Ctx()).alias(f"{var} ({agg})"))
+    keys = [F.col(k) for k in series_cols] + [win.alias("window")]
+    return sdf.groupBy(*keys).agg(*aggs)
+
+
+def stream_time_slice(sdf: DataFrame, time_col: str, lo, hi) -> DataFrame:
+    """Continuous Time Slice: the half-open interval filter
+    (``owtimeslice.py:313-319``) applied to a stream — rows outside
+    [lo, hi) never enter downstream state."""
+    t = F.col(time_col)
+    return sdf.where((t >= F.lit(lo)) & (t < F.lit(hi)))
+
+
+def stream_difference(sdf: DataFrame, time_col: str,
+                      series_cols: Sequence[str], col: str,
+                      shift: int = 1) -> DataFrame:
+    """Stateful first-order difference ``x_t - x_{t-shift}`` per series —
+    the streaming analog of the lag family (``owdifference.py:169-172``).
+
+    State per series = the trailing ``shift`` values, carried across
+    micro-batches with ``applyInPandasWithState``.  Rows are processed in
+    event-time order *within* a batch; late rows across batches follow
+    arrival order (a watermark + sort upstream tightens this — same
+    trade-off as any streaming lag).
+    """
+    if not series_cols:
+        raise ValueError("stateful difference needs at least one series key")
+    key_fields = [sdf.schema[c] for c in series_cols]
+    out_schema = T.StructType(key_fields + [
+        sdf.schema[time_col],
+        T.StructField("value", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("tail", T.ArrayType(T.DoubleType())),
+    ])
+    n_keys = len(series_cols)
+
+    def step(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (tail,) = state.get if state.exists else ([],)
+        tail = list(tail)
+        frames = [p for p in pdfs]
+        pdf = pd.concat(frames).sort_values(time_col)
+        vals = pdf[col].astype(float).tolist()
+        deltas = []
+        for v in vals:
+            deltas.append(v - tail[-shift] if len(tail) >= shift
+                          else float("nan"))
+            tail.append(v)
+        state.update((tail[-shift:],))
+        out = pd.DataFrame({
+            time_col: pdf[time_col].values,
+            "value": vals,
+            "delta": deltas,
+        })
+        for i, k in enumerate(series_cols):
+            out.insert(i, k, key[i])
+        yield out[[f.name for f in out_schema.fields]]
+
+    return (sdf.groupBy(*series_cols)
+            .applyInPandasWithState(step, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain all available input into an in-memory table ``name`` and stop
+    — the test/batch-replay harness (``trigger(availableNow=True)``)."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

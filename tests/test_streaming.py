@@ -1,0 +1,119 @@
+"""Structured Streaming variants: each streaming op is checked against its
+batch equivalent on the same data (file source drained with
+``availableNow`` into a memory sink)."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.streaming import (
+    run_to_memory,
+    stream_difference,
+    stream_time_slice,
+    stream_window_aggregation,
+)
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for uid in range(3):
+        for i in range(40):
+            rows.append((uid, base + dt.timedelta(minutes=7 * i),
+                         float(uid * 100 + i)))
+    d = tempfile.mkdtemp(prefix="ts_stream_")
+    spark.createDataFrame(rows, SCHEMA).coalesce(2).write.mode("overwrite") \
+        .parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_stream(spark, d):
+    return spark.readStream.schema(SCHEMA).parquet(d)
+
+
+class TestStreaming:
+    def test_tumbling_matches_batch(self, spark, stream_dir):
+        sdf = _read_stream(spark, stream_dir)
+        agg = stream_window_aggregation(
+            sdf, "ts", [("value", "mean"), ("value", "sum")],
+            duration="1 hour", series_cols=["user_id"])
+        run_to_memory(agg, "t_tumble", output_mode="complete")
+        got = spark.table("t_tumble") \
+            .select("user_id", F.col("window.start").alias("ws"),
+                    "Instance count", "value (mean)", "value (sum)") \
+            .toPandas().sort_values(["user_id", "ws"]).reset_index(drop=True)
+
+        batch = (spark.read.parquet(stream_dir)
+                 .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+                 .agg(F.count("*").alias("n"), F.avg("value").alias("m"),
+                      F.sum("value").alias("s"))
+                 .select("user_id", F.col("w.start").alias("ws"), "n", "m", "s")
+                 .toPandas().sort_values(["user_id", "ws"])
+                 .reset_index(drop=True))
+        assert len(got) == len(batch)
+        pd.testing.assert_series_equal(
+            got["value (mean)"], batch["m"], check_names=False)
+        pd.testing.assert_series_equal(
+            got["Instance count"], batch["n"], check_names=False)
+
+    def test_watermark_append_emits_only_closed_windows(self, spark,
+                                                        stream_dir):
+        # append mode + 2h watermark: max event ~04:33 -> watermark 02:33
+        # -> only windows ending <= 02:33 are final (2 per user)
+        sdf = _read_stream(spark, stream_dir)
+        agg = stream_window_aggregation(
+            sdf, "ts", [("value", "mean")], duration="1 hour",
+            series_cols=["user_id"], watermark="2 hours")
+        run_to_memory(agg, "t_wm", output_mode="append")
+        got = spark.table("t_wm").toPandas()
+        assert len(got) == 6
+        assert (got.groupby("user_id").size() == 2).all()
+
+    def test_sliding_window(self, spark, stream_dir):
+        sdf = _read_stream(spark, stream_dir)
+        agg = stream_window_aggregation(
+            sdf, "ts", [("value", "max")], duration="1 hour",
+            slide="30 minutes", series_cols=["user_id"])
+        run_to_memory(agg, "t_slide", output_mode="complete")
+        got = spark.table("t_slide").toPandas()
+        # sliding windows ~2x tumbling count
+        assert len(got) > 3 * 4  # 3 users x (>4 hours of data)
+        assert (got["value (max)"] >= 0).all()
+
+    def test_block_only_agg_rejected(self, spark, stream_dir):
+        sdf = _read_stream(spark, stream_dir)
+        with pytest.raises(ValueError, match="not applicable"):
+            stream_window_aggregation(sdf, "ts", [("value", "exp. MA")],
+                                      duration="1 hour")
+
+    def test_time_slice(self, spark, stream_dir):
+        sdf = _read_stream(spark, stream_dir)
+        lo = dt.datetime(2024, 1, 1, 1, 0)
+        hi = dt.datetime(2024, 1, 1, 2, 0)
+        run_to_memory(stream_time_slice(sdf, "ts", lo, hi), "t_slice")
+        got = spark.table("t_slice").toPandas()
+        batch_n = spark.read.parquet(stream_dir) \
+            .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))) \
+            .count()
+        assert len(got) == batch_n > 0
+
+    def test_stateful_difference_matches_batch_lag(self, spark, stream_dir):
+        sdf = _read_stream(spark, stream_dir)
+        diff = stream_difference(sdf, "ts", ["user_id"], "value", shift=1)
+        run_to_memory(diff, "t_diff")
+        got = spark.table("t_diff").toPandas() \
+            .sort_values(["user_id", "ts"]).reset_index(drop=True)
+        assert len(got) == 120
+        # value increments by 1 per step per user -> delta == 1 after head
+        per_user = got.groupby("user_id")
+        for _, g in per_user:
+            assert pd.isna(g["delta"].iloc[0])
+            assert (g["delta"].iloc[1:] == 1.0).all()
