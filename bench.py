@@ -5,8 +5,8 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced with a count() after a warm-up of the input cache;
-wall-clock per query is reported plus the total.
+Each query is forced with a full-column noop-sink write; wall-clock per
+query is reported plus the total.
 """
 
 from __future__ import annotations
@@ -36,7 +36,10 @@ def main():
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.count()
+            # noop sink forces evaluation of EVERY output column — count()
+            # would let Catalyst prune the projections of map-only queries
+            # and understate their cost
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
         except Exception as e:  # a failing query shows as null, not a crash
             print(f"bench: {name} failed: {e}", file=sys.stderr)

@@ -521,3 +521,94 @@ def q_orders_monthly_revenue(spark, sf_dir):
                          F.col("Instance count").cast("long").alias("n"),
                          F.round(F.col("o_totalprice (sum)"), 2)
                           .alias("revenue"))
+
+
+@query("interp_nearest", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN value > 150 THEN NULL ELSE value END AS v
+  FROM events),
+w AS (
+  SELECT user_id, ts, v,
+    last_value(v IGNORE NULLS) OVER pw AS pv,
+    first_value(v IGNORE NULLS) OVER nw AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        OVER pw AS pt,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        OVER nw AS nt,
+    count(v) OVER (PARTITION BY user_id) AS ndef
+  FROM e
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         nw AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, ts, round(CASE
+    WHEN ndef < 2 THEN v
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    WHEN (epoch_us(ts) - pt) <= (nt - epoch_us(ts)) THEN pv
+    ELSE nv
+  END, 6) AS vi
+FROM w
+""")
+def q_interp_nearest(spark, sf_dir):
+    """Nearest-in-time fill (tie -> previous, scipy kind='nearest',
+    ``functions.py:292-297,336``)."""
+    from orange3_timeseries_spark.operators.interpolate import (
+        interpolate_timeseries,
+    )
+    tsf = _events(spark, sf_dir)
+    gapped = tsf._with_df(
+        tsf.df.withColumn(
+            "v", F.when(F.col("value") > 150, None).otherwise(F.col("value"))))
+    out = interpolate_timeseries(gapped, "nearest", cols=["v"])
+    return out.df.select("user_id", "ts", r6(F.col("v"), "vi"))
+
+
+@query("interp_mean", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN value > 150 THEN NULL ELSE value END AS v
+  FROM events)
+SELECT user_id, ts,
+       round(CASE WHEN count(v) OVER (PARTITION BY user_id) < 2 THEN v
+                  ELSE coalesce(v, avg(v) OVER (PARTITION BY user_id)) END,
+             6) AS vi
+FROM e
+""")
+def q_interp_mean(spark, sf_dir):
+    """Column-mean fill (``functions.py:329-331``)."""
+    from orange3_timeseries_spark.operators.interpolate import (
+        interpolate_timeseries,
+    )
+    tsf = _events(spark, sf_dir)
+    gapped = tsf._with_df(
+        tsf.df.withColumn(
+            "v", F.when(F.col("value") > 150, None).otherwise(F.col("value"))))
+    out = interpolate_timeseries(gapped, "mean", cols=["v"])
+    return out.df.select("user_id", "ts", r6(F.col("v"), "vi"))
+
+
+@query("from_sequence_monthly", """
+SELECT user_id, event_id,
+       TIMESTAMP '2020-01-15 06:30:00'
+         + to_months(CAST((row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts) - 1) * 2
+                          AS INTEGER)) AS "T"
+FROM events
+""")
+def q_from_sequence_monthly(spark, sf_dir):
+    """Synthesized equispaced time column start + i*(2 months) over the
+    per-series row sequence (``make_timeseries_from_sequence``,
+    ``timeseries.py:193-217``) — time-of-day is preserved through month
+    stepping like the reference's ``add_time`` (``util.py:29-41``)."""
+    import datetime as dt
+
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+
+    df = read_table(spark, sf_dir, "events")
+    tsf = TimeSeriesFrame.from_sequence(
+        df, (2, "month"), start=dt.datetime(2020, 1, 15, 6, 30),
+        name="T", order_col="ts", series_cols=["user_id"])
+    return tsf.df.select("user_id", "event_id", "T")

@@ -101,3 +101,15 @@ def q_granger_event_types(spark, sf_dir):
     tsf = TimeSeriesFrame(pivoted, time_col="day")
     out = granger_causality(tsf, cols, max_lag=3, alpha=0.1)
     return out.select("lag", r6(F.col("p"), "p"), "antecedent", "consequent")
+
+
+@query("lombscargle_by_user", None)
+def q_lombscargle_by_user(spark, sf_dir):
+    """Per-series Lomb-Scargle periodogram peaks over the irregular event
+    times (``periodogram_nonequispaced``, ``functions.py:109-174``) —
+    rows-only check; golden-tested in tests/test_analytics.py."""
+    from orange3_timeseries_spark.spark_analytics import periodogram_table
+    out = periodogram_table(_events(spark, sf_dir), "value",
+                            equispaced=False)
+    return out.select("user_id", r6(F.col("period"), "period"),
+                      r6(F.col("power"), "power"))

@@ -165,6 +165,12 @@ def delta_step_expr(time_col, delta: Delta, quantity_col):
         return F.timestamp_add("SECOND",
                                (quantity_col * F.lit(float(delta))).cast("long"),
                                time_col)
-    if delta[1] == "month":
-        return F.add_months(time_col, quantity_col * F.lit(delta[0]))
-    return F.add_months(time_col, quantity_col * F.lit(delta[0] * 12))
+    months = delta[0] if delta[1] == "month" else delta[0] * 12
+    # add_months returns a DATE (drops time-of-day); the reference's month
+    # stepping keeps h:m:s (``util.py:29-41`` replaces the month on the
+    # datetime) — re-attach the intra-day offset in microseconds
+    stepped_day = F.add_months(time_col, quantity_col * F.lit(months)) \
+        .cast("timestamp")
+    tod_us = F.unix_micros(time_col) - \
+        F.unix_micros(F.date_trunc("DAY", time_col))
+    return F.timestamp_add("MICROSECOND", tod_us, stepped_day)
