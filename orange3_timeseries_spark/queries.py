@@ -362,10 +362,15 @@ GROUP BY 1
 """)
 def q_time_slice(spark, sf_dir):
     """Half-open time-range selection (``owtimeslice.py:313-319``) +
-    downstream group."""
+    downstream group.  The range is ALSO pushed at the source in raw
+    int64-nanos space (``read_table(time_range=...)``) so the scan prunes
+    parquet row groups — the operator's filter then matches trivially."""
     import datetime as dt
-    tsf = _events(spark, sf_dir)
-    sl = time_slice(tsf, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 12))
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 12)
+    df = read_table(spark, sf_dir, "events", time_col="ts",
+                    time_range=(lo, hi))
+    tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+    sl = time_slice(tsf, lo, hi)
     return (sl.df.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  r6(F.avg("value"), "mean_v")))

@@ -1,10 +1,12 @@
 """Sources & sinks: parquet/CSV readers (incl. Orange's 3-row-header CSV
 dialect), in-memory constructors, and writers."""
 
+from orange3_timeseries_spark.sources.finance import finance_data, quandl_data
 from orange3_timeseries_spark.sources.readers import (
     read_orange_csv,
     read_parquet,
     read_table,
 )
 
-__all__ = ["read_parquet", "read_orange_csv", "read_table"]
+__all__ = ["read_parquet", "read_orange_csv", "read_table",
+           "finance_data", "quandl_data"]

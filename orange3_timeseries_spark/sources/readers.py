@@ -42,23 +42,60 @@ def _nano_timestamp_cols(path: str) -> list:
     return out
 
 
+def _utc_nanos(d) -> int:
+    """Exact int64 nanos since epoch for a (naive = UTC) datetime —
+    integer arithmetic; float seconds lose precision above 2^53."""
+    import datetime as _dt
+
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    delta = d - _dt.datetime(1970, 1, 1)
+    return ((delta.days * 86400 + delta.seconds) * 10 ** 9
+            + delta.microseconds * 1000)
+
+
 def read_parquet(spark: SparkSession, path: str,
-                 time_col: Optional[str] = None) -> DataFrame:
+                 time_col: Optional[str] = None,
+                 time_range: Optional[tuple] = None) -> DataFrame:
     """Read parquet, restoring nanosecond timestamp columns to
-    ``TimestampType`` (microsecond precision, truncating)."""
+    ``TimestampType`` (microsecond precision, truncating).
+
+    ``time_range=(lo, hi)`` (datetimes; half-open ``[lo, hi)``) applies the
+    time predicate **on the raw int64 nanos column before the conversion
+    projection**, so it reaches the scan as ``PushedFilters`` and prunes
+    parquet row groups by min/max stats.  A filter on the *converted*
+    column cannot push (parquet pushdown works on attribute references
+    only, not expressions) — at 100 TB that is the difference between
+    reading one day and reading the whole table.
+    """
     df = spark.read.parquet(path)
-    for col in _nano_timestamp_cols(path):
-        if col in df.columns and dict(df.dtypes).get(col) == "bigint":
-            # integer division: int64 nanos exceed double precision (2^53),
-            # and truncation (not rounding) matches TIMESTAMP_NS readers
-            df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    nanos = [c for c in _nano_timestamp_cols(path)
+             if c in df.columns and dict(df.dtypes).get(c) == "bigint"]
+    if time_range is not None:
+        lo, hi = time_range
+        tcol = time_col or (nanos[0] if nanos else None)
+        if tcol is None:
+            raise ValueError("time_range needs time_col for this schema")
+        if tcol in nanos:
+            df = df.where((F.col(tcol) >= F.lit(_utc_nanos(lo)))
+                          & (F.col(tcol) < F.lit(_utc_nanos(hi))))
+        else:
+            df = df.where((F.col(tcol) >= F.lit(lo))
+                          & (F.col(tcol) < F.lit(hi)))
+    for col in nanos:
+        # integer division: int64 nanos exceed double precision (2^53),
+        # and truncation (not rounding) matches TIMESTAMP_NS readers
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(spark: SparkSession, sf_dir: str, name: str,
+               time_col: Optional[str] = None,
+               time_range: Optional[tuple] = None) -> DataFrame:
     """Read one named table from a testdata scale-factor directory."""
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"),
+                        time_col=time_col, time_range=time_range)
 
 
 #: Orange header type codes -> Spark cast (FIXTURES.md; reference delegates
@@ -84,10 +121,17 @@ def read_orange_csv(spark: SparkSession, path: str, sep: str = ","):
 
     df = (spark.read.option("header", "false").option("sep", sep)
           .csv(path).toDF(*names))
-    # drop the three header rows by excluding rows equal to them
-    first_col = names[0]
-    df = df.where(~F.col(first_col).isin(first_col, types[0], roles_row[0])
-                  | F.col(first_col).isNull())
+    # drop the three header rows: exclude any row whose FULL tuple matches
+    # one of them (empty header cells arrive as null)
+    def _row_match(vals):
+        cond = F.lit(True)
+        for name, val in zip(names, vals):
+            c = F.col(name)
+            cond = cond & (c.isNull() if val == "" else (c == F.lit(val)))
+        return cond
+
+    df = df.where(~(_row_match(names) | _row_match(types)
+                    | _row_match(roles_row)))
 
     time_col = None
     for name, tcode in zip(names, types):
