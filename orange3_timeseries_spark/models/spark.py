@@ -46,9 +46,9 @@ def forecast_by_series(tsf: TimeSeriesFrame, cols: Sequence[str],
     fit all ``cols`` jointly per series — decided via the model's
     ``SUPPORTS_VECTOR`` flag (cf. ``models.py:26``).
     """
-    df, groups, _ = _grouped(tsf)
     order = _order_col(tsf)
     cols = list(cols)
+    df, groups, _ = _grouped(tsf, keep_cols=[order, *cols])
     schema = _series_schema(groups, df, [
         T.StructField("step", T.IntegerType()),
         T.StructField("var", T.StringType()),
@@ -95,8 +95,8 @@ def evaluate_by_series(tsf: TimeSeriesFrame, col: str,
                        n_folds: int = 3, forecast_steps: int = 5) -> DataFrame:
     """Rolling-origin CV per series: one row per (series, model,
     in_sample) with the reference's metric set."""
-    df, groups, _ = _grouped(tsf)
     order = _order_col(tsf)
+    df, groups, _ = _grouped(tsf, keep_cols=[order, col])
     schema = _series_schema(groups, df, [
         T.StructField("model", T.StringType()),
         T.StructField("in_sample", T.BooleanType()),

@@ -617,3 +617,20 @@ def q_from_sequence_monthly(spark, sf_dir):
         df, (2, "month"), start=dt.datetime(2020, 1, 15, 6, 30),
         name="T", order_col="ts", series_cols=["user_id"])
     return tsf.df.select("user_id", "event_id", "T")
+
+
+@query("interp_cubic", None)
+def q_interp_cubic(spark, sf_dir):
+    """Natural cubic-spline fill over the time axis (``functions.py:336``,
+    scipy ``interp1d(kind='cubic')`` semantics, NumPy tridiagonal solve in
+    applyInPandas) — rows-only check; spline algebra is golden-tested in
+    tests/test_interpolate.py."""
+    from orange3_timeseries_spark.operators.interpolate import (
+        interpolate_timeseries,
+    )
+    tsf = _events(spark, sf_dir)
+    gapped = tsf._with_df(
+        tsf.df.withColumn(
+            "v", F.when(F.col("value") > 150, None).otherwise(F.col("value"))))
+    out = interpolate_timeseries(gapped, "cubic", cols=["v"])
+    return out.df.select("user_id", "event_id", r6(F.col("v"), "vi"))

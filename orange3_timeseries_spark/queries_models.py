@@ -117,3 +117,49 @@ def q_model_eval_by_user(spark, sf_dir):
     return out.select("user_id", "model", "in_sample",
                       r6(F.col("rmse"), "rmse"), r6(F.col("mae"), "mae"),
                       r6(F.col("r2"), "r2"))
+
+
+@query("ar1_fitted_by_user", """
+WITH s AS (
+  SELECT user_id, event_id, ts, value AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS ylag
+  FROM events),
+fit AS (
+  SELECT user_id,
+         regr_intercept(y, ylag) AS c,
+         regr_slope(y, ylag) AS phi
+  FROM s WHERE ylag IS NOT NULL GROUP BY user_id)
+SELECT s.user_id, s.event_id,
+       round(CASE WHEN s.rn = 1 THEN s.y ELSE f.c + f.phi * s.ylag END, 6)
+           AS fitted,
+       round(s.y - CASE WHEN s.rn = 1 THEN s.y
+                        ELSE f.c + f.phi * s.ylag END, 6) AS resid
+FROM s JOIN fit f ON s.user_id = f.user_id
+""")
+def q_ar1_fitted_by_user(spark, sf_dir):
+    """Per-series AR(1) in-sample fitted values + residuals
+    (``fittedvalues``/``residuals``, ``models.py:62-128``) — oracle
+    recomputes them from the OLS normal equations row by row."""
+    from orange3_timeseries_spark.models import ARIMA
+
+    tsf = _events(spark, sf_dir)
+    schema = T.StructType([
+        tsf.df.schema["user_id"], tsf.df.schema["event_id"],
+        T.StructField("fitted", T.DoubleType()),
+        T.StructField("resid", T.DoubleType()),
+    ])
+
+    def compute(keys, pdf):
+        pdf = pdf.sort_values("ts")
+        y = pdf["value"].to_numpy(dtype=float)
+        m = ARIMA((1, 0, 0)).fit(y)
+        fitted = m.fittedvalues()
+        resid = m.residuals()
+        return pd.DataFrame({
+            "user_id": keys[0], "event_id": pdf["event_id"].values,
+            "fitted": fitted, "resid": resid})
+
+    out = tsf.df.groupBy("user_id").applyInPandas(compute, schema=schema)
+    return out.select("user_id", "event_id", r6(F.col("fitted"), "fitted"),
+                      r6(F.col("resid"), "resid"))

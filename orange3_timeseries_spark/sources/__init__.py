@@ -7,6 +7,7 @@ from orange3_timeseries_spark.sources.readers import (
     read_parquet,
     read_table,
 )
+from orange3_timeseries_spark.sources.writers import write_partitioned
 
 __all__ = ["read_parquet", "read_orange_csv", "read_table",
-           "finance_data", "quandl_data"]
+           "finance_data", "quandl_data", "write_partitioned"]

@@ -32,11 +32,21 @@ from orange3_timeseries_spark.functions.spectral import (
 )
 
 
-def _grouped(tsf: TimeSeriesFrame):
-    """(df_with_group, group_cols, added) — ensures at least one group key."""
+def _grouped(tsf: TimeSeriesFrame, keep_cols=None):
+    """(df_with_group, group_cols, added) — ensures at least one group key.
+
+    ``keep_cols`` projects the frame down to exactly the columns the
+    pandas stage reads BEFORE the groupBy — applyInPandas ships whole
+    rows, so without this the scan reads every column (column pruning
+    can't see into the Python function)."""
+    df = tsf.df
+    if keep_cols is not None:
+        need = [c for c in dict.fromkeys(
+            list(tsf.series_cols) + list(keep_cols)) if c in df.columns]
+        df = df.select(*need)
     if tsf.series_cols:
-        return tsf.df, list(tsf.series_cols), False
-    return tsf.df.withColumn("__g__", F.lit(1)), ["__g__"], True
+        return df, list(tsf.series_cols), False
+    return df.withColumn("__g__", F.lit(1)), ["__g__"], True
 
 
 def _series_schema(group_cols, df, extra_fields):
@@ -61,8 +71,8 @@ def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
               significant_only: bool = False) -> DataFrame:
     """Per-series ACF rows (series..., lag, acf); with ``significant_only``
     just the reference's significant peaks (``functions.py:192-218``)."""
-    df, groups, added = _grouped(tsf)
     order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, col])
     schema = _series_schema(groups, df, [
         T.StructField("lag", T.IntegerType()),
         T.StructField("acf", T.DoubleType())])
@@ -92,8 +102,8 @@ def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
 def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
                significant_only: bool = False) -> DataFrame:
     """Per-series PACF rows (``functions.py:221-246``)."""
-    df, groups, added = _grouped(tsf)
     order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, col])
     schema = _series_schema(groups, df, [
         T.StructField("lag", T.IntegerType()),
         T.StructField("pacf", T.DoubleType())])
@@ -124,8 +134,8 @@ def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend="diff",
                       equispaced: bool = True) -> DataFrame:
     """Per-series significant spectral peaks (series..., period, power);
     Lomb-Scargle when ``equispaced=False`` (``functions.py:76-174``)."""
-    df, groups, added = _grouped(tsf)
     order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, col])
     time_col = tsf.time_col
     schema = _series_schema(groups, df, [
         T.StructField("period", T.DoubleType()),
@@ -198,8 +208,8 @@ def granger_causality(tsf: TimeSeriesFrame, cols: Sequence[str],
     """Per-series Granger tests over all ordered pairs of ``cols``
     (series..., lag, p, antecedent, consequent) — ``functions.py:433-492``.
     Gaps linearly interpolated first (``:462``)."""
-    df, groups, added = _grouped(tsf)
     order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
     schema = _series_schema(groups, df, [
         T.StructField("lag", T.IntegerType()),
         T.StructField("p", T.DoubleType()),

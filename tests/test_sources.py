@@ -57,3 +57,28 @@ class TestFinance:
     def test_quandl_stub(self, spark):
         with pytest.raises(NotImplementedError, match="Quandl"):
             quandl_data(spark, "WIKI/AAPL")
+
+
+class TestWriters:
+    def test_write_partitioned_prunes(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.sources.writers import write_partitioned
+
+        rows = [(i, dt.datetime(2024, 1, 1 + i % 5, i % 24), float(i))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+        tsf = TimeSeriesFrame(df, time_col="ts")
+        out = str(tmp_path / "per_day")
+        write_partitioned(tsf, out, level="Days")
+
+        back = spark.read.parquet(out)
+        assert back.count() == 200
+        # directory-level pruning: filter on the partition key
+        one_day = back.where(F.col("__days__") == "2024-01-03")
+        assert one_day.count() == 40
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
