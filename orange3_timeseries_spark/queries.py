@@ -634,3 +634,33 @@ def q_interp_cubic(spark, sf_dir):
             "v", F.when(F.col("value") > 150, None).otherwise(F.col("value"))))
     out = interpolate_timeseries(gapped, "cubic", cols=["v"])
     return out.df.select("user_id", "event_id", r6(F.col("v"), "vi"))
+
+
+@query("spiralogram_binned", """
+WITH b AS (
+  SELECT CAST(month(ts) AS INT) AS x,
+         CASE WHEN value IS NOT NULL THEN
+           (round(0 + least(greatest(floor((value - 0) / 50.0), 0), 3) * 50.0,
+                  6)::VARCHAR
+            || ' – ' ||
+            round(0 + (least(greatest(floor((value - 0) / 50.0), 0), 3) + 1)
+                  * 50.0, 6)::VARCHAR)
+         END AS r,
+         value
+  FROM events)
+SELECT x, r, count(*) AS "Count", round(median(value), 6) AS agg_v
+FROM b GROUP BY 1, 2
+""")
+def q_spiralogram_binned(spark, sf_dir):
+    """2-D grouping with a CONTINUOUS radial variable discretized into
+    equal-width threshold-labeled bins (``binned_var`` / ``Discretizer``,
+    ``owspiralogram.py:360-435``) and a median cell aggregate."""
+    from orange3_timeseries_spark.operators.spiralogram import binned_key
+
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = spiralogram(tsf, "Month of year", binned_key("value", 0, 200, 4),
+                      agg_col="value", agg="median", x_name="x", r_name="r",
+                      agg_out_name="agg_v")
+    return out.df.select(F.col("x").cast("int").alias("x"), "r",
+                         F.col("Count").cast("long").alias("Count"),
+                         r6(F.col("agg_v"), "agg_v"))

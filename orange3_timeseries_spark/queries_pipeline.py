@@ -273,3 +273,41 @@ def q_embedding_neardup(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     out = S.embedding_neardup_pairs(e, threshold=0.35)
     return out.select("id_a", "id_b", "cosine")
+
+
+def _lsh_topk_sql(k=5, n_planes=8, dim=64, seed=42):
+    """Oracle replays the hyperplane signatures with the SAME planes,
+    inlined as literals (deterministic seeded generation)."""
+    from orange3_timeseries_spark.operators.similarity import make_planes
+
+    planes = make_planes(dim, n_planes, seed)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}])"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, ({bits}) AS bucket FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig
+      WHERE vec_id < 10)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT q.query_id, s.vec_id AS nn_id,
+         round(list_cosine_similarity(s.v, q.qv), 6) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(s.v, q.qv), 6) DESC,
+                      s.vec_id) AS rank
+  FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id != q.query_id) t
+WHERE rank <= {k}
+"""
+
+
+@query("ann_lsh_topk", _lsh_topk_sql())
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-5 neighbors via random-hyperplane LSH bucketing —
+    the sub-linear scale path (candidates share the query's bucket).  The
+    oracle replays the identical plane projections, so bucketing AND
+    ranking are value-hash-checked."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.lsh_topk(e, queries, k=5)

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the window-agg registry against
+pandas rolling equivalents on arbitrary data incl. NaNs/empty windows, and
+algebraic invariants of the dedup tier.
+
+The reference's tests are golden-vector only (SURVEY §5); these add the
+randomized layer that catches NaN-rule drift the goldens miss.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.operators.moving_transform import (
+    KEEP_COMPLETE,
+    sliding_window,
+)
+
+values = st.lists(
+    st.one_of(st.floats(min_value=-100, max_value=100,
+                        allow_nan=False, allow_infinity=False),
+              st.just(float("nan"))),
+    min_size=5, max_size=40)
+
+
+def _spark_sliding(spark, xs, aggs, w):
+    df = spark.createDataFrame(
+        [(i, None if (isinstance(v, float) and math.isnan(v)) else v)
+         for i, v in enumerate(xs)], "t long, x double")
+    tsf = TimeSeriesFrame(df, time_col=None).with_row_index(["t"])
+    out = sliding_window(tsf, {"x": aggs}, w, keep=KEEP_COMPLETE)
+    pdf = out.df.toPandas().sort_values("t")
+    return {a: pdf[f"x ({a})"].to_numpy(dtype=float) for a in aggs}
+
+
+class TestSlidingVsPandas:
+    @settings(max_examples=10, deadline=None)
+    @given(xs=values, w=st.integers(min_value=1, max_value=6))
+    def test_mean_sum_min_max_std(self, spark, xs, w):
+        w = min(w, len(xs))
+        got = _spark_sliding(spark, xs, ["mean", "sum", "min", "max",
+                                         "std", "defined"], w)
+        s = pd.Series(xs)
+        r = s.rolling(w, min_periods=1)
+        tail = slice(w - 1, None)
+        exp = {
+            "mean": r.mean().to_numpy()[tail],
+            "sum": np.nan_to_num(r.sum().to_numpy()[tail], nan=0.0),
+            "min": r.min().to_numpy()[tail],
+            "max": r.max().to_numpy()[tail],
+            "std": r.std(ddof=0).to_numpy()[tail],
+            "defined": r.count().to_numpy()[tail],
+        }
+        # pandas rolling sum of all-NaN window is NaN; kernel says 0
+        # (np.nansum semantics) — normalized above
+        for agg, e in exp.items():
+            g = got[agg]
+            assert len(g) == len(e)
+            np.testing.assert_allclose(g, e, rtol=1e-9, atol=1e-9,
+                                       equal_nan=True, err_msg=agg)
+
+    @settings(max_examples=8, deadline=None)
+    @given(xs=values, w=st.integers(min_value=1, max_value=5))
+    def test_median_matches_numpy(self, spark, xs, w):
+        w = min(w, len(xs))
+        got = _spark_sliding(spark, xs, ["median"], w)["median"]
+        arr = np.array(xs, dtype=float)
+        exp = []
+        for i in range(w - 1, len(arr)):
+            win = arr[i - w + 1: i + 1]
+            win = win[~np.isnan(win)]
+            exp.append(np.median(win) if len(win) else np.nan)
+        np.testing.assert_allclose(got, np.array(exp), rtol=1e-9,
+                                   atol=1e-9, equal_nan=True)
+
+
+docs = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=60),
+    min_size=2, max_size=12)
+
+
+class TestDedupInvariants:
+    @settings(max_examples=6, deadline=None)
+    @given(texts=docs)
+    def test_lsh_pairs_subset_of_exact(self, spark, texts):
+        """Every LSH-verified pair must appear in the exact Jaccard join
+        with the SAME similarity (LSH may miss pairs, never invent)."""
+        from orange3_timeseries_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        exact = {(r.id_a, r.id_b): round(r.jaccard, 9)
+                 for r in ngram_jaccard_pairs(
+                     df, "text", "doc_id", n=2, threshold=0.1).collect()}
+        lsh = {(r.id_a, r.id_b): round(r.jaccard, 9)
+               for r in minhash_lsh_pairs(
+                   df, "text", "doc_id", k=8, bands=4, n=2,
+                   threshold=0.1).collect()}
+        for pair, j in lsh.items():
+            assert pair in exact, f"LSH invented pair {pair}"
+            assert exact[pair] == pytest.approx(j, abs=1e-9)
