@@ -181,14 +181,35 @@ def period_aggregation(tsf: TimeSeriesFrame, period: str, specs: Specs,
     desc = PERIOD_OPTIONS[period]
     key = period_key_expr(period, F.col(tsf.time_col), use_names)
     agg_exprs = [F.count(F.lit(1)).cast("double").alias(count_name)]
+    mode_specs = []
     for (col, agg), out_name in zip(specs, _out_names(specs, names)):
+        if agg == "mode":
+            # two-stage exact mode (below) — the collect_list form ships
+            # every value to the reducer, pathological when period keys
+            # are few (12 months over 100 TB = 12 reducers holding all
+            # rows); the count-then-argmax form is partial-aggregatable
+            mode_specs.append((col, out_name))
+            continue
         a = AGG_OPTIONS[agg]
         agg_exprs.append(
             a.builder(null_norm(F.col(col)), ident, Ctx()).alias(out_name))
 
+    group_cols = [*tsf.series_cols, desc.attr_name]
     df = (tsf.df
           .groupBy(*tsf.series_cols, key.alias(desc.attr_name))
-          .agg(*agg_exprs)
-          .orderBy(*tsf.series_cols, desc.attr_name))
+          .agg(*agg_exprs))
+    for col, out_name in mode_specs:
+        counted = (tsf.df
+                   .where(null_norm(F.col(col)).isNotNull())
+                   .groupBy(*tsf.series_cols, key.alias(desc.attr_name),
+                            F.col(col).alias(out_name))
+                   .agg(F.count(F.lit(1)).alias("__n__")))
+        w = Window.partitionBy(*group_cols).orderBy(F.col("__n__").desc(),
+                                                    F.col(out_name).asc())
+        modes = (counted.withColumn("__rk__", F.row_number().over(w))
+                 .where(F.col("__rk__") == 1)
+                 .select(*group_cols, out_name))
+        df = df.join(modes, on=group_cols, how="left")
+    df = df.orderBy(*group_cols)
     time_col = desc.attr_name if not desc.periodic else None
     return TimeSeriesFrame(df, time_col, series_cols=tsf.series_cols)
