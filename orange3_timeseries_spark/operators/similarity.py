@@ -187,3 +187,108 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                              "cosine": S[ri, ci]})
 
     return rep.groupBy(*group_keys).applyInPandas(gemm, schema=out_schema)
+
+
+# ------------------------------------------------------------------- IVF ANN
+def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                        n_centroids: int = 16, sample: int = 2048,
+                        iters: int = 10, seed: int = 7):
+    """Deterministic coarse quantizer: seeded k-means (Lloyd, fixed
+    iterations) on a driver-side sample.  The sample is tiny and the
+    centroid table is broadcast — the classic IVF split: heavy data stays
+    distributed, the O(k*d) model rides the closure."""
+    import numpy as np
+
+    pdf = (corpus.select(vec_col).limit(sample).toPandas())
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                        replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = X[m].mean(0)
+    return cent.tolist()
+
+
+def _assign_centroid(df: DataFrame, vec_col: str, centroids,
+                     out: str = "centroid_id") -> DataFrame:
+    """Nearest-centroid assignment via one NumPy GEMM per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = __import__("numpy").array(centroids, dtype=float)
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out, T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if not len(X):
+                yield pdf.assign(**{out: pd.Series([], dtype="int32")})
+                continue
+            # argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
+            scores = X @ C.T - 0.5 * (C * C).sum(1)
+            yield pdf.assign(**{out: scores.argmax(1).astype("int32")})
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id", k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             centroids=None, seed: int = 7) -> DataFrame:
+    """IVF approximate top-k: corpus rows are inverted-listed by nearest
+    centroid; each query probes its ``nprobe`` nearest lists only.
+
+    Plan: centroid assignment is a narrow GEMM map on both sides; the
+    candidate join is an equi-join on ``centroid_id`` (queries exploded
+    to their probe list, then broadcast) — corpus never shuffles.  Probing
+    more lists trades compute for recall, the standard IVF dial.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        seed=seed)
+    C = np.array(centroids, dtype=float)
+
+    c = _assign_centroid(
+        corpus.select(F.col(id_col).alias("nn_id"),
+                      _as_double(F.col(vec_col)).alias("cvec")),
+        "cvec", centroids)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qbase = queries.select(F.col(query_id_col),
+                           _as_double(F.col(vec_col)).alias("qvec"))
+    qschema = T.StructType(list(qbase.schema.fields)
+                           + [T.StructField("centroid_id", T.IntegerType())])
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            scores = X @ C.T - 0.5 * (C * C).sum(1)
+            order = np.argsort(-scores, axis=1)[:, :nprobe]
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep["centroid_id"] = order.ravel().astype("int32")
+            yield rep
+
+    q = qbase.mapInPandas(probe, schema=qschema)
+    scored = (c.join(F.broadcast(q), "centroid_id")
+              .where(F.col(query_id_col) != F.col("nn_id"))
+              .select(query_id_col, "nn_id",
+                      F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
+                       .alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

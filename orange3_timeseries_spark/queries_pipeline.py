@@ -311,3 +311,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     queries = (e.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.lsh_topk(e, queries, k=5)
+
+
+@query("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: seeded k-means coarse quantizer, corpus
+    inverted-listed by centroid, queries probe 4 lists — rows-only check
+    (k-means is iterative); recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivf_topk(e, queries, k=5, n_centroids=16, nprobe=4)
