@@ -263,6 +263,21 @@ def q_period_month_of_year(spark, sf_dir):
                          r6(F.col("value (mean)"), "mean_v"))
 
 
+@query("period_week_of_year", """
+SELECT CAST(weekofyear(ts) AS INT) AS "Week", count(*) AS n,
+       round(sum(value), 6) AS sum_v
+FROM events GROUP BY 1
+""")
+def q_period_week_of_year(spark, sf_dir):
+    """Periodic ISO week-of-year key (``aggregate.py:241``; Spark
+    ``weekofyear`` and DuckDB ``weekofyear`` are both ISO-8601)."""
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = period_aggregation(tsf, "Week of year", [("value", "sum")])
+    return out.df.select(F.col("Week").cast("int").alias("Week"),
+                         F.col("Instance count").cast("long").alias("n"),
+                         r6(F.col("value (sum)"), "sum_v"))
+
+
 @query("period_day_of_week", """
 SELECT CAST(isodow(ts) - 1 AS INT) AS "Day", count(*) AS n,
        round(avg(value), 6) AS mean_v,
