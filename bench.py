@@ -29,6 +29,14 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]",
                       extra_conf={"spark.sql.shuffle.partitions": cpus})
 
+    # JVM / codegen / Arrow warm-up so the first timed query doesn't pay
+    # one-time initialization (~5 s of JIT on a cold JVM)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.orderBy("id").rowsBetween(-3, 0)
+    spark.range(100000).select(F.avg("id").over(w)) \
+        .write.format("noop").mode("overwrite").save()
+
     qs = entrymod.queries()
     timings = {}
     total = 0.0

@@ -90,8 +90,13 @@ def q_seasonal_decompose_daily(spark, sf_dir):
 @query("granger_event_types", None)
 def q_granger_event_types(spark, sf_dir):
     """Granger causality between per-event-type daily mean series —
-    rows-only check (pair fan-out under applyInPandas)."""
-    from orange3_timeseries_spark.spark_analytics import granger_causality
+    rows-only check.  Uses the PAIR-parallel plan (each ordered pair is
+    its own task) — the per-series plan computes all pairs of one series
+    in one task, which serializes for a single wide series; equivalence
+    of the two plans is asserted in tests/test_analytics.py."""
+    from orange3_timeseries_spark.spark_analytics import (
+        granger_causality_pairs,
+    )
 
     ev = read_table(spark, sf_dir, "events")
     pivoted = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -99,7 +104,7 @@ def q_granger_event_types(spark, sf_dir):
                .agg(F.avg("value")))
     cols = [c for c in pivoted.columns if c != "day"]
     tsf = TimeSeriesFrame(pivoted, time_col="day")
-    out = granger_causality(tsf, cols, max_lag=3, alpha=0.1)
+    out = granger_causality_pairs(tsf, cols, max_lag=3, alpha=0.1)
     return out.select("lag", r6(F.col("p"), "p"), "antecedent", "consequent")
 
 

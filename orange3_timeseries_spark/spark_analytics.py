@@ -239,3 +239,68 @@ def granger_causality(tsf: TimeSeriesFrame, cols: Sequence[str],
 
     out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
     return out.drop("__g__") if added else out
+
+
+def granger_causality_pairs(tsf: TimeSeriesFrame, cols: Sequence[str],
+                            max_lag: int = 10,
+                            alpha: float = 0.05) -> DataFrame:
+    """Pair-parallel Granger causality: each of the N(N-1) ordered pairs
+    becomes its OWN task, so a wide variable set parallelizes even for a
+    single series (:func:`granger_causality` parallelizes across series
+    but computes all pairs of one series in one task — its scale axis is
+    series count, this one's is pair count).
+
+    Plan: pack each series' columns into sorted arrays (one grouped row
+    per series), cross-join with the broadcast pair list, then a row-wise
+    ``mapInPandas`` runs the F-test per (series, pair) row.  No driver
+    collect; the packed row rides the shuffle once.
+    """
+    from orange3_timeseries_spark.functions.granger import (
+        first_significant_lag,
+    )
+
+    def _interp(x):
+        isnan = np.isnan(x)
+        if isnan.any() and (~isnan).sum() >= 2:
+            idx = np.arange(len(x), dtype=float)
+            x[isnan] = np.interp(idx[isnan], idx[~isnan], x[~isnan])
+        return x
+
+    order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
+    packed = df.groupBy(*groups).agg(*[
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col(order).alias("o"),
+                         F.col(c).cast("double").alias("v")))),
+            lambda s: s["v"]).alias(c)
+        for c in cols])
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, c) for a in cols for c in cols if a != c],
+        "antecedent string, consequent string")
+    crossed = packed.crossJoin(F.broadcast(pairs)) \
+        .repartition(len(cols) * (len(cols) - 1))
+    schema = _series_schema(groups, df, [
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("antecedent", T.StringType()),
+        T.StructField("consequent", T.StringType())])
+
+    def compute(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = _interp(np.asarray(r[r["antecedent"]], dtype=float))
+                c = _interp(np.asarray(r[r["consequent"]], dtype=float))
+                lag, p = first_significant_lag(a, c, max_lag, alpha)
+                if lag:
+                    rows.append([r[g] for g in groups]
+                                + [lag, p, r["antecedent"], r["consequent"]])
+            out = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            if rows:
+                out["lag"] = out["lag"].astype("int32")
+            yield out
+
+    out = crossed.mapInPandas(compute, schema=schema)
+    return out.drop("__g__") if added else out

@@ -154,3 +154,33 @@ def test_spark_granger_per_series(spark):
     got = {(r["uid"], r["antecedent"], r["consequent"]): r["lag"] for r in res}
     assert got.get((1, "a", "b")) is not None and got[(1, "a", "b")] <= 2
     assert got.get((2, "a", "b")) is not None and got[(2, "a", "b")] <= 2
+
+
+class TestGrangerPairParallel:
+    def test_matches_per_series_plan(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import (
+            granger_causality,
+            granger_causality_pairs,
+        )
+
+        rng = np.random.RandomState(5)
+        n = 80
+        a = rng.standard_normal(n).cumsum()
+        b = np.roll(a, 2) + rng.standard_normal(n) * 0.1  # b lags a by 2
+        c = rng.standard_normal(n)
+        rows = [(i, float(a[i]), float(b[i]), float(c[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "t long, a double, b double, c double")
+        tsf = TimeSeriesFrame(df, time_col="t")
+
+        key = lambda r: (r.antecedent, r.consequent, r.lag, round(r.p, 9))
+        per_series = sorted(map(key, granger_causality(
+            tsf, ["a", "b", "c"], max_lag=4).collect()))
+        pair_par = sorted(map(key, granger_causality_pairs(
+            tsf, ["a", "b", "c"], max_lag=4).collect()))
+        assert per_series == pair_par
+        # the constructed causality a->b is detected
+        assert any(r[0] == "a" and r[1] == "b" for r in per_series)
