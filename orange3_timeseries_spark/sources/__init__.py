@@ -4,10 +4,11 @@ dialect), in-memory constructors, and writers."""
 from orange3_timeseries_spark.sources.finance import finance_data, quandl_data
 from orange3_timeseries_spark.sources.readers import (
     read_orange_csv,
+    read_orange_csv_url,
     read_parquet,
     read_table,
 )
 from orange3_timeseries_spark.sources.writers import write_partitioned
 
-__all__ = ["read_parquet", "read_orange_csv", "read_table",
+__all__ = ["read_parquet", "read_orange_csv", "read_orange_csv_url", "read_table",
            "finance_data", "quandl_data", "write_partitioned"]

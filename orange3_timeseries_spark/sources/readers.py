@@ -98,6 +98,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str,
                         time_col=time_col, time_range=time_range)
 
 
+def read_orange_csv_url(spark: SparkSession, url: str, sep: str = ","):
+    """``Timeseries.from_url`` analog (``timeseries.py:188-191``):
+    driver-side download to a temp file, then :func:`read_orange_csv`.
+    Appropriate for the small hand-authored datasets the reference loads
+    this way — bulk data belongs in parquet on shared storage."""
+    import tempfile
+    import urllib.request
+
+    with urllib.request.urlopen(url) as resp:  # noqa: S310 (caller's URL)
+        data = resp.read()
+    tmp = tempfile.NamedTemporaryFile(suffix=".csv", delete=False)
+    tmp.write(data)
+    tmp.close()
+    return read_orange_csv(spark, tmp.name, sep=sep)
+
+
 #: Orange header type codes -> Spark cast (FIXTURES.md; reference delegates
 #: to Orange readers at ``timeseries.py:183-186``)
 _TYPE_CAST = {"t": "timestamp", "time": "timestamp",

@@ -82,3 +82,11 @@ class TestWriters:
         assert one_day.count() == 40
         plan = one_day._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
+
+
+class TestUrl:
+    def test_read_orange_csv_url_file_scheme(self, spark):
+        from orange3_timeseries_spark.sources import read_orange_csv_url
+        path = os.path.join(HERE, "data", "airpassengers.csv")
+        df, roles, time_col = read_orange_csv_url(spark, f"file://{path}")
+        assert time_col == "Month" and df.count() == 144
