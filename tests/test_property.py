@@ -59,7 +59,11 @@ class TestSlidingVsPandas:
         for agg, e in exp.items():
             g = got[agg]
             assert len(g) == len(e)
-            np.testing.assert_allclose(g, e, rtol=1e-9, atol=1e-9,
+            # std: Spark (sum-of-squares) and pandas (Welford) disagree by
+            # O(1e-9) absolute on near-zero-variance windows (catastrophic
+            # cancellation) — both are valid; compare at 1e-6 there
+            atol = 1e-6 if agg == "std" else 1e-9
+            np.testing.assert_allclose(g, e, rtol=1e-9, atol=atol,
                                        equal_nan=True, err_msg=agg)
 
     @settings(max_examples=8, deadline=None)
