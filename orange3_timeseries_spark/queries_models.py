@@ -51,6 +51,8 @@ def q_ar1_params_by_user(spark, sf_dir):
     oracle = OLS regression aggregates in DuckDB (same normal equations)."""
     from orange3_timeseries_spark.models import ARIMA
 
+    from orange3_timeseries_spark.models.spark import _pack_series
+
     tsf = _events(spark, sf_dir)
     schema = T.StructType([
         tsf.df.schema["user_id"],
@@ -58,16 +60,22 @@ def q_ar1_params_by_user(spark, sf_dir):
         T.StructField("phi", T.DoubleType()),
         T.StructField("fc1", T.DoubleType()),
     ])
+    packed = _pack_series(tsf.df.select("user_id", "ts", "value"),
+                          ["user_id"], "ts", ["value"])
 
-    def compute(keys, pdf):
-        y = pdf.sort_values("ts")["value"].to_numpy(dtype=float)
-        m = ARIMA((1, 0, 0)).fit(y)
-        fc, _, _ = m.predict(1)
-        return pd.DataFrame([[keys[0], float(m.results.const),
-                              float(m.results.phi[0]), float(np.ravel(fc)[0])]],
-                            columns=["user_id", "const", "phi", "fc1"])
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = ARIMA((1, 0, 0)).fit(np.asarray(r["value"], dtype=float))
+                fc, _, _ = m.predict(1)
+                rows.append([r["user_id"], float(m.results.const),
+                             float(m.results.phi[0]),
+                             float(np.ravel(fc)[0])])
+            yield pd.DataFrame(rows, columns=["user_id", "const", "phi",
+                                              "fc1"])
 
-    out = tsf.df.groupBy("user_id").applyInPandas(compute, schema=schema)
+    out = packed.mapInPandas(run, schema=schema)
     return out.select("user_id", r6(F.col("const"), "const"),
                       r6(F.col("phi"), "phi"), r6(F.col("fc1"), "fc1"))
 
@@ -143,23 +151,33 @@ def q_ar1_fitted_by_user(spark, sf_dir):
     recomputes them from the OLS normal equations row by row."""
     from orange3_timeseries_spark.models import ARIMA
 
+    from orange3_timeseries_spark.models.spark import _pack_series
+
     tsf = _events(spark, sf_dir)
     schema = T.StructType([
         tsf.df.schema["user_id"], tsf.df.schema["event_id"],
         T.StructField("fitted", T.DoubleType()),
         T.StructField("resid", T.DoubleType()),
     ])
+    packed = _pack_series(
+        tsf.df.select("user_id", "ts", "value", "event_id"),
+        ["user_id"], "ts", ["value", "event_id"])
 
-    def compute(keys, pdf):
-        pdf = pdf.sort_values("ts")
-        y = pdf["value"].to_numpy(dtype=float)
-        m = ARIMA((1, 0, 0)).fit(y)
-        fitted = m.fittedvalues()
-        resid = m.residuals()
-        return pd.DataFrame({
-            "user_id": keys[0], "event_id": pdf["event_id"].values,
-            "fitted": fitted, "resid": resid})
+    def run(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                y = np.asarray(r["value"], dtype=float)
+                m = ARIMA((1, 0, 0)).fit(y)
+                frames.append(pd.DataFrame({
+                    "user_id": r["user_id"],
+                    "event_id": np.asarray(r["event_id"]).astype("int64"),
+                    "fitted": m.fittedvalues(),
+                    "resid": m.residuals()}))
+            yield pd.concat(frames, ignore_index=True) if frames \
+                else pd.DataFrame(columns=["user_id", "event_id",
+                                           "fitted", "resid"])
 
-    out = tsf.df.groupBy("user_id").applyInPandas(compute, schema=schema)
+    out = packed.mapInPandas(run, schema=schema)
     return out.select("user_id", "event_id", r6(F.col("fitted"), "fitted"),
                       r6(F.col("resid"), "resid"))

@@ -67,100 +67,123 @@ def _order_col(tsf: TimeSeriesFrame) -> str:
     return ROW_IDX
 
 
+def _packed_map(tsf: TimeSeriesFrame, cols, extra_fields, per_series,
+                with_times: bool = False):
+    """Shared fast path for per-series NumPy stages: pack each series into
+    time-sorted arrays (one grouped row per series), then run ``per_series``
+    over MANY series per Arrow batch with ``mapInPandas`` — per-group
+    ``applyInPandas`` pays pandas/Arrow setup per series, which dominates
+    when series are small and numerous (measured ~5 ms/series overhead vs
+    sub-ms NumPy work)."""
+    order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
+    aggs = [
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col(order).alias("o"),
+                         F.col(c).cast("double").alias("v")))),
+            lambda s: s["v"]).alias(c)
+        for c in cols]
+    if with_times:
+        aggs.append(F.array_sort(F.collect_list(
+            F.col(order).cast("double"))).alias("__t__"))
+    packed = df.groupBy(*groups).agg(*aggs)
+    schema = _series_schema(groups, df, extra_fields)
+    names = [f.name for f in schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                out = per_series(r)
+                if out is None or not len(out):
+                    continue
+                for g in groups:
+                    out[g] = r[g]
+                frames.append(out[names])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame(columns=names)
+
+    out = packed.mapInPandas(run, schema=schema)
+    return out.drop("__g__") if added else out
+
+
 def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
               significant_only: bool = False) -> DataFrame:
     """Per-series ACF rows (series..., lag, acf); with ``significant_only``
     just the reference's significant peaks (``functions.py:192-218``)."""
-    order = _order_col(tsf)
-    df, groups, added = _grouped(tsf, keep_cols=[order, col])
-    schema = _series_schema(groups, df, [
-        T.StructField("lag", T.IntegerType()),
-        T.StructField("acf", T.DoubleType())])
+    fields = [T.StructField("lag", T.IntegerType()),
+              T.StructField("acf", T.DoubleType())]
 
-    def compute(keys, pdf):
-        x = _sorted_values(pdf, order, col)
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
         x = x[~np.isnan(x)]
         nl = nlags if nlags is not None else int(0.9 * len(x))
         nl = min(nl, len(x) - 1)
         if len(x) < 3 or nl < 1:
-            return pd.DataFrame(columns=[f.name for f in schema.fields])
+            return None
         vals = acf_values(x, nl)
         if significant_only:
             rows = _significant(vals)
         else:
             rows = np.column_stack((np.arange(len(vals)), vals))
-        out = pd.DataFrame({"lag": rows[:, 0].astype(int),
-                            "acf": rows[:, 1]})
-        for k, v in zip(groups, keys):
-            out[k] = v
-        return out[[f.name for f in schema.fields]]
+        return pd.DataFrame({"lag": rows[:, 0].astype("int32"),
+                             "acf": rows[:, 1]})
 
-    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
-    return out.drop("__g__") if added else out
+    return _packed_map(tsf, [col], fields, per_series)
 
 
 def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
                significant_only: bool = False) -> DataFrame:
     """Per-series PACF rows (``functions.py:221-246``)."""
-    order = _order_col(tsf)
-    df, groups, added = _grouped(tsf, keep_cols=[order, col])
-    schema = _series_schema(groups, df, [
-        T.StructField("lag", T.IntegerType()),
-        T.StructField("pacf", T.DoubleType())])
+    fields = [T.StructField("lag", T.IntegerType()),
+              T.StructField("pacf", T.DoubleType())]
 
-    def compute(keys, pdf):
-        x = _sorted_values(pdf, order, col)
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
         x = x[~np.isnan(x)]
         nl = nlags if nlags is not None else min(len(x) // 2 - 1, len(x) - 1)
         nl = min(nl, max(len(x) - 1, 0))
         if len(x) < 4 or nl < 1:
-            return pd.DataFrame(columns=[f.name for f in schema.fields])
+            return None
         vals = pacf_values(x, nl)
         if significant_only:
             rows = _significant(vals)
         else:
             rows = np.column_stack((np.arange(len(vals)), vals))
-        out = pd.DataFrame({"lag": rows[:, 0].astype(int),
-                            "pacf": rows[:, 1]})
-        for k, v in zip(groups, keys):
-            out[k] = v
-        return out[[f.name for f in schema.fields]]
+        return pd.DataFrame({"lag": rows[:, 0].astype("int32"),
+                             "pacf": rows[:, 1]})
 
-    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
-    return out.drop("__g__") if added else out
+    return _packed_map(tsf, [col], fields, per_series)
 
 
 def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend="diff",
                       equispaced: bool = True) -> DataFrame:
     """Per-series significant spectral peaks (series..., period, power);
     Lomb-Scargle when ``equispaced=False`` (``functions.py:76-174``)."""
-    order = _order_col(tsf)
-    df, groups, added = _grouped(tsf, keep_cols=[order, col])
-    time_col = tsf.time_col
-    schema = _series_schema(groups, df, [
-        T.StructField("period", T.DoubleType()),
-        T.StructField("power", T.DoubleType())])
+    fields = [T.StructField("period", T.DoubleType()),
+              T.StructField("power", T.DoubleType())]
 
-    def compute(keys, pdf):
-        pdf = pdf.sort_values(order)
-        x = pdf[col].to_numpy(dtype=float)
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
         mask = ~np.isnan(x)
-        x = x[mask]
-        if len(x) < 12:
-            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        xd = x[mask]
+        if len(xd) < 12:
+            return None
         if equispaced:
-            periods, power = periodogram(x, detrend=detrend)
+            periods, power = periodogram(xd, detrend=detrend)
         else:
-            tvals = pdf[time_col].astype("int64").to_numpy()[mask] / 1e9
-            periods, power = periodogram_nonequispaced(tvals, x,
+            # __t__ is the order column cast to double: epoch SECONDS for
+            # timestamps (Spark cast semantics), plain index otherwise
+            tvals = np.asarray(r["__t__"], dtype=float)[mask]
+            periods, power = periodogram_nonequispaced(tvals, xd,
                                                        detrend=detrend)
-        out = pd.DataFrame({"period": periods, "power": power})
-        for k, v in zip(groups, keys):
-            out[k] = v
-        return out[[f.name for f in schema.fields]]
+        return pd.DataFrame({"period": periods, "power": power})
 
-    out = df.groupBy(*groups).applyInPandas(compute, schema=schema)
-    return out.drop("__g__") if added else out
+    return _packed_map(tsf, [col], fields, per_series,
+                       with_times=not equispaced)
 
 
 def seasonal_decompose(tsf: TimeSeriesFrame, cols: Sequence[str],
