@@ -28,6 +28,49 @@ from orange3_timeseries_spark.timedelta import TimeDelta, add_time
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Scripting-tier re-exports mirroring the reference's
+    ``from orangecontrib.timeseries import *`` surface (SURVEY §3.2) —
+    resolved lazily so importing the package stays cheap."""
+    _API = {
+        # operators
+        "sliding_window": "operators.moving_transform",
+        "sequential_blocks": "operators.moving_transform",
+        "period_aggregation": "operators.moving_transform",
+        "difference": "operators.difference",
+        "interpolate_timeseries": "operators.interpolate",
+        "time_slice": "operators.timeslice",
+        "spiralogram": "operators.spiralogram",
+        # per-series analytics (DataFrame in/out)
+        "acf_table": "spark_analytics",
+        "pacf_table": "spark_analytics",
+        "periodogram_table": "spark_analytics",
+        "seasonal_decompose": "spark_analytics",
+        "granger_causality": "spark_analytics",
+        "granger_causality_pairs": "spark_analytics",
+        # models
+        "ARIMA": "models",
+        "VAR": "models",
+        "model_evaluation": "models",
+        "forecast_by_series": "models",
+        "evaluate_by_series": "models",
+        # sources
+        "read_table": "sources",
+        "read_parquet": "sources",
+        "read_orange_csv": "sources",
+        "finance_data": "sources",
+        "write_partitioned": "sources",
+    }
+    if name in _API:
+        import importlib
+
+        mod = importlib.import_module(
+            f"orange3_timeseries_spark.{_API[name]}")
+        return getattr(mod, name)
+    raise AttributeError(name)
+
+
 __all__ = [
     "get_spark",
     "TimeSeriesFrame",
