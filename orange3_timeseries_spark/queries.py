@@ -53,6 +53,13 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:  # avoid 200 shuffle partitions for small-SF driver runs
+        import os
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(os.cpu_count() or 8))
+    except Exception:
+        pass
     return spark
 
 
