@@ -117,11 +117,20 @@ def _pack_series(df, groups, order, cols):
 
 def evaluate_by_series(tsf: TimeSeriesFrame, col: str,
                        model_factories: Sequence[Callable[[], object]],
-                       n_folds: int = 3, forecast_steps: int = 5) -> DataFrame:
+                       n_folds: int = 3, forecast_steps: int = 5,
+                       extra_cols: Sequence[str] = ()) -> DataFrame:
     """Rolling-origin CV per series: one row per (series, model,
-    in_sample) with the reference's metric set."""
+    in_sample) with the reference's metric set.
+
+    ``extra_cols`` feeds additional variables to vector models (the
+    reference fits the WHOLE interpolated table, ``functions.py:557``,
+    with the class var as scored target — here target = ``col``,
+    companions = ``extra_cols``); univariate models just ignore them
+    via ``model_evaluation``'s column-0 convention.
+    """
     order = _order_col(tsf)
-    df, groups, _ = _grouped(tsf, keep_cols=[order, col])
+    all_cols = [col, *extra_cols]
+    df, groups, _ = _grouped(tsf, keep_cols=[order, *all_cols])
     schema = _series_schema(groups, df, [
         T.StructField("model", T.StringType()),
         T.StructField("in_sample", T.BooleanType()),
@@ -134,7 +143,7 @@ def evaluate_by_series(tsf: TimeSeriesFrame, col: str,
         T.StructField("bic", T.DoubleType()),
     ])
 
-    packed = _pack_series(df, groups, order, [col])
+    packed = _pack_series(df, groups, order, all_cols)
 
     def run(batches):
         for pdf in batches:
@@ -142,6 +151,10 @@ def evaluate_by_series(tsf: TimeSeriesFrame, col: str,
             for _, r in pdf.iterrows():
                 keys = [r[g] for g in groups]
                 y = np.asarray(r[col], dtype=float)
+                if extra_cols:
+                    y = np.column_stack(
+                        [y] + [np.asarray(r[c], dtype=float)
+                               for c in extra_cols])
                 try:
                     table = model_evaluation(
                         y, [f() for f in model_factories],

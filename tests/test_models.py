@@ -199,3 +199,19 @@ class TestSparkModels:
         assert len(out) == 8
         assert out.in_sample.sum() == 4
         assert np.isfinite(out.rmse).all()
+
+
+class TestVectorEvaluation:
+    def test_var_eval_by_series(self, spark, series_df):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models import VAR
+
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        out = evaluate_by_series(
+            tsf, "x", [lambda: VAR(1)], n_folds=2, forecast_steps=5,
+            extra_cols=["z"]).toPandas()
+        # 4 series x 1 model x {cv, in-sample}
+        assert len(out) == 8
+        assert np.isfinite(out.rmse).all()
+        assert out.model.str.startswith("VAR").all()
