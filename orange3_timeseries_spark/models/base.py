@@ -73,17 +73,32 @@ class BaseModel:
         return self._as_forecast_columns(forecast, low, high,
                                          int((1 - alpha) * 100))
 
-    def fittedvalues(self):
+    def fittedvalues(self, as_table: bool = False):
+        """In-sample predictions; with ``as_table``, the naming-contract
+        columns ``"{var} (fitted)"`` (``models.py:99``)."""
         self._check_fitted()
-        return self._fittedvalues()
+        fitted = self._fittedvalues()
+        if not as_table:
+            return fitted
+        return self._named_columns(fitted, "fitted")
 
-    def residuals(self):
+    def residuals(self, as_table: bool = False):
+        """In-sample residuals; with ``as_table``, columns
+        ``"{var} (residuals)"`` (``models.py:127``)."""
         self._check_fitted()
         endog = self._endog
         fitted = self._fittedvalues()
-        if endog.ndim == 1:
-            return endog[-len(fitted):] - fitted
-        return endog[-len(fitted):] - fitted
+        resid = endog[-len(fitted):] - fitted
+        if not as_table:
+            return resid
+        return self._named_columns(resid, "residuals")
+
+    def _named_columns(self, arr, suffix):
+        arr = np.asarray(arr, dtype=float)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        return {f"{name} ({suffix})": arr[:, i]
+                for i, name in enumerate(self._names(arr.shape[1]))}
 
     def errors(self) -> dict:
         """In-sample error measures (``models.py:192-208``)."""

@@ -247,6 +247,27 @@ def _reg(*args, **kwargs):
     return d
 
 
+def register_aggregation(key: str, builder, *, has_block: bool = True,
+                         cumulative=None, supports_discrete: bool = False,
+                         count_aggregate: bool = False,
+                         same_scale: bool = False) -> "AggDesc":
+    """Public extension point mirroring the reference's data-driven
+    ``AggOptions`` registry (``aggregate.py:125-183``): register a custom
+    aggregation once and every windowing mode — sliding, strided, blocks,
+    calendar periods, spiralogram cells, streaming windows — picks it up.
+
+    ``builder(col, over, ctx) -> Column`` receives the null-normalized
+    column, an ``over`` callable that wraps an aggregate expression in the
+    mode's window (identity for grouped modes), and a :class:`Ctx` with
+    the window width when sliding.
+    """
+    if key in AGG_OPTIONS:
+        raise ValueError(f"aggregation {key!r} already registered")
+    return _reg(key, builder, has_block=has_block, cumulative=cumulative,
+                supports_discrete=supports_discrete,
+                count_aggregate=count_aggregate, same_scale=same_scale)
+
+
 _reg("mean", _mean, same_scale=True)
 _reg("sum", _sum)
 _reg("product", _product)

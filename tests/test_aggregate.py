@@ -190,3 +190,39 @@ def test_block_representatives(spark):
         rows = out.df.orderBy("idx").collect()
         assert [r["idx"] for r in rows] == idxs
         approx_rows([r["x (mean)"] for r in rows], [2.0, 5.0, 8.0])
+
+
+class TestRegistryExtension:
+    def test_register_custom_aggregation(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.operators.aggregate import (
+            AGG_OPTIONS,
+            register_aggregation,
+        )
+        from orange3_timeseries_spark.operators.moving_transform import (
+            KEEP_COMPLETE,
+            period_aggregation,
+            sliding_window,
+        )
+
+        key = "rms (test)"
+        if key not in AGG_OPTIONS:
+            register_aggregation(
+                key, lambda c, ov, ctx: F.sqrt(ov(F.avg(c * c))))
+        try:
+            df = spark.createDataFrame(
+                [(i, float(i % 4)) for i in range(8)], "t long, x double")
+            tsf = TimeSeriesFrame(df, time_col=None).with_row_index(["t"])
+            out = sliding_window(tsf, [("x", key)], 4, keep=KEEP_COMPLETE)
+            vals = [r[f"x ({key})"] for r in
+                    out.df.orderBy("t").collect()]
+            import math
+            exp = math.sqrt((0 + 1 + 4 + 9) / 4)
+            assert vals[0] == pytest.approx(exp)
+            # duplicate registration is rejected
+            with pytest.raises(ValueError, match="already registered"):
+                register_aggregation(key, lambda c, ov, ctx: ov(F.avg(c)))
+        finally:
+            AGG_OPTIONS.pop(key, None)

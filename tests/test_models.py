@@ -215,3 +215,16 @@ class TestVectorEvaluation:
         assert len(out) == 8
         assert np.isfinite(out.rmse).all()
         assert out.model.str.startswith("VAR").all()
+
+
+class TestNamedInSample:
+    def test_fitted_residual_tables(self):
+        y = _ar1(150)
+        m = ARIMA((1, 0, 0)).fit(y, var_names=["Close"])
+        ft = m.fittedvalues(as_table=True)
+        rt = m.residuals(as_table=True)
+        assert set(ft) == {"Close (fitted)"}
+        assert set(rt) == {"Close (residuals)"}
+        np.testing.assert_allclose(
+            ft["Close (fitted)"] + rt["Close (residuals)"],
+            y[-len(rt["Close (residuals)"]):], atol=1e-9)
