@@ -204,6 +204,30 @@ def hamming_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       bits: int = 32) -> DataFrame:
+    """SimHash signatures as a two-stage aggregation: explode tokens,
+    hash once each, then ``bits`` conditional vote-sums folded by one
+    ``groupBy(id)`` — fully partial-aggregatable (map-side combine), so at
+    scale the shuffle carries ``bits`` ints per document, not token lists.
+    The per-row HOF fold (:func:`simhash_expr`) computes the identical
+    signature without a shuffle — prefer it inside row-wise pipelines,
+    this one when signatures feed a grouped/join stage anyway."""
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens_expr(F.col(text_col))).alias("t"))
+    th = tok.select(id_col, phash(F.col("t")).alias("h"))
+    votes = th.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)])
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0,
+                           F.lit(1 << i).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   bits: int = 32, max_distance: int = 3,
                   band_bits: int = 8) -> DataFrame:

@@ -231,10 +231,13 @@ SELECT doc_id,
 FROM bits GROUP BY 1
 """)
 def q_dedup_simhash(spark, sf_dir):
-    """32-bit SimHash signatures via per-token bit votes."""
+    """32-bit SimHash signatures via per-token bit votes — two-stage
+    aggregation (map-side-combining vote sums), same formulation as the
+    oracle; the row-wise HOF fold is equivalence-tested in
+    tests/test_property.py."""
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    D.simhash_expr(F.col("text"), bits=32).alias("simhash"))
+    return D.simhash_signatures(d, "text", "doc_id") \
+        .withColumnRenamed("sig", "simhash")
 
 
 # ------------------------------------------------------------ similarity tier

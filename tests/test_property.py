@@ -108,3 +108,22 @@ class TestDedupInvariants:
         for pair, j in lsh.items():
             assert pair in exact, f"LSH invented pair {pair}"
             assert exact[pair] == pytest.approx(j, abs=1e-9)
+
+
+class TestSimhashEquivalence:
+    @settings(max_examples=6, deadline=None)
+    @given(texts=docs)
+    def test_two_stage_matches_hof_fold(self, spark, texts):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.dedup import (
+            simhash_expr,
+            simhash_signatures,
+        )
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        hof = {r.doc_id: r.s for r in df.select(
+            "doc_id", simhash_expr(F.col("text")).alias("s")).collect()}
+        two = {r.doc_id: r.sig for r in
+               simhash_signatures(df, "text", "doc_id").collect()}
+        assert hof == two
