@@ -228,3 +228,22 @@ class TestNamedInSample:
         np.testing.assert_allclose(
             ft["Close (fitted)"] + rt["Close (residuals)"],
             y[-len(rt["Close (residuals)"]):], atol=1e-9)
+
+
+class TestArimax:
+    def test_exog_improves_fit_and_forecast(self):
+        rng = np.random.RandomState(11)
+        n = 300
+        x = rng.standard_normal(n)
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 0.5 * y[t - 1] + 2.0 * x[t] + rng.normal(scale=0.1)
+        plain = ARIMA((1, 0, 0)).fit(y)
+        withx = ARIMA((1, 0, 0), use_exog=True).fit(y, exog=x[:, None])
+        assert withx.results.sigma2 < plain.results.sigma2 / 5
+        assert withx.results.beta_exog[0] == pytest.approx(2.0, abs=0.1)
+        # forecasting requires future exog
+        with pytest.raises(ValueError, match="exog"):
+            withx.predict(3)
+        fc, lo, hi = withx.predict(3, exog=np.zeros((3, 1)))
+        assert np.all(lo <= fc) and np.all(fc <= hi)

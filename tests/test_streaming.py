@@ -117,3 +117,21 @@ class TestStreaming:
         for _, g in per_user:
             assert pd.isna(g["delta"].iloc[0])
             assert (g["delta"].iloc[1:] == 1.0).all()
+
+
+class TestMultiBatchState:
+    def test_difference_state_across_micro_batches(self, spark, stream_dir):
+        """maxFilesPerTrigger=1 forces multiple micro-batches; the stateful
+        lag must carry the tail value across the batch boundary."""
+        sdf = (spark.readStream.schema(SCHEMA)
+               .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+        diff = stream_difference(sdf, "ts", ["user_id"], "value", shift=1)
+        run_to_memory(diff, "t_diff_mb")
+        got = spark.table("t_diff_mb").toPandas() \
+            .sort_values(["user_id", "ts"]).reset_index(drop=True)
+        assert len(got) == 120
+        for _, g in got.groupby("user_id"):
+            assert pd.isna(g["delta"].iloc[0])
+            # every subsequent delta is 1 — including rows whose
+            # predecessor arrived in an earlier micro-batch
+            assert (g["delta"].iloc[1:] == 1.0).all()
