@@ -375,6 +375,32 @@ def q_tumbling_blocks(spark, sf_dir):
                          r6(F.col("value (max)"), "max10"))
 
 
+@query("tumbling_blocks_middle", """
+WITH t AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+           FROM events),
+b AS (SELECT *, CAST(floor((rn - 1) / 8) AS BIGINT) blk FROM t),
+a AS (SELECT user_id, blk, count(*) cnt,
+             round(median(value), 6) med8, round(sum(value), 6) sum8
+      FROM b GROUP BY 1, 2)
+SELECT b.user_id, b.ts, a.med8, a.sum8
+FROM b JOIN a ON b.user_id = a.user_id AND b.blk = a.blk
+WHERE a.cnt = 8 AND b.rn = a.blk * 8 + 5
+""")
+def q_tumbling_blocks_middle(spark, sf_dir):
+    """Tumbling blocks of 8 with keep-MIDDLE representative (row width//2
+    of each block, ``owmovingtransform.py:474-478``) and median/sum cell
+    aggregates."""
+    from orange3_timeseries_spark.operators.moving_transform import (
+        KEEP_MIDDLE,
+    )
+    out = sequential_blocks(_events(spark, sf_dir),
+                            [("value", "median"), ("value", "sum")], 8,
+                            keep=KEEP_MIDDLE)
+    return out.df.select("user_id", "ts",
+                         r6(F.col("value (median)"), "med8"),
+                         r6(F.col("value (sum)"), "sum8"))
+
+
 @query("time_slice", """
 SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_v
 FROM events
