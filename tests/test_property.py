@@ -127,3 +127,83 @@ class TestSimhashEquivalence:
         two = {r.doc_id: r.sig for r in
                simhash_signatures(df, "text", "doc_id").collect()}
         assert hof == two
+
+
+timestamps = st.lists(
+    st.datetimes(min_value=pd.Timestamp("1900-01-02").to_pydatetime(),
+                 max_value=pd.Timestamp("2099-12-30").to_pydatetime()),
+    min_size=3, max_size=25)
+
+
+class TestCalendarKeysVsPandas:
+    @settings(max_examples=8, deadline=None)
+    @given(ts=timestamps)
+    def test_periodic_keys_match_pandas(self, spark, ts):
+        """Every periodic calendar key matches pandas' dt accessors (the
+        reference decodes with datetime.timetuple / isocalendar — pandas
+        implements the same calendar), incl. leap years and century
+        boundaries."""
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.aggregate import (
+            period_key_expr,
+        )
+
+        ts = [t.replace(microsecond=0) for t in ts]
+        df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+        out = df.select(
+            "t",
+            period_key_expr("Month of year", F.col("t")).alias("m"),
+            period_key_expr("Week of year", F.col("t")).alias("w"),
+            period_key_expr("Day of year", F.col("t")).alias("doy"),
+            period_key_expr("Day of month", F.col("t")).alias("dom"),
+            period_key_expr("Day of week", F.col("t")).alias("dow"),
+            period_key_expr("Hour of day", F.col("t")).alias("h"),
+        ).collect()
+        for r in out:
+            p = pd.Timestamp(r["t"])
+            assert r["m"] == p.month
+            assert r["w"] == p.isocalendar().week
+            assert r["doy"] == p.dayofyear
+            assert r["dom"] == p.day
+            assert r["dow"] == p.weekday()
+            assert r["h"] == p.hour
+
+
+class TestJaccardVariants:
+    def test_max_df_drops_stop_shingles(self, spark):
+        """With max_df=1 every shared shingle is dropped -> no pairs; with
+        a high cap results equal the unrestricted join."""
+        from orange3_timeseries_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        texts = ["the cat sat on the mat today",
+                 "the cat sat on the mat tonight",
+                 "a completely different sentence here now ok"]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        full = ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                   threshold=0.1).collect()
+        assert {(r.id_a, r.id_b) for r in full} == {(0, 1)}
+        capped = ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                     threshold=0.1, max_df=1).collect()
+        assert capped == []
+        loose = ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                    threshold=0.1, max_df=100).collect()
+        assert {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in loose} \
+            == {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in full}
+
+    def test_block_col_restricts_pairs(self, spark):
+        from orange3_timeseries_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        rows = [(0, "alpha beta gamma delta", "x"),
+                (1, "alpha beta gamma delta", "x"),
+                (2, "alpha beta gamma delta", "y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, shard string")
+        pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                    threshold=0.5,
+                                    block_col="shard").collect()
+        # identical docs 0-2 and 1-2 are in different shards -> only (0,1)
+        assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+        assert pairs[0].jaccard == 1.0
