@@ -441,6 +441,28 @@ def q_spiralogram_2d(spark, sf_dir):
                          r6(F.col("agg_v"), "agg_v"))
 
 
+@query("spiralogram_named", """
+SELECT monthname(ts) AS x, dayname(ts) AS r,
+       count(*) AS "Count", round(avg(value), 6) AS agg_v
+FROM events GROUP BY 1, 2
+""")
+def q_spiralogram_named(spark, sf_dir):
+    """2-D month-name x weekday-name grouping with LABELED keys
+    (``use_names``, ``aggregate.py:242-246``) — oracle uses DuckDB's
+    monthname/dayname (same English labels as ``calendar``)."""
+    from orange3_timeseries_spark.operators.aggregate import period_key_expr
+
+    tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
+    out = spiralogram(
+        tsf, "Month of year",
+        period_key_expr("Day of week", F.col("ts"), use_names=True),
+        agg_col="value", agg="mean", use_names=True,
+        x_name="x", r_name="r", agg_out_name="agg_v")
+    return out.df.select("x", "r",
+                          F.col("Count").cast("long").alias("Count"),
+                          r6(F.col("agg_v"), "agg_v"))
+
+
 # -------------------------------------------------------------- interpolation
 @query("interp_linear", """
 WITH e AS (

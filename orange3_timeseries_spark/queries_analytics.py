@@ -118,3 +118,21 @@ def q_lombscargle_by_user(spark, sf_dir):
                             equispaced=False)
     return out.select("user_id", r6(F.col("period"), "period"),
                       r6(F.col("power"), "power"))
+
+
+@query("seasonal_decompose_by_user", None)
+def q_seasonal_decompose_by_user(spark, sf_dir):
+    """PER-SERIES classical decomposition (period 12, multiplicative) over
+    each user's event sequence — the grouped grain of the decompose stage
+    (one applyInPandas group per series); rows-only check, algebra
+    (adjusted x seasonal == observed) golden-tested."""
+    from orange3_timeseries_spark.spark_analytics import seasonal_decompose
+
+    tsf = _events(spark, sf_dir)
+    out = seasonal_decompose(tsf, ["value"], model="multiplicative",
+                             period=12)
+    return out.df.select(
+        "user_id", "event_id",
+        r6(F.col("`value (season. adj.)`"), "v_adj"),
+        r6(F.col("`value (seasonal)`"), "v_seasonal"),
+        r6(F.col("`value (trend)`"), "v_trend"))
