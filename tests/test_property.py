@@ -207,3 +207,47 @@ class TestJaccardVariants:
         # identical docs 0-2 and 1-2 are in different shards -> only (0,1)
         assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
         assert pairs[0].jaccard == 1.0
+
+
+class TestBlocksAndDiffVsNumpy:
+    @settings(max_examples=6, deadline=None)
+    @given(xs=values, w=st.integers(min_value=2, max_value=6))
+    def test_tumbling_blocks_match_numpy(self, spark, xs, w):
+        from orange3_timeseries_spark.operators.moving_transform import (
+            DISCARD,
+            sequential_blocks,
+        )
+        df = spark.createDataFrame(
+            [(i, None if (isinstance(v, float) and math.isnan(v)) else v)
+             for i, v in enumerate(xs)], "t long, x double")
+        tsf = TimeSeriesFrame(df, time_col=None).with_row_index(["t"])
+        out = sequential_blocks(tsf, [("x", "mean")], w, keep=DISCARD)
+        got = np.sort(out.df.toPandas()["x (mean)"]
+                      .to_numpy(dtype=float))
+        arr = np.array(xs, dtype=float)
+        nb = len(arr) // w
+        exp = []
+        for b in range(nb):
+            win = arr[b * w:(b + 1) * w]
+            d = win[~np.isnan(win)]
+            exp.append(np.nanmean(win) if len(d) else np.nan)
+        assert len(got) == nb
+        np.testing.assert_allclose(got, np.sort(exp), rtol=1e-9,
+                                   atol=1e-9, equal_nan=True)
+
+    @settings(max_examples=6, deadline=None)
+    @given(xs=values, k=st.integers(min_value=1, max_value=3))
+    def test_difference_matches_numpy(self, spark, xs, k):
+        from orange3_timeseries_spark.operators.difference import difference
+        df = spark.createDataFrame(
+            [(i, None if (isinstance(v, float) and math.isnan(v)) else v)
+             for i, v in enumerate(xs)], "t long, x double")
+        tsf = TimeSeriesFrame(df, time_col=None).with_row_index(["t"])
+        name = "Δx" + (f":{k}" if k != 1 else "")
+        got = difference(tsf, ["x"], op="diff", shift=k).df.toPandas() \
+            .sort_values("t")[name].to_numpy(dtype=float)
+        arr = np.array(xs, dtype=float)
+        exp = np.full(len(arr), np.nan)
+        exp[k:] = arr[k:] - arr[:-k]
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9,
+                                   equal_nan=True)
