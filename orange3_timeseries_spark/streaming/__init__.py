@@ -15,12 +15,14 @@ analogs, built on the same aggregation registry the batch operators use:
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
     stream_difference,
+    stream_exact_dedup,
     stream_time_slice,
     stream_window_aggregation,
 )
 
 __all__ = [
     "stream_window_aggregation",
+    "stream_exact_dedup",
     "stream_difference",
     "stream_time_slice",
     "run_to_memory",

@@ -124,3 +124,15 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def stream_exact_dedup(sdf: DataFrame, text_col: str, time_col: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Continuous exact deduplication: keep the first arrival of each
+    content digest (md5), with state bounded by the watermark — the
+    streaming face of :func:`operators.dedup.exact_dedup`.  At 100 TB/day
+    the digest state is 16 bytes/doc within the watermark horizon,
+    partitioned by digest across executors."""
+    return (sdf.withColumn("digest", F.md5(F.col(text_col)))
+            .withWatermark(time_col, watermark)
+            .dropDuplicates(["digest"]))

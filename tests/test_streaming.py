@@ -120,11 +120,37 @@ class TestStreaming:
 
 
 class TestMultiBatchState:
-    def test_difference_state_across_micro_batches(self, spark, stream_dir):
+    def test_difference_state_across_micro_batches(self, spark, tmp_path):
         """maxFilesPerTrigger=1 forces multiple micro-batches; the stateful
-        lag must carry the tail value across the batch boundary."""
+        lag must carry the tail value across the batch boundary.  The two
+        halves are written as separate commits with distinct mtimes — the
+        file source orders by modification time, so the earlier half is
+        guaranteed to form the earlier batch."""
+        import os
+        import time
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(uid, base + dt.timedelta(minutes=7 * i),
+                 float(uid * 100 + i))
+                for uid in range(3) for i in range(40)]
+        half = [r for r in rows if r[1] < base + dt.timedelta(minutes=7 * 20)]
+        rest = [r for r in rows if r[1] >= base + dt.timedelta(minutes=7 * 20)]
+        d = str(tmp_path / "mb")
+        spark.createDataFrame(half, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+        first_files = [os.path.join(d, f) for f in os.listdir(d)
+                       if f.endswith(".parquet")]
+        spark.createDataFrame(rest, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+        now = time.time()
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if not f.endswith(".parquet"):
+                continue
+            os.utime(p, (now - 60, now - 60) if p in first_files
+                     else (now, now))
         sdf = (spark.readStream.schema(SCHEMA)
-               .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+               .option("maxFilesPerTrigger", 1).parquet(d))
         diff = stream_difference(sdf, "ts", ["user_id"], "value", shift=1)
         run_to_memory(diff, "t_diff_mb")
         got = spark.table("t_diff_mb").toPandas() \
@@ -135,3 +161,26 @@ class TestMultiBatchState:
             # every subsequent delta is 1 — including rows whose
             # predecessor arrived in an earlier micro-batch
             assert (g["delta"].iloc[1:] == 1.0).all()
+
+
+class TestStreamingDedup:
+    def test_exact_dedup_keeps_first_arrival(self, spark, tmp_path):
+        import pyspark.sql.functions as SF
+
+        from orange3_timeseries_spark.streaming import stream_exact_dedup
+
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+        for i, t in enumerate(texts):
+            rows.append((i, base + dt.timedelta(minutes=i), t))
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, ts timestamp, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string").parquet(d)
+        out = stream_exact_dedup(sdf, "text", "ts")
+        run_to_memory(out, "t_dedup")
+        got = spark.table("t_dedup").toPandas().sort_values("doc_id")
+        assert list(got["text"]) == ["aaa", "bbb", "ccc"]
+        assert list(got["doc_id"]) == [0, 1, 3]
