@@ -43,11 +43,12 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
                            ) -> TimeSeriesFrame:
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}")
-    if multivariate:
+    if multivariate and method not in ("nearest",):
         raise NotImplementedError(
-            "2-D multivariate pre-pass (scipy.griddata, functions.py:301-318)"
-            " is not implemented; univariate interpolation covers the"
-            " reference's test surface")
+            "multivariate 'linear' needs Delaunay triangulation "
+            "(scipy.griddata, functions.py:301-318) — only the 'nearest' "
+            "variant is implemented scipy-free; univariate interpolation "
+            "covers the reference's test surface")
 
     had_idx = ROW_IDX in tsf.df.columns
     tsf = tsf.with_row_index()
@@ -57,7 +58,13 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
         if dtype == "string" and name not in tsf.series_cols
         and tsf.roles.get(name) != "meta" and name != tsf.time_col]
 
-    if method == "cubic":
+    if multivariate and method == "nearest" and len(value_cols) >= 3:
+        # 2-D pre-pass over (row, column) index space (the reference's
+        # griddata call interpolates the VALUE MATRIX as a surface,
+        # ``functions.py:314-317``), then the 1-D pass mops up
+        tsf = tsf._with_df(_multivariate_nearest(tsf, value_cols))
+        df = _native(tsf, value_cols, method)
+    elif method == "cubic":
         df = _cubic(tsf, value_cols)
     else:
         df = _native(tsf, value_cols, method)
@@ -240,3 +247,40 @@ def _cubic(tsf: TimeSeriesFrame, value_cols):
     gdf = df.withColumn("__g__", F.lit(1))
     return (gdf.groupBy("__g__").applyInPandas(fill, schema=gdf.schema)
             .drop("__g__"))
+
+
+def _multivariate_nearest(tsf: TimeSeriesFrame, value_cols):
+    """2-D nearest-cell fill over (row, column) index space — the
+    scipy-free port of the reference's ``griddata(..., method='nearest')``
+    pre-pass (``functions.py:301-318``): each NaN cell takes the value of
+    the Euclidean-nearest defined cell of the value MATRIX.  Runs per
+    series under ``applyInPandas`` (the matrix is one series' data)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = tsf.df
+    series = tsf.series_cols
+    schema = df.schema
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ROW_IDX).reset_index(drop=True)
+        A = pdf[value_cols].to_numpy(dtype=float)
+        isnan = np.isnan(A)
+        if isnan.any() and (~isnan).any():
+            di, dj = np.nonzero(~isnan)
+            ni, nj = np.nonzero(isnan)
+            # distance from every NaN cell to every defined cell in
+            # index space; argmin matches griddata-nearest semantics
+            d2 = (ni[:, None] - di[None, :]) ** 2 \
+                + (nj[:, None] - dj[None, :]) ** 2
+            pick = d2.argmin(axis=1)
+            A[ni, nj] = A[di[pick], dj[pick]]
+            pdf.loc[:, value_cols] = A
+        return pdf
+
+    if series:
+        return df.groupBy(*series).applyInPandas(
+            lambda pdf: fill(pdf), schema=schema)
+    return df.mapInPandas(
+        lambda it: (fill(pd.concat(list(it))) for _ in [0]),
+        schema=schema)

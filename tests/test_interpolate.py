@@ -129,3 +129,43 @@ def test_per_series_interpolation(spark):
            for r in out.df.collect()}
     assert got[(1, 2)] == pytest.approx(11.0)
     assert got[(2, 2)] == pytest.approx(21.0)
+
+
+class TestMultivariateNearest:
+    def test_nearest_cell_in_index_space(self, spark):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.operators.interpolate import (
+            interpolate_timeseries,
+        )
+
+        # 4 rows x 3 value cols; NaN at (1, b): nearest defined cells at
+        # distance 1 are (0,b)=10.0 and (1,a)=2.0 and (1,c)=200.0 ... the
+        # tie resolves to the first in row-major nonzero order: (0,b)
+        rows = [
+            (0, 1.0, 10.0, 100.0),
+            (1, 2.0, None, 200.0),
+            (2, 3.0, 30.0, None),
+            (3, 4.0, 40.0, 400.0),
+        ]
+        df = spark.createDataFrame(rows, "t long, a double, b double, c double")
+        tsf = TimeSeriesFrame(df, time_col=None,
+                              series_cols=[]).with_row_index(["t"])
+        out = interpolate_timeseries(tsf, "nearest", multivariate=True,
+                                     cols=["a", "b", "c"])
+        got = {r["t"]: (r["a"], r["b"], r["c"])
+               for r in out.df.collect()}
+        assert got[1][1] == 10.0   # (1,b) <- (0,b)
+        assert got[2][2] == 200.0  # (2,c) <- (1,c)
+        # defined cells untouched
+        assert got[0] == (1.0, 10.0, 100.0)
+        assert got[3] == (4.0, 40.0, 400.0)
+
+    def test_multivariate_linear_raises(self, spark):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.operators.interpolate import (
+            interpolate_timeseries,
+        )
+        df = spark.createDataFrame([(0, 1.0)], "t long, a double")
+        tsf = TimeSeriesFrame(df, time_col=None)
+        with pytest.raises(NotImplementedError, match="Delaunay"):
+            interpolate_timeseries(tsf, "linear", multivariate=True)
