@@ -312,3 +312,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                  F.lit(0.0))
     return (inter.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+# ------------------------------------------------------------------ clustering
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                   max_iterations: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every doc
+    gets the MINIMUM id of its component as ``cluster_id`` (the canonical
+    representative) — the standard "collapse near-dup clusters, keep one"
+    step after any pair generator (minhash/simhash/embedding).
+
+    Plan: iterative min-label propagation — each round joins current
+    labels across the (symmetrized) edge list and takes the per-node min;
+    the loop stops when a round changes nothing.  Label propagation
+    converges in O(diameter) rounds; near-dup components are shallow
+    (diameter is small because similarity is near-transitive), so the
+    rounds stay in single digits at any corpus size.  All data stays in
+    DataFrames; the driver only sees the changed-row count per round.
+    """
+    nodes = df.select(F.col(id_col).alias("n")).distinct()
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("id_b").alias("src"),
+                     F.col("id_a").alias("dst"))).distinct()
+    labels = nodes.select("n", F.col("n").alias("label"))
+    for _ in range(max_iterations):
+        nbr_min = (edges.join(labels, edges.dst == labels.n)
+                   .groupBy("src").agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(nbr_min, labels.n == nbr_min.src, "left")
+                      .select(F.col("n"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nl"),
+                                                 F.col("label")))
+                              .alias("label")))
+        changed = (new_labels.alias("a")
+                   .join(labels.alias("b"), F.col("a.n") == F.col("b.n"))
+                   .where(F.col("a.label") != F.col("b.label")).count())
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col),
+                         F.col("label").alias("cluster_id"))

@@ -326,3 +326,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     queries = (e.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.ivf_topk(e, queries, k=5, n_centroids=16, nprobe=4)
+
+
+def _clusters_sql():
+    """Connected components via recursive min-label propagation — the
+    exact SQL mirror of the Spark label-propagation loop."""
+    pairs = _minhash_pairs_sql()
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY id
+"""
+
+
+@query("dedup_clusters", _clusters_sql())
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the verified
+    minhash-LSH pair graph, every doc labeled with its component's min id
+    — oracle = recursive-CTE label propagation over the identical pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                                threshold=0.2)
+    return D.dedup_clusters(d, pairs, "doc_id")

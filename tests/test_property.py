@@ -251,3 +251,43 @@ class TestBlocksAndDiffVsNumpy:
         exp[k:] = arr[k:] - arr[:-k]
         np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9,
                                    equal_nan=True)
+
+
+class TestDedupClusters:
+    def test_connected_components(self, spark):
+        from orange3_timeseries_spark.operators.dedup import dedup_clusters
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5), (6, 7), (5, 7)], "id_a long, id_b long")
+        out = dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+        got = [(r.doc_id, r.cluster_id) for r in out.collect()]
+        assert got == [(0, 0), (1, 0), (2, 0), (3, 3),
+                       (4, 4), (5, 4), (6, 4), (7, 4)]
+
+    @settings(max_examples=5, deadline=None)
+    @given(edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda e: e[0] < e[1]), max_size=12))
+    def test_matches_union_find(self, spark, edges):
+        from orange3_timeseries_spark.operators.dedup import dedup_clusters
+        n = 12
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            list(set(edges)) or [(0, 0)], "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+        assert got == expected
