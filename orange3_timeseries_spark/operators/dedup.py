@@ -331,10 +331,56 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     DataFrames; the driver only sees the changed-row count per round.
     """
     nodes = df.select(F.col(id_col).alias("n")).distinct()
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # the pair generator upstream (LSH banding etc.) is usually the
+    # expensive part — materialize it once instead of recomputing for the
+    # count, the edge iteration, and every propagation round
+    edge_list = pairs.select("id_a", "id_b").distinct().persist()
+    n_edges = edge_list.count()
+    if n_edges <= 5_000_000:
+        # near-dup pair graphs are tiny relative to the corpus (pairs ~
+        # duplicates, not documents): resolve with driver union-find and
+        # broadcast the label MAP — one collect of the edges, zero
+        # iterative jobs.  The distributed loop below is the path for
+        # pathological pair volumes.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        # collect, not toLocalIterator: the latter runs one job PER
+        # PARTITION (32 sequential jobs for a 256-row edge list); the
+        # threshold above bounds collect memory
+        for row in edge_list.collect():
+            ra, rb = find(row["id_a"]), find(row["id_b"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        edge_list.unpersist()
+        mapping = [(k, find(k)) for k in list(parent)]
+        spark = df.sparkSession
+        if mapping:
+            from pyspark.sql import types as T
+            id_type = df.schema[id_col].dataType
+            map_df = spark.createDataFrame(
+                mapping, T.StructType([T.StructField("n_m", id_type),
+                                       T.StructField("lab_m", id_type)]))
+            return (nodes.join(F.broadcast(map_df),
+                               nodes.n == map_df.n_m, "left")
+                    .select(F.col("n").alias(id_col),
+                            F.coalesce("lab_m", "n").alias("cluster_id")))
+        return nodes.select(F.col("n").alias(id_col),
+                            F.col("n").alias("cluster_id"))
+
+    fwd = edge_list.select(F.col("id_a").alias("src"),
+                           F.col("id_b").alias("dst"))
     edges = fwd.union(
-        pairs.select(F.col("id_b").alias("src"),
-                     F.col("id_a").alias("dst"))).distinct()
+        edge_list.select(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst"))).distinct()
     labels = nodes.select("n", F.col("n").alias("label"))
     for _ in range(max_iterations):
         nbr_min = (edges.join(labels, edges.dst == labels.n)
@@ -351,5 +397,6 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    edge_list.unpersist()
     return labels.select(F.col("n").alias(id_col),
                          F.col("label").alias("cluster_id"))
