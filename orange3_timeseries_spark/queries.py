@@ -700,8 +700,10 @@ def q_interp_cubic(spark, sf_dir):
     )
     tsf = _events(spark, sf_dir)
     gapped = tsf._with_df(
-        tsf.df.withColumn(
-            "v", F.when(F.col("value") > 150, None).otherwise(F.col("value"))))
+        tsf.df.select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("value") > 150, None).otherwise(F.col("value"))
+            .alias("v")))
     out = interpolate_timeseries(gapped, "cubic", cols=["v"])
     return out.df.select("user_id", "event_id", r6(F.col("v"), "vi"))
 

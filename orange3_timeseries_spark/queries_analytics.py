@@ -126,13 +126,14 @@ def q_seasonal_decompose_by_user(spark, sf_dir):
     each user's event sequence — the grouped grain of the decompose stage
     (one applyInPandas group per series); rows-only check, algebra
     (adjusted x seasonal == observed) golden-tested."""
-    from orange3_timeseries_spark.spark_analytics import seasonal_decompose
+    from orange3_timeseries_spark.spark_analytics import (
+        seasonal_components_table,
+    )
 
     tsf = _events(spark, sf_dir)
-    out = seasonal_decompose(tsf, ["value"], model="multiplicative",
-                             period=12)
-    return out.df.select(
-        "user_id", "event_id",
-        r6(F.col("`value (season. adj.)`"), "v_adj"),
-        r6(F.col("`value (seasonal)`"), "v_seasonal"),
-        r6(F.col("`value (trend)`"), "v_trend"))
+    out = seasonal_components_table(tsf, "value", "event_id",
+                                    model="multiplicative", period=12)
+    return out.select(
+        "user_id", "event_id", r6(F.col("adj"), "v_adj"),
+        r6(F.col("seasonal"), "v_seasonal"),
+        r6(F.col("trend"), "v_trend"))

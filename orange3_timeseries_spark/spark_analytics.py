@@ -327,3 +327,38 @@ def granger_causality_pairs(tsf: TimeSeriesFrame, cols: Sequence[str],
 
     out = crossed.mapInPandas(compute, schema=schema)
     return out.drop("__g__") if added else out
+
+
+def seasonal_components_table(tsf: TimeSeriesFrame, col: str,
+                              id_col: str, model: str = "multiplicative",
+                              period: int = 12) -> DataFrame:
+    """Long-form decomposition (series..., id, adj, seasonal, trend,
+    residual) on the pack-series fast path — same semantics as
+    :func:`seasonal_decompose` (interp first, NaN re-applied) but rows
+    carry only the id + components, so many small series skip the
+    per-group applyInPandas overhead."""
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adj", T.DoubleType()),
+        T.StructField("seasonal", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("residual", T.DoubleType()),
+    ]
+
+    def per_series(r):
+        raw = np.asarray(r[col], dtype=float)
+        ids = np.asarray(r[id_col]).astype("int64")
+        isnan = np.isnan(raw)
+        x = raw.copy()
+        if isnan.any() and (~isnan).sum() >= 2:
+            idx = np.arange(len(x), dtype=float)
+            x[isnan] = np.interp(idx[isnan], idx[~isnan], x[~isnan])
+        adj, seas, trend, resid = seasonal_decompose_arrays(
+            x, model=model, period=period)
+        adj[isnan] = np.nan
+        trend[isnan] = np.nan
+        resid[isnan] = np.nan
+        return pd.DataFrame({id_col: ids, "adj": adj, "seasonal": seas,
+                             "trend": trend, "residual": resid})
+
+    return _packed_map(tsf, [col, id_col], fields, per_series)

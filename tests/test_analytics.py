@@ -184,3 +184,36 @@ class TestGrangerPairParallel:
         assert per_series == pair_par
         # the constructed causality a->b is detected
         assert any(r[0] == "a" and r[1] == "b" for r in per_series)
+
+
+class TestSeasonalComponentsTable:
+    def test_matches_frame_operator(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import (
+            seasonal_components_table,
+            seasonal_decompose,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for uid in range(3):
+            base = rng.uniform(50, 150)
+            for i in range(60):
+                v = base * (1 + 0.3 * np.sin(2 * np.pi * i / 12)) \
+                    + rng.normal(scale=2)
+                rows.append((uid, i, i + uid * 1000, float(v)))
+        df = spark.createDataFrame(rows, "uid int, t long, rid long, v double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["uid"])
+
+        frame = seasonal_decompose(tsf, ["v"], model="additive", period=12)
+        a = {(r.uid, r.rid): (round(r["v (season. adj.)"], 9),
+                              round(r["v (trend)"], 9))
+             for r in frame.df.collect()}
+        table = seasonal_components_table(tsf, "v", "rid",
+                                          model="additive", period=12)
+        b = {(r.uid, r.rid): (round(r.adj, 9), round(r.trend, 9))
+             for r in table.collect()}
+        assert a == b
