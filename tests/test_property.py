@@ -291,3 +291,39 @@ class TestDedupClusters:
         got = {r.doc_id: r.cluster_id
                for r in dedup_clusters(docs, pairs, "doc_id").collect()}
         assert got == expected
+
+
+class TestSmallHelpers:
+    def test_exact_dedup_filter_keeps_min_id(self, spark):
+        from orange3_timeseries_spark.operators.dedup import (
+            exact_dedup_filter,
+        )
+        rows = [(0, "x"), (1, "y"), (2, "x"), (3, "x"), (4, "z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = sorted(r.doc_id for r in
+                      exact_dedup_filter(df, "text", "doc_id").collect())
+        assert kept == [0, 1, 4]
+
+    def test_playback_slices_calendar_stepping(self):
+        import datetime as dt
+
+        from orange3_timeseries_spark.operators.timeslice import slices
+
+        # monthly-width playback over a quarter: clamped month arithmetic
+        out = list(slices(dt.datetime(2024, 1, 31), dt.datetime(2024, 4, 15),
+                          (1, "month")))
+        assert out[0] == (dt.datetime(2024, 1, 31), dt.datetime(2024, 2, 29))
+        assert all(lo < hi for lo, hi in out)
+        assert out[-1][0] < dt.datetime(2024, 4, 15)
+
+    def test_playback_slices_numeric(self):
+        import datetime as dt
+
+        from orange3_timeseries_spark.operators.timeslice import slices
+
+        out = list(slices(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2),
+                          3600.0, step_delta=7200.0))
+        # width 1h stepping 2h across a day -> 12 windows
+        assert len(out) == 12
+        assert out[1][0] == dt.datetime(2024, 1, 1, 2)
+        assert out[1][1] == dt.datetime(2024, 1, 1, 3)
