@@ -30,12 +30,22 @@ def main():
                       extra_conf={"spark.sql.shuffle.partitions": cpus})
 
     # JVM / codegen / Arrow warm-up so the first timed query doesn't pay
-    # one-time initialization (~5 s of JIT on a cold JVM)
+    # one-time initialization (~5 s of JIT on a cold JVM): a window pass
+    # plus one scan of the actual input (parquet reader + nanos-restore
+    # codegen paths)
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     w = Window.orderBy("id").rowsBetween(-3, 0)
     spark.range(100000).select(F.avg("id").over(w)) \
         .write.format("noop").mode("overwrite").save()
+    try:
+        from orange3_timeseries_spark.queries import ensure_session_conf
+        from orange3_timeseries_spark.sources import read_table
+        ensure_session_conf(spark)
+        read_table(spark, sf_dir, "events") \
+            .write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     qs = entrymod.queries()
     timings = {}
