@@ -47,50 +47,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: Dict[str, str] = {}
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make the package importable on EXECUTOR python workers regardless
-    of the driver's cwd: workers do not inherit the driver's sys.path, so
-    a driver launched outside the repo dir would crash every pandas-UDF
-    stage with ModuleNotFoundError.  Shipping a zip via ``addPyFile``
-    works at runtime on any session (local or cluster)."""
-    flag = "spark.orange3_timeseries.pkg_shipped"
-    try:
-        if spark.conf.get(flag, "no") == "yes":
-            return
-    except Exception:
-        pass
-    import os
-    import tempfile
-    import zipfile
-
-    import orange3_timeseries_spark as pkg
-
-    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zip_path = os.path.join(tempfile.gettempdir(),
-                            "orange3_timeseries_spark_pkg.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if not f.endswith(".py"):
-                    continue
-                full = os.path.join(root, f)
-                rel = os.path.join(
-                    "orange3_timeseries_spark",
-                    os.path.relpath(full, pkg_dir))
-                zf.write(full, rel)
-    try:
-        spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already registered on this context
-    spark.conf.set(flag, "yes")
-
-
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """Pin the confs the engine's semantics rely on; all are runtime-settable
     so a driver-created session works too."""
-    _ship_package(spark)
+    from orange3_timeseries_spark.session import ship_package
+    ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

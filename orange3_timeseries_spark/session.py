@@ -35,6 +35,47 @@ _DEFAULTS = {
 }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make the package importable on EXECUTOR python workers regardless
+    of the driver's cwd: workers do not inherit the driver's sys.path, so
+    a driver launched outside the repo dir would crash every pandas-UDF
+    stage with ModuleNotFoundError.  Shipping a zip via ``addPyFile``
+    works at runtime on any session (local or cluster)."""
+    flag = "spark.orange3_timeseries.pkg_shipped"
+    try:
+        if spark.conf.get(flag, "no") == "yes":
+            return
+    except Exception:
+        pass
+    import os
+    import tempfile
+    import zipfile
+
+    import orange3_timeseries_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            "orange3_timeseries_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "orange3_timeseries_spark",
+                    os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered on this context
+    spark.conf.set(flag, "yes")
+
+
+
 def get_spark(app_name: str = "orange3_timeseries_spark",
               master: str | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -58,4 +99,5 @@ def get_spark(app_name: str = "orange3_timeseries_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
