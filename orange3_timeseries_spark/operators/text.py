@@ -109,3 +109,29 @@ def fingerprint_expr(c: Column, modulus: int = (1 << 57) - 13) -> Column:
     return F.aggregate(
         toks, F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + phash(t)) % F.lit(modulus))
+
+
+def normalize_text_expr(c: Column) -> Column:
+    """Canonical text normalization for dedup: lowercase, strip
+    punctuation, collapse whitespace — the standard pre-pass that turns
+    formatting-only variants into exact duplicates."""
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def quality_filter(df, text_col: str, min_tokens: int = 5,
+                   max_tokens: int = 100000,
+                   max_punct_ratio: float = 0.3,
+                   min_stopword_ratio: float = 0.0):
+    """Row filter keeping documents inside the quality envelope — the
+    pipeline gate built from :func:`quality_features`; pure Catalyst
+    predicates, pushed as far down as the expressions allow."""
+    c = F.col(text_col)
+    f = quality_features(c)
+    n = token_count_expr(c)
+    cond = (n >= F.lit(min_tokens)) & (n <= F.lit(max_tokens)) \
+        & (F.coalesce(f["punct_ratio"], F.lit(0.0))
+           <= F.lit(max_punct_ratio)) \
+        & (F.coalesce(f["stopword_ratio"], F.lit(1.0))
+           >= F.lit(min_stopword_ratio))
+    return df.where(cond)

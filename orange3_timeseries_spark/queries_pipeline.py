@@ -354,3 +354,49 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
                                 threshold=0.2)
     return D.dedup_clusters(d, pairs, "doc_id")
+
+
+@query("dedup_exact_normalized", """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]',
+                                            ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT md5(norm) AS digest, min(doc_id) AS keep_id, count(*) AS n_members
+FROM n GROUP BY 1
+""")
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup on NORMALIZED text (lowercase, punctuation stripped,
+    whitespace collapsed) — catches formatting-only duplicates the raw
+    digest misses."""
+    d = read_table(spark, sf_dir, "documents")
+    normed = d.select("doc_id",
+                      T.normalize_text_expr(F.col("text")).alias("norm"))
+    return D.exact_dedup(normed, "norm", "doc_id")
+
+
+@query("text_quality_filter", """
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+q AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                                   'g')))
+                 / nullif(length(text), 0) AS punct_ratio,
+             len(list_filter(toks, x -> x IN ({stops})))
+                 / nullif(len(toks), 0) AS stopword_ratio
+      FROM t)
+SELECT doc_id FROM q
+WHERE n_tokens >= 10 AND n_tokens <= 1000
+  AND coalesce(punct_ratio, 0) <= 0.05
+  AND coalesce(stopword_ratio, 1) >= 0.05
+""".format(toks=_TOKS, stops=_STOP_LIST))
+def q_text_quality_filter(spark, sf_dir):
+    """Quality-gate filter: token-count bounds + punctuation and stopword
+    ratio thresholds — the standard corpus cleaning step as one pushed
+    Catalyst predicate."""
+    d = read_table(spark, sf_dir, "documents")
+    kept = T.quality_filter(d, "text", min_tokens=10, max_tokens=1000,
+                            max_punct_ratio=0.05,
+                            min_stopword_ratio=0.05)
+    return kept.select("doc_id")
