@@ -292,3 +292,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
                                                  F.col("nn_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         out: Optional[str] = None) -> DataFrame:
+    """L2-normalize an embedding column (zero vectors pass through
+    unchanged) — the standard pre-pass so cosine becomes a dot product
+    downstream. Pure Catalyst HOF expression, no UDF."""
+    out = out or vec_col
+    v = _as_double(F.col(vec_col))
+    nrm = norm_expr(v)
+    normed = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)) \
+        .otherwise(v)
+    return df.withColumn(out, normed)

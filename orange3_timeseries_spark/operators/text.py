@@ -135,3 +135,17 @@ def quality_filter(df, text_col: str, min_tokens: int = 5,
         & (F.coalesce(f["stopword_ratio"], F.lit(1.0))
            >= F.lit(min_stopword_ratio))
     return df.where(cond)
+
+
+def vocabulary(df, text_col: str, top_k: int = None):
+    """Corpus vocabulary with frequencies: explode tokens -> one
+    map-side-combining groupBy.  Deterministic order (count desc, token
+    asc); ``top_k`` limits via window rank."""
+    tok = df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    if top_k is None:
+        return counts
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))

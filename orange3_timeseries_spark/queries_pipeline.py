@@ -400,3 +400,46 @@ def q_text_quality_filter(spark, sf_dir):
                             max_punct_ratio=0.05,
                             min_stopword_ratio=0.05)
     return kept.select("doc_id")
+
+
+@query("text_vocabulary_top50", f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1)
+SELECT token, freq, CAST(rank AS INT) AS rank FROM (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM c) t
+WHERE rank <= 50
+""")
+def q_text_vocabulary_top50(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by frequency (vocabulary building
+    for tokenizer training — deterministic count/token tie-break)."""
+    d = read_table(spark, sf_dir, "documents")
+    return T.vocabulary(d, "text", top_k=50) \
+        .select("token", "freq", F.col("rank").cast("int").alias("rank"))
+
+
+@query("embedding_normalize", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e)
+SELECT vec_id,
+       round(CASE WHEN nrm > 0
+                  THEN sqrt(list_sum(list_transform(
+                           list_transform(v, x -> x / nrm), x -> x * x)))
+                  ELSE 0.0 END, 6) AS unit_norm,
+       round(list_sum(list_transform(v, x -> x / nullif(nrm, 0))), 6)
+           AS comp_sum
+FROM n
+""")
+def q_embedding_normalize(spark, sf_dir):
+    """L2 normalization: after the pre-pass every vector has unit norm;
+    oracle recomputes the normalized component sum and norm."""
+    e = read_table(spark, sf_dir, "embeddings")
+    normed = S.normalize_embeddings(e, "embedding", out="u")
+    from orange3_timeseries_spark.operators.similarity import norm_expr
+    u = F.col("u")
+    return normed.select(
+        "vec_id",
+        r6(norm_expr(u), "unit_norm"),
+        r6(F.aggregate(u, F.lit(0.0), lambda a, x: a + x), "comp_sum"))
