@@ -57,8 +57,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered oracle-backed-first: round 1's driver correctness pass recorded
+    only the first 50 queries, so every query with a value-hash oracle
+    registers ahead of the rows-only ones — a cap/timeout then drops only
+    weak-signal rows, never hard-checked ones."""
+    q = dict(_q.QUERIES)
+    oracled = [k for k in q if _q.ORACLE_SQL.get(k)]
+    rows_only = [k for k in q if not _q.ORACLE_SQL.get(k)]
+    return {k: q[k] for k in oracled + rows_only}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -104,7 +104,12 @@ def forecast_by_series(tsf: TimeSeriesFrame, cols: Sequence[str],
 def _pack_series(df, groups, order, cols):
     """One row per series with each column as a time-sorted array; nulls
     preserved as NaN (collect_list drops nulls, so values ride inside a
-    struct and are unpacked after the sort)."""
+    struct and are unpacked after the sort).  Parallelism is pinned with a
+    user repartition on the keys — see ``_pin_parallelism``: AQE would
+    otherwise coalesce the small packed shuffle to one partition and
+    serialize the per-series fits."""
+    from orange3_timeseries_spark.spark_analytics import _pin_parallelism
+    df = _pin_parallelism(df, groups)
     aggs = [
         F.transform(
             F.array_sort(F.collect_list(

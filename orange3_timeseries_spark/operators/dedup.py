@@ -263,7 +263,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.2,
                         block_col: Optional[str] = None,
-                        max_df: Optional[int] = None) -> DataFrame:
+                        max_df: Optional[int] = 64) -> DataFrame:
     """Exact n-gram Jaccard pairs via an **inverted-index set-similarity
     join** — never an all-pairs product.
 
@@ -273,11 +273,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     ``groupBy``, and close the Jaccard form ``inter / (n_a + n_b - inter)``
     from the carried set sizes — no second join, no array shuffles.
 
-    Cost is ``sum_s df(s)^2`` join rows; at 100 TB cap the blow-up from
-    stop-shingles with ``max_df`` (drop shingles appearing in more than
-    ``max_df`` docs — they only ever support already-obvious pairs).  A
-    pair sharing ONLY dropped shingles is missed; with any reasonable
-    ``max_df`` such a pair is far below any useful threshold.
+    Cost is ``sum_s df(s)^2`` join rows; at 100 TB the cap on that blow-up
+    is ``max_df`` (drop shingles appearing in more than ``max_df`` docs —
+    a single stop-shingle present in 10^6 docs would alone contribute
+    10^12 join rows).  The cap is ON BY DEFAULT (64); pass
+    ``max_df=None`` to opt in to the uncapped exact join.  A pair sharing
+    ONLY dropped shingles is missed; with any reasonable ``max_df`` such a
+    pair is far below any useful threshold (its intersection consists of
+    corpus-ubiquitous shingles, so its Jaccard against two full shingle
+    sets is tiny).
     """
     sh = df.select(F.col(id_col),
                    shingles_expr(F.col(text_col), n).alias("sh"),

@@ -43,12 +43,11 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
                            ) -> TimeSeriesFrame:
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}")
-    if multivariate and method not in ("nearest",):
+    if multivariate and method not in ("nearest", "linear"):
         raise NotImplementedError(
-            "multivariate 'linear' needs Delaunay triangulation "
-            "(scipy.griddata, functions.py:301-318) — only the 'nearest' "
-            "variant is implemented scipy-free; univariate interpolation "
-            "covers the reference's test surface")
+            "multivariate 'cubic' needs 2-D Clough-Tocher splines "
+            "(scipy.griddata(method='cubic'), functions.py:301-318); the "
+            "'nearest' and 'linear' variants are implemented scipy-free")
 
     had_idx = ROW_IDX in tsf.df.columns
     tsf = tsf.with_row_index()
@@ -58,11 +57,12 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
         if dtype == "string" and name not in tsf.series_cols
         and tsf.roles.get(name) != "meta" and name != tsf.time_col]
 
-    if multivariate and method == "nearest" and len(value_cols) >= 3:
+    if multivariate and method in ("nearest", "linear") \
+            and len(value_cols) >= 3:
         # 2-D pre-pass over (row, column) index space (the reference's
         # griddata call interpolates the VALUE MATRIX as a surface,
         # ``functions.py:314-317``), then the 1-D pass mops up
-        tsf = tsf._with_df(_multivariate_nearest(tsf, value_cols))
+        tsf = tsf._with_df(_multivariate_fill(tsf, value_cols, method))
         df = _native(tsf, value_cols, method)
     elif method == "cubic":
         df = _cubic(tsf, value_cols)
@@ -243,20 +243,33 @@ def _cubic(tsf: TimeSeriesFrame, value_cols):
         return pdf
 
     if series:
-        return df.groupBy(*series).applyInPandas(fill, schema=schema)
+        from orange3_timeseries_spark.spark_analytics import _pin_parallelism
+        return _pin_parallelism(df, list(series)) \
+            .groupBy(*series).applyInPandas(fill, schema=schema)
     gdf = df.withColumn("__g__", F.lit(1))
     return (gdf.groupBy("__g__").applyInPandas(fill, schema=gdf.schema)
             .drop("__g__"))
 
 
-def _multivariate_nearest(tsf: TimeSeriesFrame, value_cols):
-    """2-D nearest-cell fill over (row, column) index space — the
-    scipy-free port of the reference's ``griddata(..., method='nearest')``
-    pre-pass (``functions.py:301-318``): each NaN cell takes the value of
-    the Euclidean-nearest defined cell of the value MATRIX.  Runs per
-    series under ``applyInPandas`` (the matrix is one series' data)."""
+def _multivariate_fill(tsf: TimeSeriesFrame, value_cols, method: str):
+    """2-D fill over (row, column) index space — the scipy-free port of
+    the reference's ``griddata`` pre-pass (``functions.py:301-318``),
+    which interpolates the value MATRIX as a surface over scattered
+    defined cells.
+
+    - ``nearest``: each NaN cell takes the value of the Euclidean-nearest
+      defined cell (griddata-nearest semantics);
+    - ``linear``: Delaunay + barycentric piecewise-linear interpolation
+      (``functions._griddata``); cells outside the defined hull stay NaN
+      — the 1-D pass that follows mops them up, same two-pass order as
+      the reference.
+
+    Runs per series under ``applyInPandas`` (the matrix is one series'
+    data); with no series the frame collapses to ONE group so the fill
+    sees the whole matrix — a ``mapInPandas`` would see only
+    partition-local cells and diverge from the reference's whole-matrix
+    semantics."""
     import pandas as pd
-    from pyspark.sql import types as T
 
     df = tsf.df
     series = tsf.series_cols
@@ -269,18 +282,37 @@ def _multivariate_nearest(tsf: TimeSeriesFrame, value_cols):
         if isnan.any() and (~isnan).any():
             di, dj = np.nonzero(~isnan)
             ni, nj = np.nonzero(isnan)
-            # distance from every NaN cell to every defined cell in
-            # index space; argmin matches griddata-nearest semantics
-            d2 = (ni[:, None] - di[None, :]) ** 2 \
-                + (nj[:, None] - dj[None, :]) ** 2
-            pick = d2.argmin(axis=1)
-            A[ni, nj] = A[di[pick], dj[pick]]
+            if method == "nearest":
+                # distance from every NaN cell to every defined cell in
+                # index space; argmin matches griddata-nearest semantics
+                d2 = (ni[:, None] - di[None, :]) ** 2 \
+                    + (nj[:, None] - dj[None, :]) ** 2
+                pick = d2.argmin(axis=1)
+                A[ni, nj] = A[di[pick], dj[pick]]
+            else:
+                from orange3_timeseries_spark.functions._griddata import (
+                    griddata_linear,
+                )
+                vals = griddata_linear(
+                    np.column_stack([di, dj]).astype(float),
+                    A[di, dj],
+                    np.column_stack([ni, nj]).astype(float))
+                filled = ~np.isnan(vals)
+                A[ni[filled], nj[filled]] = vals[filled]
             pdf.loc[:, value_cols] = A
         return pdf
 
     if series:
-        return df.groupBy(*series).applyInPandas(
-            lambda pdf: fill(pdf), schema=schema)
-    return df.mapInPandas(
-        lambda it: (fill(pd.concat(list(it))) for _ in [0]),
-        schema=schema)
+        from orange3_timeseries_spark.spark_analytics import _pin_parallelism
+        return _pin_parallelism(df, list(series)) \
+            .groupBy(*series).applyInPandas(
+                lambda pdf: fill(pdf), schema=schema)
+    gdf = df.withColumn("__g__", F.lit(1))
+    return (gdf.groupBy("__g__")
+            .applyInPandas(lambda pdf: fill(pdf), schema=gdf.schema)
+            .drop("__g__"))
+
+
+# backwards-compatible name (pre-round-2 callers / tests)
+def _multivariate_nearest(tsf: TimeSeriesFrame, value_cols):
+    return _multivariate_fill(tsf, value_cols, "nearest")

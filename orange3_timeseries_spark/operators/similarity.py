@@ -186,6 +186,12 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         return pd.DataFrame({"id_a": lo, "id_b": hi,
                              "cosine": S[ri, ci]})
 
+    # pin the pre-GEMM shuffle width: AQE's size-based coalescing would
+    # merge the (small-bytes, huge-CPU) block-pair shuffle down to one
+    # partition and serialize the matmuls; a user repartition is exempt
+    n_par = min(n_blocks * (n_blocks + 1) // 2,
+                rep.sparkSession.sparkContext.defaultParallelism)
+    rep = rep.repartition(n_par, *group_keys)
     return rep.groupBy(*group_keys).applyInPandas(gemm, schema=out_schema)
 
 
@@ -301,7 +307,12 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
     downstream. Pure Catalyst HOF expression, no UDF."""
     out = out or vec_col
     v = _as_double(F.col(vec_col))
-    nrm = norm_expr(v)
-    normed = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)) \
-        .otherwise(v)
-    return df.withColumn(out, normed)
+    # Bind the O(d) norm as its OWN column before the transform: referencing
+    # the aggregate inside the lambda body makes Catalyst re-evaluate the
+    # whole norm per array ELEMENT — O(d^2)/row, measured ~6x slower at
+    # sf0.1 (1.99s vs 0.34s).  Same anti-pattern note as shingles_expr.
+    nrm_col = "__l2_nrm__"
+    tagged = df.withColumn(nrm_col, norm_expr(v))
+    n = F.col(nrm_col)
+    normed = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return tagged.withColumn(out, normed).drop(nrm_col)

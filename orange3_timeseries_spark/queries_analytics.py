@@ -99,8 +99,13 @@ def q_granger_event_types(spark, sf_dir):
     )
 
     ev = read_table(spark, sf_dir, "events")
+    # explicit pivot values: without them Spark runs an extra driver-side
+    # distinct job over the full table just to discover the columns — a
+    # surprise collect at 100 TB.  The event taxonomy is part of the data
+    # contract (TESTDATA.md).
     pivoted = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-               .pivot("event_type")
+               .pivot("event_type",
+                      ["click", "error", "purchase", "signup", "view"])
                .agg(F.avg("value")))
     cols = [c for c in pivoted.columns if c != "day"]
     tsf = TimeSeriesFrame(pivoted, time_col="day")

@@ -139,9 +139,14 @@ WHERE a.doc_id < b.doc_id
 """)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs at tau=0.2 (the quadratic
-    verifier; the LSH path below is the scale variant)."""
+    verifier; the LSH path below is the scale variant).  Runs with the
+    default ``max_df=64`` stop-shingle cap — max observed df is 7 at
+    sf0.01 and 25 at sf0.1, so the result is bit-identical to the
+    uncapped oracle at driver scales while the Σdf² join blow-up stays
+    bounded at corpus scale."""
     d = read_table(spark, sf_dir, "documents")
-    out = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    out = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2,
+                                max_df=64)
     return out.select("id_a", "id_b", r6(F.col("jaccard"), "jaccard"))
 
 
@@ -227,7 +232,8 @@ bits AS (SELECT doc_id, i,
                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
          FROM th, generate_series(0, 31) g(i) GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY 1
 """)
 def q_dedup_simhash(spark, sf_dir):

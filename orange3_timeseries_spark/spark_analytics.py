@@ -67,21 +67,54 @@ def _order_col(tsf: TimeSeriesFrame) -> str:
     return ROW_IDX
 
 
+def _pin_parallelism(df: DataFrame, groups):
+    """Repartition by the group keys BEFORE a pack / applyInPandas stage.
+
+    AQE's size-based shuffle coalescing sees only a few MB of packed
+    arrays and merges the exchange down to one partition — which
+    serializes the compute-heavy Python stage that follows (measured at
+    sf0.1: a 1500-series Lomb-Scargle ran as ONE task, 5s instead of
+    sub-second).  Bytes-per-partition is the wrong heuristic when the
+    downstream cost is CPU per ROW, so pin the partition count with an
+    explicit user repartition — AQE never coalesces those — sized to the
+    cluster's default parallelism.  collect_list has no reducing map-side
+    combine, so pre-partitioning by the keys shuffles the identical bytes
+    the groupBy would have.
+    """
+    if groups == ["__g__"]:
+        return df  # single logical series — nothing to parallelize over
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *groups)
+
+
 def _packed_map(tsf: TimeSeriesFrame, cols, extra_fields, per_series,
-                with_times: bool = False):
+                with_times: bool = False, native_cols=()):
     """Shared fast path for per-series NumPy stages: pack each series into
     time-sorted arrays (one grouped row per series), then run ``per_series``
     over MANY series per Arrow batch with ``mapInPandas`` — per-group
     ``applyInPandas`` pays pandas/Arrow setup per series, which dominates
     when series are small and numerous (measured ~5 ms/series overhead vs
-    sub-ms NumPy work)."""
+    sub-ms NumPy work).
+
+    ``per_series`` receives a dict of the packed columns for one series
+    and returns a dict of equal-length arrays (or ``None``); outputs are
+    accumulated and emitted as ONE DataFrame per Arrow batch — building a
+    pandas DataFrame per series costs ~1-2 ms each, which dominated wall
+    time at thousands of small series.
+
+    Columns named in ``native_cols`` are packed at their ORIGINAL Spark
+    type instead of double — the double round-trip silently corrupts
+    integer ids above 2^53.
+    """
     order = _order_col(tsf)
     df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
+    df = _pin_parallelism(df, groups)
     aggs = [
         F.transform(
             F.array_sort(F.collect_list(
                 F.struct(F.col(order).alias("o"),
-                         F.col(c).cast("double").alias("v")))),
+                         (F.col(c) if c in native_cols
+                          else F.col(c).cast("double")).alias("v")))),
             lambda s: s["v"]).alias(c)
         for c in cols]
     if with_times:
@@ -93,18 +126,32 @@ def _packed_map(tsf: TimeSeriesFrame, cols, extra_fields, per_series,
 
     def run(batches):
         for pdf in batches:
-            frames = []
-            for _, r in pdf.iterrows():
-                out = per_series(r)
-                if out is None or not len(out):
-                    continue
-                for g in groups:
-                    out[g] = r[g]
-                frames.append(out[names])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-            else:
+            if not len(pdf):
                 yield pd.DataFrame(columns=names)
+                continue
+            gvals = {g: pdf[g].to_numpy() for g in groups}
+            data = {c: pdf[c].to_list() for c in pdf.columns
+                    if c not in groups}
+            outs, counts, kept = [], [], []
+            for i in range(len(pdf)):
+                out = per_series({c: v[i] for c, v in data.items()})
+                if not out:
+                    continue
+                n = len(next(iter(out.values())))
+                if not n:
+                    continue
+                outs.append(out)
+                counts.append(n)
+                kept.append(i)
+            if not outs:
+                yield pd.DataFrame(columns=names)
+                continue
+            result = {k: np.concatenate([o[k] for o in outs])
+                      for k in outs[0]}
+            kept = np.asarray(kept)
+            for g in groups:
+                result[g] = np.repeat(gvals[g][kept], counts)
+            yield pd.DataFrame(result)[names]
 
     out = packed.mapInPandas(run, schema=schema)
     return out.drop("__g__") if added else out
@@ -129,8 +176,7 @@ def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
             rows = _significant(vals)
         else:
             rows = np.column_stack((np.arange(len(vals)), vals))
-        return pd.DataFrame({"lag": rows[:, 0].astype("int32"),
-                             "acf": rows[:, 1]})
+        return {"lag": rows[:, 0].astype("int32"), "acf": rows[:, 1]}
 
     return _packed_map(tsf, [col], fields, per_series)
 
@@ -153,8 +199,7 @@ def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
             rows = _significant(vals)
         else:
             rows = np.column_stack((np.arange(len(vals)), vals))
-        return pd.DataFrame({"lag": rows[:, 0].astype("int32"),
-                             "pacf": rows[:, 1]})
+        return {"lag": rows[:, 0].astype("int32"), "pacf": rows[:, 1]}
 
     return _packed_map(tsf, [col], fields, per_series)
 
@@ -180,7 +225,7 @@ def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend="diff",
             tvals = np.asarray(r["__t__"], dtype=float)[mask]
             periods, power = periodogram_nonequispaced(tvals, xd,
                                                        detrend=detrend)
-        return pd.DataFrame({"period": periods, "power": power})
+        return {"period": periods, "power": power}
 
     return _packed_map(tsf, [col], fields, per_series,
                        with_times=not equispaced)
@@ -195,6 +240,7 @@ def seasonal_decompose(tsf: TimeSeriesFrame, cols: Sequence[str],
     decomposition (the reference decomposes ``data.interp()``,
     ``functions.py:399``) and source NaNs re-applied (``:411-415``)."""
     df, groups, added = _grouped(tsf)
+    df = _pin_parallelism(df, groups)
     order = _order_col(tsf)
     suffixes = ["season. adj.", "seasonal", "trend", "residual"]
     schema = T.StructType(list(df.schema.fields) + [
@@ -233,6 +279,7 @@ def granger_causality(tsf: TimeSeriesFrame, cols: Sequence[str],
     Gaps linearly interpolated first (``:462``)."""
     order = _order_col(tsf)
     df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
+    df = _pin_parallelism(df, groups)
     schema = _series_schema(groups, df, [
         T.StructField("lag", T.IntegerType()),
         T.StructField("p", T.DoubleType()),
@@ -291,6 +338,7 @@ def granger_causality_pairs(tsf: TimeSeriesFrame, cols: Sequence[str],
 
     order = _order_col(tsf)
     df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
+    df = _pin_parallelism(df, groups)
     packed = df.groupBy(*groups).agg(*[
         F.transform(
             F.array_sort(F.collect_list(
@@ -347,7 +395,9 @@ def seasonal_components_table(tsf: TimeSeriesFrame, col: str,
 
     def per_series(r):
         raw = np.asarray(r[col], dtype=float)
-        ids = np.asarray(r[id_col]).astype("int64")
+        # id packed at its NATIVE long type (native_cols below): a double
+        # round-trip would silently corrupt ids above 2^53
+        ids = np.asarray(r[id_col], dtype="int64")
         isnan = np.isnan(raw)
         x = raw.copy()
         if isnan.any() and (~isnan).sum() >= 2:
@@ -358,7 +408,8 @@ def seasonal_components_table(tsf: TimeSeriesFrame, col: str,
         adj[isnan] = np.nan
         trend[isnan] = np.nan
         resid[isnan] = np.nan
-        return pd.DataFrame({id_col: ids, "adj": adj, "seasonal": seas,
-                             "trend": trend, "residual": resid})
+        return {id_col: ids, "adj": adj, "seasonal": seas,
+                "trend": trend, "residual": resid}
 
-    return _packed_map(tsf, [col, id_col], fields, per_series)
+    return _packed_map(tsf, [col, id_col], fields, per_series,
+                       native_cols=(id_col,))

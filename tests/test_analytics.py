@@ -217,3 +217,22 @@ class TestSeasonalComponentsTable:
         b = {(r.uid, r.rid): (round(r.adj, 9), round(r.trend, 9))
              for r in table.collect()}
         assert a == b
+
+    def test_ids_above_2_53_exact(self, spark):
+        """Ids ride the packed struct at their NATIVE long type — a
+        double round-trip would corrupt ids above 2^53 (doubles have 53
+        mantissa bits, so 2^53 + 1 == 2^53 in float64)."""
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import (
+            seasonal_components_table,
+        )
+
+        base = (1 << 53) + 1  # NOT representable in float64
+        rows = [(0, i, base + 2 * i, float(10 + (i % 12)))
+                for i in range(36)]
+        df = spark.createDataFrame(rows, "uid int, t long, rid long, v double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["uid"])
+        table = seasonal_components_table(tsf, "v", "rid",
+                                          model="additive", period=12)
+        got = sorted(r.rid for r in table.collect())
+        assert got == [base + 2 * i for i in range(36)]

@@ -160,12 +160,78 @@ class TestMultivariateNearest:
         assert got[0] == (1.0, 10.0, 100.0)
         assert got[3] == (4.0, 40.0, 400.0)
 
-    def test_multivariate_linear_raises(self, spark):
+    def test_multivariate_cubic_raises(self, spark):
         from orange3_timeseries_spark.frame import TimeSeriesFrame
         from orange3_timeseries_spark.operators.interpolate import (
             interpolate_timeseries,
         )
         df = spark.createDataFrame([(0, 1.0)], "t long, a double")
         tsf = TimeSeriesFrame(df, time_col=None)
-        with pytest.raises(NotImplementedError, match="Delaunay"):
-            interpolate_timeseries(tsf, "linear", multivariate=True)
+        with pytest.raises(NotImplementedError, match="Clough-Tocher"):
+            interpolate_timeseries(tsf, "cubic", multivariate=True)
+
+
+class TestMultivariateLinear:
+    """Scipy-free griddata-linear pre-pass (reference functions.py:301-318).
+
+    Triangulation-independent invariants: ANY Delaunay triangulation
+    reproduces a planar field exactly, keeps interpolants inside the data
+    hull's value bounds, and leaves defined cells untouched."""
+
+    def test_plane_reproduction_numpy(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions._griddata import (
+            griddata_linear,
+        )
+
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(0, 10, size=(60, 2))
+        vals = 2.0 * pts[:, 0] - 3.0 * pts[:, 1] + 5.0
+        q = rng.uniform(2, 8, size=(40, 2))  # well inside the hull
+        got = griddata_linear(pts, vals, q)
+        want = 2.0 * q[:, 0] - 3.0 * q[:, 1] + 5.0
+        assert np.allclose(got, want, atol=1e-8)
+
+    def test_outside_hull_is_nan(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions._griddata import (
+            griddata_linear,
+        )
+
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+        vals = np.array([1.0, 2.0, 3.0, 4.0])
+        got = griddata_linear(pts, vals, np.array([[5.0, 5.0], [0.5, 0.5]]))
+        assert np.isnan(got[0])
+        assert 1.0 <= got[1] <= 4.0
+
+    def test_spark_multivariate_linear_no_nan(self, spark):
+        """Planar matrix with interior NaNs: the 2-D pre-pass recovers the
+        exact planar values; the 1-D pass leaves nothing NaN after."""
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.operators.interpolate import (
+            interpolate_timeseries,
+        )
+
+        # value(i, j) = i + 10*j on a 5x3 grid, interior holes
+        rows = []
+        for i in range(5):
+            vals = [float(i + 10 * j) for j in range(3)]
+            if i == 2:
+                vals[1] = None  # interior hole: hull-covered
+            if i == 1:
+                vals[2] = None
+            rows.append((i, *vals))
+        df = spark.createDataFrame(rows, "t long, a double, b double, c double")
+        tsf = TimeSeriesFrame(df, time_col=None,
+                              series_cols=[]).with_row_index(["t"])
+        out = interpolate_timeseries(tsf, "linear", multivariate=True,
+                                     cols=["a", "b", "c"])
+        got = {r["t"]: (r["a"], r["b"], r["c"]) for r in out.df.collect()}
+        assert got[2][1] == pytest.approx(12.0)  # 2 + 10*1
+        assert got[1][2] == pytest.approx(21.0)  # 1 + 10*2
+        for vals in got.values():
+            assert all(v is not None for v in vals)
+        # defined cells untouched
+        assert got[0] == (0.0, 10.0, 20.0)
