@@ -24,6 +24,7 @@ from orange3_timeseries_spark import queries_pipeline  # noqa: E402,F401  (regis
 from orange3_timeseries_spark import queries_analytics  # noqa: E402,F401  (registers)
 from orange3_timeseries_spark import queries_models  # noqa: E402,F401  (registers)
 from orange3_timeseries_spark import queries_multimodal  # noqa: E402,F401  (registers)
+from orange3_timeseries_spark import queries_streaming  # noqa: E402,F401  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

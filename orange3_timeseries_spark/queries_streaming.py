@@ -1,0 +1,55 @@
+"""Driver-contract query for the Structured Streaming tier (SURVEY §2.4
+streaming face): the same event-time windowed aggregation the batch tier
+runs, executed through ``readStream`` -> windowed ``groupBy`` ->
+``writeStream`` with ``trigger(availableNow=True)`` batch replay, so the
+streaming path gets a hard DuckDB value-hash correctness signal instead
+of a rows-only check.
+
+Tumbling 1-hour windows are epoch-aligned in Spark (``F.window``) and in
+DuckDB (``date_trunc('hour', ...)``), so the oracle replays the window
+assignment exactly.  At scale the identical plan runs continuously: the
+watermark bounds in-flight window state per (user, window) key across
+executors.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.queries import query, r6
+from orange3_timeseries_spark.sources import read_table_stream
+from orange3_timeseries_spark.streaming.ops import (
+    run_to_memory,
+    stream_window_aggregation,
+)
+
+
+@query("streaming_hourly_window", """
+SELECT user_id,
+       date_trunc('hour', ts) AS win_start,
+       count(*) AS n,
+       round(avg(value), 6) AS mean_v,
+       round(sum(value), 6) AS sum_v
+FROM events
+GROUP BY 1, 2
+""")
+def q_streaming_hourly_window(spark, sf_dir):
+    """Per-user tumbling 1-hour window mean/sum over the events STREAM
+    (file-source parquet stream, availableNow replay, complete output to
+    the memory sink) — value-hash-checked against the equivalent batch
+    GROUP BY in DuckDB."""
+    sdf = read_table_stream(spark, sf_dir, "events")
+    agg = stream_window_aggregation(
+        sdf, "ts", [("value", "mean"), ("value", "sum")], "1 hour",
+        series_cols=["user_id"], watermark="1 hour")
+    out = agg.select(
+        "user_id",
+        F.col("window.start").alias("win_start"),
+        F.col("Instance count").alias("n"),
+        r6(F.col("`value (mean)`"), "mean_v"),
+        r6(F.col("`value (sum)`"), "sum_v"))
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name)

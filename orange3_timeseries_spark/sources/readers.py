@@ -98,6 +98,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str,
                         time_col=time_col, time_range=time_range)
 
 
+def read_parquet_stream(spark: SparkSession, path: str,
+                        glob_filter: Optional[str] = None) -> DataFrame:
+    """Streaming twin of :func:`read_parquet`: a parquet file-source
+    stream with the same TIMESTAMP(NANOS) restoration.
+
+    Streaming sources need an explicit schema; it is taken from a
+    driver-side static read of the same path (footer metadata only).
+    ``path`` must be a directory for the file source — ``glob_filter``
+    narrows it to one table's files.  At scale this is the standard
+    "new files land in a partitioned directory" ingestion pattern;
+    maxFilesPerTrigger bounds each micro-batch."""
+    target = path
+    if glob_filter and os.path.isdir(path):
+        matches = sorted(glob.glob(os.path.join(path, glob_filter)))
+        if matches:
+            target = matches[0]
+    static = spark.read.parquet(target)
+    reader = spark.readStream.schema(static.schema)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    sdf = reader.parquet(path)
+    nanos = [c for c in _nano_timestamp_cols(target)
+             if c in sdf.columns and dict(sdf.dtypes).get(c) == "bigint"]
+    for col in nanos:
+        sdf = sdf.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return sdf
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str,
+                      name: str) -> DataFrame:
+    """Stream one named table from a testdata scale-factor directory."""
+    return read_parquet_stream(spark, sf_dir,
+                               glob_filter=f"{name}.parquet")
+
+
 def read_orange_csv_url(spark: SparkSession, url: str, sep: str = ","):
     """``Timeseries.from_url`` analog (``timeseries.py:188-191``):
     driver-side download to a temp file, then :func:`read_orange_csv`.
@@ -160,12 +196,43 @@ def read_orange_csv(spark: SparkSession, path: str, sep: str = ","):
             df = df.withColumn(name, F.col(name).cast("double"))
 
     roles = {}
+    dropped = []
     for name, role in zip(names, roles_row):
         role = role.strip().lower()
         if role == "class":
             roles[name] = "target"
         elif role == "meta":
             roles[name] = "meta"
+        elif role in ("i", "ignore"):
+            dropped.append(name)  # Orange's ignored-column flag
         else:
             roles[name] = "attribute"
+    if dropped:
+        df = df.drop(*dropped)
+        if time_col in dropped:
+            time_col = None
     return df, roles, time_col
+
+
+def read_orange_tab(spark: SparkSession, path: str):
+    """Orange ``.tab`` dialect: identical 3-row header, tab-separated
+    (the reference's primary fixture format, ``timeseries.py:183-186``)."""
+    return read_orange_csv(spark, path, sep="\t")
+
+
+def read_orange_file(spark: SparkSession, path: str):
+    """``Timeseries.from_file`` analog: dispatch Orange's file dialects
+    by extension (the reference delegates to Orange's FileFormat readers,
+    ``timeseries.py:183-186``).  ``.xlsx`` needs an Excel parser not
+    present in this runtime — gated with a clear error rather than a
+    wrong read."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".tab", ".tsv"):
+        return read_orange_tab(spark, path)
+    if ext == ".csv":
+        return read_orange_csv(spark, path)
+    if ext == ".xlsx":
+        raise NotImplementedError(
+            ".xlsx loading needs an Excel reader (openpyxl/xlrd) that is "
+            "not available in this runtime — export to .csv or .tab")
+    raise ValueError(f"unsupported Orange file extension: {ext!r}")

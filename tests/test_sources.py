@@ -29,6 +29,44 @@ class TestOrangeCsv:
         assert str(df.schema["Air passengers"].dataType) == "DoubleType()"
 
 
+class TestOrangeTab:
+    def _write_tab(self, tmp_path):
+        lines = [
+            "t\tvalue\tlabel\tnote",
+            "time\tc\td\ts",
+            "\t\tclass\tignore",
+            "2020-01-01\t1.5\ta\tx",
+            "2020-01-02\t2.5\tb\ty",
+            "2020-01-03\t\ta\tz",
+        ]
+        p = tmp_path / "series.tab"
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_read_orange_tab(self, spark, tmp_path):
+        from orange3_timeseries_spark.sources import read_orange_file
+
+        path = self._write_tab(tmp_path)
+        df, roles, time_col = read_orange_file(spark, path)
+        assert time_col == "t"
+        assert roles.get("label") == "target"
+        assert "note" not in df.columns  # 'ignore' flag drops the column
+        rows = df.orderBy("t").collect()
+        assert len(rows) == 3
+        assert rows[0]["value"] == 1.5
+        assert rows[0]["t"].year == 2020
+        assert rows[2]["value"] is None
+        assert str(df.schema["value"].dataType) == "DoubleType()"
+
+    def test_from_file_dispatch(self, spark, tmp_path):
+        from orange3_timeseries_spark.sources import read_orange_file
+
+        with pytest.raises(NotImplementedError, match="xlsx"):
+            read_orange_file(spark, str(tmp_path / "x.xlsx"))
+        with pytest.raises(ValueError, match="extension"):
+            read_orange_file(spark, str(tmp_path / "x.dat"))
+
+
 def _fake_yahoo(symbol, since, until):
     idx = pd.date_range("2024-01-02", periods=5, freq="D")
     return pd.DataFrame({

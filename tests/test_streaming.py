@@ -184,3 +184,36 @@ class TestStreamingDedup:
         got = spark.table("t_dedup").toPandas().sort_values("doc_id")
         assert list(got["text"]) == ["aaa", "bbb", "ccc"]
         assert list(got["doc_id"]) == [0, 1, 3]
+
+
+class TestStreamingParquetReader:
+    def test_read_table_stream_matches_static(self, spark):
+        """The nanos-restoring streaming reader yields the same rows and
+        timestamps as the static read_table, and the registered driver
+        query equals the batch GROUP BY."""
+        import pyspark.sql.functions as SF
+
+        from orange3_timeseries_spark.queries_streaming import (
+            q_streaming_hourly_window,
+        )
+        from orange3_timeseries_spark.sources import read_table
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = q_streaming_hourly_window(spark, sf_dir).toPandas() \
+            .sort_values(["user_id", "win_start"]).reset_index(drop=True)
+        ev = read_table(spark, sf_dir, "events")
+        want = (ev.groupBy("user_id",
+                           SF.date_trunc("hour", SF.col("ts"))
+                           .alias("win_start"))
+                .agg(SF.count(SF.lit(1)).alias("n"),
+                     SF.round(SF.avg("value"), 6).alias("mean_v"),
+                     SF.round(SF.sum("value"), 6).alias("sum_v"))
+                .toPandas()
+                .sort_values(["user_id", "win_start"])
+                .reset_index(drop=True))
+        assert len(got) == len(want)
+        assert (got["user_id"] == want["user_id"]).all()
+        assert (got["win_start"] == want["win_start"]).all()
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+        import numpy as np
+        np.testing.assert_allclose(got["mean_v"], want["mean_v"], atol=1e-9)
