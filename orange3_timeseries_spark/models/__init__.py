@@ -9,7 +9,8 @@ from orange3_timeseries_spark.models.evaluation import model_evaluation
 from orange3_timeseries_spark.models.spark import (
     evaluate_by_series,
     forecast_by_series,
+    forecast_wide_table,
 )
 
 __all__ = ["ARIMA", "VAR", "model_evaluation", "forecast_by_series",
-           "evaluate_by_series"]
+           "forecast_wide_table", "evaluate_by_series"]

@@ -139,6 +139,24 @@ class BaseModel:
     def max_order(self):
         return max((o for o in self.order if o is not None), default=0)
 
+    @staticmethod
+    def forecast_column_metadata(names, confidence: int) -> dict:
+        """The reference's variable cross-links (``models.py:216-222``:
+        ``low.ci_percent = high.ci_percent = confidence`` and
+        ``mean.ci_attrs = (low, high)``) as plain column-metadata dicts —
+        the Spark-native carrier is ``StructField.metadata`` (attached by
+        :func:`models.spark.forecast_wide_table`), which chart-style
+        consumers can key on to pair a forecast column with its CI
+        columns."""
+        meta = {}
+        for name in names:
+            lo = f"{name} ({confidence}%CI low)"
+            hi = f"{name} ({confidence}%CI high)"
+            meta[f"{name} (forecast)"] = {"ci_attrs": [lo, hi]}
+            meta[lo] = {"ci_percent": confidence}
+            meta[hi] = {"ci_percent": confidence}
+        return meta
+
     def clear(self):
         self.results = None
         self._endog = None

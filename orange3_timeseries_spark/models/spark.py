@@ -120,6 +120,49 @@ def _pack_series(df, groups, order, cols):
     return df.groupBy(*groups).agg(*aggs)
 
 
+def forecast_wide_table(tsf: TimeSeriesFrame, cols: Sequence[str],
+                        model_factory: Callable[[], object],
+                        steps: int = 10, alpha: float = 0.05) -> DataFrame:
+    """The reference's forecast-table naming contract as a WIDE Spark
+    table: one row per (series..., step) with ``"{var} (forecast)"`` /
+    ``"{var} ({p}%CI low)"`` / ``"{var} ({p}%CI high)"`` columns, each
+    carrying the ``ci_percent``/``ci_attrs`` cross-links
+    (``models.py:216-222``) in ``StructField.metadata`` so a
+    LineChart-equivalent consumer can pair a forecast with its CI band
+    from the schema alone.
+
+    Plan: the long-form per-series forecast (one shuffle) pivoted on the
+    KNOWN variable list — explicit pivot values, no discovery pass."""
+    from orange3_timeseries_spark.models.base import BaseModel
+
+    cols = list(cols)
+    long = forecast_by_series(tsf, cols, model_factory, steps=steps,
+                              alpha=alpha)
+    groups = [c for c in long.columns
+              if c not in ("step", "var", "forecast", "ci_low", "ci_high")]
+    confidence = int((1 - alpha) * 100)
+    wide = (long.groupBy(*groups, "step")
+            .pivot("var", cols)
+            .agg(F.first("forecast").alias("fc"),
+                 F.first("ci_low").alias("lo"),
+                 F.first("ci_high").alias("hi")))
+    meta = BaseModel.forecast_column_metadata(cols, confidence)
+    renames = {}
+    for name in cols:
+        renames[f"{name}_fc"] = f"{name} (forecast)"
+        renames[f"{name}_lo"] = f"{name} ({confidence}%CI low)"
+        renames[f"{name}_hi"] = f"{name} ({confidence}%CI high)"
+    out_cols = []
+    for c in wide.columns:
+        target = renames.get(c)
+        if target is None:
+            out_cols.append(F.col(f"`{c}`"))
+        else:
+            out_cols.append(F.col(f"`{c}`").alias(
+                target, metadata=meta.get(target, {})))
+    return wide.select(*out_cols)
+
+
 def evaluate_by_series(tsf: TimeSeriesFrame, col: str,
                        model_factories: Sequence[Callable[[], object]],
                        n_folds: int = 3, forecast_steps: int = 5,

@@ -159,15 +159,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # verification: re-attach shingle sets by id (two equi-joins keyed on
-    # the id — arrays move only for docs that are actually candidates)
-    shs = df.select(F.col(id_col), shingles_expr(F.col(text_col), n)
-                    .alias("sh"))
-    verified = (cand
-                .join(shs.select(F.col(id_col).alias("id_a"),
-                                 F.col("sh").alias("sh_a")), "id_a")
-                .join(shs.select(F.col(id_col).alias("id_b"),
-                                 F.col("sh").alias("sh_b")), "id_b"))
+    # verification: re-attach raw TEXT by id and shingle AFTER the join —
+    # shingling before the join would re-tokenize the entire corpus a
+    # second time just to discard the non-candidates; post-join, only
+    # docs that actually collided pay the shingle cost (candidates <<
+    # corpus at any scale), and the join moves strings, not arrays
+    ta = df.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("__t_a__"))
+    tb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("__t_b__"))
+    verified = (cand.join(ta, "id_a").join(tb, "id_b")
+                .withColumn("sh_a", shingles_expr(F.col("__t_a__"), n))
+                .withColumn("sh_b", shingles_expr(F.col("__t_b__"), n)))
     return (verified.select("id_a", "id_b",
                             jaccard_expr(F.col("sh_a"), F.col("sh_b"))
                             .alias("jaccard"))

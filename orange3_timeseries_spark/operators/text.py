@@ -137,6 +137,49 @@ def quality_filter(df, text_col: str, min_tokens: int = 5,
     return df.where(cond)
 
 
+def tfidf(df, text_col: str, id_col: str, top_k: int = None):
+    """TF-IDF postings per (document, token): ``tf = count/doc_len``,
+    ``idf = ln(N/df)``, one row per distinct (doc, token).
+
+    Plan (all map-side-combining, no arrays through shuffles):
+    explode tokens carrying the per-doc length as a constant column ->
+    ``groupBy(doc, token)`` count [shuffle 1] -> document frequency via a
+    count window partitioned by token [shuffle 2; the partitioning is
+    reused if a downstream join keys on token] -> corpus size N attached
+    as a broadcast 1-row aggregate (no driver-side count job) ->
+    optional per-doc top-k window [shuffle 3].  At 100 TB every stage
+    shuffles skinny (id, token-hash-sized) rows only.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col(text_col))
+    posting = df.select(F.col(id_col),
+                        F.size(toks).alias("__len__"),
+                        F.explode(toks).alias("token"))
+    tf = (posting.groupBy(id_col, "token", "__len__")
+          .agg(F.count(F.lit(1)).alias("__tc__")))
+    n_df = df.select(F.countDistinct(id_col).alias("__n__"))
+    wdf = Window.partitionBy("token")
+    # tf has exactly one row per (doc, token), so a plain count over the
+    # token partition IS the document frequency
+    scored = (tf
+              .withColumn("__df__", F.count(F.lit(1)).over(wdf))
+              .crossJoin(F.broadcast(n_df))
+              .select(
+                  F.col(id_col), F.col("token"),
+                  (F.col("__tc__") / F.col("__len__").cast("double"))
+                  .alias("tf"),
+                  F.log(F.col("__n__").cast("double")
+                        / F.col("__df__").cast("double")).alias("idf")))
+    out = scored.withColumn("tfidf", F.col("tf") * F.col("idf"))
+    if top_k is None:
+        return out
+    wk = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                            F.col("token").asc())
+    return (out.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= top_k))
+
+
 def vocabulary(df, text_col: str, top_k: int = None):
     """Corpus vocabulary with frequencies: explode tokens -> one
     map-side-combining groupBy.  Deterministic order (count desc, token

@@ -225,6 +225,78 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", r6(F.col("jaccard"), "jaccard"))
 
 
+_SIMHASH_SIG = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+th AS (SELECT doc_id, {_PH.format(e='t')} AS h FROM tok),
+bits AS (SELECT doc_id, i,
+                sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM th, generate_series(0, 31) g(i) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM bits GROUP BY 1)
+"""
+
+
+@query("dedup_simhash_pairs", _SIMHASH_SIG + """,
+entries AS (
+  SELECT doc_id, sig, u.band, u.key FROM sig,
+  LATERAL (SELECT * FROM (VALUES (0, (sig >> 0) & 255),
+                                 (1, (sig >> 8) & 255),
+                                 (2, (sig >> 16) & 255),
+                                 (3, (sig >> 24) & 255)) AS v(band, key)) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sa, b.sig AS sb
+  FROM entries a JOIN entries b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 8-bit band blocking (pigeonhole catches
+    every pair within Hamming distance 3 of the 32-bit signatures) +
+    exact Hamming verification — the oracle replays signatures, banding
+    AND verification.  Scale dial: band_bits should grow with corpus size
+    (64-bit/4x16 is the classic web-scale config) so bucket occupancy
+    stays bounded; the banding algebra is identical."""
+    d = read_table(spark, sf_dir, "documents")
+    out = D.simhash_pairs(d, "text", "doc_id", bits=32, max_distance=3,
+                          band_bits=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int")
+                      .alias("hamming"))
+
+
+@query("text_tfidf_top3", f"""
+WITH posting AS (
+  SELECT doc_id, len({_TOKS}) AS dlen, unnest({_TOKS}) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, dlen, count(*) AS tc
+       FROM posting GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id, token,
+         tc / dlen::DOUBLE AS tf,
+         ln((SELECT count(DISTINCT doc_id) FROM documents)::DOUBLE
+            / count(*) OVER (PARTITION BY token)) AS idf
+  FROM tf)
+SELECT doc_id, token, round(tf * idf, 6) AS tfidf, CAST(rank AS INT) AS rank
+FROM (SELECT doc_id, token, tf, idf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * idf DESC, token ASC) AS rank
+      FROM scored) t
+WHERE rank <= 3
+""")
+def q_text_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf = count/len, idf = ln(N/df),
+    deterministic tfidf/token tie-break) — the standard keyword-extraction
+    / relevance-weighting primitive over the corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    out = T.tfidf(d, "text", "doc_id", top_k=3)
+    return out.select("doc_id", "token",
+                      r6(F.col("tfidf"), "tfidf"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 @query("dedup_simhash", f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
 th AS (SELECT doc_id, {_PH.format(e='t')} AS h FROM tok),

@@ -22,6 +22,7 @@ from orange3_timeseries_spark.queries import query, r6
 from orange3_timeseries_spark.sources import read_table_stream
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
+    stream_difference,
     stream_window_aggregation,
 )
 
@@ -52,4 +53,33 @@ def q_streaming_hourly_window(spark, sf_dir):
         r6(F.col("`value (sum)`"), "sum_v"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query("streaming_stateful_diff", """
+SELECT user_id, ts,
+       round(value, 6) AS value,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts),
+             6) AS delta
+FROM events
+QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+""")
+def q_streaming_stateful_diff(spark, sf_dir):
+    """Per-user stateful first difference over the events STREAM
+    (``applyInPandasWithState`` carrying the trailing value per series
+    across micro-batches) — oracle = the batch lag window.  (user_id, ts)
+    is unique in the data contract, so within-batch event-time ordering
+    makes the replay deterministic; rows with no predecessor (NaN delta)
+    are filtered on both sides."""
+    sdf = read_table_stream(spark, sf_dir, "events")
+    diff = stream_difference(sdf, "ts", ["user_id"], "value", shift=1)
+    # the state step emits NaN for rows with no predecessor; Arrow
+    # serialization surfaces those as SQL NULL — filter matches the
+    # oracle's QUALIFY (events.value itself is never null by contract)
+    out = diff.select("user_id", "ts",
+                      r6(F.col("value"), "value"),
+                      r6(F.col("delta"), "delta")) \
+        .where(F.col("delta").isNotNull())
+    name = "stream_diff_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
     return spark.table(name)

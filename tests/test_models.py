@@ -78,6 +78,34 @@ class TestARIMAEstimatorContract:
             ARIMA((1, 0, 0), method="mle", use_exog=True)
 
 
+class TestForecastWideTable:
+    def test_naming_and_ci_metadata(self, spark):
+        """Wide forecast table carries the reference's ci_percent /
+        ci_attrs cross-links (models.py:216-222) as column metadata."""
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models import forecast_wide_table
+
+        y = _ar1(120)
+        rows = [(uid, t, float(y[t] + uid)) for uid in (1, 2)
+                for t in range(120)]
+        df = spark.createDataFrame(rows, "uid int, t long, value double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["uid"])
+        wide = forecast_wide_table(tsf, ["value"],
+                                   lambda: ARIMA((1, 0, 0)), steps=4)
+        assert "value (forecast)" in wide.columns
+        assert "value (95%CI low)" in wide.columns
+        assert "value (95%CI high)" in wide.columns
+        md_fc = wide.schema["value (forecast)"].metadata
+        assert md_fc["ci_attrs"] == ["value (95%CI low)",
+                                     "value (95%CI high)"]
+        assert wide.schema["value (95%CI low)"].metadata["ci_percent"] == 95
+        got = wide.orderBy("uid", "step").collect()
+        assert len(got) == 8  # 2 series x 4 steps
+        for r in got:
+            assert r["value (95%CI low)"] < r["value (forecast)"] \
+                < r["value (95%CI high)"]
+
+
 class TestARIMA:
     def test_ar1_recovery(self):
         y = _ar1()
