@@ -57,19 +57,109 @@ def q_pacf_by_user(spark, sf_dir):
     return out.select("user_id", "lag", r6(F.col("pacf"), "pacf"))
 
 
-@query("periodogram_by_user", None)
+@query("periodogram_by_user", """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+d AS (  -- detrend='diff' (reference default), re-indexed 0..m-1
+  SELECT user_id, t - 1 AS td, n - 1 AS m,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY t) AS dv
+  FROM s
+  QUALIFY td >= 0 AND n >= 12),
+grid AS (
+  SELECT user_id, m, unnest(range(0, m // 2 + 1)) AS k
+  FROM (SELECT DISTINCT user_id, m FROM d)),
+pw AS (  -- |rfft|^2 as cos/sin sums, one row per (series, frequency bin)
+  SELECT d.user_id, g.k, any_value(g.m) AS m,
+         pow(sum(d.dv * cos(2 * pi() * g.k * d.td / g.m)), 2)
+       + pow(sum(d.dv * sin(2 * pi() * g.k * d.td / g.m)), 2) AS raw
+  FROM d JOIN grid g ON d.user_id = g.user_id
+  GROUP BY 1, 2),
+spec AS (  -- one-sided density: /m, doubled except DC and Nyquist
+  SELECT user_id, k, m,
+         (raw / m) * (CASE WHEN k = 0 OR (m % 2 = 0 AND k = m // 2)
+                           THEN 1 ELSE 2 END) AS p
+  FROM pw
+  WHERE k >= m // 1000),
+scaled AS (  -- min-max scaling (ptp==0 -> divide by 1)
+  SELECT user_id, k, m,
+         CASE WHEN max(p) OVER w = min(p) OVER w THEN p - min(p) OVER w
+              ELSE (p - min(p) OVER w) / (max(p) OVER w - min(p) OVER w)
+         END AS sp
+  FROM spec WINDOW w AS (PARTITION BY user_id)),
+sig AS (  -- strict local maxima, order 5, clip-mode boundaries
+  SELECT user_id, k, m, sp,
+         max(sp) OVER (PARTITION BY user_id ORDER BY k
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS lmax,
+         max(sp) OVER (PARTITION BY user_id ORDER BY k
+                       ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS rmax
+  FROM scaled)
+SELECT user_id, round(1.0 / (k::DOUBLE / m::DOUBLE), 6) AS period,
+       round(sp, 6) AS power
+FROM sig WHERE sp > lmax AND sp > rmax
+""")
 def q_periodogram_by_user(spark, sf_dir):
-    """Per-series significant spectral peaks — rows-only check."""
+    """Per-series significant spectral peaks.  The oracle replays the
+    ENTIRE spectral pipeline in SQL — diff detrend, the DFT as per-bin
+    cos/sin sums, one-sided density normalization, min-max scaling, and
+    the order-5 strict-local-max significance filter (clip-mode
+    boundaries = NULL-frame exclusion)."""
     from orange3_timeseries_spark.spark_analytics import periodogram_table
     out = periodogram_table(_events(spark, sf_dir), "value")
     return out.select("user_id", r6(F.col("period"), "period"),
                       r6(F.col("power"), "power"))
 
 
-@query("seasonal_decompose_daily", None)
+@query("seasonal_decompose_daily", """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "Time",
+         avg(value) AS v
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT "Time", v,
+         row_number() OVER (ORDER BY "Time") - 1 AS t,
+         count(*) OVER () AS n
+  FROM daily),
+tr AS (  -- centered 7-day MA, full windows only
+  SELECT *, CASE WHEN t >= 3 AND t <= n - 4 THEN
+                 avg(v) OVER (ORDER BY t
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            END AS trend
+  FROM idx),
+pa AS (  -- zero-mean phase means of the detrended series
+  SELECT phase, pavg - avg(pavg) OVER () AS seasonal
+  FROM (SELECT t % 7 AS phase, avg(v - trend) AS pavg
+        FROM tr WHERE trend IS NOT NULL GROUP BY 1)),
+fit AS (  -- linear edge extrapolation from the first/last 3 fitted points
+  SELECT (SELECT regr_slope(trend, t) FROM tr WHERE t BETWEEN 3 AND 5) AS kl,
+         (SELECT regr_intercept(trend, t) FROM tr
+           WHERE t BETWEEN 3 AND 5) AS cl,
+         (SELECT regr_slope(trend, t) FROM tr
+           WHERE t BETWEEN n - 7 AND n - 5) AS kr,
+         (SELECT regr_intercept(trend, t) FROM tr
+           WHERE t BETWEEN n - 7 AND n - 5) AS cr),
+full_ AS (
+  SELECT tr."Time", tr.v, tr.t, tr.n, pa.seasonal,
+         CASE WHEN tr.trend IS NOT NULL THEN tr.trend
+              WHEN tr.t < 3 THEN f.kl * tr.t + f.cl
+              ELSE f.kr * tr.t + f.cr END AS trend_x
+  FROM tr JOIN pa ON tr.t % 7 = pa.phase CROSS JOIN fit f)
+SELECT "Time", round(v, 6) AS v,
+       round(v - seasonal, 6) AS v_adj,
+       round(seasonal, 6) AS v_seasonal,
+       round(trend_x, 6) AS v_trend,
+       round(v - seasonal - trend_x, 6) AS v_residual
+FROM full_
+""")
 def q_seasonal_decompose_daily(spark, sf_dir):
     """Weekly-period classical decomposition of the global daily-mean
-    series — rows-only check (algebraic invariants golden-tested)."""
+    series.  The oracle replays the full classical algorithm in SQL —
+    centered MA trend, zero-mean phase means, linear edge extrapolation
+    of the trend from the first/last 3 fitted points (``_interp_trend``,
+    reference ``functions.py:377-394``), residual against the
+    extrapolated trend."""
     from orange3_timeseries_spark.operators.moving_transform import (
         period_aggregation,
     )
@@ -113,24 +203,128 @@ def q_granger_event_types(spark, sf_dir):
     return out.select("lag", r6(F.col("p"), "p"), "antecedent", "consequent")
 
 
-@query("lombscargle_by_user", None)
+@query("lombscargle_by_user", """
+WITH s AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000) / 1000000.0 AS tt, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  QUALIFY n >= 12),
+x AS (  -- index-based linear detrend (np.polyfit over arange(n))
+  SELECT user_id, tt, t, n,
+         value - (regr_slope(value, t) OVER (PARTITION BY user_id) * t
+                  + regr_intercept(value, t) OVER (PARTITION BY user_id))
+         AS xd
+  FROM s),
+xv AS (
+  SELECT *, pow(stddev_pop(xd) OVER (PARTITION BY user_id), 2) AS vr
+  FROM x),
+gaps AS (  -- auto grid from 5th/80th gap percentiles
+  SELECT user_id,
+         quantile_cont(dt, 0.05) AS p5, quantile_cont(dt, 0.80) AS p80
+  FROM (SELECT user_id,
+               tt - lag(tt) OVER (PARTITION BY user_id ORDER BY t) AS dt
+        FROM s)
+  WHERE dt IS NOT NULL
+  GROUP BY 1),
+grid AS (  -- linspace(period_high, period_low, 250)
+  SELECT user_id, j,
+         ph + j * (p5 - ph) / 249.0 AS period,
+         2 * pi() / (ph + j * (p5 - ph) / 249.0) AS w
+  FROM (SELECT user_id, p5, greatest(200 * p5, p80) AS ph FROM gaps),
+       unnest(range(0, 250)) AS u(j)),
+tau AS (  -- time offset per frequency (double-angle identity form)
+  SELECT x.user_id, g.j, any_value(g.w) AS w,
+         any_value(g.period) AS period,
+         atan2(sum(2 * sin(g.w * x.tt) * cos(g.w * x.tt)),
+               sum(cos(g.w * x.tt) * cos(g.w * x.tt)
+                   - sin(g.w * x.tt) * sin(g.w * x.tt)))
+           / (2 * any_value(g.w)) AS tau
+  FROM xv x JOIN grid g ON x.user_id = g.user_id
+  GROUP BY 1, 2),
+pg AS (  -- classic Lomb-Scargle power, 2/(n*var) normalization
+  SELECT x.user_id, t2.j, any_value(t2.period) AS period,
+         0.5 * (pow(sum(x.xd * cos(t2.w * (x.tt - t2.tau))), 2)
+                / sum(pow(cos(t2.w * (x.tt - t2.tau)), 2))
+              + pow(sum(x.xd * sin(t2.w * (x.tt - t2.tau))), 2)
+                / sum(pow(sin(t2.w * (x.tt - t2.tau)), 2)))
+           * 2 / (any_value(x.n) * any_value(x.vr)) AS p
+  FROM xv x JOIN tau t2 ON x.user_id = t2.user_id
+  GROUP BY 1, 2),
+scaled AS (
+  SELECT user_id, j, period,
+         CASE WHEN max(p) OVER w2 = min(p) OVER w2 THEN p - min(p) OVER w2
+              ELSE (p - min(p) OVER w2) / (max(p) OVER w2 - min(p) OVER w2)
+         END AS sp
+  FROM pg WINDOW w2 AS (PARTITION BY user_id)),
+sig AS (
+  SELECT user_id, period, sp,
+         max(sp) OVER (PARTITION BY user_id ORDER BY j
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS lmax,
+         max(sp) OVER (PARTITION BY user_id ORDER BY j
+                       ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS rmax
+  FROM scaled)
+SELECT user_id, round(period, 6) AS period, round(sp, 6) AS power
+FROM sig WHERE sp > lmax AND sp > rmax
+""")
 def q_lombscargle_by_user(spark, sf_dir):
     """Per-series Lomb-Scargle periodogram peaks over the irregular event
-    times (``periodogram_nonequispaced``, ``functions.py:109-174``) —
-    rows-only check; golden-tested in tests/test_analytics.py."""
+    times (``periodogram_nonequispaced``, ``functions.py:109-174``).  The
+    oracle replays the full pipeline — linear index detrend, the 5th/80th
+    gap-percentile period grid (250 points), per-frequency tau via
+    atan2, the classic uncentered power, and the significance filter —
+    value-for-value in SQL.  Times are epoch micros truncated exactly as
+    the nanos reader does (``epoch_ns // 1000``)."""
     from orange3_timeseries_spark.spark_analytics import periodogram_table
     out = periodogram_table(_events(spark, sf_dir), "value",
-                            equispaced=False)
+                            equispaced=False, n_periods=250)
     return out.select("user_id", r6(F.col("period"), "period"),
                       r6(F.col("power"), "power"))
 
 
-@query("seasonal_decompose_by_user", None)
+@query("seasonal_decompose_by_user", """
+WITH s AS (
+  SELECT user_id, event_id, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+tr AS (  -- centered even-period MA: half-weight ends, window 13
+  SELECT *, CASE WHEN t >= 6 AND t <= n - 7 THEN
+            (sum(v) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+             + 0.5 * lag(v, 6) OVER (PARTITION BY user_id ORDER BY t)
+             + 0.5 * lead(v, 6) OVER (PARTITION BY user_id ORDER BY t))
+            / 12 END AS trend
+  FROM s),
+pa AS (  -- unit-mean phase means of x/trend (multiplicative model)
+  SELECT user_id, phase,
+         pavg / avg(pavg) OVER (PARTITION BY user_id) AS seasonal
+  FROM (SELECT user_id, t % 12 AS phase, avg(v / trend) AS pavg
+        FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)),
+fl AS (
+  SELECT user_id, regr_slope(trend, t) AS kl, regr_intercept(trend, t) AS cl
+  FROM tr WHERE t BETWEEN 6 AND 8 GROUP BY 1),
+fr AS (
+  SELECT user_id, regr_slope(trend, t) AS kr, regr_intercept(trend, t) AS cr
+  FROM tr WHERE t BETWEEN n - 10 AND n - 8 GROUP BY 1)
+SELECT tr.user_id, tr.event_id,
+       round(tr.v / pa.seasonal, 6) AS v_adj,
+       round(pa.seasonal, 6) AS v_seasonal,
+       round(CASE WHEN tr.trend IS NOT NULL THEN tr.trend
+                  WHEN tr.t < 6 THEN fl.kl * tr.t + fl.cl
+                  ELSE fr.kr * tr.t + fr.cr END, 6) AS v_trend
+FROM tr
+JOIN pa ON tr.user_id = pa.user_id AND tr.t % 12 = pa.phase
+JOIN fl ON tr.user_id = fl.user_id
+JOIN fr ON tr.user_id = fr.user_id
+""")
 def q_seasonal_decompose_by_user(spark, sf_dir):
     """PER-SERIES classical decomposition (period 12, multiplicative) over
     each user's event sequence — the grouped grain of the decompose stage
-    (one applyInPandas group per series); rows-only check, algebra
-    (adjusted x seasonal == observed) golden-tested."""
+    (one pack-series group per series).  The oracle replays the whole
+    algorithm per series in SQL, including the half-weight even-period
+    moving average and the per-series linear trend-edge extrapolation."""
     from orange3_timeseries_spark.spark_analytics import (
         seasonal_components_table,
     )

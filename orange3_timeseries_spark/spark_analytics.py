@@ -204,10 +204,17 @@ def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
     return _packed_map(tsf, [col], fields, per_series)
 
 
-def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend="diff",
-                      equispaced: bool = True) -> DataFrame:
+def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend=None,
+                      equispaced: bool = True,
+                      n_periods: int = 1000) -> DataFrame:
     """Per-series significant spectral peaks (series..., period, power);
-    Lomb-Scargle when ``equispaced=False`` (``functions.py:76-174``)."""
+    Lomb-Scargle when ``equispaced=False`` (``functions.py:76-174``).
+    ``detrend=None`` resolves to the reference's per-mode default —
+    'diff' for the equispaced periodogram (``functions.py:76``), 'linear'
+    for Lomb-Scargle (``functions.py:109``).  ``n_periods`` is the
+    Lomb-Scargle grid resolution (reference default 1000)."""
+    if detrend is None:
+        detrend = "diff" if equispaced else "linear"
     fields = [T.StructField("period", T.DoubleType()),
               T.StructField("power", T.DoubleType())]
 
@@ -223,8 +230,8 @@ def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend="diff",
             # __t__ is the order column cast to double: epoch SECONDS for
             # timestamps (Spark cast semantics), plain index otherwise
             tvals = np.asarray(r["__t__"], dtype=float)[mask]
-            periods, power = periodogram_nonequispaced(tvals, xd,
-                                                       detrend=detrend)
+            periods, power = periodogram_nonequispaced(
+                tvals, xd, detrend=detrend, n_periods=n_periods)
         return {"period": periods, "power": power}
 
     return _packed_map(tsf, [col], fields, per_series,
