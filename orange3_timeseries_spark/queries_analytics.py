@@ -203,6 +203,65 @@ def q_granger_event_types(spark, sf_dir):
     return out.select("lag", r6(F.col("p"), "p"), "antecedent", "consequent")
 
 
+@query("granger_f_daily", """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, day, v,
+         lag(v) OVER (PARTITION BY event_type ORDER BY day) AS vlag
+  FROM d),
+pr AS (
+  SELECT a.event_type AS antecedent, c.event_type AS consequent
+  FROM (SELECT DISTINCT event_type FROM d) a,
+       (SELECT DISTINCT event_type FROM d) c
+  WHERE a.event_type != c.event_type),
+j AS (
+  SELECT pr.antecedent, pr.consequent,
+         c.v AS y, c.vlag AS y1, a.vlag AS x1
+  FROM pr
+  JOIN l c ON c.event_type = pr.consequent
+  JOIN l a ON a.event_type = pr.antecedent AND a.day = c.day
+  WHERE c.vlag IS NOT NULL AND a.vlag IS NOT NULL),
+m AS (  -- centered second moments (covar_pop is Welford-stable)
+  SELECT antecedent, consequent, count(*) AS n,
+         covar_pop(y, y) * count(*) AS syy,
+         covar_pop(y1, y1) * count(*) AS s11,
+         covar_pop(x1, x1) * count(*) AS s22,
+         covar_pop(y1, x1) * count(*) AS s12,
+         covar_pop(y, y1) * count(*) AS sy1,
+         covar_pop(y, x1) * count(*) AS sy2
+  FROM j GROUP BY 1, 2),
+f AS (  -- nested-OLS residual sums in closed form
+  SELECT antecedent, consequent, n,
+         syy - sy1 * sy1 / s11 AS rss_r,
+         syy - ((s22 * sy1 - s12 * sy2) * sy1
+               + (s11 * sy2 - s12 * sy1) * sy2)
+              / (s11 * s22 - s12 * s12) AS rss_u
+  FROM m)
+SELECT antecedent, consequent,
+       round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS fstat
+FROM f
+""")
+def q_granger_f_daily(spark, sf_dir):
+    """Granger F-statistics at lag 1 for every ordered pair of daily
+    per-event-type mean series.  The restricted/unrestricted nested OLS
+    reduces to covariance algebra at lag 1, so the oracle replays the
+    F-statistic exactly; p-values (F survival function) stay on the
+    golden-tested engine path (`granger_event_types`)."""
+    from orange3_timeseries_spark.spark_analytics import granger_f_table
+
+    ev = read_table(spark, sf_dir, "events")
+    pivoted = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+               .pivot("event_type",
+                      ["click", "error", "purchase", "signup", "view"])
+               .agg(F.avg("value")))
+    cols = [c for c in pivoted.columns if c != "day"]
+    tsf = TimeSeriesFrame(pivoted, time_col="day")
+    out = granger_f_table(tsf, cols, lag=1)
+    return out.select("antecedent", "consequent", r6(F.col("fstat"), "fstat"))
+
+
 @query("lombscargle_by_user", """
 WITH s AS (
   SELECT user_id,

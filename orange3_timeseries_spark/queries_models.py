@@ -80,6 +80,52 @@ def q_ar1_params_by_user(spark, sf_dir):
                       r6(F.col("phi"), "phi"), r6(F.col("fc1"), "fc1"))
 
 
+@query("ar1_forecast_ci_by_user", """
+WITH s AS (
+  SELECT user_id, ts, value AS y,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS ylag
+  FROM events),
+fit AS (
+  SELECT user_id, regr_intercept(y, ylag) AS c, regr_slope(y, ylag) AS phi,
+         count(*) AS rows_, last(y ORDER BY ts) AS y_last
+  FROM s WHERE ylag IS NOT NULL GROUP BY 1),
+sg AS (  -- CLS innovation variance: mean squared regression residual
+  SELECT s.user_id,
+         sum(pow(s.y - (f.c + f.phi * s.ylag), 2)) / any_value(f.rows_)
+           AS sigma2
+  FROM s JOIN fit f ON s.user_id = f.user_id
+  WHERE s.ylag IS NOT NULL GROUP BY 1),
+fc AS (  -- closed-form h-step AR(1) mean and psi-weight variance
+  SELECT f.user_id, st.step,
+         f.c * (1 - pow(f.phi, st.step)) / (1 - f.phi)
+           + pow(f.phi, st.step) * f.y_last AS fc,
+         sqrt(g.sigma2 * (1 - pow(f.phi, 2 * st.step))
+              / (1 - f.phi * f.phi)) AS se
+  FROM fit f JOIN sg g ON f.user_id = g.user_id
+  CROSS JOIN (SELECT unnest(range(1, 6)) AS step) st)
+SELECT user_id, CAST(step AS INT) AS step, round(fc, 6) AS forecast,
+       round(fc - 1.959963986120195 * se, 6) AS ci_low,
+       round(fc + 1.959963986120195 * se, 6) AS ci_high
+FROM fc
+""")
+def q_ar1_forecast_ci_by_user(spark, sf_dir):
+    """Per-series AR(1) 5-step forecast WITH 95% psi-weight confidence
+    intervals — the full forecast contract under a value-hash oracle.
+    For AR(1) every piece is closed-form: the h-step mean is
+    ``c(1-phi^h)/(1-phi) + phi^h y_n``, the forecast variance is
+    ``sigma2 (1-phi^(2h))/(1-phi^2)`` (psi_j = phi^j), and the z constant
+    is the engine's own Acklam inverse-normal value inlined to full
+    double precision."""
+    from orange3_timeseries_spark.models import ARIMA, forecast_by_series
+
+    out = forecast_by_series(_events(spark, sf_dir), ["value"],
+                             lambda: ARIMA((1, 0, 0)), steps=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"),
+                      r6(F.col("ci_low"), "ci_low"),
+                      r6(F.col("ci_high"), "ci_high"))
+
+
 @query("arima_forecast_by_user", None)
 def q_arima_forecast_by_user(spark, sf_dir):
     """Per-series ARIMA(2,1,1) 5-step forecast with 95% CIs (Hannan-

@@ -384,6 +384,63 @@ def granger_causality_pairs(tsf: TimeSeriesFrame, cols: Sequence[str],
     return out.drop("__g__") if added else out
 
 
+def granger_f_table(tsf: TimeSeriesFrame, cols: Sequence[str],
+                    lag: int = 1) -> DataFrame:
+    """Per-series Granger F-STATISTICS at a FIXED lag for every ordered
+    pair (series..., antecedent, consequent, fstat, p) — the raw-test
+    surface under :func:`granger_causality`'s first-significant-lag
+    report.  At lag 1 the two nested OLS fits reduce to covariance
+    algebra, which is what makes this variant value-hash
+    oracle-checkable in SQL (the p-value needs the F survival function,
+    so oracles compare ``fstat`` only).  Same pair-parallel plan as
+    :func:`granger_causality_pairs`."""
+    from orange3_timeseries_spark.functions.granger import granger_f_test
+
+    def _interp(x):
+        isnan = np.isnan(x)
+        if isnan.any() and (~isnan).sum() >= 2:
+            idx = np.arange(len(x), dtype=float)
+            x[isnan] = np.interp(idx[isnan], idx[~isnan], x[~isnan])
+        return x
+
+    order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, *cols])
+    df = _pin_parallelism(df, groups)
+    packed = df.groupBy(*groups).agg(*[
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col(order).alias("o"),
+                         F.col(c).cast("double").alias("v")))),
+            lambda s: s["v"]).alias(c)
+        for c in cols])
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, c) for a in cols for c in cols if a != c],
+        "antecedent string, consequent string")
+    crossed = packed.crossJoin(F.broadcast(pairs)) \
+        .repartition(len(cols) * (len(cols) - 1))
+    schema = _series_schema(groups, df, [
+        T.StructField("antecedent", T.StringType()),
+        T.StructField("consequent", T.StringType()),
+        T.StructField("fstat", T.DoubleType()),
+        T.StructField("p", T.DoubleType())])
+
+    def compute(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = _interp(np.asarray(r[r["antecedent"]], dtype=float))
+                c = _interp(np.asarray(r[r["consequent"]], dtype=float))
+                fstat, p = granger_f_test(a, c, lag)
+                rows.append([r[g] for g in groups]
+                            + [r["antecedent"], r["consequent"],
+                               float(fstat), float(p)])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    out = crossed.mapInPandas(compute, schema=schema)
+    return out.drop("__g__") if added else out
+
+
 def seasonal_components_table(tsf: TimeSeriesFrame, col: str,
                               id_col: str, model: str = "multiplicative",
                               period: int = 12) -> DataFrame:
