@@ -140,10 +140,73 @@ def q_arima_forecast_by_user(spark, sf_dir):
                       r6(F.col("ci_high"), "ci_high"))
 
 
-@query("var_forecast_by_user", None)
+@query("var_forecast_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value AS v,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS mw,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+  QUALIFY rn >= 12),
+s AS (
+  SELECT user_id, v, mw,
+         lag(v) OVER (PARTITION BY user_id ORDER BY rn) AS v1,
+         lag(mw) OVER (PARTITION BY user_id ORDER BY rn) AS m1,
+         rn
+  FROM base),
+m AS (  -- centered second moments of the VAR(1) design per series
+  SELECT user_id,
+         covar_pop(v1, v1) * count(*) AS s11,
+         covar_pop(m1, m1) * count(*) AS s22,
+         covar_pop(v1, m1) * count(*) AS s12,
+         covar_pop(v, v1) * count(*) AS p11,
+         covar_pop(v, m1) * count(*) AS p12,
+         covar_pop(mw, v1) * count(*) AS p21,
+         covar_pop(mw, m1) * count(*) AS p22,
+         avg(v) AS ybar1, avg(mw) AS ybar2,
+         avg(v1) AS x1bar, avg(m1) AS x2bar
+  FROM s WHERE v1 IS NOT NULL GROUP BY 1),
+co AS (  -- per-equation 2-predictor OLS in closed form
+  SELECT user_id,
+         (s22 * p11 - s12 * p12) / (s11 * s22 - s12 * s12) AS a11,
+         (s11 * p12 - s12 * p11) / (s11 * s22 - s12 * s12) AS a12,
+         (s22 * p21 - s12 * p22) / (s11 * s22 - s12 * s12) AS a21,
+         (s11 * p22 - s12 * p21) / (s11 * s22 - s12 * s12) AS a22,
+         ybar1, ybar2, x1bar, x2bar
+  FROM m),
+cc AS (
+  SELECT user_id, a11, a12, a21, a22,
+         ybar1 - a11 * x1bar - a12 * x2bar AS c1,
+         ybar2 - a21 * x1bar - a22 * x2bar AS c2
+  FROM co),
+lastv AS (
+  SELECT user_id, last(v ORDER BY rn) AS vL, last(mw ORDER BY rn) AS mL
+  FROM base GROUP BY 1),
+f1 AS (  -- three iterated steps, expanded
+  SELECT c.user_id,
+         c.c1 + c.a11 * l.vL + c.a12 * l.mL AS f1v,
+         c.c2 + c.a21 * l.vL + c.a22 * l.mL AS f1m,
+         c.* EXCLUDE (user_id)
+  FROM cc c JOIN lastv l ON c.user_id = l.user_id),
+f2 AS (
+  SELECT *, c1 + a11 * f1v + a12 * f1m AS f2v,
+            c2 + a21 * f1v + a22 * f1m AS f2m FROM f1),
+f3 AS (
+  SELECT *, c1 + a11 * f2v + a12 * f2m AS f3v,
+            c2 + a21 * f2v + a22 * f2m AS f3m FROM f2)
+SELECT user_id, CAST(step AS INT) AS step, var, round(fc, 6) AS forecast
+FROM f3, LATERAL (VALUES (1, 'value', f1v), (1, 'value (mean)', f1m),
+                         (2, 'value', f2v), (2, 'value (mean)', f2m),
+                         (3, 'value', f3v), (3, 'value (mean)', f3m))
+          AS u(step, var, fc)
+""")
 def q_var_forecast_by_user(spark, sf_dir):
     """Per-series bivariate VAR(1) 3-step forecast over (value, its
-    12-wide moving mean) — rows-only check."""
+    12-wide moving mean).  The oracle replays everything in SQL: the
+    complete-window sliding mean, the per-equation 2-predictor OLS in
+    covariance closed form (joint multivariate LS == per-equation OLS on
+    a shared design), and the three iterated forecast steps expanded
+    symbolically."""
     from orange3_timeseries_spark.models import VAR, forecast_by_series
     from orange3_timeseries_spark.operators.moving_transform import (
         KEEP_COMPLETE,
