@@ -738,3 +738,30 @@ def q_spiralogram_binned(spark, sf_dir):
     return out.df.select(F.col("x").cast("int").alias("x"), "r",
                          F.col("Count").cast("long").alias("Count"),
                          r6(F.col("agg_v"), "agg_v"))
+
+
+@query("asof_join_purchases", """
+SELECT l.user_id, l.event_id, round(l.value, 6) AS value,
+       r.ts AS asof_ts, round(r.value, 6) AS asof_value
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_asof_join_purchases(spark, sf_dir):
+    """As-of join: every event gains the user's most recent
+    at-or-before PURCHASE (value + its timestamp) — the nearest-event
+    join as union + running carry-forward, one shuffle, no range-join
+    blow-up (operators/asof.py).  Oracle = DuckDB's native ASOF LEFT
+    JOIN (same inclusive backward semantics)."""
+    from orange3_timeseries_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id", "value")
+    right = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    out = asof_join(left, right, "ts", by=["user_id"],
+                    value_cols=["value"])
+    return out.select("user_id", "event_id", r6(F.col("value"), "value"),
+                      F.col("asof_ts"),
+                      r6(F.col("asof_value"), "asof_value"))
