@@ -1,0 +1,89 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning (Bernoulli per
+partition-local RNG), so a re-run over a repartitioned 100 TB corpus
+samples DIFFERENT rows — useless for reproducible dataset curation.  These
+operators sample by the portable content hash (``hashing.phash``: md5-hex
+prefix → int64, replayable in DuckDB), so the sample is a pure function of
+the data:
+
+- stable across partitioning, cluster size, and engine (Spark == DuckDB ==
+  any future runner);
+- consistent across tables: sampling two tables by the same key keeps
+  joinable rows together (the classic hash-sample trick for sampled
+  join pipelines);
+- complement-able: ``rate=0.9`` keep and ``rate=0.1`` holdout partition the
+  corpus exactly (hash < t vs >= t), no overlap, no gap.
+
+All three operators are pure Catalyst predicates / window ranks — pushed
+into the scan where possible, no shuffle for :func:`hash_sample`, one
+bounded shuffle for the per-stratum variants (map-side partial for
+:func:`stratified_sample`'s threshold path; rank-based :func:`top_n_per_key`
+shuffles once on the key).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.operators.hashing import phash
+
+__all__ = ["hash_sample", "stratified_sample", "top_n_per_key",
+           "sample_bucket_expr"]
+
+#: hash space size for rate thresholds (phash is uniform on [0, 2^60))
+_SPACE = 1 << 60
+
+
+def sample_bucket_expr(key: Column, n_buckets: int) -> Column:
+    """Deterministic bucket index in [0, n_buckets) from a string key —
+    the primitive under all three samplers, exposed for custom splits
+    (e.g. 100-way sharding a corpus for curriculum mixes)."""
+    return phash(key) % F.lit(int(n_buckets))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                seed_salt: str = "") -> DataFrame:
+    """Keep rows whose ``phash(key || salt)`` falls below ``rate`` of the
+    hash space — a deterministic, partitioning-independent Bernoulli(rate)
+    sample keyed on content.  A pure filter: no shuffle, pushed toward the
+    scan by Catalyst."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    k = F.col(key_col).cast("string")
+    if seed_salt:
+        k = F.concat(k, F.lit(seed_salt))
+    return df.where(phash(k) < F.lit(int(rate * _SPACE)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      rates: Dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum hash sampling: stratum ``s`` keeps ``rates[s]`` of its
+    rows (``default_rate`` for unlisted strata).  The rates map becomes an
+    inline CASE expression — still a pure pushable filter, no shuffle, no
+    broadcast table needed for the usual handful of strata."""
+    thr = F.lit(int(default_rate * _SPACE))
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1]")
+        thr = F.when(F.col(strata_col) == s,
+                     F.lit(int(r * _SPACE))).otherwise(thr)
+    return df.where(phash(F.col(key_col).cast("string")) < thr)
+
+
+def top_n_per_key(df: DataFrame, strata_col: str, key_col: str,
+                  n: int, order_cols: Sequence[str] = ()) -> DataFrame:
+    """Exactly ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen deterministically by hash order (ties broken by
+    ``order_cols``) — the fixed-size-per-class sample a balanced eval set
+    needs.  One shuffle on the stratum key; the rank window stops scoring
+    a partition's sort run after ``n`` via the row_number filter."""
+    h = phash(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in order_cols])
+    return (df.withColumn("__rn__", F.row_number().over(w))
+              .where(F.col("__rn__") <= int(n)).drop("__rn__"))

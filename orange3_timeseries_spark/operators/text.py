@@ -119,6 +119,75 @@ def normalize_text_expr(c: Column) -> Column:
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 
+#: PII patterns that behave identically under Java regex (Spark) and RE2
+#: (DuckDB) — keep them free of lookaround/backrefs.  Replacement order
+#: matters: email first (its local part may contain dots/digits), then
+#: ipv4 (dotted digits), then ssn / phone (disjoint hyphen shapes).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def redact_pii(df, text_col: str, out_col: str = None,
+               kinds: tuple = ("email", "ipv4", "ssn", "phone")):
+    """Scrub PII from a text column: adds ``n_<kind>`` match counts and
+    ``out_col`` (default ``<text_col>_redacted``) with every match
+    replaced by ``<KIND>``.  Pure chained ``regexp_replace`` /
+    ``regexp_extract_all`` — whole-stage codegen, no shuffle, scales as a
+    map-only pass over the corpus."""
+    c = F.col(text_col)
+    out_col = out_col or f"{text_col}_redacted"
+    counts = {f"n_{k}": F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), 0))
+              for k in kinds}
+    red = c
+    for k in kinds:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return df.select("*", *[v.alias(n) for n, v in counts.items()],
+                     red.alias(out_col))
+
+
+def repetition_features(df, text_col: str):
+    """Within-document repetition metrics (Gopher-style quality rules —
+    public heuristics): adds
+
+    - ``dup_word_frac``  — 1 − distinct/total whitespace tokens;
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of n-gram
+      positions whose n-gram also occurs elsewhere in the doc
+      (1 − distinct/total n-grams);
+    - ``top_word_frac`` — share of tokens taken by the most frequent one.
+
+    DataFrame-level (not a Column builder) because the token array MUST be
+    bound as a real column first: referencing the tokenizer expression
+    inside the n-gram / count HOF lambdas would make Catalyst re-run it
+    per array element (the measured ~100x trap documented in
+    ``dedup.shingles_expr``).  Map-only codegen pass, no shuffle."""
+    from orange3_timeseries_spark.operators.dedup import shingles_expr
+
+    bind = {"__toks__": tokens_expr(F.col(text_col)),
+            "__sh2__": shingles_expr(F.col(text_col), 2),
+            "__sh3__": shingles_expr(F.col(text_col), 3)}
+    out = df.select("*", *[v.alias(k) for k, v in bind.items()])
+    toks, sh2, sh3 = F.col("__toks__"), F.col("__sh2__"), F.col("__sh3__")
+    n = F.size(toks).cast("double")
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0)).cast("double")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0)).cast("double")
+    top = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    feats = {
+        "dup_word_frac":
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.nullif(n, F.lit(0.0)),
+        "dup_2gram_frac": F.lit(1.0) - F.size(sh2) / F.nullif(n2, F.lit(0.0)),
+        "dup_3gram_frac": F.lit(1.0) - F.size(sh3) / F.nullif(n3, F.lit(0.0)),
+        "top_word_frac": top.cast("double") / F.nullif(n, F.lit(0.0)),
+    }
+    return out.select(*df.columns,
+                      *[v.alias(k) for k, v in feats.items()])
+
+
 def quality_filter(df, text_col: str, min_tokens: int = 5,
                    max_tokens: int = 100000,
                    max_punct_ratio: float = 0.3,

@@ -765,3 +765,62 @@ def q_asof_join_purchases(spark, sf_dir):
     return out.select("user_id", "event_id", r6(F.col("value"), "value"),
                       F.col("asof_ts"),
                       r6(F.col("asof_value"), "asof_value"))
+
+
+@query("sessionize_events", """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_seconds,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+""")
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (gap > 1h starts a new session) rolled up
+    to one row per (user, session) — one event-level shuffle, fused
+    lag+running-sum windows (operators/sessionize.py).  The oracle casts
+    its windowed sum to BIGINT (DuckDB widens to HUGEINT)."""
+    from orange3_timeseries_spark.operators.sessionize import session_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = session_table(ev.select("user_id", "ts", "event_id", "value"),
+                        "ts", ["user_id"], 3600.0, value_col="value",
+                        order_cols=["event_id"])
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end",
+        r6(F.col("duration_seconds"), "duration_seconds"),
+        "n_events", r6(F.col("sum_value"), "sum_value"))
+
+
+@query("events_props_json", """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+         AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""")
+def q_events_props_json(spark, sf_dir):
+    """JSON property extraction (get_json_object — JVM codegen, no UDF)
+    aggregated per event type; the scalar-function surface SURVEY §2.9
+    notes the reference lacks."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 r6(F.avg(k), "avg_k"),
+                 F.max(k).alias("max_k")))

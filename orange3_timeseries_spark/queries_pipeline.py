@@ -521,3 +521,146 @@ def q_embedding_normalize(spark, sf_dir):
         "vec_id",
         r6(norm_expr(u), "unit_norm"),
         r6(F.aggregate(u, F.lit(0.0), lambda a, x: a + x), "comp_sum"))
+
+
+# ------------------------------------------------------- sampling tier
+_SPACE = 1 << 60
+_PH_DOC = _PH.format(e="doc_id::VARCHAR")
+
+
+def _rate_thr(rate):
+    return int(rate * _SPACE)
+
+
+@query("sample_hash_10pct", f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_PH_DOC} < {_rate_thr(0.10)}
+""")
+def q_sample_hash_10pct(spark, sf_dir):
+    """Deterministic 10% hash sample keyed on doc_id — partitioning- and
+    engine-independent (same rows in Spark and DuckDB), a pure pushable
+    filter with no shuffle (operators/sampling.py)."""
+    from orange3_timeseries_spark.operators.sampling import hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.10).select("doc_id", "lang", "source")
+
+
+@query("sample_stratified_lang", f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_PH_DOC} < (CASE lang WHEN 'en' THEN {_rate_thr(0.5)}
+                             WHEN 'zh' THEN {_rate_thr(0.25)}
+                             ELSE {_rate_thr(0.1)} END)
+""")
+def q_sample_stratified_lang(spark, sf_dir):
+    """Per-language stratified hash sampling (en 50%, zh 25%, rest 10%) —
+    the rates map folds into one CASE predicate, still shuffle-free."""
+    from orange3_timeseries_spark.operators.sampling import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(d, "lang", "doc_id",
+                            {"en": 0.5, "zh": 0.25}, default_rate=0.1)
+    return out.select("doc_id", "lang")
+
+
+@query("sample_topn_per_source", f"""
+SELECT source, doc_id
+FROM (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_PH_DOC}, doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+""")
+def q_sample_topn_per_source(spark, sf_dir):
+    """Exactly-10-docs-per-source balanced sample, chosen by
+    deterministic hash order — one shuffle on the stratum key."""
+    from orange3_timeseries_spark.operators.sampling import top_n_per_key
+
+    d = read_table(spark, sf_dir, "documents")
+    return top_n_per_key(d, "source", "doc_id", 10).select("source", "doc_id")
+
+
+# ------------------------------------------------- repetition / PII tier
+_SH2 = ("list_distinct(list_transform(range(1, greatest(len({t}), 1)),"
+        " i -> array_to_string(list_slice({t}, i, i + 1), ' ')))"
+        .format(t="toks"))
+_SH3 = ("list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)),"
+        " i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+        .format(t="toks"))
+
+
+@query("text_repetition", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, {_SH2} AS sh2, {_SH3} AS sh3 FROM t)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(toks)) / nullif(len(toks), 0), 6)
+         AS dup_word_frac,
+       round(1.0 - len(sh2) / nullif(greatest(len(toks) - 1, 0), 0), 6)
+         AS dup_2gram_frac,
+       round(1.0 - len(sh3) / nullif(greatest(len(toks) - 2, 0), 0), 6)
+         AS dup_3gram_frac,
+       round(list_max(list_transform(list_distinct(toks),
+                 t2 -> len(list_filter(toks, x -> x = t2))))
+             / nullif(len(toks), 0), 6) AS top_word_frac
+FROM s
+""")
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repetition quality metrics (Gopher-style duplicate
+    n-gram fractions + top-word share) — map-only codegen; the token and
+    shingle arrays are bound as columns before any HOF lambda touches
+    them (operators/text.py repetition_features)."""
+    d = read_table(spark, sf_dir, "documents")
+    out = T.repetition_features(d.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id",
+        r6(F.col("dup_word_frac"), "dup_word_frac"),
+        r6(F.col("dup_2gram_frac"), "dup_2gram_frac"),
+        r6(F.col("dup_3gram_frac"), "dup_3gram_frac"),
+        r6(F.col("top_word_frac"), "top_word_frac"))
+
+
+_PII_AUG = ("text || ' contact user' || doc_id::VARCHAR || "
+            "'@example.com ip 10.0.0.' || (doc_id % 256)::VARCHAR || "
+            "' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || "
+            "'-0199'")
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_RE_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_RE_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+
+@query("text_pii_redaction", f"""
+WITH a AS (SELECT doc_id, {_PII_AUG} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_RE_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_RE_SSN}')) AS n_ssn,
+       len(regexp_extract_all(text, '{_RE_PHONE}')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{_RE_IPV4}', '<IPV4>', 'g'),
+                 '{_RE_SSN}', '<SSN>', 'g'),
+                 '{_RE_PHONE}', '<PHONE>', 'g')) AS red_md5
+FROM a
+""")
+def q_text_pii_redaction(spark, sf_dir):
+    """PII scrubbing exercised on deterministically synthesized PII (the
+    corpus has none): each doc gains an email, an IPv4, and a phone
+    number built from its doc_id in BOTH engines, then redact_pii
+    counts and replaces them; the md5 of the redacted text is
+    value-hash compared.  Chained regexp codegen, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com ip 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(" tel 555-"),
+                 F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                 F.lit("-0199")).alias("text"))
+    out = T.redact_pii(aug, "text")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
+                      F.md5(F.col("text_redacted")).alias("red_md5"))

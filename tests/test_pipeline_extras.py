@@ -1,0 +1,169 @@
+"""Sessionization, deterministic sampling, repetition metrics, and PII
+redaction (operators/sessionize.py, sampling.py, text.py extensions)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.operators.sampling import (
+    hash_sample,
+    sample_bucket_expr,
+    stratified_sample,
+    top_n_per_key,
+)
+from orange3_timeseries_spark.operators.sessionize import (
+    session_table,
+    sessionize,
+)
+from orange3_timeseries_spark.operators.text import (
+    redact_pii,
+    repetition_features,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m // 60, m % 60)
+
+
+# ------------------------------------------------------------- sessionize
+@pytest.fixture(scope="module")
+def events(spark):
+    # user a: gaps 10s, 10s, 400s, 10s -> sessions [1,1,1,2,2]
+    # user b: single event -> session 1
+    rows = [("a", _ts(0), 1.0), ("a", _ts(10), 2.0), ("a", _ts(20), 3.0),
+            ("a", _ts(420), 4.0), ("a", _ts(430), 5.0),
+            ("b", _ts(5), 9.0)]
+    return spark.createDataFrame(rows, "u string, ts timestamp, v double")
+
+
+def test_sessionize_labels(events):
+    out = sessionize(events, "ts", ["u"], gap_seconds=60.0)
+    got = {(r["u"], r["ts"]): r["session_id"]
+           for r in out.collect()}
+    assert got[("a", _ts(0))] == 1
+    assert got[("a", _ts(20))] == 1
+    assert got[("a", _ts(420))] == 2
+    assert got[("a", _ts(430))] == 2
+    assert got[("b", _ts(5))] == 1
+
+
+def test_sessionize_gap_boundary_exclusive(events):
+    # gap == threshold does NOT start a new session (strictly greater)
+    out = sessionize(events, "ts", ["u"], gap_seconds=400.0)
+    got = {(r["u"], r["ts"]): r["session_id"] for r in out.collect()}
+    assert got[("a", _ts(420))] == 1
+
+
+def test_session_table(events):
+    out = session_table(events, "ts", ["u"], 60.0, value_col="v")
+    rows = {(r["u"], r["session_id"]): r for r in out.collect()}
+    a1 = rows[("a", 1)]
+    assert a1["n_events"] == 3
+    assert a1["duration_seconds"] == pytest.approx(20.0)
+    assert a1["sum_v"] == pytest.approx(6.0)
+    assert a1["session_start"] == _ts(0) and a1["session_end"] == _ts(20)
+    a2 = rows[("a", 2)]
+    assert a2["n_events"] == 2 and a2["sum_v"] == pytest.approx(9.0)
+    assert rows[("b", 1)]["n_events"] == 1
+    assert rows[("b", 1)]["duration_seconds"] == pytest.approx(0.0)
+
+
+# --------------------------------------------------------------- sampling
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "s%d" % (i % 3), "x" * (i % 5 + 1)) for i in range(300)]
+    return spark.createDataFrame(rows, "id long, src string, txt string")
+
+
+def test_hash_sample_deterministic_and_partition_independent(docs):
+    a = {r["id"] for r in hash_sample(docs, "id", 0.2).collect()}
+    b = {r["id"] for r in
+         hash_sample(docs.repartition(7), "id", 0.2).collect()}
+    assert a == b
+    assert 0.05 < len(a) / 300 < 0.4  # ~Binomial(300, .2)
+
+
+def test_hash_sample_complement_partitions_exactly(docs):
+    keep = {r["id"] for r in hash_sample(docs, "id", 0.7).collect()}
+    # rows NOT in the 0.7 sample are exactly those >= the 0.7 threshold;
+    # a 1.0 sample is everything
+    assert {r["id"] for r in hash_sample(docs, "id", 1.0).collect()} \
+        == {i for i in range(300)}
+    sub = {r["id"] for r in hash_sample(docs, "id", 0.2).collect()}
+    assert sub <= keep  # thresholds nest
+
+
+def test_stratified_sample_rates(docs):
+    out = stratified_sample(docs, "src", "id",
+                            {"s0": 1.0, "s1": 0.0}, default_rate=0.5)
+    got = [(r["src"], r["id"]) for r in out.collect()]
+    srcs = {s for s, _ in got}
+    assert "s1" not in srcs
+    assert len([1 for s, _ in got if s == "s0"]) == 100  # rate 1.0 = all
+
+
+def test_top_n_per_key_exact_and_stable(docs):
+    out = top_n_per_key(docs, "src", "id", 7)
+    got = out.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == \
+        {"s0": 7, "s1": 7, "s2": 7}
+    again = top_n_per_key(docs.repartition(5), "src", "id", 7)
+    assert {tuple(r) for r in out.select("src", "id").collect()} == \
+        {tuple(r) for r in again.select("src", "id").collect()}
+
+
+def test_sample_bucket_expr_range(docs):
+    out = docs.select(sample_bucket_expr(F.col("id").cast("string"), 10)
+                      .alias("b"))
+    vals = {r["b"] for r in out.collect()}
+    assert vals <= set(range(10)) and len(vals) > 3
+
+
+# ------------------------------------------------------------- repetition
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"),            # one distinct word
+         (2, "a b c d"),            # all distinct
+         (3, "a b a b")],           # bigrams: 'a b' x2, 'b a' -> dup
+        "id long, txt string")
+    out = {r["id"]: r for r in
+           repetition_features(df, "txt").collect()}
+    assert out[1]["dup_word_frac"] == pytest.approx(0.75)
+    assert out[1]["top_word_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_2gram_frac"] == pytest.approx(2 / 3)  # 'a a' x3
+    assert out[2]["dup_word_frac"] == pytest.approx(0.0)
+    assert out[2]["dup_2gram_frac"] == pytest.approx(0.0)
+    assert out[2]["top_word_frac"] == pytest.approx(0.25)
+    assert out[3]["dup_word_frac"] == pytest.approx(0.5)
+    # bigrams of 'a b a b': ab ba ab -> 2 distinct of 3 positions
+    assert out[3]["dup_2gram_frac"] == pytest.approx(1 / 3)
+
+
+def test_repetition_short_doc_nulls(spark):
+    df = spark.createDataFrame([(1, "word")], "id long, txt string")
+    r = repetition_features(df, "txt").collect()[0]
+    assert r["dup_word_frac"] == pytest.approx(0.0)
+    assert r["dup_2gram_frac"] is None  # 0 bigram positions -> NULL
+    assert r["dup_3gram_frac"] is None
+
+
+# -------------------------------------------------------------------- PII
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 10.1.2.3 "
+             "ssn 123-45-6789 tel 555-123-4567 done")],
+        "id long, txt string")
+    r = redact_pii(df, "txt").collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_ssn"], r["n_phone"]) \
+        == (1, 1, 1, 1)
+    assert r["txt_redacted"] == \
+        "mail <EMAIL> or <IPV4> ssn <SSN> tel <PHONE> done"
+
+
+def test_redact_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([(1, "no pii here at all")],
+                               "id long, txt string")
+    r = redact_pii(df, "txt").collect()[0]
+    assert r["txt_redacted"] == "no pii here at all"
+    assert r["n_email"] == 0 and r["n_phone"] == 0
