@@ -56,6 +56,9 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # keep byte-light CPU-heavy stages wide under AQE (cf. session._DEFAULTS)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     try:  # avoid 200 shuffle partitions for small-SF driver runs
         import os
         spark.conf.set("spark.sql.shuffle.partitions",

@@ -611,8 +611,13 @@ def q_text_repetition(spark, sf_dir):
     n-gram fractions + top-word share) — map-only codegen; the token and
     shingle arrays are bound as columns before any HOF lambda touches
     them (operators/text.py repetition_features)."""
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
     d = read_table(spark, sf_dir, "documents")
-    out = T.repetition_features(d.select("doc_id", "text"), "text")
+    out = T.repetition_features(
+        widen_partitions(d.select("doc_id", "text")), "text")
     return out.select(
         "doc_id",
         r6(F.col("dup_word_frac"), "dup_word_frac"),

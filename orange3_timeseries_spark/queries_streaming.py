@@ -23,6 +23,7 @@ from orange3_timeseries_spark.sources import read_table_stream
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
     stream_difference,
+    stream_session_window,
     stream_window_aggregation,
 )
 
@@ -81,5 +82,53 @@ def q_streaming_stateful_diff(spark, sf_dir):
                       r6(F.col("delta"), "delta")) \
         .where(F.col("delta").isNotNull())
     name = "stream_diff_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name)
+
+
+@query("streaming_session_window", """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM g
+),
+t AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 1 HOUR AS session_end,
+         count(*) AS n, round(sum(value), 6) AS sum_v
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM t
+WHERE session_end <= (SELECT max(ts) FROM events)
+""")
+def q_streaming_session_window(spark, sf_dir):
+    """Native session windows (gap 1h) over the events STREAM in append
+    mode: a session emits once the watermark passes its close
+    (last event + gap), so the oracle replays exactly the emitted set —
+    batch sessionization restricted to sessions closed before the global
+    max event time.  Emission semantics empirically pinned in
+    tests/test_streaming.py; window ``end`` is last-event + gap (Spark
+    session-window contract)."""
+    sdf = read_table_stream(spark, sf_dir, "events")
+    agg = stream_session_window(
+        sdf, "ts", "1 hour", [("value", "sum")], series_cols=["user_id"],
+        watermark="0 seconds")
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col("Instance count").alias("n"),
+        r6(F.col("`value (sum)`"), "sum_v"))
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="append")
     return spark.table(name)

@@ -25,6 +25,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing floors partition count at totalBytes/minPartitionSize;
+    # the 1m default serializes byte-light but CPU-heavy Python stages
+    # (a 4 MB shuffle feeding per-series splines coalesced to 2 tasks —
+    # measured 3x slower than at 24).  64k keeps small-SF shuffles wide;
+    # at 100 TB partitions dwarf either floor, so the conf is inert there.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Pandas-UDF batches: large enough to amortize Arrow transfer, small
     # enough to keep per-batch memory bounded at wide schemas.

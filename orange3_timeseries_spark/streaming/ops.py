@@ -136,3 +136,33 @@ def stream_exact_dedup(sdf: DataFrame, text_col: str, time_col: str,
     return (sdf.withColumn("digest", F.md5(F.col(text_col)))
             .withWatermark(time_col, watermark)
             .dropDuplicates(["digest"]))
+
+
+def stream_session_window(sdf: DataFrame, time_col: str, gap: str,
+                          specs: Specs, series_cols: Sequence[str] = (),
+                          watermark: str = "0 seconds") -> DataFrame:
+    """Continuous gap-based sessionization via native
+    ``F.session_window`` — the streaming face of
+    ``operators.sessionize``: windows merge while events arrive within
+    ``gap`` of the session end, and a session EMITS (append mode) once
+    the watermark passes its close (last event + gap), so state per
+    (series, open-session) is bounded by the watermark horizon.
+
+    The window's ``end`` is last-event-time + gap (Spark session-window
+    contract) — an emitted session is exactly one whose ``end`` <=
+    watermark, which is what makes the batch SQL oracle able to replay
+    the emitted set: closed sessions == sessions with
+    ``max(ts) + gap <= global max(ts) - delay``."""
+    bad = [a for _, a in specs if not AGG_OPTIONS[a].has_block]
+    if bad:
+        raise ValueError(
+            f"aggregations not applicable to windows: {sorted(set(bad))}")
+    sdf = sdf.withWatermark(time_col, watermark)
+    win = F.session_window(F.col(time_col), gap)
+    aggs = [F.count(F.lit(1)).alias("Instance count")]
+    for var, agg in specs:
+        desc = AGG_OPTIONS[agg]
+        c = null_norm(F.col(var))
+        aggs.append(desc.builder(c, ident, Ctx()).alias(f"{var} ({agg})"))
+    keys = [F.col(k) for k in series_cols] + [win.alias("session_window")]
+    return sdf.groupBy(*keys).agg(*aggs)

@@ -217,3 +217,43 @@ class TestStreamingParquetReader:
         assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
         import numpy as np
         np.testing.assert_allclose(got["mean_v"], want["mean_v"], atol=1e-9)
+
+
+class TestSessionWindow:
+    def test_emitted_equals_closed_batch_sessions(self, spark):
+        """Append-mode session windows emit exactly the sessions whose
+        close (last event + gap) precedes the final watermark — pinned
+        against batch sessionize + the closed-session filter."""
+        import pyspark.sql.functions as SF
+
+        from orange3_timeseries_spark.operators.sessionize import (
+            session_table,
+        )
+        from orange3_timeseries_spark.queries_streaming import (
+            q_streaming_session_window,
+        )
+        from orange3_timeseries_spark.sources import read_table
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = q_streaming_session_window(spark, sf_dir).toPandas() \
+            .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+        ev = read_table(spark, sf_dir, "events")
+        batch = session_table(ev.select("user_id", "ts", "value"),
+                              "ts", ["user_id"], 3600.0, value_col="value")
+        max_ts = ev.agg(SF.max("ts")).collect()[0][0]
+        want = (batch.select(
+                    "user_id", "session_start",
+                    (SF.col("session_end")
+                     + SF.expr("INTERVAL 1 HOUR")).alias("session_end"),
+                    SF.col("n_events").alias("n"),
+                    SF.round("sum_value", 6).alias("sum_v"))
+                .where(SF.col("session_end") <= SF.lit(max_ts))
+                .toPandas()
+                .sort_values(["user_id", "session_start"])
+                .reset_index(drop=True))
+        assert len(got) == len(want) and len(got) > 0
+        assert (got["user_id"] == want["user_id"]).all()
+        assert (got["session_start"] == want["session_start"]).all()
+        assert (got["session_end"] == want["session_end"]).all()
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
