@@ -827,3 +827,68 @@ def q_events_props_json(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  r6(F.avg(k), "avg_k"),
                  F.max(k).alias("max_k")))
+
+
+@query("interval_join_purchases", """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
+       round(epoch(l.ts) - epoch(r.ts), 6) AS dt_seconds,
+       round(r.value, 6) AS r_value
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = 'purchase'
+ AND abs(epoch(l.ts) - epoch(r.ts)) <= 1800.0
+ AND l.event_id <> r.event_id
+""")
+def q_interval_join_purchases(spark, sf_dir):
+    """Interval join: every event paired with each same-user PURCHASE
+    within +/-30 min — bucketed 3x-replication equi-join, never a
+    nested-loop range join (operators/intervaljoin.py).  The DuckDB
+    oracle is the naive inequality join (fine at sf0.01)."""
+    from orange3_timeseries_spark.operators.intervaljoin import (
+        interval_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    out = interval_join(left, right, "ts", ["user_id"], 1800.0,
+                        value_cols=["event_id", "value"])
+    out = out.where(F.col("event_id") != F.col("r_event_id"))
+    return out.select("event_id", "user_id", "r_event_id",
+                      r6(F.col("dt_seconds"), "dt_seconds"),
+                      r6(F.col("r_value"), "r_value"))
+
+
+@query("calendar_rollup_events", """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+         value
+  FROM events
+)
+SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+            WHEN grouping(d) = 0 THEN 'day'
+            ELSE 'month' END AS level,
+       coalesce(h, d, m) AS bucket,
+       count(*) AS n,
+       round(sum(value), 6) AS value_sum,
+       round(avg(value), 6) AS value_mean
+FROM b
+GROUP BY GROUPING SETS ((h), (d), (m))
+""")
+def q_calendar_rollup_events(spark, sf_dir):
+    """Hour/day/month rollup of events in ONE pass (native grouping
+    sets: single scan, one Expand + hash aggregate — the
+    continuous-aggregate pattern, operators/rollup.py)."""
+    from orange3_timeseries_spark.operators.rollup import calendar_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    tsf = TimeSeriesFrame(ev.select("ts", "value"), time_col="ts")
+    out = calendar_rollup(tsf, [("value", "sum"), ("value", "mean")],
+                          levels=("hour", "day", "month"))
+    return out.select("level", "bucket", "n",
+                      r6(F.col("value_sum"), "value_sum"),
+                      r6(F.col("value_mean"), "value_mean"))
