@@ -669,3 +669,88 @@ def q_text_pii_redaction(spark, sf_dir):
     out = T.redact_pii(aug, "text")
     return out.select("doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
                       F.md5(F.col("text_redacted")).alias("red_md5"))
+
+
+# ------------------------------------------------------- packing / profiling
+_PACK_START = (f"sum(len({_TOKS})) OVER (PARTITION BY source "
+               f"ORDER BY {_PH_DOC}, doc_id ROWS UNBOUNDED PRECEDING)"
+               f" - len({_TOKS})")
+
+
+@query("pack_sequences_2048", f"""
+WITH c AS (SELECT source, doc_id, len({_TOKS}) AS n_tokens,
+                  {_PACK_START} AS strt
+           FROM documents)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(strt / 2048.0) AS BIGINT) AS bin_id,
+       CAST(strt - CAST(floor(strt / 2048.0) AS BIGINT) * 2048 AS BIGINT)
+         AS bin_offset
+FROM c
+""")
+def q_pack_sequences_2048(spark, sf_dir):
+    """Token-budgeted next-fit sequence packing (2048-token packs, one
+    shard per source, deterministic hash order) — the training-batch
+    construction step; one shuffle, two fused windows
+    (operators/packing.py)."""
+    from orange3_timeseries_spark.operators.packing import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id",
+                 T.token_count_expr(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(t, "doc_id", "n_tokens", 2048,
+                         shard_cols=["source"])
+    return out.select("source", "doc_id", "n_tokens", "bin_id",
+                      "bin_offset")
+
+
+@query("pack_manifest_2048", f"""
+WITH c AS (SELECT source, doc_id, len({_TOKS}) AS n_tokens,
+                  {_PACK_START} AS strt
+           FROM documents)
+SELECT source, CAST(floor(strt / 2048.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY source, bin_id
+""")
+def q_pack_manifest_2048(spark, sf_dir):
+    """Per-pack manifest (doc count + token total per bin) for the
+    2048-token packing above — the map-side-combining rollup a data
+    loader consumes."""
+    from orange3_timeseries_spark.operators.packing import pack_manifest
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id",
+                 T.token_count_expr(F.col("text")).alias("n_tokens"))
+    return pack_manifest(t, "doc_id", "n_tokens", 2048,
+                         shard_cols=["source"])
+
+
+_PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROF_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS column, count(*) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       round(avg({c}), 6) AS mean, round(stddev({c}), 6) AS std,
+       round(min({c}), 6) AS vmin, round(max({c}), 6) AS vmax,
+       round(quantile_cont({c}, 0.25), 6) AS p25,
+       round(quantile_cont({c}, 0.50), 6) AS p50,
+       round(quantile_cont({c}, 0.75), 6) AS p75
+FROM lineitem""" for c in _PROF_COLS)
+
+
+@query("profile_lineitem", _PROF_SQL)
+def q_profile_lineitem(spark, sf_dir):
+    """One-pass column profile of lineitem's numeric measures: count /
+    nulls / distinct / mean / std / min / max / EXACT quartiles — single
+    aggregate job, driver-side unpivot of one row
+    (operators/profile.py)."""
+    from orange3_timeseries_spark.operators.profile import profile_columns
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = profile_columns(li, _PROF_COLS)
+    return out.select("column", "n", "n_null", "n_distinct",
+                      r6(F.col("mean"), "mean"), r6(F.col("std"), "std"),
+                      r6(F.col("vmin"), "vmin"), r6(F.col("vmax"), "vmax"),
+                      r6(F.col("p25"), "p25"), r6(F.col("p50"), "p50"),
+                      r6(F.col("p75"), "p75"))
