@@ -320,3 +320,40 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
     n = F.col(nrm_col)
     normed = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
     return tagged.withColumn(out, normed).drop(nrm_col)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        bits: int = 8) -> DataFrame:
+    """Symmetric scalar quantization of an embedding column to
+    ``bits``-bit signed integers — the 4x (fp32->int8) storage/bandwidth
+    cut applied before ANN indexing at corpus scale.
+
+    Per vector: ``scale = max|v| / qmax`` (``qmax = 2^(bits-1) - 1``),
+    ``q_i = floor(v_i/scale + 0.5)`` (explicit half-up — identical
+    semantics in Spark and DuckDB, unlike engine-native ``round``), and
+    the reconstruction ``q_i * scale``.  All-zero vectors quantize to
+    zeros with ``scale = 0``.
+
+    Returns ``(id_col, scale, qvec, max_abs_err)`` where ``max_abs_err``
+    is the worst per-component |reconstruction − original| (bounded by
+    ``scale/2``).  Map-only Catalyst HOFs — no shuffle, no UDF; the
+    per-row aggregates (max|v|, max err) are bound as columns before any
+    lambda references them (the O(d^2) re-evaluation trap)."""
+    qmax = (1 << (bits - 1)) - 1
+    v = _as_double(F.col(vec_col))
+    tagged = df.withColumn("__mx__", F.array_max(F.transform(
+        v, lambda x: F.abs(x))))
+    scale = (F.col("__mx__") / F.lit(float(qmax))).alias("scale")
+    tagged = tagged.withColumn("__scale__", scale)
+    s = F.col("__scale__")
+    qvec = F.when(s > 0, F.transform(
+        v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0)))
+    tagged = tagged.withColumn("__q__", qvec)
+    err = F.when(s > 0, F.array_max(F.zip_with(
+        v, F.col("__q__"), lambda x, q: F.abs(q.cast("double") * s - x)))) \
+        .otherwise(F.lit(0.0))
+    return tagged.select(F.col(id_col), s.alias("scale"),
+                         F.col("__q__").alias("qvec"),
+                         err.alias("max_abs_err"))

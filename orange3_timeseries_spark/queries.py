@@ -822,11 +822,17 @@ def q_events_props_json(spark, sf_dir):
     aggregated per event type; the scalar-function surface SURVEY §2.9
     notes the reference lacks."""
     ev = read_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (ev.groupBy("event_type")
+    # bind the extracted property as a real column first: referencing the
+    # get_json_object expression in BOTH aggregates would parse the JSON
+    # twice per row (aggregate inputs don't common-subexpression across
+    # aggs)
+    proj = ev.select("event_type",
+                     F.get_json_object(F.col("props"), "$.k").cast("long")
+                     .alias("__k__"))
+    return (proj.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 r6(F.avg(k), "avg_k"),
-                 F.max(k).alias("max_k")))
+                 r6(F.avg("__k__"), "avg_k"),
+                 F.max("__k__").alias("max_k")))
 
 
 @query("interval_join_purchases", """

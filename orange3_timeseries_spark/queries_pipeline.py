@@ -743,7 +743,7 @@ FROM lineitem""" for c in _PROF_COLS)
 def q_profile_lineitem(spark, sf_dir):
     """One-pass column profile of lineitem's numeric measures: count /
     nulls / distinct / mean / std / min / max / EXACT quartiles — single
-    aggregate job, driver-side unpivot of one row
+    long-form histogram plan: moments agg + frequency-weighted exact percentile
     (operators/profile.py)."""
     from orange3_timeseries_spark.operators.profile import profile_columns
 
@@ -754,3 +754,133 @@ def q_profile_lineitem(spark, sf_dir):
                       r6(F.col("vmin"), "vmin"), r6(F.col("vmax"), "vmax"),
                       r6(F.col("p25"), "p25"), r6(F.col("p50"), "p50"),
                       r6(F.col("p75"), "p75"))
+
+
+# ------------------------------------------- contamination / LM / chunk tier
+def _shingle_sql(n, toks=_TOKS):
+    """DuckDB distinct word n-gram list matching dedup.shingles_expr."""
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len({toks}) - {n - 2}, 1)),"
+            f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+
+
+@query("text_decontaminate", f"""
+WITH d AS (SELECT doc_id, source, {_shingle_sql(5)} AS grams FROM documents),
+bench AS (SELECT DISTINCT gram
+          FROM (SELECT unnest(grams) AS gram FROM d WHERE source = 'src0')),
+corp AS (SELECT doc_id, grams FROM d WHERE source <> 'src0'),
+hit AS (SELECT e.doc_id, count(*) AS n_hit
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM corp) e
+        JOIN bench USING (gram) GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(len(c.grams) AS INTEGER) AS n_ngrams,
+       round(CASE WHEN len(c.grams) > 0
+                  THEN coalesce(h.n_hit, 0) / CAST(len(c.grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS contamination_frac
+FROM corp c LEFT JOIN hit h USING (doc_id)
+""")
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document count + fraction of word
+    5-grams shared with the benchmark set (source 'src0' stands in for an
+    eval benchmark).  Broadcast semi-join on the benchmark's distinct
+    n-gram set — the corpus never shuffles for the match."""
+    from orange3_timeseries_spark.operators.contamination import (
+        contamination,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    out = contamination(d.where(F.col("source") != "src0"),
+                        d.where(F.col("source") == "src0"),
+                        "text", "doc_id", n=5)
+    return out.select("doc_id", "n_hit", "n_ngrams",
+                      r6(F.col("contamination_frac"), "contamination_frac"))
+
+
+@query("text_lm_score", f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM toks),
+scored AS (SELECT t.doc_id,
+                  ln(v.freq / (SELECT total FROM tot)::DOUBLE) AS logp
+           FROM toks t JOIN vocab v USING (token))
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(logp), 6) AS avg_logp,
+       round(exp(-avg(logp)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+""")
+def q_text_lm_score(spark, sf_dir):
+    """Unigram LM quality score: per-document mean token ln-probability
+    under the corpus's own unigram model, plus perplexity (CCNet-style
+    quality signal)."""
+    from orange3_timeseries_spark.operators.contamination import (
+        unigram_lm_score,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    out = unigram_lm_score(d, "text", "doc_id")
+    return out.select("doc_id", "n_tokens", r6(F.col("avg_logp"), "avg_logp"),
+                      r6(F.col("perplexity"), "perplexity"))
+
+
+@query("text_chunks", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE len({_TOKS}) > 0),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, len(toks), 48)) AS chunk_start FROM t)
+SELECT doc_id,
+       CAST(chunk_start / 48 AS INTEGER) AS chunk_id,
+       CAST(chunk_start AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 64))
+            AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64),
+                       ' ') AS chunk_text
+FROM s
+""")
+def q_text_chunks(spark, sf_dir):
+    """Token-window chunking: size 64, stride 48 (25% overlap) — map-only
+    posexplode, the long-document splitter ahead of sequence packing."""
+    from orange3_timeseries_spark.operators.contamination import (
+        chunk_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", size=64, stride=48)
+
+
+@query("embedding_quantize", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, v, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                                   AS INTEGER))
+                  ELSE list_transform(v, x -> 0) END AS qv
+      FROM m)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INTEGER) AS q_min,
+       CAST(list_max(qv) AS INTEGER) AS q_max,
+       round(CASE WHEN scale > 0
+                  THEN list_max(list_transform(
+                           generate_series(1, len(v)),
+                           i -> abs(qv[i] * scale - v[i])))
+                  ELSE 0.0 END, 6) AS max_abs_err
+FROM q
+""")
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    oracle replays scale, the quantized-component sum/min/max, and the
+    worst reconstruction error (bounded by scale/2)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings(e, "embedding", "vec_id", bits=8)
+    qv = F.col("qvec")
+    return out.select(
+        "vec_id", r6(F.col("scale"), "scale"),
+        F.aggregate(qv, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        r6(F.col("max_abs_err"), "max_abs_err"))
