@@ -884,3 +884,33 @@ def q_embedding_quantize(spark, sf_dir):
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),
         r6(F.col("max_abs_err"), "max_abs_err"))
+
+
+_EMB_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a,
+     (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
+@query("embedding_clusters", f"""
+WITH RECURSIVE p AS ({_EMB_PAIRS_SQL}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s
+)
+SELECT id AS vec_id, min(lab) AS cluster_id FROM cc GROUP BY id
+""")
+def q_embedding_clusters(spark, sf_dir):
+    """SEMANTIC dedup clusters: connected components over the
+    embedding-cosine near-dup pair graph (blocked-GEMM pairs at
+    tau=0.35), each vector labeled with its component's min id — the
+    embedding-space mirror of ``dedup_clusters``."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(e, threshold=0.35)
+    return D.dedup_clusters(e, pairs, "vec_id")

@@ -184,7 +184,13 @@ def read_orange_csv(spark: SparkSession, path: str, sep: str = ","):
 
     df = df.where(~(_row_match(names) | _row_match(types)
                     | _row_match(roles_row)))
+    return _apply_orange_header(df, names, types, roles_row)
 
+
+def _apply_orange_header(df, names, types, roles_row):
+    """Apply the Orange 3-row header's type codes and roles to a
+    string-typed DataFrame: cast ``t``/``c`` columns, map ``class``/
+    ``meta``/``ignore`` roles.  Returns ``(df, roles, time_col)``."""
     time_col = None
     for name, tcode in zip(names, types):
         cast = _TYPE_CAST.get(tcode.strip().lower())
@@ -220,19 +226,88 @@ def read_orange_tab(spark: SparkSession, path: str):
     return read_orange_csv(spark, path, sep="\t")
 
 
+def _xlsx_rows(path: str):
+    """Minimal ``.xlsx`` cell grid reader — stdlib only (an xlsx file is a
+    zip of XML parts), covering the cell types Orange sheets use: shared
+    strings (``t="s"``), inline strings (``t="str"``/``t="inlineStr"``),
+    and numbers.  Returns a list of string lists, rows padded to equal
+    width.  No style/date-serial decoding: timestamp columns should hold
+    ISO text (the 3-row-header type row drives the cast downstream,
+    exactly as for CSV)."""
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or ""
+                                      for t in si.iter(
+                                          "{%s}t" % ns["m"])))
+        sheet = next(n for n in z.namelist()
+                     if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        root = ET.fromstring(z.read(sheet))
+
+    def col_idx(ref):
+        i = 0
+        for ch in ref:
+            if ch.isdigit():
+                break
+            i = i * 26 + (ord(ch) - 64)
+        return i - 1
+
+    rows = []
+    for row in root.iter("{%s}row" % ns["m"]):
+        vals = {}
+        for c in row.findall("m:c", ns):
+            idx = col_idx(c.get("r", ""))
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                text = "".join(t.text or "" for t in c.iter(
+                    "{%s}t" % ns["m"]))
+            else:
+                v = c.find("m:v", ns)
+                text = v.text if v is not None and v.text else ""
+                if ctype == "s" and text:
+                    text = shared[int(text)]
+            vals[idx] = text
+        width = max(vals) + 1 if vals else 0
+        rows.append([vals.get(i, "") for i in range(width)])
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
+def read_orange_xlsx(spark: SparkSession, path: str):
+    """Orange ``.xlsx`` dialect: the same 3-row header (names / type codes
+    / roles) in the first worksheet.  The grid is parsed driver-side
+    (Orange sheets are small, hand-authored files — the reference also
+    loads them fully in memory via its FileFormat readers); type casting
+    and role mapping reuse the CSV logic by round-tripping through a
+    temporary in-memory DataFrame."""
+    rows = _xlsx_rows(path)
+    if len(rows) < 3:
+        raise ValueError(f"{path}: expected the Orange 3-row header")
+    names, types, roles_row = rows[0], rows[1], rows[2]
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows[3:]] or [tuple([""] * len(names))],
+        schema=", ".join(f"`{n}` string" for n in names))
+    if not rows[3:]:
+        df = df.limit(0)
+    return _apply_orange_header(df, names, types, roles_row)
+
+
 def read_orange_file(spark: SparkSession, path: str):
     """``Timeseries.from_file`` analog: dispatch Orange's file dialects
     by extension (the reference delegates to Orange's FileFormat readers,
-    ``timeseries.py:183-186``).  ``.xlsx`` needs an Excel parser not
-    present in this runtime — gated with a clear error rather than a
-    wrong read."""
+    ``timeseries.py:183-186``)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".tab", ".tsv"):
         return read_orange_tab(spark, path)
     if ext == ".csv":
         return read_orange_csv(spark, path)
     if ext == ".xlsx":
-        raise NotImplementedError(
-            ".xlsx loading needs an Excel reader (openpyxl/xlrd) that is "
-            "not available in this runtime — export to .csv or .tab")
+        return read_orange_xlsx(spark, path)
     raise ValueError(f"unsupported Orange file extension: {ext!r}")

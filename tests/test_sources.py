@@ -61,10 +61,81 @@ class TestOrangeTab:
     def test_from_file_dispatch(self, spark, tmp_path):
         from orange3_timeseries_spark.sources import read_orange_file
 
-        with pytest.raises(NotImplementedError, match="xlsx"):
-            read_orange_file(spark, str(tmp_path / "x.xlsx"))
         with pytest.raises(ValueError, match="extension"):
             read_orange_file(spark, str(tmp_path / "x.dat"))
+
+
+class TestOrangeXlsx:
+    @staticmethod
+    def _write_xlsx(path, grid, shared_strings=True):
+        """Hand-roll a minimal xlsx: zip of sheet XML (+ sharedStrings)."""
+        import zipfile
+
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        strings = []
+
+        def cell(ref, v):
+            try:
+                float(v)
+                return f'<c r="{ref}"><v>{v}</v></c>'
+            except (TypeError, ValueError):
+                pass
+            if v == "":
+                return f'<c r="{ref}"/>'
+            if shared_strings:
+                if v not in strings:
+                    strings.append(v)
+                return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+        rows_xml = []
+        for ri, row in enumerate(grid, start=1):
+            cells = "".join(cell(f"{chr(65 + ci)}{ri}", v)
+                            for ci, v in enumerate(row))
+            rows_xml.append(f'<row r="{ri}">{cells}</row>')
+        sheet = (f'<worksheet xmlns="{ns}"><sheetData>'
+                 + "".join(rows_xml) + "</sheetData></worksheet>")
+        sst = (f'<sst xmlns="{ns}">'
+               + "".join(f"<si><t>{s}</t></si>" for s in strings)
+               + "</sst>")
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+            if shared_strings:
+                z.writestr("xl/sharedStrings.xml", sst)
+        return str(path)
+
+    _GRID = [
+        ["t", "value", "label", "note"],
+        ["time", "c", "d", "s"],
+        ["", "", "class", "ignore"],
+        ["2020-01-01", "1.5", "a", "x"],
+        ["2020-01-02", "2.5", "b", "y"],
+        ["2020-01-03", "", "a", "z"],
+    ]
+
+    @pytest.mark.parametrize("shared", [True, False])
+    def test_read_xlsx(self, spark, tmp_path, shared):
+        from orange3_timeseries_spark.sources import read_orange_file
+
+        path = self._write_xlsx(tmp_path / "series.xlsx", self._GRID,
+                                shared_strings=shared)
+        df, roles, time_col = read_orange_file(spark, path)
+        assert time_col == "t"
+        assert roles.get("label") == "target"
+        assert "note" not in df.columns
+        rows = df.orderBy("t").collect()
+        assert len(rows) == 3
+        assert rows[0]["value"] == 1.5
+        assert rows[0]["t"].year == 2020
+        assert rows[2]["value"] is None
+
+    def test_header_only(self, spark, tmp_path):
+        from orange3_timeseries_spark.sources import read_orange_file
+
+        path = self._write_xlsx(tmp_path / "empty.xlsx", self._GRID[:3])
+        df, roles, time_col = read_orange_file(spark, path)
+        assert df.count() == 0
+        assert time_col == "t"
 
 
 def _fake_yahoo(symbol, since, until):
