@@ -33,6 +33,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..timeutil import ts_seconds
+
 __all__ = ["asof_join"]
 
 
@@ -87,8 +89,7 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str,
           for c in carried])
     out = out.where(F.col("__src__") == 1).drop("__src__")
     if tolerance_seconds is not None:
-        gap = F.abs(F.col(time_col).cast("double")
-                    - F.col(carried[0]).cast("double"))
+        gap = F.abs(ts_seconds(out, time_col) - ts_seconds(out, carried[0]))
         keep = gap <= F.lit(float(tolerance_seconds))
         out = out.select(
             *[c for c in out.columns if c not in carried],

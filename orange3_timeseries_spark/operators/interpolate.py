@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.frame import ROW_IDX, TimeSeriesFrame
 from orange3_timeseries_spark.operators.aggregate import null_norm
+from orange3_timeseries_spark.timeutil import ts_seconds
 
 METHODS = ("linear", "cubic", "nearest", "mean")
 
@@ -79,7 +80,7 @@ def _axis(tsf: TimeSeriesFrame):
     """The interpolation abscissa: time as seconds, else the row index
     (``timeseries.py:241-247`` fallback)."""
     if tsf.time_col is not None:
-        return F.col(tsf.time_col).cast("double")
+        return ts_seconds(tsf.df, tsf.time_col)
     return F.col(ROW_IDX).cast("double")
 
 

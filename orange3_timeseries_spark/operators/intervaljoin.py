@@ -23,6 +23,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..timeutil import ts_seconds, ts_seconds_expr
+
 __all__ = ["interval_join"]
 
 
@@ -45,16 +47,17 @@ def interval_join(left: DataFrame, right: DataFrame, time_col: str,
         value_cols = [c for c in right.columns if c not in by and c != rt]
     value_cols = list(value_cols)
 
-    lb = F.floor(F.col(time_col).cast("double") / F.lit(w))
+    lb = F.floor(ts_seconds(left, time_col) / F.lit(w))
     l_t = left.withColumn("__b__", lb)
-    rb = F.floor(F.col(rt).cast("double") / F.lit(w))
+    rb = F.floor(ts_seconds(right, rt) / F.lit(w))
     r_t = right.select(
         *by, F.col(rt).alias(prefix + rt),
         *[F.col(c).alias(prefix + c) for c in value_cols],
         F.explode(F.array(rb - 1, rb, rb + 1)).alias("__b__"))
 
-    dt = (F.col(time_col).cast("double")
-          - F.col(prefix + rt).cast("double"))
+    rt_dtype = dict(right.dtypes).get(rt, "")
+    dt = (ts_seconds(left, time_col)
+          - ts_seconds_expr(F.col(prefix + rt), rt_dtype))
     return (l_t.join(r_t, on=by + ["__b__"])
             .where(F.abs(dt) <= F.lit(w))
             .withColumn("dt_seconds", dt)

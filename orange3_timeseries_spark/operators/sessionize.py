@@ -30,6 +30,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..timeutil import ts_seconds
+
 __all__ = ["sessionize", "session_table"]
 
 
@@ -43,8 +45,9 @@ def sessionize(df: DataFrame, time_col: str, by: Sequence[str],
     by = list(by)
     order = [F.col(time_col).asc(), *[F.col(c).asc() for c in order_cols]]
     w = Window.partitionBy(*by).orderBy(*order)
-    prev = F.lag(F.col(time_col)).over(w)
-    gap = F.col(time_col).cast("double") - prev.cast("double")
+    tnum = ts_seconds(df, time_col)
+    prev = F.lag(tnum).over(w)
+    gap = tnum - prev
     is_start = F.when(prev.isNull() | (gap > F.lit(float(gap_seconds))),
                       F.lit(1)).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -62,11 +65,11 @@ def session_table(df: DataFrame, time_col: str, by: Sequence[str],
     by = list(by)
     s = sessionize(df, time_col, by, gap_seconds, session_col=session_col,
                    order_cols=order_cols)
+    tnum = ts_seconds(df, time_col)
     aggs = [
         F.min(time_col).alias("session_start"),
         F.max(time_col).alias("session_end"),
-        (F.max(F.col(time_col).cast("double"))
-         - F.min(F.col(time_col).cast("double"))).alias("duration_seconds"),
+        (F.max(tnum) - F.min(tnum)).alias("duration_seconds"),
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:

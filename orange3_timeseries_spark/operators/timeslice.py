@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.frame import TimeSeriesFrame
 from orange3_timeseries_spark.timedelta import Delta, add_time
+from orange3_timeseries_spark.timeutil import time_literal
 
 
 def time_slice(tsf: TimeSeriesFrame, lo, hi) -> TimeSeriesFrame:
@@ -24,7 +25,9 @@ def time_slice(tsf: TimeSeriesFrame, lo, hi) -> TimeSeriesFrame:
     if tsf.time_col is None:
         raise ValueError("time_slice requires a time column")
     t = F.col(tsf.time_col)
-    return tsf.filter((t >= F.lit(lo)) & (t < F.lit(hi)))
+    dtype = dict(tsf.df.dtypes).get(tsf.time_col, "")
+    return tsf.filter((t >= time_literal(lo, dtype))
+                      & (t < time_literal(hi, dtype)))
 
 
 def slices(start: _dt.datetime, end: _dt.datetime, width_delta: Delta,

@@ -17,6 +17,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..timeutil import ntz_to_session_ts, time_literal
+
 
 def _nano_timestamp_cols(path: str) -> list:
     """Column names stored as TIMESTAMP(NANOS) in the parquet footer."""
@@ -67,6 +69,14 @@ def read_parquet(spark: SparkSession, path: str,
     column cannot push (parquet pushdown works on attribute references
     only, not expressions) — at 100 TB that is the difference between
     reading one day and reading the whole table.
+
+    Tz-naive parquet timestamps (Spark 4 reads them as ``TIMESTAMP_NTZ``)
+    are normalized to session-zone ``TIMESTAMP`` — the reference decodes
+    all timestamps in UTC (``aggregate.py:230``) and the session timezone
+    is pinned to UTC, so wall values are preserved while numeric casts
+    and event-time watermarks become legal again.  The ``time_range``
+    filter runs before that projection, with the LITERAL cast to NTZ, so
+    pushdown still sees a bare attribute comparison.
     """
     df = spark.read.parquet(path)
     nanos = [c for c in _nano_timestamp_cols(path)
@@ -80,14 +90,15 @@ def read_parquet(spark: SparkSession, path: str,
             df = df.where((F.col(tcol) >= F.lit(_utc_nanos(lo)))
                           & (F.col(tcol) < F.lit(_utc_nanos(hi))))
         else:
-            df = df.where((F.col(tcol) >= F.lit(lo))
-                          & (F.col(tcol) < F.lit(hi)))
+            dtype = dict(df.dtypes).get(tcol, "")
+            df = df.where((F.col(tcol) >= time_literal(lo, dtype))
+                          & (F.col(tcol) < time_literal(hi, dtype)))
     for col in nanos:
         # integer division: int64 nanos exceed double precision (2^53),
         # and truncation (not rounding) matches TIMESTAMP_NS readers
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return ntz_to_session_ts(df)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str,
@@ -124,7 +135,7 @@ def read_parquet_stream(spark: SparkSession, path: str,
     for col in nanos:
         sdf = sdf.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return sdf
+    return ntz_to_session_ts(sdf)
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str,

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from orange3_timeseries_spark.timeutil import ts_seconds
+
 from orange3_timeseries_spark.frame import TimeSeriesFrame
 from orange3_timeseries_spark.functions.correlation import (
     acf_values,
@@ -119,7 +121,7 @@ def _packed_map(tsf: TimeSeriesFrame, cols, extra_fields, per_series,
         for c in cols]
     if with_times:
         aggs.append(F.array_sort(F.collect_list(
-            F.col(order).cast("double"))).alias("__t__"))
+            ts_seconds(df, order))).alias("__t__"))
     packed = df.groupBy(*groups).agg(*aggs)
     schema = _series_schema(groups, df, extra_fields)
     names = [f.name for f in schema.fields]

@@ -23,6 +23,7 @@ from orange3_timeseries_spark.operators.aggregate import (
     ident,
     null_norm,
 )
+from orange3_timeseries_spark.timeutil import ntz_to_session_ts, time_literal
 
 Specs = Iterable[Tuple[str, str]]
 
@@ -43,6 +44,7 @@ def stream_window_aggregation(sdf: DataFrame, time_col: str, specs: Specs,
     if bad:
         raise ValueError(
             f"aggregations not applicable to windows: {sorted(set(bad))}")
+    sdf = ntz_to_session_ts(sdf)  # watermarks reject TIMESTAMP_NTZ
     if watermark:
         sdf = sdf.withWatermark(time_col, watermark)
     win = F.window(F.col(time_col), duration, slide) if slide \
@@ -61,7 +63,9 @@ def stream_time_slice(sdf: DataFrame, time_col: str, lo, hi) -> DataFrame:
     (``owtimeslice.py:313-319``) applied to a stream — rows outside
     [lo, hi) never enter downstream state."""
     t = F.col(time_col)
-    return sdf.where((t >= F.lit(lo)) & (t < F.lit(hi)))
+    dtype = dict(sdf.dtypes).get(time_col, "")
+    return sdf.where((t >= time_literal(lo, dtype))
+                     & (t < time_literal(hi, dtype)))
 
 
 def stream_difference(sdf: DataFrame, time_col: str,
@@ -133,7 +137,8 @@ def stream_exact_dedup(sdf: DataFrame, text_col: str, time_col: str,
     streaming face of :func:`operators.dedup.exact_dedup`.  At 100 TB/day
     the digest state is 16 bytes/doc within the watermark horizon,
     partitioned by digest across executors."""
-    return (sdf.withColumn("digest", F.md5(F.col(text_col)))
+    return (ntz_to_session_ts(sdf)
+            .withColumn("digest", F.md5(F.col(text_col)))
             .withWatermark(time_col, watermark)
             .dropDuplicates(["digest"]))
 
@@ -157,7 +162,7 @@ def stream_session_window(sdf: DataFrame, time_col: str, gap: str,
     if bad:
         raise ValueError(
             f"aggregations not applicable to windows: {sorted(set(bad))}")
-    sdf = sdf.withWatermark(time_col, watermark)
+    sdf = ntz_to_session_ts(sdf).withWatermark(time_col, watermark)
     win = F.session_window(F.col(time_col), gap)
     aggs = [F.count(F.lit(1)).alias("Instance count")]
     for var, agg in specs:

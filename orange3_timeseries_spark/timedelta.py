@@ -31,6 +31,8 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from orange3_timeseries_spark.timeutil import ts_seconds
+
 Delta = Union[float, tuple]  # seconds, or (n, 'month'|'year')
 
 _SPAN_DAY = {86400}
@@ -114,7 +116,7 @@ def infer_delta(df: DataFrame, time_col: str,
     per-series and the union of per-series gap sets is classified.
     """
     t = F.col(time_col)
-    num = t.cast("double") if _is_temporal(df, time_col) else t.cast("double")
+    num = ts_seconds(df, time_col)
     distinct = (df.where(t.isNotNull())
                   .select(*series_cols, num.alias("__t"))
                   .distinct())
@@ -126,10 +128,6 @@ def infer_delta(df: DataFrame, time_col: str,
             .distinct()
             .collect())
     return TimeDelta.from_gaps([r["g"] for r in gaps])
-
-
-def _is_temporal(df: DataFrame, col: str) -> bool:
-    return dict(df.dtypes).get(col, "").startswith(("timestamp", "date"))
 
 
 def add_time(start: _dt.datetime, delta: Delta, quantity: int) -> _dt.datetime:
