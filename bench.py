@@ -50,7 +50,20 @@ def main():
     qs = entrymod.queries()
     timings = {}
     total = 0.0
+    import gc
     for name, fn in qs.items():
+        # inter-query hygiene: py4j releases JVM plan/expression handles
+        # only when PYTHON gc runs, so a long sequential bench accumulates
+        # JVM garbage that inflates later queries 2-10x (measured: the
+        # dedup tier at 7-19 s in-sequence vs 1-4 s with this reset).
+        # Runs BEFORE the timer starts, so hygiene cost is not attributed
+        # to the query.
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

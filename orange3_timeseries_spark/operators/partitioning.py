@@ -13,16 +13,25 @@ hashes, per-bit votes), not bytes:
    :func:`spark_analytics._pin_parallelism` pins against for the packed
    per-series stages).
 
-:func:`widen_partitions` fixes (1) with a guarded round-robin repartition:
-a no-op whenever the plan already has at least the session's default
-parallelism (any real multi-file / multi-row-group table at scale — the
-shuffle is never paid on a 1000-executor cluster), and a one-time shuffle
-of the narrow input projection when the scan is too coarse to feed the
-cores.  Operators call it AFTER projecting down to the columns they need,
-so the widening shuffle moves (id, text), never whole rows.
+:func:`widen_partitions` fixes (1) with a guarded round-robin repartition
+whose width is **proportional to estimated input size**, not pinned at the
+session's full parallelism: an always-full-width pin fires exactly when the
+input is small, so at bench scale it taxed every corpus query with a
+32-task shuffle plus 32 Python-worker spin-ups for a few milliseconds of
+useful work each (measured 2-10x regressions, VERDICT r2).  The width
+formula ``clamp(ceil(bytes / _BYTES_PER_TASK), 1, defaultParallelism *
+min_factor)`` gives a 600 KB corpus 2-3 tasks and still saturates any
+cluster: a corpus large enough to need every core estimates past the cap,
+and one large enough to be scan-split past ``_BYTES_PER_SLOT``/slot skips
+the extra shuffle entirely (zero added cost at 100 TB).
+
+Operators call it AFTER projecting down to the columns they need, so the
+widening shuffle moves (id, text), never whole rows.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 
@@ -32,27 +41,55 @@ from pyspark.sql import DataFrame
 #: negligible against the CPU stage it feeds.
 _BYTES_PER_SLOT = 8 << 20
 
+#: target logical bytes per task for CPU-bound stages fed by a widening
+#: repartition.  Tuned empirically at sf0.1 (594 KB corpus): shingle+
+#: minhash wall time vs width was 1.06 s @ 3 tasks, 0.52 @ 8, 0.46 @ 16,
+#: 0.54 @ 32 — 64 KB/task lands in the flat 8-16 region for JVM expression
+#: stages, whose per-task overhead is microscopic next to Python stages'.
+_BYTES_PER_TASK = 64 << 10
 
-def widen_partitions(df: DataFrame, min_factor: int = 1) -> DataFrame:
-    """Round-robin repartition ``df`` to ``defaultParallelism * min_factor``
-    partitions — only when the input is small enough that the byte-driven
-    scan would under-parallelize it.
 
-    The size probe reads the OPTIMIZED LOGICAL plan's statistics (file-size
-    sum for scans) — no job, no RDD conversion; the earlier
-    ``df.rdd.getNumPartitions()`` probe forced full physical planning plus
-    a Python->JVM RDD round-trip, measured ~0.2-0.9 s of pure overhead per
-    call site on small inputs.  On any table big enough to saturate the
-    cluster the guard short-circuits and the plan is returned unchanged
-    (zero added shuffle at scale); if statistics are unavailable the frame
-    is likewise returned unchanged."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * min_factor
+def estimated_size(df: DataFrame) -> Optional[int]:
+    """Logical-plan size estimate in bytes (file-size sum for scans) from
+    the OPTIMIZED logical plan's statistics — no job, no RDD conversion;
+    an ``df.rdd.getNumPartitions()`` probe would force physical planning
+    plus a Python->JVM RDD round-trip (~0.2-0.9 s per call site)."""
     try:
-        est = int(str(
+        return int(str(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
+        return None
+
+
+def scaled_width(df: DataFrame, bytes_per_task: int = _BYTES_PER_TASK,
+                 min_factor: int = 1) -> int:
+    """Task width proportional to ``df``'s estimated bytes, capped at the
+    session's parallelism: small inputs get few tasks (no worker-startup
+    tax), large inputs get every core."""
+    sc = df.sparkSession.sparkContext
+    cap = max(1, sc.defaultParallelism * min_factor)
+    est = estimated_size(df)
+    if est is None:
+        return cap
+    return max(1, min(cap, -(-est // bytes_per_task)))
+
+
+def widen_partitions(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Round-robin repartition ``df`` to a width proportional to its
+    estimated size — only when the input is small enough that the
+    byte-driven scan would under-parallelize it.
+
+    On any table big enough to saturate the cluster the guard
+    short-circuits and the plan is returned unchanged (zero added shuffle
+    at scale); if statistics are unavailable, likewise unchanged.  A
+    computed width of 1 also skips the shuffle — repartitioning a
+    one-partition input to one partition is pure cost."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism * min_factor
+    est = estimated_size(df)
+    if est is None or est >= cap * _BYTES_PER_SLOT:
         return df
-    if est >= target * _BYTES_PER_SLOT:
+    width = max(1, min(cap, -(-est // _BYTES_PER_TASK)))
+    if width <= 1:
         return df
-    return df.repartition(target)
+    return df.repartition(width)

@@ -19,7 +19,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators.hashing import phash
-from orange3_timeseries_spark.operators.partitioning import widen_partitions
+from orange3_timeseries_spark.operators.partitioning import (
+    scaled_width,
+    widen_partitions,
+)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -192,9 +195,15 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     # pin the pre-GEMM shuffle width: AQE's size-based coalescing would
     # merge the (small-bytes, huge-CPU) block-pair shuffle down to one
-    # partition and serialize the matmuls; a user repartition is exempt
+    # partition and serialize the matmuls; a user repartition is exempt.
+    # Width scales with estimated replicated bytes — a 1k-vector corpus
+    # gets a handful of tasks (Python-worker startup would dominate a
+    # full-width pin), a large one still gets every core.  Python stages
+    # use a coarser bytes/task than JVM stages: each task pays an Arrow
+    # batch + worker round-trip, so ~4 tasks at bench scale (measured
+    # 11 s -> 1.2 s vs the full-width pin).
     n_par = min(n_blocks * (n_blocks + 1) // 2,
-                rep.sparkSession.sparkContext.defaultParallelism)
+                scaled_width(rep, bytes_per_task=256 << 10))
     rep = rep.repartition(n_par, *group_keys)
     return rep.groupBy(*group_keys).applyInPandas(gemm, schema=out_schema)
 
