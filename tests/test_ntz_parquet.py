@@ -1,0 +1,162 @@
+"""Real driver-parquet regression tests (TIMESTAMP_NTZ environment drift).
+
+The driver's testdata stores ``ts`` as tz-naive parquet ``timestamp[us]``,
+which Spark 4 reads as ``TIMESTAMP_NTZ`` — a type that rejects
+``cast(... AS double)`` and event-time watermarks.  Round 2's suite built
+its frames with ``createDataFrame`` (always LTZ), so this whole class of
+breakage was invisible to pytest and only surfaced in the driver run
+(VERDICT r2).  These tests run one representative operator per family
+against the actual ``/root/testdata/sf0.001`` files, via the reader (which
+must normalize NTZ -> session-UTC timestamp) AND via a raw
+``spark.read.parquet`` frame (the library-user path, exercised through
+``ts_seconds``-based operators).
+"""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.sources import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def events_ntz(spark):
+    """The raw, un-normalized frame a library user might hand us."""
+    return spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+
+def test_reader_normalizes_ntz_to_session_timestamp(spark, events,
+                                                    events_ntz):
+    assert dict(events_ntz.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    # value-preserving under the UTC session zone: same wall-clock instants
+    a = events_ntz.agg(F.max(F.col("ts").cast("string"))).first()[0]
+    b = events.agg(F.max(F.col("ts").cast("string"))).first()[0]
+    assert a == b
+
+
+def test_time_range_pushdown_on_reader(spark):
+    lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
+    df = read_table(spark, SF_DIR, "events", time_col="ts",
+                    time_range=(lo, hi))
+    n = df.count()
+    assert 0 < n < 1000
+    got = df.agg(F.min("ts"), F.max("ts")).first()
+    assert got[0] >= lo and got[1] < hi
+
+
+def test_window_family_on_real_parquet(spark, events):
+    from orange3_timeseries_spark.operators.moving_transform import (
+        KEEP_ALL,
+        sliding_window,
+    )
+    tsf = TimeSeriesFrame(events, time_col="ts", series_cols=["user_id"])
+    out = sliding_window(tsf, {"value": ["mean"]}, 5, keep=KEEP_ALL)
+    assert out.df.where(F.col("value (mean)").isNotNull()).count() > 0
+
+
+def test_difference_family_on_real_parquet(spark, events):
+    from orange3_timeseries_spark.operators.difference import difference
+    tsf = TimeSeriesFrame(events, time_col="ts", series_cols=["user_id"])
+    out = difference(tsf, ["value"], op="diff")
+    assert "Δvalue" in out.df.columns and out.df.count() == events.count()
+
+
+def test_interpolate_family_on_real_parquet(spark, events):
+    from orange3_timeseries_spark.operators.interpolate import (
+        interpolate_timeseries,
+    )
+    base = events.withColumn(
+        "value", F.when(F.rand(7) < 0.2, None).otherwise(F.col("value")))
+    tsf = TimeSeriesFrame(base.select("ts", "value"), time_col="ts")
+    for method in ("linear", "nearest", "mean"):
+        out = interpolate_timeseries(tsf, method=method)
+        assert out.df.where(F.col("value").isNull()).count() == 0, method
+
+
+def test_interpolate_on_raw_ntz_frame(spark, events_ntz):
+    """Library-user path: an NTZ frame passed straight to the operator
+    (no reader normalization) must still interpolate via ts_seconds."""
+    from orange3_timeseries_spark.operators.interpolate import (
+        interpolate_timeseries,
+    )
+    base = events_ntz.withColumn(
+        "value", F.when(F.rand(7) < 0.2, None).otherwise(F.col("value")))
+    tsf = TimeSeriesFrame(base.select("ts", "value"), time_col="ts")
+    out = interpolate_timeseries(tsf, method="linear")
+    assert out.df.where(F.col("value").isNull()).count() == 0
+
+
+def test_sessionize_family_on_raw_ntz_frame(spark, events_ntz):
+    from orange3_timeseries_spark.operators.sessionize import session_table
+    out = session_table(events_ntz, "ts", ["user_id"], gap_seconds=3600.0)
+    row = out.agg(F.min("duration_seconds"), F.max("duration_seconds")) \
+             .first()
+    assert out.count() > 0 and row[0] >= 0.0
+
+
+def test_asof_tolerance_on_raw_ntz_frame(spark, events_ntz):
+    from orange3_timeseries_spark.operators.asof import asof_join
+    left = events_ntz.where(F.col("event_type") == "view") \
+        .select("ts", "user_id", "event_id")
+    right = events_ntz.where(F.col("event_type") == "purchase") \
+        .select("ts", "user_id", "value")
+    out = asof_join(left, right, time_col="ts", by=["user_id"],
+                    tolerance_seconds=86400.0)
+    assert out.count() == left.count()
+
+
+def test_interval_join_on_raw_ntz_frame(spark, events_ntz):
+    from orange3_timeseries_spark.operators.intervaljoin import interval_join
+    left = events_ntz.where(F.col("event_type") == "view") \
+        .select("ts", "user_id", "event_id")
+    right = events_ntz.where(F.col("event_type") == "purchase") \
+        .select("ts", "user_id", "value")
+    out = interval_join(left, right, time_col="ts", by=["user_id"],
+                        window_seconds=3600.0)
+    assert out.where(F.abs(F.col("dt_seconds")) > 3600.0).count() == 0
+
+
+def test_infer_delta_on_real_parquet(spark, events):
+    from orange3_timeseries_spark.timedelta import infer_delta
+    delta = infer_delta(events.limit(500), "ts")
+    assert delta is not None
+
+
+def test_analytics_packed_times_on_real_parquet(spark, events):
+    """with_times packing (the Lomb-Scargle path) on real timestamps."""
+    from orange3_timeseries_spark.spark_analytics import periodogram_table
+    sub = events.where(F.col("user_id") < 5)
+    tsf = TimeSeriesFrame(sub.select("ts", "user_id", "value"),
+                          time_col="ts", series_cols=["user_id"])
+    out = periodogram_table(tsf, "value", equispaced=False, n_periods=50)
+    assert out.count() > 0
+
+
+def test_streaming_watermark_on_real_parquet(spark):
+    from orange3_timeseries_spark.sources.readers import read_table_stream
+    from orange3_timeseries_spark.streaming.ops import (
+        run_to_memory,
+        stream_window_aggregation,
+    )
+    sdf = read_table_stream(spark, SF_DIR, "events")
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    agg = stream_window_aggregation(sdf, "ts", [("value", "mean")],
+                                    "1 hour", watermark="2 hours")
+    q = run_to_memory(agg, "ntz_wm_check")
+    n = spark.table("ntz_wm_check").count()
+    q.stop()
+    assert n > 0
