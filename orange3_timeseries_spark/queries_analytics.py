@@ -31,21 +31,40 @@ WITH s AS (
          count(*) OVER (PARTITION BY user_id) AS n
   FROM events),
 p AS (
-  SELECT a.user_id, (b.rn - a.rn) AS lag, sum(a.xd * b.xd) AS sp
+  SELECT a.user_id, (b.rn - a.rn) AS lag, sum(a.xd * b.xd) AS sp,
+         any_value(a.n) AS n
   FROM s a JOIN s b
     ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 0 AND 20
-  GROUP BY 1, 2)
-SELECT user_id, CAST(lag AS INT) AS lag,
-       round(sp / first_value(sp) OVER (PARTITION BY user_id ORDER BY lag), 6)
-           AS acf
-FROM p
+  GROUP BY 1, 2),
+a2 AS (
+  SELECT user_id, lag, n,
+         sp / first_value(sp) OVER (PARTITION BY user_id ORDER BY lag) AS acf
+  FROM p),
+c AS (  -- Bartlett: var[k] = (1 + 2*sum_{0<j<k} acf_j^2)/n, 1/n at k=1
+  SELECT user_id, lag, n, acf,
+         CASE WHEN lag = 0 THEN 0.0
+              WHEN lag = 1 THEN 1.0 / n
+              ELSE (1 + 2 * coalesce(
+                      sum(CASE WHEN lag >= 1 THEN acf * acf END)
+                        OVER (PARTITION BY user_id ORDER BY lag
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)) / n
+         END AS varacf
+  FROM a2)
+SELECT user_id, CAST(lag AS INT) AS lag, round(acf, 6) AS acf,
+       round(acf - 1.959963986120195 * sqrt(varacf), 6) AS ci_low,
+       round(acf + 1.959963986120195 * sqrt(varacf), 6) AS ci_high
+FROM c
 """)
 def q_acf_by_user(spark, sf_dir):
-    """Per-series biased ACF, lags 0..20 — NumPy FFT core under
-    applyInPandas, oracle = direct autocovariance self-join."""
+    """Per-series biased ACF with Bartlett 95% confints, lags 0..20 —
+    NumPy FFT core under applyInPandas, oracle = direct autocovariance
+    self-join + windowed cumulative Bartlett variance."""
     from orange3_timeseries_spark.spark_analytics import acf_table
-    out = acf_table(_events(spark, sf_dir), "value", nlags=20)
-    return out.select("user_id", "lag", r6(F.col("acf"), "acf"))
+    out = acf_table(_events(spark, sf_dir), "value", nlags=20, alpha=0.05)
+    return out.select("user_id", "lag", r6(F.col("acf"), "acf"),
+                      r6(F.col("ci_low"), "ci_low"),
+                      r6(F.col("ci_high"), "ci_high"))
 
 
 @query("pacf_by_user", None)

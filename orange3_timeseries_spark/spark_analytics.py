@@ -160,11 +160,22 @@ def _packed_map(tsf: TimeSeriesFrame, cols, extra_fields, per_series,
 
 
 def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
-              significant_only: bool = False) -> DataFrame:
+              significant_only: bool = False,
+              alpha: Optional[float] = None) -> DataFrame:
     """Per-series ACF rows (series..., lag, acf); with ``significant_only``
-    just the reference's significant peaks (``functions.py:192-218``)."""
+    just the reference's significant peaks (``functions.py:192-218``).
+
+    ``alpha`` adds Bartlett-formula confidence intervals (``ci_low``,
+    ``ci_high`` per lag) exactly as the reference's
+    ``autocorrelation(..., alpha=)`` passthrough to statsmodels
+    (``functions.py:208-218``): ``var[k] = (1 + 2*sum_{j<k} acf_j^2)/n``
+    for ``k > 1``, ``1/n`` at lag 1, 0 at lag 0, interval centered on the
+    acf value."""
     fields = [T.StructField("lag", T.IntegerType()),
               T.StructField("acf", T.DoubleType())]
+    if alpha is not None:
+        fields += [T.StructField("ci_low", T.DoubleType()),
+                   T.StructField("ci_high", T.DoubleType())]
 
     def per_series(r):
         x = np.asarray(r[col], dtype=float)
@@ -174,20 +185,42 @@ def acf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
         if len(x) < 3 or nl < 1:
             return None
         vals = acf_values(x, nl)
+        idx = np.arange(len(vals))
+        if alpha is not None:
+            from orange3_timeseries_spark.models._stats import norm_ppf
+
+            varacf = np.ones_like(vals) / len(x)
+            varacf[0] = 0.0
+            if len(vals) > 2:
+                varacf[2:] *= 1 + 2 * np.cumsum(vals[1:-1] ** 2)
+            half = norm_ppf(1 - alpha / 2.0) * np.sqrt(varacf)
+            lo, hi = vals - half, vals + half
         if significant_only:
             rows = _significant(vals)
+            keep = rows[:, 0].astype(int)
         else:
-            rows = np.column_stack((np.arange(len(vals)), vals))
-        return {"lag": rows[:, 0].astype("int32"), "acf": rows[:, 1]}
+            rows = np.column_stack((idx, vals))
+            keep = idx
+        out = {"lag": rows[:, 0].astype("int32"), "acf": rows[:, 1]}
+        if alpha is not None:
+            out["ci_low"] = lo[keep]
+            out["ci_high"] = hi[keep]
+        return out
 
     return _packed_map(tsf, [col], fields, per_series)
 
 
 def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
-               significant_only: bool = False) -> DataFrame:
-    """Per-series PACF rows (``functions.py:221-246``)."""
+               significant_only: bool = False,
+               alpha: Optional[float] = None) -> DataFrame:
+    """Per-series PACF rows (``functions.py:221-246``).  ``alpha`` adds
+    the statsmodels-convention intervals ``pacf ± z(1-alpha/2)/sqrt(n)``
+    (constant variance, 0 at lag 0), centered on the pacf value."""
     fields = [T.StructField("lag", T.IntegerType()),
               T.StructField("pacf", T.DoubleType())]
+    if alpha is not None:
+        fields += [T.StructField("ci_low", T.DoubleType()),
+                   T.StructField("ci_high", T.DoubleType())]
 
     def per_series(r):
         x = np.asarray(r[col], dtype=float)
@@ -197,11 +230,25 @@ def pacf_table(tsf: TimeSeriesFrame, col: str, nlags: Optional[int] = None,
         if len(x) < 4 or nl < 1:
             return None
         vals = pacf_values(x, nl)
+        idx = np.arange(len(vals))
+        if alpha is not None:
+            from orange3_timeseries_spark.models._stats import norm_ppf
+
+            half = np.full_like(vals, norm_ppf(1 - alpha / 2.0)
+                                / np.sqrt(len(x)))
+            half[0] = 0.0
+            lo, hi = vals - half, vals + half
         if significant_only:
             rows = _significant(vals)
+            keep = rows[:, 0].astype(int)
         else:
-            rows = np.column_stack((np.arange(len(vals)), vals))
-        return {"lag": rows[:, 0].astype("int32"), "pacf": rows[:, 1]}
+            rows = np.column_stack((idx, vals))
+            keep = idx
+        out = {"lag": rows[:, 0].astype("int32"), "pacf": rows[:, 1]}
+        if alpha is not None:
+            out["ci_low"] = lo[keep]
+            out["ci_high"] = hi[keep]
+        return out
 
     return _packed_map(tsf, [col], fields, per_series)
 

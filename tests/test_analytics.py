@@ -120,6 +120,47 @@ def test_spark_acf_matches_numpy(spark, airpassengers):
     np.testing.assert_allclose(got, expected, atol=1e-9)
 
 
+def test_spark_acf_confints_bartlett(spark, airpassengers):
+    """alpha= emits Bartlett CIs matching the statsmodels formula the
+    reference passes through (functions.py:208-218): var[0]=0,
+    var[1]=1/n, var[k]=(1+2*sum_{j<k} acf_j^2)/n, centered on acf."""
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.models._stats import norm_ppf
+    from orange3_timeseries_spark.spark_analytics import acf_table
+    from orange3_timeseries_spark.functions.correlation import acf_values
+
+    rows = [(int(i), float(v)) for i, v in enumerate(airpassengers)]
+    df = spark.createDataFrame(rows, "__row_idx__ int, x double")
+    out = (acf_table(TimeSeriesFrame(df), "x", nlags=20, alpha=0.05)
+           .orderBy("lag").collect())
+    acf = acf_values(airpassengers, 20)
+    n = len(airpassengers)
+    var = np.ones_like(acf) / n
+    var[0] = 0.0
+    var[2:] *= 1 + 2 * np.cumsum(acf[1:-1] ** 2)
+    half = norm_ppf(0.975) * np.sqrt(var)
+    np.testing.assert_allclose([r["ci_low"] for r in out], acf - half,
+                               atol=1e-9)
+    np.testing.assert_allclose([r["ci_high"] for r in out], acf + half,
+                               atol=1e-9)
+
+
+def test_spark_pacf_confints(spark, airpassengers):
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.models._stats import norm_ppf
+    from orange3_timeseries_spark.spark_analytics import pacf_table
+
+    rows = [(int(i), float(v)) for i, v in enumerate(airpassengers)]
+    df = spark.createDataFrame(rows, "__row_idx__ int, x double")
+    out = (pacf_table(TimeSeriesFrame(df), "x", nlags=10, alpha=0.05)
+           .orderBy("lag").collect())
+    half = norm_ppf(0.975) / np.sqrt(len(airpassengers))
+    assert out[0]["ci_low"] == pytest.approx(out[0]["pacf"])
+    for r in out[1:]:
+        assert r["ci_high"] - r["pacf"] == pytest.approx(half, abs=1e-9)
+        assert r["pacf"] - r["ci_low"] == pytest.approx(half, abs=1e-9)
+
+
 def test_spark_decompose_invariant(spark, airpassengers):
     from orange3_timeseries_spark.frame import TimeSeriesFrame
     from orange3_timeseries_spark.spark_analytics import seasonal_decompose
