@@ -44,11 +44,6 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
                            ) -> TimeSeriesFrame:
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}")
-    if multivariate and method not in ("nearest", "linear"):
-        raise NotImplementedError(
-            "multivariate 'cubic' needs 2-D Clough-Tocher splines "
-            "(scipy.griddata(method='cubic'), functions.py:301-318); the "
-            "'nearest' and 'linear' variants are implemented scipy-free")
 
     had_idx = ROW_IDX in tsf.df.columns
     tsf = tsf.with_row_index()
@@ -58,13 +53,15 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
         if dtype == "string" and name not in tsf.series_cols
         and tsf.roles.get(name) != "meta" and name != tsf.time_col]
 
-    if multivariate and method in ("nearest", "linear") \
+    if multivariate and method in ("nearest", "linear", "cubic") \
             and len(value_cols) >= 3:
         # 2-D pre-pass over (row, column) index space (the reference's
         # griddata call interpolates the VALUE MATRIX as a surface,
-        # ``functions.py:314-317``), then the 1-D pass mops up
+        # ``functions.py:314-317``; 'cubic' = Clough-Tocher, scipy-free
+        # port in ``functions._griddata``), then the 1-D pass mops up
         tsf = tsf._with_df(_multivariate_fill(tsf, value_cols, method))
-        df = _native(tsf, value_cols, method)
+        df = _cubic(tsf, value_cols) if method == "cubic" \
+            else _native(tsf, value_cols, method)
     elif method == "cubic":
         df = _cubic(tsf, value_cols)
     else:
@@ -292,9 +289,12 @@ def _multivariate_fill(tsf: TimeSeriesFrame, value_cols, method: str):
                 A[ni, nj] = A[di[pick], dj[pick]]
             else:
                 from orange3_timeseries_spark.functions._griddata import (
+                    griddata_cubic,
                     griddata_linear,
                 )
-                vals = griddata_linear(
+                fill2d = griddata_cubic if method == "cubic" \
+                    else griddata_linear
+                vals = fill2d(
                     np.column_stack([di, dj]).astype(float),
                     A[di, dj],
                     np.column_stack([ni, nj]).astype(float))

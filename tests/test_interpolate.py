@@ -160,15 +160,108 @@ class TestMultivariateNearest:
         assert got[0] == (1.0, 10.0, 100.0)
         assert got[3] == (4.0, 40.0, 400.0)
 
-    def test_multivariate_cubic_raises(self, spark):
+    def test_multivariate_cubic_fills_planar_exactly(self, spark):
+        """Clough-Tocher pre-pass (functions.py:311-316 method
+        passthrough): a planar matrix with interior NaNs is recovered
+        exactly (CT reproduces linear fields), nothing stays NaN."""
         from orange3_timeseries_spark.frame import TimeSeriesFrame
         from orange3_timeseries_spark.operators.interpolate import (
             interpolate_timeseries,
         )
-        df = spark.createDataFrame([(0, 1.0)], "t long, a double")
-        tsf = TimeSeriesFrame(df, time_col=None)
-        with pytest.raises(NotImplementedError, match="Clough-Tocher"):
-            interpolate_timeseries(tsf, "cubic", multivariate=True)
+
+        def plane(i, j):
+            return 2.0 * i - 3.0 * j + 5.0
+
+        rows = []
+        for i in range(8):
+            vals = [plane(i, j) for j in range(4)]
+            if i == 3:
+                vals[1] = None
+            if i == 5:
+                vals[2] = None
+            rows.append((i, *vals))
+        df = spark.createDataFrame(
+            rows, "t long, a double, b double, c double, d double")
+        tsf = TimeSeriesFrame(df, time_col=None,
+                              series_cols=[]).with_row_index(["t"])
+        out = interpolate_timeseries(tsf, "cubic", multivariate=True,
+                                     cols=["a", "b", "c", "d"])
+        got = {r["t"]: (r["a"], r["b"], r["c"], r["d"])
+               for r in out.df.collect()}
+        for i in range(8):
+            for j in range(4):
+                assert got[i][j] == pytest.approx(plane(i, j), abs=1e-8), \
+                    (i, j)
+
+
+class TestGriddataCubic:
+    """Scipy-free Clough-Tocher (reference functions.py:311-316 cubic
+    passthrough).  Triangulation-independent invariants: exact on linear
+    fields, exact quadratic reproduction given exact gradients (the
+    defining reduced-HCT property), node interpolation, NaN outside the
+    hull."""
+
+    def test_linear_field_exact(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions._griddata import (
+            griddata_cubic,
+        )
+
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(0, 10, size=(60, 2))
+        vals = 2.0 * pts[:, 0] - 3.0 * pts[:, 1] + 5.0
+        q = rng.uniform(2, 8, size=(40, 2))
+        got = griddata_cubic(pts, vals, q)
+        want = 2.0 * q[:, 0] - 3.0 * q[:, 1] + 5.0
+        assert np.allclose(got, want, atol=1e-8)
+
+    def test_quadratic_exact_with_exact_gradients(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions._griddata import (
+            _bezier3,
+            _ct_controls,
+        )
+
+        P = np.array([[0.0, 0.0], [2.0, 0.3], [0.7, 1.9]])
+
+        def fq(x, y):
+            return 1 + 2 * x - y + 0.5 * x * x + 0.3 * x * y - 0.7 * y * y
+
+        def gq(x, y):
+            return np.array([2 + x + 0.3 * y, -1 + 0.3 * x - 1.4 * y])
+
+        f = np.array([fq(*p) for p in P])
+        g = np.array([gq(*p) for p in P])
+        A, B, D = _ct_controls(P, f, g)
+        rng = np.random.RandomState(7)
+        for _ in range(100):
+            lam = rng.dirichlet([1.0, 1.0, 1.0])
+            qx, qy = lam @ P
+            s = int(lam.argmin())
+            patch, (i, j) = {2: (A, (0, 1)), 0: (B, (1, 2)),
+                             1: (D, (2, 0))}[s]
+            v = _bezier3(patch, lam[i] - lam[s], lam[j] - lam[s],
+                         3 * lam[s])
+            assert v == pytest.approx(fq(qx, qy), abs=1e-9)
+
+    def test_node_interpolation_and_hull(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions._griddata import (
+            griddata_cubic,
+        )
+
+        rng = np.random.RandomState(11)
+        pts = rng.uniform(0, 10, size=(40, 2))
+        vals = np.sin(pts[:, 0]) + pts[:, 1] ** 2 / 20.0
+        got = griddata_cubic(pts, vals, pts)
+        inside = ~np.isnan(got)
+        assert inside.sum() >= 38  # hull-boundary float slack
+        assert np.allclose(got[inside], vals[inside], atol=1e-9)
+        far = griddata_cubic(pts, vals, np.array([[100.0, 100.0]]))
+        assert np.isnan(far[0])
 
 
 class TestMultivariateLinear:
