@@ -19,13 +19,23 @@ import uuid
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.queries import query, r6
-from orange3_timeseries_spark.sources import read_table_stream
+from orange3_timeseries_spark.sources import read_table, read_table_stream
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
     stream_difference,
     stream_session_window,
     stream_window_aggregation,
 )
+
+
+def _state_width(spark, sf_dir, name="events"):
+    """State-store instance count for a replay of one table: proportional
+    to the table's bytes (``scaled_width``), full parallelism at real
+    volume — 32 state-store setups for kilobytes of state cost more than
+    the aggregation itself (measured 8.8 s -> 2.2 s at sf0.1)."""
+    from orange3_timeseries_spark.operators.partitioning import scaled_width
+    return scaled_width(read_table(spark, sf_dir, name),
+                        bytes_per_task=256 << 10)
 
 
 @query("streaming_hourly_window", """
@@ -53,7 +63,8 @@ def q_streaming_hourly_window(spark, sf_dir):
         r6(F.col("`value (mean)`"), "mean_v"),
         r6(F.col("`value (sum)`"), "sum_v"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="complete")
+    run_to_memory(out, name, output_mode="complete",
+                  state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -82,7 +93,8 @@ def q_streaming_stateful_diff(spark, sf_dir):
                       r6(F.col("delta"), "delta")) \
         .where(F.col("delta").isNotNull())
     name = "stream_diff_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append")
+    run_to_memory(out, name, output_mode="append",
+                  state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -130,5 +142,6 @@ def q_streaming_session_window(spark, sf_dir):
         F.col("Instance count").alias("n"),
         r6(F.col("`value (sum)`"), "sum_v"))
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append")
+    run_to_memory(out, name, output_mode="append",
+                  state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)

@@ -120,12 +120,34 @@ def stream_difference(sdf: DataFrame, time_col: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
+                  state_partitions: Optional[int] = None):
     """Drain all available input into an in-memory table ``name`` and stop
-    — the test/batch-replay harness (``trigger(availableNow=True)``)."""
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True).start())
+    — the test/batch-replay harness (``trigger(availableNow=True)``).
+
+    ``state_partitions`` sizes the stateful-operator shuffle (= the number
+    of state-store instances, fixed at stream start for the checkpoint's
+    lifetime).  Spark defaults it to ``spark.sql.shuffle.partitions``,
+    which for a small replay means paying e.g. 32 state-store setups for
+    kilobytes of state — measured 8.8 s -> 2.2 s at sf0.1 going 32 -> 8.
+    A production deployment sizes this to key cardinality / throughput
+    explicitly; callers here derive it from the estimated input bytes
+    (``operators.partitioning.scaled_width``), so a real volume still
+    gets every core.  The session conf is restored after start (the
+    running query keeps the value it was started with)."""
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(int(state_partitions)))
+    try:
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True).start())
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
     q.awaitTermination()
     return q
 
