@@ -147,12 +147,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                      minhash_signature_expr(sh, k).alias("sig"))
     # candidate generation on SKINNY rows (id, band, band_key) only — the
     # shingle arrays stay out of the band join and the pair-dedup shuffle
+    # band keys never surface (any injective hash of the band tuple gives
+    # the same collision classes) — xxhash64 over the struct skips both
+    # the md5 and the string concat
     band_entries = base.select(
         id_col,
         F.posexplode(F.array(*[
-            phash(F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)]))
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("band", "band_key"))
     a = band_entries.alias("a")
@@ -311,13 +313,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = df.select(F.col(id_col),
                    shingles_expr(F.col(text_col), n).alias("sh"),
                    *([block_col] if block_col else []))
-    # postings join on the 60-bit hash of the shingle, not the string:
+    # postings join on a 64-bit hash of the shingle, not the string:
     # int64 keys shuffle/compare ~3x cheaper and the two self-join sides
-    # share one identical exchange (ReusedExchange computes the scan once)
+    # share one identical exchange (ReusedExchange computes the scan once).
+    # xxhash64, not the md5 phash: the hash never surfaces in the output
+    # (only ids + jaccard do), so oracle portability doesn't apply and the
+    # JVM-native hash saves one md5 per posting row — the scan's dominant
+    # CPU at ~500 shingles/doc.
     posting = sh.select(F.col(id_col), F.size("sh").alias("n"),
                         F.explode("sh").alias("s"),
                         *([block_col] if block_col else [])) \
-                .select(F.col(id_col), "n", phash(F.col("s")).alias("s"),
+                .select(F.col(id_col), "n", F.xxhash64(F.col("s")).alias("s"),
                         *([block_col] if block_col else []))
     if max_df is not None:
         from pyspark.sql import Window
