@@ -257,3 +257,33 @@ class TestSessionWindow:
         assert (got["session_start"] == want["session_start"]).all()
         assert (got["session_end"] == want["session_end"]).all()
         assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+class TestStatePartitions:
+    def test_run_to_memory_restores_shuffle_conf(self, spark):
+        """state_partitions pins the stateful-shuffle width for the stream
+        (StreamExecution clones the session at start, freezing confs) and
+        restores the session value afterwards."""
+        import uuid
+
+        import pyspark.sql.functions as SF
+
+        from orange3_timeseries_spark.sources import read_table_stream
+        from orange3_timeseries_spark.streaming.ops import (
+            run_to_memory,
+            stream_window_aggregation,
+        )
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        sdf = read_table_stream(spark, "/root/testdata/sf0.001", "events")
+        agg = stream_window_aggregation(
+            sdf, "ts", [("value", "mean")], "1 hour", watermark="1 hour")
+        name = "sp_test_" + uuid.uuid4().hex[:8]
+        run_to_memory(agg, name, output_mode="complete", state_partitions=2)
+        assert spark.conf.get(key) == before
+        # the replay itself is correct at the pinned width
+        got = spark.table(name).agg(SF.sum("Instance count")).collect()[0][0]
+        from orange3_timeseries_spark.sources import read_table
+        want = read_table(spark, "/root/testdata/sf0.001", "events").count()
+        assert got == want
