@@ -2,11 +2,14 @@
 
 ``acf_by_user`` has a full DuckDB oracle: the biased FFT ACF computed by the
 NumPy core is cross-checked against a direct self-join autocovariance in
-SQL.  The remaining algorithms (PACF via Levinson-Durbin, spectral peak
-picking, classical decomposition, Granger F-tests) are not reasonably
-SQL-expressible — they are registered without oracles (driver records a
-rows-only check) and are covered by the reference-golden pytest suite
-instead (tests/test_analytics.py).
+SQL (plus Bartlett confints via a windowed cumulative variance).
+``pacf_by_user`` replays the Levinson-Durbin recursion itself as a DuckDB
+recursive CTE carrying the phi-coefficient list — also a full value-hash
+oracle.  The remaining algorithms (spectral peak picking beyond the
+periodogram oracle, Granger F-sf p-values, MA-term forecasts) are not
+reasonably SQL-expressible — they are registered without oracles (driver
+records a rows-only check) and are covered by the reference-golden pytest
+suite instead (tests/test_analytics.py).
 """
 
 from __future__ import annotations
@@ -67,10 +70,45 @@ def q_acf_by_user(spark, sf_dir):
                       r6(F.col("ci_high"), "ci_high"))
 
 
-@query("pacf_by_user", None)
+@query("pacf_by_user", """
+WITH RECURSIVE
+s AS (
+  SELECT user_id, value - avg(value) OVER (PARTITION BY user_id) AS xd,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+ac AS (  -- biased autocovariance, lags 0..10
+  SELECT a.user_id, (b.rn - a.rn) AS lag,
+         sum(a.xd * b.xd) / any_value(a.n) AS acov
+  FROM s a JOIN s b ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 0 AND 10
+  GROUP BY 1, 2),
+acl AS (SELECT user_id, list(acov ORDER BY lag) AS ac FROM ac GROUP BY 1),
+ld AS (  -- Levinson-Durbin: k-th step carries phi_{k,1..k} and the
+         -- innovation variance den_k; phi lists are 1-indexed
+  SELECT user_id, 1 AS k, [ac[2]/ac[1]] AS phi,
+         ac[1] * (1 - (ac[2]/ac[1])*(ac[2]/ac[1])) AS den, ac
+  FROM acl
+  UNION ALL
+  SELECT user_id, k + 1 AS k,
+         list_append(list_transform(range(1, k+1),
+                                    j -> phi[j] - kk * phi[k+1-j]), kk)
+             AS phi,
+         den * (1 - kk*kk) AS den, ac
+  FROM (
+    SELECT user_id, k, phi, den, ac,
+           (ac[k+2] - coalesce(list_sum(list_transform(range(1, k+1),
+                j -> phi[j] * ac[k+2-j])), 0)) / den AS kk
+    FROM ld WHERE k < 10) t
+)
+SELECT user_id, 0 AS lag, 1.0 AS pacf FROM acl
+UNION ALL
+SELECT user_id, k AS lag, round(phi[k], 6) AS pacf FROM ld
+""")
 def q_pacf_by_user(spark, sf_dir):
-    """Per-series PACF (Levinson-Durbin) — rows-only check; golden-tested
-    against the reference's airpassengers lags in tests/test_analytics.py."""
+    """Per-series PACF (Levinson-Durbin) — full value-hash oracle: the
+    recursion is replayed in DuckDB as a recursive CTE carrying the
+    phi-coefficient list (verified element-exact vs the NumPy core);
+    also golden-tested on airpassengers in tests/test_analytics.py."""
     from orange3_timeseries_spark.spark_analytics import pacf_table
     out = pacf_table(_events(spark, sf_dir), "value", nlags=10)
     return out.select("user_id", "lag", r6(F.col("pacf"), "pacf"))
