@@ -694,12 +694,102 @@ def q_from_sequence_monthly(spark, sf_dir):
     return tsf.df.select("user_id", "event_id", "T")
 
 
-@query("interp_cubic", None)
+@query("interp_cubic", """
+WITH RECURSIVE
+base AS (
+  -- t replays pandas' datetime64[ns].astype(int64)/1e9 exactly: the nanos
+  -- exceed 2^53, so the int64->double conversion rounds BEFORE the divide;
+  -- epoch() (exact micros / 1e6) would differ by up to ~1e-6 s, which a
+  -- 50 ms knot gap amplifies to ~1e-4 in the spline value
+  SELECT user_id, event_id, epoch_ns(ts)::DOUBLE / 1000000000.0 AS t,
+         CASE WHEN value > 150 THEN NULL ELSE value END AS v
+  FROM events),
+k AS (
+  SELECT user_id, list(t ORDER BY t) AS kt, list(v ORDER BY t) AS ky,
+         count(*)::INT AS n
+  FROM base WHERE v IS NOT NULL GROUP BY 1),
+coef AS (  -- tridiagonal coefficients, 1-indexed over interior rows 1..m
+  SELECT user_id, kt, ky, n, n - 2 AS m,
+         list_transform(range(1, n), i -> kt[i+1] - kt[i]) AS h
+  FROM k WHERE n >= 3),
+abcd AS (
+  SELECT user_id, kt, ky, n, m, h,
+         list_transform(range(1, m+1), i -> h[i]) AS a,
+         list_transform(range(1, m+1), i -> 2*(h[i] + h[i+1])) AS b,
+         list_transform(range(1, m+1), i -> h[i+1]) AS c,
+         list_transform(range(1, m+1), i ->
+             6*((ky[i+2]-ky[i+1])/h[i+1] - (ky[i+1]-ky[i])/h[i])) AS d
+  FROM coef),
+fwd AS (  -- Thomas forward sweep
+  SELECT user_id, kt, ky, n, m, a, b, c, d, 1 AS i,
+         [c[1]/b[1]] AS cp, [d[1]/b[1]] AS dp
+  FROM abcd
+  UNION ALL
+  SELECT user_id, kt, ky, n, m, a, b, c, d, i + 1 AS i,
+         list_append(cp, CASE WHEN i + 1 < m
+                              THEN c[i+1] / (b[i+1] - a[i+1]*cp[i])
+                              ELSE 0.0 END) AS cp,
+         list_append(dp, (d[i+1] - a[i+1]*dp[i])
+                         / (b[i+1] - a[i+1]*cp[i])) AS dp
+  FROM fwd WHERE i < m),
+fin AS (SELECT * FROM fwd WHERE i = m),
+bwd AS (  -- back substitution: M 1-indexed length n, M[1]=M[n]=0
+  SELECT user_id, kt, ky, n, m, cp, dp, m - 1 AS j,
+         [dp[m]] AS mtail      -- mtail holds M[j+2..m+1]
+  FROM fin
+  UNION ALL
+  SELECT user_id, kt, ky, n, m, cp, dp, j - 1 AS j,
+         list_prepend(dp[j] - cp[j]*mtail[1], mtail) AS mtail
+  FROM bwd WHERE j >= 1),
+mm AS (  -- assemble M = [0, interior..., 0]
+  SELECT user_id, kt, ky, n,
+         list_prepend(0.0, list_append(mtail, 0.0)) AS M
+  FROM bwd WHERE j = 0),
+interp3 AS (  -- spline evaluation for missing rows of n>=3 users
+  SELECT b.user_id, b.event_id,
+         CASE
+           WHEN b.t <= kt[1] THEN ky[1]
+           WHEN b.t >= kt[n] THEN ky[n]
+           -- exact NumPy grouping: A*y0 + B*y1 + ((A^3-A)M0 + (B^3-B)M1)
+           --                        * h^2 / 6  (left-assoc, pow via libm)
+           ELSE (
+             (kt[s+1]-b.t)/(kt[s+1]-kt[s]) * ky[s]
+             + (b.t-kt[s])/(kt[s+1]-kt[s]) * ky[s+1]
+             + ((pow((kt[s+1]-b.t)/(kt[s+1]-kt[s]), 3)
+                 - (kt[s+1]-b.t)/(kt[s+1]-kt[s])) * M[s]
+                + (pow((b.t-kt[s])/(kt[s+1]-kt[s]), 3)
+                   - (b.t-kt[s])/(kt[s+1]-kt[s])) * M[s+1])
+               * ((kt[s+1]-kt[s]) * (kt[s+1]-kt[s])) / 6.0)
+         END AS vi
+  FROM (SELECT base.*,
+               least(greatest(len(list_filter(mm.kt, e -> e < base.t)), 1),
+                     mm.n - 1) AS s,
+               mm.kt, mm.ky, mm.n, mm.M
+        FROM base JOIN mm USING (user_id)
+        WHERE base.v IS NULL) b),
+interp2 AS (  -- n == 2: linear with edge clamps (np.interp path)
+  SELECT base.user_id, base.event_id,
+         CASE WHEN base.t <= kt[1] THEN ky[1]
+              WHEN base.t >= kt[2] THEN ky[2]
+              ELSE ky[1] + (ky[2]-ky[1]) * (base.t-kt[1]) / (kt[2]-kt[1])
+         END AS vi
+  FROM base JOIN k USING (user_id)
+  WHERE base.v IS NULL AND k.n = 2),
+filled AS (
+  SELECT user_id, event_id, vi FROM interp3
+  UNION ALL SELECT user_id, event_id, vi FROM interp2)
+SELECT base.user_id, base.event_id,
+       round(coalesce(base.v, filled.vi), 6) AS vi
+FROM base LEFT JOIN filled USING (user_id, event_id)
+""")
 def q_interp_cubic(spark, sf_dir):
     """Natural cubic-spline fill over the time axis (``functions.py:336``,
     scipy ``interp1d(kind='cubic')`` semantics, NumPy tridiagonal solve in
-    applyInPandas) — rows-only check; spline algebra is golden-tested in
-    tests/test_interpolate.py."""
+    applyInPandas) — full value-hash oracle: the Thomas forward sweep and
+    back substitution are replayed as DuckDB recursive CTEs carrying the
+    cp/dp and M coefficient lists (natural boundary M[1]=M[n]=0, edge
+    clamping, and the n==2 linear fallback all replicated); also
+    golden-tested in tests/test_interpolate.py."""
     from orange3_timeseries_spark.operators.interpolate import (
         interpolate_timeseries,
     )
