@@ -435,3 +435,20 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     edge_list.unpersist()
     return labels.select(F.col("n").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus: keep exactly one document per
+    near-duplicate cluster (the minimum-id canonical representative) and
+    every unclustered document — the terminal step of any dedup pipeline,
+    emitting the corpus that actually ships to training.
+
+    Plan: :func:`dedup_clusters` labels (one bounded collect or the
+    distributed label loop), filter to ``cluster_id == id``, then a semi
+    join back onto the full rows.  The keep-set is skinny (one id per
+    survivor) so Spark broadcasts it at any realistic dup rate; the full
+    document payload is never shuffled."""
+    labels = dedup_clusters(df, pairs, id_col)
+    keep = (labels.where(F.col("cluster_id") == F.col(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")

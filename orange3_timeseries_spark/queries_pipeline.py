@@ -434,6 +434,37 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(d, pairs, "doc_id")
 
 
+def _dedup_corpus_sql():
+    pairs = _minhash_pairs_sql()
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s
+),
+lab AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY id)
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d JOIN lab USING (doc_id)
+WHERE lab.cluster_id = d.doc_id
+"""
+
+
+@query("dedup_corpus", _dedup_corpus_sql())
+def q_dedup_corpus(spark, sf_dir):
+    """The DEDUPLICATED corpus — the terminal dedup-pipeline step: keep
+    one canonical document (min id) per near-duplicate cluster plus all
+    unclustered documents; oracle = recursive-CTE label propagation with
+    the canonical filter."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                                threshold=0.2)
+    out = D.dedup_corpus(d, pairs, "doc_id")
+    return out.select("doc_id", F.length("text").alias("n_chars"))
+
+
 @query("dedup_exact_normalized", """
 WITH n AS (
   SELECT doc_id,

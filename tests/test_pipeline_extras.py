@@ -167,3 +167,30 @@ def test_redact_pii_clean_text_untouched(spark):
     r = redact_pii(df, "txt").collect()[0]
     assert r["txt_redacted"] == "no pii here at all"
     assert r["n_email"] == 0 and r["n_phone"] == 0
+
+
+def test_dedup_corpus_keeps_canonical_per_cluster(spark):
+    """dedup_corpus keeps the min-id representative of each near-dup
+    cluster and every unclustered doc: docs 1/2/3 are near-identical
+    (one cluster -> keep 1), 10 and 20 are unique."""
+    from orange3_timeseries_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the tall green fence nearby")
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base + " more"),
+        (10, "completely different words about spark catalyst optimizer "
+             "plans shuffles partitions and adaptive execution engines"),
+        (20, "yet another unrelated document mentioning parquet files "
+             "column pruning predicate pushdown and row group statistics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.2)
+    out = dedup_corpus(df, pairs, "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 10, 20]
