@@ -160,3 +160,30 @@ def test_streaming_watermark_on_real_parquet(spark):
     n = spark.table("ntz_wm_check").count()
     q.stop()
     assert n > 0
+
+
+def test_ts_seconds_ntz_ltz_equivalence(spark):
+    """Under the pinned UTC session zone, ts_seconds yields identical
+    epoch seconds for the same wall instant stored as NTZ or LTZ, and
+    ntz_to_session_ts is value-preserving — the contract every operator
+    relies on."""
+    import datetime as dt
+
+    from orange3_timeseries_spark.timeutil import ntz_to_session_ts, ts_seconds
+
+    rows = [(dt.datetime(2024, 1, 1) + dt.timedelta(seconds=7 * i,
+                                                    microseconds=123456 * i),)
+            for i in range(50)]
+    ltz = spark.createDataFrame(rows, "t timestamp")
+    ntz = ltz.select(F.col("t").cast("timestamp_ntz").alias("t"))
+    assert dict(ntz.dtypes)["t"] == "timestamp_ntz"
+    a = [r[0] for r in
+         ltz.select(ts_seconds(ltz, "t").alias("s")).orderBy("s").collect()]
+    b = [r[0] for r in
+         ntz.select(ts_seconds(ntz, "t").alias("s")).orderBy("s").collect()]
+    assert a == b
+    back = ntz_to_session_ts(ntz)
+    assert dict(back.dtypes)["t"] == "timestamp"
+    av = [r[0] for r in ltz.orderBy("t").collect()]
+    bv = [r[0] for r in back.orderBy("t").collect()]
+    assert av == bv
