@@ -945,3 +945,29 @@ def q_embedding_clusters(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_neardup_pairs(e, threshold=0.35)
     return D.dedup_clusters(e, pairs, "vec_id")
+
+
+@query("embedding_dedup_corpus", f"""
+WITH RECURSIVE p AS ({_EMB_PAIRS_SQL}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s
+),
+lab AS (SELECT id AS vec_id, min(lab) AS cluster_id FROM cc GROUP BY id)
+SELECT emb.vec_id, emb.label, len(emb.embedding) AS dim
+FROM embeddings emb JOIN lab USING (vec_id)
+WHERE lab.cluster_id = emb.vec_id
+""")
+def q_embedding_dedup_corpus(spark, sf_dir):
+    """SEMANTIC deduplicated corpus: one canonical vector (min id) per
+    cosine near-dup cluster plus every unclustered vector — the
+    embedding-space mirror of ``dedup_corpus``, same skinny-keep-set
+    semi-join plan."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(e, threshold=0.35)
+    out = D.dedup_corpus(e, pairs, "vec_id")
+    return out.select("vec_id", "label",
+                      F.size("embedding").alias("dim"))
