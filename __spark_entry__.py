@@ -57,18 +57,29 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("Δvalue (mean)").alias("day_mean_diff"))
 
 
-def _driver_green() -> set:
-    """Query names that already earned a hash-green row in ANY prior
-    round's ``CORRECTNESS_r*.json``.  Used to rotate the driver's
-    verification window: it records only the first ~50 queries per round,
-    so a static ordering re-verifies the same prefix forever while the
-    tail never gets a driver check."""
+def _verification_history() -> dict:
+    """Per-query driver-check history from the committed
+    ``CORRECTNESS_r*.json`` round records.
+
+    Returns ``{name: (last_round_checked, last_check_was_green)}``.  Used
+    to rotate the driver's ~50-query verification window as a true
+    least-recently-verified round-robin: every oracled query gets
+    re-checked at least every other round, so a regression in a
+    previously-green query cannot stay invisible (the r3 "green-always-
+    last" ordering degenerated once every query had been green at least
+    once).  Rotation is keyed on the round number embedded in each
+    artifact's filename, not on mere artifact presence."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green, red_latest = set(), set()
+    hist: dict = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -77,28 +88,41 @@ def _driver_green() -> set:
         for name, row in rec.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match"):
-                green.add(name)
-                red_latest.discard(name)
-            else:
-                red_latest.add(name)  # latest file wins (sorted order)
-    return green - red_latest
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, bool(row.get("hash_match")))
+    return hist
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered for maximum driver signal under the ~50-query recording cap:
-    oracle-backed queries that have never been hash-green in a prior
-    round's driver check (new, previously-failed, or beyond-cap) come
-    first, then the stable hash-green tail, then rows-only checks."""
+    Ordered for maximum driver signal under the ~50-query recording cap
+    (least-recently-verified round-robin):
+
+    1. oracled queries never driver-checked in any round (new additions),
+    2. oracled queries whose latest driver check was red,
+    3. remaining oracled queries by ascending last-checked round (the ones
+       checked longest ago first), registry order as tie-break,
+    4. rows-only checks last.
+    """
     q = dict(_q.QUERIES)
-    green = _driver_green()
+    hist = _verification_history()
+    registry_pos = {k: i for i, k in enumerate(q)}
     oracled = [k for k in q if _q.ORACLE_SQL.get(k)]
     rows_only = [k for k in q if not _q.ORACLE_SQL.get(k)]
-    fresh = [k for k in oracled if k not in green]
-    stable = [k for k in oracled if k in green]
-    return {k: q[k] for k in fresh + stable + rows_only}
+
+    def sort_key(name: str):
+        rec = hist.get(name)
+        if rec is None:
+            return (0, 0, registry_pos[name])          # never checked
+        rnd, green = rec
+        if not green:
+            return (1, rnd, registry_pos[name])        # latest check red
+        return (2, rnd, registry_pos[name])            # green: oldest first
+
+    ordered = sorted(oracled, key=sort_key)
+    return {k: q[k] for k in ordered + rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
