@@ -7,6 +7,18 @@
 
 Each query is forced with a full-column noop-sink write; wall-clock per
 query is reported plus the total.
+
+Methodology: a JVM/Arrow/streaming warm-up runs before the first timed
+query, and per-query cache-clear + Python/JVM GC hygiene runs BEFORE each
+timer starts (py4j only releases JVM plan handles when Python gc runs, and
+the accumulated garbage otherwise inflates later queries 2-10x).  The
+figures are therefore per-query engine cost for relative tuning, not
+end-to-end wall-clock of an uninstrumented sequential run.
+
+The full result JSON is also written to ``bench_results.json`` next to
+this script (the driver's stdout capture is bounded to a ~2 KB tail; the
+printed line orders ``queries`` first and the summary fields last so the
+totals always survive truncation).
 """
 
 from __future__ import annotations
@@ -102,13 +114,33 @@ def main():
     except ValueError:
         sf = None
 
-    print(json.dumps({
+    result = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # Durable full artifact (committed per-round as bench_results.json);
+    # the driver's stdout capture keeps only a ~2 KB tail.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    # Printed line: queries first, summary fields LAST, compact separators —
+    # tail-truncation eats leading per-query entries, never the totals.
+    tail_ordered = {
+        "queries": {k: v for k, v in timings.items()},
+        "sf": sf,
+        "unit": "sec",
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+    }
+    print(json.dumps(tail_ordered, separators=(",", ":")))
 
 
 if __name__ == "__main__":

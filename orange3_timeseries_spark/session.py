@@ -37,6 +37,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
     "spark.ui.enabled": "false",
+    # Stage-progress bars interleave with stdout and can push the bench's
+    # final JSON line past the driver's bounded output capture.
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
