@@ -6,9 +6,11 @@ ARIMA(1,0,0) by conditional least squares IS the OLS regression of y_t on
 is cross-checked against DuckDB's ``regr_slope`` / ``regr_intercept``,
 including the one-step-ahead forecast ``c + phi * y_n``.
 
-Multi-step ARIMA/VAR forecasts and rolling-origin evaluation are iterative
-algorithms with no reasonable single-query SQL form — registered without
-oracles (rows-only check) and golden-tested in tests/test_models.py.
+``model_eval_by_user`` (rolling-origin CV) is likewise fully oracled: the
+per-fold AR(1) fits are closed-form OLS and the 5-step forecast recursion
+is a recursive CTE.  MA-term multi-step forecasts (psi-weight CIs over an
+estimated innovation history) remain rows-only — registered without
+oracles and golden-tested in tests/test_models.py.
 """
 
 from __future__ import annotations
@@ -221,19 +223,118 @@ def q_var_forecast_by_user(spark, sf_dir):
                       r6(F.col("forecast"), "forecast"))
 
 
-@query("model_eval_by_user", None)
+@query("model_eval_by_user", """
+WITH RECURSIVE
+s AS (
+  SELECT user_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS ylag
+  FROM events),
+folds AS (SELECT unnest([0, 1, 2]) AS fold),
+-- fold 0 = full-series (in-sample) fit; fold f>=1 trains on y[: n-5f]
+fit AS (
+  SELECT s.user_id, f.fold,
+         regr_intercept(s.y, s.ylag) AS c,
+         regr_slope(s.y, s.ylag) AS phi,
+         count(*)::DOUBLE AS m,
+         regr_syy(s.y, s.ylag)
+           - pow(regr_sxy(s.y, s.ylag), 2) / regr_sxx(s.y, s.ylag) AS rss
+  FROM s CROSS JOIN folds f
+  WHERE s.ylag IS NOT NULL AND s.rn <= s.n - f.fold * 5
+  GROUP BY 1, 2),
+ic AS (  -- AIC/BIC of the conditional-OLS fit (k = 2, sigma2 = rss/m)
+  SELECT user_id, fold,
+         4 + m * (ln(2 * pi() * rss / m) + 1) AS aic,
+         2 * ln(m) + m * (ln(2 * pi() * rss / m) + 1) AS bic
+  FROM fit),
+last_train AS (  -- anchor of the forecast recursion: last train value
+  SELECT s.user_id, f.fold, s.y AS y0
+  FROM s JOIN (SELECT unnest([1, 2]) AS fold) f
+    ON s.rn = s.n - f.fold * 5),
+fc AS (  -- 5-step AR(1) recursion per (user, fold)
+  SELECT lt.user_id, lt.fold, 1 AS h, fit.c + fit.phi * lt.y0 AS p
+  FROM last_train lt JOIN fit ON fit.user_id = lt.user_id
+                             AND fit.fold = lt.fold
+  UNION ALL
+  SELECT fc.user_id, fc.fold, fc.h + 1, fit.c + fit.phi * fc.p
+  FROM fc JOIN fit ON fit.user_id = fc.user_id AND fit.fold = fc.fold
+  WHERE fc.h < 5),
+pool AS (  -- pooled OOS predictions in model_evaluation's extend order
+  SELECT fc.user_id, (fc.fold - 1) * 5 + fc.h AS i, fc.p,
+         s.y AS t
+  FROM fc JOIN s ON s.user_id = fc.user_id
+                AND s.rn = s.n - fc.fold * 5 + fc.h),
+pool_d AS (
+  SELECT user_id, i, t, p,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY i) AS dt,
+         p - lag(p) OVER (PARTITION BY user_id ORDER BY i) AS dp,
+         avg(t) OVER (PARTITION BY user_id) AS tbar
+  FROM pool),
+oos AS (
+  SELECT user_id,
+         sqrt(sum(pow(t - p, 2)) / count(*)) AS rmse,
+         median(abs(t - p)) AS mae,
+         avg(abs(t - p)) / avg(abs(t)) AS mape,
+         100.0 * avg(CASE WHEN dt * dp > 0 THEN 1.0 ELSE 0.0 END)
+             FILTER (dt IS NOT NULL) AS pocid,
+         1 - sum(pow(t - p, 2)) / sum(pow(t - tbar, 2)) AS r2
+  FROM pool_d GROUP BY user_id),
+fitted AS (  -- full-fit one-step fitted values (rn=1 row passes through)
+  SELECT s.user_id, s.rn, s.y AS t,
+         CASE WHEN s.rn = 1 THEN s.y ELSE fit.c + fit.phi * s.ylag END AS p
+  FROM s JOIN fit ON fit.user_id = s.user_id AND fit.fold = 0),
+fitted_d AS (
+  SELECT user_id, rn, t, p,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS dt,
+         p - lag(p) OVER (PARTITION BY user_id ORDER BY rn) AS dp,
+         avg(t) OVER (PARTITION BY user_id) AS tbar
+  FROM fitted),
+ins AS (
+  SELECT user_id,
+         sqrt(sum(pow(t - p, 2)) / count(*)) AS rmse,
+         median(abs(t - p)) AS mae,
+         avg(abs(t - p)) / avg(abs(t)) AS mape,
+         100.0 * avg(CASE WHEN dt * dp > 0 THEN 1.0 ELSE 0.0 END)
+             FILTER (dt IS NOT NULL) AS pocid,
+         1 - sum(pow(t - p, 2)) / sum(pow(t - tbar, 2)) AS r2
+  FROM fitted_d GROUP BY user_id)
+SELECT o.user_id, 'ARMA(1,0,0)' AS model, FALSE AS in_sample,
+       round(o.rmse, 6) AS rmse, round(o.mae, 6) AS mae,
+       round(o.mape, 6) AS mape, round(o.pocid, 6) AS pocid,
+       round(o.r2, 6) AS r2,
+       round(ic.aic, 6) AS aic, round(ic.bic, 6) AS bic
+FROM oos o JOIN ic ON ic.user_id = o.user_id AND ic.fold = 2
+UNION ALL
+SELECT i.user_id, 'ARMA(1,0,0)' AS model, TRUE AS in_sample,
+       round(i.rmse, 6), round(i.mae, 6), round(i.mape, 6),
+       round(i.pocid, 6), round(i.r2, 6),
+       round(ic.aic, 6), round(ic.bic, 6)
+FROM ins i JOIN ic ON ic.user_id = i.user_id AND ic.fold = 0
+""")
 def q_model_eval_by_user(spark, sf_dir):
-    """Per-series rolling-origin CV (2 folds x 5 steps) of AR(1) vs
-    ARIMA(0,1,1): RMSE/MAE/MAPE/POCID/R2 + AIC/BIC rows — rows-only."""
+    """Per-series rolling-origin CV (2 folds x 5 steps) of AR(1):
+    RMSE/MAE/MAPE/POCID/R2 + AIC/BIC for the pooled out-of-fold row and
+    the in-sample row (``model_evaluation``, cf. ``functions.py:495-582``).
+
+    Full value-hash oracle: the AR(1) 'hr' fit is the conditional OLS of
+    y_t on (1, y_{t-1}) (regr_slope/regr_intercept per fold), the 5-step
+    forecast is a recursive CTE, rss comes from the regression identity
+    rss = syy - sxy^2/sxx, and the reference's metric quirks (mae =
+    MEDIAN abs error, mape normalized by mean |true|, POCID over the
+    pooled fold-concatenation order including the fold boundary pair, and
+    the out-of-sample row carrying the LAST fold's AIC/BIC) are replayed
+    verbatim."""
     from orange3_timeseries_spark.models import ARIMA, evaluate_by_series
 
     out = evaluate_by_series(_events(spark, sf_dir), "value",
-                             [lambda: ARIMA((1, 0, 0)),
-                              lambda: ARIMA((0, 1, 1))],
+                             [lambda: ARIMA((1, 0, 0))],
                              n_folds=2, forecast_steps=5)
     return out.select("user_id", "model", "in_sample",
                       r6(F.col("rmse"), "rmse"), r6(F.col("mae"), "mae"),
-                      r6(F.col("r2"), "r2"))
+                      r6(F.col("mape"), "mape"),
+                      r6(F.col("pocid"), "pocid"), r6(F.col("r2"), "r2"),
+                      r6(F.col("aic"), "aic"), r6(F.col("bic"), "bic"))
 
 
 @query("ar1_fitted_by_user", """
