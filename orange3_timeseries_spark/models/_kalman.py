@@ -159,39 +159,63 @@ def nelder_mead(f, x0, xatol=1e-8, fatol=1e-10, max_iter=5000):
 
 
 def fit_arma_mle(w: np.ndarray, p: int, q: int, with_mean: bool,
-                 start_phi=None, start_theta=None, start_mu=None):
-    """Exact MLE of ARMA(p, q) (+ optional mean) on ``w``.
+                 start_phi=None, start_theta=None, start_mu=None,
+                 X=None, start_beta=None):
+    """Exact MLE of ARMA(p, q) (+ optional mean, + optional exogenous
+    regression effects) on ``w``.
 
-    Returns ``(mu, phi, theta, sigma2, loglik, innovations)``.  The
-    parameter space is searched through Monahan's transform (AR and MA
-    both), so every iterate is stationary and invertible — matching
-    statsmodels' ``enforce_stationarity/invertibility`` defaults.
+    With ``X`` (n x k design matrix) the model is regression with ARMA
+    errors — ``w_t = mu + x_t' beta + z_t`` where z is zero-mean
+    ARMA(p, q) — i.e. the exog convention of statsmodels SARIMAX, which
+    the reference exposes through ``use_exog`` (``models.py:301-310``).
+    beta is estimated jointly with the ARMA parameters by the same
+    Nelder-Mead search (unconstrained coordinates).
+
+    Returns ``(mu, phi, theta, beta, sigma2, loglik, innovations)``;
+    ``beta`` is None when ``X`` is None.  The ARMA parameter space is
+    searched through Monahan's transform (AR and MA both), so every
+    iterate is stationary and invertible — matching statsmodels'
+    ``enforce_stationarity/invertibility`` defaults.
     """
     w = np.asarray(w, dtype=float)
     phi0 = np.zeros(p) if start_phi is None else np.asarray(start_phi, float)
     th0 = np.zeros(q) if start_theta is None else np.asarray(start_theta,
                                                              float)
     mu0 = float(np.mean(w)) if start_mu is None else float(start_mu)
+    if X is not None:
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        if X.shape[0] != len(w):
+            X = X.reshape(len(w), -1)
+        k = X.shape[1]
+        beta0 = np.asarray(start_beta, float).ravel() \
+            if start_beta is not None else np.empty(0)
+        if len(beta0) != k:
+            beta0 = np.zeros(k)
+    else:
+        k = 0
+        beta0 = np.empty(0)
     x0 = np.concatenate([
         [mu0] if with_mean else [],
         ar_untransparams(phi0),
-        ar_untransparams(-th0)])  # MA uses the same transform on -theta
+        ar_untransparams(-th0),  # MA uses the same transform on -theta
+        beta0])
 
     def unpack(x):
-        i = 0
+        i = 1 if with_mean else 0
         mu = x[0] if with_mean else 0.0
-        if with_mean:
-            i = 1
         phi = ar_transparams(x[i:i + p]) if p else np.empty(0)
         theta = -ar_transparams(x[i + p:i + p + q]) if q else np.empty(0)
-        return mu, phi, theta
+        beta = x[i + p + q:i + p + q + k] if k else None
+        return mu, phi, theta, beta
 
     def neg_loglik(x):
-        mu, phi, theta = unpack(x)
-        ll, _, _, _ = arma_loglik_concentrated(w - mu, phi, theta)
+        mu, phi, theta, beta = unpack(x)
+        z = w - mu if beta is None else w - mu - X @ beta
+        ll, _, _, _ = arma_loglik_concentrated(z, phi, theta)
         return -ll if np.isfinite(ll) else 1e300
 
     xbest, _ = nelder_mead(neg_loglik, x0)
-    mu, phi, theta = unpack(xbest)
-    ll, sigma2, v, f = arma_loglik_concentrated(w - mu, phi, theta)
-    return mu, phi, theta, sigma2, ll, v
+    mu, phi, theta, beta = unpack(xbest)
+    z = w - mu if beta is None else w - mu - X @ beta
+    ll, sigma2, v, f = arma_loglik_concentrated(z, phi, theta)
+    return mu, phi, theta, beta, sigma2, ll, v

@@ -79,9 +79,6 @@ class ARIMA(BaseModel):
         self.use_exog = use_exog
         if method not in ("hr", "mle"):
             raise ValueError("method must be 'hr' or 'mle'")
-        if method == "mle" and use_exog:
-            raise NotImplementedError("exog regressors are supported on "
-                                      "the 'hr' path only")
         self.method = method
 
     def __str__(self):
@@ -97,6 +94,10 @@ class ARIMA(BaseModel):
         if not self.use_exog:
             exog = None
         X = np.asarray(exog, dtype=float) if exog is not None else None
+        if X is not None and X.ndim == 1:
+            # a single regressor arrives 1-D; as a row-matrix it would
+            # slice to ZERO regression columns downstream
+            X = X.reshape(-1, 1)
         self._y_levels = y.copy()
         w = np.diff(y, d) if d else y.copy()
         Xd = X[d:] if (X is not None and d) else X
@@ -145,7 +146,8 @@ class ARIMA(BaseModel):
 
         fitted_diff = np.concatenate((w[:r], target - resid))
         if self.method == "mle":
-            self._refit_mle(w, p, q, const, phi, theta)
+            self._refit_mle(w, p, q, const, phi, theta,
+                            Xd=Xd, beta_hr=beta_exog)
             return
         self.results = _ArimaResults(const, phi, theta, beta_exog,
                                      float(sigma2), resid, fitted_diff,
@@ -154,12 +156,16 @@ class ARIMA(BaseModel):
         self._e = np.concatenate((np.zeros(r), resid))
         self._exog = Xd
 
-    def _refit_mle(self, w, p, q, const_hr, phi_hr, theta_hr):
+    def _refit_mle(self, w, p, q, const_hr, phi_hr, theta_hr,
+                   Xd=None, beta_hr=None):
         """Exact-MLE refinement: Kalman likelihood maximized from the
         Hannan-Rissanen starting values.  Trend follows the current
         statsmodels ARIMA convention the reference wraps: a mean term
         only when d == 0 (differencing absorbs the level, so SARIMAX
-        fits the differenced series zero-mean)."""
+        fits the differenced series zero-mean).  With exog (ARIMAX,
+        ``models.py:301-310``) the state-space observation picks up the
+        regression effects: w_t = mu + x_t' beta + z_t, z ~ ARMA —
+        beta estimated jointly in the same likelihood search."""
         from orange3_timeseries_spark.models._kalman import fit_arma_mle
 
         d = self.order[1]
@@ -167,25 +173,28 @@ class ARIMA(BaseModel):
         denom = 1.0 - float(np.sum(phi_hr))
         start_mu = const_hr / denom if with_mean and abs(denom) > 1e-8 \
             else None
-        mu, phi, theta, sigma2, loglik, v = fit_arma_mle(
+        mu, phi, theta, beta, sigma2, loglik, v = fit_arma_mle(
             w, p, q, with_mean,
-            start_phi=phi_hr, start_theta=theta_hr, start_mu=start_mu)
+            start_phi=phi_hr, start_theta=theta_hr, start_mu=start_mu,
+            X=Xd, start_beta=beta_hr)
         # store the intercept form the forecast recursion uses:
         # w_t = const + sum phi_i w_{t-i} + ...  with const = mu*(1-sum phi)
         const = float(mu * (1.0 - np.sum(phi))) if with_mean else 0.0
         n = len(w)
-        k = (1 if with_mean else 0) + p + q + 1  # + sigma2, statsmodels
+        k = ((1 if with_mean else 0) + p + q + 1  # + sigma2, statsmodels
+             + (len(beta) if beta is not None else 0))
         aic = 2 * k - 2 * loglik
         bic = k * np.log(n) - 2 * loglik
         resid = v if v is not None else np.zeros(n)
         fitted_diff = w - resid
-        self.results = _ArimaResults(const, phi, theta, None,
+        self.results = _ArimaResults(const, phi, theta, beta,
                                      float(sigma2), resid, fitted_diff,
                                      float(aic), float(bic))
         self.results.loglik = float(loglik)
+        self.results.mu = float(mu)
         self._w = w
         self._e = resid
-        self._exog = None
+        self._exog = Xd
 
     # -------------------------------------------------------------- predict
     def _predict(self, steps, exog, alpha):
@@ -198,6 +207,43 @@ class ARIMA(BaseModel):
             if exog is None:
                 raise ValueError("ARIMAX forecast requires future exog")
             X_fut = np.atleast_2d(np.asarray(exog, dtype=float))
+
+        if self.method == "mle" and res.beta_exog is not None:
+            # regression with ARMA errors: the recursion runs on the
+            # regression RESIDUAL z = w - mu - X beta (the lagged terms
+            # must have their own exog effect removed — unlike the HR
+            # form where beta sits alongside the lag regressors), then
+            # mu + x_fut' beta is added back per step.
+            mu = res.mu
+            z_ext = list(w - mu - self._exog @ res.beta_exog)
+            e_ext = list(e_hist)
+            preds_diff = []
+            for h in range(steps):
+                zval = 0.0
+                for i in range(p):
+                    zval += res.phi[i] * z_ext[-1 - i]
+                for j in range(q):
+                    idx = len(e_ext) - 1 - j
+                    e_val = 0.0 if idx >= len(e_hist) else e_ext[idx]
+                    zval += res.theta[j] * e_val
+                preds_diff.append(mu + float(X_fut[h] @ res.beta_exog)
+                                  + zval)
+                z_ext.append(zval)
+                e_ext.append(0.0)
+            preds_diff = np.array(preds_diff)
+            if d:
+                forecast = preds_diff.copy()
+                tail = self._y_levels
+                for k in range(d, 0, -1):
+                    base = np.diff(tail, k - 1)[-1]
+                    forecast = base + np.cumsum(forecast)
+            else:
+                forecast = preds_diff
+            psi = arma_psi_weights(res.phi, res.theta, d, steps)
+            var_h = res.sigma2 * np.cumsum(psi ** 2)
+            z_q = norm_ppf(1 - alpha / 2)
+            err = z_q * np.sqrt(var_h)
+            return forecast, forecast - err, forecast + err
 
         w_ext = list(w)
         e_ext = list(e_hist)

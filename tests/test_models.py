@@ -73,9 +73,53 @@ class TestARIMAEstimatorContract:
         assert abs(np.ravel(fc)[0] - y[-1]) < 100
         assert np.abs(m.results.phi).max() < 1  # stationarity enforced
 
-    def test_mle_rejects_exog(self):
-        with pytest.raises(NotImplementedError):
-            ARIMA((1, 0, 0), method="mle", use_exog=True)
+    def test_mle_exog_free_data_matches_plain_mle(self):
+        # use_exog=True with no exog supplied degrades to the plain MLE
+        # fit — same params, same forecast (the 'hr'-path contract,
+        # extended to 'mle' in r4)
+        y = _airpassengers()
+        plain = ARIMA((1, 0, 1), method="mle").fit(y)
+        exogless = ARIMA((1, 0, 1), method="mle", use_exog=True).fit(y)
+        np.testing.assert_allclose(exogless.results.phi, plain.results.phi)
+        np.testing.assert_allclose(
+            exogless.results.theta, plain.results.theta)
+        np.testing.assert_allclose(np.ravel(exogless.predict(5)[0]),
+                                   np.ravel(plain.predict(5)[0]))
+
+    def test_mle_exog_recovers_regression_effect(self):
+        # regression-with-ARMA-errors: y = 5 + 2 x + AR(1) noise.  The
+        # joint MLE must recover beta and phi, and the forecast must
+        # track the supplied future exog (statsmodels SARIMAX exog
+        # convention).
+        rng = np.random.default_rng(7)
+        n = 300
+        x = rng.normal(size=n)
+        z = np.zeros(n)
+        for t in range(1, n):
+            z[t] = 0.6 * z[t - 1] + rng.normal(scale=0.3)
+        y = 5.0 + 2.0 * x + z
+        m = ARIMA((1, 0, 0), method="mle", use_exog=True).fit(y, exog=x)
+        beta = float(m.results.beta_exog[0])
+        phi = float(m.results.phi[0])
+        assert abs(beta - 2.0) < 0.1
+        assert abs(phi - 0.6) < 0.15
+        x_fut = np.array([1.0, -1.0, 0.0])
+        fc, lo, hi = m.predict(3, exog=x_fut.reshape(-1, 1))
+        fc = np.ravel(fc)
+        # step-to-step swing dominated by the exog effect: beta * dx
+        assert abs((fc[0] - fc[1]) - beta * 2.0) < 0.5
+        assert ((np.ravel(lo) < fc) & (fc < np.ravel(hi))).all()
+        # statsmodels convention: exog adds to k in the IC penalty
+        plain = ARIMA((1, 0, 0), method="mle").fit(y)
+        assert m.results.aic < plain.results.aic  # exog explains variance
+
+    def test_mle_exog_forecast_requires_future_exog(self):
+        rng = np.random.default_rng(3)
+        y = np.cumsum(rng.normal(size=80)) + 50
+        x = rng.normal(size=80)
+        m = ARIMA((1, 0, 0), method="mle", use_exog=True).fit(y, exog=x)
+        with pytest.raises(ValueError):
+            m.predict(3)
 
 
 class TestForecastWideTable:
@@ -322,3 +366,16 @@ class TestArimax:
             withx.predict(3)
         fc, lo, hi = withx.predict(3, exog=np.zeros((3, 1)))
         assert np.all(lo <= fc) and np.all(fc <= hi)
+
+    def test_one_dimensional_exog_is_a_column(self):
+        # regression: a 1-D exog used to atleast_2d into a ROW matrix and
+        # silently slice to zero regression columns on the 'hr' path
+        rng = np.random.RandomState(11)
+        n = 300
+        x = rng.standard_normal(n)
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 0.5 * y[t - 1] + 2.0 * x[t] + rng.normal(scale=0.1)
+        withx = ARIMA((1, 0, 0), use_exog=True).fit(y, exog=x)
+        assert withx.results.beta_exog.shape == (1,)
+        assert withx.results.beta_exog[0] == pytest.approx(2.0, abs=0.1)
