@@ -193,6 +193,34 @@ class TestJaccardVariants:
         assert {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in loose} \
             == {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in full}
 
+    def test_prefix_filter_orders_match_count_join(self, spark):
+        """PPJoin exactness: the 'hash' and 'df' prefix-filtered plans
+        return the identical pair set + jaccard values as the exhaustive
+        count-join, at a low and a high threshold."""
+        from orange3_timeseries_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        texts = ["the quick brown fox jumps over the lazy dog tonight",
+                 "the quick brown fox jumps over the lazy cat tonight",
+                 "a completely different sentence with other words here",
+                 "a completely different sentence with other words too",
+                 "the quick brown fox jumps over the lazy dog tonight ok",
+                 "unrelated text about spark catalyst optimizer plans"]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+
+        def canon(order, t):
+            got = ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                      threshold=t, order=order).collect()
+            return sorted((r.id_a, r.id_b, round(r.jaccard, 9))
+                          for r in got)
+
+        for t in (0.1, 0.6):
+            base = canon("count", t)
+            assert base, f"expected pairs at t={t}"
+            assert canon("hash", t) == base
+            assert canon("df", t) == base
+
     def test_block_col_restricts_pairs(self, spark):
         from orange3_timeseries_spark.operators.dedup import (
             ngram_jaccard_pairs,
