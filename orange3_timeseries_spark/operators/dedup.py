@@ -453,6 +453,91 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .where(F.col("jaccard") >= threshold))
 
 
+# ---------------------------------------------------------- substring dedup
+def substring_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                           gram_len: int = 40, mod: int = 4) -> DataFrame:
+    """Content-selected positional character-gram fingerprints — the
+    posting side of :func:`substring_pairs`.
+
+    Every position's ``gram_len``-char gram is hashed with the portable
+    ``phash`` and a gram is SELECTED when ``hash % mod == 0`` — selection
+    depends only on gram *content* (MOSS-style mod-sampling), so the same
+    gram is selected in every document containing it regardless of
+    alignment; no stride-alignment assumption is needed.  Expected 1/mod
+    of positions survive, so postings stay ~``len/mod`` per doc.
+    """
+    t = F.col(text_col)
+    n_pos = F.length(t) - F.lit(gram_len) + 1
+    grams = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.struct(
+                i.alias("pos"),
+                phash(t.substr(i, F.lit(gram_len))).alias("h")))
+    ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+    return (df.select(F.col(id_col), F.explode(grams).alias("g"))
+            .select(F.col(id_col), F.col("g.pos").alias("pos"),
+                    F.col("g.h").alias("h"))
+            .where(F.col("h") % mod == 0))
+
+
+def substring_pairs(df: DataFrame, text_col: str, id_col: str,
+                    min_len: int = 150, gram_len: int = 40,
+                    mod: int = 4) -> DataFrame:
+    """Document pairs sharing a long contiguous substring — the
+    suffix-array-style exact-substring dedup modality, approximated
+    Spark-natively with positional gram postings + run-length merge
+    (cf. the suffix-array dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" — same goal, join-friendly plan).
+
+    Plan: content-selected fingerprints (see
+    :func:`substring_fingerprints`) self-equi-join on the gram hash —
+    matching grams at positions ``(pa, pb)`` of a shared substring all
+    lie on one diagonal ``pa - pb`` — then a per-(pair, diagonal) window
+    merges consecutive matches into runs, splitting where the position
+    gap exceeds ``gram_len``.  Because two grams on the same diagonal at
+    gap <= gram_len OVERLAP, every byte of a merged run is covered by
+    some matched gram: the reported ``longest = max(pa) - min(pa) +
+    gram_len`` is a PROVEN contiguous identical substring (no false
+    positives modulo md5 collision).  A true shared run can be split /
+    shortened only if content-selection leaves a > ``gram_len`` gap
+    inside it — probability ``(1 - 1/mod)^gram_len`` per position
+    (~1e-5 at the defaults), and deterministic given the content, so an
+    oracle replays bit-identically.
+
+    Scale: postings are ``len/mod`` per doc; the join is an equi-join on
+    the 60-bit gram hash (sum df(h)^2 rows — ubiquitous boilerplate
+    grams are the skew risk; raise ``mod`` or pre-cap like
+    ``ngram_jaccard_pairs``' max_df for pathological corpora).  Windows
+    run per (pair, diagonal) — tiny partitions, no global sort.
+    """
+    from pyspark.sql import Window
+
+    sel = substring_fingerprints(
+        widen_partitions(df.select(id_col, text_col)),
+        text_col, id_col, gram_len, mod)
+    a, b = sel.alias("a"), sel.alias("b")
+    m = (a.join(b, [F.col("a.h") == F.col("b.h"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+         .select(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.col("a.pos").alias("pa"),
+                 (F.col("a.pos") - F.col("b.pos")).alias("diag")))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (m.withColumn(
+                "nr", F.when(F.lag("pa").over(w).isNull()
+                             | (F.col("pa") - F.lag("pa").over(w)
+                                > gram_len), 1).otherwise(0))
+            .withColumn("run", F.sum("nr").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("id_a", "id_b", "diag", "run")
+            .agg((F.max("pa") - F.min("pa") + gram_len).alias("run_len")))
+    return (runs.groupBy("id_a", "id_b")
+            .agg(F.max("run_len").alias("longest"))
+            .where(F.col("longest") >= min_len))
+
+
 # ------------------------------------------------------------------ clustering
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
                    max_iterations: int = 20) -> DataFrame:

@@ -126,6 +126,42 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(d, "text", "doc_id")
 
 
+@query("dedup_substring_pairs", f"""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         {_PH.format(e="substr(text, i, 40)")} AS h
+  FROM documents,
+       LATERAL unnest(range(1, greatest(len(text) - 40 + 1, 0) + 1)) t(i)),
+sel AS (SELECT * FROM g WHERE h % 4 = 0),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
+r AS (
+  SELECT id_a, id_b, diag, pa,
+         CASE WHEN lag(pa) OVER w IS NULL
+                OR pa - lag(pa) OVER w > 40 THEN 1 ELSE 0 END AS nr
+  FROM m WINDOW w AS (PARTITION BY id_a, id_b, diag ORDER BY pa)),
+r2 AS (
+  SELECT id_a, id_b, diag, pa,
+         sum(nr) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS run
+  FROM r),
+runs AS (
+  SELECT id_a, id_b, diag, run, max(pa) - min(pa) + 40 AS rl
+  FROM r2 GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, max(rl) AS longest
+FROM runs GROUP BY 1, 2 HAVING max(rl) >= 150
+""")
+def q_dedup_substring_pairs(spark, sf_dir):
+    """Exact long-shared-substring pairs (suffix-array-style dedup
+    modality, Lee et al. 2022): content-selected positional 40-gram
+    fingerprints (portable phash, mod-4 sampling), diagonal run-length
+    merge, pairs with a proven contiguous identical span >= 150 chars."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.substring_pairs(d, "text", "doc_id", min_len=150,
+                             gram_len=40, mod=4)
+
+
 @query("dedup_ngram_jaccard", f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -194,3 +194,52 @@ def test_dedup_corpus_keeps_canonical_per_cluster(spark):
     out = dedup_corpus(df, pairs, "doc_id")
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 10, 20]
+
+
+def test_substring_pairs_finds_planted_overlap(spark):
+    """Two docs share a planted 200-char run inside otherwise-different
+    text: the pair is reported with longest >= 200 (the proven span can
+    only undershoot by the selection gap at the run edges); unrelated
+    docs produce no pair."""
+    import random
+
+    from orange3_timeseries_spark.operators.dedup import substring_pairs
+
+    rng = random.Random(42)
+
+    def blob(k):
+        return "".join(rng.choice("abcdefghij kmnopqrstuv") for _ in range(k))
+
+    shared = blob(200)
+    rows = [
+        (1, blob(150) + shared + blob(120)),
+        (2, blob(80) + shared + blob(200)),
+        (3, blob(400)),
+        (4, blob(350)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.longest
+           for r in substring_pairs(df, "text", "doc_id",
+                                    min_len=150).collect()}
+    assert set(got) == {(1, 2)}
+    # the merged diagonal run must cover (almost all of) the planted 200
+    assert 150 <= got[(1, 2)] <= 220
+
+
+def test_substring_pairs_ignores_short_overlaps(spark):
+    """A shared run well below min_len yields nothing."""
+    import random
+
+    from orange3_timeseries_spark.operators.dedup import substring_pairs
+
+    rng = random.Random(7)
+
+    def blob(k):
+        return "".join(rng.choice("abcdefghij kmnopqrstuv") for _ in range(k))
+
+    shared = blob(60)
+    rows = [(1, blob(200) + shared + blob(200)),
+            (2, blob(150) + shared + blob(150))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert substring_pairs(df, "text", "doc_id",
+                           min_len=150).collect() == []
