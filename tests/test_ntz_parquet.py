@@ -187,3 +187,57 @@ def test_ts_seconds_ntz_ltz_equivalence(spark):
     av = [r[0] for r in ltz.orderBy("t").collect()]
     bv = [r[0] for r in back.orderBy("t").collect()]
     assert av == bv
+
+
+@pytest.fixture(scope="module")
+def nanos_dir(tmp_path_factory):
+    """An events.parquet with TIMESTAMP(NANOS) ts — the representation the
+    driver testdata used before it drifted to micros-NTZ across rounds.
+    Synthesized with pyarrow (parquet 2.6 keeps nanos un-coerced)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nanos_sf")
+    base = 1_704_067_200 * 10 ** 9  # 2024-01-01T00:00:00Z in nanos
+    ts = pa.array(base + np.arange(120, dtype="int64") * 3_600 * 10 ** 9
+                  + 123_456_789,                     # sub-micro payload
+                  type=pa.timestamp("ns"))
+    t = pa.table({
+        "ts": ts,
+        "user_id": pa.array([i % 3 for i in range(120)], pa.int64()),
+        "event_id": pa.array(range(120), pa.int64()),
+        "value": pa.array(
+            np.random.RandomState(0).rand(120) * 100.0, pa.float64()),
+    })
+    pq.write_table(t, str(d / "events.parquet"), version="2.6")
+    return str(d)
+
+
+@pytest.mark.parametrize("rep", ["ntz_micros", "nanos"])
+def test_reader_normalizes_both_timestamp_representations(
+        spark, rep, nanos_dir):
+    """One parametrized contract for BOTH parquet timestamp
+    representations the driver has shipped (nanos in r1/r2, micros-NTZ in
+    r3): the raw scan surfaces a different type per representation, the
+    reader always lands on session-zone ``timestamp``, and a
+    representative window operator runs on top."""
+    from orange3_timeseries_spark.operators.moving_transform import (
+        KEEP_ALL,
+        sliding_window,
+    )
+
+    sf = SF_DIR if rep == "ntz_micros" else nanos_dir
+    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    expected_raw = {"ntz_micros": "timestamp_ntz", "nanos": "bigint"}[rep]
+    assert dict(raw.dtypes)["ts"] == expected_raw
+    df = read_table(spark, sf, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    if rep == "nanos":
+        # value-preserving restore (micros precision, truncated not lost)
+        got = df.agg(F.min("ts"), F.max("ts")).first()
+        assert got[0] == dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+        assert got[1] == dt.datetime(2024, 1, 5, 23, 0, 0, 123456)
+    tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+    out = sliding_window(tsf, {"value": ["mean"]}, 5, keep=KEEP_ALL)
+    assert out.df.where(F.col("value (mean)").isNotNull()).count() > 0
