@@ -134,7 +134,16 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
     explicitly; callers here derive it from the estimated input bytes
     (``operators.partitioning.scaled_width``), so a real volume still
     gets every core.  The session conf is restored after start (the
-    running query keeps the value it was started with)."""
+    running query keeps the value it was started with).
+
+    .. warning:: single-threaded-harness-only.  The shuffle-partitions
+       pin briefly mutates SESSION-GLOBAL conf around ``start()``; any
+       query planned concurrently on the same session would observe the
+       temporary value.  A cloned ``spark.newSession()`` can't host the
+       stream instead, because the memory sink registers its result as a
+       SESSION-scoped temp view — callers read ``spark.table(name)`` on
+       the original session.  Concurrent production callers should set
+       the conf at deployment and pass ``state_partitions=None``."""
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = None

@@ -61,8 +61,23 @@ def time_literal(value, dtype: str) -> Column:
     """A literal comparable against a time column of ``dtype`` without an
     implicit cast on the COLUMN side (which would defeat parquet filter
     pushdown): naive-datetime literals arrive as session-zone TIMESTAMP,
-    so against an NTZ column the literal is re-cast instead."""
+    so against an NTZ column the literal is re-cast instead; against a
+    DATE column a date (or midnight-datetime) literal is cast to date for
+    the same reason (otherwise Spark upcasts the column side to timestamp
+    and the scan filter is lost).  A datetime with a real time-of-day is
+    NOT truncated — comparing it as a timestamp is the only semantics
+    that keeps a half-open bound exact; that one case trades pushdown for
+    correctness."""
+    import datetime as _dt
+
     lit = F.lit(value)
     if dtype == "timestamp_ntz":
         lit = lit.cast("timestamp_ntz")
+    elif dtype == "date":
+        if isinstance(value, _dt.datetime):
+            if (value.hour, value.minute, value.second,
+                    value.microsecond) == (0, 0, 0, 0):
+                lit = lit.cast("date")
+        elif isinstance(value, _dt.date):
+            lit = lit.cast("date")
     return lit

@@ -355,3 +355,38 @@ class TestSmallHelpers:
         assert len(out) == 12
         assert out[1][0] == dt.datetime(2024, 1, 1, 2)
         assert out[1][1] == dt.datetime(2024, 1, 1, 3)
+
+
+class TestTimeLiteral:
+    def test_date_column_gets_date_literal_and_pushdown(self, spark,
+                                                        tmp_path):
+        """Against a DATE-typed time column, date (and midnight-datetime)
+        bounds compare as DATE — the filter reaches the parquet scan —
+        while a mid-day datetime bound keeps timestamp comparison
+        semantics (no truncation)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.timeslice import time_slice
+        from orange3_timeseries_spark.timeutil import time_literal
+
+        rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), float(i))
+                for i in range(10)]
+        p = str(tmp_path / "d.parquet")
+        spark.createDataFrame(rows, "d date, v double") \
+            .write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        tsf = TimeSeriesFrame(df, time_col="d")
+        out = time_slice(tsf, dt.date(2024, 1, 3), dt.date(2024, 1, 6))
+        assert sorted(r.v for r in out.df.collect()) == [2.0, 3.0, 4.0]
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "GreaterThanOrEqual(d" in plan
+        # midnight datetime bounds behave identically
+        out2 = time_slice(tsf, dt.datetime(2024, 1, 3),
+                          dt.datetime(2024, 1, 6))
+        assert sorted(r.v for r in out2.df.collect()) == [2.0, 3.0, 4.0]
+        # a mid-day upper bound must NOT truncate to date
+        out3 = df.where(F.col("d") < time_literal(
+            dt.datetime(2024, 1, 6, 12), "date"))
+        assert sorted(r.v for r in out3.collect())[-1] == 5.0
