@@ -128,6 +128,73 @@ def q_ar1_forecast_ci_by_user(spark, sf_dir):
                       r6(F.col("ci_high"), "ci_high"))
 
 
+@query("arima_d_forecast_by_user", """
+WITH RECURSIVE
+s AS (
+  SELECT user_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+w AS (  -- first difference, indexed 1..n-1 per user
+  SELECT user_id, rn - 1 AS i, n - 1 AS nw,
+         y - lag(y) OVER (PARTITION BY user_id ORDER BY rn) AS w
+  FROM s QUALIFY w IS NOT NULL),
+wl AS (
+  SELECT user_id, i, nw, w,
+         lag(w) OVER (PARTITION BY user_id ORDER BY i) AS wlag
+  FROM w),
+fit AS (  -- conditional OLS of the differenced series on its lag
+  SELECT user_id,
+         regr_intercept(w, wlag) AS c, regr_slope(w, wlag) AS phi,
+         (regr_syy(w, wlag) - pow(regr_sxy(w, wlag), 2)
+            / regr_sxx(w, wlag)) / count(*) AS sigma2
+  FROM wl WHERE wlag IS NOT NULL GROUP BY 1),
+anchor AS (SELECT user_id, y AS y_last FROM s WHERE rn = n),
+wlast AS (SELECT user_id, w AS w_last FROM w WHERE i = nw),
+fc AS (  -- diff-space AR recursion + integration + psi recursion:
+         -- psi(B) = 1 / (phi(B)(1-B)):  psi_h = (1+phi) psi_{h-1}
+         -- - phi psi_{h-2}; all state carried as DOUBLE (a bare 1.0
+         -- literal would type the column DECIMAL and truncate)
+  SELECT f.user_id, 1 AS step,
+         f.c + f.phi * wl.w_last AS p,
+         a.y_last + (f.c + f.phi * wl.w_last) AS fcv,
+         1.0::DOUBLE AS psi_prev, (1 + f.phi)::DOUBLE AS psi_cur,
+         1.0::DOUBLE AS spsi
+  FROM fit f JOIN anchor a USING (user_id) JOIN wlast wl USING (user_id)
+  UNION ALL
+  SELECT fc.user_id, fc.step + 1,
+         f.c + f.phi * fc.p,
+         fc.fcv + (f.c + f.phi * fc.p),
+         fc.psi_cur,
+         (1 + f.phi) * fc.psi_cur - f.phi * fc.psi_prev,
+         fc.spsi + fc.psi_cur * fc.psi_cur
+  FROM fc JOIN fit f ON f.user_id = fc.user_id
+  WHERE fc.step < 5)
+SELECT fc.user_id, CAST(step AS INT) AS step,
+       round(fcv, 6) AS forecast,
+       round(fcv - 1.959963986120195 * sqrt(f.sigma2 * spsi), 6) AS ci_low,
+       round(fcv + 1.959963986120195 * sqrt(f.sigma2 * spsi), 6) AS ci_high
+FROM fc JOIN fit f ON f.user_id = fc.user_id
+""")
+def q_arima_d_forecast_by_user(spark, sf_dir):
+    """Per-series ARIMA(1,1,0) 5-step forecast with 95% psi-weight CIs —
+    the INTEGRATED (d=1) forecast path under a full value-hash oracle
+    (the MA-term sibling below stays rows-only).  The differenced series'
+    AR fit is conditional OLS (regr_slope/intercept), the diff-space
+    recursion and the cumulative-sum integration anchor at the last
+    level, and the psi weights of 1/(phi(B)(1-B)) follow the recursion
+    psi_h = (1+phi)psi_{h-1} - phi psi_{h-2} — all replayed as a
+    recursive CTE, z inlined at the engine's Acklam double."""
+    from orange3_timeseries_spark.models import ARIMA, forecast_by_series
+
+    out = forecast_by_series(_events(spark, sf_dir), ["value"],
+                             lambda: ARIMA((1, 1, 0)), steps=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"),
+                      r6(F.col("ci_low"), "ci_low"),
+                      r6(F.col("ci_high"), "ci_high"))
+
+
 @query("arima_forecast_by_user", None)
 def q_arima_forecast_by_user(spark, sf_dir):
     """Per-series ARIMA(2,1,1) 5-step forecast with 95% CIs (Hannan-
