@@ -24,6 +24,7 @@ from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
     stream_difference,
     stream_session_window,
+    stream_time_slice,
     stream_window_aggregation,
 )
 
@@ -65,6 +66,30 @@ def q_streaming_hourly_window(spark, sf_dir):
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="complete",
                   state_partitions=_state_width(spark, sf_dir))
+    return spark.table(name)
+
+
+@query("streaming_time_slice", """
+SELECT user_id, event_id, ts, round(value, 6) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+""")
+def q_streaming_time_slice(spark, sf_dir):
+    """Half-open time slice over the events STREAM (stateless filter —
+    the streaming face of ``operators.timeslice``).  Output is a pure
+    row filter, so it is replay-order independent and the batch SQL is
+    an exact oracle; exercises NTZ literal handling + predicate pushdown
+    on the streaming scan."""
+    import datetime as dt
+
+    sdf = read_table_stream(spark, sf_dir, "events")
+    out = stream_time_slice(sdf, "ts", dt.datetime(2024, 1, 5),
+                            dt.datetime(2024, 1, 20))
+    out = out.select("user_id", "event_id", "ts",
+                     r6(F.col("value"), "value"))
+    name = "stream_slice_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
     return spark.table(name)
 
 
