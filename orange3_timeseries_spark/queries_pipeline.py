@@ -126,7 +126,10 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(d, "text", "doc_id")
 
 
-@query("dedup_substring_pairs", f"""
+def _substring_pairs_sql():
+    """Positional-gram substring-pair detection as one nestable query
+    (used by both the pair query and the substring dedup corpus)."""
+    return f"""
 WITH g AS (
   SELECT doc_id, i AS pos,
          {_PH.format(e="substr(text, i, 40)")} AS h
@@ -151,7 +154,10 @@ runs AS (
   FROM r2 GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b, max(rl) AS longest
 FROM runs GROUP BY 1, 2 HAVING max(rl) >= 150
-""")
+"""
+
+
+@query("dedup_substring_pairs", _substring_pairs_sql())
 def q_dedup_substring_pairs(spark, sf_dir):
     """Exact long-shared-substring pairs (suffix-array-style dedup
     modality, Lee et al. 2022): content-selected positional 40-gram
@@ -497,6 +503,37 @@ def q_dedup_corpus(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
                                 threshold=0.2)
+    out = D.dedup_corpus(d, pairs, "doc_id")
+    return out.select("doc_id", F.length("text").alias("n_chars"))
+
+
+def _substring_corpus_sql():
+    return f"""
+WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({_substring_pairs_sql()})),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s
+),
+lab AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY id)
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d JOIN lab USING (doc_id)
+WHERE lab.cluster_id = d.doc_id
+"""
+
+
+@query("substring_dedup_corpus", _substring_corpus_sql())
+def q_substring_dedup_corpus(spark, sf_dir):
+    """Corpus deduplicated on LONG SHARED SUBSTRINGS (>= 150 chars):
+    substring_pairs feeds the same connected-components + canonical-
+    per-cluster semi-join as the minhash corpus — the pair generator is
+    pluggable, the terminal pipeline step is shared.  Oracle nests the
+    substring-pair SQL inside the recursive label propagation."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = D.substring_pairs(d, "text", "doc_id", min_len=150,
+                              gram_len=40, mod=4)
     out = D.dedup_corpus(d, pairs, "doc_id")
     return out.select("doc_id", F.length("text").alias("n_chars"))
 
