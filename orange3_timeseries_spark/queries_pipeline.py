@@ -436,6 +436,57 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_topk(e, queries, k=5)
 
 
+@query("ann_ivf_served_topk", """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv,
+                list_inner_product(v, v) / 2.0 AS half_cc
+         FROM c WHERE vec_id < 16),
+assign AS (  -- nearest centroid per corpus vector: argmax(x.c - |c|^2/2),
+             -- numpy-argmax tie -> lowest centroid index
+  SELECT vec_id AS nn_id, v AS cvec, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_inner_product(v, cv) - half_cc
+                                     DESC, cid) AS rnk
+  FROM c CROSS JOIN cent QUALIFY rnk = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+probes AS (  -- each query probes its 4 nearest inverted lists
+  SELECT query_id, qv, cid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_inner_product(qv, cv) - half_cc
+                                     DESC, cid) AS prnk
+  FROM q CROSS JOIN cent QUALIFY prnk <= 4),
+cand AS (
+  SELECT p.query_id, a.nn_id,
+         round(list_cosine_similarity(a.cvec, p.qv), 6) AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE p.query_id != a.nn_id)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nn_id) AS rank
+  FROM cand) t
+WHERE rank <= 5
+""")
+def q_ann_ivf_served_topk(spark, sf_dir):
+    """The IVF SERVING path under a full value-hash oracle: centroids
+    are injected deterministically (the first 16 corpus embeddings, a
+    bounded 16-row collect), so nearest-centroid assignment, the
+    per-query nprobe=4 probe list, the inverted-list equi-join, and the
+    cosine top-5 window are all hash-verified — everything except Lloyd
+    training, which a driver-side ``limit(sample)`` makes row-order
+    dependent (the trained variant below stays rows-only + recall-
+    tested).  Centroid INDEX equals vec_id here, so numpy's
+    first-index argmax tie-break maps to ORDER BY score DESC, cid."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivf_topk(e, queries, k=5, n_centroids=16, nprobe=4,
+                      centroids=centroids)
+
+
 @query("ann_ivf_topk", None)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-5: seeded k-means coarse quantizer, corpus
