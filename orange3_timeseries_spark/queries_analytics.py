@@ -261,7 +261,7 @@ def q_granger_event_types(spark, sf_dir):
 
 
 @query("granger_f_daily", """
-WITH d AS (
+WITH RECURSIVE d AS (
   SELECT date_trunc('day', ts) AS day, event_type, avg(value) AS v
   FROM events GROUP BY 1, 2),
 l AS (
@@ -295,17 +295,81 @@ f AS (  -- nested-OLS residual sums in closed form
          syy - ((s22 * sy1 - s12 * sy2) * sy1
                + (s11 * sy2 - s12 * sy1) * sy2)
               / (s11 * s22 - s12 * s12) AS rss_u
-  FROM m)
-SELECT antecedent, consequent,
-       round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS fstat
-FROM f
+  FROM m),
+fs AS (
+  SELECT antecedent, consequent,
+         (rss_r - rss_u) / (rss_u / (n - 3)) AS fstat,
+         (n - 3)::DOUBLE AS dof
+  FROM f),
+-- p-value = F survival function = I_x(dof/2, 1/2), x = dof/(dof+F),
+-- via the regularized incomplete beta's modified-Lentz continued
+-- fraction (the engine's _extrema.betainc_reg, replayed verbatim):
+-- branch choice, front factor, and per-iteration convergence test
+-- |delta-1| < 3e-14 all identical.
+prep AS (
+  SELECT antecedent, consequent, fstat, dof,
+         dof / 2.0 AS a0, 0.5::DOUBLE AS b0,
+         (dof / (dof + fstat))
+           < ((dof / 2.0 + 1.0) / (dof / 2.0 + 2.5)) AS br,
+         exp(lgamma(dof / 2.0 + 0.5) - lgamma(dof / 2.0) - lgamma(0.5)
+             + (dof / 2.0) * ln(dof / (dof + fstat))
+             + 0.5 * ln(fstat / (dof + fstat))) AS front
+  FROM fs),
+cfp AS (  -- continued-fraction parameterization for the chosen branch
+  SELECT antecedent, consequent, fstat, a0, b0, br, front,
+         CASE WHEN br THEN a0 ELSE b0 END AS ca,
+         CASE WHEN br THEN b0 ELSE a0 END AS cb,
+         CASE WHEN br THEN dof / (dof + fstat)
+              ELSE fstat / (dof + fstat) END AS cx
+  FROM prep),
+cf(antecedent, consequent, m, c, dd, h, delta) AS (
+  SELECT antecedent, consequent, 0, 1.0::DOUBLE,
+         1.0 / (1.0 - (ca + cb) * cx / (ca + 1.0)),
+         1.0 / (1.0 - (ca + cb) * cx / (ca + 1.0)),
+         1e9::DOUBLE
+  FROM cfp
+  UNION ALL
+  SELECT antecedent, consequent, m, c2,
+         d2, h1 * (d2 * c2), d2 * c2
+  FROM (
+    SELECT antecedent, consequent, m, ca, cb, cx, h1, c1, d1,
+           1.0 / (1.0 + aa2 * d1) AS d2, 1.0 + aa2 / c1 AS c2
+    FROM (
+      SELECT antecedent, consequent, m, ca, cb, cx, c1, d1,
+             h * d1 * c1 AS h1,
+             -(ca + m) * (ca + cb + m) * cx
+               / ((ca + 2 * m) * (ca + 1.0 + 2 * m)) AS aa2
+      FROM (
+        SELECT cf.antecedent, cf.consequent, cf.m + 1 AS m,
+               p.ca, p.cb, p.cx, cf.h,
+               1.0 / (1.0 + (cf.m + 1) * (p.cb - cf.m - 1) * p.cx
+                      / ((p.ca - 1.0 + 2 * (cf.m + 1))
+                         * (p.ca + 2 * (cf.m + 1))) * cf.dd) AS d1,
+               1.0 + (cf.m + 1) * (p.cb - cf.m - 1) * p.cx
+                      / ((p.ca - 1.0 + 2 * (cf.m + 1))
+                         * (p.ca + 2 * (cf.m + 1))) / cf.c AS c1
+        FROM cf JOIN cfp p ON p.antecedent = cf.antecedent
+                          AND p.consequent = cf.consequent
+        WHERE abs(cf.delta - 1.0) >= 3e-14 AND cf.m < 200) t1) t2) t3),
+cfh AS (SELECT antecedent, consequent, arg_max(h, m) AS h
+        FROM cf GROUP BY 1, 2)
+SELECT p.antecedent, p.consequent, round(p.fstat, 6) AS fstat,
+       round(CASE WHEN p.fstat >= 0 THEN
+               CASE WHEN p.br THEN p.front * c.h / p.a0
+                    ELSE 1.0 - p.front * c.h / p.b0 END
+             END, 6) AS p
+FROM cfp p JOIN cfh c ON c.antecedent = p.antecedent
+                     AND c.consequent = p.consequent
 """)
 def q_granger_f_daily(spark, sf_dir):
-    """Granger F-statistics at lag 1 for every ordered pair of daily
-    per-event-type mean series.  The restricted/unrestricted nested OLS
-    reduces to covariance algebra at lag 1, so the oracle replays the
-    F-statistic exactly; p-values (F survival function) stay on the
-    golden-tested engine path (`granger_event_types`)."""
+    """Granger F-statistics AND p-values at lag 1 for every ordered
+    pair of daily per-event-type mean series.  The nested OLS reduces to
+    covariance algebra at lag 1; the p-value (F survival function =
+    regularized incomplete beta) is replayed in SQL as the engine's own
+    modified-Lentz continued fraction (``_extrema.betainc_reg``) inside
+    a recursive CTE — same branch choice, same front factor, same
+    per-iteration |delta-1| < 3e-14 convergence test (r4; r3 precedent:
+    Levinson-Durbin and Thomas solves)."""
     from orange3_timeseries_spark.spark_analytics import granger_f_table
 
     ev = read_table(spark, sf_dir, "events")
@@ -316,7 +380,8 @@ def q_granger_f_daily(spark, sf_dir):
     cols = [c for c in pivoted.columns if c != "day"]
     tsf = TimeSeriesFrame(pivoted, time_col="day")
     out = granger_f_table(tsf, cols, lag=1)
-    return out.select("antecedent", "consequent", r6(F.col("fstat"), "fstat"))
+    return out.select("antecedent", "consequent",
+                      r6(F.col("fstat"), "fstat"), r6(F.col("p"), "p"))
 
 
 @query("lombscargle_by_user", """
