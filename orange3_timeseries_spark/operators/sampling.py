@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from orange3_timeseries_spark.operators.hashing import phash
 
 __all__ = ["hash_sample", "stratified_sample", "top_n_per_key",
-           "sample_bucket_expr"]
+           "sample_bucket_expr", "mix_corpus"]
 
 #: hash space size for rate thresholds (phash is uniform on [0, 2^60))
 _SPACE = 1 << 60
@@ -73,6 +73,38 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
         thr = F.when(F.col(strata_col) == s,
                      F.lit(int(r * _SPACE))).otherwise(thr)
     return df.where(phash(F.col(key_col).cast("string")) < thr)
+
+
+def mix_corpus(df: DataFrame, source_col: str, key_col: str,
+               proportions: Dict[str, float], budget: float,
+               weight_col: str) -> DataFrame:
+    """Deterministic source-proportioned corpus mix — the "data mixing"
+    step of a training pipeline: downsample each source so the mixed
+    corpus approaches ``budget`` total ``weight_col`` (tokens/chars)
+    split by ``proportions`` (source -> target fraction of the budget).
+
+    ``rate_s = min(1, budget * p_s / w_s)`` where ``w_s`` is source s's
+    total weight; a source whose corpus is smaller than its allocation
+    is kept whole (rates never exceed 1 — no upsampling/duplication
+    here).  Sources absent from ``proportions`` are dropped.
+
+    Plan: one map-side-combining aggregate produces the per-source
+    totals (#sources rows — collected driver-side, the same bounded
+    O(model) collect as IVF centroids), rates become an inline CASE
+    threshold via :func:`stratified_sample`, so the final mix is a PURE
+    pushable scan filter — no join, no shuffle, reproducible across
+    engines and partitionings.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    totals = {r[0]: float(r[1]) for r in
+              df.groupBy(source_col)
+                .agg(F.sum(F.col(weight_col)).cast("double"))
+                .collect()}
+    rates = {s: min(1.0, float(budget) * p / totals[s])
+             for s, p in proportions.items() if s in totals and p > 0}
+    return stratified_sample(df, source_col, key_col, rates,
+                             default_rate=0.0)
 
 
 def top_n_per_key(df: DataFrame, strata_col: str, key_col: str,

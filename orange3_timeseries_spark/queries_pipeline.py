@@ -687,6 +687,41 @@ def _rate_thr(rate):
     return int(rate * _SPACE)
 
 
+@query("sample_mix_corpus", f"""
+WITH w AS (
+  SELECT source, sum(n_chars)::DOUBLE AS w FROM documents GROUP BY 1),
+tot AS (SELECT 0.4::DOUBLE * sum(n_chars)::DOUBLE AS budget
+        FROM documents),
+p(source, p) AS (VALUES
+  ('src0', 0.30::DOUBLE), ('src1', 0.30::DOUBLE), ('src2', 0.20::DOUBLE),
+  ('src3', 0.10::DOUBLE), ('src4', 0.10::DOUBLE)),
+thr AS (
+  SELECT w.source,
+         CAST(floor(least(1.0, tot.budget * p.p / w.w)
+                    * 1152921504606846976.0) AS BIGINT) AS t
+  FROM w JOIN p USING (source) CROSS JOIN tot)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr ON thr.source = d.source
+WHERE {_PH_DOC} < thr.t
+""")
+def q_sample_mix_corpus(spark, sf_dir):
+    """Source-proportioned corpus MIX (the training-data "data mixing"
+    step): budget = 40% of total corpus chars, split src0..src4 at
+    30/30/20/10/10; per-source keep rates ``min(1, budget*p_s/w_s)``
+    become inline hash thresholds, so the mix is a deterministic pure
+    scan filter (operators/sampling.mix_corpus).  Oracle recomputes the
+    identical double-precision thresholds from the same totals."""
+    from orange3_timeseries_spark.operators.sampling import mix_corpus
+
+    d = read_table(spark, sf_dir, "documents")
+    total = float(d.agg(F.sum("n_chars")).first()[0])
+    out = mix_corpus(d, "source", "doc_id",
+                     {"src0": 0.30, "src1": 0.30, "src2": 0.20,
+                      "src3": 0.10, "src4": 0.10},
+                     budget=0.4 * total, weight_col="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
 @query("sample_hash_10pct", f"""
 SELECT doc_id, lang, source
 FROM documents

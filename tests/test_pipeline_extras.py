@@ -243,3 +243,26 @@ def test_substring_pairs_ignores_short_overlaps(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert substring_pairs(df, "text", "doc_id",
                            min_len=150).collect() == []
+
+
+def test_mix_corpus_rates_and_determinism(spark):
+    """mix_corpus keeps ~budget*p_s of each listed source (never more
+    than the source has), drops unlisted sources, and is a pure
+    deterministic function of the data (same rows on re-run)."""
+    from orange3_timeseries_spark.operators.sampling import mix_corpus
+
+    rows = [(i, "a" if i < 400 else ("b" if i < 500 else "c"), 100)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    # budget 20000 chars: a -> 50% of its 40000, b -> all of its 10000
+    out = mix_corpus(df, "src", "doc_id", {"a": 0.5, "b": 0.5},
+                     budget=20000.0, weight_col="n")
+    got = out.groupBy("src").count().collect()
+    by = {r.src: r["count"] for r in got}
+    assert "c" not in by                       # unlisted -> dropped
+    assert by["b"] == 100                      # rate clamped at 1.0
+    assert 70 <= by["a"] <= 140                # rate 0.25 of 400, hash noise
+    again = mix_corpus(df, "src", "doc_id", {"a": 0.5, "b": 0.5},
+                       budget=20000.0, weight_col="n")
+    assert sorted(r.doc_id for r in out.collect()) \
+        == sorted(r.doc_id for r in again.collect())
