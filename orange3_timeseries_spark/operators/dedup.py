@@ -626,18 +626,35 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
                          F.col("label").alias("cluster_id"))
 
 
-def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str,
+                 keep_by: Optional[str] = None) -> DataFrame:
     """Materialize the DEDUPLICATED corpus: keep exactly one document per
-    near-duplicate cluster (the minimum-id canonical representative) and
-    every unclustered document — the terminal step of any dedup pipeline,
-    emitting the corpus that actually ships to training.
+    near-duplicate cluster and every unclustered document — the terminal
+    step of any dedup pipeline, emitting the corpus that actually ships
+    to training.
+
+    Canonical choice: by default the minimum-id representative; with
+    ``keep_by`` the cluster member with the LARGEST value of that column
+    (ties -> min id) — e.g. ``keep_by='n_chars'`` keeps the richest
+    duplicate, ``keep_by='quality'`` a precomputed quality score, the
+    usual retention policy when duplicates differ in truncation or
+    boilerplate.
 
     Plan: :func:`dedup_clusters` labels (one bounded collect or the
-    distributed label loop), filter to ``cluster_id == id``, then a semi
-    join back onto the full rows.  The keep-set is skinny (one id per
-    survivor) so Spark broadcasts it at any realistic dup rate; the full
-    document payload is never shuffled."""
+    distributed label loop), canonical selection on SKINNY (id, label[,
+    keep_by]) rows only, then a semi join back onto the full rows.  The
+    keep-set is one id per survivor, so Spark broadcasts it at any
+    realistic dup rate; the full document payload is never shuffled."""
+    from pyspark.sql import Window
+
     labels = dedup_clusters(df, pairs, id_col)
-    keep = (labels.where(F.col("cluster_id") == F.col(id_col))
-            .select(id_col))
+    if keep_by is None:
+        keep = (labels.where(F.col("cluster_id") == F.col(id_col))
+                .select(id_col))
+    else:
+        ranked = labels.join(df.select(id_col, keep_by), id_col)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col(keep_by).desc(), F.col(id_col))
+        keep = (ranked.withColumn("__rk__", F.row_number().over(w))
+                .where(F.col("__rk__") == 1).select(id_col))
     return df.join(keep, id_col, "left_semi")

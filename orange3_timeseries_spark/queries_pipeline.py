@@ -589,6 +589,44 @@ def q_substring_dedup_corpus(spark, sf_dir):
     return out.select("doc_id", F.length("text").alias("n_chars"))
 
 
+def _dedup_corpus_best_sql():
+    pairs = _minhash_pairs_sql()
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s
+),
+lab AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY id),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, l.doc_id) AS rk
+    FROM lab l JOIN documents d USING (doc_id)) t
+  WHERE rk = 1)
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN keep USING (doc_id)
+"""
+
+
+@query("dedup_corpus_best", _dedup_corpus_best_sql())
+def q_dedup_corpus_best(spark, sf_dir):
+    """Deduplicated corpus keeping the RICHEST member of each near-dup
+    cluster (max n_chars, min-id tie-break) instead of the min-id
+    canonical — the retention policy when duplicates differ in
+    truncation or boilerplate (``dedup_corpus(keep_by=)``).  Oracle
+    ranks cluster members inside the same recursive label propagation."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                                threshold=0.2)
+    out = D.dedup_corpus(d, pairs, "doc_id", keep_by="n_chars")
+    return out.select("doc_id", "n_chars")
+
+
 @query("dedup_exact_normalized", """
 WITH n AS (
   SELECT doc_id,

@@ -266,3 +266,29 @@ def test_mix_corpus_rates_and_determinism(spark):
                        budget=20000.0, weight_col="n")
     assert sorted(r.doc_id for r in out.collect()) \
         == sorted(r.doc_id for r in again.collect())
+
+
+def test_dedup_corpus_keep_by_prefers_richest(spark):
+    """keep_by keeps the cluster member with the largest value (tie ->
+    min id) instead of the min id."""
+    from orange3_timeseries_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the tall green fence nearby")
+    rows = [
+        (1, base),
+        (2, base + " with considerably more extra trailing context kept"),
+        (3, base + " more"),
+        (10, "completely different words about spark catalyst optimizer "
+             "plans shuffles partitions and adaptive execution engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("n_chars", F.length("text"))
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.2)
+    kept = sorted(r["doc_id"] for r in
+                  dedup_corpus(df, pairs, "doc_id",
+                               keep_by="n_chars").collect())
+    assert kept == [2, 10]   # doc 2 is the longest member of the cluster
