@@ -61,9 +61,41 @@ def finance_data(spark: SparkSession, symbol: str,
                            roles={symbol: "target"})
 
 
-def quandl_data(spark: SparkSession, symbol: str, **kwargs) -> DataFrame:
-    """Quandl REST fetch (``datasources.py:14-48``): the upstream service
-    was shut down; kept for API parity."""
-    raise NotImplementedError(
-        "the Quandl service no longer exists; use finance_data or load a "
-        "CSV export via sources.read_orange_csv")
+def quandl_data(spark: SparkSession, symbol: str,
+                since: Optional[str] = None, until: Optional[str] = None,
+                *, collapse: str = "daily", api_key: str = "",
+                fetcher: Optional[Callable] = None) -> TimeSeriesFrame:
+    """Quandl datasets fetch (``datasources.py:14-48``): builds the same
+    ``datasets/WIKI/{symbol}/data.csv`` request (asc order, rdiff
+    transform, the reference's defaults since=1900-01-01 /
+    until=today) and parses the CSV into a Date-indexed
+    :class:`TimeSeriesFrame`, exactly as the reference's
+    ``Timeseries.from_url`` did.
+
+    The upstream service was shut down in 2018, so the DEFAULT path
+    raises with guidance; pass ``fetcher`` (url -> CSV text) to replay
+    archived exports or a compatible mirror — the request construction,
+    CSV parsing, and frame contract are all live and tested."""
+    import datetime as _dt
+    import io
+
+    if since is None:
+        since = _dt.date(1900, 1, 1).isoformat()
+    if until is None:
+        until = _dt.date.today().isoformat()
+    url = ("https://www.quandl.com/api/v3/datasets/WIKI/{S}/data.csv?"
+           "start_date={A}&end_date={B}&order=asc&collapse={C}"
+           "&transform=rdiff&api_key={K}").format(
+               S=symbol, A=since, B=until, C=collapse, K=api_key)
+    if fetcher is None:
+        raise NotImplementedError(
+            "the Quandl service no longer exists; pass fetcher=... to "
+            "replay an archived export, or use finance_data / "
+            "sources.read_orange_csv")
+    import pandas as pd
+
+    pdf = pd.read_csv(io.StringIO(fetcher(url)))
+    date_col = pdf.columns[0]
+    df = (spark.createDataFrame(pdf)
+          .withColumn(date_col, F.col(date_col).cast("timestamp")))
+    return TimeSeriesFrame(df, time_col=date_col)

@@ -167,6 +167,31 @@ class TestFinance:
         with pytest.raises(NotImplementedError, match="Quandl"):
             quandl_data(spark, "WIKI/AAPL")
 
+    def test_quandl_injected_fetcher_parses_archive_export(self, spark):
+        """With an injected fetcher the full request construction + CSV
+        parsing + frame contract run: the reference's URL shape (asc
+        order, rdiff transform, collapse) is preserved and the Date
+        column becomes the time axis."""
+        seen = {}
+
+        def fake_fetch(url):
+            seen["url"] = url
+            return ("Date,Open,Close\n"
+                    "2018-01-02,0.01,0.02\n"
+                    "2018-01-03,-0.005,0.013\n")
+
+        tsf = quandl_data(spark, "AAPL", since="2018-01-01",
+                          until="2018-02-01", collapse="weekly",
+                          api_key="k", fetcher=fake_fetch)
+        assert "datasets/WIKI/AAPL/data.csv" in seen["url"]
+        assert "start_date=2018-01-01" in seen["url"]
+        assert "collapse=weekly" in seen["url"]
+        assert "transform=rdiff" in seen["url"]
+        assert tsf.time_col == "Date"
+        rows = tsf.df.orderBy("Date").collect()
+        assert len(rows) == 2
+        assert rows[1]["Close"] == pytest.approx(0.013)
+
 
 class TestWriters:
     def test_write_partitioned_prunes(self, spark, tmp_path):
