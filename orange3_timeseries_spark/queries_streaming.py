@@ -23,6 +23,7 @@ from orange3_timeseries_spark.sources import read_table, read_table_stream
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
     stream_difference,
+    stream_interval_join,
     stream_session_window,
     stream_time_slice,
     stream_window_aggregation,
@@ -90,6 +91,41 @@ def q_streaming_time_slice(spark, sf_dir):
                      r6(F.col("value"), "value"))
     name = "stream_slice_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="append")
+    return spark.table(name)
+
+
+@query("streaming_interval_join", """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
+       round(epoch(l.ts) - epoch(r.ts), 6) AS dt_seconds,
+       round(r.value, 6) AS r_value
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = 'purchase'
+ AND abs(epoch(l.ts) - epoch(r.ts)) <= 1800.0
+ AND l.event_id <> r.event_id
+""")
+def q_streaming_interval_join(spark, sf_dir):
+    """STREAM-STREAM interval join: the events stream joined against the
+    purchases stream (same-user, ±30 min) with watermark-bounded buffer
+    state on both sides.  Under availableNow replay nothing is late, so
+    the emitted pair set equals the batch interval join exactly — the
+    oracle is the identical inequality join the batch
+    ``interval_join_purchases`` uses."""
+    sdf = read_table_stream(spark, sf_dir, "events")
+    left = sdf.select("user_id", "ts", "event_id")
+    right = sdf.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    out = stream_interval_join(left, right, "ts", ["user_id"], 1800.0,
+                               watermark="1 hour",
+                               right_cols=["event_id", "value"])
+    out = (out.where(F.col("event_id") != F.col("r_event_id"))
+           .select("event_id", "user_id", "r_event_id",
+                   r6(F.col("dt_seconds"), "dt_seconds"),
+                   r6(F.col("r_value"), "r_value")))
+    name = "stream_ij_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append",
+                  state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 

@@ -68,6 +68,48 @@ def stream_time_slice(sdf: DataFrame, time_col: str, lo, hi) -> DataFrame:
                      & (t < time_literal(hi, dtype)))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         time_col: str, keys: Sequence[str],
+                         tolerance_seconds: float,
+                         watermark: str = "1 hour",
+                         right_cols: Sequence[str] = ()) -> DataFrame:
+    """STREAM-STREAM interval join: each left event paired with every
+    same-key right event within ``±tolerance_seconds`` — the streaming
+    face of ``operators.intervaljoin`` (two live firehoses, e.g. clicks
+    x purchases, joined on-line).
+
+    Uses Spark's native stream-stream inner join: both sides carry an
+    event-time watermark and the join condition bounds right's event
+    time to a window around left's, so each side's buffered state is
+    dropped once the watermark passes the window (state per key ~
+    tolerance x arrival rate, not history).  Under an ``availableNow``
+    replay nothing is ever late, so the emitted set equals the batch
+    interval join exactly — which is what the driver oracle replays.
+
+    Output: left columns + ``r_<col>`` for ``right_cols`` +
+    ``dt_seconds`` (left time - right time).
+    """
+    lt, rt = f"__lt_{time_col}__", f"__rt_{time_col}__"
+    l = ntz_to_session_ts(left).withColumnRenamed(time_col, lt) \
+        .withWatermark(lt, watermark)
+    prefixed = [F.col(c).alias(f"r_{c}") for c in right_cols]
+    r = ntz_to_session_ts(right).select(
+        *[F.col(k) for k in keys], F.col(time_col).alias(rt), *prefixed) \
+        .withWatermark(rt, watermark)
+    tol = float(tolerance_seconds)
+    cond = [l[k] == r[k] for k in keys] + [
+        F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {tol} SECONDS"),
+        F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {tol} SECONDS")]
+    out = l.join(r, cond, "inner")
+    # drop right's duplicate key columns, restore left's time name
+    for k in keys:
+        out = out.drop(r[k])
+    return (out.withColumn(
+                "dt_seconds",
+                F.col(lt).cast("double") - F.col(rt).cast("double"))
+            .withColumnRenamed(lt, time_col).drop(rt))
+
+
 def stream_difference(sdf: DataFrame, time_col: str,
                       series_cols: Sequence[str], col: str,
                       shift: int = 1) -> DataFrame:

@@ -287,3 +287,36 @@ class TestStatePartitions:
         from orange3_timeseries_spark.sources import read_table
         want = read_table(spark, "/root/testdata/sf0.001", "events").count()
         assert got == want
+
+
+class TestStreamIntervalJoin:
+    def test_matches_batch_interval_join(self, spark, stream_dir):
+        from orange3_timeseries_spark.streaming.ops import (
+            stream_interval_join,
+        )
+
+        sdf = _read_stream(spark, stream_dir)
+        left = sdf.select("user_id", "ts", F.col("value").alias("lv"))
+        right = sdf.where(F.col("value") % 2 == 0) \
+            .select("user_id", "ts", "value")
+        out = stream_interval_join(left, right, "ts", ["user_id"], 600.0,
+                                   watermark="1 hour",
+                                   right_cols=["value"])
+        run_to_memory(out.select("user_id", "ts", "lv", "r_value",
+                                 "dt_seconds"), "t_sij")
+        got = {(r.user_id, r.ts, r.lv, r.r_value, r.dt_seconds)
+               for r in spark.table("t_sij").collect()}
+
+        b = spark.read.parquet(stream_dir)
+        bl = b.select("user_id", F.col("ts").alias("lt"),
+                      F.col("value").alias("lv"))
+        br = b.where(F.col("value") % 2 == 0) \
+            .select(F.col("user_id").alias("ru"), F.col("ts").alias("rt"),
+                    F.col("value").alias("rv"))
+        exp = {(r.user_id, r.lt, r.lv, r.rv,
+                r.lt.timestamp() - r.rt.timestamp())
+               for r in bl.join(
+                   br, (bl.user_id == br.ru)
+                   & (F.abs(bl.lt.cast("double") - br.rt.cast("double"))
+                      <= 600.0)).collect()}
+        assert got == exp and len(got) > 0
