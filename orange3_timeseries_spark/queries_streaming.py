@@ -22,6 +22,7 @@ from orange3_timeseries_spark.queries import query, r6
 from orange3_timeseries_spark.sources import read_table, read_table_stream
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
+    stream_asof_join,
     stream_difference,
     stream_interval_join,
     stream_session_window,
@@ -124,6 +125,36 @@ def q_streaming_interval_join(spark, sf_dir):
                    r6(F.col("dt_seconds"), "dt_seconds"),
                    r6(F.col("r_value"), "r_value")))
     name = "stream_ij_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append",
+                  state_partitions=_state_width(spark, sf_dir))
+    return spark.table(name)
+
+
+@query("streaming_asof_join", """
+SELECT l.user_id, l.event_id, round(l.value, 6) AS value,
+       r.ts AS asof_ts, round(r.value, 6) AS asof_value
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_streaming_asof_join(spark, sf_dir):
+    """Streaming AS-OF join: each event in the stream enriched with the
+    user's most recent at-or-before purchase, carried as O(1) per-key
+    state across micro-batches (union + applyInPandasWithState — the
+    streaming face of operators/asof.py).  Under availableNow replay the
+    result equals the batch as-of join, so the oracle is the same native
+    DuckDB ASOF LEFT JOIN the batch query uses."""
+    sdf = read_table_stream(spark, sf_dir, "events")
+    left = sdf.select("user_id", "ts", "event_id", "value")
+    right = sdf.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    out = stream_asof_join(left, right, "ts", ["user_id"],
+                           ["event_id", "value"], "value")
+    out = out.select("user_id", "event_id", r6(F.col("value"), "value"),
+                     F.col("asof_ts"), r6(F.col("asof_value"),
+                                          "asof_value"))
+    name = "stream_asof_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="append",
                   state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)

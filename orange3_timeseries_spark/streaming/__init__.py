@@ -16,6 +16,7 @@ from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
     stream_difference,
     stream_exact_dedup,
+    stream_asof_join,
     stream_interval_join,
     stream_time_slice,
     stream_window_aggregation,
@@ -25,6 +26,7 @@ __all__ = [
     "stream_window_aggregation",
     "stream_exact_dedup",
     "stream_difference",
+    "stream_asof_join",
     "stream_interval_join",
     "stream_time_slice",
     "run_to_memory",

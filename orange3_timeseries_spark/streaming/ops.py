@@ -162,6 +162,81 @@ def stream_difference(sdf: DataFrame, time_col: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def stream_asof_join(left: DataFrame, right: DataFrame, time_col: str,
+                     by: Sequence[str], left_cols: Sequence[str],
+                     right_col: str, prefix: str = "asof_") -> DataFrame:
+    """Streaming AS-OF join: every left event gains the most recent
+    at-or-before right value per key — the streaming face of
+    ``operators.asof`` (e.g. enrich a click stream with the user's last
+    purchase as both arrive live).
+
+    Plan mirrors the batch operator's union + carry-forward, adapted to
+    state: both streams are tagged and unioned (no join node), then one
+    ``applyInPandasWithState`` per key sorts each micro-batch by
+    ``(time, src)`` (right-before-left at equal timestamps — the same
+    inclusive backward semantics as DuckDB ``ASOF JOIN``) and carries
+    ``(last right time, last right value)`` across batches as O(1)
+    state.  Under an ``availableNow`` single replay the result equals
+    the batch as-of join exactly, which is what the oracle replays;
+    continuously, cross-batch late rows follow arrival order (same
+    trade-off as :func:`stream_difference`).
+    """
+    by = list(by)
+    left_cols = list(left_cols)
+    l = ntz_to_session_ts(left).select(
+        *by, time_col, *left_cols,
+        F.lit(1).alias("__src__"),
+        F.lit(None).cast("double").alias("__rv__"))
+    r = ntz_to_session_ts(right).select(
+        *by, time_col,
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left_cols],
+        F.lit(0).alias("__src__"),
+        F.col(right_col).cast("double").alias("__rv__"))
+    u = l.unionByName(r)
+
+    key_fields = [u.schema[c] for c in by]
+    out_schema = T.StructType(key_fields + [
+        u.schema[time_col],
+        *[u.schema[c] for c in left_cols],
+        T.StructField(prefix + time_col, T.TimestampType()),
+        T.StructField(prefix + right_col, T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ats", T.LongType()),   # matched right epoch-micros
+        T.StructField("aval", T.DoubleType()),
+    ])
+
+    def step(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        ats, aval = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(
+            [time_col, "__src__"], kind="mergesort")
+        # itertuples mangles underscore-prefixed names into positional
+        # fields — expose the tags under safe names first
+        pdf = pdf.rename(columns={"__src__": "srctag", "__rv__": "rvtag"})
+        rows = []
+        for t in pdf.itertuples(index=False):
+            d = t._asdict()
+            if d["srctag"] == 0:
+                ats = int(pd.Timestamp(d[time_col]).value // 1000)
+                aval = d["rvtag"]
+            else:
+                rows.append(
+                    list(key) + [d[time_col]]
+                    + [d[c] for c in left_cols]
+                    + [pd.Timestamp(ats * 1000)
+                       if ats is not None else pd.NaT,
+                       aval])
+        state.update((ats, aval))
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in out_schema.fields])
+
+    return (u.groupBy(*by)
+            .applyInPandasWithState(step, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
                   state_partitions: Optional[int] = None):
     """Drain all available input into an in-memory table ``name`` and stop

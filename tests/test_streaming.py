@@ -320,3 +320,68 @@ class TestStreamIntervalJoin:
                    & (F.abs(bl.lt.cast("double") - br.rt.cast("double"))
                       <= 600.0)).collect()}
         assert got == exp and len(got) > 0
+
+
+class TestStreamAsofJoin:
+    def test_matches_batch_asof_across_microbatches(self, spark):
+        """Two time-ordered files replayed one per trigger: the carried
+        (last right ts, value) state must survive the batch boundary and
+        reproduce the batch as-of join exactly."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from orange3_timeseries_spark.streaming.ops import stream_asof_join
+
+        d = _tf.mkdtemp(prefix="ts_asof_stream_")
+        try:
+            base = dt.datetime(2024, 1, 1)
+            # right rows (value divisible by 10) interleaved with lefts
+            rows = [(uid, base + dt.timedelta(minutes=5 * i),
+                     float(uid * 1000 + i))
+                    for uid in range(2) for i in range(40)]
+            df = spark.createDataFrame(rows, SCHEMA)
+            half = base + dt.timedelta(minutes=5 * 20)
+            df.where(F.col("ts") < half).coalesce(1).write \
+                .parquet(d + "/f0")
+            df.where(F.col("ts") >= half).coalesce(1).write \
+                .parquet(d + "/f1")
+            import glob as _g
+            import os as _os
+            merged = d + "/in"
+            _os.makedirs(merged)
+            for i, part in enumerate(sorted(
+                    _g.glob(d + "/f0/part-*") + _g.glob(d + "/f1/part-*"))):
+                _sh.copy(part, f"{merged}/{i:02d}.parquet")
+
+            sdf = (spark.readStream.schema(SCHEMA)
+                   .option("maxFilesPerTrigger", 1).parquet(merged))
+            left = sdf.select("user_id", "ts",
+                              F.col("value").alias("lv"))
+            right = sdf.where(F.col("value") % 10 == 0) \
+                .select("user_id", "ts", "value")
+            out = stream_asof_join(left, right, "ts", ["user_id"],
+                                   ["lv"], "value")
+            run_to_memory(out, "t_asof_mb")
+            got = {(r.user_id, r.ts, r.lv): (r.asof_ts, r.asof_value)
+                   for r in spark.table("t_asof_mb").collect()}
+
+            b = spark.read.parquet(merged)
+            bl = b.select("user_id", F.col("ts").alias("lt"),
+                          F.col("value").alias("lv"))
+            br = b.where(F.col("value") % 10 == 0) \
+                .select(F.col("user_id").alias("ru"),
+                        F.col("ts").alias("rt"),
+                        F.col("value").alias("rv"))
+            j = bl.join(br, (bl.user_id == br.ru) & (br.rt <= bl.lt),
+                        "left")
+            from pyspark.sql import Window as W
+            w = W.partitionBy("user_id", "lt", "lv") \
+                 .orderBy(F.col("rt").desc_nulls_last())
+            exp_df = j.withColumn("rk", F.row_number().over(w)) \
+                      .where(F.col("rk") == 1)
+            exp = {(r.user_id, r.lt, r.lv): (r.rt, r.rv)
+                   for r in exp_df.collect()}
+            assert len(got) == 2 * 40
+            assert got == exp
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
