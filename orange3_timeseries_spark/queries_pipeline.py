@@ -1168,3 +1168,50 @@ def q_embedding_dedup_corpus(spark, sf_dir):
     out = D.dedup_corpus(e, pairs, "vec_id")
     return out.select("vec_id", "label",
                       F.size("embedding").alias("dim"))
+
+
+# ------------------------------------------------------- bloom membership
+def _bloom_probe_sql(m=4096, k=4):
+    """Oracle replays build AND probe with the same md5 positions, 32-bit
+    lanes, and bit_or aggregation (operators/bloom.py)."""
+    from orange3_timeseries_spark.operators.hashing import phash_seeded_sql
+
+    pos_values = ", ".join(
+        f"(({phash_seeded_sql('key', i)}) % {m})" for i in range(k))
+    mask = "(1::BIGINT << (p & 31))"
+    return f"""
+WITH n AS (SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]',
+                                            ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS key
+  FROM documents),
+pos AS (SELECT doc_id, u.p FROM n,
+        LATERAL (SELECT * FROM (VALUES {pos_values}) AS v(p)) u),
+lanes AS (SELECT p >> 5 AS lane, bit_or({mask}) AS bits
+          FROM pos WHERE doc_id % 2 = 0 GROUP BY 1)
+SELECT doc_id,
+       bool_and(coalesce((l.bits & {mask}) = {mask}, false)) AS maybe_seen
+FROM pos LEFT JOIN lanes l ON (p >> 5) = l.lane
+GROUP BY doc_id
+"""
+
+
+@query("dedup_bloom_probe", _bloom_probe_sql())
+def q_dedup_bloom_probe(spark, sf_dir):
+    """Bloom-filter cross-corpus membership: build a 4096-bit / 4-hash
+    filter over the NORMALIZED text of the reference half of the corpus
+    (even doc_id), probe every document.  No false negatives by
+    construction — every reference doc and every formatting-variant
+    duplicate of one flags true; false positives are bounded by the
+    m/n sizing (``bloom.bloom_params``).  At 100 TB this is the standard
+    "seen before?" gate: the filter is built once (one bit_or agg, ≤ m/32
+    skinny rows out) and probed per batch with no access to the reference
+    corpus itself."""
+    from orange3_timeseries_spark.operators import bloom as B
+
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id",
+                     T.normalize_text_expr(F.col("text")).alias("key"))
+    ref = keyed.where(F.col("doc_id") % 2 == 0)
+    return B.bloom_membership(keyed, "doc_id", "key", ref, "key",
+                              m_bits=4096, k=4, out_col="maybe_seen")
