@@ -1215,3 +1215,55 @@ def q_dedup_bloom_probe(spark, sf_dir):
     ref = keyed.where(F.col("doc_id") % 2 == 0)
     return B.bloom_membership(keyed, "doc_id", "key", ref, "key",
                               m_bits=4096, k=4, out_col="maybe_seen")
+
+
+# ------------------------------------------------------------- sharding
+@query("shuffle_shards", f"""
+WITH h AS (SELECT doc_id, {_PH.format(e="doc_id::VARCHAR")} AS h
+           FROM documents)
+SELECT doc_id, (h % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+FROM h
+""")
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order materialization: every document gets
+    a reproducible (shard, position) — shard by portable hash, position
+    by hash order within the shard.  One shuffle; at 100 TB each shard
+    sorts in its own task and re-runs are byte-identical."""
+    from orange3_timeseries_spark.operators.sharding import hash_shards
+
+    d = read_table(spark, sf_dir, "documents")
+    return hash_shards(d.select("doc_id"), "doc_id", 8) \
+        .select("doc_id", "shard", "pos")
+
+
+@query("shard_manifest_balanced", f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS w FROM documents),
+r AS (SELECT doc_id, w,
+             row_number() OVER (ORDER BY w DESC, doc_id) - 1 AS i
+      FROM t),
+s AS (SELECT CASE WHEN (i % 16) < 8 THEN (i % 16)
+                  ELSE 15 - (i % 16) END AS shard, w
+      FROM r)
+SELECT shard::INT AS shard, count(*) AS n_docs,
+       sum(w)::BIGINT AS total_weight
+FROM s GROUP BY 1
+""")
+def q_shard_manifest_balanced(spark, sf_dir):
+    """Token-balanced snake sharding manifest: global weight-descending
+    rank folded boustrophedon into 8 shards (LPT-style greedy — max/min
+    shard weight differ by at most one document).  The global rank is
+    computed distributively (range repartition + local row numbers +
+    broadcast offsets, operators/sharding.py), NOT via a single-task
+    global window; the oracle's plain OVER (ORDER BY) is the semantic
+    spec only."""
+    from orange3_timeseries_spark.operators.sharding import (
+        balanced_shards,
+        shard_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", T.token_count_expr(F.col("text")).alias("w"))
+    assigned = balanced_shards(w, "doc_id", "w", 8)
+    return shard_manifest(assigned, "shard", "w") \
+        .select("shard", "n_docs", "total_weight")
