@@ -119,3 +119,25 @@ def top_n_per_key(df: DataFrame, strata_col: str, key_col: str,
         h.asc(), *[F.col(c).asc() for c in order_cols])
     return (df.withColumn("__rn__", F.row_number().over(w))
               .where(F.col("__rn__") <= int(n)).drop("__rn__"))
+
+
+def token_budget_sample(df: DataFrame, strata_col: str, key_col: str,
+                        weight_col: str, budget: int,
+                        cum_col: str = "cum_weight") -> DataFrame:
+    """Take documents per stratum in deterministic hash order until the
+    stratum's cumulative weight reaches ``budget`` (rows whose running
+    total stays ≤ budget are kept; the first over-budget row is cut).
+
+    The curation primitive for "at most B tokens per source/language":
+    reproducible (hash order is a pure function of the key), and a single
+    per-stratum window shuffle — the running sum never re-sorts the
+    corpus globally.  Returns the kept rows with ``cum_col`` attached."""
+    h = phash(F.col(key_col).cast("string"))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(h.asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df.withColumn(cum_col, F.sum(weight_col).over(w).cast("long"))
+    return out.where(F.col(cum_col) <= budget)
+
+
+__all__.append("token_budget_sample")

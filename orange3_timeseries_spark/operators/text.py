@@ -281,3 +281,48 @@ def vocabulary(df, text_col: str, top_k: int = None):
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k))
+
+
+#: the canonical Gopher "required word" set (Rae et al. 2021, §A1.1):
+#: a doc must contain at least 2 of these to count as running English text
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df, text_col: str, id_col: str,
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_hits: int = 2):
+    """Gopher-style document quality rules (Rae et al. 2021) as pure
+    Catalyst expressions — word-count bounds, mean-word-length band,
+    fraction of words containing an alphabetic character, and the
+    required-word (stopword) presence rule.  Map-only: at 100 TB every
+    rule evaluates inside whole-stage codegen on the scan, and the
+    boolean columns make the filter auditable (which rule rejected a doc)
+    rather than a silent drop."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    mean_len = (F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t)).cast("double")
+                / F.nullif(n.cast("double"), F.lit(0.0)))
+    alpha_frac = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+                  .cast("double")
+                  / F.nullif(n.cast("double"), F.lit(0.0)))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    flags = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        n.between(min_words, max_words).alias("ok_word_count"),
+        mean_len.between(min_mean_len, max_mean_len).alias("ok_mean_len"),
+        (alpha_frac >= min_alpha_frac).alias("ok_alpha"),
+        (stop_hits >= min_stop_hits).alias("ok_required_words"))
+    return flags.withColumn(
+        "gopher_pass",
+        F.col("ok_word_count") & F.col("ok_mean_len")
+        & F.col("ok_alpha") & F.col("ok_required_words"))

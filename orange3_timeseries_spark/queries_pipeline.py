@@ -1267,3 +1267,62 @@ def q_shard_manifest_balanced(spark, sf_dir):
     assigned = balanced_shards(w, "doc_id", "w", 8)
     return shard_manifest(assigned, "shard", "w") \
         .select("shard", "n_docs", "total_weight")
+
+
+@query("sample_token_budget", f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS}) AS w,
+                  {_PH.format(e="doc_id::VARCHAR")} AS h
+           FROM documents),
+c AS (SELECT doc_id, source,
+             sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM t)
+SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 1200
+""")
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget curation: keep documents per source in deterministic
+    hash order until 1200 tokens are reached — the "at most B tokens per
+    source" primitive, reproducible across partitionings and engines.
+    One per-stratum window shuffle, no global sort."""
+    from orange3_timeseries_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source",
+                 T.token_count_expr(F.col("text")).alias("w"))
+    out = token_budget_sample(w, "source", "doc_id", "w", 1200,
+                              cum_col="cum_tokens")
+    return out.select("doc_id", "source", "cum_tokens")
+
+
+_GOPHER_STOPS = "'the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'"
+
+
+@query("text_gopher_rules", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / nullif(len(toks), 0) AS ml,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                 / nullif(len(toks), 0) AS af,
+             len(list_intersect(list_distinct(toks),
+                                [{_GOPHER_STOPS}])) AS stop_hits
+      FROM t)
+SELECT doc_id, n_words, round(ml, 6) AS mean_word_len,
+       round(af, 6) AS alpha_frac, stop_hits,
+       n_words BETWEEN 50 AND 100000 AS ok_word_count,
+       ml BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       af >= 0.8 AS ok_alpha,
+       stop_hits >= 2 AS ok_required_words,
+       (n_words BETWEEN 50 AND 100000) AND (ml BETWEEN 3.0 AND 10.0)
+           AND af >= 0.8 AND stop_hits >= 2 AS gopher_pass
+FROM m
+""")
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule breakdown (Rae et al. 2021 §A1.1): word-count
+    bounds, mean-word-length band, alphabetic-word fraction, and the
+    required-word rule, each as an auditable boolean plus the combined
+    verdict — all map-only Catalyst expressions."""
+    d = read_table(spark, sf_dir, "documents")
+    return T.gopher_quality_flags(d, "text", "doc_id")

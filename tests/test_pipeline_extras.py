@@ -292,3 +292,66 @@ def test_dedup_corpus_keep_by_prefers_richest(spark):
                   dedup_corpus(df, pairs, "doc_id",
                                keep_by="n_chars").collect())
     assert kept == [2, 10]   # doc 2 is the longest member of the cluster
+
+
+# ------------------------------------------------- token-budget sampling
+def test_token_budget_sample_cutoff(spark):
+    from orange3_timeseries_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 10) for i in range(40)], ["id", "src", "w"])
+    out = token_budget_sample(df, "src", "id", "w", 95).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r.cum_weight)
+    # 10-token docs against a 95 budget: exactly 9 kept per stratum,
+    # running totals 10..90
+    for cums in by_src.values():
+        assert sorted(cums) == [10 * i for i in range(1, 10)]
+    # deterministic: second run keeps the identical id set
+    again = token_budget_sample(df, "src", "id", "w", 95).collect()
+    assert {r.id for r in again} == {r.id for r in out}
+
+
+def test_token_budget_sample_prefix_property(spark):
+    """A smaller budget's keep-set is a prefix (subset) of a larger one."""
+    from orange3_timeseries_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", (i * 13) % 7 + 1) for i in range(50)],
+        ["id", "src", "w"])
+    small = {r.id for r in
+             token_budget_sample(df, "src", "id", "w", 40).collect()}
+    large = {r.id for r in
+             token_budget_sample(df, "src", "id", "w", 120).collect()}
+    assert small <= large
+
+
+# ------------------------------------------------------- gopher rules
+def test_gopher_quality_flags(spark):
+    from orange3_timeseries_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and keeps "
+            "running with steady pace to reach the distant hills of "
+            "green valley where rivers flow and birds sing songs every "
+            "morning the sun rises and light spreads across the fields "
+            "while farmers work with care and patience to grow food")
+    df = spark.createDataFrame(
+        [(0, good),
+         (1, "short text only"),                    # fails word count
+         (2, " ".join(["zz"] * 60)),                # fails mean len + stops
+         (3, " ".join(["12345"] * 60))],            # fails alpha + stops
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in
+            gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert rows[0].gopher_pass
+    assert not rows[1].ok_word_count and not rows[1].gopher_pass
+    assert not rows[2].ok_mean_len and not rows[2].ok_required_words
+    assert not rows[3].ok_alpha and not rows[3].gopher_pass
+    assert rows[0].stop_hits >= 2 and rows[0].ok_alpha
