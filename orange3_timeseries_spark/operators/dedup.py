@@ -131,6 +131,28 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                      minhash_signature_expr(sh, k).alias("sig"))
 
 
+def _band_entries(df: DataFrame, text_col: str, id_col: str,
+                  k: int, bands: int, n: int) -> DataFrame:
+    """Skinny (id, band, band_key) LSH band entries — candidate
+    generation operates on these only: the shingle arrays stay out of
+    the band join and the pair-dedup shuffle.  Band keys never surface
+    (any injective hash of the band tuple gives the same collision
+    classes) — xxhash64 over the signature slots skips both the md5 and
+    the string concat."""
+    rows_per_band = k // bands
+    df = widen_partitions(df.select(id_col, text_col))
+    sh = shingles_expr(F.col(text_col), n)
+    base = df.select(F.col(id_col),
+                     minhash_signature_expr(sh, k).alias("sig"))
+    return base.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)])
+            for b in range(bands)
+        ])).alias("band", "band_key"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       k: int = 16, bands: int = 4, n: int = 3,
                       threshold: float = 0.2) -> DataFrame:
@@ -140,23 +162,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     jaccard >= threshold.  rows_per_band = k // bands; a pair collides when
     one band of the signature matches exactly.
     """
-    rows_per_band = k // bands
     df = widen_partitions(df.select(id_col, text_col))
-    sh = shingles_expr(F.col(text_col), n)
-    base = df.select(F.col(id_col),
-                     minhash_signature_expr(sh, k).alias("sig"))
-    # candidate generation on SKINNY rows (id, band, band_key) only — the
-    # shingle arrays stay out of the band join and the pair-dedup shuffle
-    # band keys never surface (any injective hash of the band tuple gives
-    # the same collision classes) — xxhash64 over the struct skips both
-    # the md5 and the string concat
-    band_entries = base.select(
-        id_col,
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                         for r in range(rows_per_band)])
-            for b in range(bands)
-        ])).alias("band", "band_key"))
+    band_entries = _band_entries(df, text_col, id_col, k, bands, n)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
@@ -174,6 +181,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                    F.col(text_col).alias("__t_a__"))
     tb = df.select(F.col(id_col).alias("id_b"),
                    F.col(text_col).alias("__t_b__"))
+    verified = (cand.join(ta, "id_a").join(tb, "id_b")
+                .withColumn("sh_a", shingles_expr(F.col("__t_a__"), n))
+                .withColumn("sh_b", shingles_expr(F.col("__t_b__"), n)))
+    return (verified.select("id_a", "id_b",
+                            jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+                            .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_pairs_between(df_a: DataFrame, df_b: DataFrame,
+                              text_col: str, id_col: str,
+                              k: int = 16, bands: int = 4, n: int = 3,
+                              threshold: float = 0.2) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN: (id_a, id_b, jaccard) where
+    id_a ∈ df_a, id_b ∈ df_b and Jaccard ≥ threshold — the train/test
+    LEAKAGE audit at near-duplicate (not just exact n-gram) level.
+
+    Same plan shape as :func:`minhash_lsh_pairs` — skinny band-entry
+    equi-join, texts re-attached only for colliding candidates — so the
+    cost is |A|+|B| signature passes plus a banded join, never |A|×|B|.
+    When one side is a small eval/benchmark set its band entries
+    broadcast for free under AQE."""
+    ea = _band_entries(df_a, text_col, id_col, k, bands, n).alias("a")
+    eb = _band_entries(df_b, text_col, id_col, k, bands, n).alias("b")
+    cand = (ea.join(eb, [F.col("a.band") == F.col("b.band"),
+                         F.col("a.band_key") == F.col("b.band_key")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ta = df_a.select(F.col(id_col).alias("id_a"),
+                     F.col(text_col).alias("__t_a__"))
+    tb = df_b.select(F.col(id_col).alias("id_b"),
+                     F.col(text_col).alias("__t_b__"))
     verified = (cand.join(ta, "id_a").join(tb, "id_b")
                 .withColumn("sh_a", shingles_expr(F.col("__t_a__"), n))
                 .withColumn("sh_b", shingles_expr(F.col("__t_b__"), n)))

@@ -1326,3 +1326,51 @@ def q_text_gopher_rules(spark, sf_dir):
     verdict — all map-only Catalyst expressions."""
     d = read_table(spark, sf_dir, "documents")
     return T.gopher_quality_flags(d, "text", "doc_id")
+
+
+def _crosscorpus_sql(k=16, bands=4, threshold=0.2):
+    rpb = k // bands
+    band_keys = ", ".join(
+        _PH.format(e="(" + " || ',' || ".join(
+            f"m{b * rpb + r}::VARCHAR" for r in range(rpb)) + ")")
+        + f" AS bk{b}" for b in range(bands))
+    return f"""{_minhash_sig_sql(k)},
+bk AS (SELECT doc_id, {band_keys} FROM sig),
+entries AS (
+  SELECT doc_id, u.band, u.key FROM bk,
+  LATERAL (SELECT * FROM (VALUES {", ".join(f"({b}, bk{b})" for b in range(bands))})
+           AS v(band, key)) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_test, b.doc_id AS id_train
+  FROM entries a JOIN entries b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+SELECT id_test, id_train,
+       round(len(list_intersect(x.s, y.s))::DOUBLE
+             / nullif(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 0),
+             6) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = id_test
+JOIN sh y ON y.doc_id = id_train
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / nullif(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 0)
+      >= {threshold}
+"""
+
+
+@query("crosscorpus_leakage", _crosscorpus_sql())
+def q_crosscorpus_leakage(spark, sf_dir):
+    """Train/test near-duplicate LEAKAGE audit: MinHash-LSH join BETWEEN
+    two corpora (held-out = odd doc_id vs train = even doc_id), verified
+    with exact Jaccard ≥ 0.2 — catches paraphrase-level contamination
+    that exact n-gram decontamination (``text_decontaminate``) misses.
+    Cost is |A|+|B| signature passes + a banded equi-join, never
+    |A|x|B|."""
+    d = read_table(spark, sf_dir, "documents")
+    test = d.where(F.col("doc_id") % 2 == 1)
+    train = d.where(F.col("doc_id") % 2 == 0)
+    out = D.minhash_lsh_pairs_between(test, train, "text", "doc_id",
+                                      k=16, bands=4, n=3, threshold=0.2)
+    return out.select(F.col("id_a").alias("id_test"),
+                      F.col("id_b").alias("id_train"),
+                      r6(F.col("jaccard"), "jaccard"))

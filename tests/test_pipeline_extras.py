@@ -355,3 +355,33 @@ def test_gopher_quality_flags(spark):
     assert not rows[2].ok_mean_len and not rows[2].ok_required_words
     assert not rows[3].ok_alpha and not rows[3].gopher_pass
     assert rows[0].stop_hits >= 2 and rows[0].ok_alpha
+
+
+# ------------------------------------------------- cross-corpus leakage
+def test_minhash_lsh_pairs_between(spark):
+    from orange3_timeseries_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(0, base), (2, "totally different content here nothing shared"),
+         (4, base + " lambda")], ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(1, base),                                     # exact dup of 0/4
+         (3, "unrelated words entirely disjoint tokens")],
+        ["doc_id", "text"])
+    out = minhash_lsh_pairs_between(test, train, "text", "doc_id",
+                                    threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 0) in pairs           # exact duplicate found across corpora
+    assert all(a in (1, 3) and b in (0, 2, 4) for a, b in pairs)
+    assert not any(a == 3 for a, _ in pairs)   # disjoint text never pairs
+    # within-corpus pairs of the union equal the between-pairs plus the
+    # within-side ones (consistency of the two plans)
+    union = train.union(test)
+    within = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+              for r in minhash_lsh_pairs(union, "text", "doc_id",
+                                         threshold=0.5).collect()}
+    assert {(min(a, b), max(a, b)) for a, b in pairs} <= within
