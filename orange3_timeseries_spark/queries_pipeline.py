@@ -1374,3 +1374,20 @@ def q_crosscorpus_leakage(spark, sf_dir):
     return out.select(F.col("id_a").alias("id_test"),
                       F.col("id_b").alias("id_train"),
                       r6(F.col("jaccard"), "jaccard"))
+
+
+@query("dedup_cluster_sizes", f"""
+SELECT size, count(*) AS n_clusters FROM (
+  SELECT cluster_id, count(*) AS size FROM ({_clusters_sql()}) GROUP BY 1)
+GROUP BY 1
+""")
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution — the report every dedup run
+    produces (how much of the corpus is duplicated, and how deeply).
+    Two tiny aggregations over the verified cluster labels."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                                threshold=0.2)
+    labels = D.dedup_clusters(d, pairs, "doc_id")
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
