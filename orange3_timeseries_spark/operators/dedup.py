@@ -162,7 +162,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     jaccard >= threshold.  rows_per_band = k // bands; a pair collides when
     one band of the signature matches exactly.
     """
-    df = widen_partitions(df.select(id_col, text_col))
+    df = df.select(id_col, text_col)
     band_entries = _band_entries(df, text_col, id_col, k, bands, n)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
