@@ -366,3 +366,124 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     return tagged.select(F.col(id_col), s.alias("scale"),
                          F.col("__q__").alias("qvec"),
                          err.alias("max_abs_err"))
+
+
+# ------------------------------------------------------ product quantization
+def _sq_chain(s: Column, centroid) -> Column:
+    """Left-associated squared-L2 chain between a bound subvector column
+    and a literal centroid: (s[1]-c1)² + (s[2]-c2)² + … — an explicit
+    addition chain (not a HOF fold) so a SQL oracle can replay the exact
+    IEEE summation order and argmin ties resolve identically."""
+    import functools
+    import operator
+
+    terms = []
+    for i, cval in enumerate(centroid):
+        d = F.element_at(s, i + 1) - F.lit(float(cval))
+        terms.append(d * d)
+    return functools.reduce(operator.add, terms)
+
+
+def pq_encode(df: DataFrame, codebooks,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              code_col: str = "pq_code") -> DataFrame:
+    """Product-quantization encoding: split each vector into M subspaces
+    and store only the nearest-centroid index per subspace — d floats
+    become M small ints (64×4 bytes → 8 bytes here), the standard
+    memory-compression step for billion-vector ANN serving.
+
+    ``codebooks``: M lists of K centroids (each d/M floats).  Encoding is
+    map-only Catalyst (subvector slices bound once per row, then literal
+    distance chains); argmin tie-breaks to the lowest centroid index
+    (``array_position`` finds the first minimum)."""
+    M = len(codebooks)
+    ds = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    sliced = df.select(
+        F.col(id_col),
+        *[F.slice(v, m * ds + 1, ds).alias(f"__s{m}__") for m in range(M)])
+    code_cols = []
+    for m, cb in enumerate(codebooks):
+        s = F.col(f"__s{m}__")
+        dists = F.array(*[_sq_chain(s, c) for c in cb])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias(f"__c{m}__"))
+    coded = sliced.select(id_col, *code_cols)
+    return coded.select(
+        id_col,
+        F.array(*[F.col(f"__c{m}__") for m in range(M)]).alias(code_col))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
+            k: int = 5, vec_col: str = "embedding",
+            id_col: str = "vec_id", query_id_col: str = "query_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    an M×K lookup table of subspace distances once; scoring a corpus
+    vector is then M table lookups instead of d multiplies — the serving
+    arithmetic that makes PQ sub-linear in memory traffic.
+
+    Plan: the corpus carries only its codes (M bytes of payload), the
+    LUT side is a handful of query rows broadcast to it; the only
+    shuffle is the skinny (query_id, nn_id, approx) top-k window.  Ranks
+    order by the ROUNDED distance (6 dp) then id so engine-order ties
+    are deterministic."""
+    import functools
+    import operator
+
+    M = len(codebooks)
+    ds = len(codebooks[0][0])
+    codes = pq_encode(
+        corpus.select(F.col(id_col).alias("nn_id"), vec_col),
+        codebooks, vec_col=vec_col, id_col="nn_id")
+    qv = _as_double(F.col(vec_col))
+    qsliced = queries.select(
+        F.col(query_id_col),
+        *[F.slice(qv, m * ds + 1, ds).alias(f"__qs{m}__")
+          for m in range(M)])
+    luts = qsliced.select(
+        F.col(query_id_col),
+        *[F.array(*[_sq_chain(F.col(f"__qs{m}__"), c) for c in cb])
+          .alias(f"__lut{m}__")
+          for m, cb in enumerate(codebooks)])
+    joined = (codes.crossJoin(F.broadcast(luts))
+              .where(F.col("nn_id") != F.col(query_id_col)))
+    approx = functools.reduce(operator.add, [
+        F.element_at(F.col(f"__lut{m}__"),
+                     F.element_at(F.col("pq_code"), m + 1) + 1)
+        for m in range(M)])
+    scored = joined.select(query_id_col, "nn_id",
+                           F.round(approx, 6).alias("approx_l2"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_l2").asc(), F.col("nn_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
+                       n_subspaces: int = 8, n_centroids: int = 16,
+                       sample: int = 2048, seed: int = 7):
+    """Train PQ codebooks: seeded k-means per subspace on a driver-side
+    sample (same bounded split as :func:`train_ivf_centroids` — the
+    O(M·K·ds) model rides the closure, the corpus never moves)."""
+    import numpy as np
+
+    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    d = X.shape[1]
+    ds = d // n_subspaces
+    books = []
+    rng = np.random.RandomState(seed)
+    for m in range(n_subspaces):
+        S = X[:, m * ds:(m + 1) * ds]
+        cent = S[rng.choice(len(S), size=min(n_centroids, len(S)),
+                            replace=False)].copy()
+        for _ in range(10):
+            dist = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for j in range(len(cent)):
+                msk = assign == j
+                if msk.any():
+                    cent[j] = S[msk].mean(0)
+        books.append(cent.tolist())
+    return books

@@ -1391,3 +1391,85 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     labels = D.dedup_clusters(d, pairs, "doc_id")
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+
+
+@query("embedding_centroids", """
+WITH x AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT label, u.i AS dim, v[u.i] AS val
+      FROM x, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u)
+SELECT label, dim, round(avg(val), 6) AS centroid_val,
+       count(*) AS n_vectors
+FROM e GROUP BY 1, 2
+""")
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label class centroids in long form (label, dim, mean
+    component) — the per-cluster profile used to audit semantic dedup
+    and embedding drift.  posexplode + one aggregation: partial
+    (map-side) means make the shuffle carry labels x dims rows, never
+    vectors."""
+    e = read_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim0", "val"))
+    return (exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+            .agg(F.round(F.avg("val"), 6).alias("centroid_val"),
+                 F.count("*").alias("n_vectors")))
+
+
+def _pq_sql(M=8, ds=8, K=16, k=5):
+    """Oracle replays PQ encode + ADC with the identical IEEE summation
+    order (explicit left-associated chains, cf. similarity._sq_chain)."""
+    chain = " + ".join(
+        f"((s.sv[{i+1}]) - (b.cv[{i+1}])) * ((s.sv[{i+1}]) - (b.cv[{i+1}]))"
+        for i in range(ds))
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, {M-1})) AS m),
+cb AS (SELECT x.vec_id AS j, ms.m,
+              list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS cv
+       FROM c x, ms WHERE x.vec_id < {K}),
+sl AS (SELECT x.vec_id, ms.m,
+              list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS sv
+       FROM c x, ms),
+enc AS (SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+        FROM sl s JOIN cb b ON s.m = b.m),
+codes AS (SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, j) AS rn
+    FROM enc) t
+  WHERE rn = 1),
+adc AS (SELECT q.vec_id AS query_id, cx.vec_id AS nn_id,
+               sum(q.dist) AS approx
+        FROM codes cx JOIN enc q ON q.m = cx.m AND q.j = cx.code
+        WHERE q.vec_id < 10 AND cx.vec_id != q.vec_id
+        GROUP BY 1, 2)
+SELECT query_id, nn_id, approx_l2, rank FROM (
+  SELECT query_id, nn_id, round(approx, 6) AS approx_l2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(approx, 6), nn_id) AS rank
+  FROM adc) t
+WHERE rank <= {k}
+"""
+
+
+@query("ann_pq_topk", _pq_sql())
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN serving path, fully hash-verified:
+    codebooks are injected deterministically (subvector slices of the
+    first 16 corpus embeddings — a bounded 16-row collect, same split as
+    ``ann_ivf_served_topk``), so subspace encoding, the per-query ADC
+    lookup tables, and the approximate-L2 top-5 are all value-checked.
+    PQ compresses 64 floats to 8 bytes per vector — the memory-traffic
+    half of billion-scale ANN; only Lloyd training (``train_pq_codebooks``)
+    stays outside the oracle."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    M, ds = 8, 8
+    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+              for r in cent_rows] for m in range(M)]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.pq_topk(e, queries, books, k=5)

@@ -65,3 +65,76 @@ class TestANN:
         m = exact.merge(approx, on=["query_id", "nn_id"], suffixes=("", "_a"))
         if len(m):
             np.testing.assert_allclose(m["cosine"], m["cosine_a"], atol=1e-6)
+
+
+class TestPQ:
+    def _books(self, emb_df, M=4, K=16):
+        from orange3_timeseries_spark.operators.similarity import (
+            train_pq_codebooks,
+        )
+        return train_pq_codebooks(emb_df, n_subspaces=M, n_centroids=K,
+                                  seed=7)
+
+    def test_pq_encode_shape_and_determinism(self, spark, emb_df):
+        from orange3_timeseries_spark.operators.similarity import pq_encode
+
+        books = self._books(emb_df)
+        a = {r.vec_id: list(r.pq_code)
+             for r in pq_encode(emb_df, books).collect()}
+        b = {r.vec_id: list(r.pq_code)
+             for r in pq_encode(emb_df, books).collect()}
+        assert a == b and len(a) == 400
+        for code in a.values():
+            assert len(code) == 4
+            assert all(0 <= c < 16 for c in code)
+
+    def test_pq_centroid_encodes_to_itself(self, spark, emb_df):
+        """A vector equal to centroid j in every subspace must encode to
+        [j]*M (distance exactly 0, argmin first-match tie-break)."""
+        from orange3_timeseries_spark.operators.similarity import pq_encode
+
+        books = self._books(emb_df)
+        flat = [x for m in range(4) for x in books[m][3]]
+        df = spark.createDataFrame([(0, [float(x) for x in flat])],
+                                   "vec_id long, embedding array<double>")
+        [row] = pq_encode(df, books).collect()
+        assert list(row.pq_code) == [3, 3, 3, 3]
+
+    def test_pq_topk_adc_exact_and_cluster_recall(self, spark, emb_df):
+        """ADC scores must equal the numpy reference exactly, and the
+        retrieved neighbors must come from the query's true cluster.
+
+        (Plain recall@5 vs exact L2 is NOT asserted: every same-cluster
+        vector quantizes to the same code here, so ADC ties cannot
+        distinguish within-cluster order — inherent PQ resolution, not
+        an operator defect.)"""
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+        )
+
+        books = self._books(emb_df)
+        approx = pq_topk(emb_df, _queries(emb_df), books, k=5).toPandas()
+        X = np.array(
+            [r.embedding for r in
+             emb_df.orderBy("vec_id").select("embedding").collect()],
+            dtype=np.float64)
+        codes = {r.vec_id: list(r.pq_code)
+                 for r in pq_encode(emb_df, books).collect()}
+        B = [np.array(b) for b in books]
+
+        def adc(qi, xi):
+            return sum(
+                ((X[qi, m * 4:(m + 1) * 4] - B[m][codes[xi][m]]) ** 2).sum()
+                for m in range(4))
+
+        for _, r in approx.iterrows():
+            np.testing.assert_allclose(
+                r.approx_l2, adc(int(r.query_id), int(r.nn_id)), atol=1e-6)
+        # retrieved neighbors live in the query's true cluster (i % 8)
+        same = sum(int(r.nn_id) % 8 == int(r.query_id) % 8
+                   for _, r in approx.iterrows())
+        assert same / len(approx) >= 0.9
+        for qid, grp in approx.groupby("query_id"):
+            assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
+            assert grp.sort_values("rank")["approx_l2"].is_monotonic_increasing
