@@ -72,3 +72,33 @@ def partial_autocorrelation(x, *, nlags=None):
     if nlags is None:
         nlags = min(len(x) // 2 - 1, len(x) - 1)
     return _significant(pacf_values(x, nlags))
+
+
+def ccf_values(x: np.ndarray, y: np.ndarray, nlags: int):
+    """Biased cross-correlation of two aligned series at lags
+    -nlags..nlags: ccf[k] = Σ_t (x_t-x̄)(y_{t+k}-ȳ) / (n·σx·σy) with
+    population σ — the two-sided companion of :func:`acf_values`
+    (positive lag: y leads x by k observations).
+
+    Returns (lags, values); empty when either series is constant
+    (denominator zero) — callers skip such series rather than emit
+    inf/nan rows."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    n = len(x)
+    den = n * x.std() * y.std()
+    if den == 0 or n < 2:
+        return [], []
+    xd = x - x.mean()
+    yd = y - y.mean()
+    lags, vals = [], []
+    for k in range(-nlags, nlags + 1):
+        if abs(k) > n - 1:
+            continue
+        if k >= 0:
+            s = np.dot(xd[:n - k], yd[k:])
+        else:
+            s = np.dot(xd[-k:], yd[:n + k])
+        lags.append(k)
+        vals.append(s / den)
+    return lags, vals

@@ -517,3 +517,46 @@ def q_seasonal_decompose_by_user(spark, sf_dir):
         "user_id", "event_id", r6(F.col("adj"), "v_adj"),
         r6(F.col("seasonal"), "v_seasonal"),
         r6(F.col("trend"), "v_trend"))
+
+
+@query("ccf_by_user", """
+WITH e AS (
+  SELECT user_id, ts, value AS x,
+         CAST(json_extract(props, '$.k') AS DOUBLE) AS y
+  FROM events),
+r AS (
+  SELECT user_id, x, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM e),
+s AS (
+  SELECT user_id, count(*)::INT AS n, avg(x) AS mx, avg(y) AS my,
+         stddev_pop(x) AS sx, stddev_pop(y) AS sy
+  FROM r GROUP BY 1),
+l AS (SELECT unnest(generate_series(-5, 5)) AS lag),
+j AS (
+  SELECT a.user_id, l.lag,
+         sum((a.x - s.mx) * (b.y - s.my)) AS num,
+         any_value(s.n) AS n, any_value(s.sx) AS sx,
+         any_value(s.sy) AS sy
+  FROM r a
+  JOIN s ON s.user_id = a.user_id
+  CROSS JOIN l
+  JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + l.lag
+  WHERE s.sx > 0 AND s.sy > 0
+  GROUP BY 1, 2)
+SELECT user_id, lag::INT AS lag, round(num / (n * sx * sy), 6) AS ccf
+FROM j
+""")
+def q_ccf_by_user(spark, sf_dir):
+    """Per-series cross-correlation between the event value and its
+    numeric JSON property at lags -5..5 — the two-series companion of
+    ``acf_by_user``: biased normalization n·σx·σy (population σ),
+    observation-sequence lags.  Oracle is a direct shifted self-join."""
+    from orange3_timeseries_spark.spark_analytics import ccf_table
+
+    df = read_table(spark, sf_dir, "events")
+    df = df.withColumn(
+        "y", F.get_json_object("props", "$.k").cast("double"))
+    tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+    out = ccf_table(tsf, "value", "y", nlags=5)
+    return out.select("user_id", "lag", r6(F.col("ccf"), "ccf"))

@@ -526,3 +526,33 @@ def seasonal_components_table(tsf: TimeSeriesFrame, col: str,
 
     return _packed_map(tsf, [col, id_col], fields, per_series,
                        native_cols=(id_col,))
+
+
+def ccf_table(tsf: TimeSeriesFrame, xcol: str, ycol: str,
+              nlags: int = 5) -> DataFrame:
+    """Per-series cross-correlation rows (series..., lag, ccf) at lags
+    -nlags..nlags over the observation sequence (time order, no calendar
+    gap-filling — lag 1 means "next observation").  Same packed
+    distributed fit as :func:`acf_table`; constant series are skipped
+    (zero denominator).  Completes the correlation family the reference
+    exposes (ACF `functions.py:192-218`, PACF) with the standard
+    two-series diagnostic it lacks."""
+    from orange3_timeseries_spark.functions.correlation import ccf_values
+
+    fields = [T.StructField("lag", T.IntegerType()),
+              T.StructField("ccf", T.DoubleType())]
+
+    def per_series(r):
+        x = np.asarray(r[xcol], dtype=float)
+        y = np.asarray(r[ycol], dtype=float)
+        m = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[m], y[m]
+        if len(x) < 2:
+            return None
+        lags, vals = ccf_values(x, y, nlags)
+        if not lags:
+            return None
+        return {"lag": np.array(lags, dtype="int32"),
+                "ccf": np.array(vals)}
+
+    return _packed_map(tsf, [xcol, ycol], fields, per_series)

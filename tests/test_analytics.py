@@ -277,3 +277,53 @@ class TestSeasonalComponentsTable:
                                           model="additive", period=12)
         got = sorted(r.rid for r in table.collect())
         assert got == [base + 2 * i for i in range(36)]
+
+
+# -------------------------------------------------------------------- CCF
+class TestCCF:
+    def test_ccf_values_reference(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions.correlation import (
+            ccf_values,
+        )
+
+        rng = np.random.RandomState(3)
+        x = rng.standard_normal(80)
+        y = np.roll(x, 2) + rng.standard_normal(80) * 0.05
+        lags, vals = ccf_values(x, y, 5)
+        assert lags == list(range(-5, 6))
+        d = dict(zip(lags, vals))
+        # y ≈ x delayed by 2 -> peak at lag +2, near zero elsewhere
+        assert d[2] > 0.9
+        assert abs(d[0]) < 0.3 and abs(d[-2]) < 0.3
+        # self-correlation at lag 0 is exactly acf(0) = 1
+        l0, v0 = ccf_values(x, x, 0)
+        assert l0 == [0] and abs(v0[0] - 1.0) < 1e-12
+        # constant series -> skipped, no inf/nan rows
+        assert ccf_values(x, np.ones(80), 3) == ([], [])
+
+    def test_ccf_table_spark(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import ccf_table
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for uid in range(3):
+            x = rng.standard_normal(40)
+            y = np.roll(x, 1)
+            for t in range(40):
+                rows.append((uid, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(hours=t),
+                             float(x[t]), float(y[t])))
+        df = spark.createDataFrame(rows, ["user_id", "ts", "x", "y"])
+        tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+        out = ccf_table(tsf, "x", "y", nlags=3).collect()
+        assert len(out) == 3 * 7
+        for uid in range(3):
+            d = {r.lag: r.ccf for r in out if r.user_id == uid}
+            assert d[1] == max(d.values()) and d[1] > 0.8
