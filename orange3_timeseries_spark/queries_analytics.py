@@ -560,3 +560,49 @@ def q_ccf_by_user(spark, sf_dir):
     tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
     out = ccf_table(tsf, "value", "y", nlags=5)
     return out.select("user_id", "lag", r6(F.col("ccf"), "ccf"))
+
+
+@query("distinct_users_sketch_daily", f"""
+WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  user_id,
+                  (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)
+                      AS h
+           FROM events),
+b AS (SELECT day, (h % 256)::INT AS reg,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE bit_count(((h >> 8) & -(h >> 8)) - 1) + 1
+             END AS rho
+      FROM e),
+r AS (SELECT day, reg, max(rho) AS max_rho FROM b GROUP BY 1, 2),
+a AS (SELECT day, sum(1.0 / (1::BIGINT << max_rho)) AS s,
+             (256 - count(*))::DOUBLE AS zeros
+      FROM r GROUP BY 1),
+est AS (SELECT day,
+               CASE WHEN (47072.71267120224 / (s + zeros)) <= 640.0
+                         AND zeros > 0
+                    THEN 256.0 * ln(256.0 / zeros)
+                    ELSE 47072.71267120224 / (s + zeros)
+               END AS raw
+        FROM a),
+x AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+SELECT x.day AS day, x.n_exact, round(est.raw, 6) AS approx_users
+FROM x JOIN est ON x.day = est.day
+""")
+def q_distinct_users_sketch_daily(spark, sf_dir):
+    """Per-day distinct users via a deterministic HyperLogLog (p=8,
+    portable md5 hash, integer-exact rho) next to the exact count — the
+    oracle replays registers AND estimate.  At 100 TB the sketch is the
+    only viable distinct count: registers aggregate map-side to ≤256
+    rows per day and merge across corpora (``sketch.hll_merge``), no
+    key shuffle ever."""
+    from orange3_timeseries_spark.operators.sketch import approx_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+    est = approx_distinct(ev, "user_id", p=8, group_cols=("day",),
+                          out_col="approx_users")
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return exact.join(est, "day").select("day", "n_exact", "approx_users")
