@@ -112,3 +112,34 @@ def bloom_membership(df: DataFrame, id_col: str, key_col: str,
     """Build over ``reference`` and probe ``df`` in one call."""
     lanes = bloom_build(reference, ref_key_col, m_bits, k)
     return bloom_probe(df, id_col, key_col, lanes, m_bits, k, out_col)
+
+
+def dense_lanes(lanes: DataFrame, m_bits: int):
+    """Collect sparse (lane, bits) rows into a dense Python list of
+    m/32 lane values — bounded driver step (m ≤ 2^27 → ≤ 32 MB), the
+    model-rides-the-closure split for stateless probing."""
+    vals = [0] * (m_bits // LANE_BITS)
+    for r in lanes.collect():
+        vals[int(r["lane"])] = int(r["bits"])
+    return vals
+
+
+def bloom_probe_expr(key: Column, lane_values, m_bits: int,
+                     k: int) -> Column:
+    """Pure-expression membership check against an embedded dense
+    filter: an AND chain of k bit tests with the lane table as an array
+    literal — no join, no state, usable in a STREAMING filter (stateless
+    map, append-mode safe) or any batch predicate.  For filters too big
+    to embed (> ~2^24 bits), use :func:`bloom_probe`'s lane join
+    instead."""
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in lane_values])
+    checks = []
+    for i in range(k):
+        pos = phash_seeded(key.cast("string"), i) % F.lit(m_bits)
+        lane, mask = _lane_mask(pos)
+        bits = F.element_at(arr, (lane + 1).cast("int"))
+        checks.append(bits.bitwiseAND(mask) == mask)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

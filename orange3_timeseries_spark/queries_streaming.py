@@ -237,3 +237,53 @@ def q_streaming_session_window(spark, sf_dir):
     run_to_memory(out, name, output_mode="append",
                   state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
+
+
+_BLOOM_POS_VALUES = ", ".join(
+    f"(((('0x' || substr(md5((key || '#{i}')), 1, 15))::BIGINT) % 2048))"
+    for i in range(4))
+
+
+@query("streaming_bloom_gate", f"""
+WITH ref AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events
+             WHERE ts < TIMESTAMP '2024-01-01 02:00:00'),
+rpos AS (SELECT u.p FROM ref,
+         LATERAL (SELECT * FROM (VALUES {_BLOOM_POS_VALUES}) AS v(p)) u),
+lanes AS (SELECT p >> 5 AS lane, bit_or(1::BIGINT << (p & 31)) AS bits
+          FROM rpos GROUP BY 1),
+ev AS (SELECT event_id, user_id, ts, user_id::VARCHAR AS key FROM events),
+epos AS (SELECT event_id, user_id, ts, u.p FROM ev,
+         LATERAL (SELECT * FROM (VALUES {_BLOOM_POS_VALUES}) AS v(p)) u),
+hits AS (SELECT event_id, any_value(user_id) AS user_id,
+                any_value(ts) AS ts,
+                bool_and(coalesce(
+                    (l.bits & (1::BIGINT << (p & 31)))
+                        = (1::BIGINT << (p & 31)), false)) AS ok
+         FROM epos LEFT JOIN lanes l ON (p >> 5) = l.lane
+         GROUP BY event_id)
+SELECT event_id, user_id, ts FROM hits WHERE ok
+""")
+def q_streaming_bloom_gate(spark, sf_dir):
+    """Known-key gate at STREAM ingest: a Bloom filter built in batch
+    over the first 2 hours' user set rides the stream as a pure
+    expression (dense lanes embedded as an array literal — stateless
+    map, append-mode safe, no per-batch join); events from users not in
+    the reference window are dropped with zero false negatives.  The
+    oracle replays build + probe bit-for-bit."""
+    import datetime as dt
+
+    from orange3_timeseries_spark.operators import bloom as B
+    from orange3_timeseries_spark.sources import read_table
+
+    ref = (read_table(spark, sf_dir, "events")
+           .where(F.col("ts") < F.lit(dt.datetime(2024, 1, 1, 2)))
+           .select(F.col("user_id").cast("string").alias("key"))
+           .distinct())
+    lanes = B.dense_lanes(B.bloom_build(ref, "key", 2048, 4), 2048)
+    sdf = read_table_stream(spark, sf_dir, "events")
+    gated = sdf.where(
+        B.bloom_probe_expr(F.col("user_id"), lanes, 2048, 4))
+    out = gated.select("event_id", "user_id", "ts")
+    name = "stream_bloom_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

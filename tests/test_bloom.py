@@ -59,3 +59,26 @@ def test_build_is_sparse_and_bounded(corpus):
     assert all(r.bits != 0 for r in rows)
     # masks were 32-bit: every lane value is positive in signed 64-bit
     assert all(r.bits > 0 for r in rows)
+
+
+def test_probe_expr_matches_probe_join(corpus, spark):
+    """The embedded-literal expression probe and the lane-join probe are
+    the same filter."""
+    from pyspark.sql import functions as F
+
+    from orange3_timeseries_spark.operators.bloom import (
+        bloom_probe,
+        bloom_probe_expr,
+        dense_lanes,
+    )
+
+    ref = corpus.where("id % 2 = 0")
+    lanes = bloom_build(ref, "key", m_bits=2048, k=4)
+    joined = {r.id: r.maybe_member
+              for r in bloom_probe(corpus, "id", "key", lanes,
+                                   2048, 4).collect()}
+    dense = dense_lanes(lanes, 2048)
+    expr = {r.id: r.hit for r in corpus.select(
+        "id", bloom_probe_expr(F.col("key"), dense, 2048, 4)
+        .alias("hit")).collect()}
+    assert joined == expr
