@@ -141,3 +141,26 @@ def token_budget_sample(df: DataFrame, strata_col: str, key_col: str,
 
 
 __all__.append("token_budget_sample")
+
+
+def weighted_sample(df: DataFrame, strata_col: str, key_col: str,
+                    weight_col: str, n: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each row gets priority u^(1/w) with
+    u = (phash(key)+1)/2^60 — a pure function of the key, so the sample
+    is reproducible across partitionings and engines — and the top-n
+    priorities per stratum are kept.  Inclusion probability is
+    proportional to weight, the one-pass distributed answer to
+    "sample n docs per source, preferring longer/higher-quality ones".
+
+    One per-stratum rank shuffle, same shape as :func:`top_n_per_key`."""
+    u = (phash(F.col(key_col).cast("string")) + 1).cast("double") \
+        / F.lit(float(_SPACE))
+    prio = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(strata_col).orderBy(
+        prio.desc(), F.col(key_col).asc())
+    return (df.withColumn("__wrn__", F.row_number().over(w))
+            .where(F.col("__wrn__") <= n).drop("__wrn__"))
+
+
+__all__.append("weighted_sample")

@@ -103,3 +103,43 @@ def hll_merge(*register_dfs: DataFrame, p: int = 10,
 def expected_error(p: int) -> float:
     """Standard error of the estimate: 1.04/sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------- count-min sketch
+def cms_tables(df: DataFrame, key_col: str, width: int = 1024,
+               depth: int = 3, group_cols=()) -> DataFrame:
+    """Count-min sketch counters: ``depth`` portable hash rows of
+    ``width`` counters each; one map-side-combinable aggregation to at
+    most depth·width rows per group regardless of input size.  Counters
+    only ever overestimate (hash collisions add, never subtract), with
+    error ≤ e·N/width at probability 1−e^−depth — the standard
+    heavy-hitter / frequency sketch at corpus scale, and mergeable by
+    summing counters."""
+    from orange3_timeseries_spark.operators.hashing import phash_seeded
+
+    key = F.col(key_col).cast("string")
+    pos = F.posexplode(F.array(*[
+        (phash_seeded(key, i) % F.lit(width)).cast("int")
+        for i in range(depth)]))
+    entries = df.select(*group_cols, pos.alias("row", "pos"))
+    return (entries.groupBy(*group_cols, "row", "pos")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(tables: DataFrame, probes: DataFrame, key_col: str,
+                 width: int = 1024, depth: int = 3,
+                 out_col: str = "cms_count") -> DataFrame:
+    """Point-query the sketch for every probe key: min over the depth
+    rows (missing counter → 0).  The counter table is ≤ depth·width rows
+    — broadcast, so probing any number of keys is map-side."""
+    from orange3_timeseries_spark.operators.hashing import phash_seeded
+
+    key = F.col(key_col).cast("string")
+    pos = F.posexplode(F.array(*[
+        (phash_seeded(key, i) % F.lit(width)).cast("int")
+        for i in range(depth)]))
+    pe = probes.select(F.col(key_col), pos.alias("row", "pos"))
+    j = pe.join(F.broadcast(tables), ["row", "pos"], "left")
+    return (j.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias(out_col)))

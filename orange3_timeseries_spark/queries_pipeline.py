@@ -1473,3 +1473,102 @@ def q_ann_pq_topk(spark, sf_dir):
     queries = (e.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.pq_topk(e, queries, books, k=5)
+
+
+@query("leakage_safe_split", f"""
+WITH lab AS (SELECT doc_id, cluster_id FROM ({_clusters_sql()}))
+SELECT doc_id, cluster_id,
+       CASE WHEN ({_PH.format(e="cluster_id::VARCHAR")} % 10) < 8
+            THEN 'train' ELSE 'heldout' END AS split
+FROM lab
+""")
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware train/heldout split: the split key is the
+    near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands on the same side — the standard remedy for
+    the contamination ``crosscorpus_leakage`` detects.  Deterministic
+    (portable hash of the canonical label), ~80/20 in expectation, and
+    a map-only expression on top of the verified cluster labels."""
+    from orange3_timeseries_spark.operators.hashing import phash
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                                threshold=0.2)
+    labels = D.dedup_clusters(d, pairs, "doc_id")
+    split = F.when(
+        phash(F.col("cluster_id").cast("string")) % 10 < 8,
+        F.lit("train")).otherwise(F.lit("heldout"))
+    return labels.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def _cms_sql(width=1024, depth=3, topn=10):
+    from orange3_timeseries_spark.operators.hashing import phash_seeded_sql
+
+    vals = ", ".join(
+        f"({i}, ({phash_seeded_sql('t', i)}) % {width})"
+        for i in range(depth))
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+e AS (SELECT t, u.r, u.p FROM tok,
+      LATERAL (SELECT * FROM (VALUES {vals}) AS v(r, p)) u),
+tab AS (SELECT r, p, count(*) AS cnt FROM e GROUP BY 1, 2),
+top AS (SELECT t, count(*) AS n_exact FROM tok GROUP BY 1
+        ORDER BY n_exact DESC, t LIMIT {topn}),
+pe AS (SELECT top.t, u.r, u.p FROM top,
+       LATERAL (SELECT * FROM (VALUES {vals}) AS v(r, p)) u),
+est AS (SELECT pe.t, min(coalesce(tab.cnt, 0)) AS cms_count
+        FROM pe LEFT JOIN tab USING (r, p) GROUP BY 1)
+SELECT top.t AS token, top.n_exact, est.cms_count
+FROM top JOIN est ON est.t = top.t
+"""
+
+
+@query("heavy_hitters_cms", _cms_sql())
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Corpus heavy hitters through a count-min sketch: the exact top-10
+    tokens next to their CMS point estimates (1024x3 counters) — the
+    oracle replays counters and min-query exactly.  CMS never
+    undercounts; at 100 TB the counter table is a fixed depth·width rows
+    per group however large the corpus, and tables merge by summing."""
+    from orange3_timeseries_spark.operators.sketch import (
+        cms_estimate,
+        cms_tables,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens_expr(F.col("text"))).alias("token"))
+    tab = cms_tables(toks, "token", width=1024, depth=3)
+    # orderBy+limit compiles to TakeOrderedAndProject — parallel partial
+    # top-k per partition, never a single-task global sort
+    top = (toks.groupBy("token").agg(F.count("*").alias("n_exact"))
+           .orderBy(F.col("n_exact").desc(), F.col("token").asc())
+           .limit(10))
+    est = cms_estimate(tab, top.select("token"), "token",
+                       width=1024, depth=3)
+    return top.join(est, "token").select("token", "n_exact", "cms_count")
+
+
+@query("sample_weighted_topn", f"""
+WITH t AS (SELECT doc_id, source, n_chars,
+                  pow(({_PH.format(e="doc_id::VARCHAR")} + 1) / 1152921504606846976.0,
+                      1.0 / n_chars) AS prio
+           FROM documents),
+r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY prio DESC, doc_id) AS rn
+      FROM t)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+""")
+def q_sample_weighted_topn(spark, sf_dir):
+    """Weight-proportional sampling without replacement
+    (Efraimidis-Spirakis priorities on the portable hash): top-5 docs
+    per source with inclusion odds proportional to length — longer docs
+    preferred but not guaranteed, reproducible everywhere.  The oracle
+    replays priorities and ranking."""
+    from orange3_timeseries_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    out = weighted_sample(d, "source", "doc_id", "n_chars", 5)
+    return out.select("doc_id", "source", "n_chars")

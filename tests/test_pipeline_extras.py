@@ -385,3 +385,34 @@ def test_minhash_lsh_pairs_between(spark):
               for r in minhash_lsh_pairs(union, "text", "doc_id",
                                          threshold=0.5).collect()}
     assert {(min(a, b), max(a, b)) for a, b in pairs} <= within
+
+
+# ------------------------------------------------- weighted sampling
+def test_weighted_sample_bias_and_determinism(spark):
+    from orange3_timeseries_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # half the keys carry 50x the weight — they should dominate the sample
+    rows = [(i, "s", 500 if i % 2 == 0 else 10) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "src", "w"])
+    out = weighted_sample(df, "src", "id", "w", 40).collect()
+    assert len(out) == 40
+    heavy = sum(1 for r in out if r.w == 500)
+    assert heavy >= 30  # ~98% expected; 30 is a loose floor
+    again = weighted_sample(df, "src", "id", "w", 40).collect()
+    assert {r.id for r in again} == {r.id for r in out}
+
+
+def test_weighted_sample_respects_strata(spark):
+    from orange3_timeseries_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", i + 1) for i in range(90)]
+    df = spark.createDataFrame(rows, ["id", "src", "w"])
+    out = weighted_sample(df, "src", "id", "w", 7).collect()
+    per = {}
+    for r in out:
+        per[r.src] = per.get(r.src, 0) + 1
+    assert per == {"s0": 7, "s1": 7, "s2": 7}

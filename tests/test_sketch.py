@@ -55,3 +55,38 @@ def test_grouped_registers_bounded(spark):
            for r in hll_estimate(regs, p=8, group_cols=("g",)).collect()}
     for g, e in est.items():
         assert abs(e - 500) / 500 < 4 * expected_error(8)
+
+
+# ------------------------------------------------------- count-min sketch
+def test_cms_never_undercounts(spark):
+    from orange3_timeseries_spark.operators.sketch import (
+        cms_estimate,
+        cms_tables,
+    )
+
+    # zipf-ish: token i appears (200 - i) times
+    rows = [(f"tok{i}",) for i in range(50) for _ in range(200 - i)]
+    df = spark.createDataFrame(rows, ["t"])
+    tab = cms_tables(df, "t", width=256, depth=3)
+    probes = spark.createDataFrame([(f"tok{i}",) for i in range(50)],
+                                   ["t"])
+    est = {r.t: r.cms_count
+           for r in cms_estimate(tab, probes, "t", width=256,
+                                 depth=3).collect()}
+    exact = {f"tok{i}": 200 - i for i in range(50)}
+    for t, e in exact.items():
+        assert est[t] >= e                     # overestimate only
+        assert est[t] - e <= 3 * sum(exact.values()) / 256  # e*N/w bound-ish
+
+
+def test_cms_unseen_key_small(spark):
+    from orange3_timeseries_spark.operators.sketch import (
+        cms_estimate,
+        cms_tables,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(1000)], ["t"])
+    tab = cms_tables(df, "t", width=1024, depth=3)
+    probes = spark.createDataFrame([("never-seen",)], ["t"])
+    [r] = cms_estimate(tab, probes, "t", width=1024, depth=3).collect()
+    assert r.cms_count <= 5  # min over 3 rows of ~1 expected collision
