@@ -698,3 +698,26 @@ def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str,
         keep = (ranked.withColumn("__rk__", F.row_number().over(w))
                 .where(F.col("__rk__") == 1).select(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
+                text_col: str, status_col: str = "status") -> DataFrame:
+    """Snapshot diff between two corpus versions by content digest:
+    one row per id with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the audit artifact between crawls or after a
+    cleaning stage ("what did this pass actually touch?").
+
+    Digests are computed before the join, so the full-outer join moves
+    (id, 32-byte digest) rows only — never document payloads — and
+    shuffles once on the id at any corpus size."""
+    da = old.select(F.col(id_col),
+                    F.md5(F.col(text_col)).alias("__da__"))
+    db = new.select(F.col(id_col),
+                    F.md5(F.col(text_col)).alias("__db__"))
+    j = da.join(db, id_col, "full_outer")
+    status = (F.when(F.col("__db__").isNull(), F.lit("removed"))
+              .when(F.col("__da__").isNull(), F.lit("added"))
+              .when(F.col("__da__") != F.col("__db__"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(id_col, status.alias(status_col))

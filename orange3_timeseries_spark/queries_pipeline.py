@@ -1572,3 +1572,32 @@ def q_sample_weighted_topn(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     out = weighted_sample(d, "source", "doc_id", "n_chars", 5)
     return out.select("doc_id", "source", "n_chars")
+
+
+@query("corpus_diff_cleaning", f"""
+WITH old AS (SELECT doc_id, md5(text) AS da FROM documents
+             WHERE doc_id % 11 != 0),
+new AS (SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9\\s]', ' ', 'g'),
+                        '\\s+', ' ', 'g'))) AS db
+        FROM documents WHERE len({_TOKS}) >= 50)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN new.db IS NULL THEN 'removed'
+            WHEN old.da IS NULL THEN 'added'
+            WHEN old.da != new.db THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+""")
+def q_corpus_diff_cleaning(spark, sf_dir):
+    """Snapshot diff auditing a cleaning stage: the previous crawl
+    (docs with doc_id % 11 != 0, raw text) vs the cleaned current crawl
+    (all docs passing the 50-word gate, normalized text) — per doc:
+    added / removed / changed / unchanged.  Digest-only full-outer
+    join; payloads never shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    new = (d.where(T.token_count_expr(F.col("text")) >= 50)
+           .select("doc_id",
+                   T.normalize_text_expr(F.col("text")).alias("text")))
+    return D.corpus_diff(old, new, "doc_id", "text")

@@ -287,3 +287,49 @@ def q_streaming_bloom_gate(spark, sf_dir):
     name = "stream_bloom_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+@query("streaming_distinct_sketch", f"""
+WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)
+                      AS h
+           FROM events),
+b AS (SELECT day, (h % 256)::INT AS reg,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE bit_count(((h >> 8) & -(h >> 8)) - 1) + 1
+             END AS rho
+      FROM e),
+r AS (SELECT day, reg, max(rho) AS max_rho FROM b GROUP BY 1, 2),
+a AS (SELECT day, sum(1.0 / (1::BIGINT << max_rho)) AS s,
+             (256 - count(*))::DOUBLE AS zeros
+      FROM r GROUP BY 1)
+SELECT day,
+       round(CASE WHEN (47072.71267120224 / (s + zeros)) <= 640.0
+                       AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros)
+                  ELSE 47072.71267120224 / (s + zeros)
+             END, 6) AS approx_users
+FROM a
+""")
+def q_streaming_distinct_sketch(spark, sf_dir):
+    """Per-day distinct-user HLL over the event STREAM: the register
+    max-aggregation runs as the streaming stateful operator (bounded
+    state — ≤256 registers per day regardless of traffic), the memory
+    sink holds the registers, and the estimate folds in batch on read —
+    the standard sketch-in-stream / finalize-on-query split.  Oracle =
+    the batch HLL replay, so streaming register state is value-checked
+    end to end."""
+    from orange3_timeseries_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    sdf = read_table_stream(spark, sf_dir, "events")
+    sdf = sdf.withColumn("day", F.date_trunc("day", F.col("ts")))
+    regs = hll_registers(sdf, "user_id", p=8, group_cols=("day",))
+    name = "stream_hll_" + uuid.uuid4().hex[:8]
+    run_to_memory(regs, name, output_mode="complete",
+                  state_partitions=_state_width(spark, sf_dir))
+    return hll_estimate(spark.table(name), p=8, group_cols=("day",),
+                        out_col="approx_users").select("day",
+                                                       "approx_users")

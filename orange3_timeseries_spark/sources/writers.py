@@ -40,3 +40,31 @@ def write_partitioned(tsf: TimeSeriesFrame, path: str, level: str = "Days",
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def write_jsonl_shards(df, path: str, id_col: str, n_shards: int,
+                       mode: str = "overwrite",
+                       compression: Optional[str] = None):
+    """Export a corpus as N deterministic JSONL shards — the standard
+    training-data delivery format (one JSON object per line, sharded for
+    parallel consumption).
+
+    Shard assignment and in-shard order come from
+    :func:`operators.sharding.hash_shards` (portable hash of the id), so
+    a re-run over any partitioning produces byte-identical shard
+    contents.  The frame is repartitioned BY the shard column and sorted
+    within partitions by position before the partitioned write — each
+    ``shard=N`` directory's files concatenate to the same ordered
+    stream.  Returns the per-shard manifest (shard, n_docs) the loader
+    checks before reading."""
+    from orange3_timeseries_spark.operators.sharding import hash_shards
+
+    assigned = hash_shards(df, id_col, n_shards)
+    writer = (assigned.repartition(n_shards, F.col("shard"))
+              .sortWithinPartitions("shard", "pos")
+              .write.mode(mode).partitionBy("shard"))
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return (assigned.groupBy("shard")
+            .agg(F.count("*").alias("n_docs")))

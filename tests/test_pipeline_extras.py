@@ -416,3 +416,19 @@ def test_weighted_sample_respects_strata(spark):
     for r in out:
         per[r.src] = per.get(r.src, 0) + 1
     assert per == {"s0": 7, "s1": 7, "s2": 7}
+
+
+# ------------------------------------------------------- corpus diff
+def test_corpus_diff_statuses(spark):
+    from orange3_timeseries_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gets dropped")],
+        ["id", "text"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["id", "text"])
+    got = {r.id: r.status
+           for r in corpus_diff(old, new, "id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
