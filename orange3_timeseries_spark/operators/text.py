@@ -326,3 +326,32 @@ def gopher_quality_flags(df, text_col: str, id_col: str,
         "gopher_pass",
         F.col("ok_word_count") & F.col("ok_mean_len")
         & F.col("ok_alpha") & F.col("ok_required_words"))
+
+
+def calibrated_quality_filter(df, text_col: str, id_col: str,
+                              strata_col: str, pct: float = 0.2,
+                              sample_rate: float = None):
+    """Percentile-calibrated quality gate: per stratum (language,
+    source, …) compute the ``pct`` quantile of the composite quality
+    score and keep documents at or above it — thresholds adapt to each
+    stratum's score distribution instead of one hand-tuned constant.
+
+    Returns (id, stratum, score) for kept docs.  The exact percentile
+    aggregate buffers each stratum's scores; at corpus scale pass
+    ``sample_rate`` to calibrate thresholds on a deterministic hash
+    sample (operators/sampling.hash_sample) — quantiles of a 1 % sample
+    carry ~1e-2 relative error, far below any meaningful quality cut,
+    and the buffered state drops 100x."""
+    from pyspark.sql import functions as F
+
+    scored = df.select(F.col(id_col), F.col(strata_col),
+                       quality_score_expr(F.col(text_col)).alias("score"))
+    cal = scored
+    if sample_rate is not None:
+        from orange3_timeseries_spark.operators.sampling import hash_sample
+        cal = hash_sample(scored, id_col, sample_rate)
+    thr = cal.groupBy(strata_col).agg(
+        F.expr(f"percentile(score, {pct})").alias("__thr__"))
+    return (scored.join(F.broadcast(thr), strata_col)
+            .where(F.col("score") >= F.col("__thr__"))
+            .select(id_col, strata_col, "score"))

@@ -1601,3 +1601,39 @@ def q_corpus_diff_cleaning(spark, sf_dir):
            .select("doc_id",
                    T.normalize_text_expr(F.col("text")).alias("text")))
     return D.corpus_diff(old, new, "doc_id", "text")
+
+
+_SCORE_SQL = f"""
+(least(len({_TOKS}) / 50.0, 1.0)
+ + (CASE WHEN (length(regexp_replace(text, '\\s+', '', 'g'))
+               / nullif(len({_TOKS})::DOUBLE, 0.0)) >= 3
+          AND (length(regexp_replace(text, '\\s+', '', 'g'))
+               / nullif(len({_TOKS})::DOUBLE, 0.0)) <= 10
+         THEN 1.0 ELSE 0.5 END)
+ + least((len(list_filter({_TOKS}, x -> x IN ({_STOP_LIST})))
+          / nullif(len({_TOKS})::DOUBLE, 0.0)) * 5, 1.0)
+ + greatest(0.0, 1.0 - ((length(text)
+         - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / nullif(length(text)::DOUBLE, 0.0)) * 5)) / 4
+"""
+
+
+@query("quality_calibrated_filter", f"""
+WITH s AS (SELECT doc_id, lang, {_SCORE_SQL} AS score FROM documents),
+t AS (SELECT lang, quantile_cont(score, 0.2) AS thr FROM s GROUP BY 1)
+SELECT s.doc_id, s.lang, round(s.score, 6) AS score
+FROM s JOIN t ON s.lang = t.lang
+WHERE s.score >= t.thr
+""")
+def q_quality_calibrated_filter(spark, sf_dir):
+    """Per-language percentile-calibrated quality gate: keep docs at or
+    above their language's 20th-percentile composite score — adaptive
+    thresholds instead of one global constant (what corpus curation
+    actually does across languages of very different surface statistics).
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the linear-interpolation definition, so the cut is value-replayed
+    exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    out = T.calibrated_quality_filter(d, "text", "doc_id", "lang",
+                                      pct=0.2)
+    return out.select("doc_id", "lang", r6(F.col("score"), "score"))

@@ -38,3 +38,36 @@ class TestTfidf:
             .orderBy("doc_id").collect()
         assert [r["token"] for r in got] == ["x", "x"]
         assert all(r["rank"] == 1 for r in got)
+
+
+# ------------------------------------------- calibrated quality filter
+def test_calibrated_quality_filter(spark):
+    from orange3_timeseries_spark.operators.text import (
+        calibrated_quality_filter,
+    )
+
+    rows = []
+    for i in range(100):
+        # lang a: rich prose-ish; lang b: terse — different score bands
+        if i % 2 == 0:
+            rows.append((i, "a", "the quick brown fox and the lazy dog "
+                         * (1 + i % 5)))
+        else:
+            rows.append((i, "b", "zz " * (1 + i % 3)))
+    df = spark.createDataFrame(rows, ["id", "lang", "text"])
+    kept = calibrated_quality_filter(df, "text", "id", "lang",
+                                     pct=0.2).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.lang, []).append(r.id)
+    # each stratum keeps roughly its top 80% BY ITS OWN distribution —
+    # the terse language is not wiped out by the prose language's bar
+    assert len(per["a"]) >= 35 and len(per["b"]) >= 35
+    # deterministic
+    again = calibrated_quality_filter(df, "text", "id", "lang",
+                                      pct=0.2).collect()
+    assert {r.id for r in again} == {r.id for r in kept}
+    # sampled calibration still returns a sane, deterministic subset
+    samp = calibrated_quality_filter(df, "text", "id", "lang", pct=0.2,
+                                     sample_rate=0.5).collect()
+    assert len(samp) >= 60
