@@ -369,19 +369,34 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
 
 
 # ------------------------------------------------------ product quantization
-def _sq_chain(s: Column, centroid) -> Column:
-    """Left-associated squared-L2 chain between a bound subvector column
-    and a literal centroid: (s[1]-c1)² + (s[2]-c2)² + … — an explicit
-    addition chain (not a HOF fold) so a SQL oracle can replay the exact
-    IEEE summation order and argmin ties resolve identically."""
+def _dists_to_codebook(vec: Column, off: int, ds: int, cb) -> Column:
+    """Array of squared L2 distances from one subvector of ``vec``
+    (elements off+1..off+ds) to each centroid of one codebook.
+
+    Shape chosen after measuring two failure modes: (a) fully unrolled
+    K·ds literal chains compile ~14 s of janino codegen for 8×16×8;
+    (b) nested HOFs over bound slice columns run interpreted AND
+    CollapseProject inlines the slice+cast into the lambda, re-evaluating
+    the O(d) cast per centroid (≈7 s/5 000 rows).  This form keeps ONE
+    interpreted HOF (transform over the centroid literal) whose body is
+    scalar ``element_at(vec, i)::double`` arithmetic — no array slicing,
+    no intermediate arrays, left-associated sums so the SQL oracle
+    replays the exact IEEE order (float→double element cast is exact)."""
     import functools
     import operator
 
-    terms = []
-    for i, cval in enumerate(centroid):
-        d = F.element_at(s, i + 1) - F.lit(float(cval))
-        terms.append(d * d)
-    return functools.reduce(operator.add, terms)
+    cb_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+
+    def dist(c):
+        terms = []
+        for i in range(ds):
+            d = (F.element_at(vec, off + i + 1).cast("double")
+                 - F.element_at(c, i + 1))
+            terms.append(d * d)
+        return functools.reduce(operator.add, terms)
+
+    return F.transform(cb_lit, dist)
 
 
 def pq_encode(df: DataFrame, codebooks,
@@ -392,27 +407,48 @@ def pq_encode(df: DataFrame, codebooks,
     become M small ints (64×4 bytes → 8 bytes here), the standard
     memory-compression step for billion-vector ANN serving.
 
-    ``codebooks``: M lists of K centroids (each d/M floats).  Encoding is
-    map-only Catalyst (subvector slices bound once per row, then literal
-    distance chains); argmin tie-breaks to the lowest centroid index
-    (``array_position`` finds the first minimum)."""
+    ``codebooks``: M lists of K centroids (each d/M floats).
+
+    Encoding runs as an Arrow-batched ``mapInPandas`` numpy stage —
+    measured against both Catalyst forms: fully unrolled scalar chains
+    whole-stage-compile for ~14 s (M·K·ds literal terms of janino), and
+    HOF loops evaluate interpreted (higher-order functions are
+    CodegenFallback) at ~7 s per 5 000 rows.  The numpy kernel
+    accumulates the squared distance DIMENSION-SEQUENTIALLY
+    (``acc += d·d`` per dim, vectorized across rows/centroids), so the
+    IEEE summation order equals the SQL oracle's explicit
+    ``t₁ + t₂ + …`` chain and ``np.argmin``'s first-minimum tie matches
+    the oracle's ``ORDER BY dist, j`` — exact value parity at numpy
+    speed (float32→float64 element casts are exact)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     M = len(codebooks)
     ds = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
-    sliced = df.select(
-        F.col(id_col),
-        *[F.slice(v, m * ds + 1, ds).alias(f"__s{m}__") for m in range(M)])
-    code_cols = []
-    for m, cb in enumerate(codebooks):
-        s = F.col(f"__s{m}__")
-        dists = F.array(*[_sq_chain(s, c) for c in cb])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int").alias(f"__c{m}__"))
-    coded = sliced.select(id_col, *code_cols)
-    return coded.select(
-        id_col,
-        F.array(*[F.col(f"__c{m}__") for m in range(M)]).alias(code_col))
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    id_field = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_field),
+        T.StructField(code_col, T.ArrayType(T.IntegerType()))])
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), M), dtype="int32")
+            for m in range(M):
+                acc = np.zeros((len(X), C[m].shape[0]))
+                for i in range(ds):
+                    d = X[:, m * ds + i][:, None] - C[m][None, :, i]
+                    acc = acc + d * d
+                codes[:, m] = np.argmin(acc, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                code_col: [list(r) for r in codes]})
+
+    base = widen_partitions(df.select(F.col(id_col), F.col(vec_col)))
+    return base.mapInPandas(encode, schema)
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
@@ -436,14 +472,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
     codes = pq_encode(
         corpus.select(F.col(id_col).alias("nn_id"), vec_col),
         codebooks, vec_col=vec_col, id_col="nn_id")
-    qv = _as_double(F.col(vec_col))
-    qsliced = queries.select(
+    luts = queries.select(
         F.col(query_id_col),
-        *[F.slice(qv, m * ds + 1, ds).alias(f"__qs{m}__")
-          for m in range(M)])
-    luts = qsliced.select(
-        F.col(query_id_col),
-        *[F.array(*[_sq_chain(F.col(f"__qs{m}__"), c) for c in cb])
+        *[_dists_to_codebook(F.col(vec_col), m * ds, ds, cb)
           .alias(f"__lut{m}__")
           for m, cb in enumerate(codebooks)])
     joined = (codes.crossJoin(F.broadcast(luts))
