@@ -606,3 +606,134 @@ def q_distinct_users_sketch_daily(spark, sf_dir):
     exact = ev.groupBy("day").agg(
         F.countDistinct("user_id").alias("n_exact"))
     return exact.join(est, "day").select("day", "n_exact", "approx_users")
+
+
+@query("cohort_retention", """
+WITH a AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events GROUP BY 1, 2),
+c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1),
+s AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1),
+j AS (SELECT c.cohort_day,
+             CAST(date_diff('day', c.cohort_day, a.day) AS INT)
+                 AS day_offset,
+             a.user_id
+      FROM a JOIN c USING (user_id))
+SELECT j.cohort_day, j.day_offset,
+       count(DISTINCT j.user_id) AS n_active,
+       round(count(DISTINCT j.user_id)::DOUBLE
+             / any_value(s.cohort_size), 6) AS retention
+FROM j JOIN s USING (cohort_day)
+GROUP BY 1, 2
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix over the event log: users grouped by
+    first-seen day, activity tracked per day offset — the standard
+    product-analytics rollup.  Two hash aggregations plus one skinny
+    join on (user, day) pairs; cohort sizes broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    a = (ev.select("user_id",
+                   F.date_trunc("day", F.col("ts")).alias("day"))
+         .distinct())
+    c = a.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    s = c.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    j = a.join(c, "user_id").select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        "user_id")
+    agg = (j.groupBy("cohort_day", "day_offset")
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    return (agg.join(F.broadcast(s), "cohort_day")
+            .select("cohort_day", "day_offset", "n_active",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("cohort_size"), 6).alias("retention")))
+
+
+@query("event_funnel", """
+WITH f AS (SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY 1)
+SELECT user_id,
+       t1 IS NOT NULL AS reached_view,
+       (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1) AS reached_click,
+       (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+        AND t3 IS NOT NULL AND t3 > t2) AS reached_purchase
+FROM f
+""")
+def q_event_funnel(spark, sf_dir):
+    """First-touch funnel view→click→purchase per user: stage reached
+    iff each FIRST occurrence strictly follows the previous stage's —
+    one conditional-min aggregation, map-side combinable, no
+    sequence-matching state."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = ev.groupBy("user_id").agg(first("view").alias("t1"),
+                                  first("click").alias("t2"),
+                                  first("purchase").alias("t3"))
+    r1 = F.col("t1").isNotNull()
+    r2 = r1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    r3 = r2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+    return f.select("user_id", r1.alias("reached_view"),
+                    r2.alias("reached_click"),
+                    r3.alias("reached_purchase"))
+
+
+@query("changepoint_by_user", """
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  avg(value) AS x
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(x) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(x) OVER (PARTITION BY user_id) AS total
+      FROM d),
+g AS (SELECT user_id, day, t,
+             round(abs(cs / t - (total - cs) / (n - t))
+                   * sqrt((t * (n - t)) / n::DOUBLE), 6) AS gap
+      FROM r WHERE t < n),
+b AS (SELECT user_id, day, gap,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY gap DESC, t) AS rn
+      FROM g)
+SELECT user_id, day AS change_day, gap FROM b WHERE rn = 1
+""")
+def q_changepoint_by_user(spark, sf_dir):
+    """Single change-point per series (binary-segmentation statistic):
+    the day split maximizing |left mean − right mean|·√(t(n−t)/n) over
+    each user's daily series — running prefix sums in one ordered
+    window, argmax by rounded statistic (6 dp) with earliest-day
+    tie-break so engine fp order cannot flip the winner.  The classic
+    mean-shift detector, O(n) per series, no recursion."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.groupBy("user_id",
+                    F.date_trunc("day", F.col("ts")).alias("day"))
+         .agg(F.avg("value").alias("x")))
+    pw = W.partitionBy("user_id")
+    ow = pw.orderBy("day")
+    r = d.select(
+        "user_id", "day", "x",
+        F.row_number().over(ow).alias("t"),
+        F.count("*").over(pw).alias("n"),
+        F.sum("x").over(ow.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cs"),
+        F.sum("x").over(pw).alias("total"))
+    gap = F.round(
+        F.abs(F.col("cs") / F.col("t")
+              - (F.col("total") - F.col("cs")) / (F.col("n") - F.col("t")))
+        * F.sqrt((F.col("t") * (F.col("n") - F.col("t")))
+                 / F.col("n").cast("double")), 6)
+    g = r.where(F.col("t") < F.col("n")).select(
+        "user_id", "day", "t", gap.alias("gap"))
+    bw = W.partitionBy("user_id").orderBy(F.col("gap").desc(),
+                                          F.col("t").asc())
+    return (g.withColumn("rn", F.row_number().over(bw))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("day").alias("change_day"), "gap"))

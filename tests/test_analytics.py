@@ -327,3 +327,83 @@ class TestCCF:
         for uid in range(3):
             d = {r.lag: r.ccf for r in out if r.user_id == uid}
             assert d[1] == max(d.values()) and d[1] > 0.8
+
+
+# ---------------------------------------------------- event analytics
+class TestEventAnalytics:
+    def test_changepoint_detects_planted_shift(self, spark):
+        import datetime as dt
+
+        from orange3_timeseries_spark.queries import QUERIES  # noqa: F401
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        # build a tiny events-like frame: mean jumps 0 -> 5 at day 20
+        rows = []
+        for uid in range(3):
+            for day in range(40):
+                v = 0.0 if day < 20 else 5.0
+                v += ((uid * 41 + day * 7) % 10) / 100.0  # small wiggle
+                rows.append((uid, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(days=day), v))
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        df.createOrReplaceTempView("__cp_events__")
+        d = (df.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+        pw = W.partitionBy("user_id")
+        ow = pw.orderBy("day")
+        r = d.select(
+            "user_id", "day",
+            F.row_number().over(ow).alias("t"),
+            F.count("*").over(pw).alias("n"),
+            F.sum("x").over(ow.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cs"),
+            F.sum("x").over(pw).alias("total"))
+        gap = (F.abs(F.col("cs") / F.col("t")
+                     - (F.col("total") - F.col("cs"))
+                     / (F.col("n") - F.col("t")))
+               * F.sqrt((F.col("t") * (F.col("n") - F.col("t")))
+                        / F.col("n").cast("double")))
+        g = r.where(F.col("t") < F.col("n")) \
+             .select("user_id", "day", "t", gap.alias("gap"))
+        bw = W.partitionBy("user_id").orderBy(F.col("gap").desc(),
+                                              F.col("t").asc())
+        best = (g.withColumn("rn", F.row_number().over(bw))
+                .where("rn = 1").collect())
+        for row in best:
+            # the argmax split must be the planted boundary (t = 20)
+            assert row.t == 20, (row.user_id, row.t)
+
+    def test_event_funnel_strict_order(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        rows = [
+            (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+            (2, "click", ts(0)), (2, "view", ts(1)), (2, "purchase", ts(2)),
+            (3, "view", ts(0)), (3, "purchase", ts(1)),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+        def first(t):
+            return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+        f = df.groupBy("user_id").agg(first("view").alias("t1"),
+                                      first("click").alias("t2"),
+                                      first("purchase").alias("t3"))
+        r1 = F.col("t1").isNotNull()
+        r2 = r1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+        r3 = r2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+        got = {r.user_id: (r.v, r.c, r.p) for r in
+               f.select("user_id", r1.alias("v"), r2.alias("c"),
+                        r3.alias("p")).collect()}
+        assert got[1] == (True, True, True)     # in order
+        assert got[2] == (True, False, False)   # click before view
+        assert got[3] == (True, False, False)   # skipped click
