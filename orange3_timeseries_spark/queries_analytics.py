@@ -737,3 +737,44 @@ def q_changepoint_by_user(spark, sf_dir):
     return (g.withColumn("rn", F.row_number().over(bw))
             .where(F.col("rn") == 1)
             .select("user_id", F.col("day").alias("change_day"), "gap"))
+
+
+@query("anomalies_by_user", """
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  avg(value) AS x
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, day, x,
+             avg(x) OVER w AS mu,
+             stddev_pop(x) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, day, round(x, 6) AS x,
+       round((x - mu) / sd, 6) AS zscore
+FROM r
+WHERE n >= 4 AND sd > 0 AND abs((x - mu) / sd) > 2.0
+""")
+def q_anomalies_by_user(spark, sf_dir):
+    """Per-series anomaly flags: trailing-7-day rolling z-score over
+    each user's daily mean, emitting days with |z| > 2 (≥4 obs in
+    window, zero-variance windows skipped) — the monitoring companion
+    to ``changepoint_by_user``: one ordered window per series, no
+    model state."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.groupBy("user_id",
+                    F.date_trunc("day", F.col("ts")).alias("day"))
+         .agg(F.avg("value").alias("x")))
+    w = (W.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0))
+    r = d.select(
+        "user_id", "day", "x",
+        F.avg("x").over(w).alias("mu"),
+        F.stddev_pop("x").over(w).alias("sd"),
+        F.count("*").over(w).alias("n"))
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    return (r.where((F.col("n") >= 4) & (F.col("sd") > 0)
+                    & (F.abs(z) > 2.0))
+            .select("user_id", "day", F.round("x", 6).alias("x"),
+                    F.round(z, 6).alias("zscore")))
