@@ -390,3 +390,95 @@ class TestTimeLiteral:
         out3 = df.where(F.col("d") < time_literal(
             dt.datetime(2024, 1, 6, 12), "date"))
         assert sorted(r.v for r in out3.collect())[-1] == 5.0
+
+
+class TestSketchAndShardProperties:
+    """Hypothesis invariants for the round-4 sketch/shard/sample tier."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                    min_size=1, max_size=60, unique=True),
+           st.integers(min_value=2, max_value=8))
+    def test_hash_shards_partition_of_input(self, spark, keys, n):
+        from orange3_timeseries_spark.operators.sharding import hash_shards
+
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        out = hash_shards(df, "k", n).collect()
+        # exactly a partition: every key appears once with a valid shard
+        assert sorted(r.k for r in out) == sorted(keys)
+        assert all(0 <= r.shard < n for r in out)
+        # positions dense per shard
+        per = {}
+        for r in out:
+            per.setdefault(r.shard, []).append(r.pos)
+        for poss in per.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10 ** 6),
+                    min_size=1, max_size=80, unique=True))
+    def test_hll_union_bound(self, spark, ids):
+        """HLL registers of A∪A equal A's; union with disjoint B only
+        raises register values (monotone merge)."""
+        from orange3_timeseries_spark.operators.sketch import (
+            hll_merge,
+            hll_registers,
+        )
+
+        a = spark.createDataFrame([(f"a{i}",) for i in ids], ["k"])
+        b = spark.createDataFrame([(f"b{i}",) for i in ids], ["k"])
+        ra = {r.reg: r.max_rho
+              for r in hll_registers(a, "k", p=6).collect()}
+        dup = {r.reg: r.max_rho
+               for r in hll_merge(hll_registers(a, "k", p=6),
+                                  hll_registers(a, "k", p=6),
+                                  p=6).collect()}
+        assert dup == ra  # idempotent under self-merge
+        un = {r.reg: r.max_rho
+              for r in hll_merge(hll_registers(a, "k", p=6),
+                                 hll_registers(b, "k", p=6),
+                                 p=6).collect()}
+        for reg, rho in ra.items():
+            assert un.get(reg, 0) >= rho  # monotone
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.text(alphabet="xyz", min_size=1, max_size=5),
+                    min_size=1, max_size=50),
+           st.integers(min_value=16, max_value=64))
+    def test_cms_dominates_exact(self, spark, keys, width):
+        from collections import Counter
+
+        from orange3_timeseries_spark.operators.sketch import (
+            cms_estimate,
+            cms_tables,
+        )
+
+        df = spark.createDataFrame([(k,) for k in keys], ["t"])
+        tab = cms_tables(df, "t", width=width, depth=3)
+        probes = spark.createDataFrame(
+            [(k,) for k in set(keys)], ["t"])
+        est = {r.t: r.cms_count
+               for r in cms_estimate(tab, probes, "t", width=width,
+                                     depth=3).collect()}
+        exact = Counter(keys)
+        for k, n in exact.items():
+            assert est[k] >= n
+            assert est[k] <= len(keys)  # never above total mass
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 10 ** 6),
+                              st.integers(1, 50)),
+                    min_size=2, max_size=60,
+                    unique_by=lambda t: t[0]),
+           st.floats(min_value=0.01, max_value=0.5))
+    def test_bloom_no_false_negatives_property(self, spark, items, fp):
+        from orange3_timeseries_spark.operators.bloom import (
+            bloom_membership,
+            bloom_params,
+        )
+
+        df = spark.createDataFrame([(i, f"k{i}") for i, _ in items],
+                                   ["id", "key"])
+        m, k = bloom_params(len(items), fp)
+        out = bloom_membership(df, "id", "key", df, "key", m, k).collect()
+        assert all(r.maybe_member for r in out)  # members always flag
