@@ -1637,3 +1637,76 @@ def q_quality_calibrated_filter(spark, sf_dir):
     out = T.calibrated_quality_filter(d, "text", "doc_id", "lang",
                                       pct=0.2)
     return out.select("doc_id", "lang", r6(F.col("score"), "score"))
+
+
+def _curation_pipeline_sql():
+    """Composed oracle for the full curation pipeline: every stage's
+    verified SQL building block re-rooted from ``documents`` onto the
+    previous stage's survivors (string-level re-rooting is exact — each
+    block reads its input relation in exactly the spots replaced)."""
+    gopher = f"len({_TOKS}) BETWEEN 50 AND 100000"
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+    pairs = _minhash_pairs_sql().replace("FROM documents", "FROM base")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+    FROM documents WHERE {gopher}) t
+  WHERE rn = 1),
+p AS ({pairs}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+cc(id, lab) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s),
+lab AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY id),
+kept AS (SELECT base.doc_id, base.text
+         FROM base JOIN lab USING (doc_id)
+         WHERE lab.cluster_id = base.doc_id),
+w AS (SELECT doc_id, len({_TOKS}) AS nt FROM kept),
+r AS (SELECT doc_id, nt,
+             row_number() OVER (ORDER BY nt DESC, doc_id) - 1 AS i
+      FROM w),
+s AS (SELECT CASE WHEN (i % 8) < 4 THEN (i % 8)
+                  ELSE 7 - (i % 8) END AS shard, nt
+      FROM r)
+SELECT shard::INT AS shard, count(*) AS n_docs,
+       sum(nt)::BIGINT AS total_weight
+FROM s GROUP BY 1
+"""
+
+
+@query("pipeline_curate_corpus", _curation_pipeline_sql())
+def q_pipeline_curate_corpus(spark, sf_dir):
+    """The END-TO-END curation pipeline as one lazy DAG: Gopher
+    word-count gate → exact dedup on normalized text (min-id keep) →
+    MinHash-LSH near-dup corpus (canonical per cluster) →
+    token-balanced snake sharding, returning the final shard manifest.
+    One value-hash covers the composition of four verified stages —
+    the manifest is wrong if ANY stage drops or keeps a different
+    document.  Catalyst plans the whole chain as one job; nothing is
+    materialized between stages."""
+    from orange3_timeseries_spark.operators.sharding import (
+        balanced_shards,
+        shard_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    gated = d.where(
+        T.token_count_expr(F.col("text")).between(50, 100000))
+    normed = gated.select(
+        "doc_id", "text",
+        T.normalize_text_expr(F.col("text")).alias("__norm__"))
+    exact_kept = D.exact_dedup_filter(normed, "__norm__", "doc_id") \
+        .select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(exact_kept, "text", "doc_id",
+                                k=16, bands=4, n=3, threshold=0.2)
+    kept = D.dedup_corpus(exact_kept, pairs, "doc_id")
+    weighted = kept.select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("nt"))
+    assigned = balanced_shards(weighted, "doc_id", "nt", 4)
+    return shard_manifest(assigned, "shard", "nt") \
+        .select("shard", "n_docs", "total_weight")
