@@ -1710,3 +1710,64 @@ def q_pipeline_curate_corpus(spark, sf_dir):
     assigned = balanced_shards(weighted, "doc_id", "nt", 4)
     return shard_manifest(assigned, "shard", "nt") \
         .select("shard", "n_docs", "total_weight")
+
+
+def _emb_pipeline_sql(M=8, ds=8, K=16):
+    chain = " + ".join(
+        f"((s.sv[{i+1}]) - (b.cv[{i+1}])) * ((s.sv[{i+1}]) - (b.cv[{i+1}]))"
+        for i in range(ds))
+    return f"""
+WITH RECURSIVE ep AS ({_EMB_PAIRS_SQL}),
+e AS (SELECT id_a AS s, id_b AS d FROM ep
+      UNION SELECT id_b, id_a FROM ep),
+cc(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s),
+lab AS (SELECT id AS vec_id, min(lab) AS cluster_id FROM cc GROUP BY id),
+kept AS (SELECT emb.vec_id, emb.embedding::DOUBLE[] AS v
+         FROM embeddings emb JOIN lab USING (vec_id)
+         WHERE lab.cluster_id = emb.vec_id),
+ms AS (SELECT unnest(generate_series(0, {M-1})) AS m),
+cb AS (SELECT x.vec_id AS j, ms.m,
+              list_slice(x.embedding::DOUBLE[],
+                         ms.m*{ds}+1, ms.m*{ds}+{ds}) AS cv
+       FROM embeddings x, ms WHERE x.vec_id < {K}),
+sl AS (SELECT k.vec_id, ms.m,
+              list_slice(k.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS sv
+       FROM kept k, ms),
+enc AS (SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+        FROM sl s JOIN cb b ON s.m = b.m),
+codes AS (SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, j) AS rn
+    FROM enc) t
+  WHERE rn = 1)
+SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY m) AS code_str
+FROM codes GROUP BY 1
+"""
+
+
+@query("pipeline_embedding_index", _emb_pipeline_sql())
+def q_pipeline_embedding_index(spark, sf_dir):
+    """The embedding-side pipeline composed end to end: semantic dedup
+    (cosine near-dup clusters, canonical keep) → product-quantization
+    encoding of the surviving vectors (codebooks injected from the
+    first 16 corpus embeddings) — the 'build the compressed serving
+    index from the deduplicated corpus' path, one value hash over both
+    stages."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(e, threshold=0.35)
+    kept = D.dedup_corpus(e, pairs, "vec_id")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    M, ds = 8, 8
+    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+              for r in cent_rows] for m in range(M)]
+    codes = S.pq_encode(kept.select("vec_id", "embedding"), books)
+    return codes.select(
+        "vec_id",
+        F.concat_ws("-", F.transform(F.col("pq_code"),
+                                     lambda c: c.cast("string")))
+        .alias("code_str"))

@@ -333,3 +333,48 @@ def q_streaming_distinct_sketch(spark, sf_dir):
     return hll_estimate(spark.table(name), p=8, group_cols=("day",),
                         out_col="approx_users").select("day",
                                                        "approx_users")
+
+
+@query("streaming_heavy_hitters", f"""
+WITH e AS (SELECT event_type AS t FROM events),
+pos AS (SELECT t, u.r, u.p FROM e, LATERAL (SELECT * FROM (VALUES
+    (0, (('0x' || substr(md5((t || '#0')), 1, 15))::BIGINT) % 512),
+    (1, (('0x' || substr(md5((t || '#1')), 1, 15))::BIGINT) % 512),
+    (2, (('0x' || substr(md5((t || '#2')), 1, 15))::BIGINT) % 512))
+  AS v(r, p)) u),
+tab AS (SELECT r, p, count(*) AS cnt FROM pos GROUP BY 1, 2),
+keys AS (SELECT DISTINCT event_type AS t FROM events),
+pe AS (SELECT t, u.r, u.p FROM keys, LATERAL (SELECT * FROM (VALUES
+    (0, (('0x' || substr(md5((t || '#0')), 1, 15))::BIGINT) % 512),
+    (1, (('0x' || substr(md5((t || '#1')), 1, 15))::BIGINT) % 512),
+    (2, (('0x' || substr(md5((t || '#2')), 1, 15))::BIGINT) % 512))
+  AS v(r, p)) u)
+SELECT pe.t AS event_type,
+       min(coalesce(tab.cnt, 0)) AS cms_count
+FROM pe LEFT JOIN tab USING (r, p)
+GROUP BY 1
+""")
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Count-min counters maintained as STREAM state (one sum-agg per
+    (row, pos) — bounded at depth·width rows regardless of traffic),
+    memory sink holds the counters, point queries fold in batch on
+    read — the streaming face of ``heavy_hitters_cms``, value-checked
+    against the batch CMS replay."""
+    from orange3_timeseries_spark.operators.hashing import phash_seeded
+
+    sdf = read_table_stream(spark, sf_dir, "events")
+    key = F.col("event_type").cast("string")
+    pos = F.posexplode(F.array(*[
+        (phash_seeded(key, i) % F.lit(512)).cast("int")
+        for i in range(3)]))
+    entries = sdf.select(pos.alias("row", "pos"))
+    tab = entries.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+    name = "stream_cms_" + uuid.uuid4().hex[:8]
+    run_to_memory(tab, name, output_mode="complete",
+                  state_partitions=_state_width(spark, sf_dir))
+    from orange3_timeseries_spark.operators.sketch import cms_estimate
+
+    keys = (read_table(spark, sf_dir, "events")
+            .select(F.col("event_type")).distinct())
+    return cms_estimate(spark.table(name), keys, "event_type",
+                        width=512, depth=3)
