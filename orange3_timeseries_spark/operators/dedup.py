@@ -99,19 +99,32 @@ def minhash_coeffs(k: int):
     return a, b
 
 
-def minhash_signature_expr(sh: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature via ONE md5 per shingle plus k
-    linear permutations ``(a_i*h + b_i) mod P`` folded in a single
-    ``aggregate``/``zip_with`` pass (empty set -> all-P sentinel).
+def minhash_signature_expr(sh: Column, k: int = 16,
+                           hash_family: str = "md5") -> Column:
+    """k-permutation MinHash signature via ONE base hash per shingle
+    plus k linear permutations ``(a_i*h + b_i) mod P`` folded in a
+    single ``aggregate``/``zip_with`` pass (empty set -> all-P
+    sentinel).
 
     The permutation trick matters at scale: the naive per-seed form
     re-evaluates the shingle-construction expression k times per row
     (Catalyst inlines the alias), turning one scan into k — measured 70x
     slower at k=16.  Here the shingle array and its base hashes are bound
     lambda variables, evaluated exactly once per element.
+
+    ``hash_family``: ``'md5'`` (default) is the portable hash every
+    DuckDB oracle replays; ``'xxhash64'`` is the PRODUCTION fast path —
+    same banding/collision logic, ~2-3x cheaper base hash (the
+    signature stage is pure CPU at scale), but engine-specific, so use
+    it when verifiability-by-replay isn't required.  Collision classes
+    differ between families; pick one per corpus.
     """
     a, b = minhash_coeffs(k)
-    base = F.transform(sh, lambda s: phash(s) % F.lit(_MINHASH_BASE_MOD))
+    if hash_family == "xxhash64":
+        base = F.transform(
+            sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_BASE_MOD)))
+    else:
+        base = F.transform(sh, lambda s: phash(s) % F.lit(_MINHASH_BASE_MOD))
     init = F.array(*[F.lit(MINHASH_P).cast("long")] * k)
     return F.aggregate(
         base, init,
@@ -123,16 +136,19 @@ def minhash_signature_expr(sh: Column, k: int = 16) -> Column:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       k: int = 16, n: int = 3) -> DataFrame:
+                       k: int = 16, n: int = 3,
+                       hash_family: str = "md5") -> DataFrame:
     # shingle+minhash is CPU-per-row: widen a too-coarse scan first
     df = widen_partitions(df.select(id_col, text_col))
     sh = shingles_expr(F.col(text_col), n)
     return df.select(F.col(id_col),
-                     minhash_signature_expr(sh, k).alias("sig"))
+                     minhash_signature_expr(sh, k, hash_family)
+                     .alias("sig"))
 
 
 def _band_entries(df: DataFrame, text_col: str, id_col: str,
-                  k: int, bands: int, n: int) -> DataFrame:
+                  k: int, bands: int, n: int,
+                  hash_family: str = "md5") -> DataFrame:
     """Skinny (id, band, band_key) LSH band entries — candidate
     generation operates on these only: the shingle arrays stay out of
     the band join and the pair-dedup shuffle.  Band keys never surface
@@ -143,7 +159,8 @@ def _band_entries(df: DataFrame, text_col: str, id_col: str,
     df = widen_partitions(df.select(id_col, text_col))
     sh = shingles_expr(F.col(text_col), n)
     base = df.select(F.col(id_col),
-                     minhash_signature_expr(sh, k).alias("sig"))
+                     minhash_signature_expr(sh, k, hash_family)
+                     .alias("sig"))
     return base.select(
         id_col,
         F.posexplode(F.array(*[
@@ -155,7 +172,8 @@ def _band_entries(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       k: int = 16, bands: int = 4, n: int = 3,
-                      threshold: float = 0.2) -> DataFrame:
+                      threshold: float = 0.2,
+                      hash_family: str = "md5") -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) for verified pairs with
@@ -163,7 +181,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     one band of the signature matches exactly.
     """
     df = df.select(id_col, text_col)
-    band_entries = _band_entries(df, text_col, id_col, k, bands, n)
+    band_entries = _band_entries(df, text_col, id_col, k, bands, n,
+                                 hash_family)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),

@@ -482,3 +482,27 @@ class TestSketchAndShardProperties:
         m, k = bloom_params(len(items), fp)
         out = bloom_membership(df, "id", "key", df, "key", m, k).collect()
         assert all(r.maybe_member for r in out)  # members always flag
+
+
+class TestMinhashHashFamilies:
+    def test_families_agree_on_planted_dups(self, spark):
+        """Exact duplicates collide in EVERY hash family; the xxhash64
+        production path must find the same planted pairs as the
+        md5-portable default (near-dup candidates may differ — collision
+        classes are family-specific — but verified Jaccard >= t pairs of
+        identical texts cannot)."""
+        from orange3_timeseries_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, f"{base} unique{i} filler{i}") for i in range(20)]
+        rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        planted = {(i, 100 + i) for i in range(5)}
+        for fam in ("md5", "xxhash64"):
+            got = {(r.id_a, r.id_b)
+                   for r in minhash_lsh_pairs(df, "text", "doc_id",
+                                              threshold=0.99,
+                                              hash_family=fam).collect()}
+            assert planted <= got, fam
