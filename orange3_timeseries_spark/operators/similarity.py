@@ -178,20 +178,31 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             ib = np.flatnonzero((pdf["__blk__"] == pb).to_numpy())
         if not len(ia) or not len(ib):
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        S = Xn[ia] @ Xn[ib].T
-        S = np.round(S, 6)
-        if same:
-            ri, ci = np.triu_indices(len(ia), k=1)
-        else:
-            ri, ci = np.indices(S.shape).reshape(2, -1)
-        keepm = S[ri, ci] >= threshold
-        ri, ci = ri[keepm], ci[keepm]
-        id_a = ids[ia[ri]]
-        id_b = ids[ib[ci]]
-        lo = np.minimum(id_a, id_b)
-        hi = np.maximum(id_a, id_b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cosine": S[ri, ci]})
+        # chunk the GEMM over rows of A: the full |A|x|B| similarity
+        # matrix is O(block²) doubles (a 62k-row block -> 31 GB, an
+        # instant executor OOM at scale); ~4M cells per chunk caps the
+        # scratch at ~32 MB however large the blocks are, at identical
+        # output (strict-upper-triangle filter applied per chunk via the
+        # global row offset)
+        chunk = max(1, (4 << 20) // max(len(ib), 1))
+        outs = []
+        for r0 in range(0, len(ia), chunk):
+            sub = np.round(Xn[ia[r0:r0 + chunk]] @ Xn[ib].T, 6)
+            ri, ci = np.nonzero(sub >= threshold)
+            if same:
+                keepm = ci > (ri + r0)
+                ri, ci = ri[keepm], ci[keepm]
+            if not len(ri):
+                continue
+            id_a = ids[ia[ri + r0]]
+            id_b = ids[ib[ci]]
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            outs.append(pd.DataFrame({"id_a": lo, "id_b": hi,
+                                      "cosine": sub[ri, ci]}))
+        if not outs:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        return pd.concat(outs, ignore_index=True)
 
     # pin the pre-GEMM shuffle width: AQE's size-based coalescing would
     # merge the (small-bytes, huge-CPU) block-pair shuffle down to one
