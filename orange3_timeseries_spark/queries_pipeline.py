@@ -1771,3 +1771,75 @@ def q_pipeline_embedding_index(spark, sf_dir):
         F.concat_ws("-", F.transform(F.col("pq_code"),
                                      lambda c: c.cast("string")))
         .alias("code_str"))
+
+
+@query("duplication_rate_by_source", f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+g AS (SELECT source,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7))
+                       AS i) u
+      WHERE len(toks) >= 8)
+SELECT source,
+       count(*) AS n_grams,
+       count(DISTINCT gram) AS n_distinct,
+       round(1.0 - count(DISTINCT gram)::DOUBLE / count(*), 6)
+           AS dup_rate
+FROM g GROUP BY 1
+""")
+def q_duplication_rate_by_source(spark, sf_dir):
+    """Corpus duplication rate per source — the dataset-card metric:
+    fraction of 8-gram occurrences that repeat an earlier occurrence
+    within the source.  Two-phase count-distinct aggregation over
+    exploded grams; entirely shuffle-bounded by (source, gram)
+    cardinality."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = T.tokens_expr(F.col("text"))
+    g = (d.withColumn("__toks__", toks)
+         .where(F.size(F.col("__toks__")) >= 8)
+         .select("source",
+                 F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size(F.col("__toks__")) - 7),
+                     lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"),
+                                                        i, 8))))
+                 .alias("gram")))
+    return (g.groupBy("source")
+            .agg(F.count("*").alias("n_grams"),
+                 F.countDistinct("gram").alias("n_distinct"))
+            .select("source", "n_grams", "n_distinct",
+                    F.round(1.0 - F.col("n_distinct").cast("double")
+                            / F.col("n_grams"), 6).alias("dup_rate")))
+
+
+@query("dataset_card_by_source", f"""
+WITH t AS (SELECT source, lang, md5(text) AS dg,
+                  len({_TOKS}) AS nt,
+                  {_SCORE_SQL} AS score
+           FROM documents)
+SELECT source, count(*) AS n_docs,
+       sum(nt)::BIGINT AS n_tokens,
+       round(avg(score), 6) AS mean_quality,
+       count(DISTINCT lang) AS n_langs,
+       round(1.0 - count(DISTINCT dg)::DOUBLE / count(*), 6)
+           AS dup_doc_rate
+FROM t GROUP BY 1
+""")
+def q_dataset_card_by_source(spark, sf_dir):
+    """The per-source DATASET CARD in one aggregation pass: document
+    and token counts, mean composite quality, language breadth, and the
+    within-source exact-duplicate rate — the summary table a corpus
+    release ships.  Digests and scores are scan-side expressions; the
+    shuffle carries one row per (source, distinct-key)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "lang",
+        F.md5(F.col("text")).alias("dg"),
+        T.token_count_expr(F.col("text")).alias("nt"),
+        T.quality_score_expr(F.col("text")).alias("score"))
+    return (t.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").cast("long").alias("n_tokens"),
+                 F.round(F.avg("score"), 6).alias("mean_quality"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.round(1.0 - F.countDistinct("dg").cast("double")
+                         / F.count("*"), 6).alias("dup_doc_rate")))
