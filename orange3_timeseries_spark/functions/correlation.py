@@ -102,3 +102,21 @@ def ccf_values(x: np.ndarray, y: np.ndarray, nlags: int):
         lags.append(k)
         vals.append(s / den)
     return lags, vals
+
+
+def holt_values(x: np.ndarray, alpha: float, beta: float, horizon: int):
+    """Holt linear-trend exponential smoothing with the standard
+    initialization l₁ = x₁, b₁ = x₂ − x₁ and recursion
+    l_t = α·x_t + (1−α)(l+b),  b_t = β(l_t − l_prev) + (1−β)b —
+    expression order matches the recursive-CTE oracle exactly.
+    Returns the h-step forecasts ŷ_{n+h} = l_n + h·b_n."""
+    x = np.asarray(x, dtype=float)
+    if len(x) < 2:
+        return []
+    l = x[0]
+    b = x[1] - x[0]
+    for t in range(1, len(x)):
+        l_new = alpha * x[t] + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        l = l_new
+    return [l + (h + 1) * b for h in range(horizon)]

@@ -778,3 +778,47 @@ def q_anomalies_by_user(spark, sf_dir):
                     & (F.abs(z) > 2.0))
             .select("user_id", "day", F.round("x", 6).alias("x"),
                     F.round(z, 6).alias("zscore")))
+
+
+@query("holt_forecast_by_user", """
+WITH RECURSIVE d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+n AS (SELECT user_id, count(*) AS n FROM r GROUP BY 1),
+hw(user_id, t, l, b) AS (
+  SELECT a.user_id, 1, a.x, b2.x - a.x
+  FROM r a JOIN r b2 ON b2.user_id = a.user_id
+  WHERE a.rn = 1 AND b2.rn = 2
+  UNION ALL
+  SELECT hw.user_id, hw.t + 1,
+         0.5 * r.x + 0.5 * (hw.l + hw.b),
+         0.3 * ((0.5 * r.x + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b
+  FROM hw JOIN r ON r.user_id = hw.user_id AND r.rn = hw.t + 1),
+fin AS (SELECT hw.user_id, hw.l, hw.b
+        FROM hw JOIN n ON n.user_id = hw.user_id
+        WHERE hw.t = n.n)
+SELECT fin.user_id, h.step::INT AS step,
+       round(fin.l + h.step * fin.b, 6) AS forecast
+FROM fin, LATERAL (SELECT unnest(generate_series(1, 5)) AS step) h
+""")
+def q_holt_forecast_by_user(spark, sf_dir):
+    """Holt linear-trend 5-step forecasts per user's daily series
+    (α=0.5, β=0.3) — the smoothing recursion replayed as a recursive
+    CTE with identical expression order, so the level/trend states and
+    forecasts hash-match exactly."""
+    from orange3_timeseries_spark.spark_analytics import (
+        holt_forecast_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+    out = holt_forecast_table(tsf, "x", alpha=0.5, beta=0.3, horizon=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"))

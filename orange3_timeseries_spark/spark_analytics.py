@@ -556,3 +556,28 @@ def ccf_table(tsf: TimeSeriesFrame, xcol: str, ycol: str,
                 "ccf": np.array(vals)}
 
     return _packed_map(tsf, [xcol, ycol], fields, per_series)
+
+
+def holt_forecast_table(tsf: TimeSeriesFrame, col: str,
+                        alpha: float = 0.5, beta: float = 0.3,
+                        horizon: int = 5) -> DataFrame:
+    """Per-series Holt linear-trend forecasts (series..., step, forecast)
+    — exponential-smoothing breadth beyond the reference's ARIMA/VAR
+    pair, same packed distributed execution as the other per-series
+    fits.  Smoothing weights are caller-specified (as the reference's
+    model orders are); series shorter than 2 observations are skipped."""
+    from orange3_timeseries_spark.functions.correlation import holt_values
+
+    fields = [T.StructField("step", T.IntegerType()),
+              T.StructField("forecast", T.DoubleType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        x = x[~np.isnan(x)]
+        fc = holt_values(x, alpha, beta, horizon)
+        if not fc:
+            return None
+        return {"step": np.arange(1, horizon + 1, dtype="int32"),
+                "forecast": np.array(fc)}
+
+    return _packed_map(tsf, [col], fields, per_series)

@@ -407,3 +407,34 @@ class TestEventAnalytics:
         assert got[1] == (True, True, True)     # in order
         assert got[2] == (True, False, False)   # click before view
         assert got[3] == (True, False, False)   # skipped click
+
+
+# ------------------------------------------------------------- Holt trend
+def test_holt_values_linear_series_exact():
+    """On an exactly linear series Holt's recursion is exact: level
+    tracks the line and every forecast continues it."""
+    import numpy as np
+
+    from orange3_timeseries_spark.functions.correlation import holt_values
+
+    x = np.array([3.0 + 2.0 * t for t in range(20)])
+    fc = holt_values(x, alpha=0.5, beta=0.3, horizon=4)
+    np.testing.assert_allclose(
+        fc, [3.0 + 2.0 * (19 + h) for h in (1, 2, 3, 4)], atol=1e-9)
+    # fewer than 2 points -> no forecast
+    assert holt_values(np.array([1.0]), 0.5, 0.3, 3) == []
+
+
+def test_holt_recursion_reference():
+    """Hand-rolled recursion check on a short irregular series."""
+    from orange3_timeseries_spark.functions.correlation import holt_values
+
+    x = [10.0, 12.0, 11.0, 15.0]
+    a, b_ = 0.5, 0.3
+    l, b = x[0], x[1] - x[0]
+    for t in range(1, 4):
+        ln = a * x[t] + (1 - a) * (l + b)
+        b = b_ * (ln - l) + (1 - b_) * b
+        l = ln
+    got = holt_values(x, a, b_, 2)
+    assert got == [l + b, l + 2 * b]
