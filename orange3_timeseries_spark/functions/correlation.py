@@ -120,3 +120,35 @@ def holt_values(x: np.ndarray, alpha: float, beta: float, horizon: int):
         b = beta * (l_new - l) + (1 - beta) * b
         l = l_new
     return [l + (h + 1) * b for h in range(horizon)]
+
+
+def holt_winters_values(x: np.ndarray, m: int, alpha: float, beta: float,
+                        gamma: float, horizon: int):
+    """Additive Holt-Winters (level + trend + m-period season) with the
+    classical initialization l = mean(x₁..m), b = (mean(x_{m+1..2m}) −
+    mean(x₁..m))/m, s_i = x_i − l, recursion from t = m+1:
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l + b)
+        b_t = β(l_t − l_prev) + (1−β)b
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    Forecast ŷ_{n+h} = l + h·b + s_{n+h−m·⌈h/m⌉}.  Expression order
+    mirrors the recursive-CTE oracle; needs ≥ 2m observations."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 2 * m:
+        return []
+    l = float(np.mean(x[:m]))
+    b = (float(np.mean(x[m:2 * m])) - l) / m
+    season = [x[i] - l for i in range(m)]
+    for t in range(m, n):
+        s_old = season[0]
+        l_new = alpha * (x[t] - s_old) + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        l = l_new
+        season = season[1:] + [gamma * (x[t] - l_new)
+                               + (1 - gamma) * s_old]
+    out = []
+    for h in range(1, horizon + 1):
+        out.append(l + h * b + season[(h - 1) % m])
+    return out

@@ -822,3 +822,58 @@ def q_holt_forecast_by_user(spark, sf_dir):
     out = holt_forecast_table(tsf, "x", alpha=0.5, beta=0.3, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
+
+
+@query("holt_winters_by_user", """
+WITH RECURSIVE d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+n AS (SELECT user_id, count(*) AS n FROM r GROUP BY 1),
+i1 AS (SELECT user_id,
+              avg(x) FILTER (WHERE rn <= 7) AS l0,
+              (avg(x) FILTER (WHERE rn BETWEEN 8 AND 14)
+               - avg(x) FILTER (WHERE rn <= 7)) / 7.0 AS b0,
+              list(x ORDER BY rn) FILTER (WHERE rn <= 7) AS cyc
+       FROM r GROUP BY 1
+       HAVING count(*) >= 14),
+hw(user_id, t, l, b, s) AS (
+  SELECT user_id, 7, l0, b0, list_transform(cyc, v -> v - l0) FROM i1
+  UNION ALL
+  SELECT hw.user_id, hw.t + 1,
+         0.5 * (r.x - hw.s[1]) + 0.5 * (hw.l + hw.b),
+         0.3 * ((0.5 * (r.x - hw.s[1]) + 0.5 * (hw.l + hw.b)) - hw.l)
+             + 0.7 * hw.b,
+         list_slice(hw.s, 2, 7)
+             || [0.4 * (r.x - (0.5 * (r.x - hw.s[1])
+                              + 0.5 * (hw.l + hw.b)))
+                 + 0.6 * hw.s[1]]
+  FROM hw JOIN r ON r.user_id = hw.user_id AND r.rn = hw.t + 1),
+fin AS (SELECT hw.user_id, hw.l, hw.b, hw.s
+        FROM hw JOIN n USING (user_id) WHERE hw.t = n.n)
+SELECT user_id, h.step::INT AS step,
+       round(l + h.step * b + s[((h.step - 1) % 7) + 1], 6) AS forecast
+FROM fin, LATERAL (SELECT unnest(generate_series(1, 5)) AS step) h
+""")
+def q_holt_winters_by_user(spark, sf_dir):
+    """Additive Holt-Winters (weekly season m=7, α=0.5 β=0.3 γ=0.4)
+    5-step forecasts per user's daily series — the full level/trend/
+    season recursion replayed as a recursive CTE carrying the seasonal
+    state as a LIST column, so every smoothing state and forecast
+    hash-matches."""
+    from orange3_timeseries_spark.spark_analytics import (
+        holt_winters_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+    out = holt_winters_table(tsf, "x", m=7, alpha=0.5, beta=0.3,
+                             gamma=0.4, horizon=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"))

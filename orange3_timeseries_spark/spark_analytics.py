@@ -581,3 +581,29 @@ def holt_forecast_table(tsf: TimeSeriesFrame, col: str,
                 "forecast": np.array(fc)}
 
     return _packed_map(tsf, [col], fields, per_series)
+
+
+def holt_winters_table(tsf: TimeSeriesFrame, col: str, m: int = 7,
+                       alpha: float = 0.5, beta: float = 0.3,
+                       gamma: float = 0.4, horizon: int = 5) -> DataFrame:
+    """Per-series additive Holt-Winters forecasts (series..., step,
+    forecast) — level + trend + m-period season, classical cycle-mean
+    initialization; series shorter than 2m are skipped.  Same packed
+    distributed execution as the other per-series fits."""
+    from orange3_timeseries_spark.functions.correlation import (
+        holt_winters_values,
+    )
+
+    fields = [T.StructField("step", T.IntegerType()),
+              T.StructField("forecast", T.DoubleType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        x = x[~np.isnan(x)]
+        fc = holt_winters_values(x, m, alpha, beta, gamma, horizon)
+        if not fc:
+            return None
+        return {"step": np.arange(1, horizon + 1, dtype="int32"),
+                "forecast": np.array(fc)}
+
+    return _packed_map(tsf, [col], fields, per_series)

@@ -438,3 +438,20 @@ def test_holt_recursion_reference():
         l = ln
     got = holt_values(x, a, b_, 2)
     assert got == [l + b, l + 2 * b]
+
+
+def test_holt_winters_converges_on_seasonal_series():
+    import numpy as np
+
+    from orange3_timeseries_spark.functions.correlation import (
+        holt_winters_values,
+    )
+
+    m = 4
+    x = np.array([2.0 * t + [5, -1, 0, -4][t % m] for t in range(240)])
+    fc = holt_winters_values(x, m, 0.5, 0.3, 0.4, 4)
+    want = [2.0 * (239 + h) + [5, -1, 0, -4][(240 + h - 1) % m]
+            for h in range(1, 5)]
+    np.testing.assert_allclose(fc, want, atol=1e-6)
+    # short series refuses (needs 2 cycles)
+    assert holt_winters_values(x[: 2 * m - 1], m, 0.5, 0.3, 0.4, 2) == []
