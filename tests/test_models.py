@@ -379,3 +379,58 @@ class TestArimax:
         withx = ARIMA((1, 0, 0), use_exog=True).fit(y, exog=x)
         assert withx.results.beta_exog.shape == (1,)
         assert withx.results.beta_exog[0] == pytest.approx(2.0, abs=0.1)
+
+
+# --------------------------------------------------------- HoltWinters model
+class TestHoltWintersModel:
+    def test_contract_and_forecast(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.models.smoothing import HoltWinters
+
+        m = 4
+        y = np.array([2.0 * t + [5, -1, 0, -4][t % m]
+                      for t in range(240)])
+        hw = HoltWinters(m=m).fit(y, var_names=["y"])
+        fc, lo, hi = hw.predict(4)
+        want = [2.0 * (239 + h) + [5, -1, 0, -4][(240 + h - 1) % m]
+                for h in range(1, 5)]
+        np.testing.assert_allclose(fc, want, atol=1e-5)
+        assert (lo <= fc).all() and (fc <= hi).all()
+        # CI widens with horizon
+        assert ((hi - lo)[1:] >= (hi - lo)[:-1]).all()
+        # naming contract table
+        table = hw.predict(3, as_table=True)
+        assert "y (forecast)" in table
+        assert "y (95%CI low)" in table and "y (95%CI high)" in table
+        # fitted/residuals align with input length
+        assert len(hw.fittedvalues()) == len(y)
+        resid = hw.residuals()
+        # smoothing converges: the last quarter's residuals are ~0
+        assert np.nanmax(np.abs(resid[180:])) < 1e-4
+
+    def test_holt_linear_mode(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.models.smoothing import HoltWinters
+
+        y = np.array([3.0 + 2.0 * t for t in range(30)])
+        hw = HoltWinters().fit(y)
+        fc, lo, hi = hw.predict(3)
+        np.testing.assert_allclose(
+            fc, [3.0 + 2.0 * (29 + h) for h in (1, 2, 3)], atol=1e-8)
+
+    def test_in_model_evaluation(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.models.evaluation import (
+            model_evaluation,
+        )
+        from orange3_timeseries_spark.models.smoothing import HoltWinters
+
+        rng = np.random.RandomState(0)
+        y = np.cumsum(rng.standard_normal(60)) + np.arange(60) * 0.3
+        res = model_evaluation(y, [HoltWinters()], n_folds=3,
+                               forecast_steps=4)
+        assert res[0][0] == "Model"
+        assert any("HoltWinters" in str(row[0]) for row in res[1:])
