@@ -49,9 +49,13 @@ def __getattr__(name):
         "seasonal_decompose": "spark_analytics",
         "granger_causality": "spark_analytics",
         "granger_causality_pairs": "spark_analytics",
+        "ccf_table": "spark_analytics",
+        "holt_forecast_table": "spark_analytics",
+        "holt_winters_table": "spark_analytics",
         # models
         "ARIMA": "models",
         "VAR": "models",
+        "HoltWinters": "models.smoothing",
         "model_evaluation": "models",
         "forecast_by_series": "models",
         "evaluate_by_series": "models",
