@@ -434,3 +434,34 @@ class TestHoltWintersModel:
                                forecast_steps=4)
         assert res[0][0] == "Model"
         assert any("HoltWinters" in str(row[0]) for row in res[1:])
+
+    def test_distributed_per_series_holtwinters(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models.smoothing import HoltWinters
+        from orange3_timeseries_spark.models.spark import (
+            forecast_by_series,
+        )
+
+        rows = []
+        for uid in range(3):
+            for t in range(30):
+                v = float(uid + 1) * t + (t % 7)
+                rows.append((uid, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(days=t), v))
+        df = spark.createDataFrame(rows, ["user_id", "ts", "y"])
+        tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+        out = forecast_by_series(tsf, ["y"],
+                                 lambda: HoltWinters(m=7),
+                                 steps=3).collect()
+        assert len(out) == 9  # 3 series x 3 steps
+        cols = out[0].asDict()
+        assert {"step", "forecast", "ci_low", "ci_high"} <= set(cols)
+        # slope-(uid+1) series: forecasts keep climbing per series
+        for uid in range(3):
+            fs = [r.forecast for r in sorted(out, key=lambda r: r.step)
+                  if r.user_id == uid]
+            assert fs == sorted(fs)
