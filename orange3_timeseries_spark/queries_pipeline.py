@@ -1843,3 +1843,44 @@ def q_dataset_card_by_source(spark, sf_dir):
                  F.countDistinct("lang").alias("n_langs"),
                  F.round(1.0 - F.countDistinct("dg").cast("double")
                          / F.count("*"), 6).alias("dup_doc_rate")))
+
+
+@query("dedup_agreement", f"""
+WITH tp AS ({_minhash_pairs_sql()}),
+ep AS ({_EMB_PAIRS_SQL}),
+t2 AS (SELECT id_a, id_b FROM tp),
+e2 AS (SELECT id_a, id_b FROM ep),
+j AS (SELECT coalesce(t2.id_a, e2.id_a) AS id_a,
+             coalesce(t2.id_b, e2.id_b) AS id_b,
+             t2.id_a IS NOT NULL AS in_text,
+             e2.id_a IS NOT NULL AS in_emb
+      FROM t2 FULL OUTER JOIN e2
+        ON t2.id_a = e2.id_a AND t2.id_b = e2.id_b)
+SELECT count(*) FILTER (WHERE in_text AND in_emb) AS n_both,
+       count(*) FILTER (WHERE in_text AND NOT in_emb) AS n_text_only,
+       count(*) FILTER (WHERE in_emb AND NOT in_text) AS n_emb_only
+FROM j
+""")
+def q_dedup_agreement(spark, sf_dir):
+    """Cross-modality dedup QA: how the MinHash text near-dup pairs and
+    the embedding cosine near-dup pairs agree (both / text-only /
+    embedding-only) over the doc_id = vec_id join — the audit that
+    tells a curation run whether its lexical and semantic dedup stages
+    see the same duplicates.  Two skinny pair sets, one full-outer
+    join, one row out."""
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    tp = D.minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=4, n=3,
+                             threshold=0.2).select("id_a", "id_b")
+    ep = S.embedding_neardup_pairs(e, threshold=0.35) \
+        .select("id_a", "id_b")
+    j = tp.withColumn("in_text", F.lit(True)).join(
+        ep.withColumn("in_emb", F.lit(True)),
+        ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("in_text") & F.col("in_emb"), 1))
+        .alias("n_both"),
+        F.count(F.when(F.col("in_text") & F.col("in_emb").isNull(), 1))
+        .alias("n_text_only"),
+        F.count(F.when(F.col("in_emb") & F.col("in_text").isNull(), 1))
+        .alias("n_emb_only"))
