@@ -342,3 +342,51 @@ def partition_by_bytes(df: DataFrame, col: str,
         return df
     parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
     return df.repartition(parts)
+
+
+# ------------------------------------------------------- perceptual hashing
+def dhash_from_pixels(px: np.ndarray) -> int:
+    """56-bit difference hash of an HxWxC uint8 raster: grayscale by
+    integer mean ((R+G+B)//3), nearest-neighbor downsample to an 8x8
+    grid (row r samples pixel row (r*H)//8, likewise columns), bit
+    (r*7 + c) set iff grid[r][c] > grid[r][c+1] — 7 comparisons per row
+    so the packed value stays positive in signed 64-bit (and therefore
+    identical in Spark LongType and DuckDB BIGINT).
+
+    Integer-only arithmetic end to end: a SQL oracle replays it exactly.
+    Invariant to any monotone brightness shift that preserves pixel
+    ordering — the property that makes dHash a perceptual (not exact)
+    fingerprint."""
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype(np.int64).sum(axis=2) // px.shape[2]
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    g = gray[np.ix_(rows, cols)]
+    val = 0
+    for r in range(8):
+        for c in range(7):
+            if g[r, c] > g[r, c + 1]:
+                val |= 1 << (r * 7 + c)
+    return val
+
+
+def image_dhash(df: DataFrame, image_col: str, id_col: str,
+                out_col: str = "dhash") -> DataFrame:
+    """Per-image perceptual hash (``dhash_from_pixels``) — payload bytes
+    stay inside one narrow ``mapInPandas`` stage; only (id, 8-byte hash)
+    rows continue, so near-dup banding downstream shuffles fingerprints,
+    never images."""
+    id_f = df.schema[id_col].dataType
+
+    schema = T.StructType([T.StructField(id_col, id_f),
+                           T.StructField(out_col, T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[image_col]):
+                _, px = decode_fake_image(bytes(payload))
+                rows.append((rid, dhash_from_pixels(px)))
+            yield pd.DataFrame(rows, columns=[id_col, out_col])
+
+    return df.select(id_col, image_col).mapInPandas(run, schema=schema)

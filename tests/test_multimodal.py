@@ -130,3 +130,49 @@ class TestSparkPlumbing:
         parts = partition_by_bytes(df, "image", target_mb=1)
         assert parts.count() == 20
         assert parts.rdd.getNumPartitions() >= 1
+
+
+# ------------------------------------------------------ perceptual dhash
+def test_dhash_perceptual_properties():
+    import numpy as np
+
+    from orange3_timeseries_spark.operators.multimodal import (
+        dhash_from_pixels,
+    )
+
+    rng = np.random.RandomState(0)
+    px = rng.randint(20, 200, size=(40, 60, 3)).astype(np.uint8)
+    h0 = dhash_from_pixels(px)
+    assert 0 <= h0 < (1 << 56)
+    # uniform brightness shift preserves orderings -> identical hash
+    assert dhash_from_pixels(np.clip(px.astype(int) + 30, 0,
+                                     255).astype(np.uint8)) == h0
+    # tiny local noise flips at most a few of the 56 bits
+    noisy = np.clip(px.astype(int)
+                    + rng.randint(-2, 3, size=px.shape), 0,
+                    255).astype(np.uint8)
+    flips = bin(h0 ^ dhash_from_pixels(noisy)).count("1")
+    assert flips <= 10
+    # an unrelated image lands far away
+    other = rng.randint(0, 256, size=(40, 60, 3)).astype(np.uint8)
+    assert bin(h0 ^ dhash_from_pixels(other)).count("1") > 10
+
+
+def test_image_dhash_spark_matches_local(spark):
+    import numpy as np
+
+    from orange3_timeseries_spark.operators.multimodal import (
+        decode_fake_image,
+        dhash_from_pixels,
+        encode_fake_image,
+        image_dhash,
+    )
+
+    rows = [(i, bytearray(encode_fake_image(i, 20 + i, 24 + i, 3)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    got = {r.doc_id: r.dhash for r in
+           image_dhash(df, "image", "doc_id").collect()}
+    for i, payload in rows:
+        _, px = decode_fake_image(bytes(payload))
+        assert got[i] == dhash_from_pixels(px)
