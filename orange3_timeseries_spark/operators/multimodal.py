@@ -390,3 +390,32 @@ def image_dhash(df: DataFrame, image_col: str, id_col: str,
             yield pd.DataFrame(rows, columns=[id_col, out_col])
 
     return df.select(id_col, image_col).mapInPandas(run, schema=schema)
+
+
+def image_neardup_pairs(df: DataFrame, image_col: str, id_col: str,
+                        max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by banded dHash: the 56-bit hash
+    splits into four 14-bit bands (pigeonhole: any pair within Hamming
+    distance 3 collides on at least one band), candidates equi-join on
+    (band, key), and the exact Hamming distance verifies — the SimHash
+    plan shape applied to the image modality.  Only (id, hash) rows
+    shuffle; payloads never leave the fingerprint stage."""
+    hashed = image_dhash(df, image_col, id_col)
+    entries = hashed.select(
+        id_col, "dhash",
+        F.posexplode(F.array(*[
+            F.call_function("shiftright", F.col("dhash"),
+                            F.lit(14 * b)).bitwiseAND(F.lit(0x3FFF))
+            for b in range(4)])).alias("band", "key"))
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.key") == F.col("b.key"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.dhash").alias("__ha__"),
+                    F.col("b.dhash").alias("__hb__"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

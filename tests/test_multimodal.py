@@ -176,3 +176,38 @@ def test_image_dhash_spark_matches_local(spark):
     for i, payload in rows:
         _, px = decode_fake_image(bytes(payload))
         assert got[i] == dhash_from_pixels(px)
+
+
+def test_image_neardup_pairs_finds_perturbed_copies(spark):
+    import numpy as np
+
+    from orange3_timeseries_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+    import struct
+
+    from orange3_timeseries_spark.operators.multimodal import IMG_MAGIC
+
+    def payload(px):
+        h, w, c = px.shape
+        return bytearray(IMG_MAGIC + struct.pack("<BHHB", 1, w, h, c)
+                         + px.tobytes())
+
+    rng = np.random.RandomState(1)
+    rows = []
+    for i in range(8):
+        px = rng.randint(30, 220, size=(32, 32, 3)).astype(np.uint8)
+        rows.append((i, payload(px)))
+        if i < 3:  # ids 100+i: slightly perturbed copies
+            noisy = np.clip(px.astype(int)
+                            + rng.randint(-1, 2, size=px.shape),
+                            0, 255).astype(np.uint8)
+            rows.append((100 + i, payload(noisy)))
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             image_neardup_pairs(df, "image", "doc_id",
+                                 max_hamming=6).collect()}
+    for i in range(3):
+        assert (i, 100 + i) in pairs     # every planted copy found
+    # no spurious pair between unrelated originals
+    assert not any(a < 100 and b < 100 for a, b in pairs)
