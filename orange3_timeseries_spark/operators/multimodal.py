@@ -419,3 +419,33 @@ def image_neardup_pairs(df: DataFrame, image_col: str, id_col: str,
     ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
     return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def video_signature(df: DataFrame, video_col: str, id_col: str,
+                    n_sample: int = 4) -> DataFrame:
+    """Per-video perceptual signature: dHash of ``n_sample`` frames
+    sampled at positions (j·n_frames)//n_sample — the video analog of
+    :func:`image_dhash`.  Two videos are near-duplicates when their
+    signatures share enough frame hashes (set overlap via a postings
+    join, same plan as n-gram Jaccard) — trims/re-encodes shift or
+    perturb a few frames but rarely all.  Payload bytes stay in this
+    one narrow stage; the signature is n_sample longs."""
+    id_f = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField(id_col, id_f)]
+        + [T.StructField(f"f{j}", T.LongType()) for j in range(n_sample)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[video_col]):
+                _, frames = decode_fake_video(bytes(payload))
+                nf = frames.shape[0]
+                sig = [dhash_from_pixels(
+                    frames[(j * nf) // n_sample][..., None])
+                    for j in range(n_sample)]
+                rows.append((rid, *sig))
+            yield pd.DataFrame(rows, columns=[id_col]
+                               + [f"f{j}" for j in range(n_sample)])
+
+    return df.select(id_col, video_col).mapInPandas(run, schema=schema)

@@ -162,3 +162,47 @@ def q_multimodal_image_dhash(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     imgs = synthesize_image_column(d, "doc_id", "n_chars")
     return image_dhash(imgs, "image", "doc_id")
+
+
+@query("multimodal_video_signature", """
+WITH d AS (SELECT doc_id, 10 + n_chars % 20 AS nf FROM documents),
+g AS (
+  SELECT d.doc_id, sj.j, gr.r, gc.c,
+         (d.doc_id * 2654435761
+          + (((sj.j * d.nf) // 4) * 256 + (2 * gr.r) * 16 + (2 * gc.c))
+            * 97) % 256 AS gv
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS j) sj,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS r) gr,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS c) gc),
+b AS (
+  SELECT a.doc_id, a.j,
+         sum(CASE WHEN a.gv > b2.gv
+                  THEN (1::BIGINT << (a.r * 7 + a.c)) ELSE 0 END)::BIGINT
+             AS hv
+  FROM g a JOIN g b2
+    ON b2.doc_id = a.doc_id AND b2.j = a.j AND b2.r = a.r
+   AND b2.c = a.c + 1
+  WHERE a.c < 7
+  GROUP BY 1, 2)
+SELECT doc_id,
+       max(CASE WHEN j = 0 THEN hv END) AS f0,
+       max(CASE WHEN j = 1 THEN hv END) AS f1,
+       max(CASE WHEN j = 2 THEN hv END) AS f2,
+       max(CASE WHEN j = 3 THEN hv END) AS f3
+FROM b GROUP BY 1
+""")
+def q_multimodal_video_signature(spark, sf_dir):
+    """Perceptual video signatures: dHash of 4 evenly sampled frames per
+    FVID payload (16x16 grayscale) — near-dup videos share frame hashes
+    (postings-join overlap, cf. ``video_signature``).  The oracle
+    regenerates each sampled frame's 8x8 grid from the codec formula and
+    replays all four hashes exactly."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        synthesize_video_column,
+        video_signature,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vids = synthesize_video_column(d, "doc_id", "n_chars")
+    return video_signature(vids, "video", "doc_id")

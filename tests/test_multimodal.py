@@ -211,3 +211,30 @@ def test_image_neardup_pairs_finds_perturbed_copies(spark):
         assert (i, 100 + i) in pairs     # every planted copy found
     # no spurious pair between unrelated originals
     assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_video_signature_matches_local(spark):
+    import numpy as np
+
+    from orange3_timeseries_spark.operators.multimodal import (
+        decode_fake_video,
+        dhash_from_pixels,
+        encode_fake_video,
+        video_signature,
+    )
+
+    rows = [(i, bytearray(encode_fake_video(i, 16, 16, 10 + i)))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, video binary")
+    got = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in
+           video_signature(df, "video", "doc_id").collect()}
+    for i, payload in rows:
+        _, frames = decode_fake_video(bytes(payload))
+        nf = frames.shape[0]
+        want = tuple(dhash_from_pixels(frames[(j * nf) // 4][..., None])
+                     for j in range(4))
+        assert got[i] == want
+    # identical videos share every frame hash; distinct seeds share none
+    # (random 56-bit hashes)
+    sigs = list(got.values())
+    assert len({s for sig in sigs for s in sig}) > 15
