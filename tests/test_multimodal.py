@@ -223,8 +223,20 @@ def test_video_signature_matches_local(spark):
         video_signature,
     )
 
-    rows = [(i, bytearray(encode_fake_video(i, 16, 16, 10 + i)))
-            for i in range(5)]
+    import struct
+
+    from orange3_timeseries_spark.operators.multimodal import VID_MAGIC
+
+    def craft(seed, nf):
+        rng = np.random.RandomState(seed)
+        frames = rng.randint(0, 256, size=(nf, 16, 16)).astype(np.uint8)
+        return bytearray(VID_MAGIC + struct.pack("<BHHH", 1, 16, 16, nf)
+                         + frames.tobytes())
+
+    # crafted payloads with DISTINCT random frames (the FVID fixture
+    # formula is periodic mod 256, so its frames are all identical —
+    # fine for the oracle, useless for discrimination tests)
+    rows = [(i, craft(i, 10 + i)) for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id long, video binary")
     got = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in
            video_signature(df, "video", "doc_id").collect()}
@@ -234,7 +246,11 @@ def test_video_signature_matches_local(spark):
         want = tuple(dhash_from_pixels(frames[(j * nf) // 4][..., None])
                      for j in range(4))
         assert got[i] == want
-    # identical videos share every frame hash; distinct seeds share none
-    # (random 56-bit hashes)
+    # distinct random frames -> (almost) all 20 hashes distinct
     sigs = list(got.values())
     assert len({s for sig in sigs for s in sig}) > 15
+    # the fixture codec's identical-frame artifact: all 4 hashes equal
+    fx = [(0, bytearray(encode_fake_video(7, 16, 16, 12)))]
+    fdf = spark.createDataFrame(fx, "doc_id long, video binary")
+    [r] = video_signature(fdf, "video", "doc_id").collect()
+    assert r.f0 == r.f1 == r.f2 == r.f3
