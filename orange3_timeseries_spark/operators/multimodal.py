@@ -104,18 +104,41 @@ def decode_fake_video(payload: bytes) -> Tuple[dict, np.ndarray]:
 
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - gated path
-    """Real-codec decode (PIL). The container image stack is absent here;
-    the function exists so deployments with PIL flip one import."""
+    """Fallback real-codec decode (PIL) for formats beyond PNG (JPEG,
+    WebP, ...). PNG itself needs no external library — see
+    :func:`decode_image`."""
     try:
         import io
 
         from PIL import Image  # noqa: WPS433
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decode needs pillow; this environment ships none — "
-            "use the FIMG fake codec or install PIL") from exc
+            "non-PNG image decode needs pillow; this environment ships "
+            "none — PNG and the FIMG fixture codec decode natively") from exc
     img = Image.open(io.BytesIO(payload))
     return np.asarray(img)
+
+
+def decode_image(payload: bytes) -> Tuple[dict, np.ndarray]:
+    """(metadata, HxWxC uint8 array) for any supported image payload,
+    dispatching on the magic bytes: real PNG via the pure-stdlib codec
+    (:mod:`._png` — zlib inflate + Sub/Up/Average/Paeth unfilter), the
+    deterministic FIMG fixture container, and a PIL-gated fallback for
+    other real formats.  Every consumer in this module (metadata,
+    features, resize, dHash, near-dup pairs) goes through this function,
+    so the perceptual-dedup path runs unchanged on actual PNGs."""
+    from orange3_timeseries_spark.operators._png import PNG_SIG, decode_png
+
+    if payload[:4] == IMG_MAGIC:
+        return decode_fake_image(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    px = _decode_image_real(payload)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    return ({"format": "OTHER", "width": px.shape[1],
+             "height": px.shape[0], "channels": px.shape[2],
+             "n_bytes": len(payload)}, px)
 
 
 # ------------------------------------------------------- synthesis (fixture)
@@ -133,6 +156,34 @@ def synthesize_image_column(df: DataFrame, id_col: str, size_col: str,
                 encode_fake_image(int(i), 16 + int(s) % 64,
                                   16 + (int(s) * 7) % 64, 3)
                 for i, s in zip(pdf[id_col], pdf[size_col])]
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def synthesize_png_column(df: DataFrame, id_col: str, size_col: str,
+                          out: str = "image") -> DataFrame:
+    """Attach a REAL PNG payload per row — the same deterministic raster
+    as :func:`synthesize_image_column` (identical dims/pixel formulas),
+    but run through the stdlib PNG encoder.  Downstream perceptual ops
+    therefore produce byte-identical fingerprints for the FIMG and PNG
+    encodings of a row, which is exactly what lets the driver's SQL
+    oracle (which replays the raster formula) also hash-verify the real
+    PNG decode path end to end."""
+    from orange3_timeseries_spark.operators._png import encode_png
+
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[size_col]):
+                w, h = 16 + int(s) % 64, 16 + (int(s) * 7) % 64
+                px = _pixel_bytes(int(i), w * h * 3).reshape(h, w, 3)
+                payloads.append(encode_png(px))
             pdf = pdf.copy()
             pdf[out] = payloads
             yield pdf
@@ -192,8 +243,10 @@ def image_metadata(df: DataFrame, col: str, out: str = "meta") -> DataFrame:
             metas = []
             for payload in pdf[col]:
                 try:
-                    meta, _ = decode_fake_image(bytes(payload))
-                    metas.append(meta)
+                    meta, _ = decode_image(bytes(payload))
+                    metas.append({k: meta.get(k) for k in
+                                  ("format", "width", "height",
+                                   "channels", "n_bytes")})
                 except Exception:
                     metas.append(None)
             pdf = pdf.copy()
@@ -219,7 +272,7 @@ def image_features(df: DataFrame, col: str) -> DataFrame:
             out = []
             for payload in pdf[col]:
                 try:
-                    _, px = decode_fake_image(bytes(payload))
+                    _, px = decode_image(bytes(payload))
                     ch = px.reshape(-1, px.shape[2]).astype(np.float64)
                     vec = np.concatenate([ch.mean(0), ch.std(0),
                                           ch.min(0), ch.max(0)])
@@ -235,27 +288,32 @@ def image_features(df: DataFrame, col: str) -> DataFrame:
 
 def resize_image(df: DataFrame, col: str, size: Tuple[int, int],
                  out: Optional[str] = None) -> DataFrame:
-    """Nearest-neighbor resize to (width, height), re-encoded as FIMG.
-    Real raster math on the fake codec; swap the decode for PIL in
-    deployments with real images."""
+    """Nearest-neighbor resize to (width, height), re-encoded in the
+    source container (PNG stays PNG via the stdlib codec, FIMG stays
+    FIMG).  Real raster math either way."""
     out = out or col
     w_new, h_new = size
     fields = [f for f in df.schema.fields if f.name != out]
     schema = T.StructType(fields + [T.StructField(out, T.BinaryType())])
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from orange3_timeseries_spark.operators._png import encode_png
+
         for pdf in batches:
             res = []
             for payload in pdf[col]:
                 try:
-                    meta, px = decode_fake_image(bytes(payload))
+                    meta, px = decode_image(bytes(payload))
                     h, w, c = px.shape
                     yi = (np.arange(h_new) * h // h_new)
                     xi = (np.arange(w_new) * w // w_new)
                     small = px[yi][:, xi]
-                    header = IMG_MAGIC + struct.pack("<BHHB", 1, w_new,
-                                                     h_new, c)
-                    res.append(header + small.tobytes())
+                    if meta["format"] == "FIMG":
+                        header = IMG_MAGIC + struct.pack(
+                            "<BHHB", 1, w_new, h_new, c)
+                        res.append(header + small.tobytes())
+                    else:
+                        res.append(encode_png(small))
                 except Exception:
                     res.append(None)
             keep = pdf[[f.name for f in fields]].copy()
@@ -385,7 +443,7 @@ def image_dhash(df: DataFrame, image_col: str, id_col: str,
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[image_col]):
-                _, px = decode_fake_image(bytes(payload))
+                _, px = decode_image(bytes(payload))
                 rows.append((rid, dhash_from_pixels(px)))
             yield pd.DataFrame(rows, columns=[id_col, out_col])
 
@@ -395,18 +453,32 @@ def image_dhash(df: DataFrame, image_col: str, id_col: str,
 def image_neardup_pairs(df: DataFrame, image_col: str, id_col: str,
                         max_hamming: int = 3) -> DataFrame:
     """Image near-duplicate pairs by banded dHash: the 56-bit hash
-    splits into four 14-bit bands (pigeonhole: any pair within Hamming
-    distance 3 collides on at least one band), candidates equi-join on
-    (band, key), and the exact Hamming distance verifies — the SimHash
-    plan shape applied to the image modality.  Only (id, hash) rows
-    shuffle; payloads never leave the fingerprint stage."""
+    splits into ``max_hamming + 1`` bands (pigeonhole: a pair within
+    Hamming distance d differs in at most d bands, so with d+1 bands at
+    least one band matches exactly — candidate recall is guaranteed, not
+    probabilistic), candidates equi-join on (band, key), and the exact
+    Hamming distance verifies — the SimHash plan shape applied to the
+    image modality.  Only (id, hash) rows shuffle; payloads never leave
+    the fingerprint stage.  Larger ``max_hamming`` → narrower bands →
+    more candidate collisions: the verify stage stays exact, only its
+    input grows."""
+    if not 0 <= max_hamming < 28:
+        raise ValueError(
+            f"max_hamming must be in [0, 28) — {max_hamming + 1} bands "
+            "over a 56-bit hash would leave sub-2-bit bands where every "
+            "hash collides")
+    n_bands = max_hamming + 1
+    base, extra = divmod(56, n_bands)
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     hashed = image_dhash(df, image_col, id_col)
     entries = hashed.select(
         id_col, "dhash",
         F.posexplode(F.array(*[
             F.call_function("shiftright", F.col("dhash"),
-                            F.lit(14 * b)).bitwiseAND(F.lit(0x3FFF))
-            for b in range(4)])).alias("band", "key"))
+                            F.lit(offsets[b]))
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            for b in range(n_bands)])).alias("band", "key"))
     a, b = entries.alias("a"), entries.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.key") == F.col("b.key"),

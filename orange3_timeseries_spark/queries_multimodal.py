@@ -164,6 +164,52 @@ def q_multimodal_image_dhash(spark, sf_dir):
     return image_dhash(imgs, "image", "doc_id")
 
 
+@query("multimodal_png_dhash", """
+WITH d AS (
+  SELECT doc_id,
+         16 + n_chars % 64 AS w,
+         16 + (n_chars * 7) % 64 AS h
+  FROM documents),
+grid AS (
+  SELECT d.doc_id, gr.r, gc.c,
+         ((((gr.r * d.h) // 8) * d.w + ((gc.c * d.w) // 8)) * 3) AS b,
+         d.doc_id * 2654435761 AS seed
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS r) gr,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS c) gc),
+g AS (
+  SELECT doc_id, r, c,
+         (((seed + (b + 0) * 97) % 256)
+          + ((seed + (b + 1) * 97) % 256)
+          + ((seed + (b + 2) * 97) % 256)) // 3 AS gv
+  FROM grid)
+SELECT a.doc_id,
+       sum(CASE WHEN a.gv > b.gv
+                THEN (1::BIGINT << (a.r * 7 + a.c)) ELSE 0 END)::BIGINT
+           AS dhash
+FROM g a JOIN g b
+  ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+WHERE a.c < 7
+GROUP BY 1
+""")
+def q_multimodal_png_dhash(spark, sf_dir):
+    """Perceptual dHash computed from REAL PNG payloads: each document's
+    raster is PNG-encoded (pure-stdlib codec — zlib deflate, filter-0
+    scanlines) and decoded back through the magic-dispatching
+    :func:`decode_image` before hashing.  The raster formulas match the
+    FIMG fixture, so the SAME pixel-replay SQL oracle hash-verifies the
+    full real-codec byte path: encode PNG → binary column → chunk parse →
+    inflate → unfilter → grayscale/grid/hash."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_png_column,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    imgs = synthesize_png_column(d, "doc_id", "n_chars")
+    return image_dhash(imgs, "image", "doc_id")
+
+
 @query("multimodal_video_signature", """
 WITH d AS (SELECT doc_id, 10 + n_chars % 20 AS nf FROM documents),
 g AS (

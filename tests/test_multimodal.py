@@ -254,3 +254,252 @@ def test_video_signature_matches_local(spark):
     fdf = spark.createDataFrame(fx, "doc_id long, video binary")
     [r] = video_signature(fdf, "video", "doc_id").collect()
     assert r.f0 == r.f1 == r.f2 == r.f3
+
+
+class TestPng:
+    """Pure-stdlib PNG codec + its integration with the perceptual tier."""
+
+    @staticmethod
+    def _craft(px, ftypes):
+        """PNG-encode with an explicit filter type per scanline (the
+        encoder proper always emits filter 0; this exercises the
+        Sub/Up/Average/Paeth decode paths on reference-filtered data)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import PNG_SIG, _chunk
+        h, w, c = px.shape
+        stride = w * c
+        px64 = px.astype(np.int64).reshape(h, stride)
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        zc = np.zeros(c, dtype=np.int64)
+        for y, f in enumerate(ftypes):
+            rec = px64[y]
+            left = np.concatenate([zc, rec[:-c]])
+            upleft = np.concatenate([zc, prev[:-c]])
+            if f == 0:
+                filt = rec
+            elif f == 1:
+                filt = (rec - left) & 0xFF
+            elif f == 2:
+                filt = (rec - prev) & 0xFF
+            elif f == 3:
+                filt = (rec - ((left + prev) >> 1)) & 0xFF
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                filt = (rec - pred) & 0xFF
+            raw.append(f)
+            raw.extend(filt.astype(np.uint8).tobytes())
+            prev = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2,
+                                                 4: 6}[c], 0, 0, 0)
+        return (PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b""))
+
+    def test_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import (
+            decode_png,
+            encode_png,
+        )
+        rng = np.random.RandomState(0)
+        for shape in [(12, 20, 3), (7, 5, 1), (9, 9, 4), (8, 3, 2)]:
+            px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            meta, back = decode_png(encode_png(px))
+            assert np.array_equal(back, px)
+            assert (meta["width"], meta["height"], meta["channels"]) == \
+                (shape[1], shape[0], shape[2])
+            assert meta["format"] == "PNG"
+
+    def test_decode_every_filter_type(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import decode_png
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+        _, back = decode_png(self._craft(px, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]))
+        assert np.array_equal(back, px)
+        gray = rng.randint(0, 256, size=(5, 9, 1), dtype=np.uint8)
+        _, back = decode_png(self._craft(gray, [4, 3, 2, 1, 0]))
+        assert np.array_equal(back, gray)
+
+    def test_palette_decode(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import (
+            PNG_SIG,
+            _chunk,
+            decode_png,
+        )
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                       dtype=np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+        payload = (PNG_SIG
+                   + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3,
+                                                 0, 0, 0))
+                   + _chunk(b"PLTE", pal.tobytes())
+                   + _chunk(b"IDAT", zlib.compress(raw))
+                   + _chunk(b"IEND", b""))
+        meta, px = decode_png(payload)
+        assert meta["channels"] == 3
+        assert np.array_equal(px, pal[idx])
+
+    def test_unsupported_fields_raise(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from orange3_timeseries_spark.operators._png import (
+            PNG_SIG,
+            _chunk,
+            decode_png,
+            encode_png,
+        )
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        ok = encode_png(px)
+
+        def mutate(depth=8, color=2, interlace=0):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0,
+                               interlace)
+            raw = b"".join(b"\x00" + b"\x00" * 6 for _ in range(2))
+            return (PNG_SIG + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(raw))
+                    + _chunk(b"IEND", b""))
+
+        decode_png(ok)
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(mutate(depth=16))
+        with pytest.raises(ValueError, match="interlacing"):
+            decode_png(mutate(interlace=1))
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"JUNK" * 4)
+        with pytest.raises(ValueError, match="truncated"):
+            import zlib as _z
+
+            from orange3_timeseries_spark.operators._png import _chunk as c
+            bad = (PNG_SIG
+                   + c(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+                   + c(b"IDAT", _z.compress(b"\x00" * 5))
+                   + c(b"IEND", b""))
+            decode_png(bad)
+
+    def test_decode_image_dispatch_and_cross_container_dhash(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import encode_png
+        from orange3_timeseries_spark.operators.multimodal import (
+            _pixel_bytes,
+            decode_image,
+            dhash_from_pixels,
+            encode_fake_image,
+        )
+        seed, w, h = 42, 20, 12
+        raster = _pixel_bytes(seed, w * h * 3).reshape(h, w, 3)
+        m1, p1 = decode_image(encode_fake_image(seed, w, h, 3))
+        m2, p2 = decode_image(encode_png(raster))
+        assert m1["format"] == "FIMG" and m2["format"] == "PNG"
+        assert np.array_equal(p1, p2)
+        assert dhash_from_pixels(p1) == dhash_from_pixels(p2)
+
+    def test_spark_dhash_on_png_payloads_matches_fimg(self, spark):
+        from orange3_timeseries_spark.operators.multimodal import (
+            image_dhash,
+            synthesize_image_column,
+            synthesize_png_column,
+        )
+        base = spark.createDataFrame(
+            [(i, 10 + 7 * i) for i in range(6)], "doc_id long, n_chars long")
+        fimg = image_dhash(
+            synthesize_image_column(base, "doc_id", "n_chars"),
+            "image", "doc_id")
+        png = image_dhash(
+            synthesize_png_column(base, "doc_id", "n_chars"),
+            "image", "doc_id")
+        a = {r.doc_id: r.dhash for r in fimg.collect()}
+        b = {r.doc_id: r.dhash for r in png.collect()}
+        assert a == b and len(a) == 6
+
+    def test_neardup_finds_planted_png_reencode(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import encode_png
+        from orange3_timeseries_spark.operators.multimodal import (
+            encode_fake_image,
+            decode_image,
+            image_neardup_pairs,
+        )
+        rng = np.random.RandomState(5)
+        rows = []
+        for i in range(6):
+            fimg = encode_fake_image(1000 + 37 * i, 24 + i, 24 + i, 3)
+            rows.append((i, bytearray(fimg)))
+        # id 100: PNG re-encode of image 0 (exact pixel dup, hamming 0)
+        _, px0 = decode_image(bytes(rows[0][1]))
+        rows.append((100, bytearray(encode_png(px0))))
+        # id 101: PNG re-encode of image 1 with mild noise
+        _, px1 = decode_image(bytes(rows[1][1]))
+        noisy = np.clip(px1.astype(int)
+                        + rng.randint(-1, 2, size=px1.shape),
+                        0, 255).astype(np.uint8)
+        rows.append((101, bytearray(encode_png(noisy))))
+        df = spark.createDataFrame(rows, "doc_id long, image binary")
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 image_neardup_pairs(df, "image", "doc_id",
+                                     max_hamming=6).collect()}
+        assert pairs[(0, 100)] == 0
+        assert (1, 101) in pairs and pairs[(1, 101)] <= 6
+
+    def test_neardup_band_derivation_and_validation(self, spark):
+        import pytest
+
+        from orange3_timeseries_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+        df = spark.createDataFrame([(1, bytearray(b"x"))],
+                                   "doc_id long, image binary")
+        with pytest.raises(ValueError, match="max_hamming"):
+            image_neardup_pairs(df, "image", "doc_id", max_hamming=28)
+        with pytest.raises(ValueError, match="max_hamming"):
+            image_neardup_pairs(df, "image", "doc_id", max_hamming=-1)
+
+    def test_metadata_and_resize_on_png(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import (
+            PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+        from orange3_timeseries_spark.operators.multimodal import (
+            image_metadata,
+            resize_image,
+        )
+        rng = np.random.RandomState(9)
+        rows = [(i, bytearray(encode_png(
+            rng.randint(0, 256, size=(20 + i, 30 + i, 3), dtype=np.uint8))))
+            for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, image binary")
+        metas = {r.doc_id: r.meta for r in
+                 image_metadata(df, "image").collect()}
+        assert metas[0].format == "PNG"
+        assert (metas[1].width, metas[1].height) == (31, 21)
+        small = resize_image(df, "image", (8, 8)).collect()
+        for r in small:
+            assert bytes(r.image[:8]) == PNG_SIG
+            meta, px = decode_png(bytes(r.image))
+            assert px.shape == (8, 8, 3)
