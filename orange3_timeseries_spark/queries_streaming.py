@@ -22,6 +22,7 @@ from orange3_timeseries_spark.queries import query, r6
 from orange3_timeseries_spark.sources import read_table, read_table_stream
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
+    run_to_memory_isolated,
     stream_asof_join,
     stream_difference,
     stream_interval_join,
@@ -55,19 +56,21 @@ def q_streaming_hourly_window(spark, sf_dir):
     (file-source parquet stream, availableNow replay, complete output to
     the memory sink) — value-hash-checked against the equivalent batch
     GROUP BY in DuckDB."""
-    sdf = read_table_stream(spark, sf_dir, "events")
-    agg = stream_window_aggregation(
-        sdf, "ts", [("value", "mean"), ("value", "sum")], "1 hour",
-        series_cols=["user_id"], watermark="1 hour")
-    out = agg.select(
-        "user_id",
-        F.col("window.start").alias("win_start"),
-        F.col("Instance count").alias("n"),
-        r6(F.col("`value (mean)`"), "mean_v"),
-        r6(F.col("`value (sum)`"), "sum_v"))
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        agg = stream_window_aggregation(
+            sdf, "ts", [("value", "mean"), ("value", "sum")], "1 hour",
+            series_cols=["user_id"], watermark="1 hour")
+        return agg.select(
+            "user_id",
+            F.col("window.start").alias("win_start"),
+            F.col("Instance count").alias("n"),
+            r6(F.col("`value (mean)`"), "mean_v"),
+            r6(F.col("`value (sum)`"), "sum_v"))
+
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="complete",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="complete",
+                           state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -113,20 +116,22 @@ def q_streaming_interval_join(spark, sf_dir):
     the emitted pair set equals the batch interval join exactly — the
     oracle is the identical inequality join the batch
     ``interval_join_purchases`` uses."""
-    sdf = read_table_stream(spark, sf_dir, "events")
-    left = sdf.select("user_id", "ts", "event_id")
-    right = sdf.where(F.col("event_type") == "purchase") \
-        .select("user_id", "ts", "event_id", "value")
-    out = stream_interval_join(left, right, "ts", ["user_id"], 1800.0,
-                               watermark="1 hour",
-                               right_cols=["event_id", "value"])
-    out = (out.where(F.col("event_id") != F.col("r_event_id"))
-           .select("event_id", "user_id", "r_event_id",
-                   r6(F.col("dt_seconds"), "dt_seconds"),
-                   r6(F.col("r_value"), "r_value")))
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        left = sdf.select("user_id", "ts", "event_id")
+        right = sdf.where(F.col("event_type") == "purchase") \
+            .select("user_id", "ts", "event_id", "value")
+        out = stream_interval_join(left, right, "ts", ["user_id"], 1800.0,
+                                   watermark="1 hour",
+                                   right_cols=["event_id", "value"])
+        return (out.where(F.col("event_id") != F.col("r_event_id"))
+                .select("event_id", "user_id", "r_event_id",
+                        r6(F.col("dt_seconds"), "dt_seconds"),
+                        r6(F.col("r_value"), "r_value")))
+
     name = "stream_ij_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -145,18 +150,21 @@ def q_streaming_asof_join(spark, sf_dir):
     streaming face of operators/asof.py).  Under availableNow replay the
     result equals the batch as-of join, so the oracle is the same native
     DuckDB ASOF LEFT JOIN the batch query uses."""
-    sdf = read_table_stream(spark, sf_dir, "events")
-    left = sdf.select("user_id", "ts", "event_id", "value")
-    right = sdf.where(F.col("event_type") == "purchase") \
-        .select("user_id", "ts", "value")
-    out = stream_asof_join(left, right, "ts", ["user_id"],
-                           ["event_id", "value"], "value")
-    out = out.select("user_id", "event_id", r6(F.col("value"), "value"),
-                     F.col("asof_ts"), r6(F.col("asof_value"),
-                                          "asof_value"))
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        left = sdf.select("user_id", "ts", "event_id", "value")
+        right = sdf.where(F.col("event_type") == "purchase") \
+            .select("user_id", "ts", "value")
+        out = stream_asof_join(left, right, "ts", ["user_id"],
+                               ["event_id", "value"], "value")
+        return out.select("user_id", "event_id",
+                          r6(F.col("value"), "value"),
+                          F.col("asof_ts"), r6(F.col("asof_value"),
+                                               "asof_value"))
+
     name = "stream_asof_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -175,18 +183,20 @@ def q_streaming_stateful_diff(spark, sf_dir):
     is unique in the data contract, so within-batch event-time ordering
     makes the replay deterministic; rows with no predecessor (NaN delta)
     are filtered on both sides."""
-    sdf = read_table_stream(spark, sf_dir, "events")
-    diff = stream_difference(sdf, "ts", ["user_id"], "value", shift=1)
-    # the state step emits NaN for rows with no predecessor; Arrow
-    # serialization surfaces those as SQL NULL — filter matches the
-    # oracle's QUALIFY (events.value itself is never null by contract)
-    out = diff.select("user_id", "ts",
-                      r6(F.col("value"), "value"),
-                      r6(F.col("delta"), "delta")) \
-        .where(F.col("delta").isNotNull())
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        diff = stream_difference(sdf, "ts", ["user_id"], "value", shift=1)
+        # the state step emits NaN for rows with no predecessor; Arrow
+        # serialization surfaces those as SQL NULL — filter matches the
+        # oracle's QUALIFY (events.value itself is never null by contract)
+        return diff.select("user_id", "ts",
+                           r6(F.col("value"), "value"),
+                           r6(F.col("delta"), "delta")) \
+            .where(F.col("delta").isNotNull())
+
     name = "stream_diff_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -223,19 +233,21 @@ def q_streaming_session_window(spark, sf_dir):
     max event time.  Emission semantics empirically pinned in
     tests/test_streaming.py; window ``end`` is last-event + gap (Spark
     session-window contract)."""
-    sdf = read_table_stream(spark, sf_dir, "events")
-    agg = stream_session_window(
-        sdf, "ts", "1 hour", [("value", "sum")], series_cols=["user_id"],
-        watermark="0 seconds")
-    out = agg.select(
-        "user_id",
-        F.col("session_window.start").alias("session_start"),
-        F.col("session_window.end").alias("session_end"),
-        F.col("Instance count").alias("n"),
-        r6(F.col("`value (sum)`"), "sum_v"))
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        agg = stream_session_window(
+            sdf, "ts", "1 hour", [("value", "sum")],
+            series_cols=["user_id"], watermark="0 seconds")
+        return agg.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("Instance count").alias("n"),
+            r6(F.col("`value (sum)`"), "sum_v"))
+
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
 
 
@@ -324,12 +336,14 @@ def q_streaming_distinct_sketch(spark, sf_dir):
         hll_registers,
     )
 
-    sdf = read_table_stream(spark, sf_dir, "events")
-    sdf = sdf.withColumn("day", F.date_trunc("day", F.col("ts")))
-    regs = hll_registers(sdf, "user_id", p=8, group_cols=("day",))
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        sdf = sdf.withColumn("day", F.date_trunc("day", F.col("ts")))
+        return hll_registers(sdf, "user_id", p=8, group_cols=("day",))
+
     name = "stream_hll_" + uuid.uuid4().hex[:8]
-    run_to_memory(regs, name, output_mode="complete",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="complete",
+                           state_partitions=_state_width(spark, sf_dir))
     return hll_estimate(spark.table(name), p=8, group_cols=("day",),
                         out_col="approx_users").select("day",
                                                        "approx_users")
@@ -362,16 +376,18 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     against the batch CMS replay."""
     from orange3_timeseries_spark.operators.hashing import phash_seeded
 
-    sdf = read_table_stream(spark, sf_dir, "events")
-    key = F.col("event_type").cast("string")
-    pos = F.posexplode(F.array(*[
-        (phash_seeded(key, i) % F.lit(512)).cast("int")
-        for i in range(3)]))
-    entries = sdf.select(pos.alias("row", "pos"))
-    tab = entries.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        key = F.col("event_type").cast("string")
+        pos = F.posexplode(F.array(*[
+            (phash_seeded(key, i) % F.lit(512)).cast("int")
+            for i in range(3)]))
+        entries = sdf.select(pos.alias("row", "pos"))
+        return entries.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+
     name = "stream_cms_" + uuid.uuid4().hex[:8]
-    run_to_memory(tab, name, output_mode="complete",
-                  state_partitions=_state_width(spark, sf_dir))
+    run_to_memory_isolated(spark, build, name, output_mode="complete",
+                           state_partitions=_state_width(spark, sf_dir))
     from orange3_timeseries_spark.operators.sketch import cms_estimate
 
     keys = (read_table(spark, sf_dir, "events")

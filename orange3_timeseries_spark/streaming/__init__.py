@@ -14,6 +14,7 @@ analogs, built on the same aggregation registry the batch operators use:
 
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
+    run_to_memory_isolated,
     stream_difference,
     stream_exact_dedup,
     stream_asof_join,
@@ -30,4 +31,5 @@ __all__ = [
     "stream_interval_join",
     "stream_time_slice",
     "run_to_memory",
+    "run_to_memory_isolated",
 ]

@@ -256,11 +256,10 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
     .. warning:: single-threaded-harness-only.  The shuffle-partitions
        pin briefly mutates SESSION-GLOBAL conf around ``start()``; any
        query planned concurrently on the same session would observe the
-       temporary value.  A cloned ``spark.newSession()`` can't host the
-       stream instead, because the memory sink registers its result as a
-       SESSION-scoped temp view — callers read ``spark.table(name)`` on
-       the original session.  Concurrent production callers should set
-       the conf at deployment and pass ``state_partitions=None``."""
+       temporary value.  Concurrency-safe callers should use
+       :func:`run_to_memory_isolated`, which pins the conf on a cloned
+       ``spark.newSession()`` instead, or pass
+       ``state_partitions=None`` (no mutation at all)."""
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = None
@@ -275,6 +274,44 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
         if prev is not None:
             spark.conf.set(key, prev)
     q.awaitTermination()
+    return q
+
+
+def run_to_memory_isolated(spark, build, name: str,
+                           output_mode: str = "append",
+                           state_partitions: Optional[int] = None):
+    """Concurrency-safe :func:`run_to_memory`: the stream is BUILT and
+    RUN on a cloned ``spark.newSession()`` with
+    ``spark.sql.shuffle.partitions`` pinned on the clone only, so a
+    batch query planned concurrently on the caller's session never
+    observes the temporary value (the conf race :func:`run_to_memory`
+    documents).
+
+    ``build`` is a callable ``SparkSession -> streaming DataFrame`` —
+    the source must be constructed on the session it runs on, which is
+    why this takes a builder instead of a DataFrame (a DataFrame is
+    bound to the session that planned it).
+
+    The memory sink registers its result as a temp view on the CLONE;
+    after the availableNow drain finishes, the (driver-resident, by
+    memory-sink construction) rows are re-registered under ``name`` on
+    the caller's session, so ``spark.table(name)`` works exactly as
+    with :func:`run_to_memory`.  The copy is bounded by the sink's own
+    contract — a memory sink already holds its entire result on the
+    driver."""
+    clone = spark.newSession()
+    if state_partitions is not None:
+        clone.conf.set("spark.sql.shuffle.partitions",
+                       str(int(state_partitions)))
+    sdf = build(clone)
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = clone.table(name)
+    spark.createDataFrame(res.collect(), schema=res.schema) \
+        .createOrReplaceTempView(name)
+    clone.catalog.dropTempView(name)
     return q
 
 

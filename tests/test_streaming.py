@@ -288,6 +288,75 @@ class TestStatePartitions:
         want = read_table(spark, "/root/testdata/sf0.001", "events").count()
         assert got == want
 
+    def test_run_to_memory_isolated_never_mutates_caller_conf(self, spark):
+        """The isolated variant pins the conf on a cloned session only: a
+        batch query planned CONCURRENTLY (mid-stream, from another
+        thread) on the caller's session keeps the caller's shuffle
+        partition count — the conf race the non-isolated pin documents."""
+        import threading
+        import uuid
+
+        from orange3_timeseries_spark.sources import (
+            read_table,
+            read_table_stream,
+        )
+        from orange3_timeseries_spark.streaming.ops import (
+            run_to_memory_isolated,
+            stream_window_aggregation,
+        )
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        assert before != "2"
+        observed = []
+        stop = threading.Event()
+
+        def probe():
+            # plan (and run) batch queries on the CALLER session while the
+            # stream executes on the clone; record every shuffle-partition
+            # conf value a concurrently planned query would read (the
+            # physical partition count itself is AQE-coalesced for tiny
+            # data, so the conf is the observable planning input)
+            while not stop.is_set():
+                observed.append(spark.conf.get(key))
+                (spark.range(0, 1000)
+                 .groupBy((F.col("id") % 7).alias("g")).count()
+                 .write.format("noop").mode("overwrite").save())
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        try:
+            def build(s):
+                sdf = read_table_stream(s, "/root/testdata/sf0.001",
+                                        "events")
+                return stream_window_aggregation(
+                    sdf, "ts", [("value", "mean")], "1 hour",
+                    watermark="1 hour")
+
+            name = "iso_test_" + uuid.uuid4().hex[:8]
+            q = run_to_memory_isolated(spark, build, name,
+                                       output_mode="complete",
+                                       state_partitions=2)
+        finally:
+            stop.set()
+            t.join(timeout=30)
+        assert spark.conf.get(key) == before
+        # every mid-flight observation saw the caller's value
+        assert set(observed) <= {before}, set(observed)
+        # the stream really ran at the pinned width (state operator
+        # progress reports its shuffle partitions where available)
+        prog = q.lastProgress
+        ops = (prog or {}).get("stateOperators") or []
+        widths = [o.get("numShufflePartitions") for o in ops
+                  if o.get("numShufflePartitions") is not None]
+        if widths:
+            assert all(w == 2 for w in widths), widths
+        # and the result is registered on the caller's session, correct
+        got = spark.table(name).agg(
+            F.sum("Instance count")).collect()[0][0]
+        want = read_table(spark, "/root/testdata/sf0.001", "events").count()
+        assert got == want
+
 
 class TestStreamIntervalJoin:
     def test_matches_batch_interval_join(self, spark, stream_dir):
