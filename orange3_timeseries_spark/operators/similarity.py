@@ -222,12 +222,43 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 # ------------------------------------------------------------------- IVF ANN
 def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
                         n_centroids: int = 16, sample: int = 2048,
-                        iters: int = 10, seed: int = 7):
-    """Deterministic coarse quantizer: seeded k-means (Lloyd, fixed
-    iterations) on a driver-side sample.  The sample is tiny and the
-    centroid table is broadcast — the classic IVF split: heavy data stays
-    distributed, the O(k*d) model rides the closure."""
+                        iters: int = 10, seed: int = 7,
+                        id_col: Optional[str] = None):
+    """Deterministic coarse quantizer: k-means (Lloyd, fixed iterations)
+    on a driver-side sample.  The sample is tiny and the centroid table
+    is broadcast — the classic IVF split: heavy data stays distributed,
+    the O(k*d) model rides the closure.
+
+    With ``id_col`` the whole training is CONTENT-deterministic (no RNG,
+    no row-order dependence): the sample is the ``sample`` smallest ids
+    (``orderBy.limit`` — a distributed TakeOrdered, never a full
+    collect), initial centroids are evenly spaced through that ordered
+    sample, assignment is argmax(x·c − |c|²/2) with first-index
+    tie-break, empty clusters keep their centroid, and centroids are
+    rounded to 6 decimals after every iteration so an independent SQL
+    replay (unrolled Lloyd in DuckDB — see ``ann_ivf_topk``'s oracle)
+    reproduces them exactly instead of chasing float-associativity
+    noise.  Without ``id_col`` the legacy seeded-RNG path on an
+    arbitrary ``limit`` sample is kept for callers that don't need
+    replayability."""
     import numpy as np
+
+    if id_col is not None:
+        pdf = (corpus.select(id_col, vec_col).orderBy(id_col)
+               .limit(sample).toPandas().sort_values(id_col))
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        n = len(X)
+        k = min(n_centroids, n)
+        cent = X[[(i * n) // k for i in range(k)]].copy()
+        for _ in range(iters):
+            scores = X @ cent.T - 0.5 * (cent * cent).sum(1)
+            assign = scores.argmax(1)
+            for j in range(len(cent)):
+                m = assign == j
+                if m.any():
+                    cent[j] = X[m].mean(0)
+            cent = np.round(cent, 6)
+        return cent.tolist()
 
     pdf = (corpus.select(vec_col).limit(sample).toPandas())
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -285,7 +316,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
-                                        seed=seed)
+                                        seed=seed, id_col=id_col)
     C = np.array(centroids, dtype=float)
 
     c = _assign_centroid(

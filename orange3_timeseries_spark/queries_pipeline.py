@@ -487,12 +487,87 @@ def q_ann_ivf_served_topk(spark, sf_dir):
                       centroids=centroids)
 
 
-@query("ann_ivf_topk", None)
+def _ivf_trained_sql(n_centroids=16, sample=2048, iters=10,
+                     nprobe=4, k=5, n_queries=10):
+    """Unrolled-Lloyd replay of the trained IVF path: DuckDB re-runs the
+    ENTIRE training — ordered sample, evenly spaced init, ``iters``
+    assignment/recompute rounds with first-index tie-break, empty-cluster
+    carry, 6-dp centroid rounding per round (the rounding is what pins
+    both sides to identical centroids instead of float-associativity
+    noise) — then the same serving replay ``ann_ivf_served_topk`` uses."""
+    stages = [f"""samp AS MATERIALIZED (
+  SELECT v, rn FROM (
+    SELECT embedding::DOUBLE[] AS v,
+           row_number() OVER (ORDER BY vec_id) - 1 AS rn
+    FROM embeddings) t
+  WHERE rn < {sample}),
+nn AS (SELECT count(*) AS cnt FROM samp),
+cent0 AS MATERIALIZED (
+  SELECT g.i AS cid, s.v AS cv
+  FROM (SELECT unnest(generate_series(0, {n_centroids - 1})) AS i) g
+  CROSS JOIN nn
+  JOIN samp s ON s.rn = (g.i * nn.cnt) // {n_centroids})"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        stages.append(f"""assign{t} AS MATERIALIZED (
+  SELECT s.rn, s.v, c.cid
+  FROM samp s CROSS JOIN cent{p} c
+  QUALIFY row_number() OVER (PARTITION BY s.rn
+      ORDER BY list_inner_product(s.v, c.cv)
+               - list_inner_product(c.cv, c.cv) / 2.0 DESC, c.cid) = 1),
+means{t} AS MATERIALIZED (
+  SELECT cid, list(mv ORDER BY d) AS cv FROM (
+    SELECT cid, d, round(avg(val), 6) AS mv
+    FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS d
+          FROM assign{t}) u
+    GROUP BY cid, d) m
+  GROUP BY cid),
+cent{t} AS MATERIALIZED (
+  SELECT p.cid,
+         coalesce(m.cv, list_transform(p.cv, x -> round(x, 6))) AS cv
+  FROM cent{p} p LEFT JOIN means{t} m USING (cid))""")
+    stages.append(f"""centf AS (
+  SELECT cid, cv, list_inner_product(cv, cv) / 2.0 AS half_cc
+  FROM cent{iters}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assignf AS (
+  SELECT vec_id AS nn_id, v AS cvec, cid
+  FROM c CROSS JOIN centf
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid) = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv, cid
+  FROM q CROSS JOIN centf
+  QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY list_inner_product(qv, cv) - half_cc DESC,
+               cid) <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.nn_id,
+         round(list_cosine_similarity(a.cvec, p.qv), 6) AS cosine
+  FROM probes p JOIN assignf a ON a.cid = p.cid
+  WHERE p.query_id != a.nn_id)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nn_id) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+
+
+@query("ann_ivf_topk", _ivf_trained_sql())
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: seeded k-means coarse quantizer, corpus
-    inverted-listed by centroid, queries probe 4 lists — rows-only check
-    (k-means is iterative); recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    """IVF approximate top-5 on the TRAINED path, under a full value-hash
+    oracle: content-deterministic Lloyd training (ordered smallest-id
+    sample, evenly spaced init, per-round 6-dp centroid rounding — see
+    ``train_ivf_centroids(id_col=...)``), corpus inverted-listed by
+    centroid, queries probe 4 lists.  DuckDB replays training AND serving
+    (unrolled-iteration CTEs), so the one previously rows-only stage of
+    the IVF family is now hash-verified end to end; recall vs brute force
+    stays asserted in tests/test_similarity.py."""
     e = read_table(spark, sf_dir, "embeddings")
     queries = (e.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
