@@ -60,7 +60,8 @@ class ARIMA(BaseModel):
 
     REQUIRES_STATIONARY = False
 
-    def __init__(self, order=(1, 0, 0), use_exog=False, method="hr"):
+    def __init__(self, order=(1, 0, 0), use_exog=False, method="hr",
+                 quantize=None):
         """``method='hr'`` (default): Hannan-Rissanen two-stage
         conditional least squares — closed-form, deterministic, the fast
         path for millions of distributed per-series fits; numerically it
@@ -73,6 +74,16 @@ class ARIMA(BaseModel):
         convention (constant term only when d == 0) — matches the
         reference's live SARIMAX goldens (``tests/test_models.py:21-27``).
         ~100x the fit cost of 'hr'; still milliseconds per series.
+
+        ``quantize=k`` rounds the HR stage coefficients and stage-1
+        residual proxies to ``k`` decimals at each stage boundary — a
+        determinism firewall (same spirit as
+        ``train_ivf_centroids(id_col=...)``'s per-round centroid
+        rounding) so an independent engine replaying the fit through
+        normal-equation elimination lands on bit-identical coefficients
+        instead of chasing solver float noise.  The perturbation is
+        ~1e-k, orders of magnitude below statistical estimation error;
+        default ``None`` leaves the numerics untouched.
         """
         super().__init__()
         self.order = tuple(order)
@@ -80,6 +91,7 @@ class ARIMA(BaseModel):
         if method not in ("hr", "mle"):
             raise ValueError("method must be 'hr' or 'mle'")
         self.method = method
+        self.quantize = quantize
 
     def __str__(self):
         return "{}({})".format(
@@ -113,7 +125,13 @@ class ARIMA(BaseModel):
                 m = max(n - 2, 1)
             Z = np.column_stack((np.ones(n - m), lagmat(w, m)))
             beta1, e_tail, _ = ols(w[m:], Z)
-            e = np.concatenate((np.zeros(m), w[m:] - Z @ beta1))
+            if self.quantize is not None:
+                beta1 = np.round(beta1, self.quantize)
+                e = np.concatenate((np.zeros(m),
+                                    np.round(w[m:] - Z @ beta1,
+                                             self.quantize)))
+            else:
+                e = np.concatenate((np.zeros(m), w[m:] - Z @ beta1))
         else:
             e = np.zeros(n)
 
@@ -131,6 +149,10 @@ class ARIMA(BaseModel):
         Z2 = np.hstack(parts)
         target = w[r:]
         beta, resid, rss = ols(target, Z2)
+        if self.quantize is not None:
+            beta = np.round(beta, self.quantize)
+            resid = target - Z2 @ beta
+            rss = float(resid @ resid)
 
         const = float(beta[0])
         phi = np.array(beta[1:1 + p], dtype=float)

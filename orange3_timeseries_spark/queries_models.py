@@ -195,15 +195,190 @@ def q_arima_d_forecast_by_user(spark, sf_dir):
                       r6(F.col("ci_high"), "ci_high"))
 
 
-@query("arima_forecast_by_user", None)
+def _gauss_sql(px, dim, aug_cte, round_dp):
+    """CTE chain solving per-user augmented normal equations ``[A | b]``
+    (rows ``i`` 0..dim-1, cols ``j`` 0..dim with ``j = dim`` the RHS) by
+    unrolled forward elimination + back substitution.  A is a Gram
+    matrix (SPD), so diagonal pivoting needs no row exchanges.  Final
+    CTE ``beta{px}`` holds (user_id, i, v) with ``v`` rounded to
+    ``round_dp`` — the same determinism firewall the Python fit applies
+    (``ARIMA(quantize=...)``)."""
+    out = []
+    prev = aug_cte
+    for k in range(dim - 1):
+        cur = f"m{px}_{k}"
+        out.append(f"""{cur} AS MATERIALIZED (
+  SELECT t.user_id, t.i, t.j,
+         CASE WHEN t.i > {k} THEN t.a - f.a / d.a * p.a ELSE t.a END AS a
+  FROM {prev} t
+  JOIN (SELECT user_id, a FROM {prev} WHERE i = {k} AND j = {k}) d
+    USING (user_id)
+  JOIN (SELECT user_id, i, a FROM {prev} WHERE j = {k}) f
+    ON f.user_id = t.user_id AND f.i = t.i
+  JOIN (SELECT user_id, j, a FROM {prev} WHERE i = {k}) p
+    ON p.user_id = t.user_id AND p.j = t.j)""")
+        prev = cur
+    cols = ", ".join(
+        f"max(CASE WHEN i = {i} AND j = {j} THEN a END) AS a_{i}_{j}"
+        for i in range(dim) for j in range(i, dim + 1))
+    out.append(f"u{px} AS MATERIALIZED (\n  SELECT user_id, {cols}\n"
+               f"  FROM {prev} GROUP BY user_id)")
+    for i in range(dim - 1, -1, -1):
+        terms = "".join(f" - u.a_{i}_{j} * x{px}_{j}.v"
+                        for j in range(i + 1, dim))
+        joins = "".join(f" JOIN x{px}_{j} ON x{px}_{j}.user_id = u.user_id"
+                        for j in range(i + 1, dim))
+        out.append(f"x{px}_{i} AS (SELECT u.user_id,"
+                   f" (u.a_{i}_{dim}{terms}) / u.a_{i}_{i} AS v"
+                   f" FROM u{px} u{joins})")
+    sel = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, round(v, {round_dp}) AS v FROM x{px}_{i}"
+        for i in range(dim))
+    out.append(f"beta{px} AS MATERIALIZED ({sel})")
+    return out
+
+
+def _arima_211_sql(m=10, dp=7, steps=5):
+    """Full Hannan-Rissanen ARIMA(2,1,1) replay in SQL: stage-1 long-AR
+    (order ``m``) via 11-variable normal-equation elimination, residual
+    proxies, stage-2 4-variable OLS (const + 2 AR lags + 1 MA lag),
+    then the diff-space forecast recursion, d=1 integration, and the
+    psi-weight recursion of 1/(phi(B)(1-B)) * theta(B) for the CI —
+    mirroring ``models/arima.py`` with ``quantize=dp`` coefficient
+    rounding at each stage boundary on both engines.  Assumes every
+    series has > 2(m+1) observations (the fixture minimum is ~49)."""
+    g1 = ",\n".join(_gauss_sql(1, m + 1, "aug1", dp))
+    g2 = ",\n".join(_gauss_sql(2, 4, "aug2", dp))
+    return f"""WITH RECURSIVE
+s AS MATERIALIZED (
+  SELECT user_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events),
+w AS MATERIALIZED (
+  SELECT user_id, rn - 1 AS t, cnt - 1 AS n,
+         y - lag(y) OVER (PARTITION BY user_id ORDER BY rn) AS w
+  FROM s QUALIFY w IS NOT NULL),
+ylast AS (SELECT user_id, y AS y_last FROM s WHERE rn = cnt),
+z1 AS MATERIALIZED (
+  SELECT a.user_id, a.t, g.i,
+         CASE WHEN g.i = 0 THEN 1.0::DOUBLE ELSE b.w END AS x,
+         a.w AS yt
+  FROM w a
+  CROSS JOIN (SELECT unnest(generate_series(0, {m})) AS i) g
+  LEFT JOIN w b ON b.user_id = a.user_id AND b.t = a.t - g.i
+  WHERE a.t > {m}),
+aug1 AS MATERIALIZED (
+  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  FROM z1 zi JOIN z1 zj ON zi.user_id = zj.user_id AND zi.t = zj.t
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT user_id, i, {m + 1} AS j, sum(x * yt) AS a FROM z1 GROUP BY 1, 2),
+{g1},
+e AS MATERIALIZED (
+  SELECT w.user_id, w.t,
+         CASE WHEN w.t <= {m} THEN 0.0::DOUBLE
+              ELSE round(w.w - p.pred, {dp}) END AS e
+  FROM w LEFT JOIN (
+    SELECT z1.user_id, z1.t, sum(z1.x * b.v) AS pred
+    FROM z1 JOIN beta1 b ON b.user_id = z1.user_id AND b.i = z1.i
+    GROUP BY 1, 2) p ON p.user_id = w.user_id AND p.t = w.t),
+z2 AS MATERIALIZED (
+  SELECT a.user_id, a.t, g.i,
+         CASE g.i WHEN 0 THEN 1.0::DOUBLE
+                  WHEN 1 THEN w1.w WHEN 2 THEN w2.w
+                  ELSE e1.e END AS x,
+         a.w AS yt
+  FROM w a
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+  LEFT JOIN w w1 ON w1.user_id = a.user_id AND w1.t = a.t - 1
+  LEFT JOIN w w2 ON w2.user_id = a.user_id AND w2.t = a.t - 2
+  LEFT JOIN e e1 ON e1.user_id = a.user_id AND e1.t = a.t - 1
+  WHERE a.t > 2),
+aug2 AS MATERIALIZED (
+  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  FROM z2 zi JOIN z2 zj ON zi.user_id = zj.user_id AND zi.t = zj.t
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT user_id, i, 4 AS j, sum(x * yt) AS a FROM z2 GROUP BY 1, 2),
+{g2},
+coefs AS MATERIALIZED (
+  SELECT user_id,
+         max(CASE WHEN i = 0 THEN v END) AS c,
+         max(CASE WHEN i = 1 THEN v END) AS phi1,
+         max(CASE WHEN i = 2 THEN v END) AS phi2,
+         max(CASE WHEN i = 3 THEN v END) AS theta1
+  FROM beta2 GROUP BY user_id),
+res2 AS MATERIALIZED (
+  SELECT z2.user_id, z2.t,
+         any_value(z2.yt) - sum(z2.x * b.v) AS res
+  FROM z2 JOIN beta2 b ON b.user_id = z2.user_id AND b.i = z2.i
+  GROUP BY z2.user_id, z2.t),
+sg AS MATERIALIZED (
+  SELECT r.user_id,
+         sum(r.res * r.res) / count(*) AS sigma2,
+         max(CASE WHEN r.t = mx.tmax THEN r.res END) AS e_last
+  FROM res2 r JOIN (SELECT user_id, max(t) AS tmax FROM res2
+                    GROUP BY 1) mx USING (user_id)
+  GROUP BY r.user_id),
+wl AS (
+  SELECT user_id,
+         max(CASE WHEN t = n THEN w END) AS w_n,
+         max(CASE WHEN t = n - 1 THEN w END) AS w_n1
+  FROM w GROUP BY user_id),
+fc AS (  -- diff-space ARMA(2,1) recursion + integration + psi weights of
+         -- theta(B)/(phi(B)(1-B)): ar = [1, -(1+phi1), phi1-phi2, phi2]
+  SELECT c.user_id, 1 AS step,
+         (c.c + c.phi1 * wl.w_n + c.phi2 * wl.w_n1
+          + c.theta1 * sg.e_last) AS p_cur,
+         wl.w_n AS p_prev,
+         y.y_last + (c.c + c.phi1 * wl.w_n + c.phi2 * wl.w_n1
+                     + c.theta1 * sg.e_last) AS fcv,
+         1.0::DOUBLE AS psi_a, 0.0::DOUBLE AS psi_b,
+         0.0::DOUBLE AS psi_c, 1.0::DOUBLE AS spsi
+  FROM coefs c JOIN wl USING (user_id) JOIN sg USING (user_id)
+  JOIN ylast y USING (user_id)
+  UNION ALL
+  SELECT fc.user_id, fc.step + 1,
+         c.c + c.phi1 * fc.p_cur + c.phi2 * fc.p_prev,
+         fc.p_cur,
+         fc.fcv + (c.c + c.phi1 * fc.p_cur + c.phi2 * fc.p_prev),
+         (CASE WHEN fc.step = 1 THEN c.theta1 ELSE 0.0::DOUBLE END)
+           + (1 + c.phi1) * fc.psi_a - (c.phi1 - c.phi2) * fc.psi_b
+           - c.phi2 * fc.psi_c,
+         fc.psi_a, fc.psi_b,
+         fc.spsi + pow((CASE WHEN fc.step = 1 THEN c.theta1
+                             ELSE 0.0::DOUBLE END)
+                       + (1 + c.phi1) * fc.psi_a
+                       - (c.phi1 - c.phi2) * fc.psi_b
+                       - c.phi2 * fc.psi_c, 2)
+  FROM fc JOIN coefs c ON c.user_id = fc.user_id
+  WHERE fc.step < {steps})
+SELECT fc.user_id, CAST(step AS INT) AS step,
+       round(fcv, 6) AS forecast,
+       round(fcv - 1.959963986120195 * sqrt(sg.sigma2 * spsi), 6)
+           AS ci_low,
+       round(fcv + 1.959963986120195 * sqrt(sg.sigma2 * spsi), 6)
+           AS ci_high
+FROM fc JOIN sg ON sg.user_id = fc.user_id"""
+
+
+@query("arima_forecast_by_user", _arima_211_sql())
 def q_arima_forecast_by_user(spark, sf_dir):
-    """Per-series ARIMA(2,1,1) 5-step forecast with 95% CIs (Hannan-
-    Rissanen fit, psi-weight intervals) — rows-only check; invariants
-    (CI sandwich, widening) are golden-tested in tests/test_models.py."""
+    """Per-series ARIMA(2,1,1) 5-step forecast with 95% CIs under a FULL
+    value-hash oracle: the Hannan-Rissanen two-stage fit (long-AR
+    innovation proxy, then const + AR(2) + MA(1) OLS), the MA-term
+    forecast recursion, d=1 integration, and the psi-weight CI widths
+    are all replayed in SQL — normal-equation Gaussian elimination for
+    both OLS stages, a recursive CTE for forecast + psi state.  Both
+    engines quantize stage coefficients to 7 decimals
+    (``ARIMA(quantize=7)``) so solver float noise cannot leak into the
+    hash.  Invariants (CI sandwich, widening) stay golden-tested in
+    tests/test_models.py; reference anchor ``models.py:312-316``."""
     from orange3_timeseries_spark.models import ARIMA, forecast_by_series
 
     out = forecast_by_series(_events(spark, sf_dir), ["value"],
-                             lambda: ARIMA((2, 1, 1)), steps=5)
+                             lambda: ARIMA((2, 1, 1), quantize=7), steps=5)
     return out.select("user_id", "step", r6(F.col("forecast"), "forecast"),
                       r6(F.col("ci_low"), "ci_low"),
                       r6(F.col("ci_high"), "ci_high"))
