@@ -234,7 +234,168 @@ def q_seasonal_decompose_daily(spark, sf_dir):
         r6(F.col("`v (residual)`"), "v_residual"))
 
 
-@query("granger_event_types", None)
+def _granger_search_sql(max_lag=3, alpha=0.1, iters=60):
+    """Full Granger first-significant-lag replay: for every ordered pair
+    of event-type daily-mean series and every lag 1..max_lag, both
+    nested OLS fits' RSS come from Schur-complement Gaussian
+    elimination (augment the Gram matrix of [Z | y]; after eliminating
+    the regressor columns, the (y, y) entry IS the residual sum of
+    squares — no back-substitution), F follows, and the p-value replays
+    the engine's own regularized-incomplete-beta continued fraction
+    (modified Lentz, ``functions/_extrema.py``) as a recursive CTE with
+    a fixed iteration count (both engines converge to < 3e-14, far
+    inside the 6-dp hash rounding).  The report row per pair is the
+    first lag with p < alpha — exactly ``first_significant_lag``."""
+    # one full Lentz iteration (two half-steps), generated textually so
+    # the recursive term stays a single SELECT.  mm = fc.m + 1.
+    def guard(e):
+        return (f"(CASE WHEN abs({e}) < 1e-300 THEN 1e-300 "
+                f"ELSE {e} END)")
+
+    mm = "(fc.m + 1)"
+    aa1 = (f"({mm} * (fc.bb - {mm}) * fc.xx / "
+           f"((fc.aa - 1 + 2*{mm}) * (fc.aa + 2*{mm})))")
+    d1 = f"(1.0 / {guard(f'1.0 + {aa1} * fc.d')})"
+    c1 = guard(f"1.0 + {aa1} / fc.c")
+    h1 = f"(fc.h * {d1} * {c1})"
+    aa2 = (f"(-(fc.aa + {mm}) * (fc.aa + fc.bb + {mm}) * fc.xx / "
+           f"((fc.aa + 2*{mm}) * (fc.aa + 1 + 2*{mm})))")
+    d2 = f"(1.0 / {guard(f'1.0 + {aa2} * {d1}')})"
+    c2 = guard(f"1.0 + {aa2} / {c1}")
+    h2 = f"({h1} * {d2} * {c2})"
+    guard_init = guard("1.0 - (aa + bb) * xx / (aa + 1.0)")
+
+    elim = []
+    prev = "gram"
+    for k in range(2 * max_lag + 1):  # max unknowns = 1 + 2*max_lag
+        cur = f"el{k}"
+        # LEFT JOINs: systems whose dimension <= k have no pivot (k,k)
+        # and pass through unchanged
+        elim.append(f"""{cur} AS MATERIALIZED (
+  SELECT t.antecedent, t.consequent, t.lag, t.kind, t.i, t.j,
+         CASE WHEN t.i > {k} AND d.a IS NOT NULL
+              THEN t.a - f.a / d.a * p.a ELSE t.a END AS a
+  FROM {prev} t
+  LEFT JOIN (SELECT antecedent, consequent, lag, kind, a FROM {prev}
+             WHERE i = {k} AND j = {k}) d
+    USING (antecedent, consequent, lag, kind)
+  LEFT JOIN (SELECT antecedent, consequent, lag, kind, i, a FROM {prev}
+             WHERE j = {k}) f
+    ON f.antecedent = t.antecedent AND f.consequent = t.consequent
+   AND f.lag = t.lag AND f.kind = t.kind AND f.i = t.i
+  LEFT JOIN (SELECT antecedent, consequent, lag, kind, j, a FROM {prev}
+             WHERE i = {k}) p
+    ON p.antecedent = t.antecedent AND p.consequent = t.consequent
+   AND p.lag = t.lag AND p.kind = t.kind AND p.j = t.j)""")
+        prev = cur
+    elim_sql = ",\n".join(elim)
+
+    return f"""WITH RECURSIVE
+d AS (SELECT date_trunc('day', ts) AS day, event_type, avg(value) AS v
+      FROM events GROUP BY 1, 2),
+ds AS MATERIALIZED (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM d),
+pr AS (
+  SELECT a.event_type AS antecedent, c.event_type AS consequent
+  FROM (SELECT DISTINCT event_type FROM d) a,
+       (SELECT DISTINCT event_type FROM d) c
+  WHERE a.event_type != c.event_type),
+reg AS MATERIALIZED (
+  -- long design: i = 0 const, 1..lag consequent lags,
+  -- lag+1..2lag antecedent lags (unrestricted only), 7 = target y
+  SELECT p.antecedent, p.consequent, lg.lag, k.kind, c0.t, g.i,
+         CASE WHEN g.i = 0 THEN 1.0::DOUBLE
+              WHEN g.i = 7 THEN c0.v
+              WHEN g.i <= lg.lag THEN cl.v
+              ELSE al.v END AS x
+  FROM pr p
+  CROSS JOIN (SELECT unnest(generate_series(1, {max_lag})) AS lag) lg
+  CROSS JOIN (SELECT unnest(['r', 'u']) AS kind) k
+  JOIN ds c0 ON c0.event_type = p.consequent AND c0.t > lg.lag
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i) g
+  LEFT JOIN ds cl ON cl.event_type = p.consequent AND cl.t = c0.t - g.i
+  LEFT JOIN ds al ON al.event_type = p.antecedent
+                 AND al.t = c0.t - (g.i - lg.lag)
+  WHERE g.i = 0 OR g.i = 7 OR g.i <= lg.lag
+     OR (k.kind = 'u' AND g.i <= 2 * lg.lag)),
+gram AS MATERIALIZED (
+  SELECT zi.antecedent, zi.consequent, zi.lag, zi.kind,
+         zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  FROM reg zi JOIN reg zj
+    ON zi.antecedent = zj.antecedent AND zi.consequent = zj.consequent
+   AND zi.lag = zj.lag AND zi.kind = zj.kind AND zi.t = zj.t
+  GROUP BY 1, 2, 3, 4, 5, 6),
+{elim_sql},
+rss AS MATERIALIZED (
+  SELECT antecedent, consequent, lag, kind, a AS rss
+  FROM {prev} WHERE i = 7 AND j = 7),
+ft AS MATERIALIZED (
+  SELECT r.antecedent, r.consequent, r.lag,
+         nd.nd - r.lag - 2 * r.lag - 1 AS dof,
+         (r.rss - u.rss) / r.lag
+           / (u.rss / (nd.nd - r.lag - 2 * r.lag - 1)) AS fstat
+  FROM rss r
+  JOIN rss u ON u.antecedent = r.antecedent
+            AND u.consequent = r.consequent AND u.lag = r.lag
+            AND u.kind = 'u'
+  JOIN (SELECT DISTINCT event_type, nd FROM ds) nd
+    ON nd.event_type = r.consequent
+  WHERE r.kind = 'r'),
+pv0 AS MATERIALIZED (
+  -- I_x(a0, b0) with a0 = dof/2, b0 = lag/2, x = dof/(dof + lag*F);
+  -- branch per Numerical-Recipes convention, front invariant to the
+  -- (a,b,x) <-> (b,a,1-x) swap
+  SELECT antecedent, consequent, lag, fstat, dof,
+         dof / 2.0 AS a0, lag / 2.0 AS b0,
+         dof / (dof + lag * fstat) AS x0
+  FROM ft WHERE fstat >= 0 AND isfinite(fstat)),
+pvp AS MATERIALIZED (
+  SELECT *,
+         (x0 < (a0 + 1.0) / (a0 + b0 + 2.0)) AS direct,
+         CASE WHEN x0 < (a0 + 1.0) / (a0 + b0 + 2.0)
+              THEN a0 ELSE b0 END AS aa,
+         CASE WHEN x0 < (a0 + 1.0) / (a0 + b0 + 2.0)
+              THEN b0 ELSE a0 END AS bb,
+         CASE WHEN x0 < (a0 + 1.0) / (a0 + b0 + 2.0)
+              THEN x0 ELSE 1.0 - x0 END AS xx,
+         exp(lgamma(a0 + b0) - lgamma(a0) - lgamma(b0)
+             + a0 * ln(x0) + b0 * ln(1.0 - x0)) AS front
+  FROM pv0 WHERE x0 > 0 AND x0 < 1),
+fc AS (  -- modified-Lentz continued fraction, fixed {iters} iterations
+  SELECT antecedent, consequent, lag, aa, bb, xx, 0 AS m,
+         1.0::DOUBLE AS c,
+         1.0 / {guard_init} AS d,
+         1.0 / {guard_init} AS h
+  FROM pvp
+  UNION ALL
+  SELECT fc.antecedent, fc.consequent, fc.lag, fc.aa, fc.bb, fc.xx,
+         fc.m + 1, {c2}, {d2}, {h2}
+  FROM fc WHERE fc.m < {iters}),
+pv AS (
+  SELECT p.antecedent, p.consequent, p.lag,
+         CASE WHEN p.direct THEN p.front * fc.h / p.a0
+              ELSE 1.0 - p.front * fc.h / p.b0 END AS pval
+  FROM pvp p
+  JOIN fc ON fc.antecedent = p.antecedent
+         AND fc.consequent = p.consequent AND fc.lag = p.lag
+  WHERE fc.m = {iters}
+  UNION ALL
+  SELECT antecedent, consequent, lag, 1.0 AS pval
+  FROM pv0 WHERE x0 >= 1),
+sig AS (
+  SELECT antecedent, consequent, lag, pval,
+         row_number() OVER (PARTITION BY antecedent, consequent
+                            ORDER BY lag) AS rk
+  FROM pv WHERE isfinite(pval) AND pval < {alpha})
+SELECT CAST(lag AS INT) AS lag, round(pval, 6) AS p,
+       antecedent, consequent
+FROM sig WHERE rk = 1"""
+
+
+@query("granger_event_types", _granger_search_sql())
 def q_granger_event_types(spark, sf_dir):
     """Granger causality between per-event-type daily mean series —
     rows-only check.  Uses the PAIR-parallel plan (each ordered pair is
