@@ -598,8 +598,22 @@ def substring_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ------------------------------------------------------------------ clustering
+def _driver_fast_path_ok(n_edges: int, avg_id_bytes: float,
+                         budget_bytes: int) -> bool:
+    """Gate for the driver union-find fast path: edge COUNT alone is the
+    wrong bound (5M edges of 8-byte ints is ~hundreds of MB of Python
+    objects; 5M edges of kilobyte URL ids is tens of GB), so the gate
+    estimates driver bytes as ``edges x (avg id width + object
+    overhead) x 2 endpoints x parent-map factor`` and compares against
+    an explicit budget."""
+    per_edge = (avg_id_bytes + 60.0) * 2 * 2  # 60B CPython str/int
+    # header+padding per endpoint; x2 for the Row list + parent dict
+    return n_edges * per_edge <= budget_bytes
+
+
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
-                   max_iterations: int = 20) -> DataFrame:
+                   max_iterations: int = 20,
+                   driver_budget_bytes: int = 1 << 30) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every doc
     gets the MINIMUM id of its component as ``cluster_id`` (the canonical
     representative) — the standard "collapse near-dup clusters, keep one"
@@ -618,13 +632,23 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     # expensive part — materialize it once instead of recomputing for the
     # count, the edge iteration, and every propagation round
     edge_list = pairs.select("id_a", "id_b").distinct().persist()
-    n_edges = edge_list.count()
-    if n_edges <= 5_000_000:
+    stats = edge_list.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.octet_length(F.col("id_a").cast("string"))
+               + F.octet_length(F.col("id_b").cast("string"))) / 2
+              ).alias("w")).first()
+    n_edges = stats["n"]
+    avg_id_bytes = float(stats["w"] or 0.0)
+    if n_edges <= 5_000_000 and _driver_fast_path_ok(
+            n_edges, avg_id_bytes, driver_budget_bytes):
         # near-dup pair graphs are tiny relative to the corpus (pairs ~
         # duplicates, not documents): resolve with driver union-find and
         # broadcast the label MAP — one collect of the edges, zero
         # iterative jobs.  The distributed loop below is the path for
-        # pathological pair volumes.
+        # pathological pair volumes; the gate bounds estimated BYTES
+        # (edge count x measured id width), not just edge count, so
+        # long-string-id corpora can't blow the driver under the count
+        # ceiling.
         parent: dict = {}
 
         def find(x):
@@ -728,11 +752,13 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
 
     Digests are computed before the join, so the full-outer join moves
     (id, 32-byte digest) rows only — never document payloads — and
-    shuffles once on the id at any corpus size."""
-    da = old.select(F.col(id_col),
-                    F.md5(F.col(text_col)).alias("__da__"))
-    db = new.select(F.col(id_col),
-                    F.md5(F.col(text_col)).alias("__db__"))
+    shuffles once on the id at any corpus size.  Null text digests to a
+    sentinel (``md5(NULL)`` is NULL, which would make a present-but-null
+    row read as absent): null-vs-null compares ``unchanged``,
+    null-vs-text ``changed``."""
+    digest = lambda c: F.coalesce(F.md5(F.col(c)), F.lit("__null__"))  # noqa: E731
+    da = old.select(F.col(id_col), digest(text_col).alias("__da__"))
+    db = new.select(F.col(id_col), digest(text_col).alias("__db__"))
     j = da.join(db, id_col, "full_outer")
     status = (F.when(F.col("__db__").isNull(), F.lit("removed"))
               .when(F.col("__da__").isNull(), F.lit("added"))

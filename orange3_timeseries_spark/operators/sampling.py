@@ -153,7 +153,15 @@ def weighted_sample(df: DataFrame, strata_col: str, key_col: str,
     proportional to weight, the one-pass distributed answer to
     "sample n docs per source, preferring longer/higher-quality ones".
 
+    Efraimidis-Spirakis requires ``w > 0``: ``w = 0`` makes the exponent
+    infinite (priority 0, silently never sampled) and ``w < 0`` yields
+    priority > 1 (always sampled first, inverting the weighting) — rows
+    with non-positive or null weight are EXCLUDED up front (a pushable
+    filter, not a job failure: at corpus scale a handful of degenerate
+    weights must not kill the sample).
+
     One per-stratum rank shuffle, same shape as :func:`top_n_per_key`."""
+    df = df.where(F.col(weight_col).cast("double") > 0)
     u = (phash(F.col(key_col).cast("string")) + 1).cast("double") \
         / F.lit(float(_SPACE))
     prio = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))

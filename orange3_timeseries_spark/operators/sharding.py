@@ -51,9 +51,13 @@ def _global_row_number(df: DataFrame, sort_cols,
     single-task stage: range-partition on the sort key, local row
     numbers per partition, cumulative partition offsets broadcast back.
 
-    The input is persisted for the two passes — range partitioning
-    samples its bounds, and an unpersisted plan could sample different
-    bounds per pass, misaligning offsets with contents."""
+    The range-partitioned input is pinned with an EAGER localCheckpoint
+    for the two passes: range partitioning samples its bounds, so an
+    unpinned plan could sample different bounds per pass, misaligning
+    offsets with contents — and unlike ``persist()`` (which can evict,
+    silently recompute with fresh bounds, and whose cache entry leaks
+    until someone unpersists), checkpoint blocks are released by the
+    ContextCleaner as soon as the caller's references drop."""
     spark = df.sparkSession
     try:
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -61,7 +65,7 @@ def _global_row_number(df: DataFrame, sort_cols,
         width = 32
     part = (df.repartitionByRange(max(width, 1), *sort_cols)
             .withColumn("__pid__", F.spark_partition_id())
-            .persist())
+            .localCheckpoint(eager=True))
     counts = part.groupBy("__pid__").count()
     # cumulative offset over ≤ width rows — the window is tiny by
     # construction, not a data-sized global sort

@@ -686,9 +686,12 @@ WITH e AS (
          CAST(json_extract(props, '$.k') AS DOUBLE) AS y
   FROM events),
 r AS (
+  -- complete-case COMPACTION (the engine's stated null policy): rows
+  -- where either series is missing are dropped BEFORE sequence
+  -- numbering, so lags run over the compacted observation sequence
   SELECT user_id, x, y,
          row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-  FROM e),
+  FROM e WHERE x IS NOT NULL AND y IS NOT NULL),
 s AS (
   SELECT user_id, count(*)::INT AS n, avg(x) AS mx, avg(y) AS my,
          stddev_pop(x) AS sx, stddev_pop(y) AS sy

@@ -536,7 +536,13 @@ def ccf_table(tsf: TimeSeriesFrame, xcol: str, ycol: str,
     distributed fit as :func:`acf_table`; constant series are skipped
     (zero denominator).  Completes the correlation family the reference
     exposes (ACF `functions.py:192-218`, PACF) with the standard
-    two-series diagnostic it lacks."""
+    two-series diagnostic it lacks.
+
+    Null policy — complete-case COMPACTION: rows where either series is
+    NaN are dropped first and lags run over the remaining contiguous
+    sequence (lag 1 = "next complete observation"), not over original
+    row positions.  The ``ccf_by_user`` oracle replays exactly this
+    (filter before sequence numbering)."""
     from orange3_timeseries_spark.functions.correlation import ccf_values
 
     fields = [T.StructField("lag", T.IntegerType()),

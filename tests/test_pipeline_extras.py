@@ -432,3 +432,65 @@ def test_corpus_diff_statuses(spark):
            for r in corpus_diff(old, new, "id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added"}
+
+
+def test_corpus_diff_null_text(spark):
+    """md5(NULL) is NULL — without the sentinel digest a present-but-null
+    row reads 'removed' and null-vs-null reads 'unchanged' by accident."""
+    from orange3_timeseries_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "keep"), (3, None)], "id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, "keep"), (3, "now text"), (4, None)],
+        "id long, text string")
+    got = {r.id: r.status
+           for r in corpus_diff(old, new, "id", "text").collect()}
+    assert got == {1: "unchanged", 2: "unchanged", 3: "changed",
+                   4: "added"}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from orange3_timeseries_spark.operators.sampling import weighted_sample
+
+    rows = ([(i, "a", 5.0) for i in range(10)]
+            + [(100, "a", 0.0), (101, "a", -3.0), (102, "a", None)])
+    df = spark.createDataFrame(rows, "id long, src string, w double")
+    got = {r.id for r in weighted_sample(df, "src", "id", "w", 50).collect()}
+    assert got == set(range(10))  # degenerate weights never sampled
+
+
+def test_driver_fast_path_byte_gate():
+    from orange3_timeseries_spark.operators.dedup import (
+        _driver_fast_path_ok,
+    )
+
+    # 1M edges of short numeric ids: well under a 1 GiB budget
+    assert _driver_fast_path_ok(1_000_000, 8.0, 1 << 30)
+    # 4M edges of 500-byte URL ids: under the 5M COUNT cap but ~9 GB of
+    # driver strings — must take the distributed branch
+    assert not _driver_fast_path_ok(4_000_000, 500.0, 1 << 30)
+
+
+def test_dedup_clusters_distributed_branch_with_wide_ids(spark):
+    """Zero driver budget forces the distributed label-propagation branch
+    even for a tiny edge list; string-id components still resolve to the
+    same labels the fast path gives."""
+    from orange3_timeseries_spark.operators.dedup import dedup_clusters
+
+    wide = [("doc_" + "x" * 200 + c, i) for c, i in
+            [("a", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4)]]
+    ids = [w for w, _ in wide]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2]), (ids[3], ids[4])],
+        "id_a string, id_b string")
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters(docs, pairs, "doc_id",
+                                    driver_budget_bytes=0).collect()}
+    assert fast == dist
+    labels = dict(dist)
+    assert labels[ids[1]] == labels[ids[0]] == labels[ids[2]]
+    assert labels[ids[3]] == labels[ids[4]] != labels[ids[0]]
