@@ -88,6 +88,78 @@ def decode_fake_audio(payload: bytes) -> Tuple[dict, np.ndarray]:
              "duration_ms": int(n * 1000 / sr) if sr else 0}, samples)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE PCM encode (pure stdlib): mono or (frames, channels)
+    int16 — the real-world counterpart of the FAUD fixture container.
+    8-bit input is widened to int16."""
+    s = np.asarray(samples)
+    if s.dtype == np.uint8:
+        s = (s.astype(np.int16) - 128) << 8
+    s = s.astype("<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    frames, channels = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> Tuple[dict, np.ndarray]:
+    """(metadata, float64 array of frames [x channels]) from RIFF/WAVE
+    PCM bytes.  Supports PCM (format 1) 8-bit unsigned and 16-bit
+    signed, any channel count; anything else raises ``ValueError``
+    (per-row failure, callers catch)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"WAV: unsupported format code {audio_fmt}")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    elif bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    if channels > 1:
+        s = s[: (len(s) // channels) * channels].reshape(-1, channels)
+    n_frames = len(s)
+    meta = {"format": "WAV", "sample_rate": int(rate),
+            "n_samples": int(n_frames), "channels": int(channels),
+            "duration_ms": int(n_frames * 1000 / rate) if rate else 0}
+    return meta, s
+
+
+def decode_audio(payload: bytes) -> Tuple[dict, np.ndarray]:
+    """(metadata, samples) for any supported audio payload, dispatching
+    on magic bytes: real RIFF/WAVE PCM via the stdlib codec, or the
+    deterministic FAUD fixture (uint8 samples, returned raw as before
+    — consumers center at 128)."""
+    if payload[:4] == AUD_MAGIC:
+        return decode_fake_audio(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise ValueError("unsupported audio container")
+
+
 def encode_fake_video(seed: int, width: int, height: int,
                       n_frames: int) -> bytes:
     header = VID_MAGIC + struct.pack("<BHHH", 1, width, height, n_frames)
@@ -184,6 +256,33 @@ def synthesize_png_column(df: DataFrame, id_col: str, size_col: str,
                 w, h = 16 + int(s) % 64, 16 + (int(s) * 7) % 64
                 px = _pixel_bytes(int(i), w * h * 3).reshape(h, w, 3)
                 payloads.append(encode_png(px))
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def synthesize_wav_column(df: DataFrame, id_col: str, size_col: str,
+                          out: str = "audio") -> DataFrame:
+    """Attach a REAL RIFF/WAVE PCM payload per row: 8 kHz mono int16,
+    ``n = 500 + 11*size`` samples, sample i =
+    ``((id*2654435761 + i*97) % 65536) - 32768`` — integer-exact on
+    both engines, so a SQL oracle can replay the decoded feature math
+    bit for bit (sums of < 2^47 stay exact in doubles)."""
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[size_col]):
+                n = 500 + 11 * int(s)
+                idx = np.arange(n, dtype=np.uint64)
+                vals = ((np.uint64(int(i)) * np.uint64(2654435761)
+                         + idx * np.uint64(97)) % np.uint64(65536)
+                        ).astype(np.int64) - 32768
+                payloads.append(encode_wav(vals.astype(np.int16), 8000))
             pdf = pdf.copy()
             pdf[out] = payloads
             yield pdf
@@ -357,8 +456,11 @@ def sample_frames(df: DataFrame, col: str, id_col: str,
 
 
 def audio_features(df: DataFrame, col: str) -> DataFrame:
-    """Per-clip features: [rms, mean, zero-crossing-rate(128-center),
-    duration_ms] as array<float>."""
+    """Per-clip features: [rms, mean, zero-crossing-rate, duration_ms]
+    as array<float>.  Decodes real RIFF/WAVE PCM and the FAUD fixture
+    via :func:`decode_audio`; FAUD's unsigned samples center at 128,
+    WAV samples are already signed.  Multichannel clips average to mono
+    before the feature math (the standard mixdown)."""
     keep = [f for f in df.schema.fields if f.dataType != T.BinaryType()]
     schema = T.StructType(keep + [
         T.StructField("features", T.ArrayType(T.FloatType()))])
@@ -369,8 +471,12 @@ def audio_features(df: DataFrame, col: str) -> DataFrame:
             out = []
             for payload in pdf[col]:
                 try:
-                    meta, s = decode_fake_audio(bytes(payload))
-                    x = s.astype(np.float64) - 128.0
+                    meta, s = decode_audio(bytes(payload))
+                    x = s.astype(np.float64)
+                    if meta["format"] == "FAUD":
+                        x = x - 128.0
+                    if x.ndim > 1:
+                        x = x.mean(axis=1)
                     zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) \
                         if len(x) > 1 else 0.0
                     out.append([float(np.sqrt(np.mean(x ** 2))),

@@ -210,6 +210,52 @@ def q_multimodal_png_dhash(spark, sf_dir):
     return image_dhash(imgs, "image", "doc_id")
 
 
+@query("multimodal_wav_features", """
+WITH d AS (SELECT doc_id, 500 + 11 * n_chars AS ns FROM documents),
+sm AS (
+  SELECT d.doc_id, t.i,
+         (((d.doc_id * 2654435761 + t.i * 97) % 65536) - 32768)::DOUBLE
+             AS v
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) t),
+f AS (SELECT doc_id, sqrt(avg(v * v)) AS rms, avg(v) AS meanv
+      FROM sm GROUP BY 1),
+z AS (SELECT a.doc_id,
+             avg(CASE WHEN abs(sign(b.v) - sign(a.v)) > 0
+                      THEN 1.0 ELSE 0.0 END) AS zcr
+      FROM sm a JOIN sm b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      GROUP BY 1)
+SELECT d.doc_id,
+       round(f.rms::FLOAT::DOUBLE, 6) AS rms,
+       round(f.meanv::FLOAT::DOUBLE, 6) AS mean_v,
+       round(z.zcr::FLOAT::DOUBLE, 6) AS zcr,
+       round((d.ns // 8)::FLOAT::DOUBLE, 6) AS duration_ms
+FROM d JOIN f USING (doc_id) JOIN z USING (doc_id)
+""")
+def q_multimodal_wav_features(spark, sf_dir):
+    """Audio features computed from REAL RIFF/WAVE PCM payloads: each
+    document's deterministic int16 clip is WAV-encoded, decoded back
+    through the magic-dispatching :func:`decode_audio` (stdlib RIFF
+    parse), and run through the production ``audio_features`` operator
+    (rms / mean / zero-crossing rate / duration).  Integer-valued
+    samples keep every aggregate exact in float64, so the oracle
+    replays the decoded math bit-for-bit from the synthesis formula —
+    verifying the full WAV byte path, not just the arithmetic."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        audio_features,
+        synthesize_wav_column,
+    )
+
+    wavs = synthesize_wav_column(_docs(spark, sf_dir), "doc_id", "n_chars")
+    out = audio_features(wavs, "audio")
+    return out.select(
+        "doc_id",
+        r6(F.element_at("features", 1).cast("double"), "rms"),
+        r6(F.element_at("features", 2).cast("double"), "mean_v"),
+        r6(F.element_at("features", 3).cast("double"), "zcr"),
+        r6(F.element_at("features", 4).cast("double"), "duration_ms"))
+
+
 @query("multimodal_video_signature", """
 WITH d AS (SELECT doc_id, 10 + n_chars % 20 AS nf FROM documents),
 g AS (

@@ -503,3 +503,67 @@ class TestPng:
             assert bytes(r.image[:8]) == PNG_SIG
             meta, px = decode_png(bytes(r.image))
             assert px.shape == (8, 8, 3)
+
+
+class TestWav:
+    def test_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+        rng = np.random.RandomState(0)
+        mono = rng.randint(-32768, 32768, size=500).astype(np.int16)
+        meta, back = decode_wav(encode_wav(mono, 8000))
+        assert meta == {"format": "WAV", "sample_rate": 8000,
+                        "n_samples": 500, "channels": 1,
+                        "duration_ms": 62}
+        assert np.array_equal(back.astype(np.int16), mono)
+        stereo = rng.randint(-32768, 32768, size=(300, 2)).astype(np.int16)
+        meta2, back2 = decode_wav(encode_wav(stereo, 44100))
+        assert meta2["channels"] == 2 and meta2["n_samples"] == 300
+        assert np.array_equal(back2.astype(np.int16), stereo)
+
+    def test_8bit_widening_and_errors(self):
+        import numpy as np
+        import pytest
+
+        from orange3_timeseries_spark.operators.multimodal import (
+            decode_audio,
+            decode_wav,
+            encode_fake_audio,
+            encode_wav,
+        )
+        u8 = np.array([0, 128, 255], dtype=np.uint8)
+        _, back = decode_wav(encode_wav(u8, 8000))
+        assert list(back.astype(int)) == [-32768, 0, 32512]
+        with pytest.raises(ValueError, match="not a RIFF"):
+            decode_wav(b"JUNK" * 10)
+        with pytest.raises(ValueError, match="unsupported audio"):
+            decode_audio(b"OGGS" + b"\x00" * 40)
+        # dispatch: FAUD still decodes through decode_audio
+        meta, _ = decode_audio(encode_fake_audio(5, 8000, 100))
+        assert meta["format"] == "FAUD"
+
+    def test_audio_features_on_wav_matches_local(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.multimodal import (
+            audio_features,
+            encode_wav,
+        )
+        rng = np.random.RandomState(4)
+        clips = [rng.randint(-2000, 2000, size=400 + 50 * i)
+                 .astype(np.int16) for i in range(4)]
+        rows = [(i, bytearray(encode_wav(c, 8000)))
+                for i, c in enumerate(clips)]
+        df = spark.createDataFrame(rows, "doc_id long, audio binary")
+        got = {r.doc_id: r.features for r in
+               audio_features(df, "audio").collect()}
+        for i, c in enumerate(clips):
+            x = c.astype(np.float64)
+            want = [float(np.sqrt(np.mean(x ** 2))), float(np.mean(x)),
+                    float(np.mean(np.abs(np.diff(np.sign(x))) > 0)),
+                    float(int(len(x) * 1000 / 8000))]
+            assert np.allclose(got[i], want, rtol=1e-6)
