@@ -543,7 +543,8 @@ def substring_fingerprints(df: DataFrame, text_col: str, id_col: str,
 
 def substring_pairs(df: DataFrame, text_col: str, id_col: str,
                     min_len: int = 150, gram_len: int = 40,
-                    mod: int = 4) -> DataFrame:
+                    mod: int = 4,
+                    max_df: Optional[int] = 1000) -> DataFrame:
     """Document pairs sharing a long contiguous substring — the
     suffix-array-style exact-substring dedup modality, approximated
     Spark-natively with positional gram postings + run-length merge
@@ -565,10 +566,15 @@ def substring_pairs(df: DataFrame, text_col: str, id_col: str,
     (~1e-5 at the defaults), and deterministic given the content, so an
     oracle replays bit-identically.
 
-    Scale: postings are ``len/mod`` per doc; the join is an equi-join on
-    the 60-bit gram hash (sum df(h)^2 rows — ubiquitous boilerplate
-    grams are the skew risk; raise ``mod`` or pre-cap like
-    ``ngram_jaccard_pairs``' max_df for pathological corpora).  Windows
+    Scale: postings are ``len/mod`` per doc; the join emits ``sum
+    df(h)^2`` rows, so ubiquitous grams are THE quadratic hazard —
+    measured on a synthetic low-entropy 500k-doc corpus, candidate rows
+    grew 121x for a 10x corpus (df reached 52) until the ``max_df`` cap
+    restored linearity (see PLANS.md round-5 smoke).  ``max_df`` drops
+    gram hashes appearing in more than that many DOCUMENTS before the
+    self-join — boilerplate grams carry no dedup signal, and a true
+    shared run survives unless every one of its selected grams is
+    boilerplate.  ``None`` disables the cap (exact postings).  Windows
     run per (pair, diagonal) — tiny partitions, no global sort.
     """
     from pyspark.sql import Window
@@ -576,6 +582,11 @@ def substring_pairs(df: DataFrame, text_col: str, id_col: str,
     sel = substring_fingerprints(
         widen_partitions(df.select(id_col, text_col)),
         text_col, id_col, gram_len, mod)
+    if max_df is not None:
+        rare = (sel.groupBy("h")
+                .agg(F.count_distinct(id_col).alias("__df__"))
+                .where(F.col("__df__") <= max_df).select("h"))
+        sel = sel.join(rare, "h")
     a, b = sel.alias("a"), sel.alias("b")
     m = (a.join(b, [F.col("a.h") == F.col("b.h"),
                     F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])

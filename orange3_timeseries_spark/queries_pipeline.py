@@ -135,7 +135,11 @@ WITH g AS (
          {_PH.format(e="substr(text, i, 40)")} AS h
   FROM documents,
        LATERAL unnest(range(1, greatest(len(text) - 40 + 1, 0) + 1)) t(i)),
-sel AS (SELECT * FROM g WHERE h % 4 = 0),
+sel0 AS (SELECT * FROM g WHERE h % 4 = 0),
+rare AS (  -- max_df boilerplate-gram cap (non-binding on the fixture,
+           -- replayed so the verified path IS the production path)
+  SELECT h FROM sel0 GROUP BY h HAVING count(DISTINCT doc_id) <= 1000),
+sel AS (SELECT sel0.* FROM sel0 JOIN rare USING (h)),
 m AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
          a.pos - b.pos AS diag
@@ -165,7 +169,7 @@ def q_dedup_substring_pairs(spark, sf_dir):
     merge, pairs with a proven contiguous identical span >= 150 chars."""
     d = read_table(spark, sf_dir, "documents")
     return D.substring_pairs(d, "text", "doc_id", min_len=150,
-                             gram_len=40, mod=4)
+                             gram_len=40, mod=4, max_df=1000)
 
 
 @query("dedup_ngram_jaccard", f"""
@@ -659,7 +663,7 @@ def q_substring_dedup_corpus(spark, sf_dir):
     substring-pair SQL inside the recursive label propagation."""
     d = read_table(spark, sf_dir, "documents")
     pairs = D.substring_pairs(d, "text", "doc_id", min_len=150,
-                              gram_len=40, mod=4)
+                              gram_len=40, mod=4, max_df=1000)
     out = D.dedup_corpus(d, pairs, "doc_id")
     return out.select("doc_id", F.length("text").alias("n_chars"))
 

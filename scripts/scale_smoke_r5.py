@@ -21,12 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def make_docs(spark, n, dup_rate=0.02):
     from pyspark.sql import functions as F
+    # token k of doc i mixes the FULL id through a 2^31 modulus — texts
+    # are unique per doc (the first corpus draft used % 9973, which made
+    # whole documents repeat every 9973 ids: ~50-doc true-dup clusters
+    # whose 1225 pairs each dominated the pair count quadratically —
+    # inherent OUTPUT growth, not plan cost; see PLANS.md)
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", *[
             F.concat(F.lit(f"w{k}_"),
-                     ((F.col("id") * (k * 2654435761 + 97)) % 9973)
-                     .cast("string"))
+                     ((F.col("id") * (2 * k + 1) * 2654435761 + 97 * k)
+                      % (1 << 31)).cast("string"))
             for k in range(40)]).alias("text"))
     # plant near-duplicates: dup_rate of docs copy the text of id - 1
     dup = (F.col("doc_id") % int(1 / dup_rate) == 0) & (F.col("doc_id") > 0)
