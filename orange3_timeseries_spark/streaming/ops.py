@@ -293,12 +293,12 @@ def run_to_memory_isolated(spark, build, name: str,
     bound to the session that planned it).
 
     The memory sink registers its result as a temp view on the CLONE;
-    after the availableNow drain finishes, the (driver-resident, by
-    memory-sink construction) rows are re-registered under ``name`` on
-    the caller's session, so ``spark.table(name)`` works exactly as
-    with :func:`run_to_memory`.  The copy is bounded by the sink's own
-    contract — a memory sink already holds its entire result on the
-    driver."""
+    after the availableNow drain finishes, the sink relation is
+    re-exposed to the caller ZERO-COPY through a global temp view (the
+    one catalog namespace shared across sessions of a SparkContext) and
+    aliased back to a local temp view named ``name``, so
+    ``spark.table(name)`` works exactly as with :func:`run_to_memory`
+    without re-materializing the result."""
     clone = spark.newSession()
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions",
@@ -308,10 +308,8 @@ def run_to_memory_isolated(spark, build, name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    res = clone.table(name)
-    spark.createDataFrame(res.collect(), schema=res.schema) \
-        .createOrReplaceTempView(name)
-    clone.catalog.dropTempView(name)
+    clone.table(name).createOrReplaceGlobalTempView(name)
+    spark.table(f"global_temp.{name}").createOrReplaceTempView(name)
     return q
 
 
