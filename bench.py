@@ -129,6 +129,12 @@ def main():
             for t in spark.catalog.listTables():
                 if t.isTemporary and t.name.startswith("stream_"):
                     spark.catalog.dropTempView(t.name)
+            # isolated streaming runs also alias their memory sink
+            # through a GLOBAL temp view — drop those too or the sink
+            # rows stay referenced for the rest of the run
+            for t in spark.catalog.listTables("global_temp"):
+                if t.name.startswith("stream_"):
+                    spark.catalog.dropGlobalTempView(t.name)
         except Exception:
             pass
         gc.collect()
