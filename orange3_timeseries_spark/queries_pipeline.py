@@ -1963,3 +1963,90 @@ def q_dedup_agreement(spark, sf_dir):
         .alias("n_text_only"),
         F.count(F.when(F.col("in_emb") & F.col("in_text").isNull(), 1))
         .alias("n_emb_only"))
+
+
+# ----------------------------------------------------------------- BPE tier
+def _bpe_train_sql(n_merges=16, max_vocab=50_000, final=None):
+    """Unrolled BPE training replay: capped word-count table, then per
+    merge round (i) adjacent-POSITION pair counting from the symbol
+    lists, (ii) best pair by (count desc, pair asc), (iii) greedy
+    left-to-right non-overlapping merge via literal ``replace`` — the
+    exact contract ``operators/bpe.py`` documents.  ``final`` selects
+    the output shape (merge list vs per-doc token counts)."""
+    stages = [f"""wc AS MATERIALIZED (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents) t
+  GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {max_vocab}),
+v0 AS MATERIALIZED (
+  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+  FROM wc)"""]
+    for t in range(n_merges):
+        stages.append(f"""pc{t} AS MATERIALIZED (
+  SELECT l[i] AS x, l[i + 1] AS y, sum(cnt) AS c
+  FROM (SELECT cnt, list_filter(string_split(s, ' '), z -> z != '') AS l
+        FROM v{t}) q,
+       LATERAL unnest(generate_series(1, len(l) - 1)) g(i)
+  WHERE len(l) > 1
+  GROUP BY 1, 2),
+best{t} AS MATERIALIZED (
+  SELECT x, y FROM pc{t} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+v{t + 1} AS MATERIALIZED (
+  SELECT w, cnt, replace(s, ' ' || b.x || ' ' || b.y || ' ',
+                         ' ' || b.x || b.y || ' ') AS s
+  FROM v{t} CROSS JOIN best{t} b)""")
+    body = ",\n".join(stages)
+    if final == "merges":
+        sel = "\nUNION ALL ".join(
+            f"SELECT {t + 1} AS merge_rank, x AS lft, y AS rgt FROM best{t}"
+            for t in range(n_merges))
+        return f"WITH {body}\n{sel}"
+    return f"""WITH {body},
+tok AS (SELECT w, len(list_filter(string_split(s, ' '), z -> z != ''))
+               AS n_tok
+        FROM v{n_merges}),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x != '')) AS w
+  FROM documents)
+SELECT d.doc_id, sum(coalesce(t.n_tok, len(d.w))) AS n_tokens
+FROM docw d LEFT JOIN tok t USING (w)
+GROUP BY d.doc_id"""
+
+
+@query("bpe_train_merges", _bpe_train_sql(final="merges"))
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING on the corpus (Sennrich et al. 2016): the
+    16 highest-frequency adjacent-symbol merges, learned from the
+    distributed word-count table (the only corpus-sized pass) with the
+    merge loop on the bounded capped vocabulary.  The oracle replays
+    every round — position pair counts, (count desc, pair asc)
+    tie-break, greedy non-overlapping merge — as unrolled CTEs."""
+    from orange3_timeseries_spark.operators.bpe import train_bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=16)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, lft string, rgt string")
+
+
+@query("bpe_doc_token_counts", _bpe_train_sql())
+def q_bpe_doc_token_counts(spark, sf_dir):
+    """Per-document BPE token counts under the corpus-trained 16-merge
+    tokenizer: the merge chain applies as pure-Catalyst literal
+    ``replace`` expressions over the BOUNDED vocabulary, which joins
+    back (broadcast) to the exploded corpus words — encoding cost
+    O(vocab) + one corpus-sized join, no Python in the hot path.  The
+    oracle re-derives the merges itself and replays the same
+    word→token-count join."""
+    from orange3_timeseries_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        train_bpe,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=16)
+    return bpe_doc_token_counts(d, "doc_id", "text", merges)
