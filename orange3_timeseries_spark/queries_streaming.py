@@ -394,3 +394,38 @@ def q_streaming_heavy_hitters(spark, sf_dir):
             .select(F.col("event_type")).distinct())
     return cms_estimate(spark.table(name), keys, "event_type",
                         width=512, depth=3)
+
+
+@query("streaming_enrich_join", """
+SELECT e.event_id, e.user_id, e.ts, round(e.value, 6) AS value,
+       c.c_mktsegment AS segment, n.n_name AS nation
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+""")
+def q_streaming_enrich_join(spark, sf_dir):
+    """STREAM-STATIC enrichment: the events stream gains customer
+    market segment and nation name through two broadcast dim joins —
+    stateless, no watermark, the stream side never shuffles.  The
+    oracle is the identical batch join."""
+    from orange3_timeseries_spark.streaming.ops import stream_enrich
+
+    def build(s):
+        sdf = read_table_stream(s, sf_dir, "events")
+        cust = read_table(s, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey"))
+        nat = read_table(s, sf_dir, "nation").select(
+            F.col("n_nationkey"), F.col("n_name").alias("nation"))
+        dim = (cust.join(nat, cust.c_nationkey == nat.n_nationkey,
+                         "left")
+               .select("c_custkey", "segment", "nation"))
+        out = stream_enrich(sdf, dim,
+                            sdf.user_id == dim.c_custkey, "left")
+        return out.select("event_id", "user_id", "ts",
+                          r6(F.col("value"), "value"),
+                          "segment", "nation")
+
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    run_to_memory_isolated(spark, build, name, output_mode="append")
+    return spark.table(name)

@@ -14,6 +14,7 @@ analogs, built on the same aggregation registry the batch operators use:
 
 from orange3_timeseries_spark.streaming.ops import (
     run_to_memory,
+    stream_enrich,
     run_to_memory_isolated,
     stream_difference,
     stream_exact_dedup,
@@ -31,5 +32,6 @@ __all__ = [
     "stream_interval_join",
     "stream_time_slice",
     "run_to_memory",
+    "stream_enrich",
     "run_to_memory_isolated",
 ]

@@ -313,6 +313,20 @@ def run_to_memory_isolated(spark, build, name: str,
     return q
 
 
+def stream_enrich(sdf: DataFrame, dim: DataFrame, on,
+                  how: str = "left") -> DataFrame:
+    """STREAM-STATIC dimension enrichment: every streaming row gains the
+    matching dim-table attributes via a broadcast join — the standard
+    ingest-time enrichment (events x user/customer/geo dims).
+
+    Stateless: Spark replans the static side per micro-batch, the
+    broadcast ships the (small) dim to every task, and no watermark or
+    state store is involved — at 100 TB/day the stream side never
+    shuffles for the join.  For dims too big to broadcast, drop the
+    hint and let AQE pick a shuffled join per micro-batch."""
+    return ntz_to_session_ts(sdf).join(F.broadcast(dim), on, how)
+
+
 def stream_exact_dedup(sdf: DataFrame, text_col: str, time_col: str,
                        watermark: str = "1 hour") -> DataFrame:
     """Continuous exact deduplication: keep the first arrival of each
