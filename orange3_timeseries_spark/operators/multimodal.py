@@ -194,17 +194,22 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - gated path
 def decode_image(payload: bytes) -> Tuple[dict, np.ndarray]:
     """(metadata, HxWxC uint8 array) for any supported image payload,
     dispatching on the magic bytes: real PNG via the pure-stdlib codec
-    (:mod:`._png` — zlib inflate + Sub/Up/Average/Paeth unfilter), the
+    (:mod:`._png` — zlib inflate + Sub/Up/Average/Paeth unfilter), real
+    baseline JPEG via the pure-NumPy codec (:mod:`._jpeg` — Huffman +
+    dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), the
     deterministic FIMG fixture container, and a PIL-gated fallback for
     other real formats.  Every consumer in this module (metadata,
     features, resize, dHash, near-dup pairs) goes through this function,
-    so the perceptual-dedup path runs unchanged on actual PNGs."""
+    so the perceptual-dedup path runs unchanged on actual PNGs/JPEGs."""
+    from orange3_timeseries_spark.operators._jpeg import decode_jpeg
     from orange3_timeseries_spark.operators._png import PNG_SIG, decode_png
 
     if payload[:4] == IMG_MAGIC:
         return decode_fake_image(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        return decode_jpeg(payload)
     px = _decode_image_real(payload)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -256,6 +261,35 @@ def synthesize_png_column(df: DataFrame, id_col: str, size_col: str,
                 w, h = 16 + int(s) % 64, 16 + (int(s) * 7) % 64
                 px = _pixel_bytes(int(i), w * h * 3).reshape(h, w, 3)
                 payloads.append(encode_png(px))
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def synthesize_jpeg_column(df: DataFrame, id_col: str, size_col: str,
+                           out: str = "image",
+                           quality: int = 90) -> DataFrame:
+    """Attach a REAL baseline JPEG payload per row — the same
+    deterministic raster/dims as :func:`synthesize_image_column`, run
+    through the pure-NumPy JPEG encoder.  JPEG is lossy, so pixel
+    values are NOT formula-replayable (unlike PNG); the header fields
+    (dims/channels) are, which is what the metadata oracle checks —
+    decoded-pixel fidelity is golden-tested (round-trip RMSE, cross-
+    format near-dup) in tests/test_multimodal.py."""
+    from orange3_timeseries_spark.operators._jpeg import encode_jpeg
+
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[size_col]):
+                w, h = 16 + int(s) % 64, 16 + (int(s) * 7) % 64
+                px = _pixel_bytes(int(i), w * h * 3).reshape(h, w, 3)
+                payloads.append(encode_jpeg(px, quality=quality))
             pdf = pdf.copy()
             pdf[out] = payloads
             yield pdf

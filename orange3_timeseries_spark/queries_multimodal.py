@@ -210,6 +210,33 @@ def q_multimodal_png_dhash(spark, sf_dir):
     return image_dhash(imgs, "image", "doc_id")
 
 
+@query("multimodal_jpeg_meta", """
+SELECT doc_id,
+       'JPEG' AS format,
+       CAST(16 + n_chars % 64 AS INT) AS width,
+       CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents
+""")
+def q_multimodal_jpeg_meta(spark, sf_dir):
+    """Real baseline-JPEG byte path: each document's raster is
+    JPEG-encoded (pure-NumPy encoder — FDCT, quantization, Huffman)
+    and its header parsed back through the magic-dispatching
+    :func:`decode_image` (marker walk, SOF0).  JPEG is lossy so the
+    oracle checks the formula-replayable header fields; decoded-pixel
+    fidelity (round-trip RMSE, 4:2:0, restart markers, cross-format
+    near-dup) is golden-tested in tests/test_multimodal.py."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_jpeg_column,
+    )
+
+    df = synthesize_jpeg_column(_docs(spark, sf_dir), "doc_id", "n_chars")
+    out = image_metadata(df, "image")
+    return out.select("doc_id", "meta.format", "meta.width",
+                      "meta.height", "meta.channels")
+
+
 @query("multimodal_wav_features", """
 WITH d AS (SELECT doc_id, 500 + 11 * n_chars AS ns FROM documents),
 sm AS (

@@ -567,3 +567,112 @@ class TestWav:
                     float(np.mean(np.abs(np.diff(np.sign(x))) > 0)),
                     float(int(len(x) * 1000 / 8000))]
             assert np.allclose(got[i], want, rtol=1e-6)
+
+
+class TestJpeg:
+    """Pure-NumPy baseline JPEG codec + perceptual-tier integration."""
+
+    @staticmethod
+    def _smooth(h, w):
+        import numpy as np
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([
+            (xx * 2 + yy) % 256,
+            128 + 100 * np.sin(xx / 10.0),
+            255 - ((xx + 2 * yy) % 256)], axis=-1).astype(np.uint8)
+
+    def test_roundtrip_444_420_dri(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        img = self._smooth(50, 70)
+        for sub in ("444", "420"):
+            for dri in (0, 3):
+                meta, back = decode_jpeg(encode_jpeg(
+                    img, quality=90, subsampling=sub,
+                    restart_interval=dri))
+                assert (meta["width"], meta["height"],
+                        meta["channels"]) == (70, 50, 3)
+                rmse = np.sqrt(((back.astype(float)
+                                 - img.astype(float)) ** 2).mean())
+                assert rmse < (1.5 if sub == "444" else 4.0), (sub, dri,
+                                                               rmse)
+
+    def test_grayscale_and_odd_dims(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        yy, xx = np.mgrid[0:17, 0:23]
+        g = ((xx + yy) % 256).astype(np.uint8)
+        meta, back = decode_jpeg(encode_jpeg(g, quality=95))
+        assert meta["channels"] == 1 and back.shape == (17, 23, 1)
+        img = self._smooth(19, 21)
+        meta2, back2 = decode_jpeg(encode_jpeg(img, quality=90,
+                                               subsampling="420"))
+        assert back2.shape == (19, 21, 3)
+
+    def test_unsupported_progressive_raises(self):
+        import pytest
+
+        from orange3_timeseries_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        p = bytearray(encode_jpeg(self._smooth(16, 16)))
+        i = p.find(b"\xFF\xC0")
+        p[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(p))
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"JUNKJUNKJUNK")
+
+    def test_dispatch_and_metadata(self, spark):
+        from orange3_timeseries_spark.operators._jpeg import encode_jpeg
+        from orange3_timeseries_spark.operators.multimodal import (
+            decode_image,
+            image_metadata,
+        )
+        img = self._smooth(24, 32)
+        meta, px = decode_image(encode_jpeg(img))
+        assert meta["format"] == "JPEG" and px.shape == (24, 32, 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_jpeg(img)))],
+            "doc_id long, image binary")
+        [r] = image_metadata(df, "image").collect()
+        assert r.meta.format == "JPEG"
+        assert (r.meta.width, r.meta.height) == (32, 24)
+
+    def test_neardup_finds_jpeg_reencode_across_formats(self, spark):
+        """A JPEG re-encode of a PNG/FIMG image is the canonical
+        near-duplicate (same picture, different container + lossy
+        round) — dHash must land within a small Hamming distance."""
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._jpeg import encode_jpeg
+        from orange3_timeseries_spark.operators._png import encode_png
+        from orange3_timeseries_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+        rng = np.random.RandomState(11)
+        rows = []
+        # low-frequency images: dHash is stable under JPEG loss
+        for i in range(5):
+            base = rng.randint(0, 9, size=(6, 6, 3))
+            img = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8) * 28
+            rows.append((i, bytearray(encode_png(img))))
+            if i < 2:
+                rows.append((100 + i,
+                             bytearray(encode_jpeg(img, quality=90))))
+        df = spark.createDataFrame(rows, "doc_id long, image binary")
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 image_neardup_pairs(df, "image", "doc_id",
+                                     max_hamming=6).collect()}
+        assert (0, 100) in pairs and pairs[(0, 100)] <= 6
+        assert (1, 101) in pairs and pairs[(1, 101)] <= 6
+        assert not any(a < 100 and b < 100 for a, b in pairs)
