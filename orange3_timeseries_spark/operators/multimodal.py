@@ -175,6 +175,24 @@ def decode_fake_video(payload: bytes) -> Tuple[dict, np.ndarray]:
             px.reshape(nf, h, w))
 
 
+def decode_video(payload: bytes) -> Tuple[dict, np.ndarray]:
+    """(metadata, (n_frames, H, W, C) uint8) for any supported video
+    payload, dispatching on magic bytes: real animated GIF via the
+    pure-stdlib LZW codec (:mod:`._gif` — lossless palette frames, so
+    decoded pixels stay formula-replayable by a SQL oracle) or the
+    FVID fixture (grayscale, C=1).  Frame-sampling and perceptual
+    signatures route through this, so the video tier runs on a real
+    container."""
+    if payload[:4] == VID_MAGIC:
+        meta, frames = decode_fake_video(payload)
+        return meta, frames[..., None]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from orange3_timeseries_spark.operators._gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("unsupported video container")
+
+
 def _decode_image_real(payload: bytes):  # pragma: no cover - gated path
     """Fallback real-codec decode (PIL) for formats beyond PNG (JPEG,
     WebP, ...). PNG itself needs no external library — see
@@ -261,6 +279,34 @@ def synthesize_png_column(df: DataFrame, id_col: str, size_col: str,
                 w, h = 16 + int(s) % 64, 16 + (int(s) * 7) % 64
                 px = _pixel_bytes(int(i), w * h * 3).reshape(h, w, 3)
                 payloads.append(encode_png(px))
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields) + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def synthesize_gif_column(df: DataFrame, id_col: str, size_col: str,
+                          out: str = "video") -> DataFrame:
+    """Attach a REAL animated-GIF payload per row: 16x16 frames,
+    ``n_frames = 10 + size % 20``, 256-entry grayscale palette, frame
+    pixels from the same formula as :func:`synthesize_video_column` —
+    GIF is lossless, so a SQL oracle replays decoded-frame math (e.g.
+    the dHash video signature) exactly on the real container."""
+    from orange3_timeseries_spark.operators._gif import encode_gif
+
+    fields = df.schema.fields
+    palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[size_col]):
+                nf = 10 + int(s) % 20
+                frames = _pixel_bytes(int(i), 16 * 16 * nf) \
+                    .reshape(nf, 16, 16)
+                payloads.append(encode_gif(frames, palette))
             pdf = pdf.copy()
             pdf[out] = payloads
             yield pdf
@@ -458,10 +504,10 @@ def resize_image(df: DataFrame, col: str, size: Tuple[int, int],
 
 def sample_frames(df: DataFrame, col: str, id_col: str,
                   every: int = 10) -> DataFrame:
-    """Explode a video payload into one row per sampled frame
-    ``(id, frame_idx, frame)`` — frame re-encoded as a 1-channel FIMG so
-    downstream image ops apply unchanged. Row explosion happens inside the
-    Arrow batch (no collect, no join)."""
+    """Explode a video payload (FVID or real animated GIF) into one row
+    per sampled frame ``(id, frame_idx, frame)`` — frame re-encoded as
+    a C-channel FIMG so downstream image ops apply unchanged. Row
+    explosion happens inside the Arrow batch (no collect, no join)."""
     id_field = df.schema[id_col]
     schema = T.StructType([
         id_field,
@@ -474,12 +520,13 @@ def sample_frames(df: DataFrame, col: str, id_col: str,
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[col]):
                 try:
-                    meta, px = decode_fake_video(bytes(payload))
+                    meta, px = decode_video(bytes(payload))
                 except Exception:
                     continue
                 for k in range(0, meta["n_frames"], every):
                     header = IMG_MAGIC + struct.pack(
-                        "<BHHB", 1, meta["width"], meta["height"], 1)
+                        "<BHHB", 1, meta["width"], meta["height"],
+                        px.shape[3])
                     ids.append(rid)
                     idxs.append(k)
                     frames.append(header + px[k].tobytes())
@@ -637,11 +684,12 @@ def video_signature(df: DataFrame, video_col: str, id_col: str,
                     n_sample: int = 4) -> DataFrame:
     """Per-video perceptual signature: dHash of ``n_sample`` frames
     sampled at positions (j·n_frames)//n_sample — the video analog of
-    :func:`image_dhash`.  Two videos are near-duplicates when their
-    signatures share enough frame hashes (set overlap via a postings
-    join, same plan as n-gram Jaccard) — trims/re-encodes shift or
-    perturb a few frames but rarely all.  Payload bytes stay in this
-    one narrow stage; the signature is n_sample longs."""
+    :func:`image_dhash`, running on FVID fixtures or REAL animated
+    GIFs via :func:`decode_video`.  Two videos are near-duplicates
+    when their signatures share enough frame hashes (set overlap via a
+    postings join, same plan as n-gram Jaccard) — trims/re-encodes
+    shift or perturb a few frames but rarely all.  Payload bytes stay
+    in this one narrow stage; the signature is n_sample longs."""
     id_f = df.schema[id_col].dataType
     schema = T.StructType(
         [T.StructField(id_col, id_f)]
@@ -651,11 +699,10 @@ def video_signature(df: DataFrame, video_col: str, id_col: str,
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[video_col]):
-                _, frames = decode_fake_video(bytes(payload))
+                _, frames = decode_video(bytes(payload))
                 nf = frames.shape[0]
-                sig = [dhash_from_pixels(
-                    frames[(j * nf) // n_sample][..., None])
-                    for j in range(n_sample)]
+                sig = [dhash_from_pixels(frames[(j * nf) // n_sample])
+                       for j in range(n_sample)]
                 rows.append((rid, *sig))
             yield pd.DataFrame(rows, columns=[id_col]
                                + [f"f{j}" for j in range(n_sample)])

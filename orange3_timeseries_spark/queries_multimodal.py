@@ -283,7 +283,7 @@ def q_multimodal_wav_features(spark, sf_dir):
         r6(F.element_at("features", 4).cast("double"), "duration_ms"))
 
 
-@query("multimodal_video_signature", """
+_VIDEO_SIG_SQL = """
 WITH d AS (SELECT doc_id, 10 + n_chars % 20 AS nf FROM documents),
 g AS (
   SELECT d.doc_id, sj.j, gr.r, gc.c,
@@ -310,7 +310,30 @@ SELECT doc_id,
        max(CASE WHEN j = 2 THEN hv END) AS f2,
        max(CASE WHEN j = 3 THEN hv END) AS f3
 FROM b GROUP BY 1
-""")
+"""
+
+
+@query("multimodal_gif_signature", _VIDEO_SIG_SQL)
+def q_multimodal_gif_signature(spark, sf_dir):
+    """Perceptual video signatures computed from REAL animated GIFs:
+    each document's frame stack is GIF-encoded (pure-stdlib LZW,
+    grayscale palette) and decoded back through the magic-dispatching
+    :func:`decode_video` before frame sampling + dHash.  GIF is
+    lossless and the raster formula matches the FVID fixture, so the
+    SAME pixel-replay SQL oracle hash-verifies the real container's
+    byte path end to end: palette + LZW encode -> binary column ->
+    block walk -> LZW decode -> composite -> sample -> hash."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        synthesize_gif_column,
+        video_signature,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vids = synthesize_gif_column(d, "doc_id", "n_chars")
+    return video_signature(vids, "video", "doc_id")
+
+
+@query("multimodal_video_signature", _VIDEO_SIG_SQL)
 def q_multimodal_video_signature(spark, sf_dir):
     """Perceptual video signatures: dHash of 4 evenly sampled frames per
     FVID payload (16x16 grayscale) — near-dup videos share frame hashes

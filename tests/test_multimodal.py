@@ -676,3 +676,129 @@ class TestJpeg:
         assert (0, 100) in pairs and pairs[(0, 100)] <= 6
         assert (1, 101) in pairs and pairs[(1, 101)] <= 6
         assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+class TestGif:
+    """Pure-stdlib GIF codec (LZW) + the real-container video tier."""
+
+    def test_roundtrip_gray_palette_and_width_growth(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._gif import (
+            decode_gif,
+            encode_gif,
+        )
+        rng = np.random.RandomState(0)
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        frames = rng.randint(0, 256, size=(5, 16, 16), dtype=np.uint8)
+        meta, back = decode_gif(encode_gif(frames, pal))
+        assert meta["n_frames"] == 5 and back.shape == (5, 16, 16, 3)
+        assert np.array_equal(back[..., 0], frames)
+        # large random frames force LZW code-width growth + clear codes
+        big = rng.randint(0, 256, size=(2, 64, 128), dtype=np.uint8)
+        _, b2 = decode_gif(encode_gif(big, pal))
+        assert np.array_equal(b2[..., 0], big)
+        # small palette maps through the color table
+        pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                         [0, 0, 255]], dtype=np.uint8)
+        fr = rng.randint(0, 4, size=(3, 24, 17), dtype=np.uint8)
+        _, b3 = decode_gif(encode_gif(fr, pal4))
+        assert np.array_equal(b3, pal4[fr])
+
+    def test_errors(self):
+        import numpy as np
+        import pytest
+
+        from orange3_timeseries_spark.operators._gif import (
+            decode_gif,
+            encode_gif,
+        )
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"JUNKJUNKJUNK")
+        with pytest.raises(ValueError, match="palette size"):
+            encode_gif(np.zeros((1, 4, 4), np.uint8),
+                       np.zeros((3, 3), np.uint8))
+        p = bytearray(encode_gif(
+            np.zeros((1, 8, 8), np.uint8),
+            np.stack([np.arange(256)] * 3, 1).astype(np.uint8)))
+        # the image descriptor follows the 8-byte graphic-control ext
+        # (a bare 0x2C byte also occurs inside the grayscale palette,
+        # so search for the GCE, not the descriptor byte)
+        i = p.index(b"\x21\xF9") + 8
+        assert p[i] == 0x2C
+        p[i + 9] |= 0x40  # set interlace flag in the image descriptor
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(p))
+
+    def test_video_signature_gif_equals_fvid(self, spark):
+        """The GIF synthesis uses the FVID raster formula with a
+        grayscale palette — signatures must be identical across the
+        fake and real containers."""
+        from orange3_timeseries_spark.operators.multimodal import (
+            synthesize_gif_column,
+            synthesize_video_column,
+            video_signature,
+        )
+        base = spark.createDataFrame(
+            [(i, 10 + 7 * i) for i in range(5)],
+            "doc_id long, n_chars long")
+        fvid = video_signature(
+            synthesize_video_column(base, "doc_id", "n_chars"),
+            "video", "doc_id")
+        gif = video_signature(
+            synthesize_gif_column(base, "doc_id", "n_chars"),
+            "video", "doc_id")
+        a = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in fvid.collect()}
+        b = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in gif.collect()}
+        assert a == b and len(a) == 5
+
+    def test_sample_frames_on_gif(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._gif import encode_gif
+        from orange3_timeseries_spark.operators.multimodal import (
+            decode_image,
+            sample_frames,
+        )
+        rng = np.random.RandomState(2)
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        frames = rng.randint(0, 256, size=(12, 10, 14), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(7, bytearray(encode_gif(frames, pal)))],
+            "doc_id long, video binary")
+        out = sample_frames(df, "video", "doc_id", every=5).collect()
+        assert [r.frame_idx for r in out] == [0, 5, 10]
+        for r in out:
+            meta, px = decode_image(bytes(r.frame))
+            assert (meta["width"], meta["height"],
+                    meta["channels"]) == (14, 10, 3)
+            assert np.array_equal(px[..., 0], frames[r.frame_idx])
+
+    def test_transparency_composites_over_previous(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._gif import decode_gif
+        # hand-assemble: frame 1 full red; frame 2 all-transparent
+        # (index 1 marked transparent) -> second frame shows frame 1
+        import struct
+
+        from orange3_timeseries_spark.operators._gif import _lzw_encode
+        pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 4, 4, 0x80 | 0, 0, 0)
+        out += pal.tobytes()
+        for idxval, transparent in ((0, None), (1, 1)):
+            if transparent is not None:
+                out += b"\x21\xF9\x04" + bytes([0x01, 0, 0,
+                                                transparent]) + b"\x00"
+            out += b"\x2C" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+            out.append(2)
+            data = _lzw_encode(np.full(16, idxval, np.uint8), 2)
+            out.append(len(data))
+            out += data
+            out.append(0)
+        out.append(0x3B)
+        meta, frames = decode_gif(bytes(out))
+        assert meta["n_frames"] == 2
+        assert (frames[0] == [255, 0, 0]).all()
+        assert (frames[1] == [255, 0, 0]).all()  # transparent -> prior
