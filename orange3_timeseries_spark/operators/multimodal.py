@@ -2,12 +2,24 @@
 
 Media is carried as an opaque ``binary`` payload column plus typed metadata
 — the standard large-scale training-data layout (one row per asset, bytes
-inline for small assets).  Real decoders (PIL / soundfile / av) are not in
-this container, so the *codec* is a deterministic fake with a
-self-describing header, while everything Spark-side is real and tested:
-schemas, Arrow batch shapes, ``mapInPandas`` signatures, byte-aware
-partitioning.  Swap ``_decode_*_real`` in when the libraries exist — the
-plumbing does not change.
+inline for small assets).  Every modality decodes at least one REAL
+container with no external library:
+
+- image: PNG (:mod:`._png` — zlib + all five scanline filters) and
+  baseline JPEG (:mod:`._jpeg` — Huffman + dequant + IDCT, chroma
+  subsampling, restart markers), dispatched by :func:`decode_image`;
+- audio: RIFF/WAVE PCM 8/16-bit (:func:`decode_wav`), dispatched by
+  :func:`decode_audio`;
+- video: animated GIF (:mod:`._gif` — LZW, color tables, transparency
+  compositing), dispatched by :func:`decode_video`.
+
+Alongside these, a deterministic FAKE container per modality
+(FIMG/FAUD/FVID below) remains as the oracle fixture: its rasters are
+pure integer formulas, so DuckDB replays decoded-pixel math exactly —
+and because the PNG/GIF/WAV synthesizers reuse the same formulas on
+lossless containers, the driver's SQL oracles hash-verify the REAL
+codecs' byte paths too.  Exotic formats fall through to a PIL-gated
+hook (:func:`_decode_image_real`).
 
 Fake container formats (little-endian):
 
