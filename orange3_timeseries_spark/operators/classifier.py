@@ -1,0 +1,98 @@
+"""Distributed quality-classifier training: logistic regression via
+IRLS (iteratively reweighted least squares), Spark-first.
+
+The corpus-scale pattern mirrors the engine's other trained models
+(IVF, ARIMA): the DATA-sized step is distributed — each IRLS round is
+ONE map-side-combinable aggregation over the corpus that reduces every
+row to its contribution to the k x k weighted normal equations
+``X'WX`` / ``X'Wz`` (features never collect, k is tiny) — and the
+MODEL-sized step (the k x k solve) runs on the driver.  Six rounds =
+six passes; at 100 TB you either accept six scans or run the late
+rounds on a hash-sampled subset (the gradient is self-averaging).
+
+Determinism contract (what lets a SQL oracle replay TRAINING exactly,
+same firewall as ``ARIMA(quantize=)`` / ``train_ivf_centroids``):
+coefficients round to ``quantize`` decimals after every solve, the
+linear predictor is clamped to [-30, 30], and the IRLS weight has a
+1e-12 floor — identical expressions on both engines, so float noise
+in the big sums is absorbed at each round boundary.
+
+Scoring is a pure Catalyst expression (broadcast coefficients inside
+the closure): at serving time quality filtering is map-only on the
+scan, like the Gopher rules it generalizes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["logistic_train_irls", "logistic_score_expr"]
+
+ETA_CLAMP = 30.0
+W_FLOOR = 1e-12
+
+
+def _eta_expr(feats: Sequence[Column], beta: Sequence[float]) -> Column:
+    """b0*x0 + b1*x1 + ... in explicit left-to-right order (the oracle
+    writes the identical expression, keeping FP association aligned)."""
+    eta = F.lit(float(beta[0])) * feats[0]
+    for b, x in zip(beta[1:], feats[1:]):
+        eta = eta + F.lit(float(b)) * x
+    return F.greatest(F.lit(-ETA_CLAMP), F.least(F.lit(ETA_CLAMP), eta))
+
+
+def logistic_train_irls(df: DataFrame, feature_cols: Dict[str, Column],
+                        label: Column, iters: int = 6,
+                        ridge: float = 1e-3,
+                        quantize: int = 7) -> List[float]:
+    """Fit ``P(label=1 | x) = sigmoid(b . [1, x...])`` by IRLS.
+
+    ``feature_cols`` maps name -> Column (the intercept is implicit).
+    Returns the coefficient list ``[b_intercept, b_f1, ...]`` rounded
+    to ``quantize`` decimals (the replay firewall)."""
+    names = list(feature_cols)
+    k = len(names) + 1
+    feats = [F.lit(1.0)] + [feature_cols[n].cast("double") for n in names]
+    base = df.select(*[f.alias(f"x{i}") for i, f in enumerate(feats)],
+                     label.cast("double").alias("y"))
+    beta = [0.0] * k
+    for _ in range(iters):
+        xs = [F.col(f"x{i}") for i in range(k)]
+        eta = _eta_expr(xs, beta)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = F.greatest(p * (F.lit(1.0) - p), F.lit(W_FLOOR))
+        z = eta + (F.col("y") - p) / w
+        it = base.select(*[x.alias(f"x{i}") for i, x in enumerate(xs)],
+                         w.alias("w"), z.alias("z"))
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(F.col("w") * F.col(f"x{i}")
+                                  * F.col(f"x{j}")).alias(f"s_{i}_{j}"))
+            aggs.append(F.sum(F.col("w") * F.col(f"x{i}")
+                              * F.col("z")).alias(f"r_{i}"))
+        row = it.agg(*aggs).first()
+        A = np.zeros((k, k))
+        b = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                A[i, j] = A[j, i] = row[f"s_{i}_{j}"]
+            b[i] = row[f"r_{i}"]
+        A += ridge * np.eye(k)
+        beta = [float(v) for v in
+                np.round(np.linalg.solve(A, b), quantize)]
+    return beta
+
+
+def logistic_score_expr(feature_cols: Dict[str, Column],
+                        beta: Sequence[float]) -> Column:
+    """sigmoid(b . [1, x...]) as a pure Catalyst expression — map-only
+    scoring on the scan at any corpus size."""
+    feats = [F.lit(1.0)] + [feature_cols[n].cast("double")
+                            for n in feature_cols]
+    eta = _eta_expr(feats, beta)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))

@@ -195,12 +195,12 @@ def q_arima_d_forecast_by_user(spark, sf_dir):
                       r6(F.col("ci_high"), "ci_high"))
 
 
-def _gauss_sql(px, dim, aug_cte, round_dp):
+def _gauss_sql(px, dim, aug_cte, round_dp, key="user_id"):
     """CTE chain solving per-user augmented normal equations ``[A | b]``
     (rows ``i`` 0..dim-1, cols ``j`` 0..dim with ``j = dim`` the RHS) by
     unrolled forward elimination + back substitution.  A is a Gram
     matrix (SPD), so diagonal pivoting needs no row exchanges.  Final
-    CTE ``beta{px}`` holds (user_id, i, v) with ``v`` rounded to
+    CTE ``beta{px}`` holds ({key}, i, v) with ``v`` rounded to
     ``round_dp`` — the same determinism firewall the Python fit applies
     (``ARIMA(quantize=...)``)."""
     out = []
@@ -208,31 +208,31 @@ def _gauss_sql(px, dim, aug_cte, round_dp):
     for k in range(dim - 1):
         cur = f"m{px}_{k}"
         out.append(f"""{cur} AS MATERIALIZED (
-  SELECT t.user_id, t.i, t.j,
+  SELECT t.{key}, t.i, t.j,
          CASE WHEN t.i > {k} THEN t.a - f.a / d.a * p.a ELSE t.a END AS a
   FROM {prev} t
-  JOIN (SELECT user_id, a FROM {prev} WHERE i = {k} AND j = {k}) d
-    USING (user_id)
-  JOIN (SELECT user_id, i, a FROM {prev} WHERE j = {k}) f
-    ON f.user_id = t.user_id AND f.i = t.i
-  JOIN (SELECT user_id, j, a FROM {prev} WHERE i = {k}) p
-    ON p.user_id = t.user_id AND p.j = t.j)""")
+  JOIN (SELECT {key}, a FROM {prev} WHERE i = {k} AND j = {k}) d
+    USING ({key})
+  JOIN (SELECT {key}, i, a FROM {prev} WHERE j = {k}) f
+    ON f.{key} = t.{key} AND f.i = t.i
+  JOIN (SELECT {key}, j, a FROM {prev} WHERE i = {k}) p
+    ON p.{key} = t.{key} AND p.j = t.j)""")
         prev = cur
     cols = ", ".join(
         f"max(CASE WHEN i = {i} AND j = {j} THEN a END) AS a_{i}_{j}"
         for i in range(dim) for j in range(i, dim + 1))
-    out.append(f"u{px} AS MATERIALIZED (\n  SELECT user_id, {cols}\n"
-               f"  FROM {prev} GROUP BY user_id)")
+    out.append(f"u{px} AS MATERIALIZED (\n  SELECT {key}, {cols}\n"
+               f"  FROM {prev} GROUP BY {key})")
     for i in range(dim - 1, -1, -1):
         terms = "".join(f" - u.a_{i}_{j} * x{px}_{j}.v"
                         for j in range(i + 1, dim))
-        joins = "".join(f" JOIN x{px}_{j} ON x{px}_{j}.user_id = u.user_id"
+        joins = "".join(f" JOIN x{px}_{j} ON x{px}_{j}.{key} = u.{key}"
                         for j in range(i + 1, dim))
-        out.append(f"x{px}_{i} AS (SELECT u.user_id,"
+        out.append(f"x{px}_{i} AS (SELECT u.{key},"
                    f" (u.a_{i}_{dim}{terms}) / u.a_{i}_{i} AS v"
                    f" FROM u{px} u{joins})")
     sel = " UNION ALL ".join(
-        f"SELECT user_id, {i} AS i, round(v, {round_dp}) AS v FROM x{px}_{i}"
+        f"SELECT {key}, {i} AS i, round(v, {round_dp}) AS v FROM x{px}_{i}"
         for i in range(dim))
     out.append(f"beta{px} AS MATERIALIZED ({sel})")
     return out

@@ -2050,3 +2050,167 @@ def q_bpe_doc_token_counts(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     merges = train_bpe(d, "text", n_merges=16)
     return bpe_doc_token_counts(d, "doc_id", "text", merges)
+
+
+# ------------------------------------------------- quality classifier tier
+def _irls_sql(iters=6, ridge=1e-3, final="coef"):
+    """Unrolled IRLS replay for the logistic quality classifier: per
+    round the per-doc linear predictor (explicit left-to-right
+    association, clamped to ±30), sigmoid weights (1e-12 floor),
+    working response, the 5x5 weighted normal equations aggregated over
+    the corpus, ridge added on the diagonal, and a Gaussian-elimination
+    solve rounded to 7 decimals — exactly
+    ``operators/classifier.logistic_train_irls``.  Features are the
+    Gopher metrics (integer-ratio arithmetic → bit-identical across
+    engines); the label is the combined gopher_pass rule."""
+    from orange3_timeseries_spark.queries_models import _gauss_sql
+
+    k = 5
+    stages = [f"""t AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         1.0::DOUBLE AS x0,
+         (len(toks) / 100.0)::DOUBLE AS x1,
+         coalesce(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / nullif(len(toks), 0), 0.0) AS x2,
+         coalesce(len(list_filter(toks,
+                       x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                  / nullif(len(toks), 0), 0.0) AS x3,
+         (len(list_intersect(list_distinct(toks), [{_GOPHER_STOPS}]))
+          / 10.0)::DOUBLE AS x4,
+         CASE WHEN len(toks) BETWEEN 50 AND 100000
+               AND (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                    / nullif(len(toks), 0)) BETWEEN 3.0 AND 10.0
+               AND (len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                    / nullif(len(toks), 0)) >= 0.8
+               AND len(list_intersect(list_distinct(toks),
+                                      [{_GOPHER_STOPS}])) >= 2
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+  FROM t),
+cb0 AS MATERIALIZED (
+  SELECT unnest(generate_series(0, {k - 1})) AS i, 0.0::DOUBLE AS v)"""]
+    prev_beta = "cb0"
+    for r in range(iters):
+        wide = ", ".join(
+            f"max(CASE WHEN i = {i} THEN v END) AS b{i}"
+            for i in range(k))
+        eta = " + ".join(f"b.b{i} * f.x{i}" for i in range(k))
+        sums = []
+        for i in range(k):
+            for j in range(i, k):
+                extra = f" + {ridge!r}" if i == j else ""
+                sums.append(f"sum(w * x{i} * x{j}){extra} AS s_{i}_{j}")
+            sums.append(f"sum(w * x{i} * z) AS r_{i}")
+        unpiv = "\n  UNION ALL ".join(
+            [f"SELECT 1 AS gk, {i} AS i, {j} AS j, s_{min(i, j)}_{max(i, j)} AS a FROM agg{r}"
+             for i in range(k) for j in range(k)]
+            + [f"SELECT 1 AS gk, {i} AS i, {k} AS j, r_{i} AS a FROM agg{r}"
+               for i in range(k)])
+        stages.append(f"""bw{r} AS MATERIALIZED (
+  SELECT {wide} FROM {prev_beta}),
+it{r} AS MATERIALIZED (
+  SELECT f.*, 
+         1.0 / (1.0 + exp(-(greatest(-30.0, least(30.0, {eta}))))) AS p,
+         greatest(-30.0, least(30.0, {eta})) AS eta
+  FROM feat f CROSS JOIN bw{r} b),
+it2_{r} AS MATERIALIZED (
+  SELECT *, greatest(p * (1.0 - p), 1e-12) AS w,
+         eta + (y - p) / greatest(p * (1.0 - p), 1e-12) AS z
+  FROM it{r}),
+agg{r} AS MATERIALIZED (
+  SELECT {", ".join(sums)} FROM it2_{r}),
+aug{r} AS MATERIALIZED (
+  {unpiv})""")
+        stages.append(",\n".join(_gauss_sql(f"c{r + 1}", k, f"aug{r}", 7,
+                                            key="gk")))
+        prev_beta = f"betac{r + 1}"
+    body = ",\n".join(stages)
+    if final == "coef":
+        return f"""WITH {body}
+SELECT CAST(i AS INT) AS coef_idx, round(v, 6) AS coef
+FROM {prev_beta}"""
+    wide = ", ".join(f"max(CASE WHEN i = {i} THEN v END) AS b{i}"
+                     for i in range(k))
+    eta = " + ".join(f"b.b{i} * f.x{i}" for i in range(k))
+    return f"""WITH {body},
+bwf AS (SELECT {wide} FROM {prev_beta})
+SELECT f.doc_id,
+       round(1.0 / (1.0 + exp(-(greatest(-30.0, least(30.0, {eta}))))),
+             6) AS score,
+       (1.0 / (1.0 + exp(-(greatest(-30.0, least(30.0, {eta})))))
+        >= 0.5) AS predicted_pass,
+       f.y >= 0.5 AS gopher_pass
+FROM feat f CROSS JOIN bwf b"""
+
+
+def _classifier_parts(spark, sf_dir):
+    from orange3_timeseries_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        tokens_expr,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    mean_len = (F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x)).cast("double")
+                / F.nullif(n.cast("double"), F.lit(0.0)))
+    alpha = (F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+             .cast("double") / F.nullif(n.cast("double"), F.lit(0.0)))
+    stops = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    feats = {
+        "x1": (n / F.lit(100.0)).cast("double"),
+        "x2": F.coalesce(mean_len, F.lit(0.0)),
+        "x3": F.coalesce(alpha, F.lit(0.0)),
+        "x4": (stops / F.lit(10.0)).cast("double"),
+    }
+    label = (n.between(50, 100_000) & mean_len.between(3.0, 10.0)
+             & (alpha >= 0.8) & (stops >= 2)).cast("double")
+    return d, feats, label
+
+
+@query("quality_classifier_coefs", _irls_sql(final="coef"))
+def q_quality_classifier_coefs(spark, sf_dir):
+    """TRAIN a logistic quality classifier on the corpus (IRLS, 6
+    rounds): features are the Gopher metrics, the label is the combined
+    gopher_pass rule, so the model learns a soft, calibrated version of
+    the hard rules (the standard distillation trick for quality
+    classifiers at corpus scale).  Each round is one distributed
+    aggregation of the weighted normal equations; the oracle replays
+    ALL rounds — per-doc sigmoid weights, the 5x5 system, ridge,
+    elimination solve, 7-dp coefficient rounding."""
+    from orange3_timeseries_spark.operators.classifier import (
+        logistic_train_irls,
+    )
+
+    d, feats, label = _classifier_parts(spark, sf_dir)
+    beta = logistic_train_irls(d, feats, label)
+    return spark.createDataFrame(
+        [(i, round(b, 6)) for i, b in enumerate(beta)],
+        "coef_idx int, coef double")
+
+
+@query("quality_classifier_scores", _irls_sql(final="scores"))
+def q_quality_classifier_scores(spark, sf_dir):
+    """SCORE every document with the corpus-trained quality classifier:
+    a pure Catalyst sigmoid expression (coefficients ride the plan), so
+    serving is map-only on the scan — plus the hard-rule label for
+    audit.  The oracle re-trains independently and replays the scoring
+    expression."""
+    from orange3_timeseries_spark.operators.classifier import (
+        logistic_score_expr,
+        logistic_train_irls,
+    )
+
+    d, feats, label = _classifier_parts(spark, sf_dir)
+    beta = logistic_train_irls(d, feats, label)
+    score = logistic_score_expr(feats, beta)
+    return d.select(
+        "doc_id",
+        r6(score, "score"),
+        (score >= 0.5).alias("predicted_pass"),
+        (label >= 0.5).alias("gopher_pass"))
