@@ -57,8 +57,11 @@ def logistic_train_irls(df: DataFrame, feature_cols: Dict[str, Column],
     names = list(feature_cols)
     k = len(names) + 1
     feats = [F.lit(1.0)] + [feature_cols[n].cast("double") for n in names]
+    # materialize the skinny (k+1)-column feature table once: every IRLS
+    # round re-reads it, and recomputing text-derived features per round
+    # would re-tokenize the corpus `iters` times
     base = df.select(*[f.alias(f"x{i}") for i, f in enumerate(feats)],
-                     label.cast("double").alias("y"))
+                     label.cast("double").alias("y")).localCheckpoint()
     beta = [0.0] * k
     for _ in range(iters):
         xs = [F.col(f"x{i}") for i in range(k)]

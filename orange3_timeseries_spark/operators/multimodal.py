@@ -249,12 +249,25 @@ def decode_image(payload: bytes) -> Tuple[dict, np.ndarray]:
 
 
 # ------------------------------------------------------- synthesis (fixture)
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fixture-synthesis / codec stages are Python-CPU-per-ROW; a small
+    input scanned as one or two byte-sized partitions would serialize
+    them, so spread to the cluster width (no-op when the scan is
+    already wide — at real scale parquet splits provide the width)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def synthesize_image_column(df: DataFrame, id_col: str, size_col: str,
                             out: str = "image") -> DataFrame:
     """Attach a deterministic FIMG payload per row: width = 16 + size%64,
     height = 16 + (size*7)%64, channels = 3, pixels seeded by the id.
     This is the fixture generator for environments without real media."""
     id_f = df.schema[id_col].dataType
+    df = _spread(df)
     fields = df.schema.fields
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -282,6 +295,7 @@ def synthesize_png_column(df: DataFrame, id_col: str, size_col: str,
     PNG decode path end to end."""
     from orange3_timeseries_spark.operators._png import encode_png
 
+    df = _spread(df)
     fields = df.schema.fields
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,6 +322,7 @@ def synthesize_gif_column(df: DataFrame, id_col: str, size_col: str,
     the dHash video signature) exactly on the real container."""
     from orange3_timeseries_spark.operators._gif import encode_gif
 
+    df = _spread(df)
     fields = df.schema.fields
     palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
 
@@ -339,6 +354,7 @@ def synthesize_jpeg_column(df: DataFrame, id_col: str, size_col: str,
     format near-dup) in tests/test_multimodal.py."""
     from orange3_timeseries_spark.operators._jpeg import encode_jpeg
 
+    df = _spread(df)
     fields = df.schema.fields
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -363,6 +379,7 @@ def synthesize_wav_column(df: DataFrame, id_col: str, size_col: str,
     ``((id*2654435761 + i*97) % 65536) - 32768`` — integer-exact on
     both engines, so a SQL oracle can replay the decoded feature math
     bit for bit (sums of < 2^47 stay exact in doubles)."""
+    df = _spread(df)
     fields = df.schema.fields
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -387,6 +404,7 @@ def synthesize_video_column(df: DataFrame, id_col: str, size_col: str,
                             out: str = "video") -> DataFrame:
     """Attach a deterministic FVID payload per row: 16x16 grayscale,
     n_frames = 10 + size % 20, pixels seeded by the id."""
+    df = _spread(df)
     fields = df.schema.fields
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -406,6 +424,7 @@ def synthesize_audio_column(df: DataFrame, id_col: str, size_col: str,
                             out: str = "audio") -> DataFrame:
     """Attach a deterministic FAUD payload per row: 8 kHz, n_samples =
     1000 + 37*size, samples seeded by the id."""
+    df = _spread(df)
     fields = df.schema.fields
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
