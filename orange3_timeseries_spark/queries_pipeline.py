@@ -2214,3 +2214,40 @@ def q_quality_classifier_scores(spark, sf_dir):
         r6(score, "score"),
         (score >= 0.5).alias("predicted_pass"),
         (label >= 0.5).alias("gopher_pass"))
+
+
+@query("warc_roundtrip", """
+SELECT doc_id, length(text) AS n_chars, source
+FROM documents
+""")
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingest round-trip: the documents corpus is written as
+    spec-conformant WARC resource records (one .warc file per
+    partition), read back through the binaryFile + record-parser path,
+    and re-keyed from the WARC-Target-URI — the crawl-ingest step-0 of
+    a training pipeline, value-hash-verified against the original
+    table.  Source rides the URI path, so the URI construction and
+    parse are both under the hash."""
+    import shutil
+    import tempfile
+
+    from orange3_timeseries_spark.sources.warc import read_warc, write_warc
+
+    d = read_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="warc_rt_")
+    try:
+        url = F.concat(F.lit("corpus://"), F.col("source"), F.lit("/"),
+                       F.col("doc_id"))
+        write_warc(d.select(url.alias("url"), "text").repartition(8),
+                   tmp, "url", "text")
+        back = read_warc(spark, tmp)
+        part = F.split(F.regexp_replace("url", "^corpus://", ""), "/")
+        out = back.select(
+            F.element_at(part, 2).cast("long").alias("doc_id"),
+            F.length("content").alias("n_chars"),
+            F.element_at(part, 1).alias("source"))
+        # force the read before the temp dir dies: the result is small
+        # (skinny columns), so a localCheckpoint pins it
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
