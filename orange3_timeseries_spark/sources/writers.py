@@ -68,3 +68,29 @@ def write_jsonl_shards(df, path: str, id_col: str, n_shards: int,
     writer.json(path)
     return (assigned.groupBy("shard")
             .agg(F.count("*").alias("n_docs")))
+
+
+def write_bucketed(df, table: str, bucket_cols, n_buckets: int,
+                   sort_cols=None, mode: str = "overwrite"):
+    """Save as a BUCKETED parquet table (hash-bucketed by
+    ``bucket_cols`` into ``n_buckets`` files per partition, optionally
+    sorted within buckets) — Spark's on-disk co-location primitive.
+
+    The 100 TB payoff: two tables bucketed the same way equi-join with
+    ZERO shuffle on either side (Catalyst recognizes the child output
+    partitioning satisfies the join's distribution requirement — no
+    Exchange in the plan, asserted in tests/test_sources.py), and a
+    sorted bucket feeds sort-merge join without a sort node.  The classic
+    use here: bucket the events fact and every per-user derived table by
+    ``user_id`` once, then every later per-user join/aggregation in the
+    pipeline is shuffle-free.
+
+    Bucketing requires the session catalog (``saveAsTable``) — the
+    bucket metadata lives in the metastore, not the parquet files."""
+    writer = df.write.mode(mode).format("parquet") \
+        .bucketBy(n_buckets, *([bucket_cols] if isinstance(
+            bucket_cols, str) else list(bucket_cols)))
+    if sort_cols:
+        writer = writer.sortBy(*([sort_cols] if isinstance(
+            sort_cols, str) else list(sort_cols)))
+    writer.saveAsTable(table)

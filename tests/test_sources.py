@@ -268,3 +268,56 @@ def test_write_jsonl_shards_roundtrip(spark, tmp_path):
                     out += open(os.path.join(d, fn)).read().splitlines()
             return out
         assert cat(path) == cat(path2)
+
+
+class TestBucketedWrite:
+    def test_bucketed_join_is_shuffle_free(self, spark, tmp_path):
+        """Two tables bucketed on the join key equi-join with no
+        Exchange on either side — the co-located-join contract that
+        makes bucketing worth the write cost at 100 TB."""
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.sources.writers import (
+            write_bucketed,
+        )
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.range(0, 1000).select(
+                (F.col("id") % 97).alias("k"), F.col("id").alias("va"))
+            b = spark.range(0, 500).select(
+                (F.col("id") % 97).alias("k"), F.col("id").alias("vb"))
+            write_bucketed(a, "bt_a", "k", 8, sort_cols="k")
+            write_bucketed(b, "bt_b", "k", 8, sort_cols="k")
+            j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # and the join is correct
+            got = j.groupBy().count().collect()[0][0]
+            import collections
+            ca = collections.Counter(k % 97 for k in range(1000))
+            cb = collections.Counter(k % 97 for k in range(500))
+            want = sum(ca[k] * cb[k] for k in ca)
+            assert got == want
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS bt_a")
+            spark.sql("DROP TABLE IF EXISTS bt_b")
+
+    def test_bucketed_aggregation_is_shuffle_free(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.sources.writers import (
+            write_bucketed,
+        )
+
+        try:
+            a = spark.range(0, 1000).select(
+                (F.col("id") % 31).alias("k"), F.col("id").alias("v"))
+            write_bucketed(a, "bt_c", "k", 4)
+            agg = spark.table("bt_c").groupBy("k").agg(F.sum("v"))
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert agg.count() == 31
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_c")
