@@ -93,3 +93,37 @@ def widen_partitions(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if width <= 1:
         return df
     return df.repartition(width)
+
+
+def salted_join(left: DataFrame, right: DataFrame, keys,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-tolerant equi-join: the LEFT (large, skewed) side gains a
+    deterministic per-row salt in ``[0, n_salts)`` (xxhash64 of the full
+    row — reproducible across retries and partitionings), the RIGHT side
+    is replicated once per salt, and the join runs on ``(keys..., salt)``
+    — a hot key's rows spread over ``n_salts`` tasks instead of one
+    straggler.
+
+    Use when AQE's skew-join split can't apply (it only splits
+    sort-merge-join partitions, and only when the skew is visible in
+    map-output statistics); the cost is an ``n_salts``-fold replication
+    of the right side, so keep that side the smaller one.  Broadcast
+    joins never need salting — broadcast first if the small side fits.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(n_salts)).cast("int")
+    lhs = left.withColumn("__salt__", salt)
+    rhs = right.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i)
+                                        for i in range(n_salts)])))
+    out = lhs.join(rhs, keys + ["__salt__"], how)
+    return out.drop("__salt__")
+
+
+__all__ = ["estimated_size", "scaled_width", "widen_partitions",
+           "salted_join"]

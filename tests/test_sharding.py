@@ -50,3 +50,47 @@ def test_balanced_shards_tight_spread(docs):
     assert max(weights) - min(weights) <= 200
     counts = [r.n_docs for r in man]
     assert max(counts) - min(counts) <= 1
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_on_skewed_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            salted_join,
+        )
+        # 90% of left rows share one hot key
+        left = spark.range(0, 2000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+             .otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(50)], "k long, name string")
+        got = salted_join(left, right, "k")
+        want = left.join(right, "k")
+        assert got.count() == want.count() == 2000
+        a = {(r.k, r.v, r.name) for r in got.collect()}
+        b = {(r.k, r.v, r.name) for r in want.collect()}
+        assert a == b
+        # outer join: unmatched left rows survive with null dim
+        left2 = left.union(spark.createDataFrame([(999, -1)],
+                                                 "k long, v long"))
+        lo = salted_join(left2, right, "k", how="left")
+        assert lo.where("name IS NULL").count() == 1
+
+    def test_salt_spreads_the_hot_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            salted_join,
+        )
+        left = spark.range(0, 4000).select(F.lit(1).alias("k"),
+                                           F.col("id").alias("v"))
+        right = spark.createDataFrame([(1, "x")], "k long, name string")
+        out = salted_join(left, right, "k", n_salts=8)
+        # recompute the salt the operator uses: the single hot key's
+        # rows land in (nearly) all 8 salt groups
+        salts = left.select(F.pmod(F.xxhash64("k", "v"), F.lit(8))
+                            .alias("s")).distinct().count()
+        assert salts >= 7
+        assert out.count() == 4000
