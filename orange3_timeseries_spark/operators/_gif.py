@@ -57,9 +57,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int
                 entry = prev + prev[:1]
             else:
                 raise ValueError("GIF: corrupt LZW stream")
-            out[n_out:n_out + len(entry)] = np.frombuffer(entry,
-                                                          dtype=np.uint8)
-            n_out += len(entry)
+            take = min(len(entry), n_pixels - n_out)
+            out[n_out:n_out + take] = np.frombuffer(
+                entry[:take], dtype=np.uint8)
+            n_out += take
             if prev:
                 table.append(prev + entry[:1])
                 if len(table) == (1 << width) and width < 12:

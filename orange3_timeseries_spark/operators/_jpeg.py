@@ -250,6 +250,10 @@ def decode_jpeg(payload: bytes) -> Tuple[dict, np.ndarray]:
                 body[5]
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"JPEG: {nc}-component frames (CMYK/YCCK) "
+                    "unsupported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
