@@ -228,6 +228,10 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray,
     if n & (n - 1) or not 2 <= n <= 256:
         raise ValueError("GIF: palette size must be a power of two "
                          "in [2, 256]")
+    if frames.size and int(frames.max()) >= n:
+        raise ValueError(
+            f"GIF: frame index {int(frames.max())} outside the "
+            f"{n}-entry palette")
     depth = (n - 1).bit_length()
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)

@@ -661,7 +661,10 @@ def image_dhash(df: DataFrame, image_col: str, id_col: str,
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[image_col]):
-                _, px = decode_image(bytes(payload))
+                try:
+                    _, px = decode_image(bytes(payload))
+                except Exception:
+                    continue  # corrupt/exotic asset: skip the ROW
                 rows.append((rid, dhash_from_pixels(px)))
             yield pd.DataFrame(rows, columns=[id_col, out_col])
 
@@ -730,7 +733,10 @@ def video_signature(df: DataFrame, video_col: str, id_col: str,
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[video_col]):
-                _, frames = decode_video(bytes(payload))
+                try:
+                    _, frames = decode_video(bytes(payload))
+                except Exception:
+                    continue  # corrupt/exotic asset: skip the ROW
                 nf = frames.shape[0]
                 sig = [dhash_from_pixels(frames[(j * nf) // n_sample])
                        for j in range(n_sample)]

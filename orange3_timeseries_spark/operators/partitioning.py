@@ -112,6 +112,13 @@ def salted_join(left: DataFrame, right: DataFrame, keys,
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side "
+            "is replicated per salt, so right/full outer joins would "
+            "emit unmatched right rows n_salts times — salt the other "
+            "side or use a plain join")
     if isinstance(keys, str):
         keys = [keys]
     keys = list(keys)

@@ -248,8 +248,14 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
                .limit(sample).toPandas().sort_values(id_col))
         X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         n = len(X)
-        k = min(n_centroids, n)
-        cent = X[[(i * n) // k for i in range(k)]].copy()
+        if n == 0:
+            raise ValueError("IVF training needs a non-empty corpus")
+        # always n_centroids picks — a sample smaller than n_centroids
+        # repeats indices, producing DUPLICATE centroids, exactly as the
+        # SQL replay's (i*cnt)//n_centroids join does; the first-index
+        # argmax tie-break keeps assignment deterministic on both sides
+        cent = X[[(i * n) // n_centroids
+                  for i in range(n_centroids)]].copy()
         for _ in range(iters):
             scores = X @ cent.T - 0.5 * (cent * cent).sum(1)
             assign = scores.argmax(1)

@@ -1970,22 +1970,26 @@ def _bpe_train_sql(n_merges=16, max_vocab=50_000, final=None):
     """Unrolled BPE training replay: capped word-count table, then per
     merge round (i) adjacent-POSITION pair counting from the symbol
     lists, (ii) best pair by (count desc, pair asc), (iii) greedy
-    left-to-right non-overlapping merge via literal ``replace`` — the
-    exact contract ``operators/bpe.py`` documents.  ``final`` selects
-    the output shape (merge list vs per-doc token counts)."""
+    left-to-right merge via literal ``replace`` over the WRAPPED symbol
+    representation (chr(31)-delimited, no shared characters between
+    neighboring pairs — see operators/bpe.py) — the exact contract the
+    engine implements.  ``final`` selects the output shape (merge list
+    vs per-doc token counts)."""
+    S = chr(31)
     stages = [f"""wc AS MATERIALIZED (
   SELECT w, count(*) AS cnt FROM (
     SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-                              x -> x != '')) AS w
+                              x -> x != '' AND NOT contains(x, '{S}')))
+        AS w
     FROM documents) t
   GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {max_vocab}),
 v0 AS MATERIALIZED (
-  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+  SELECT w, cnt, regexp_replace(w, '(.)', '{S}\\1{S}', 'g') AS s
   FROM wc)"""]
     for t in range(n_merges):
         stages.append(f"""pc{t} AS MATERIALIZED (
   SELECT l[i] AS x, l[i + 1] AS y, sum(cnt) AS c
-  FROM (SELECT cnt, list_filter(string_split(s, ' '), z -> z != '') AS l
+  FROM (SELECT cnt, string_split(trim(s, '{S}'), '{S}{S}') AS l
         FROM v{t}) q,
        LATERAL unnest(generate_series(1, len(l) - 1)) g(i)
   WHERE len(l) > 1
@@ -1993,8 +1997,9 @@ v0 AS MATERIALIZED (
 best{t} AS MATERIALIZED (
   SELECT x, y FROM pc{t} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
 v{t + 1} AS MATERIALIZED (
-  SELECT w, cnt, replace(s, ' ' || b.x || ' ' || b.y || ' ',
-                         ' ' || b.x || b.y || ' ') AS s
+  SELECT w, cnt,
+         replace(s, '{S}' || b.x || '{S}{S}' || b.y || '{S}',
+                 '{S}' || b.x || b.y || '{S}') AS s
   FROM v{t} CROSS JOIN best{t} b)""")
     body = ",\n".join(stages)
     if final == "merges":
@@ -2003,8 +2008,9 @@ v{t + 1} AS MATERIALIZED (
             for t in range(n_merges))
         return f"WITH {body}\n{sel}"
     return f"""WITH {body},
-tok AS (SELECT w, len(list_filter(string_split(s, ' '), z -> z != ''))
-               AS n_tok
+tok AS (SELECT w,
+               ((len(s) - len(replace(s, '{S}', ''))) // 2)::INT
+                   AS n_tok
         FROM v{n_merges}),
 docw AS (
   SELECT doc_id,
@@ -2045,11 +2051,17 @@ def q_bpe_doc_token_counts(spark, sf_dir):
     from orange3_timeseries_spark.operators.bpe import (
         bpe_doc_token_counts,
         train_bpe,
+        word_count_table,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    merges = train_bpe(d, "text", n_merges=16)
-    return bpe_doc_token_counts(d, "doc_id", "text", merges)
+    # ONE corpus-sized pass: the capped word-count table is pinned and
+    # shared by the trainer (driver merge loop) and the encoder (the
+    # Catalyst replace chain + broadcast join)
+    wc = word_count_table(d, "text").localCheckpoint()
+    merges = train_bpe(d, "text", n_merges=16, word_counts=wc)
+    return bpe_doc_token_counts(d, "doc_id", "text", merges,
+                                word_counts=wc)
 
 
 # ------------------------------------------------- quality classifier tier

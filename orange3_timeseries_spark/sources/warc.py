@@ -49,7 +49,11 @@ def write_warc(df: DataFrame, path: str, url_col: str, text_col: str,
     """Write (url, text[, date]) rows as ``.warc`` files under ``path``,
     one file per partition — returns the number of files written.
     Deterministic given the input partitioning; pair with
-    ``repartition`` / ``hash_shards`` upstream for reproducible shards."""
+    ``repartition`` / ``hash_shards`` upstream for reproducible shards.
+
+    ``path`` must be visible to every executor (shared filesystem /
+    fuse mount) — tasks write with plain ``open`` on their host, the
+    standard constraint for any sidecar-file writer."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -63,6 +67,8 @@ def write_warc(df: DataFrame, path: str, url_col: str, text_col: str,
     skinny = df.select(*cols)
 
     def write_part(pid: int, rows):
+        import os as _os
+
         buf = bytearray()
         n = 0
         for r in rows:
@@ -70,7 +76,10 @@ def write_warc(df: DataFrame, path: str, url_col: str, text_col: str,
                            (r["t"] or "").encode())
             n += 1
         if n:
-            with open(os.path.join(path, f"part-{pid:05d}.warc"),
+            # executors create the dir themselves: the driver-side
+            # makedirs above only covers local mode / shared mounts
+            _os.makedirs(path, exist_ok=True)
+            with open(_os.path.join(path, f"part-{pid:05d}.warc"),
                       "wb") as f:
                 f.write(bytes(buf))
         yield n

