@@ -506,3 +506,87 @@ class TestMinhashHashFamilies:
                                               threshold=0.99,
                                               hash_family=fam).collect()}
             assert planted <= got, fam
+
+
+class TestCodecRoundtripProperties:
+    """Hypothesis fuzz: the lossless codecs must round-trip ANY valid
+    raster/clip/frame stack bit-exactly."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+    def test_png_roundtrip(self, w, h, c, seed):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._png import (
+            decode_png,
+            encode_png,
+        )
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, c), dtype=np.uint8)
+        meta, back = decode_png(encode_png(px))
+        assert np.array_equal(back, px)
+        assert (meta["width"], meta["height"], meta["channels"]) \
+            == (w, h, c)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(1, 4), st.integers(1, 24), st.integers(1, 24),
+           st.sampled_from([2, 4, 16, 256]), st.integers(0, 2**32 - 1))
+    def test_gif_roundtrip(self, nf, h, w, pal_n, seed):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators._gif import (
+            decode_gif,
+            encode_gif,
+        )
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, size=(pal_n, 3), dtype=np.uint8)
+        frames = rng.randint(0, pal_n, size=(nf, h, w), dtype=np.uint8)
+        meta, back = decode_gif(encode_gif(frames, pal))
+        assert meta["n_frames"] == nf
+        assert np.array_equal(back, pal[frames])
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(1, 500), st.sampled_from([1, 2, 3]),
+           st.sampled_from([8000, 16000, 44100]),
+           st.integers(0, 2**32 - 1))
+    def test_wav_roundtrip(self, n, ch, rate, seed):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+        rng = np.random.RandomState(seed)
+        s = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+        if ch == 1:
+            s = s[:, 0]
+        meta, back = decode_wav(encode_wav(s, rate))
+        assert meta["sample_rate"] == rate
+        assert np.array_equal(
+            back.astype(np.int16).reshape(-1),
+            np.asarray(s).reshape(-1))
+
+    @settings(max_examples=10, deadline=None)
+    @given(words=st.lists(st.text(alphabet="abcxyz", min_size=1,
+                                  max_size=8),
+                          min_size=1, max_size=12),
+           n_merges=st.integers(1, 6))
+    def test_bpe_operator_matches_greedy_reference(self, spark, words,
+                                                   n_merges):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.bpe import (
+            bpe_doc_token_counts,
+            train_bpe,
+        )
+        from tests.test_bpe import _ref_encode
+
+        text = " ".join(words)
+        df = spark.createDataFrame([(1, text)],
+                                   "doc_id long, text string")
+        merges = train_bpe(df, "text", n_merges=n_merges)
+        [r] = bpe_doc_token_counts(df, "doc_id", "text",
+                                   merges).collect()
+        want = sum(len(_ref_encode(w, merges)) for w in words)
+        assert r.n_tokens == want
