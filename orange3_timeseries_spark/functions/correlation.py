@@ -152,3 +152,65 @@ def holt_winters_values(x: np.ndarray, m: int, alpha: float, beta: float,
     for h in range(1, horizon + 1):
         out.append(l + h * b + season[(h - 1) % m])
     return out
+
+
+def holt_damped_values(x, alpha: float, beta: float, phi: float,
+                       horizon: int):
+    """Damped-trend Holt (Gardner & McKenzie 1985): the trend is
+    discounted by ``phi`` in both the recursion and the forecast,
+
+        l_t = α·x_t + (1−α)(l + φ·b)
+        b_t = β(l_t − l_prev) + (1−β)·φ·b
+        ŷ_{n+h} = l + (φ + φ² + ... + φ^h)·b
+
+    — the flat-ish long-horizon behavior real demand series want
+    (``phi = 1`` reduces exactly to :func:`holt_values`).  Expression
+    order mirrors the recursive-CTE oracle."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    if len(x) < 2:
+        return []
+    l = x[0]
+    b = x[1] - x[0]
+    for t in range(1, len(x)):
+        l_new = alpha * x[t] + (1 - alpha) * (l + phi * b)
+        b = beta * (l_new - l) + (1 - beta) * phi * b
+        l = l_new
+    out = []
+    damp = 0.0
+    for h in range(1, horizon + 1):
+        damp += phi ** h
+        out.append(l + damp * b)
+    return out
+
+
+def theta_values(x, alpha: float, horizon: int):
+    """Theta method (Assimakopoulos & Nikolopoulos 2000, θ = 2, the M3
+    competition winner): decompose into the θ=0 line (the OLS linear
+    trend a + b·t, long-run drift) and the θ=2 line (2x_t − (a + b·t),
+    doubled local curvature), SES-smooth the θ=2 line, and average the
+    two h-step extrapolations:
+
+        ŷ_{n+h} = ((a + b·(n+h)) + l_n) / 2
+
+    with ``l_n`` the SES level (l_1 = θ2_1; l_t = α·θ2_t + (1−α)l).
+    The OLS uses centered closed-form slope/intercept (1-indexed t), so
+    a ``regr_slope``-based oracle replays it; the SES level folds to the
+    closed geometric-weight sum the oracle uses."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 3:
+        return []
+    t = np.arange(1, n + 1, dtype=float)
+    tbar = t.mean()
+    xbar = x.mean()
+    b = float(((t - tbar) * (x - xbar)).sum() / ((t - tbar) ** 2).sum())
+    a = xbar - b * tbar
+    theta2 = 2.0 * x - (a + b * t)
+    l = theta2[0]
+    for v in theta2[1:]:
+        l = alpha * v + (1 - alpha) * l
+    return [((a + b * (n + h)) + l) / 2.0 for h in range(1, horizon + 1)]

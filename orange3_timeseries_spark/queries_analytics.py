@@ -1041,3 +1041,100 @@ def q_holt_winters_by_user(spark, sf_dir):
                              gamma=0.4, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
+
+
+@query("holt_damped_by_user", """
+WITH RECURSIVE d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+n AS (SELECT user_id, count(*) AS n FROM r GROUP BY 1),
+hw(user_id, t, l, b) AS (
+  SELECT a.user_id, 1, a.x, b2.x - a.x
+  FROM r a JOIN r b2 ON b2.user_id = a.user_id
+  WHERE a.rn = 1 AND b2.rn = 2
+  UNION ALL
+  SELECT hw.user_id, hw.t + 1,
+         0.5 * r.x + 0.5 * (hw.l + 0.9 * hw.b),
+         0.3 * ((0.5 * r.x + 0.5 * (hw.l + 0.9 * hw.b)) - hw.l)
+           + 0.7 * 0.9 * hw.b
+  FROM hw JOIN r ON r.user_id = hw.user_id AND r.rn = hw.t + 1),
+fin AS (SELECT hw.user_id, hw.l, hw.b
+        FROM hw JOIN n ON n.user_id = hw.user_id
+        WHERE hw.t = n.n)
+SELECT fin.user_id, h.step::INT AS step,
+       round(fin.l + (0.9 * (1 - pow(0.9, h.step)) / (1 - 0.9)) * fin.b,
+             6) AS forecast
+FROM fin, LATERAL (SELECT unnest(generate_series(1, 5)) AS step) h
+""")
+def q_holt_damped_by_user(spark, sf_dir):
+    """Damped-trend Holt (Gardner-McKenzie, φ=0.9) 5-step forecasts per
+    user's daily series — the damped recursion replayed as a recursive
+    CTE with identical expression order; the forecast's damped-trend
+    multiplier folds to the geometric partial sum
+    φ(1−φ^h)/(1−φ)."""
+    from orange3_timeseries_spark.spark_analytics import (
+        holt_damped_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+    out = holt_damped_table(tsf, "x", alpha=0.5, beta=0.3, phi=0.9,
+                            horizon=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"))
+
+
+@query("theta_forecast_by_user", """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 ::DOUBLE AS t
+      FROM d),
+fit AS (  -- theta0 line: OLS of x on the 1-indexed position
+  SELECT user_id, count(*) AS n,
+         regr_slope(x, t) AS b, regr_intercept(x, t) AS a
+  FROM r GROUP BY 1),
+ses AS (  -- SES level of the theta2 line 2x - (a + b t), folded to the
+          -- closed geometric-weight sum: l_n = (1-α)^(n-1) θ2_1
+          --   + α Σ_{t=2..n} (1-α)^(n-t) θ2_t   (α = 0.5)
+  SELECT r.user_id,
+         sum(CASE WHEN r.t = 1
+                  THEN pow(0.5, f.n - 1)
+                         * (2 * r.x - (f.a + f.b * r.t))
+                  ELSE 0.5 * pow(0.5, f.n - r.t)
+                         * (2 * r.x - (f.a + f.b * r.t)) END) AS l
+  FROM r JOIN fit f USING (user_id)
+  GROUP BY 1)
+SELECT f.user_id, h.step::INT AS step,
+       round(((f.a + f.b * (f.n + h.step)) + s.l) / 2.0, 6) AS forecast
+FROM fit f JOIN ses s USING (user_id),
+     LATERAL (SELECT unnest(generate_series(1, 5)) AS step) h
+WHERE f.n >= 3
+""")
+def q_theta_forecast_by_user(spark, sf_dir):
+    """Theta-method (θ=2, the M3 winner) 5-step forecasts per user's
+    daily series: OLS drift line + SES-smoothed θ2 line, averaged.  The
+    oracle replays the OLS via regr_slope/intercept and the SES level
+    via its closed geometric-weight sum — no recursion needed."""
+    from orange3_timeseries_spark.spark_analytics import (
+        theta_forecast_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+    out = theta_forecast_table(tsf, "x", alpha=0.5, horizon=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"))

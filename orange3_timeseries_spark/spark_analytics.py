@@ -613,3 +613,53 @@ def holt_winters_table(tsf: TimeSeriesFrame, col: str, m: int = 7,
                 "forecast": np.array(fc)}
 
     return _packed_map(tsf, [col], fields, per_series)
+
+
+def holt_damped_table(tsf: TimeSeriesFrame, col: str,
+                      alpha: float = 0.5, beta: float = 0.3,
+                      phi: float = 0.9, horizon: int = 5) -> DataFrame:
+    """Per-series damped-trend Holt forecasts (series..., step,
+    forecast) — Gardner-McKenzie damping for realistic long horizons;
+    ``phi=1`` is plain Holt.  Same packed distributed execution."""
+    from orange3_timeseries_spark.functions.correlation import (
+        holt_damped_values,
+    )
+
+    fields = [T.StructField("step", T.IntegerType()),
+              T.StructField("forecast", T.DoubleType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        x = x[~np.isnan(x)]
+        fc = holt_damped_values(x, alpha, beta, phi, horizon)
+        if not fc:
+            return None
+        return {"step": np.arange(1, horizon + 1, dtype="int32"),
+                "forecast": np.array(fc)}
+
+    return _packed_map(tsf, [col], fields, per_series)
+
+
+def theta_forecast_table(tsf: TimeSeriesFrame, col: str,
+                         alpha: float = 0.5,
+                         horizon: int = 5) -> DataFrame:
+    """Per-series Theta-method forecasts (series..., step, forecast) —
+    the M3-winning trend+SES combination; series shorter than 3
+    observations are skipped.  Same packed distributed execution."""
+    from orange3_timeseries_spark.functions.correlation import (
+        theta_values,
+    )
+
+    fields = [T.StructField("step", T.IntegerType()),
+              T.StructField("forecast", T.DoubleType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        x = x[~np.isnan(x)]
+        fc = theta_values(x, alpha, horizon)
+        if not fc:
+            return None
+        return {"step": np.arange(1, horizon + 1, dtype="int32"),
+                "forecast": np.array(fc)}
+
+    return _packed_map(tsf, [col], fields, per_series)

@@ -455,3 +455,88 @@ def test_holt_winters_converges_on_seasonal_series():
     np.testing.assert_allclose(fc, want, atol=1e-6)
     # short series refuses (needs 2 cycles)
     assert holt_winters_values(x[: 2 * m - 1], m, 0.5, 0.3, 0.4, 2) == []
+
+
+class TestSmoothingExtensions:
+    def test_damped_phi1_equals_plain_holt(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions.correlation import (
+            holt_damped_values,
+            holt_values,
+        )
+        rng = np.random.RandomState(0)
+        x = rng.normal(50, 5, 40).cumsum() / 10
+        assert np.allclose(holt_damped_values(x, 0.5, 0.3, 1.0, 8),
+                           holt_values(x, 0.5, 0.3, 8))
+
+    def test_damping_flattens_the_horizon(self):
+        import numpy as np
+
+        from orange3_timeseries_spark.functions.correlation import (
+            holt_damped_values,
+        )
+        x = np.arange(1.0, 31.0)  # strong linear trend
+        plain = holt_damped_values(x, 0.5, 0.3, 1.0, 10)
+        damped = holt_damped_values(x, 0.5, 0.3, 0.8, 10)
+        # damped step increments shrink; undamped stay constant
+        d_inc = np.diff(damped)
+        assert all(d_inc[i + 1] < d_inc[i] for i in range(len(d_inc) - 1))
+        assert damped[-1] < plain[-1]
+
+    def test_theta_half_drift_property(self):
+        """Hyndman & Billah (2003): classic Theta(θ=2) forecasts are SES
+        with drift b/2 — per-step increments equal HALF the fitted OLS
+        slope, exactly."""
+        import numpy as np
+
+        from orange3_timeseries_spark.functions.correlation import (
+            theta_values,
+        )
+        x = 3.0 + 2.0 * np.arange(1, 41)  # exact line, slope 2
+        fc = theta_values(x, 0.5, 5)
+        assert np.allclose(np.diff(fc), 1.0)  # b/2 = 1 per step
+        # first step: average of the exact line continuation and the
+        # SES level of theta2 (= x itself on an exact line); SES lags a
+        # ramp by (1-a)/a * b = 2 -> l_n ~ x_n - 2 (up to the decayed
+        # initial transient)
+        line_next = 3.0 + 2.0 * 41
+        l_approx = x[-1] - 2.0
+        assert abs(fc[0] - (line_next + l_approx) / 2) < 0.01
+
+    def test_tables_match_function_cores(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.functions.correlation import (
+            holt_damped_values,
+            theta_values,
+        )
+        from orange3_timeseries_spark.spark_analytics import (
+            holt_damped_table,
+            theta_forecast_table,
+        )
+        import datetime as dt
+
+        rng = np.random.RandomState(3)
+        rows = []
+        series = {}
+        for uid in range(3):
+            xs = list(rng.normal(100, 10, 25))
+            series[uid] = xs
+            rows += [(uid, dt.datetime(2024, 1, 1)
+                      + dt.timedelta(days=i), float(v))
+                     for i, v in enumerate(xs)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                         "x double")
+        tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+        got_h = {(r.user_id, r.step): r.forecast for r in
+                 holt_damped_table(tsf, "x", 0.5, 0.3, 0.9, 4).collect()}
+        got_t = {(r.user_id, r.step): r.forecast for r in
+                 theta_forecast_table(tsf, "x", 0.5, 4).collect()}
+        for uid, xs in series.items():
+            for h, v in enumerate(holt_damped_values(
+                    np.array(xs), 0.5, 0.3, 0.9, 4), 1):
+                assert abs(got_h[(uid, h)] - v) < 1e-9
+            for h, v in enumerate(theta_values(np.array(xs), 0.5, 4), 1):
+                assert abs(got_t[(uid, h)] - v) < 1e-9
