@@ -52,6 +52,8 @@ def __getattr__(name):
         "ccf_table": "spark_analytics",
         "holt_forecast_table": "spark_analytics",
         "holt_winters_table": "spark_analytics",
+        "holt_damped_table": "spark_analytics",
+        "theta_forecast_table": "spark_analytics",
         # models
         "ARIMA": "models",
         "VAR": "models",
@@ -65,6 +67,9 @@ def __getattr__(name):
         "read_orange_csv": "sources",
         "finance_data": "sources",
         "write_partitioned": "sources",
+        "write_bucketed": "sources.writers",
+        "write_warc": "sources.warc",
+        "read_warc": "sources.warc",
     }
     if name in _API:
         import importlib
