@@ -1138,3 +1138,51 @@ def q_theta_forecast_by_user(spark, sf_dir):
     out = theta_forecast_table(tsf, "x", alpha=0.5, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
+
+
+@query("baseline_forecasts_by_user", """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM d),
+st AS (SELECT user_id, any_value(n) AS n,
+              max(CASE WHEN rn = n THEN x END) AS lastv,
+              max(CASE WHEN rn = 1 THEN x END) AS firstv
+       FROM r GROUP BY 1),
+h AS (SELECT unnest(generate_series(1, 5)) AS step)
+SELECT user_id, 'naive' AS method, step::INT AS step,
+       round(lastv, 6) AS forecast
+FROM st, h
+UNION ALL
+SELECT user_id, 'drift', step::INT,
+       round(lastv + step * (lastv - firstv) / (n - 1), 6)
+FROM st, h WHERE n > 1
+UNION ALL
+SELECT s.user_id, 'snaive', h.step::INT, round(r.x, 6)
+FROM st s JOIN h ON true
+JOIN r ON r.user_id = s.user_id
+      AND r.rn = s.n - 7 + ((h.step - 1) % 7 + 1)
+WHERE s.n >= 7
+""")
+def q_baseline_forecasts_by_user(spark, sf_dir):
+    """Benchmark baselines per user's daily series: naive (last value),
+    seasonal naive (one week back, m=7), drift (last + h x mean
+    increment) — the yardsticks the model-evaluation suite reports
+    against.  Pure window/agg Catalyst expressions; oracle is the same
+    closed form."""
+    from orange3_timeseries_spark.spark_analytics import (
+        baseline_forecast_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+    out = baseline_forecast_table(tsf, "x", m=7, horizon=5)
+    return out.select("user_id", "method", "step",
+                      r6(F.col("forecast"), "forecast"))

@@ -663,3 +663,51 @@ def theta_forecast_table(tsf: TimeSeriesFrame, col: str,
                 "forecast": np.array(fc)}
 
     return _packed_map(tsf, [col], fields, per_series)
+
+
+def baseline_forecast_table(tsf: TimeSeriesFrame, col: str, m: int = 7,
+                            horizon: int = 5) -> DataFrame:
+    """Per-series benchmark baseline forecasts (series..., method, step,
+    forecast): ``naive`` (last value), ``snaive`` (value one season
+    back, period ``m``), and ``drift`` (last value + h x average
+    historical increment) — the standard yardsticks every forecasting
+    evaluation reports against (a model that can't beat them isn't
+    earning its fit cost).  All three are pure window/agg expressions:
+    no Python stage, one shuffle on the series key."""
+    from pyspark.sql import Window
+
+    order = _order_col(tsf)
+    df, groups, added = _grouped(tsf, keep_cols=[order, col])
+    w = Window.partitionBy(*groups).orderBy(order)
+    idx = (df.withColumn("__rn__", F.row_number().over(w))
+           .withColumn("__n__", F.count(F.lit(1)).over(
+               Window.partitionBy(*groups))))
+    stats = (idx.groupBy(*groups).agg(
+        F.max(F.when(F.col("__rn__") == F.col("__n__"),
+                     F.col(col))).alias("__last__"),
+        F.max(F.when(F.col("__rn__") == 1, F.col(col))).alias("__first__"),
+        F.max("__n__").alias("__n__")))
+    season = (idx.where(F.col("__rn__") > F.col("__n__") - m)
+              .select(*groups,
+                      (F.col("__rn__") - (F.col("__n__") - m))
+                      .alias("__pos__"),
+                      F.col(col).alias("__sv__")))
+    steps = stats.select(
+        *groups, "__last__", "__first__", "__n__",
+        F.explode(F.array(*[F.lit(h) for h in range(1, horizon + 1)]))
+        .alias("step"))
+    naive = steps.select(*groups, F.lit("naive").alias("method"), "step",
+                         F.col("__last__").alias("forecast"))
+    drift = steps.where(F.col("__n__") > 1).select(
+        *groups, F.lit("drift").alias("method"), "step",
+        (F.col("__last__") + F.col("step")
+         * (F.col("__last__") - F.col("__first__"))
+         / (F.col("__n__") - 1)).alias("forecast"))
+    spos = ((F.col("step") - 1) % m + 1)
+    snaive = (steps.where(F.col("__n__") >= m)
+              .join(season, groups)
+              .where(F.col("__pos__") == spos)
+              .select(*groups, F.lit("snaive").alias("method"), "step",
+                      F.col("__sv__").alias("forecast")))
+    out = naive.unionByName(snaive).unionByName(drift)
+    return out.drop("__g__") if added else out

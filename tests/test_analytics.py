@@ -540,3 +540,33 @@ class TestSmoothingExtensions:
                 assert abs(got_h[(uid, h)] - v) < 1e-9
             for h, v in enumerate(theta_values(np.array(xs), 0.5, 4), 1):
                 assert abs(got_t[(uid, h)] - v) < 1e-9
+
+
+def test_baseline_forecasts(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+    from orange3_timeseries_spark.spark_analytics import (
+        baseline_forecast_table,
+    )
+
+    xs = [float(v) for v in [10, 12, 11, 14, 13, 15, 16, 18, 17, 20]]
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+            for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, x double")
+    tsf = TimeSeriesFrame(df, time_col="ts", series_cols=["user_id"])
+    out = {(r.method, r.step): r.forecast for r in
+           baseline_forecast_table(tsf, "x", m=4, horizon=6).collect()}
+    n = len(xs)
+    for h in range(1, 7):
+        assert out[("naive", h)] == xs[-1]
+        assert abs(out[("drift", h)]
+                   - (xs[-1] + h * (xs[-1] - xs[0]) / (n - 1))) < 1e-9
+        # snaive with m=4: value from one season back, cycling
+        assert out[("snaive", h)] == xs[n - 4 + ((h - 1) % 4)]
+    # plan purity: no Python stage
+    plan = baseline_forecast_table(tsf, "x")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
