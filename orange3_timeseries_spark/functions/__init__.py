@@ -5,9 +5,11 @@ Granger causality — the scripting-API tier mirroring the reference's
 from orange3_timeseries_spark.functions.metrics import (
     mae,
     mape,
+    mase,
     pocid,
     r2,
     rmse,
+    smape,
 )
 from orange3_timeseries_spark.functions.spectral import (
     periodogram,

@@ -76,3 +76,38 @@ def r2_expr(true: Column, pred: Column) -> Column:
 def pocid_expr(true_diff: Column, pred_diff: Column) -> Column:
     """POCID over pre-computed consecutive diffs (use ``lag`` upstream)."""
     return 100 * F.avg(((true_diff * pred_diff) > 0).cast("double"))
+
+
+def smape(true, pred) -> float:
+    """Symmetric MAPE (the M4 convention): mean of
+    ``2|t − p| / (|t| + |p|)``, zero-denominator terms dropped."""
+    true, pred = _align(true, pred)
+    den = np.abs(true) + np.abs(pred)
+    m = den > 0
+    if not m.any():
+        return 0.0
+    return float(np.mean(2 * np.abs(true - pred)[m] / den[m]))
+
+
+def mase(true, pred, train, m: int = 1) -> float:
+    """Mean absolute scaled error (Hyndman & Koehler 2006): forecast
+    MAE scaled by the in-sample one-step seasonal-naive MAE of the
+    TRAINING series (period ``m``; ``m=1`` = plain naive) — the
+    scale-free companion of the naive/snaive baselines: MASE < 1 beats
+    the baseline on the training scale."""
+    true, pred = _align(true, pred)
+    train = np.asarray(train, dtype=float)
+    if len(train) <= m:
+        return float("nan")
+    scale = np.mean(np.abs(train[m:] - train[:-m]))
+    if scale == 0:
+        return float("nan")
+    return float(np.mean(np.abs(true - pred)) / scale)
+
+
+def smape_expr(true: Column, pred: Column) -> Column:
+    """Symmetric MAPE as an aggregate expression (zero-denominator terms
+    dropped via null propagation in avg)."""
+    den = F.abs(true) + F.abs(pred)
+    term = F.when(den > 0, 2 * F.abs(true - pred) / den)
+    return F.avg(term)

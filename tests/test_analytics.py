@@ -570,3 +570,24 @@ def test_baseline_forecasts(spark):
     plan = baseline_forecast_table(tsf, "x")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_mase_smape_metrics():
+    import numpy as np
+
+    from orange3_timeseries_spark.functions import mase, smape
+
+    train = np.array([10.0, 12, 11, 13, 12, 14])
+    true = np.array([15.0, 16])
+    pred = np.array([14.0, 18])
+    # naive scale = mean |diff(train)| = mean(2,1,2,1,2) = 1.6
+    assert mase(true, pred, train) == pytest.approx(
+        np.mean([1.0, 2.0]) / 1.6)
+    # seasonal m=2 scale: |train[t]-train[t-2]| = 1,1,1,1 -> 1.0
+    assert mase(true, pred, train, m=2) == pytest.approx(1.5)
+    want = np.mean([2 * 1 / 29, 2 * 2 / 34])
+    assert smape(true, pred) == pytest.approx(want)
+    # zero-denominator terms dropped
+    assert smape([0.0, 1.0], [0.0, 1.0]) == 0.0
+    # constant training series: scale undefined
+    assert np.isnan(mase(true, pred, np.ones(5)))
