@@ -54,6 +54,7 @@ def __getattr__(name):
         "holt_winters_table": "spark_analytics",
         "holt_damped_table": "spark_analytics",
         "theta_forecast_table": "spark_analytics",
+        "baseline_forecast_table": "spark_analytics",
         # models
         "ARIMA": "models",
         "VAR": "models",

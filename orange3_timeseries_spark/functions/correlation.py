@@ -166,7 +166,6 @@ def holt_damped_values(x, alpha: float, beta: float, phi: float,
     — the flat-ish long-horizon behavior real demand series want
     (``phi = 1`` reduces exactly to :func:`holt_values`).  Expression
     order mirrors the recursive-CTE oracle."""
-    import numpy as np
 
     x = np.asarray(x, dtype=float)
     if len(x) < 2:
@@ -198,7 +197,6 @@ def theta_values(x, alpha: float, horizon: int):
     The OLS uses centered closed-form slope/intercept (1-indexed t), so
     a ``regr_slope``-based oracle replays it; the SES level folds to the
     closed geometric-weight sum the oracle uses."""
-    import numpy as np
 
     x = np.asarray(x, dtype=float)
     n = len(x)

@@ -79,14 +79,15 @@ def pocid_expr(true_diff: Column, pred_diff: Column) -> Column:
 
 
 def smape(true, pred) -> float:
-    """Symmetric MAPE (the M4 convention): mean of
-    ``2|t − p| / (|t| + |p|)``, zero-denominator terms dropped."""
+    """Symmetric MAPE, M4-competition convention: the PERCENTAGE
+    ``100 · mean(2|t − p| / (|t| + |p|))`` with zero-denominator terms
+    (t = p = 0, a perfect prediction of zero) counted as 0 — they stay
+    in the mean's denominator."""
     true, pred = _align(true, pred)
     den = np.abs(true) + np.abs(pred)
-    m = den > 0
-    if not m.any():
-        return 0.0
-    return float(np.mean(2 * np.abs(true - pred)[m] / den[m]))
+    terms = np.where(den > 0, 2 * np.abs(true - pred)
+                     / np.where(den > 0, den, 1.0), 0.0)
+    return float(100.0 * np.mean(terms))
 
 
 def mase(true, pred, train, m: int = 1) -> float:
@@ -106,8 +107,10 @@ def mase(true, pred, train, m: int = 1) -> float:
 
 
 def smape_expr(true: Column, pred: Column) -> Column:
-    """Symmetric MAPE as an aggregate expression (zero-denominator terms
-    dropped via null propagation in avg)."""
+    """Symmetric MAPE aggregate expression — same M4 convention as
+    :func:`smape` (percentage, zero-denominator terms count as 0 and
+    stay in the mean), so distributed and local scoring agree."""
     den = F.abs(true) + F.abs(pred)
-    term = F.when(den > 0, 2 * F.abs(true - pred) / den)
-    return F.avg(term)
+    term = F.when(den > 0, 2 * F.abs(true - pred) / den) \
+        .otherwise(F.lit(0.0))
+    return 100.0 * F.avg(term)

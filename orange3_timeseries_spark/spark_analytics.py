@@ -678,6 +678,10 @@ def baseline_forecast_table(tsf: TimeSeriesFrame, col: str, m: int = 7,
 
     order = _order_col(tsf)
     df, groups, added = _grouped(tsf, keep_cols=[order, col])
+    # complete-case semantics, matching the sibling forecasting tables
+    # (holt/theta drop NaN before fitting): a null/NaN observation is
+    # skipped, not propagated into every forecast
+    df = df.where(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
     w = Window.partitionBy(*groups).orderBy(order)
     idx = (df.withColumn("__rn__", F.row_number().over(w))
            .withColumn("__n__", F.count(F.lit(1)).over(

@@ -458,7 +458,7 @@ def test_holt_winters_converges_on_seasonal_series():
 
 
 class TestSmoothingExtensions:
-    def test_damped_phi1_equals_plain_holt(self, spark):
+    def test_damped_phi1_equals_plain_holt(self):
         import numpy as np
 
         from orange3_timeseries_spark.functions.correlation import (
@@ -585,9 +585,10 @@ def test_mase_smape_metrics():
         np.mean([1.0, 2.0]) / 1.6)
     # seasonal m=2 scale: |train[t]-train[t-2]| = 1,1,1,1 -> 1.0
     assert mase(true, pred, train, m=2) == pytest.approx(1.5)
-    want = np.mean([2 * 1 / 29, 2 * 2 / 34])
+    want = 100.0 * np.mean([2 * 1 / 29, 2 * 2 / 34])
     assert smape(true, pred) == pytest.approx(want)
-    # zero-denominator terms dropped
+    # M4 convention: 0/0 terms count as 0 and stay in the mean
     assert smape([0.0, 1.0], [0.0, 1.0]) == 0.0
+    assert smape([0.0, 1.0], [0.0, 3.0]) == pytest.approx(50.0)
     # constant training series: scale undefined
     assert np.isnan(mase(true, pred, np.ones(5)))
