@@ -1,0 +1,71 @@
+"""URL canonicalization for crawl dedup — pure Catalyst expressions.
+
+The other step-1 of crawl processing (next to WARC parsing): the same
+page arrives under dozens of URL spellings, and URL-level dedup is the
+cheapest dedup tier (string normalization, no content needed).  The
+rules here are the widely used conservative subset:
+
+- scheme and host lowercased; ``www.`` prefix dropped;
+- default ports stripped (``:80`` http, ``:443`` https);
+- fragment dropped (never reaches the server);
+- tracking parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``ref``) — the standard analytics noise;
+- remaining query parameters SORTED by key (order never changes the
+  resource on sane servers; sorting makes spellings collide);
+- trailing slash on a bare path normalized away.
+
+Everything is built from ``parse_url`` + higher-order array functions —
+map-only on the scan at any corpus size, no UDF.  The ``url_dedup``
+query's DuckDB oracle replays the identical rules with string/list
+functions, so the canonicalization contract is value-hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonical_url_expr", "url_dedup"]
+
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_KEYS = ("gclid", "fbclid", "ref")
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of a URL column (see module rules)."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "/", "").otherwise(path)
+    query = F.parse_url(url, F.lit("QUERY"))
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~F.arrays_overlap(
+            F.array(F.lower(F.split(p, "=")[0])),
+            F.array(*[F.lit(k) for k in TRACKING_KEYS]))
+        & ~F.lower(F.split(p, "=")[0]).startswith(
+            TRACKING_PREFIXES[0]))
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    qpart = F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)) \
+        .otherwise(F.lit(""))
+    pport = F.when(keep_port, F.concat(F.lit(":"), port)) \
+        .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, pport, path, qpart)
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """One row per canonical URL: (canonical_url, n_variants, keep_id) —
+    ``keep_id`` the minimum id among the spellings (the canonical
+    document to fetch/retain).  One groupBy on the canonical string —
+    the cheapest dedup tier, before any content-based pass."""
+    canon = canonical_url_expr(F.col(url_col))
+    return (df.select(canon.alias("canonical_url"), F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min(id_col).alias("keep_id")))

@@ -2263,3 +2263,38 @@ def q_warc_roundtrip(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("url_dedup_canonical", """
+WITH g AS (SELECT doc_id // 2 AS k, min(doc_id) AS keep_id,
+                  count(*) AS n_variants
+           FROM documents GROUP BY 1)
+SELECT 'http://corpus.example/doc/' || k || '?a=1&b=' || (k % 7)
+           AS canonical_url,
+       n_variants, keep_id
+FROM g
+""")
+def q_url_dedup_canonical(spark, sf_dir):
+    """URL-level dedup, the cheapest crawl-dedup tier: every document
+    pair (2k, 2k+1) gets the SAME page under two spellings — one clean,
+    one messy (uppercase scheme/host, www. prefix, explicit :80,
+    tracking params, fragment, shuffled query order) — and
+    canonicalization must collapse them.  The oracle states the
+    expected canonical form directly from the id arithmetic, so every
+    rule (case, www, default port, utm/fragment strip, query sort) is
+    value-hash-verified end to end."""
+    from orange3_timeseries_spark.operators.urls import url_dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") / 2).cast("long")
+    clean = F.concat(F.lit("http://corpus.example/doc/"), k,
+                     F.lit("?b="), (k % 7).cast("string"),
+                     F.lit("&a=1"))
+    messy = F.concat(F.lit("HTTP://WWW.Corpus.Example:80/doc/"), k,
+                     F.lit("?utm_source=feed&a=1&b="),
+                     (k % 7).cast("string"), F.lit("#sec"))
+    urls = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy)
+        .alias("url"))
+    return url_dedup(urls, "url", "doc_id")

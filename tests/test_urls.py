@@ -1,0 +1,61 @@
+"""URL canonicalization rules, one by one, plus plan purity."""
+
+from pyspark.sql import functions as F
+
+
+def _canon(spark, url):
+    from orange3_timeseries_spark.operators.urls import canonical_url_expr
+
+    [r] = spark.createDataFrame([(url,)], "u string") \
+        .select(canonical_url_expr(F.col("u")).alias("c")).collect()
+    return r.c
+
+
+class TestCanonicalUrl:
+    def test_case_www_port_fragment(self, spark):
+        assert _canon(spark,
+                      "HTTP://WWW.Example.COM:80/A/b#frag") \
+            == "http://example.com/A/b"  # path case is significant
+
+    def test_default_port_by_scheme(self, spark):
+        assert _canon(spark, "https://ex.com:443/x") == "https://ex.com/x"
+        assert _canon(spark, "http://ex.com:443/x") \
+            == "http://ex.com:443/x"  # 443 is NOT http's default
+        assert _canon(spark, "https://ex.com:8443/x") \
+            == "https://ex.com:8443/x"
+
+    def test_tracking_params_and_sorting(self, spark):
+        assert _canon(
+            spark,
+            "http://e.com/p?utm_campaign=c&b=2&UTM_source=s&a=1"
+            "&gclid=9&ref=tw") == "http://e.com/p?a=1&b=2"
+        # empty query after stripping -> no '?'
+        assert _canon(spark, "http://e.com/p?utm_source=x") \
+            == "http://e.com/p"
+
+    def test_bare_slash_and_equivalence_pairs(self, spark):
+        assert _canon(spark, "https://e.com/") == _canon(
+            spark, "https://e.com")
+        # deeper trailing slashes are preserved (may be distinct pages)
+        assert _canon(spark, "http://e.com/a/") == "http://e.com/a/"
+
+    def test_url_dedup_groups(self, spark):
+        from orange3_timeseries_spark.operators.urls import url_dedup
+
+        rows = [(1, "http://a.com/x?p=1&q=2"),
+                (2, "HTTP://WWW.A.com:80/x?q=2&p=1&utm_source=s#top"),
+                (3, "http://a.com/y")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r.canonical_url: (r.n_variants, r.keep_id)
+               for r in url_dedup(df, "url", "doc_id").collect()}
+        assert got == {"http://a.com/x?p=1&q=2": (2, 1),
+                       "http://a.com/y": (1, 3)}
+
+    def test_plan_is_catalyst_only(self, spark):
+        from orange3_timeseries_spark.operators.urls import url_dedup
+
+        df = spark.createDataFrame([(1, "http://a.com/x")],
+                                   "doc_id long, url string")
+        plan = url_dedup(df, "url", "doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
