@@ -138,3 +138,57 @@ class TestEncode:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestPinnedSF001Golden:
+    """Pinned golden against the driver's sf0.01 ``documents`` fixture.
+
+    Round-5's driver window hash-red on ``bpe_doc_token_counts`` caught
+    mid-round encode code; this locks the END state — the exact merge
+    list the 16-merge trainer produces on that corpus and a sha256 over
+    the full (doc_id, n_tokens) multiset — so any future encode/train
+    semantics drift fails HERE, independent of driver sampling timing.
+    Values were cross-checked against the DuckDB oracle replay
+    (scripts/oracle_check.py sf0.01: PASS, 500 rows).
+    """
+
+    SF_DIR = "/root/testdata/sf0.01"
+    EXPECTED_MERGES = [
+        ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+        ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+        ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+        ("r", "ow"),
+    ]
+    EXPECTED_SHA256 = (
+        "06a4bc3f20bde6309794d040477a0db28792c78fa3c264ecad6d3b8298c291a8")
+    EXPECTED_N_DOCS = 500
+    EXPECTED_TOTAL_TOKENS = 92306
+    EXPECTED_HEAD = {0: 97, 1: 260, 2: 168, 3: 93, 4: 155}
+
+    pytestmark = pytest.mark.skipif(
+        not __import__("os").path.isdir(SF_DIR),
+        reason="driver testdata not present")
+
+    def test_sf001_token_counts_pinned(self, spark):
+        import hashlib
+
+        from orange3_timeseries_spark.operators.bpe import (
+            bpe_doc_token_counts, train_bpe, word_count_table)
+        from orange3_timeseries_spark.sources.readers import read_table
+
+        d = read_table(spark, self.SF_DIR, "documents")
+        wc = word_count_table(d, "text").localCheckpoint()
+        merges = train_bpe(d, "text", n_merges=16, word_counts=wc)
+        assert merges == self.EXPECTED_MERGES
+
+        rows = sorted(
+            (r["doc_id"], r["n_tokens"])
+            for r in bpe_doc_token_counts(
+                d, "doc_id", "text", merges, word_counts=wc).collect())
+        assert len(rows) == self.EXPECTED_N_DOCS
+        for doc_id, n in rows[:5]:
+            assert self.EXPECTED_HEAD[doc_id] == n
+        assert sum(n for _, n in rows) == self.EXPECTED_TOTAL_TOKENS
+        digest = hashlib.sha256(
+            "\n".join(f"{d_}:{n}" for d_, n in rows).encode()).hexdigest()
+        assert digest == self.EXPECTED_SHA256
