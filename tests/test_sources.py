@@ -225,6 +225,40 @@ class TestUrl:
         df, roles, time_col = read_orange_csv_url(spark, f"file://{path}")
         assert time_col == "Month" and df.count() == 144
 
+    def test_read_orange_csv_url_http(self, spark):
+        """End-to-end over a REAL http:// URL — a stdlib ``http.server``
+        on a loopback ephemeral port serving the Orange 3-row-header
+        fixture, exercising the same download path the reference's
+        ``Timeseries.from_url`` uses (``timeseries.py:188-191``)."""
+        import http.server
+        import threading
+
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.sources import read_orange_csv_url
+
+        data_dir = os.path.join(HERE, "data")
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+            *a, directory=data_dir, **kw)
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/airpassengers.csv"
+            df, roles, time_col = read_orange_csv_url(spark, url)
+            assert time_col == "Month"
+            assert df.count() == 144
+            # same shape/values as the local-file read
+            from orange3_timeseries_spark.sources import read_orange_csv
+            local = read_orange_csv(
+                spark, os.path.join(data_dir, "airpassengers.csv"))[0]
+            assert sorted(df.columns) == sorted(local.columns)
+            assert (df.agg(F.sum("`Air passengers`")).first()[0]
+                    == local.agg(F.sum("`Air passengers`")).first()[0])
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
 
 # ---------------------------------------------------------- JSONL shards
 def test_write_jsonl_shards_roundtrip(spark, tmp_path):
