@@ -203,7 +203,18 @@ def _extend(v: int, size: int) -> int:
 
 # ---------------------------------------------------------------- decoder
 def decode_jpeg(payload: bytes) -> Tuple[dict, np.ndarray]:
-    """(metadata, HxWxC uint8) from a baseline JPEG byte string."""
+    """(metadata, HxWxC uint8) from a baseline JPEG byte string.
+
+    Per-row failure contract: every corrupt/truncated/unsupported input
+    raises ``ValueError`` (callers catch exactly that); short segment
+    bodies that would surface as ``struct.error`` are re-raised."""
+    try:
+        return _decode_jpeg(payload)
+    except struct.error as e:
+        raise ValueError(f"JPEG: truncated segment ({e})") from e
+
+
+def _decode_jpeg(payload: bytes) -> Tuple[dict, np.ndarray]:
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -220,6 +231,12 @@ def decode_jpeg(payload: bytes) -> Tuple[dict, np.ndarray]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI: lengthless — a premature one just
+            break          # ends the walk (fail-loud below if no SOS)
+        if pos + 2 > n:    # truncated where a length segment belongs:
+            # keep the documented per-row contract (ValueError, never
+            # struct.error) for callers that catch ValueError only
+            raise ValueError("JPEG: truncated marker segment")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         body = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT

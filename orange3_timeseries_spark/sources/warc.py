@@ -33,8 +33,15 @@ _CRLF = "\r\n"
 
 
 def _record(url: str, date: str, ctype: str, payload: bytes) -> bytes:
+    import uuid
+
+    # WARC-Record-ID is a MANDATORY named field for every record (ISO
+    # 28500 §5.2); deterministic UUID5 over (target URI, date) keeps the
+    # writer reproducible across retries while staying unique per record
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}")
     head = (f"WARC/1.0{_CRLF}"
             f"WARC-Type: resource{_CRLF}"
+            f"WARC-Record-ID: <urn:uuid:{rid}>{_CRLF}"
             f"WARC-Target-URI: {url}{_CRLF}"
             f"WARC-Date: {date}{_CRLF}"
             f"Content-Type: {ctype}{_CRLF}"

@@ -632,6 +632,32 @@ class TestJpeg:
         with pytest.raises(ValueError, match="not a JPEG"):
             decode_jpeg(b"JUNKJUNKJUNK")
 
+    def test_premature_eoi_and_truncation_raise_valueerror(self):
+        """The per-row failure contract is ValueError for EVERY corrupt
+        stream — a premature EOI (lengthless marker) or a cut mid-header
+        must never leak struct.error to callers that catch ValueError."""
+        import pytest
+
+        from orange3_timeseries_spark.operators._jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        good = encode_jpeg(self._smooth(16, 16))
+        # premature EOI right after SOI: lengthless marker, then nothing
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xFF\xD8\xFF\xD9")
+        # EOI spliced in before SOS: walk ends, fail-loud "no SOS"
+        i = good.find(b"\xFF\xDA")
+        with pytest.raises(ValueError, match="no SOS"):
+            decode_jpeg(good[:i] + b"\xFF\xD9")
+        # truncated mid-marker-header (marker byte present, no length)
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:i + 2])
+        # truncated inside a segment body (short DQT)
+        j = good.find(b"\xFF\xDB")
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:j + 6])
+
     def test_dispatch_and_metadata(self, spark):
         from orange3_timeseries_spark.operators._jpeg import encode_jpeg
         from orange3_timeseries_spark.operators.multimodal import (

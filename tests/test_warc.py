@@ -22,6 +22,23 @@ class TestWarcFraming:
         assert recs[0][3] == evil
         assert recs[1][3] == b""
 
+    def test_record_id_mandatory_field(self):
+        """Every record carries a WARC-Record-ID (mandatory per ISO
+        28500 §5.2) as a ``<urn:uuid:...>``, deterministic in
+        (URI, date) so retried writes produce identical bytes."""
+        import re
+
+        from orange3_timeseries_spark.sources.warc import _record
+
+        a1 = _record("u://a", "2024-01-01T00:00:00Z", "t", b"x")
+        a2 = _record("u://a", "2024-01-01T00:00:00Z", "t", b"x")
+        b1 = _record("u://b", "2024-01-01T00:00:00Z", "t", b"x")
+        pat = rb"WARC-Record-ID: <urn:uuid:[0-9a-f-]{36}>\r\n"
+        assert re.search(pat, a1)
+        assert a1 == a2  # deterministic
+        rid = lambda blob: re.search(pat, blob).group(0)  # noqa: E731
+        assert rid(a1) != rid(b1)  # unique per record
+
     def test_errors(self):
         from orange3_timeseries_spark.sources.warc import (
             _record,
