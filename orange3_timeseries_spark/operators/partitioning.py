@@ -95,14 +95,62 @@ def widen_partitions(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df.repartition(width)
 
 
+#: ceiling for the automatic salt fan-out — past 64-way replication of
+#: the right side, broadcast or AQE skew-split is the better tool
+_MAX_AUTO_SALTS = 64
+
+
+def skew_salt_count(left: DataFrame, keys) -> int:
+    """Stats-driven salt fan-out: ONE cheap aggregation over the key
+    frequencies (``groupBy(keys).count()`` is map-side combinable — the
+    shuffle moves one skinny row per distinct key per task, never data
+    rows) decides how many salts the HOTTEST key needs so its per-salt
+    share matches the average per-task row share:
+
+        salts = ceil(max_key_count / max(total / defaultParallelism, 1))
+
+    Uniform keys compute 1 (no salting, plain join); a key holding half
+    the table on 32 cores computes ~16.  Clamped to ``_MAX_AUTO_SALTS``
+    — replication beyond that signals the right side should broadcast
+    or the skew belongs to AQE's sort-merge split instead."""
+    from pyspark.sql import functions as F
+
+    if isinstance(keys, str):
+        keys = [keys]
+    stats = (left.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+             .first())
+    if stats["tot"] is None or not stats["tot"]:
+        return 1
+    par = max(1, left.sparkSession.sparkContext.defaultParallelism)
+    avg_task_rows = max(1.0, stats["tot"] / par)
+    return int(max(1, min(_MAX_AUTO_SALTS,
+                          -(-stats["mx"] // int(avg_task_rows)))))
+
+
 def salted_join(left: DataFrame, right: DataFrame, keys,
-                n_salts: int = 16, how: str = "inner") -> DataFrame:
+                n_salts: Optional[int] = None, how: str = "inner",
+                unique_col: Optional[str] = None) -> DataFrame:
     """Skew-tolerant equi-join: the LEFT (large, skewed) side gains a
-    deterministic per-row salt in ``[0, n_salts)`` (xxhash64 of the full
-    row — reproducible across retries and partitionings), the RIGHT side
-    is replicated once per salt, and the join runs on ``(keys..., salt)``
-    — a hot key's rows spread over ``n_salts`` tasks instead of one
-    straggler.
+    per-row salt in ``[0, n_salts)``, the RIGHT side is replicated once
+    per salt, and the join runs on ``(keys..., salt)`` — a hot key's
+    rows spread over ``n_salts`` tasks instead of one straggler.
+
+    ``n_salts=None`` (default) derives the fan-out from observed key
+    frequencies via :func:`skew_salt_count`; a computed/passed 1 skips
+    salting entirely and returns the plain join (so AQE's own skew
+    machinery sees an unsalted plan and exactly one of the two
+    mechanisms applies — never both).
+
+    Salt derivation: with ``unique_col`` (a unique row id — pass one
+    whenever the table has it), the salt is ``xxhash64(unique_col)`` —
+    deterministic across retries AND distinct per duplicate row.
+    Without it, the salt hashes the full row excluding map-typed
+    columns (``xxhash64`` rejects maps); LIMITATION: byte-identical
+    duplicate rows of a hot key then share one salt bucket and get no
+    spreading — the duplicated-row skew case needs ``unique_col``.
+    Join RESULTS are salt-value-independent either way (the right side
+    carries every salt), so a "wrong" bucket only costs balance.
 
     Use when AQE's skew-join split can't apply (it only splits
     sort-merge-join partitions, and only when the skew is visible in
@@ -122,8 +170,17 @@ def salted_join(left: DataFrame, right: DataFrame, keys,
     if isinstance(keys, str):
         keys = [keys]
     keys = list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
-                  F.lit(n_salts)).cast("int")
+    if n_salts is None:
+        n_salts = skew_salt_count(left, keys)
+    if n_salts <= 1:
+        return left.join(right, keys, how)
+    if unique_col is not None:
+        salt_src = [F.col(unique_col)]
+    else:
+        from pyspark.sql import types as T
+        salt_src = [F.col(f.name) for f in left.schema.fields
+                    if not isinstance(f.dataType, T.MapType)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
     lhs = left.withColumn("__salt__", salt)
     rhs = right.withColumn(
         "__salt__", F.explode(F.array(*[F.lit(i)
@@ -133,4 +190,4 @@ def salted_join(left: DataFrame, right: DataFrame, keys,
 
 
 __all__ = ["estimated_size", "scaled_width", "widen_partitions",
-           "salted_join"]
+           "salted_join", "skew_salt_count"]

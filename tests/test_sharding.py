@@ -94,3 +94,101 @@ class TestSaltedJoin:
                             .alias("s")).distinct().count()
         assert salts >= 7
         assert out.count() == 4000
+
+    def test_auto_fanout_from_key_stats(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            skew_salt_count,
+        )
+        # uniform keys: hottest ~ average -> 1 (no salting)
+        uniform = spark.range(0, 4000).select(
+            (F.col("id") % 100).alias("k"))
+        assert skew_salt_count(uniform, "k") == 1
+        # half the table on one key, local[4]: hot share 2000 vs
+        # avg-task 1000 -> 2 salts
+        skewed = spark.range(0, 4000).select(
+            F.when(F.col("id") < 2000, F.lit(7))
+             .otherwise(F.col("id")).alias("k"))
+        assert skew_salt_count(skewed, "k") == 2
+        # everything on one key: spread over every core —
+        # ceil(mx / (tot/par)) == par when mx == tot
+        hot = spark.range(0, 100000).select(F.lit(1).alias("k"))
+        par = spark.sparkContext.defaultParallelism
+        assert skew_salt_count(hot, "k") == min(64, par)
+
+    def test_uniform_keys_take_the_plain_join_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            salted_join,
+        )
+        left = spark.range(0, 1000).select((F.col("id") % 50).alias("k"),
+                                           F.col("id").alias("v"))
+        right = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(50)], "k long, name string")
+        out = salted_join(left, right, "k")  # auto -> 1 -> plain join
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt__" not in plan  # no salt column, no explode
+        assert "Generate" not in plan  # no right-side replication
+        assert out.count() == 1000
+
+    def test_unique_col_spreads_duplicate_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            salted_join,
+        )
+        # byte-identical duplicate rows of one hot key: full-row hashing
+        # gives them all ONE salt (the documented limitation); a unique
+        # id column must spread them
+        left = (spark.range(0, 4096)
+                .select(F.lit(1).alias("k"), F.lit("same").alias("v"),
+                        F.col("id").alias("row_id")))
+        right = spark.createDataFrame([(1, "x")], "k long, name string")
+        out = salted_join(left, right, "k", n_salts=8,
+                          unique_col="row_id")
+        assert out.count() == 4096
+        # replay the operator's salt: all 8 buckets used
+        used = left.select(
+            F.pmod(F.xxhash64("row_id"), F.lit(8)).alias("s")) \
+            .distinct().count()
+        assert used == 8
+        # contrast: identical (k, v) rows WITHOUT row_id hash to 1 salt
+        dup_only = left.select("k", "v")
+        one = dup_only.select(
+            F.pmod(F.xxhash64("k", "v"), F.lit(8)).alias("s")) \
+            .distinct().count()
+        assert one == 1
+
+    def test_salted_plan_does_not_double_salt_under_aqe(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            salted_join,
+        )
+        left = spark.range(0, 4000).select(F.lit(1).alias("k"),
+                                           F.col("id").alias("v"))
+        right = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(8)], "k long, name string")
+        out = salted_join(left, right, "k", n_salts=8, unique_col="v")
+        out.count()  # materialize so AQE finalizes the physical plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE marks its own skew-split joins "skew=true"; the salted
+        # plan must not ALSO carry that (exactly one mechanism applies)
+        assert "skew=true" not in plan
+
+    def test_map_typed_columns_are_hashable(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            salted_join,
+        )
+        # xxhash64 rejects map columns — the full-row salt must skip
+        # them instead of failing analysis
+        left = spark.range(0, 100).select(
+            F.lit(1).alias("k"), F.col("id").alias("v"),
+            F.create_map(F.lit("a"), F.col("id")).alias("m"))
+        right = spark.createDataFrame([(1, "x")], "k long, name string")
+        out = salted_join(left, right, "k", n_salts=4)
+        assert out.count() == 100
