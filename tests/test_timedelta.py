@@ -105,3 +105,79 @@ def test_infer_delta_unsorted_and_duplicates(spark):
     df = spark.createDataFrame([(m,) for m in months], "t timestamp")
     d = infer_delta(df, "t")
     assert d.deltas == [(1, "month")]
+
+
+# --------------------------------------------------- pre-1970 (negative epoch)
+# Verbatim ports of the reference's negative-epoch construction cases
+# (tests/test_timeseries.py:39-103): 1890 predates the epoch AND 1900
+# was not a leap year while 2000 was, so these pin both the epoch sign
+# handling and the Julian/Gregorian leap logic on either side of 1970.
+
+def test_reference_epoch_goldens_python():
+    # reference test_timestamp_windows hardcoded UTC truth values
+    years = [1890, 1991, 2004]
+    expected = [-2514083978.999995, 673125621.000005, 1083439221.000005]
+    for y, want in zip(years, expected):
+        d = dt.datetime(y, 5, 1, 19, 20, 21, 5, tzinfo=dt.timezone.utc)
+        assert d.timestamp() == want
+
+
+def test_reference_fromtimestamp_golden():
+    # reference test_fromtimestamp: -1234567890 s -> 1930-11-18 00:28:30Z
+    got = dt.datetime.fromtimestamp(-1234567890, tz=dt.timezone.utc)
+    assert got == dt.datetime(1930, 11, 18, 0, 28, 30,
+                              tzinfo=dt.timezone.utc)
+
+
+def test_reference_epoch_goldens_spark(spark):
+    """The same three instants through Spark: a pre-1970 timestamp must
+    round-trip to the identical negative epoch micros (UTC session)."""
+    from pyspark.sql import functions as F
+
+    rows = [(dt.datetime(y, 5, 1, 19, 20, 21, 5),)
+            for y in (1890, 1991, 2004)]
+    df = spark.createDataFrame(rows, "t timestamp")
+    got = [r[0] for r in
+           df.select(F.unix_micros("t")).orderBy("unix_micros(t)").collect()]
+    assert got == [-2514083978999995, 673125621000005, 1083439221000005]
+
+
+def test_add_time_pre1970_month_clamp():
+    # month stepping across a pre-1970 leap boundary: 1896 IS a leap
+    # year (divisible by 4), 1900 is NOT (century rule)
+    assert add_time(dt.datetime(1896, 1, 31), (1, "month"), 1) \
+        == dt.datetime(1896, 2, 29)
+    assert add_time(dt.datetime(1900, 1, 31), (1, "month"), 1) \
+        == dt.datetime(1900, 2, 28)
+    # stepping BACKWARD over the epoch boundary
+    assert add_time(dt.datetime(1970, 1, 15), (1, "month"), -1) \
+        == dt.datetime(1969, 12, 15)
+    assert add_time(dt.datetime(1930, 11, 18, 0, 28, 30), (1, "year"), -40) \
+        == dt.datetime(1890, 11, 18, 0, 28, 30)
+
+
+def test_infer_delta_pre1970_monthly(spark):
+    """Monthly inference on an 1890s series — symbolic month
+    classification must not depend on the epoch sign."""
+    rows = [(dt.datetime(1890 + (m // 12), (m % 12) + 1, 1),)
+            for m in range(24)]
+    df = spark.createDataFrame(rows, "t timestamp")
+    d = infer_delta(df, "t")
+    assert d.backwards_compatible_delta == (1, "month")
+
+
+def test_from_sequence_pre1970_start(spark):
+    """from_sequence with an 1890 start synthesizes correct pre-1970
+    calendar months (reference make_timeseries_from_sequence semantics
+    at any epoch sign)."""
+    from pyspark.sql import functions as F
+
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+
+    base = spark.range(4).select(F.col("id").alias("v"))
+    tsf = TimeSeriesFrame.from_sequence(
+        base, (1, "month"), start=dt.datetime(1890, 1, 31),
+        order_col="v")
+    got = [r["T"] for r in tsf.df.orderBy("v").collect()]
+    assert got == [dt.datetime(1890, 1, 31), dt.datetime(1890, 2, 28),
+                   dt.datetime(1890, 3, 31), dt.datetime(1890, 4, 30)]
