@@ -566,3 +566,123 @@ def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
                     cent[j] = S[msk].mean(0)
         books.append(cent.tolist())
     return books
+
+
+def ivfpq_index(corpus: DataFrame, centroids, codebooks,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                code_col: str = "pq_code") -> DataFrame:
+    """Build the IVF-PQ index in ONE corpus pass: every vector gets its
+    nearest coarse centroid (inverted-list key) AND its PQ code —
+    ``(id, centroid_id, pq_code)``, M+4 bytes of payload per vector.
+    This is the production index layout for billion-vector ANN (FAISS
+    IVFPQ): the coarse quantizer bounds the scan, the codes bound the
+    memory traffic.  Single Arrow stage, both models ride the closure;
+    the corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.array(centroids, dtype=np.float64)
+    M = len(codebooks)
+    ds = len(codebooks[0][0])
+    B = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    id_field = corpus.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_field),
+        T.StructField("centroid_id", T.IntegerType()),
+        T.StructField(code_col, T.ArrayType(T.IntegerType()))])
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # coarse assign: argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
+            scores = X @ C.T - 0.5 * (C * C).sum(1)
+            cid = scores.argmax(1).astype("int32")
+            # PQ encode, dimension-sequential accumulation (IEEE order
+            # == the SQL oracle's explicit term chain, cf. pq_encode)
+            codes = np.empty((len(X), M), dtype="int32")
+            for m in range(M):
+                acc = np.zeros((len(X), B[m].shape[0]))
+                for i in range(ds):
+                    d = X[:, m * ds + i][:, None] - B[m][None, :, i]
+                    acc = acc + d * d
+                codes[:, m] = np.argmin(acc, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "centroid_id": cid,
+                                code_col: [list(r) for r in codes]})
+
+    base = widen_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
+    return base.mapInPandas(build, schema)
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
+               k: int = 5, vec_col: str = "embedding",
+               id_col: str = "vec_id", query_id_col: str = "query_id",
+               n_centroids: int = 16, nprobe: int = 4,
+               centroids=None, seed: int = 7) -> DataFrame:
+    """IVF-PQ composite ANN top-k — probe lists bound the candidates,
+    asymmetric-distance (ADC) code lookups bound the arithmetic: the
+    production serving shape for 100 TB embedding corpora (both halves
+    individually verified as ``ivf_topk`` / ``pq_topk``).
+
+    Plan: the index (:func:`ivfpq_index`) is one Arrow pass over the
+    corpus; queries explode to their ``nprobe`` nearest lists and carry
+    their M×K ADC lookup tables as Catalyst array columns; candidates
+    come from an equi-join on ``centroid_id`` with the (tiny) query side
+    broadcast — the corpus side moves only (id, centroid_id, M codes),
+    never vectors; scoring is M ``element_at`` lookups.  Ranks order by
+    the ROUNDED distance (6 dp) then id, ties deterministic."""
+    import functools
+    import operator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        seed=seed, id_col=id_col)
+    C = np.array(centroids, dtype=np.float64)
+    M = len(codebooks)
+    ds = len(codebooks[0][0])
+
+    index = ivfpq_index(
+        corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col)),
+        centroids, codebooks, vec_col=vec_col, id_col="nn_id")
+
+    qbase = queries.select(F.col(query_id_col),
+                           _as_double(F.col(vec_col)).alias("qvec"))
+    qschema = T.StructType(list(qbase.schema.fields)
+                           + [T.StructField("centroid_id",
+                                            T.IntegerType())])
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            scores = X @ C.T - 0.5 * (C * C).sum(1)
+            order = np.argsort(-scores, axis=1)[:, :nprobe]
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep["centroid_id"] = order.ravel().astype("int32")
+            yield rep
+
+    q = qbase.mapInPandas(probe, schema=qschema)
+    luts = q.select(
+        query_id_col, "centroid_id",
+        *[_dists_to_codebook(F.col("qvec"), m * ds, ds, cb)
+          .alias(f"__lut{m}__") for m, cb in enumerate(codebooks)])
+    joined = (index.join(F.broadcast(luts), "centroid_id")
+              .where(F.col("nn_id") != F.col(query_id_col)))
+    approx = functools.reduce(operator.add, [
+        F.element_at(F.col(f"__lut{m}__"),
+                     F.element_at(F.col("pq_code"), m + 1) + 1)
+        for m in range(M)])
+    scored = joined.select(query_id_col, "nn_id",
+                           F.round(approx, 6).alias("approx_l2"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_l2").asc(), F.col("nn_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

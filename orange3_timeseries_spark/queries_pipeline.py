@@ -1554,6 +1554,91 @@ def q_ann_pq_topk(spark, sf_dir):
     return S.pq_topk(e, queries, books, k=5)
 
 
+def _ivfpq_sql(M=8, ds=8, K=16, k=5, nprobe=4, n_queries=10):
+    """Composite IVF-PQ oracle: the served-IVF assignment/probe CTEs
+    (centroids = first 16 embeddings) composed with the PQ encode/ADC
+    CTEs (codebooks = subvector slices of the same rows) — both halves
+    identical to the already-verified ``ann_ivf_served_topk`` /
+    ``ann_pq_topk`` replays, joined on the probe lists."""
+    chain = " + ".join(
+        f"((s.sv[{i+1}]) - (b.cv[{i+1}])) * ((s.sv[{i+1}]) - (b.cv[{i+1}]))"
+        for i in range(ds))
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv,
+         list_inner_product(v, v) / 2.0 AS half_cc
+  FROM c WHERE vec_id < {K}),
+assign AS (  -- nearest coarse centroid per corpus vector
+  SELECT vec_id AS nn_id, cid
+  FROM c CROSS JOIN cent
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid) = 1),
+ms AS (SELECT unnest(generate_series(0, {M-1})) AS m),
+cb AS (SELECT x.vec_id AS j, ms.m,
+              list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS cv
+       FROM c x, ms WHERE x.vec_id < {K}),
+sl AS (SELECT x.vec_id, ms.m,
+              list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS sv
+       FROM c x, ms),
+enc AS MATERIALIZED (
+  SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+  FROM sl s JOIN cb b ON s.m = b.m),
+codes AS MATERIALIZED (SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, j) AS rn
+    FROM enc) t
+  WHERE rn = 1),
+probes AS (  -- each query probes its {nprobe} nearest inverted lists
+  SELECT vec_id AS query_id, cid
+  FROM c CROSS JOIN cent
+  WHERE vec_id < {n_queries}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid)
+      <= {nprobe}),
+adc AS (  -- ADC over probe-list candidates only
+  SELECT p.query_id, a.nn_id, sum(qe.dist) AS approx
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN codes cx ON cx.vec_id = a.nn_id
+  JOIN enc qe ON qe.vec_id = p.query_id
+             AND qe.m = cx.m AND qe.j = cx.code
+  WHERE a.nn_id != p.query_id
+  GROUP BY 1, 2)
+SELECT query_id, nn_id, approx_l2, rank FROM (
+  SELECT query_id, nn_id, round(approx, 6) AS approx_l2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(approx, 6), nn_id) AS rank
+  FROM adc) t
+WHERE rank <= {k}
+"""
+
+
+@query("ann_ivfpq_topk", _ivfpq_sql())
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN — the production index shape for 100 TB
+    embedding corpora (FAISS IVFPQ): coarse probe lists bound the
+    candidate scan, PQ ADC lookups bound the per-candidate arithmetic.
+    Models injected deterministically (centroids = first 16 embeddings,
+    codebooks = their subvector slices — the same bounded collects the
+    individually-verified ``ann_ivf_served_topk`` / ``ann_pq_topk``
+    use), so list assignment, probe selection, PQ encoding, and ADC
+    ranking are ALL value-hash-verified end to end; recall vs brute
+    force is asserted in tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    M, ds = 8, 8
+    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+              for r in cent_rows] for m in range(M)]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivfpq_topk(e, queries, books, k=5, n_centroids=16,
+                        nprobe=4, centroids=centroids)
+
+
 @query("leakage_safe_split", f"""
 WITH lab AS (SELECT doc_id, cluster_id FROM ({_clusters_sql()}))
 SELECT doc_id, cluster_id,

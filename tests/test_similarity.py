@@ -138,3 +138,74 @@ class TestPQ:
         for qid, grp in approx.groupby("query_id"):
             assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
             assert grp.sort_values("rank")["approx_l2"].is_monotonic_increasing
+
+
+class TestIVFPQ:
+    def test_ivfpq_cluster_recall_and_agreement(self, spark, emb_df):
+        """Composite IVF-PQ: retrieved neighbors come from the query's
+        true cluster, ranks are well-formed, and restricting PQ's ADC
+        to IVF probe lists loses nothing vs plain pq_topk when the
+        probes cover the query's cluster (nprobe=8 of 8 = exhaustive
+        probing makes the candidate sets identical, so the two results
+        must agree exactly)."""
+        from orange3_timeseries_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_topk,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(emb_df, n_subspaces=4, n_centroids=16,
+                                   seed=7)
+        cents = train_ivf_centroids(emb_df, n_centroids=8, seed=7)
+        out = ivfpq_topk(emb_df, _queries(emb_df), books, k=5,
+                         nprobe=2, centroids=cents).toPandas()
+        same = sum(int(r.nn_id) % 8 == int(r.query_id) % 8
+                   for _, r in out.iterrows())
+        assert same / len(out) >= 0.9
+        for qid, grp in out.groupby("query_id"):
+            assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
+            assert grp.sort_values("rank")["approx_l2"] \
+                .is_monotonic_increasing
+        # exhaustive probing == plain PQ (identical candidates + ADC)
+        full = ivfpq_topk(emb_df, _queries(emb_df), books, k=5,
+                          nprobe=8, centroids=cents).toPandas()
+        plain = pq_topk(emb_df, _queries(emb_df), books, k=5).toPandas()
+        key = ["query_id", "rank"]
+        f = full.sort_values(key).reset_index(drop=True)
+        p = plain.sort_values(key).reset_index(drop=True)
+        assert (f["nn_id"] == p["nn_id"]).all()
+        np.testing.assert_allclose(f["approx_l2"], p["approx_l2"],
+                                   atol=1e-9)
+
+    def test_ivfpq_index_one_pass_layout(self, spark, emb_df):
+        """The index is (id, centroid_id, pq_code) — skinny payload,
+        single Arrow stage, consistent with the standalone assigners."""
+        from orange3_timeseries_spark.operators.similarity import (
+            _assign_centroid,
+            ivfpq_index,
+            pq_encode,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(emb_df, n_subspaces=4, n_centroids=16,
+                                   seed=7)
+        cents = train_ivf_centroids(emb_df, n_centroids=8, seed=7)
+        idx = ivfpq_index(emb_df, cents, books).toPandas()
+        assert list(idx.columns) == ["vec_id", "centroid_id", "pq_code"]
+        assert len(idx) == emb_df.count()
+        assert idx["centroid_id"].between(0, 7).all()
+        # agrees with the standalone centroid assigner and PQ encoder
+        solo_assign = _assign_centroid(
+            emb_df.select("vec_id",
+                          F.transform("embedding",
+                                      lambda x: x.cast("double"))
+                          .alias("v")), "v", cents).toPandas()
+        m = idx.merge(solo_assign[["vec_id", "centroid_id"]],
+                      on="vec_id", suffixes=("", "_solo"))
+        assert (m["centroid_id"] == m["centroid_id_solo"]).all()
+        solo_codes = {r.vec_id: list(r.pq_code)
+                      for r in pq_encode(emb_df, books).collect()}
+        for _, r in idx.iterrows():
+            assert list(r.pq_code) == solo_codes[r.vec_id]
