@@ -221,3 +221,82 @@ def evaluate_by_series(tsf: TimeSeriesFrame, col: str,
                                columns=[f.name for f in schema.fields])
 
     return packed.mapInPandas(run, schema=schema)
+
+
+#: default IC grid: p x d x q over the small orders practitioners
+#: actually search first (Box-Jenkins step-down); extend per call
+DEFAULT_ORDER_GRID = ((1, 0, 0), (2, 0, 0), (1, 0, 1), (2, 0, 1),
+                      (1, 1, 0), (2, 1, 0), (1, 1, 1), (2, 1, 1))
+
+
+def auto_arima_order_by_series(tsf: TimeSeriesFrame, col: str,
+                               orders: Sequence = DEFAULT_ORDER_GRID,
+                               ic: str = "aic",
+                               quantize: Optional[int] = None,
+                               keep_all: bool = False) -> DataFrame:
+    """Distributed ARIMA order selection — the step the reference leaves
+    to the user (``owarimamodel.py:48-55`` exposes manual (p,d,q)
+    spinners): fit every candidate order per series and keep the one
+    minimizing AIC/BIC (Hyndman-Khandakar-style grid step, simplified to
+    a fixed grid so the search is embarrassingly parallel).
+
+    Scale plan: the packed series table (one row per series, values as
+    a sorted array) EXPLODES to one row per (series, candidate order),
+    so the grid × series product — not just the series count — is the
+    parallel unit; a 1000-executor cluster stays busy even with few
+    series.  Each fit is the closed-form Hannan-Rissanen pass
+    (``ARIMA(method='hr')``); the winner is a per-series min over a
+    skinny (series, p, d, q, ic) table.  ``quantize`` applies the same
+    determinism firewall as the forecast oracle; ICs round to 6 dp
+    before ranking so engine/oracle winner selection can never diverge
+    on float noise.  ``keep_all=True`` returns the full scored grid
+    (one row per order) instead of only the winner."""
+    from pyspark.sql import Window
+
+    from orange3_timeseries_spark.models.arima import ARIMA
+
+    if ic not in ("aic", "bic"):
+        raise ValueError("ic must be 'aic' or 'bic'")
+    order_expr = _order_col(tsf)
+    df, groups, _ = _grouped(tsf, keep_cols=[order_expr, col])
+    packed = _pack_series(df, groups, order_expr, [col])
+    grid = packed.withColumn(
+        "__ord__",
+        F.explode(F.array(*[
+            F.struct(F.lit(int(p)).alias("p"), F.lit(int(d)).alias("d"),
+                     F.lit(int(q)).alias("q"))
+            for (p, d, q) in orders])))
+    schema = _series_schema(groups, df, [
+        T.StructField("p", T.IntegerType()),
+        T.StructField("d", T.IntegerType()),
+        T.StructField("q", T.IntegerType()),
+        T.StructField("aic", T.DoubleType()),
+        T.StructField("bic", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                o = r["__ord__"]
+                p_, d_, q_ = int(o["p"]), int(o["d"]), int(o["q"])
+                y = np.asarray(r[col], dtype=float)
+                try:
+                    m = ARIMA((p_, d_, q_), quantize=quantize).fit(
+                        y, var_names=[col])
+                    res = m.results
+                    rows.append(keys + [p_, d_, q_, float(res.aic),
+                                        float(res.bic)])
+                except Exception:
+                    pass  # series too short for this order: no row
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    scored = grid.mapInPandas(run, schema=schema)
+    if keep_all:
+        return scored
+    w = Window.partitionBy(*groups).orderBy(
+        F.round(F.col(ic), 6).asc(), F.col("p"), F.col("d"), F.col("q"))
+    return (scored.withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") == 1).drop("__rk__"))

@@ -633,3 +633,139 @@ def q_ar1_fitted_by_user(spark, sf_dir):
     out = packed.mapInPandas(run, schema=schema)
     return out.select("user_id", "event_id", r6(F.col("fitted"), "fitted"),
                       r6(F.col("resid"), "resid"))
+
+
+def _auto_order_sql(m=10, dp=7,
+                    orders=((1, 0, 0), (2, 0, 0), (1, 0, 1), (2, 0, 1),
+                            (1, 1, 0), (2, 1, 0), (1, 1, 1), (2, 1, 1))):
+    """Unrolled per-order Hannan-Rissanen AIC replay over the whole
+    (p,d,q) grid: per differencing level one shared stage-1 long-AR
+    (order ``m``) elimination + residual proxies, then per order a
+    (1+p+q)-variable stage-2 elimination, residual RSS, and the exact
+    engine IC formulas
+
+        aic = 2k + rows*(ln(2*pi*rss/rows) + 1)
+        bic = k*ln(rows) + rows*(ln(2*pi*rss/rows) + 1)
+
+    with k = 1+p+q and rows = n_d - max(p,q); the per-series winner is
+    the min over round(aic, 6) with (p,d,q) tie-break — the identical
+    rounded ranking the engine applies, so float noise cannot flip the
+    selected order on one side only."""
+    ctes = [f"""s AS MATERIALIZED (
+  SELECT user_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events),
+wd0 AS MATERIALIZED (SELECT user_id, rn AS t, cnt AS n, y AS w FROM s),
+wd1 AS MATERIALIZED (
+  SELECT user_id, rn - 1 AS t, cnt - 1 AS n,
+         y - lag(y) OVER (PARTITION BY user_id ORDER BY rn) AS w
+  FROM s QUALIFY w IS NOT NULL)"""]
+    # one stage-1 long-AR per differencing level that any MA order uses
+    ds_with_ma = sorted({d for (_, d, q) in orders if q > 0})
+    for d in ds_with_ma:
+        ctes.append(f"""z1d{d} AS MATERIALIZED (
+  SELECT a.user_id, a.t, g.i,
+         CASE WHEN g.i = 0 THEN 1.0::DOUBLE ELSE b.w END AS x,
+         a.w AS yt
+  FROM wd{d} a
+  CROSS JOIN (SELECT unnest(generate_series(0, {m})) AS i) g
+  LEFT JOIN wd{d} b ON b.user_id = a.user_id AND b.t = a.t - g.i
+  WHERE a.t > {m}),
+aug1d{d} AS MATERIALIZED (
+  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  FROM z1d{d} zi JOIN z1d{d} zj
+    ON zi.user_id = zj.user_id AND zi.t = zj.t
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT user_id, i, {m + 1} AS j, sum(x * yt) AS a
+  FROM z1d{d} GROUP BY 1, 2)""")
+        ctes.extend(_gauss_sql(f"1d{d}", m + 1, f"aug1d{d}", dp))
+        ctes.append(f"""ed{d} AS MATERIALIZED (
+  SELECT w.user_id, w.t,
+         CASE WHEN w.t <= {m} THEN 0.0::DOUBLE
+              ELSE round(w.w - p.pred, {dp}) END AS e
+  FROM wd{d} w LEFT JOIN (
+    SELECT z.user_id, z.t, sum(z.x * b.v) AS pred
+    FROM z1d{d} z JOIN beta1d{d} b
+      ON b.user_id = z.user_id AND b.i = z.i
+    GROUP BY 1, 2) p ON p.user_id = w.user_id AND p.t = w.t)""")
+    ic_names = []
+    for (p, d, q) in orders:
+        r = max(p, q)
+        dim = 1 + p + q
+        o = f"{p}{d}{q}"
+        cases = ["WHEN 0 THEN 1.0::DOUBLE"]
+        joins = []
+        for j in range(1, p + 1):
+            cases.append(f"WHEN {j} THEN w{j}.w")
+            joins.append(f"  LEFT JOIN wd{d} w{j} ON w{j}.user_id = "
+                         f"a.user_id AND w{j}.t = a.t - {j}")
+        for j in range(1, q + 1):
+            cases.append(f"WHEN {p + j} THEN e{j}.e")
+            joins.append(f"  LEFT JOIN ed{d} e{j} ON e{j}.user_id = "
+                         f"a.user_id AND e{j}.t = a.t - {j}")
+        ctes.append(f"""z{o} AS MATERIALIZED (
+  SELECT a.user_id, a.t, g.i,
+         CASE g.i {' '.join(cases)} END AS x,
+         a.w AS yt
+  FROM wd{d} a
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+{chr(10).join(joins)}
+  WHERE a.t > {r}),
+aug{o} AS MATERIALIZED (
+  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  FROM z{o} zi JOIN z{o} zj
+    ON zi.user_id = zj.user_id AND zi.t = zj.t
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT user_id, i, {dim} AS j, sum(x * yt) AS a
+  FROM z{o} GROUP BY 1, 2)""")
+        ctes.extend(_gauss_sql(o, dim, f"aug{o}", dp))
+        ctes.append(f"""ic{o} AS (
+  SELECT r.user_id, {p} AS p, {d} AS d, {q} AS q,
+         {dim} AS k, count(*) AS nrows, sum(r.res * r.res) AS rss
+  FROM (
+    SELECT z.user_id, z.t,
+           any_value(z.yt) - sum(z.x * b.v) AS res
+    FROM z{o} z JOIN beta{o} b
+      ON b.user_id = z.user_id AND b.i = z.i
+    GROUP BY z.user_id, z.t) r
+  GROUP BY 1)""")
+        ic_names.append(f"SELECT * FROM ic{o}")
+    ctes.append(f"""allic AS (
+  SELECT user_id, p, d, q,
+         2 * k + nrows * (ln(2 * pi() * (rss / nrows)) + 1) AS aic,
+         k * ln(nrows) + nrows * (ln(2 * pi() * (rss / nrows)) + 1)
+             AS bic
+  FROM ({' UNION ALL '.join(ic_names)}))""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT user_id, p, d, q, round(aic, 6) AS aic, round(bic, 6) AS bic
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY round(aic, 6), p, d, q) AS rk
+  FROM allic) t
+WHERE rk = 1"""
+
+
+@query("arima_auto_order_by_user", _auto_order_sql())
+def q_arima_auto_order_by_user(spark, sf_dir):
+    """Automatic ARIMA order selection per series — the step the
+    reference leaves to manual spinners (``owarimamodel.py:48-55``):
+    the 8-order (p,d,q) grid fits distributed over grid × series (the
+    packed table explodes per candidate order), AIC decides, (p,d,q)
+    breaks ties.  The oracle replays the ENTIRE grid — per differencing
+    level one stage-1 long-AR elimination, per order a stage-2
+    elimination + RSS + the exact AIC/BIC formulas — and re-derives the
+    same winner, so both the fits and the selection are value-hash
+    verified.  Both engines quantize stage coefficients to 7 decimals
+    and rank on round(aic, 6)."""
+    from orange3_timeseries_spark.models.spark import (
+        auto_arima_order_by_series,
+    )
+
+    out = auto_arima_order_by_series(_events(spark, sf_dir), "value",
+                                     quantize=7)
+    return out.select("user_id", "p", "d", "q",
+                      r6(F.col("aic"), "aic"), r6(F.col("bic"), "bic"))

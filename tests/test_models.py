@@ -465,3 +465,85 @@ class TestHoltWintersModel:
             fs = [r.forecast for r in sorted(out, key=lambda r: r.step)
                   if r.user_id == uid]
             assert fs == sorted(fs)
+
+
+class TestAutoOrder:
+    def test_grid_shape_and_winner(self, spark, series_df):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models.spark import (
+            DEFAULT_ORDER_GRID,
+            auto_arima_order_by_series,
+        )
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        full = auto_arima_order_by_series(tsf, "x",
+                                          keep_all=True).toPandas()
+        # one row per (series, order): every candidate fit
+        assert len(full) == 4 * len(DEFAULT_ORDER_GRID)
+        assert set(map(tuple, full[["p", "d", "q"]].values)) \
+            == set(DEFAULT_ORDER_GRID)
+        win = auto_arima_order_by_series(tsf, "x").toPandas()
+        assert len(win) == 4  # exactly one winner per series
+        # the winner IS the grid argmin on (round(aic,6), p, d, q)
+        for uid, grp in full.groupby("user_id"):
+            g = grp.assign(a6=grp["aic"].round(6)) \
+                .sort_values(["a6", "p", "d", "q"])
+            best = g.iloc[0]
+            w = win[win["user_id"] == uid].iloc[0]
+            assert (w.p, w.d, w.q) == (best.p, best.d, best.q)
+
+    def test_selects_parsimonious_order_on_ar1(self, spark, series_df):
+        """On a true AR(1) the winner should be a stationary low-order
+        model — AIC's parsimony penalty must actually bite (never the
+        full (2,1,1) everywhere)."""
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models.spark import (
+            auto_arima_order_by_series,
+        )
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        win = auto_arima_order_by_series(tsf, "x").toPandas()
+        assert (win["d"] == 0).all()  # AR(1) data is stationary
+
+    def test_bic_ranking_and_aic_matches_local_fit(self, spark,
+                                                   series_df):
+        import numpy as np
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models.spark import (
+            auto_arima_order_by_series,
+        )
+        tsf = TimeSeriesFrame(series_df, time_col="t",
+                              series_cols=["user_id"])
+        win = auto_arima_order_by_series(tsf, "x", ic="bic").toPandas()
+        assert len(win) == 4
+        # distributed AIC equals the local single-series fit exactly
+        full = auto_arima_order_by_series(tsf, "x",
+                                          keep_all=True).toPandas()
+        y = np.array([r.x for r in series_df.where("user_id = 2")
+                      .orderBy("t").collect()])
+        local = ARIMA((2, 0, 1)).fit(y)
+        got = full[(full.user_id == 2) & (full.p == 2)
+                   & (full.d == 0) & (full.q == 1)].iloc[0]
+        assert got.aic == pytest.approx(local.results.aic, rel=1e-12)
+        assert got.bic == pytest.approx(local.results.bic, rel=1e-12)
+
+    def test_too_short_series_drops_orders_not_job(self, spark):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models.spark import (
+            auto_arima_order_by_series,
+        )
+        rows = [(0, t, float(t + 0.5)) for t in range(3)] + \
+               [(1, t, float(_ar1(120, 0.5, 0.0, 9)[t]))
+                for t in range(120)]
+        df = spark.createDataFrame(rows, "user_id int, t int, x double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        full = auto_arima_order_by_series(tsf, "x",
+                                          keep_all=True).toPandas()
+        # a 3-point series passes the n > p+q+1 length guard only for
+        # (1,0,0); every other order is silently skipped — NO exception
+        # escapes the Arrow stage, the long series is unaffected
+        assert set(map(tuple,
+                       full[full.user_id == 0][["p", "d", "q"]].values)) \
+            == {(1, 0, 0)}
+        assert len(full[full.user_id == 1]) == 8
