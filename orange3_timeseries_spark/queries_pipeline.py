@@ -2383,3 +2383,53 @@ def q_url_dedup_canonical(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy)
         .alias("url"))
     return url_dedup(urls, "url", "doc_id")
+
+
+# ------------------------------------------------- n-gram LM quality tier
+_LM_TOKS = ("list_filter(string_split(trim(regexp_replace(regexp_replace("
+            "lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), "
+            "' '), t -> t != '')")
+
+
+@query("lm_perplexity_by_doc", f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_LM_TOKS} AS ts FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1))
+                      AS i) g),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) t GROUP BY 1),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+lp AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c2, 0) + 0.5) / (u.c1 + 0.5 * v.V)) AS lp
+  FROM pairs p
+  LEFT JOIN bi b USING (w1, w2)
+  JOIN uni u ON u.w = p.w1
+  CROSS JOIN v),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
+        FROM lp GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(a.avg_lp, 6) AS avg_logp,
+       round(exp(-a.avg_lp), 6) AS ppl
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def q_lm_perplexity_by_doc(spark, sf_dir):
+    """Bigram-LM perplexity per document — the KenLM-style quality gate
+    (CCNet / Gopher / FineWeb score documents against a reference LM
+    and drop the high-perplexity tail), self-trained on the corpus with
+    add-0.5 smoothing.  Training is two map-combinable gram counts,
+    scoring one join per gram table and a groupBy back to the document
+    — no external LM, everything Catalyst.  The oracle retrains the
+    identical counts and replays the smoothed log-prob algebra."""
+    from orange3_timeseries_spark.operators.lm import bigram_perplexity
+
+    d = read_table(spark, sf_dir, "documents")
+    out = bigram_perplexity(d, "doc_id", "text", k=0.5)
+    return out.select("doc_id", "n_bigrams",
+                      r6(F.col("avg_logp"), "avg_logp"),
+                      r6(F.col("ppl"), "ppl"))
