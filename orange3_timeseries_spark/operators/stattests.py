@@ -1,0 +1,120 @@
+"""Distributed stationarity testing: Augmented Dickey-Fuller per series.
+
+The reference's modeling tier assumes the user differences by eye (the
+ARIMA widget's ``d`` spinner, ``owarimamodel.py:48-55``); at pipeline
+scale the differencing decision must be automatic, and ADF is the
+standard test (Said-Dickey 1984): regress
+
+    Δy_t = α + β·y_{t-1} + γ·Δy_{t-1} + ε_t
+
+and compare ``tau = β̂ / se(β̂)`` against Dickey-Fuller critical values
+— a unit root (β = 0, needs differencing) is rejected when tau is more
+negative than the critical value.
+
+Scale design: everything is ONE ``groupBy(series)`` of Gram-matrix sums
+(ten map-combinable aggregates over lag expressions) followed by
+closed-form scalar algebra — Cramer's rule for the 3×3 normal
+equations, the cofactor for the variance diagonal — in pure Catalyst
+columns.  No Python, no per-series Arrow batch, exchanges = 1; a
+billion series cost one skinny shuffle.
+
+Determinism firewall (cf. ``ARIMA(quantize=...)``): the Gram sums are
+rounded to ``quantize`` decimals BEFORE the scalar algebra, so a SQL
+replay aggregating in a different order runs the identical closed-form
+arithmetic from identical inputs.
+
+Critical values: MacKinnon (2010, "Critical Values for Cointegration
+Tests", QED wp 1227, Table 1, constant / no-trend, N=1) response
+surface ``cv(T) = b_inf + b1/T + b2/T² [+ b3/T³]`` at the regression
+sample size — the same surface statsmodels evaluates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["adf_test", "MACKINNON_2010_CONST"]
+
+#: (b_inf, b1, b2, b3) rows for 1% / 5% / 10%, constant-only model
+MACKINNON_2010_CONST = {
+    "1pct": (-3.43035, -6.5393, -16.786, -79.433),
+    "5pct": (-2.86154, -2.8903, -4.234, -40.04),
+    "10pct": (-2.56677, -1.5384, -2.809, 0.0),
+}
+
+
+def _cv(level: str, n: Column) -> Column:
+    b0, b1, b2, b3 = MACKINNON_2010_CONST[level]
+    return (F.lit(b0) + F.lit(b1) / n + F.lit(b2) / (n * n)
+            + F.lit(b3) / (n * n * n))
+
+
+def adf_test(df: DataFrame, time_col: str, value_col: str,
+             series_cols: Sequence[str], quantize: int = 7) -> DataFrame:
+    """One ADF row per series: ``(series..., n_obs, beta, tau, cv_1pct,
+    cv_5pct, cv_10pct, stationary_5pct)``.
+
+    ``n_obs`` is the regression sample size (series length − 2: one
+    observation for the level lag, one for the augmented difference
+    lag); series with fewer than 10 usable rows are dropped — a 3-
+    variable regression on less is noise."""
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    y = F.col(value_col).cast("double")
+    ylag = F.lag(y, 1).over(w)
+    dy = y - ylag
+    base = df.select(*series_cols, F.col(time_col), y.alias("__y__"),
+                     ylag.alias("__x__"), dy.alias("__t__"))
+    dlag = F.lag(F.col("__t__"), 1).over(
+        Window.partitionBy(*series_cols).orderBy(time_col))
+    rows = (base.withColumn("__d__", dlag)
+            .where(F.col("__t__").isNotNull()
+                   & F.col("__x__").isNotNull()
+                   & F.col("__d__").isNotNull()))
+
+    q = quantize
+    r = lambda c: F.round(c, q)  # noqa: E731 — the firewall
+    x, d, t = F.col("__x__"), F.col("__d__"), F.col("__t__")
+    g = rows.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        r(F.sum(x)).alias("sx"), r(F.sum(d)).alias("sd"),
+        r(F.sum(t)).alias("st"),
+        r(F.sum(x * x)).alias("sxx"), r(F.sum(d * d)).alias("sdd"),
+        r(F.sum(x * d)).alias("sxd"),
+        r(F.sum(x * t)).alias("sxt"), r(F.sum(d * t)).alias("sdt"),
+        r(F.sum(t * t)).alias("stt"))
+    g = g.where(F.col("n") >= 10)
+
+    # Cramer's rule on A = [[n,sx,sd],[sx,sxx,sxd],[sd,sxd,sdd]],
+    # b = [st,sxt,sdt] — EXACTLY this association order is mirrored in
+    # the SQL oracle, so scalar IEEE arithmetic agrees bit for bit
+    n, sx, sd = F.col("n"), F.col("sx"), F.col("sd")
+    st, sxx, sdd = F.col("st"), F.col("sxx"), F.col("sdd")
+    sxd, sxt, sdt, stt = (F.col("sxd"), F.col("sxt"), F.col("sdt"),
+                          F.col("stt"))
+    det = (n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+           + sd * (sx * sxd - sxx * sd))
+    alpha = (st * (sxx * sdd - sxd * sxd) - sx * (sxt * sdd - sxd * sdt)
+             + sd * (sxt * sxd - sxx * sdt)) / det
+    beta = (n * (sxt * sdd - sdt * sxd) - st * (sx * sdd - sxd * sd)
+            + sd * (sx * sdt - sxt * sd)) / det
+    gamma = (n * (sxx * sdt - sxd * sxt) - sx * (sx * sdt - sxt * sd)
+             + st * (sx * sxd - sxx * sd)) / det
+    g = g.withColumn("__a__", alpha).withColumn("__b__", beta) \
+         .withColumn("__g__", gamma)
+    a_, b_, g_ = F.col("__a__"), F.col("__b__"), F.col("__g__")
+    rss = stt - (a_ * st + b_ * sxt + g_ * sdt)
+    s2 = rss / (n - F.lit(3.0))
+    inv11 = (n * sdd - sd * sd) / det  # [(Z'Z)^-1] on the y_{t-1} term
+    tau = b_ / F.sqrt(s2 * inv11)
+    out = g.select(
+        *series_cols,
+        F.col("n").cast("long").alias("n_obs"),
+        b_.alias("beta"), tau.alias("tau"),
+        _cv("1pct", n).alias("cv_1pct"), _cv("5pct", n).alias("cv_5pct"),
+        _cv("10pct", n).alias("cv_10pct"))
+    return out.withColumn("stationary_5pct",
+                          (F.col("tau") < F.col("cv_5pct")))

@@ -769,3 +769,77 @@ def q_arima_auto_order_by_user(spark, sf_dir):
                                      quantize=7)
     return out.select("user_id", "p", "d", "q",
                       r6(F.col("aic"), "aic"), r6(F.col("bic"), "bic"))
+
+
+@query("adf_test_by_user", """
+WITH b AS (
+  SELECT user_id, ts, value::DOUBLE AS y,
+         lag(value::DOUBLE) OVER w AS x,
+         value::DOUBLE - lag(value::DOUBLE) OVER w AS t
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+rws AS (
+  SELECT user_id, x, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY ts) AS d
+  FROM b
+  QUALIFY t IS NOT NULL AND x IS NOT NULL AND d IS NOT NULL),
+g AS (
+  SELECT user_id, count(*)::DOUBLE AS n,
+         round(sum(x), 7) AS sx, round(sum(d), 7) AS sd,
+         round(sum(t), 7) AS st,
+         round(sum(x*x), 7) AS sxx, round(sum(d*d), 7) AS sdd,
+         round(sum(x*d), 7) AS sxd,
+         round(sum(x*t), 7) AS sxt, round(sum(d*t), 7) AS sdt,
+         round(sum(t*t), 7) AS stt
+  FROM rws GROUP BY 1
+  HAVING count(*) >= 10),
+c AS (
+  SELECT *,
+         (n*(sxx*sdd - sxd*sxd) - sx*(sx*sdd - sxd*sd)
+          + sd*(sx*sxd - sxx*sd)) AS det
+  FROM g),
+coef AS (
+  SELECT *,
+         (st*(sxx*sdd - sxd*sxd) - sx*(sxt*sdd - sxd*sdt)
+          + sd*(sxt*sxd - sxx*sdt)) / det AS a_,
+         (n*(sxt*sdd - sdt*sxd) - st*(sx*sdd - sxd*sd)
+          + sd*(sx*sdt - sxt*sd)) / det AS b_,
+         (n*(sxx*sdt - sxd*sxt) - sx*(sx*sdt - sxt*sd)
+          + st*(sx*sxd - sxx*sd)) / det AS g_
+  FROM c),
+fin AS (
+  SELECT user_id, n, b_ AS beta,
+         b_ / sqrt(((stt - (a_*st + b_*sxt + g_*sdt)) / (n - 3.0))
+                   * ((n*sdd - sd*sd) / det)) AS tau,
+         (-3.43035 + -6.5393/n + -16.786/(n*n)
+          + -79.433/(n*n*n)) AS cv1,
+         (-2.86154 + -2.8903/n + -4.234/(n*n)
+          + -40.04/(n*n*n)) AS cv5,
+         (-2.56677 + -1.5384/n + -2.809/(n*n)
+          + 0.0/(n*n*n)) AS cv10
+  FROM coef)
+SELECT user_id, n::BIGINT AS n_obs, round(beta, 6) AS beta,
+       round(tau, 6) AS tau, round(cv1, 6) AS cv_1pct,
+       round(cv5, 6) AS cv_5pct, round(cv10, 6) AS cv_10pct,
+       tau < cv5 AS stationary_5pct
+FROM fin
+""")
+def q_adf_test_by_user(spark, sf_dir):
+    """Augmented Dickey-Fuller unit-root test per series (constant, one
+    augmented lag): the automatic 'does this series need differencing'
+    decision the reference leaves to the user's d spinner
+    (``owarimamodel.py:48-55``).  Pure Catalyst — ten map-combinable
+    Gram sums per series, then closed-form Cramer's-rule algebra and
+    MacKinnon (2010) critical-value surfaces; exchanges = 1.  The
+    oracle replays the identical rounded-Gram firewall and scalar
+    formulas, so the statistic AND the stationarity verdict are
+    value-hash-verified."""
+    from orange3_timeseries_spark.operators.stattests import adf_test
+
+    df = read_table(spark, sf_dir, "events")
+    out = adf_test(df, "ts", "value", ["user_id"], quantize=7)
+    return out.select("user_id", "n_obs", r6(F.col("beta"), "beta"),
+                      r6(F.col("tau"), "tau"),
+                      r6(F.col("cv_1pct"), "cv_1pct"),
+                      r6(F.col("cv_5pct"), "cv_5pct"),
+                      r6(F.col("cv_10pct"), "cv_10pct"),
+                      "stationary_5pct")

@@ -1,0 +1,91 @@
+"""ADF unit-root test: numpy OLS cross-check, stationary vs random-walk
+behavior, MacKinnon critical values, plan purity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _series_df(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    # user 0: stationary AR(1), phi=0.5 -> ADF must reject the unit root
+    y = 0.0
+    for t in range(200):
+        y = 0.5 * y + rng.standard_normal()
+        rows.append((0, t, float(y)))
+    # user 1: pure random walk -> ADF must NOT reject
+    y = 0.0
+    for t in range(200):
+        y = y + rng.standard_normal()
+        rows.append((1, t, float(y)))
+    return spark.createDataFrame(rows, "user_id int, t int, v double")
+
+
+def _numpy_adf(y):
+    """Independent OLS reference for the same regression."""
+    y = np.asarray(y, dtype=float)
+    dy = np.diff(y)
+    t = dy[1:]                    # target Δy_t
+    x = y[1:-1]                   # y_{t-1}
+    d = dy[:-1]                   # Δy_{t-1}
+    Z = np.column_stack((np.ones_like(x), x, d))
+    beta, *_ = np.linalg.lstsq(Z, t, rcond=None)
+    resid = t - Z @ beta
+    s2 = resid @ resid / (len(t) - 3)
+    inv = np.linalg.inv(Z.T @ Z)
+    return beta[1], beta[1] / np.sqrt(s2 * inv[1, 1]), len(t)
+
+
+class TestADF:
+    def test_matches_numpy_ols(self, spark):
+        from orange3_timeseries_spark.operators.stattests import adf_test
+
+        df = _series_df(spark)
+        out = {r.user_id: r for r in
+               adf_test(df, "t", "v", ["user_id"]).collect()}
+        for uid in (0, 1):
+            y = [r.v for r in df.where(F.col("user_id") == uid)
+                 .orderBy("t").collect()]
+            beta, tau, n = _numpy_adf(y)
+            assert out[uid].n_obs == n
+            assert out[uid].beta == pytest.approx(beta, abs=1e-6)
+            assert out[uid].tau == pytest.approx(tau, abs=1e-4)
+
+    def test_stationary_vs_random_walk_verdicts(self, spark):
+        from orange3_timeseries_spark.operators.stattests import adf_test
+
+        out = {r.user_id: r for r in
+               adf_test(_series_df(spark), "t", "v",
+                        ["user_id"]).collect()}
+        assert out[0].stationary_5pct        # AR(0.5) rejects unit root
+        assert not out[1].stationary_5pct    # random walk does not
+
+    def test_mackinnon_critical_values(self, spark):
+        from orange3_timeseries_spark.operators.stattests import adf_test
+
+        [r] = adf_test(_series_df(spark).where("user_id = 0"),
+                       "t", "v", ["user_id"]).collect()
+        T = r.n_obs
+        assert r.cv_5pct == pytest.approx(
+            -2.86154 - 2.8903 / T - 4.234 / T**2 - 40.04 / T**3,
+            abs=1e-9)
+        assert r.cv_1pct < r.cv_5pct < r.cv_10pct < 0
+
+    def test_short_series_dropped(self, spark):
+        from orange3_timeseries_spark.operators.stattests import adf_test
+
+        rows = [(0, t, float(t)) for t in range(8)] + \
+               [(1, t, float((t * 7) % 13)) for t in range(40)]
+        df = spark.createDataFrame(rows, "user_id int, t int, v double")
+        out = adf_test(df, "t", "v", ["user_id"]).collect()
+        assert {r.user_id for r in out} == {1}  # 8 points -> 6 rows < 10
+
+    def test_plan_is_catalyst_single_exchange(self, spark):
+        from orange3_timeseries_spark.operators.stattests import adf_test
+
+        plan = adf_test(_series_df(spark), "t", "v", ["user_id"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        # one shuffle for the window/groupBy key (same key reused)
+        assert plan.count("Exchange") <= 2
