@@ -36,7 +36,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["adf_test", "MACKINNON_2010_CONST"]
+__all__ = ["adf_test", "kpss_test", "MACKINNON_2010_CONST",
+           "KPSS_CRIT_CONST"]
 
 #: (b_inf, b1, b2, b3) rows for 1% / 5% / 10%, constant-only model
 MACKINNON_2010_CONST = {
@@ -118,3 +119,93 @@ def adf_test(df: DataFrame, time_col: str, value_col: str,
         _cv("10pct", n).alias("cv_10pct"))
     return out.withColumn("stationary_5pct",
                           (F.col("tau") < F.col("cv_5pct")))
+
+
+#: KPSS asymptotic critical values, level-stationarity (constant) case —
+#: Kwiatkowski-Phillips-Schmidt-Shin (1992), Table 1
+KPSS_CRIT_CONST = {"1pct": 0.739, "5pct": 0.463, "10pct": 0.347}
+
+
+def kpss_test(df: DataFrame, time_col: str, value_col: str,
+              series_cols: Sequence[str], quantize: int = 7) -> DataFrame:
+    """KPSS level-stationarity test per series — the standard complement
+    to :func:`adf_test` (null hypotheses are REVERSED: KPSS's null is
+    stationarity, so ``adf rejects + kpss fails to reject`` is the
+    confident "no differencing needed" verdict):
+
+        eta = sum_t S_t^2 / (T^2 * s2_lr)
+
+    with ``S_t`` the partial sums of the demeaned series and ``s2_lr``
+    the Bartlett-weighted long-run variance at the classic KPSS
+    bandwidth ``l4 = floor(4*(T/100)^0.25)``.
+
+    Plan: demeaning and partial sums are window functions over the
+    series key; the lag covariances come from ONE band self-join
+    (``1 <= rn_a - rn_b <= l``, at most ``l`` partners per row — cost
+    T·l per series, never T²).  Everything Catalyst; the determinism
+    firewall rounds the mean, the demeaned values, and every aggregate
+    to ``quantize`` decimals so the SQL replay is exact.
+
+    Returns ``(series..., n_obs, eta, lags, cv_1pct, cv_5pct, cv_10pct,
+    stationary_5pct)`` where ``stationary_5pct`` means eta BELOW the 5%
+    critical value (fail to reject stationarity)."""
+    series_cols = list(series_cols)
+    q = quantize
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    wfull = (Window.partitionBy(*series_cols)
+             .orderBy(time_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    y = F.col(value_col).cast("double")
+    base = df.select(
+        *series_cols,
+        F.row_number().over(w).alias("__rn__"),
+        F.round(y - F.round(F.avg(y).over(wfull), q), q).alias("__e__"),
+        F.count(F.lit(1)).over(wfull).alias("__T__"))
+    base = base.withColumn(
+        "__S__",
+        F.sum("__e__").over(
+            Window.partitionBy(*series_cols).orderBy("__rn__")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    base = base.where(F.col("__T__") >= 10)
+
+    num = (base.groupBy(*series_cols)
+           .agg(F.round(F.sum(F.col("__S__") * F.col("__S__")), q)
+                .alias("ssq"),
+                F.round(F.sum(F.col("__e__") * F.col("__e__")), q)
+                .alias("g0"),
+                F.max("__T__").cast("double").alias("T"),
+                F.floor(F.lit(4.0)
+                        * F.pow(F.max("__T__") / F.lit(100.0),
+                                F.lit(0.25))).cast("int").alias("l")))
+
+    a = base.select(*series_cols, F.col("__rn__").alias("rn_a"),
+                    F.col("__e__").alias("e_a"))
+    b = base.select(*series_cols, F.col("__rn__").alias("rn_b"),
+                    F.col("__e__").alias("e_b"))
+    lags = (a.join(b, series_cols)
+            .join(num.select(*series_cols, "l"), series_cols)
+            .where((F.col("rn_a") - F.col("rn_b") >= 1)
+                   & (F.col("rn_a") - F.col("rn_b") <= F.col("l")))
+            .groupBy(*series_cols,
+                     (F.col("rn_a") - F.col("rn_b")).alias("j"))
+            .agg(F.round(F.sum(F.col("e_a") * F.col("e_b")), q)
+                 .alias("gj")))
+    wsum = (lags.join(num.select(*series_cols, "l", "T"), series_cols)
+            .groupBy(*series_cols)
+            .agg(F.round(F.sum(
+                (F.lit(1.0) - F.col("j") / (F.col("l") + F.lit(1.0)))
+                * F.col("gj")), q).alias("wg")))
+
+    g = (num.join(wsum, series_cols, "left")
+         .withColumn("wg", F.coalesce("wg", F.lit(0.0))))
+    s2lr = (F.col("g0") + F.lit(2.0) * F.col("wg")) / F.col("T")
+    eta = (F.col("ssq") / (F.col("T") * F.col("T"))) / s2lr
+    out = g.select(
+        *series_cols, F.col("T").cast("long").alias("n_obs"),
+        eta.alias("eta"), F.col("l").alias("lags"),
+        F.lit(KPSS_CRIT_CONST["1pct"]).alias("cv_1pct"),
+        F.lit(KPSS_CRIT_CONST["5pct"]).alias("cv_5pct"),
+        F.lit(KPSS_CRIT_CONST["10pct"]).alias("cv_10pct"))
+    return out.withColumn("stationary_5pct",
+                          F.col("eta") < F.col("cv_5pct"))

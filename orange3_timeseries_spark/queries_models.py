@@ -843,3 +843,63 @@ def q_adf_test_by_user(spark, sf_dir):
                       r6(F.col("cv_5pct"), "cv_5pct"),
                       r6(F.col("cv_10pct"), "cv_10pct"),
                       "stationary_5pct")
+
+
+@query("kpss_test_by_user", """
+WITH base AS (
+  SELECT user_id,
+         row_number() OVER w AS rn,
+         round(value::DOUBLE
+               - round(avg(value::DOUBLE) OVER p, 7), 7) AS e,
+         count(*) OVER p AS T
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+         p AS (PARTITION BY user_id)),
+ws AS (
+  SELECT user_id, rn, e, T,
+         sum(e) OVER (PARTITION BY user_id ORDER BY rn) AS S
+  FROM base WHERE T >= 10),
+num AS (
+  SELECT user_id, round(sum(S * S), 7) AS ssq,
+         round(sum(e * e), 7) AS g0,
+         max(T)::DOUBLE AS T,
+         CAST(floor(4.0 * pow(max(T) / 100.0, 0.25)) AS INT) AS l
+  FROM ws GROUP BY 1),
+lagcov AS (
+  SELECT a.user_id, a.rn - b.rn AS j,
+         round(sum(a.e * b.e), 7) AS gj
+  FROM ws a
+  JOIN ws b ON b.user_id = a.user_id
+  JOIN num n ON n.user_id = a.user_id
+  WHERE a.rn - b.rn >= 1 AND a.rn - b.rn <= n.l
+  GROUP BY 1, 2),
+wsum AS (
+  SELECT lc.user_id,
+         round(sum((1.0 - lc.j / (n.l + 1.0)) * lc.gj), 7) AS wg
+  FROM lagcov lc JOIN num n USING (user_id)
+  GROUP BY 1),
+fin AS (
+  SELECT n.user_id, n.T, n.l,
+         (n.ssq / (n.T * n.T))
+             / ((n.g0 + 2.0 * coalesce(w.wg, 0.0)) / n.T) AS eta
+  FROM num n LEFT JOIN wsum w USING (user_id))
+SELECT user_id, T::BIGINT AS n_obs, round(eta, 6) AS eta, l AS lags,
+       0.739::DOUBLE AS cv_1pct, 0.463::DOUBLE AS cv_5pct,
+       0.347::DOUBLE AS cv_10pct,
+       eta < 0.463 AS stationary_5pct
+FROM fin
+""")
+def q_kpss_test_by_user(spark, sf_dir):
+    """KPSS level-stationarity test per series — ADF's reversed-null
+    complement (KPSS null = stationary), completing the standard joint
+    differencing decision.  Partial sums and demeaning are window
+    functions; Bartlett lag covariances come from one band self-join
+    bounded by the l4 bandwidth; everything Catalyst with the rounded
+    firewall, and the oracle replays statistic AND verdict."""
+    from orange3_timeseries_spark.operators.stattests import kpss_test
+
+    df = read_table(spark, sf_dir, "events")
+    out = kpss_test(df, "ts", "value", ["user_id"], quantize=7)
+    return out.select("user_id", "n_obs", r6(F.col("eta"), "eta"),
+                      "lags", "cv_1pct", "cv_5pct", "cv_10pct",
+                      "stationary_5pct")

@@ -89,3 +89,53 @@ class TestADF:
         assert "Python" not in plan
         # one shuffle for the window/groupBy key (same key reused)
         assert plan.count("Exchange") <= 2
+
+
+def _numpy_kpss(y):
+    """Independent KPSS reference (level case, l4 bandwidth)."""
+    y = np.asarray(y, dtype=float)
+    T = len(y)
+    e = y - y.mean()
+    S = np.cumsum(e)
+    l = int(np.floor(4.0 * (T / 100.0) ** 0.25))
+    g0 = (e @ e) / T
+    s2 = g0
+    for j in range(1, l + 1):
+        gj = (e[j:] @ e[:-j]) / T
+        s2 += 2.0 * (1.0 - j / (l + 1.0)) * gj
+    return (S @ S) / (T * T) / s2, l
+
+
+class TestKPSS:
+    def test_matches_numpy(self, spark):
+        from orange3_timeseries_spark.operators.stattests import kpss_test
+
+        df = _series_df(spark)
+        out = {r.user_id: r for r in
+               kpss_test(df, "t", "v", ["user_id"]).collect()}
+        for uid in (0, 1):
+            y = [r.v for r in df.where(F.col("user_id") == uid)
+                 .orderBy("t").collect()]
+            eta, l = _numpy_kpss(y)
+            assert out[uid].lags == l
+            assert out[uid].eta == pytest.approx(eta, rel=1e-6)
+
+    def test_reversed_null_verdicts(self, spark):
+        """KPSS null = stationary: the AR(0.5) series must NOT reject
+        (stationary True), the random walk must reject (False) — the
+        mirror image of the ADF verdicts on the same fixture."""
+        from orange3_timeseries_spark.operators.stattests import kpss_test
+
+        out = {r.user_id: r for r in
+               kpss_test(_series_df(spark), "t", "v",
+                         ["user_id"]).collect()}
+        assert out[0].stationary_5pct
+        assert not out[1].stationary_5pct
+
+    def test_plan_is_catalyst(self, spark):
+        from orange3_timeseries_spark.operators.stattests import kpss_test
+
+        plan = kpss_test(_series_df(spark), "t", "v", ["user_id"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan  # band join is an equi-join
