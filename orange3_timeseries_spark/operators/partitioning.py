@@ -100,7 +100,8 @@ def widen_partitions(df: DataFrame, min_factor: int = 1) -> DataFrame:
 _MAX_AUTO_SALTS = 64
 
 
-def skew_salt_count(left: DataFrame, keys) -> int:
+def skew_salt_count(left: DataFrame, keys,
+                    parallelism: Optional[int] = None) -> int:
     """Stats-driven salt fan-out: ONE cheap aggregation over the key
     frequencies (``groupBy(keys).count()`` is map-side combinable — the
     shuffle moves one skinny row per distinct key per task, never data
@@ -122,7 +123,8 @@ def skew_salt_count(left: DataFrame, keys) -> int:
              .first())
     if stats["tot"] is None or not stats["tot"]:
         return 1
-    par = max(1, left.sparkSession.sparkContext.defaultParallelism)
+    par = max(1, parallelism
+              or left.sparkSession.sparkContext.defaultParallelism)
     avg_task_rows = max(1.0, stats["tot"] / par)
     return int(max(1, min(_MAX_AUTO_SALTS,
                           -(-stats["mx"] // int(avg_task_rows)))))
@@ -190,4 +192,47 @@ def salted_join(left: DataFrame, right: DataFrame, keys,
 
 
 __all__ = ["estimated_size", "scaled_width", "widen_partitions",
-           "salted_join", "skew_salt_count"]
+           "salted_join", "skew_salt_count", "skew_profile"]
+
+
+def skew_profile(df: DataFrame, keys, top_n: int = 10,
+                 parallelism: Optional[int] = None) -> DataFrame:
+    """Key-frequency skew profile for a prospective join/agg key: the
+    ``top_n`` hottest key values with their counts and corpus share,
+    plus the global skew diagnostics every row carries — ``n_keys``,
+    ``skew_ratio`` (hottest count / mean count) and
+    ``salts_recommended`` (the :func:`skew_salt_count` formula at
+    ``parallelism`` slots).  The planning artifact you read BEFORE
+    deciding broadcast / salting / AQE for a 100 TB join.
+
+    Cost: one map-combinable groupBy over the key (distinct keys move,
+    not rows), a broadcast 1-row global aggregate, and a top-n window
+    over the (tiny) counts table."""
+    from pyspark.sql import Window, functions as F
+
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__tot__"), F.max("cnt").alias("__mx__"),
+        F.count(F.lit(1)).alias("__nk__"))
+    par = max(1, parallelism
+              or df.sparkSession.sparkContext.defaultParallelism)
+    w = Window.orderBy(F.col("cnt").desc(), *keys)
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .crossJoin(F.broadcast(stats))
+            .select(*keys, "cnt", "rank",
+                    (F.col("cnt") / F.col("__tot__")).alias("share"),
+                    F.col("__nk__").alias("n_keys"),
+                    (F.col("__mx__")
+                     / (F.col("__tot__") / F.col("__nk__")))
+                    .alias("skew_ratio"),
+                    F.least(
+                        F.lit(_MAX_AUTO_SALTS),
+                        F.ceil(F.col("__mx__")
+                               / F.greatest(
+                                   F.floor(F.col("__tot__") / par),
+                                   F.lit(1)))).cast("int")
+                    .alias("salts_recommended")))

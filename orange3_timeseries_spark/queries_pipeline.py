@@ -2433,3 +2433,40 @@ def q_lm_perplexity_by_doc(spark, sf_dir):
     return out.select("doc_id", "n_bigrams",
                       r6(F.col("avg_logp"), "avg_logp"),
                       r6(F.col("ppl"), "ppl"))
+
+
+@query("skew_profile_event_type", """
+WITH counts AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+stats AS (SELECT sum(cnt) AS tot, max(cnt) AS mx, count(*) AS nk
+          FROM counts),
+top AS (
+  SELECT event_type, cnt,
+         row_number() OVER (ORDER BY cnt DESC, event_type) AS rank
+  FROM counts QUALIFY rank <= 5)
+SELECT t.event_type, t.cnt, t.rank,
+       round(t.cnt::DOUBLE / s.tot, 6) AS share,
+       s.nk AS n_keys,
+       round(s.mx / (s.tot::DOUBLE / s.nk), 6) AS skew_ratio,
+       CAST(least(64, ceil(s.mx / greatest(floor(s.tot / 32.0), 1)))
+            AS INT) AS salts_recommended
+FROM top t CROSS JOIN stats s
+""")
+def q_skew_profile_event_type(spark, sf_dir):
+    """Join-key skew profile on ``events.event_type`` — the planning
+    artifact read before choosing broadcast / salting / AQE for a
+    100 TB join: top-5 hottest keys with corpus share, global key
+    cardinality, skew ratio, and the :func:`skew_salt_count`
+    recommendation at 32 slots.  One map-combinable groupBy over the
+    key (distinct keys shuffle, never rows); oracle replays counts,
+    shares, and the salt formula."""
+    from orange3_timeseries_spark.operators.partitioning import (
+        skew_profile,
+    )
+
+    d = read_table(spark, sf_dir, "events")
+    out = skew_profile(d, "event_type", top_n=5, parallelism=32)
+    return out.select("event_type", "cnt", "rank",
+                      r6(F.col("share"), "share"), "n_keys",
+                      r6(F.col("skew_ratio"), "skew_ratio"),
+                      "salts_recommended")

@@ -192,3 +192,37 @@ class TestSaltedJoin:
         right = spark.createDataFrame([(1, "x")], "k long, name string")
         out = salted_join(left, right, "k", n_salts=4)
         assert out.count() == 100
+
+
+class TestSkewProfile:
+    def test_profile_values(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            skew_profile,
+        )
+        # 700 rows of key A, 200 of B, 100 of C
+        df = spark.range(0, 1000).select(
+            F.when(F.col("id") < 700, "A")
+             .when(F.col("id") < 900, "B").otherwise("C").alias("k"))
+        out = {r.k: r for r in
+               skew_profile(df, "k", top_n=2, parallelism=4).collect()}
+        assert set(out) == {"A", "B"}  # top-2 only
+        assert out["A"].cnt == 700 and out["A"].rank == 1
+        assert out["A"].share == pytest.approx(0.7)
+        assert out["A"].n_keys == 3
+        # skew ratio: 700 / (1000/3)
+        assert out["A"].skew_ratio == pytest.approx(700 / (1000 / 3))
+        # salts: ceil(700 / floor(1000/4)) = ceil(700/250) = 3
+        assert out["A"].salts_recommended == 3
+        assert out["B"].rank == 2
+
+    def test_uniform_keys_recommend_no_salting(self, spark):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.operators.partitioning import (
+            skew_profile,
+        )
+        df = spark.range(0, 1000).select((F.col("id") % 10).alias("k"))
+        out = skew_profile(df, "k", top_n=1, parallelism=4).collect()
+        assert out[0].salts_recommended == 1
