@@ -1,0 +1,66 @@
+"""Distribution-drift monitoring: Population Stability Index between a
+reference window and a current window — the standard production check
+that a feature / score / data distribution has not shifted (banking's
+PSI, also the usual training-data drift gate between crawl snapshots):
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+over quantile buckets of the REFERENCE distribution (so buckets hold
+~equal reference mass and the index is scale-free).  Rule of thumb:
+< 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action.
+
+Scale design: the only non-distributed object is the 9-edge quantile
+row, which stays in the PLAN (1-row aggregate, broadcast cross join —
+no driver collect); bucket assignment is a higher-order-function count
+over that array; the per-bucket shares are two map-combinable counts.
+Empty buckets are clamped to ``eps`` before the log so PSI stays
+finite (the standard smoothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["psi_drift"]
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              n_buckets: int = 10, eps: float = 1e-4) -> DataFrame:
+    """One row per bucket: ``(bucket, p_ref, p_cur, contrib, psi)`` —
+    ``contrib`` the bucket's PSI term, ``psi`` the total repeated on
+    every row (the long-form layout keeps the whole decomposition in
+    one value-verifiable table).  Buckets are
+    ``(-inf, e1], (e1, e2], ..., (e_{n-1}, inf)`` with ``e_k`` the
+    k/n reference quantiles (linear interpolation)."""
+    qs = [k / n_buckets for k in range(1, n_buckets)]
+    v = F.col(value_col).cast("double")
+    edges = ref.agg(
+        F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+        .alias("__edges__"))
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = (F.size(F.filter(F.col("__edges__"),
+                             lambda e: v > e)) + 1).alias("bucket")
+        counts = (df.select(v.alias(value_col)).where(v.isNotNull())
+                  .crossJoin(F.broadcast(edges))
+                  .groupBy(b).agg(F.count(F.lit(1)).alias("__c__")))
+        total = counts.agg(F.sum("__c__").alias("__t__"))
+        return (counts.crossJoin(F.broadcast(total))
+                .select("bucket", (F.col("__c__") / F.col("__t__"))
+                        .alias(name)))
+
+    all_buckets = ref.sparkSession.range(1, n_buckets + 1) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    shares = (all_buckets
+              .join(bucketed(ref, "p_ref"), "bucket", "left")
+              .join(bucketed(cur, "p_cur"), "bucket", "left")
+              .select("bucket",
+                      F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+                      F.coalesce("p_cur", F.lit(0.0)).alias("p_cur")))
+    p = F.greatest(F.col("p_ref"), F.lit(eps))
+    q = F.greatest(F.col("p_cur"), F.lit(eps))
+    contrib = (p - q) * F.log(p / q)
+    out = shares.withColumn("contrib", contrib)
+    total = out.agg(F.sum("contrib").alias("psi"))
+    return out.crossJoin(F.broadcast(total))

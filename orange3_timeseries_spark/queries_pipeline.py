@@ -2470,3 +2470,66 @@ def q_skew_profile_event_type(spark, sf_dir):
                       r6(F.col("share"), "share"), "n_keys",
                       r6(F.col("skew_ratio"), "skew_ratio"),
                       "salts_recommended")
+
+
+def _psi_sql(n=10, eps=1e-4):
+    qlist = ", ".join(f"quantile_cont(v, {k / n})" for k in range(1, n))
+    return f"""
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+r AS (SELECT value::DOUBLE AS v FROM events, b
+      WHERE epoch_us(ts) <= mid AND value IS NOT NULL),
+c AS (SELECT value::DOUBLE AS v FROM events, b
+      WHERE epoch_us(ts) > mid AND value IS NOT NULL),
+e AS (SELECT [{qlist}] AS edges FROM r),
+rb AS (SELECT 1 + len(list_filter(e.edges, x -> v > x)) AS bucket,
+              count(*) AS cnt
+       FROM r, e GROUP BY 1),
+cb AS (SELECT 1 + len(list_filter(e.edges, x -> v > x)) AS bucket,
+              count(*) AS cnt
+       FROM c, e GROUP BY 1),
+buckets AS (SELECT unnest(generate_series(1, {n}))::INT AS bucket),
+shares AS (
+  SELECT b.bucket,
+         coalesce(rb.cnt::DOUBLE / (SELECT sum(cnt) FROM rb), 0.0)
+             AS p_ref,
+         coalesce(cb.cnt::DOUBLE / (SELECT sum(cnt) FROM cb), 0.0)
+             AS p_cur
+  FROM buckets b
+  LEFT JOIN rb ON rb.bucket = b.bucket
+  LEFT JOIN cb ON cb.bucket = b.bucket),
+terms AS (
+  SELECT bucket, p_ref, p_cur,
+         (greatest(p_ref, {eps}) - greatest(p_cur, {eps}))
+             * ln(greatest(p_ref, {eps}) / greatest(p_cur, {eps}))
+             AS contrib
+  FROM shares)
+SELECT bucket, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round(contrib, 6) AS contrib,
+       round((SELECT sum(contrib) FROM terms), 6) AS psi
+FROM terms
+"""
+
+
+@query("drift_psi_events", _psi_sql())
+def q_drift_psi_events(spark, sf_dir):
+    """Population Stability Index between the first and second time
+    halves of the events stream — the standard drift gate between data
+    snapshots (PSI < 0.1 stable, > 0.25 action).  Reference-quantile
+    buckets ride the plan as a broadcast 1-row array (no driver
+    collect); per-bucket shares are map-combinable counts; the oracle
+    replays edges, bucketing, smoothing, and the decomposition."""
+    from orange3_timeseries_spark.operators.drift import psi_drift
+
+    d = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = d.agg(((F.min(us) + F.max(us)) / F.lit(2)).cast("long")
+                   .alias("__mid__"))
+    base = d.crossJoin(F.broadcast(bounds))
+    ref = base.where(us <= F.col("__mid__"))
+    cur = base.where(us > F.col("__mid__"))
+    out = psi_drift(ref, cur, "value", n_buckets=10)
+    return out.select("bucket", r6(F.col("p_ref"), "p_ref"),
+                      r6(F.col("p_cur"), "p_cur"),
+                      r6(F.col("contrib"), "contrib"),
+                      r6(F.col("psi"), "psi"))
