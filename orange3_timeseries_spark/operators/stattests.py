@@ -36,8 +36,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["adf_test", "kpss_test", "MACKINNON_2010_CONST",
-           "KPSS_CRIT_CONST"]
+__all__ = ["adf_test", "kpss_test", "ljung_box",
+           "MACKINNON_2010_CONST", "KPSS_CRIT_CONST"]
 
 #: (b_inf, b1, b2, b3) rows for 1% / 5% / 10%, constant-only model
 MACKINNON_2010_CONST = {
@@ -209,3 +209,72 @@ def kpss_test(df: DataFrame, time_col: str, value_col: str,
         F.lit(KPSS_CRIT_CONST["10pct"]).alias("cv_10pct"))
     return out.withColumn("stationary_5pct",
                           F.col("eta") < F.col("cv_5pct"))
+
+
+def ljung_box(df: DataFrame, time_col: str, value_col: str,
+              series_cols: Sequence[str], lags: int = 10,
+              quantize: int = 7) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test per series:
+
+        Q = n(n+2) * sum_{k=1..h} acf_k^2 / (n-k)
+
+    against chi-square with ``h`` dof — the standard residual-
+    diagnostics step after any model fit (is what's left just noise?).
+
+    ``lags`` must be EVEN: the chi-square survival function with an
+    integer shape ``h/2`` has the CLOSED FORM
+    ``p = exp(-Q/2) * sum_{j<h/2} (Q/2)^j / j!`` — a finite polynomial
+    both engines replay exactly, no special-function library.
+
+    Plan: one band self-join computes the autocovariances (the same
+    shape the ACF oracle uses — at most ``lags`` partners per row),
+    everything else is per-series scalar algebra; pure Catalyst,
+    ``quantize`` rounds the acf before squaring (the firewall).
+    Series shorter than ``lags + 1`` are dropped."""
+    import math
+
+    if lags % 2 != 0:
+        raise ValueError("lags must be even (closed-form chi-square)")
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    wfull = Window.partitionBy(*series_cols)
+    y = F.col(value_col).cast("double")
+    s = df.select(*series_cols,
+                  (y - F.avg(y).over(wfull)).alias("xd"),
+                  F.row_number().over(w).alias("rn"),
+                  F.count(F.lit(1)).over(wfull).alias("n"))
+    a = s.select(*series_cols, F.col("rn").alias("rn_a"),
+                 F.col("xd").alias("xa"), "n")
+    b = s.select(*series_cols, F.col("rn").alias("rn_b"),
+                 F.col("xd").alias("xb"))
+    sp = (a.join(b, series_cols)
+          .where((F.col("rn_b") - F.col("rn_a") >= 0)
+                 & (F.col("rn_b") - F.col("rn_a") <= lags))
+          .groupBy(*series_cols,
+                   (F.col("rn_b") - F.col("rn_a")).alias("lag"))
+          .agg(F.sum(F.col("xa") * F.col("xb")).alias("sp"),
+               F.max("n").alias("n")))
+    wl = Window.partitionBy(*series_cols).orderBy("lag")
+    acf = (sp.withColumn("acf", F.round(
+               F.col("sp") / F.first("sp").over(wl), quantize))
+           .where((F.col("lag") >= 1) & (F.col("n") > lags)))
+    g = (acf.groupBy(*series_cols)
+         .agg(F.max("n").cast("double").alias("n"),
+              F.sum(F.col("acf") * F.col("acf")
+                    / (F.col("n") - F.col("lag"))).alias("ssum")))
+    n = F.col("n")
+    q_stat = n * (n + F.lit(2.0)) * F.col("ssum")
+    g = g.withColumn("q_stat", q_stat)
+    half = F.col("q_stat") / F.lit(2.0)
+    shape = lags // 2
+    # closed-form chi2 survival: exp(-Q/2) * sum_{j<shape} (Q/2)^j / j!
+    terms = [F.pow(half, F.lit(float(j))) / F.lit(float(math.factorial(j)))
+             for j in range(shape)]
+    psum = terms[0]
+    for t in terms[1:]:
+        psum = psum + t
+    p = F.exp(-half) * psum
+    out = g.select(*series_cols, n.cast("long").alias("n_obs"),
+                   F.col("q_stat"), F.lit(lags).alias("df"),
+                   p.alias("p_value"))
+    return out.withColumn("white_noise_5pct", F.col("p_value") > 0.05)

@@ -903,3 +903,57 @@ def q_kpss_test_by_user(spark, sf_dir):
     return out.select("user_id", "n_obs", r6(F.col("eta"), "eta"),
                       "lags", "cv_1pct", "cv_5pct", "cv_10pct",
                       "stationary_5pct")
+
+
+@query("ljung_box_by_user", """
+WITH s AS (
+  SELECT user_id,
+         value - avg(value) OVER (PARTITION BY user_id) AS xd,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+p AS (
+  SELECT a.user_id, (b.rn - a.rn) AS lag, sum(a.xd * b.xd) AS sp,
+         any_value(a.n) AS n
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 0 AND 10
+  GROUP BY 1, 2),
+a2 AS (
+  SELECT user_id, lag, n,
+         round(sp / first_value(sp)
+                   OVER (PARTITION BY user_id ORDER BY lag), 7) AS acf
+  FROM p QUALIFY lag >= 1 AND n > 10),
+g AS (
+  SELECT user_id, max(n)::DOUBLE AS n,
+         sum(acf * acf / (n - lag)) AS ssum
+  FROM a2 GROUP BY 1),
+fin AS (
+  SELECT user_id, n, n * (n + 2.0) * ssum AS q_stat
+  FROM g),
+pv AS (
+  SELECT user_id, n, q_stat, q_stat / 2.0 AS half
+  FROM fin)
+SELECT user_id, n::BIGINT AS n_obs, round(q_stat, 6) AS q_stat,
+       10 AS df,
+       round(exp(-half) * (pow(half, 0) / 1.0 + pow(half, 1) / 1.0
+             + pow(half, 2) / 2.0 + pow(half, 3) / 6.0
+             + pow(half, 4) / 24.0), 6) AS p_value,
+       (exp(-half) * (pow(half, 0) / 1.0 + pow(half, 1) / 1.0
+             + pow(half, 2) / 2.0 + pow(half, 3) / 6.0
+             + pow(half, 4) / 24.0)) > 0.05 AS white_noise_5pct
+FROM pv
+""")
+def q_ljung_box_by_user(spark, sf_dir):
+    """Ljung-Box portmanteau white-noise test per series (10 lags) —
+    the residual-diagnostics step after any fit.  The chi-square
+    p-value uses the CLOSED-FORM integer-shape survival function
+    (lags even → shape 5 → a 5-term polynomial), so statistic,
+    p-value, and verdict are all replayed exactly; autocovariances
+    come from the same band self-join the ACF oracle uses."""
+    from orange3_timeseries_spark.operators.stattests import ljung_box
+
+    df = read_table(spark, sf_dir, "events")
+    out = ljung_box(df, "ts", "value", ["user_id"], lags=10)
+    return out.select("user_id", "n_obs", r6(F.col("q_stat"), "q_stat"),
+                      "df", r6(F.col("p_value"), "p_value"),
+                      "white_noise_5pct")

@@ -139,3 +139,63 @@ class TestKPSS:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
         assert "CartesianProduct" not in plan  # band join is an equi-join
+
+
+class TestLjungBox:
+    def test_matches_scipy_free_reference(self, spark):
+        """Q statistic against a direct numpy computation, p-value
+        against the closed-form chi2(10) survival function."""
+        import math
+
+        from orange3_timeseries_spark.operators.stattests import ljung_box
+
+        df = _series_df(spark)
+        out = {r.user_id: r for r in
+               ljung_box(df, "t", "v", ["user_id"], lags=10).collect()}
+        for uid in (0, 1):
+            y = np.array([r.v for r in df.where(F.col("user_id") == uid)
+                          .orderBy("t").collect()])
+            e = y - y.mean()
+            n = len(y)
+            denom = e @ e
+            q = 0.0
+            for k in range(1, 11):
+                rho = round((e[:-k] @ e[k:]) / denom, 7)
+                q += rho * rho / (n - k)
+            q *= n * (n + 2.0)
+            assert out[uid].q_stat == pytest.approx(q, rel=1e-9)
+            half = q / 2.0
+            p = math.exp(-half) * sum(half ** j / math.factorial(j)
+                                      for j in range(5))
+            assert out[uid].p_value == pytest.approx(p, rel=1e-9,
+                                                     abs=1e-12)
+
+    def test_white_noise_vs_correlated_verdicts(self, spark):
+        from orange3_timeseries_spark.operators.stattests import ljung_box
+
+        rng = np.random.RandomState(7)
+        rows = [(0, t, float(v))
+                for t, v in enumerate(rng.standard_normal(300))]
+        y = 0.0
+        for t in range(300):
+            y = 0.7 * y + rng.standard_normal()
+            rows.append((1, t, float(y)))
+        df = spark.createDataFrame(rows, "user_id int, t int, v double")
+        out = {r.user_id: r for r in
+               ljung_box(df, "t", "v", ["user_id"]).collect()}
+        assert out[0].white_noise_5pct          # iid noise passes
+        assert not out[1].white_noise_5pct      # AR(0.7) fails hard
+        assert out[1].q_stat > out[0].q_stat
+
+    def test_odd_lags_rejected(self, spark):
+        from orange3_timeseries_spark.operators.stattests import ljung_box
+
+        with pytest.raises(ValueError, match="even"):
+            ljung_box(_series_df(spark), "t", "v", ["user_id"], lags=7)
+
+    def test_plan_is_catalyst(self, spark):
+        from orange3_timeseries_spark.operators.stattests import ljung_box
+
+        plan = ljung_box(_series_df(spark), "t", "v", ["user_id"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
