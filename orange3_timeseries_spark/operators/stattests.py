@@ -36,8 +36,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["adf_test", "kpss_test", "ljung_box",
-           "MACKINNON_2010_CONST", "KPSS_CRIT_CONST"]
+__all__ = ["adf_test", "kpss_test", "ljung_box", "engle_granger",
+           "MACKINNON_2010_CONST", "KPSS_CRIT_CONST",
+           "MACKINNON_2010_N2"]
 
 #: (b_inf, b1, b2, b3) rows for 1% / 5% / 10%, constant-only model
 MACKINNON_2010_CONST = {
@@ -278,3 +279,83 @@ def ljung_box(df: DataFrame, time_col: str, value_col: str,
                    F.col("q_stat"), F.lit(lags).alias("df"),
                    p.alias("p_value"))
     return out.withColumn("white_noise_5pct", F.col("p_value") > 0.05)
+
+
+#: MacKinnon (2010) response-surface rows for the Engle-Granger residual
+#: DF test, two variables (N=2), constant case
+MACKINNON_2010_N2 = {
+    "1pct": (-3.89644, -10.9519, -22.527),
+    "5pct": (-3.33613, -6.1101, -6.823),
+    "10pct": (-3.04445, -4.2412, -2.720),
+}
+
+
+def engle_granger(df: DataFrame, time_col: str, y_col: str, x_col: str,
+                  series_cols: Sequence[str],
+                  quantize: int = 7) -> DataFrame:
+    """Engle-Granger two-step cointegration test per series: OLS of
+    ``y`` on ``(1, x)``, then a Dickey-Fuller regression (no constant,
+    no augmented lag) on the residuals — tau more negative than the
+    MacKinnon N=2 critical value means the pair shares a common
+    stochastic trend (cointegrated), the precondition for
+    error-correction modeling of co-moving series.
+
+    Plan: step-1 sums are unbounded-window aggregates over the series
+    key, so the residuals are computed per row WITHOUT a join back;
+    step-2 is one groupBy of three more sums and scalar algebra.  Pure
+    Catalyst; the ``quantize`` firewall rounds every aggregate and the
+    step-1 coefficients.
+
+    Returns ``(series..., n_obs, beta, tau, cv_1pct, cv_5pct, cv_10pct,
+    cointegrated_5pct)``."""
+    series_cols = list(series_cols)
+    q = quantize
+    wfull = Window.partitionBy(*series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    rows = df.where(y.isNotNull() & x.isNotNull())
+    n = F.count(F.lit(1)).over(wfull).cast("double")
+    sx = F.round(F.sum(x).over(wfull), q)
+    sy = F.round(F.sum(y).over(wfull), q)
+    sxx = F.round(F.sum(x * x).over(wfull), q)
+    sxy = F.round(F.sum(x * y).over(wfull), q)
+    b_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b = F.round(b_raw, q)
+    a = F.round((sy - b * sx) / n, q)
+    # residuals use the ROUNDED coefficients (the firewall); the
+    # reported beta is the raw quotient of already-rounded sums —
+    # displaying round6(round7(x)) would re-introduce the decimal
+    # double-rounding boundary the firewall exists to avoid
+    base = rows.select(*series_cols, F.col(time_col),
+                       F.round(y - (a + b * x), q).alias("__u__"),
+                       b_raw.alias("__beta__"), n.alias("__n__"))
+    ul = F.lag(F.col("__u__"), 1).over(w)
+    du = F.col("__u__") - ul
+    step2 = (base.select(*series_cols, "__beta__", "__n__",
+                         ul.alias("__ul__"), du.alias("__du__"))
+             .where(F.col("__ul__").isNotNull()))
+    g = step2.groupBy(*series_cols).agg(
+        F.max("__beta__").alias("beta"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.round(F.sum(F.col("__ul__") * F.col("__du__")), q).alias("sud"),
+        F.round(F.sum(F.col("__ul__") * F.col("__ul__")), q).alias("suu"),
+        F.round(F.sum(F.col("__du__") * F.col("__du__")), q).alias("sdd"))
+    g = g.where(F.col("m") >= 10)
+    rho = F.col("sud") / F.col("suu")
+    rss = F.col("sdd") - rho * F.col("sud")
+    s2 = rss / (F.col("m") - F.lit(1.0))
+    tau = rho / F.sqrt(s2 / F.col("suu"))
+    T = F.col("m")
+
+    def cv(level):
+        b0, b1, b2 = MACKINNON_2010_N2[level]
+        return F.lit(b0) + F.lit(b1) / T + F.lit(b2) / (T * T)
+
+    out = g.select(*series_cols, F.col("m").cast("long").alias("n_obs"),
+                   "beta", tau.alias("tau"),
+                   cv("1pct").alias("cv_1pct"),
+                   cv("5pct").alias("cv_5pct"),
+                   cv("10pct").alias("cv_10pct"))
+    return out.withColumn("cointegrated_5pct",
+                          F.col("tau") < F.col("cv_5pct"))

@@ -957,3 +957,83 @@ def q_ljung_box_by_user(spark, sf_dir):
     return out.select("user_id", "n_obs", r6(F.col("q_stat"), "q_stat"),
                       "df", r6(F.col("p_value"), "p_value"),
                       "white_noise_5pct")
+
+
+@query("engle_granger_by_user", """
+WITH mw AS (
+  SELECT user_id, ts, value::DOUBLE AS y,
+         round(avg(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN 11 PRECEDING
+                                                 AND CURRENT ROW), 7) AS x
+  FROM events),
+s AS (
+  SELECT user_id, ts, y, x,
+         count(*) OVER p::DOUBLE AS n,
+         round(sum(x) OVER p, 7) AS sx, round(sum(y) OVER p, 7) AS sy,
+         round(sum(x*x) OVER p, 7) AS sxx,
+         round(sum(x*y) OVER p, 7) AS sxy
+  FROM mw WINDOW p AS (PARTITION BY user_id)),
+co AS (
+  SELECT user_id, ts, n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b_raw,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 7) AS b,
+         sy, sx
+  FROM s),
+u AS (
+  SELECT s.user_id, s.ts, co.b_raw AS b,
+         round(s.y - (round((co.sy - co.b * co.sx) / co.n, 7)
+                      + co.b * s.x), 7) AS u
+  FROM s JOIN co ON co.user_id = s.user_id AND co.ts = s.ts),
+st2 AS (
+  SELECT user_id, b,
+         lag(u) OVER (PARTITION BY user_id ORDER BY ts) AS ul,
+         u - lag(u) OVER (PARTITION BY user_id ORDER BY ts) AS du
+  FROM u QUALIFY ul IS NOT NULL),
+g AS (
+  SELECT user_id, max(b) AS beta, count(*)::DOUBLE AS m,
+         round(sum(ul * du), 7) AS sud,
+         round(sum(ul * ul), 7) AS suu,
+         round(sum(du * du), 7) AS sdd
+  FROM st2 GROUP BY 1
+  HAVING count(*) >= 10),
+fin AS (
+  SELECT user_id, beta, m,
+         (sud / suu)
+             / sqrt(((sdd - (sud / suu) * sud) / (m - 1.0)) / suu)
+             AS tau,
+         (-3.89644 + -10.9519/m + -22.527/(m*m)) AS cv1,
+         (-3.33613 + -6.1101/m + -6.823/(m*m)) AS cv5,
+         (-3.04445 + -4.2412/m + -2.720/(m*m)) AS cv10
+  FROM g)
+SELECT user_id, m::BIGINT AS n_obs, round(beta, 6) AS beta,
+       round(tau, 6) AS tau, round(cv1, 6) AS cv_1pct,
+       round(cv5, 6) AS cv_5pct, round(cv10, 6) AS cv_10pct,
+       tau < cv5 AS cointegrated_5pct
+FROM fin
+""")
+def q_engle_granger_by_user(spark, sf_dir):
+    """Engle-Granger cointegration per series between the value and its
+    12-point trailing mean (the same co-moving pair the VAR fixture
+    uses): step-1 OLS via unbounded-window sums (residuals computed per
+    row, NO join back), step-2 no-constant DF on the residuals with
+    MacKinnon N=2 critical surfaces.  Pure Catalyst with the rounded
+    firewall; oracle replays both steps and the verdict."""
+    from orange3_timeseries_spark.operators.stattests import (
+        engle_granger,
+    )
+
+    d = read_table(spark, sf_dir, "events")
+    mw = d.select(
+        "user_id", "ts", F.col("value").cast("double").alias("y"),
+        F.round(
+            F.avg(F.col("value").cast("double"))
+            .over(__import__("pyspark.sql.window", fromlist=["Window"])
+                  .Window.partitionBy("user_id").orderBy("ts")
+                  .rowsBetween(-11, 0)), 7).alias("x"))
+    out = engle_granger(mw, "ts", "y", "x", ["user_id"], quantize=7)
+    return out.select("user_id", "n_obs", r6(F.col("beta"), "beta"),
+                      r6(F.col("tau"), "tau"),
+                      r6(F.col("cv_1pct"), "cv_1pct"),
+                      r6(F.col("cv_5pct"), "cv_5pct"),
+                      r6(F.col("cv_10pct"), "cv_10pct"),
+                      "cointegrated_5pct")

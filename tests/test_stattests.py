@@ -199,3 +199,66 @@ class TestLjungBox:
         plan = ljung_box(_series_df(spark), "t", "v", ["user_id"]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestEngleGranger:
+    def test_cointegrated_vs_independent(self, spark):
+        """y and x sharing a random-walk trend are cointegrated; two
+        INDEPENDENT random walks are not."""
+        from orange3_timeseries_spark.operators.stattests import (
+            engle_granger,
+        )
+        rng = np.random.RandomState(11)
+        rows = []
+        trend = np.cumsum(rng.standard_normal(300))
+        other = np.cumsum(rng.standard_normal(300))
+        for t in range(300):
+            # user 0: y = 2x + stationary noise (cointegrated pair)
+            x = trend[t]
+            rows.append((0, t, float(2 * x + rng.standard_normal()),
+                         float(x)))
+            # user 1: independent walks (no common trend)
+            rows.append((1, t, float(trend[t]), float(other[t])))
+        df = spark.createDataFrame(rows,
+                                   "user_id int, t int, y double, x double")
+        out = {r.user_id: r for r in
+               engle_granger(df, "t", "y", "x", ["user_id"]).collect()}
+        assert out[0].cointegrated_5pct
+        assert out[0].beta == pytest.approx(2.0, abs=0.05)
+        assert not out[1].cointegrated_5pct
+        assert out[0].tau < out[1].tau
+
+    def test_matches_numpy_two_step(self, spark):
+        from orange3_timeseries_spark.operators.stattests import (
+            engle_granger,
+        )
+        rng = np.random.RandomState(5)
+        x = np.cumsum(rng.standard_normal(150))
+        y = 1.5 * x + rng.standard_normal(150)
+        df = spark.createDataFrame(
+            [(0, t, float(y[t]), float(x[t])) for t in range(150)],
+            "user_id int, t int, y double, x double")
+        [r] = engle_granger(df, "t", "y", "x", ["user_id"]).collect()
+        # step 1 OLS
+        Z = np.column_stack((np.ones_like(x), x))
+        coef, *_ = np.linalg.lstsq(Z, y, rcond=None)
+        assert r.beta == pytest.approx(coef[1], abs=1e-5)
+        # step 2 no-constant DF on residuals
+        u = y - Z @ coef
+        ul, du = u[:-1], np.diff(u)
+        rho = (ul @ du) / (ul @ ul)
+        s2 = ((du - rho * ul) @ (du - rho * ul)) / (len(du) - 1)
+        tau = rho / np.sqrt(s2 / (ul @ ul))
+        assert r.tau == pytest.approx(tau, abs=1e-3)
+
+    def test_plan_is_catalyst_no_join_back(self, spark):
+        from orange3_timeseries_spark.operators.stattests import (
+            engle_granger,
+        )
+        df = spark.createDataFrame(
+            [(0, t, float(t), float(t * 2)) for t in range(50)],
+            "user_id int, t int, y double, x double")
+        out = engle_granger(df, "t", "y", "x", ["user_id"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert "Join" not in plan  # window sums, residuals in-row
