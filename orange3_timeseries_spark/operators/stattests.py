@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["adf_test", "kpss_test", "ljung_box", "engle_granger",
+           "gap_profile",
            "MACKINNON_2010_CONST", "KPSS_CRIT_CONST",
            "MACKINNON_2010_N2"]
 
@@ -359,3 +360,50 @@ def engle_granger(df: DataFrame, time_col: str, y_col: str, x_col: str,
                    cv("10pct").alias("cv_10pct"))
     return out.withColumn("cointegrated_5pct",
                           F.col("tau") < F.col("cv_5pct"))
+
+
+def gap_profile(df: DataFrame, time_col: str,
+                series_cols: Sequence[str]) -> DataFrame:
+    """Per-series sampling-gap / missing-data profile — the data-quality
+    triage before interpolation or model fitting: median and max
+    inter-observation gap, an estimate of MISSING grid points (each gap
+    contributes ``round(gap/median) - 1`` skipped slots), and the
+    resulting coverage ratio.
+
+    Plan: one lag window for the gaps, one groupBy with an exact median
+    (``percentile`` — the profiler grain is per series, where exact is
+    affordable; swap ``percentile_approx`` for billion-row series), and
+    one skinny self-join to score each gap against its series' median.
+    Pure Catalyst."""
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    gaps = (df.select(*series_cols, time_col)
+            .withColumn("__g__", (us - F.lag(us, 1).over(w))
+                        / F.lit(1e6))
+            .where(F.col("__g__").isNotNull()))
+    # LOWER median — an exact data element, no midpoint interpolation:
+    # gaps are micro-second multiples, so an interpolated even-n median
+    # lands exactly on a half-microsecond (a decimal .5 at the 7th
+    # digit) and the two engines' rounding would systematically diverge
+    wg = Window.partitionBy(*series_cols).orderBy("__g__")
+    ranked = gaps.withColumn("__rk__", F.row_number().over(wg))         .withColumn("__ng__", F.count(F.lit(1)).over(
+            Window.partitionBy(*series_cols)))
+    med = ranked.groupBy(*series_cols).agg(
+        F.max(F.when(F.col("__rk__")
+                     == F.floor((F.col("__ng__") + 1) / 2),
+                     F.col("__g__"))).alias("median_gap_s"),
+        F.max("__g__").alias("max_gap_s"),
+        F.count(F.lit(1)).alias("n_gaps"))
+    scored = (gaps.join(med, series_cols)
+              .groupBy(*series_cols)
+              .agg(F.sum(F.greatest(
+                  F.round(F.col("__g__") / F.col("median_gap_s"), 0)
+                  - 1, F.lit(0.0))).cast("long").alias("missing_est")))
+    out = med.join(scored, series_cols)
+    n_obs = F.col("n_gaps") + 1
+    return out.select(
+        *series_cols, n_obs.cast("long").alias("n_obs"),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        "median_gap_s", "max_gap_s", "missing_est",
+        (n_obs / (n_obs + F.col("missing_est"))).alias("coverage"))

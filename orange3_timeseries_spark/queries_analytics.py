@@ -625,7 +625,7 @@ def q_lombscargle_by_user(spark, sf_dir):
                       r6(F.col("power"), "power"))
 
 
-@query("seasonal_decompose_by_user", """
+_DECOMP_BY_USER_SQL = """
 WITH s AS (
   SELECT user_id, event_id, value AS v,
          row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
@@ -660,7 +660,10 @@ FROM tr
 JOIN pa ON tr.user_id = pa.user_id AND tr.t % 12 = pa.phase
 JOIN fl ON tr.user_id = fl.user_id
 JOIN fr ON tr.user_id = fr.user_id
-""")
+"""
+
+
+@query("seasonal_decompose_by_user", _DECOMP_BY_USER_SQL)
 def q_seasonal_decompose_by_user(spark, sf_dir):
     """PER-SERIES classical decomposition (period 12, multiplicative) over
     each user's event sequence — the grouped grain of the decompose stage
@@ -1186,3 +1189,76 @@ def q_baseline_forecasts_by_user(spark, sf_dir):
     out = baseline_forecast_table(tsf, "x", m=7, horizon=5)
     return out.select("user_id", "method", "step",
                       r6(F.col("forecast"), "forecast"))
+
+
+@query("ts_features_by_user", f"""
+WITH dec AS ({_DECOMP_BY_USER_SQL}),
+c AS (
+  SELECT user_id,
+         v_adj / v_trend AS rem,
+         v_adj AS adj,
+         v_adj * v_seasonal / v_trend AS detr
+  FROM dec),
+g AS (
+  SELECT user_id, count(*)::DOUBLE AS n,
+         round(sum(rem), 7) AS s_r, round(sum(rem*rem), 7) AS s_rr,
+         round(sum(adj), 7) AS s_a, round(sum(adj*adj), 7) AS s_aa,
+         round(sum(detr), 7) AS s_d, round(sum(detr*detr), 7) AS s_dd
+  FROM c GROUP BY 1),
+v AS (
+  SELECT user_id, n,
+         (s_rr - s_r * s_r / n) / n AS var_rem,
+         (s_aa - s_a * s_a / n) / n AS var_adj,
+         (s_dd - s_d * s_d / n) / n AS var_detr
+  FROM g)
+SELECT user_id, n::BIGINT AS n_obs,
+       round(greatest(0.0, 1.0 - var_rem / var_adj), 6)
+           AS trend_strength,
+       round(greatest(0.0, 1.0 - var_rem / var_detr), 6)
+           AS seasonal_strength,
+       round(var_rem, 6) AS var_remainder
+FROM v
+""")
+def q_ts_features_by_user(spark, sf_dir):
+    """Per-series trend / seasonal STRENGTH features (Hyndman-style
+    tsfeatures, adapted to the multiplicative decomposition):
+    ``Ft = max(0, 1 - Var(R)/Var(deseasonalized))``, ``Fs`` against the
+    detrended series — the features that drive model triage (strong
+    seasonality -> Holt-Winters/SARIMA, strong trend -> damped Holt) at
+    fleet scale.  Composes the ALREADY-oracled decomposition (the
+    oracle literally embeds the decompose replay as a CTE), then pure
+    Catalyst variance algebra on the 6-dp-rounded components."""
+    from orange3_timeseries_spark.spark_analytics import (
+        seasonal_components_table,
+    )
+
+    tsf = _events(spark, sf_dir)
+    out = seasonal_components_table(tsf, "value", "event_id",
+                                    model="multiplicative", period=12)
+    c = out.select(
+        "user_id",
+        (F.round(F.col("adj"), 6) / F.round(F.col("trend"), 6))
+        .alias("rem"),
+        F.round(F.col("adj"), 6).alias("adj"),
+        (F.round(F.col("adj"), 6) * F.round(F.col("seasonal"), 6)
+         / F.round(F.col("trend"), 6)).alias("detr"))
+    r7 = lambda col: F.round(col, 7)  # noqa: E731
+    g = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        r7(F.sum("rem")).alias("s_r"),
+        r7(F.sum(F.col("rem") * F.col("rem"))).alias("s_rr"),
+        r7(F.sum("adj")).alias("s_a"),
+        r7(F.sum(F.col("adj") * F.col("adj"))).alias("s_aa"),
+        r7(F.sum("detr")).alias("s_d"),
+        r7(F.sum(F.col("detr") * F.col("detr"))).alias("s_dd"))
+    n = F.col("n")
+    var_rem = (F.col("s_rr") - F.col("s_r") * F.col("s_r") / n) / n
+    var_adj = (F.col("s_aa") - F.col("s_a") * F.col("s_a") / n) / n
+    var_detr = (F.col("s_dd") - F.col("s_d") * F.col("s_d") / n) / n
+    return g.select(
+        "user_id", n.cast("long").alias("n_obs"),
+        r6(F.greatest(F.lit(0.0), F.lit(1.0) - var_rem / var_adj),
+           "trend_strength"),
+        r6(F.greatest(F.lit(0.0), F.lit(1.0) - var_rem / var_detr),
+           "seasonal_strength"),
+        r6(var_rem, "var_remainder"))

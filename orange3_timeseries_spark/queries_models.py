@@ -1037,3 +1037,48 @@ def q_engle_granger_by_user(spark, sf_dir):
                       r6(F.col("cv_5pct"), "cv_5pct"),
                       r6(F.col("cv_10pct"), "cv_10pct"),
                       "cointegrated_5pct")
+
+
+@query("gap_profile_by_user", """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts)) / 1e6 AS gp
+  FROM events QUALIFY gp IS NOT NULL),
+r AS (
+  SELECT user_id, gp,
+         row_number() OVER (PARTITION BY user_id ORDER BY gp) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS ng
+  FROM g),
+med AS (
+  SELECT user_id,
+         max(CASE WHEN rk = (ng + 1) // 2 THEN gp END) AS median_gap_s,
+         max(gp) AS max_gap_s, count(*) AS n_gaps
+  FROM r GROUP BY 1),
+sc AS (
+  SELECT g.user_id,
+         CAST(sum(greatest(round(g.gp / m.median_gap_s, 0) - 1, 0.0))
+              AS BIGINT) AS missing_est
+  FROM g JOIN med m USING (user_id) GROUP BY 1)
+SELECT m.user_id, (m.n_gaps + 1)::BIGINT AS n_obs,
+       m.n_gaps::BIGINT AS n_gaps,
+       round(m.median_gap_s, 6) AS median_gap_s,
+       round(m.max_gap_s, 6) AS max_gap_s, s.missing_est,
+       round((m.n_gaps + 1)::DOUBLE / (m.n_gaps + 1 + s.missing_est), 6)
+           AS coverage
+FROM med m JOIN sc s USING (user_id)
+""")
+def q_gap_profile_by_user(spark, sf_dir):
+    """Per-series sampling-gap profile — data-quality triage before
+    interpolation/modeling: exact median and max inter-observation gap,
+    missing-grid-point estimate (round(gap/median)-1 per gap), coverage
+    ratio.  One lag window + one groupBy + one skinny join; the oracle
+    replays gaps, exact median, and the estimate."""
+    from orange3_timeseries_spark.operators.stattests import gap_profile
+
+    d = read_table(spark, sf_dir, "events")
+    out = gap_profile(d, "ts", ["user_id"])
+    return out.select("user_id", "n_obs", "n_gaps",
+                      r6(F.col("median_gap_s"), "median_gap_s"),
+                      r6(F.col("max_gap_s"), "max_gap_s"),
+                      "missing_est", r6(F.col("coverage"), "coverage"))

@@ -262,3 +262,38 @@ class TestEngleGranger:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
         assert "Join" not in plan  # window sums, residuals in-row
+
+
+class TestGapProfile:
+    def test_known_gaps(self, spark):
+        import datetime as dt
+
+        from orange3_timeseries_spark.operators.stattests import (
+            gap_profile,
+        )
+        # hourly grid with 2 skipped slots (one 3-hour gap)
+        base = dt.datetime(2024, 1, 1)
+        hours = [0, 1, 2, 5, 6, 7, 8]
+        rows = [(0, base + dt.timedelta(hours=h)) for h in hours]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+        [r] = gap_profile(df, "ts", ["user_id"]).collect()
+        assert r.n_obs == 7 and r.n_gaps == 6
+        assert r.median_gap_s == 3600.0
+        assert r.max_gap_s == 3 * 3600.0
+        assert r.missing_est == 2  # the 3h gap skips 2 grid points
+        assert r.coverage == pytest.approx(7 / 9)
+
+    def test_lower_median_even_count(self, spark):
+        import datetime as dt
+
+        from orange3_timeseries_spark.operators.stattests import (
+            gap_profile,
+        )
+        # 5 observations -> 4 gaps [1h, 1h, 2h, 4h]: lower median = 1h
+        base = dt.datetime(2024, 1, 1)
+        hours = [0, 1, 2, 4, 8]
+        df = spark.createDataFrame(
+            [(0, base + dt.timedelta(hours=h)) for h in hours],
+            "user_id int, ts timestamp")
+        [r] = gap_profile(df, "ts", ["user_id"]).collect()
+        assert r.median_gap_s == 3600.0  # element, not 1.5h midpoint
