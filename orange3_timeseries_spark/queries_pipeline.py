@@ -2533,3 +2533,41 @@ def q_drift_psi_events(spark, sf_dir):
                       r6(F.col("p_cur"), "p_cur"),
                       r6(F.col("contrib"), "contrib"),
                       r6(F.col("psi"), "psi"))
+
+
+@query("chunk_documents_corpus", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT)
+             AS n_chunks
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, n_chunks, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM b)
+SELECT doc_id, chunk_id::INT AS chunk_id, n_chunks,
+       (chunk_id * 48)::INT AS chunk_start,
+       len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+           AS chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                  chunk_id * 48 + 64), ' ')
+           AS chunk_text
+FROM c
+""")
+def q_chunk_documents_corpus(spark, sf_dir):
+    """Context-window chunking of the corpus (64-token windows, 16
+    overlap): the RAG/SFT preprocessing step that fans every long
+    document into overlapping windows — a map-only explode on the scan,
+    no shuffle, no Python.  The oracle replays tokenization, the chunk
+    count arithmetic, and the reconstructed chunk text verbatim."""
+    from orange3_timeseries_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", size=64, overlap=16)
