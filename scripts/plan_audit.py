@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = ["time_slice", "sliding_mean_sum", "lineitem_pricing_summary",
            "period_days", "dedup_ngram_jaccard", "dedup_minhash_lsh_pairs",
-           "embedding_neardup", "acf_by_user", "tumbling_blocks"]
+           "embedding_neardup", "acf_by_user", "tumbling_blocks",
+           "ann_ivfpq_topk", "arima_auto_order_by_user", "adf_test_by_user",
+           "lm_perplexity_by_doc", "drift_psi_events",
+           "chunk_documents_corpus"]
 
 
 def main():

@@ -592,3 +592,38 @@ def test_mase_smape_metrics():
     assert smape([0.0, 1.0], [0.0, 3.0]) == pytest.approx(50.0)
     # constant training series: scale undefined
     assert np.isnan(mase(true, pred, np.ones(5)))
+
+
+class TestTsFeatures:
+    def test_strength_separates_seasonal_from_noise(self, spark):
+        """A strongly seasonal series scores high seasonal strength; an
+        iid-noise series scores near zero on both strengths."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import (
+            seasonal_components_table,
+        )
+        rng = np.random.RandomState(2)
+        rows = []
+        for t in range(120):
+            seas = 10.0 + 5.0 * np.sin(2 * np.pi * t / 12)
+            rows.append((0, t, float(seas + rng.standard_normal() * 0.1)))
+            rows.append((1, t, float(10.0 + rng.standard_normal())))
+        df = spark.createDataFrame(rows, "user_id int, t int, value double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        out = seasonal_components_table(tsf, "value", "t",
+                                        model="multiplicative", period=12)
+        c = out.select("user_id", (F.col("adj") / F.col("trend"))
+                       .alias("rem"), F.col("adj"),
+                       (F.col("adj") * F.col("seasonal") / F.col("trend"))
+                       .alias("detr"))
+        g = c.groupBy("user_id").agg(
+            F.var_pop("rem").alias("vr"), F.var_pop("adj").alias("va"),
+            F.var_pop("detr").alias("vd"))
+        s = {r.user_id: (max(0.0, 1 - r.vr / r.va),
+                         max(0.0, 1 - r.vr / r.vd))
+             for r in g.collect()}
+        assert s[0][1] > 0.9          # strong seasonality detected
+        assert s[1][1] < s[0][1]      # noise scores lower
