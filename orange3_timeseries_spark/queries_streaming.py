@@ -429,3 +429,143 @@ def q_streaming_enrich_join(spark, sf_dir):
     name = "stream_enrich_" + uuid.uuid4().hex[:8]
     run_to_memory_isolated(spark, build, name, output_mode="append")
     return spark.table(name)
+
+
+@query("streaming_drift_psi", """
+WITH bounds AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid,
+         max(epoch_us(ts)) AS mx
+  FROM events),
+r AS (SELECT value::DOUBLE AS v FROM events, bounds
+      WHERE epoch_us(ts) <= mid AND value IS NOT NULL),
+e AS (SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+              quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+              quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+              quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+              quantile_cont(v, 0.9)] AS edges FROM r),
+pref AS (
+  SELECT b.bucket,
+         coalesce(rb.cnt::DOUBLE / (SELECT sum(cnt) FROM (
+             SELECT 1 + len(list_filter(e.edges, x -> v > x)) AS bucket,
+                    count(*) AS cnt FROM r, e GROUP BY 1) t), 0.0)
+             AS p_ref
+  FROM (SELECT unnest(generate_series(1, 10))::INT AS bucket) b
+  LEFT JOIN (SELECT 1 + len(list_filter(e.edges, x -> v > x)) AS bucket,
+                    count(*) AS cnt FROM r, e GROUP BY 1) rb
+    ON rb.bucket = b.bucket),
+wc AS (  -- emitted tumbling 3-day windows: end <= max event time
+  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS ws,
+         1 + len(list_filter(e.edges, x -> value::DOUBLE > x)) AS bucket,
+         count(*) AS cnt
+  FROM events, e, bounds
+  WHERE value IS NOT NULL
+    AND (epoch_us(ts) // 259200000000) * 259200000000
+        + 259200000000 <= mx
+  GROUP BY 1, 2),
+wins AS (SELECT DISTINCT ws FROM wc),
+grid AS (
+  SELECT w.ws, b.bucket, coalesce(wc.cnt, 0) AS cnt
+  FROM wins w
+  CROSS JOIN (SELECT unnest(generate_series(1, 10))::INT AS bucket) b
+  LEFT JOIN wc ON wc.ws = w.ws AND wc.bucket = b.bucket),
+shares AS (
+  SELECT ws, bucket,
+         cnt::DOUBLE / sum(cnt) OVER (PARTITION BY ws) AS p_cur
+  FROM grid),
+terms AS (
+  SELECT s.ws, s.bucket, p.p_ref, s.p_cur,
+         (greatest(p.p_ref, 1e-4) - greatest(s.p_cur, 1e-4))
+             * ln(greatest(p.p_ref, 1e-4) / greatest(s.p_cur, 1e-4))
+             AS contrib
+  FROM shares s JOIN pref p USING (bucket))
+SELECT make_timestamp(ws) AS window_start,
+       make_timestamp(ws + 259200000000) AS window_end,
+       bucket, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round(contrib, 6) AS contrib,
+       round(sum(contrib) OVER (PARTITION BY ws), 6) AS psi
+FROM terms
+""")
+def q_streaming_drift_psi(spark, sf_dir):
+    """STREAMING drift monitor: the events stream is histogrammed per
+    3-day tumbling window against static reference-decile edges (first
+    time half of the corpus, broadcast in-plan), append mode emits each
+    window's counts when the watermark passes, and the drained counts
+    become per-window PSI against the reference shares — the continuous
+    version of ``drift_psi_events``.  Bounded state: one row per
+    (window, bucket).  The oracle replays edges, window assignment
+    (epoch-aligned 3-day floors), emission semantics, and the PSI
+    decomposition."""
+    from pyspark.sql import Window
+
+    def build(s):
+        ev = read_table(s, sf_dir, "events")
+        us = F.unix_micros(F.col("ts"))
+        bounds = ev.agg(((F.min(us) + F.max(us)) / F.lit(2))
+                        .cast("long").alias("__mid__"))
+        ref = (ev.crossJoin(F.broadcast(bounds))
+               .where(us <= F.col("__mid__")))
+        edges = ref.agg(F.percentile(
+            F.col("value").cast("double"),
+            F.array(*[F.lit(k / 10) for k in range(1, 10)]))
+            .alias("__edges__"))
+        from orange3_timeseries_spark.streaming.ops import (
+            stream_bucket_counts,
+        )
+        sdf = read_table_stream(s, sf_dir, "events")
+        out = stream_bucket_counts(sdf, "ts", "value", edges, "3 days")
+        return out.select(F.col("window.start").alias("window_start"),
+                          F.col("window.end").alias("window_end"),
+                          "bucket", "cnt")
+
+    name = "stream_psi_" + uuid.uuid4().hex[:8]
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
+    # localCheckpoint: the drained sink is tiny and is self-joined
+    # below (distinct windows x counts) — pin it and break lineage
+    counts = spark.table(name).localCheckpoint()
+
+    # batch-side gate over the drained counts: fill the 10-bucket grid,
+    # shares per window, PSI vs the reference shares
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(((F.min(us) + F.max(us)) / F.lit(2))
+                    .cast("long").alias("__mid__"))
+    ref = ev.crossJoin(F.broadcast(bounds)).where(us <= F.col("__mid__"))
+    edges = ref.agg(F.percentile(
+        F.col("value").cast("double"),
+        F.array(*[F.lit(k / 10) for k in range(1, 10)]))
+        .alias("__edges__"))
+    v = F.col("value").cast("double")
+    rb = (ref.where(v.isNotNull()).crossJoin(F.broadcast(edges))
+          .groupBy((F.size(F.filter(F.col("__edges__"),
+                                    lambda e: v > e)) + 1)
+                   .alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("__c__")))
+    rtot = rb.agg(F.sum("__c__").alias("__t__"))
+    pref = (spark.range(1, 11)
+            .select(F.col("id").cast("int").alias("bucket"))
+            .join(rb, "bucket", "left")
+            .crossJoin(F.broadcast(rtot))
+            .select("bucket",
+                    F.coalesce(F.col("__c__") / F.col("__t__"),
+                               F.lit(0.0)).alias("p_ref")))
+    wins = counts.select("window_start", "window_end").distinct()
+    grid = (wins.crossJoin(
+                spark.range(1, 11).select(
+                    F.col("id").cast("int").alias("bucket")))
+            .join(counts, ["window_start", "window_end", "bucket"],
+                  "left")
+            .select("window_start", "window_end", "bucket",
+                    F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    wtot = Window.partitionBy("window_start")
+    shares = grid.withColumn(
+        "p_cur", F.col("cnt") / F.sum("cnt").over(wtot))
+    p = F.greatest(F.col("p_ref"), F.lit(1e-4))
+    q_ = F.greatest(F.col("p_cur"), F.lit(1e-4))
+    terms = (shares.join(F.broadcast(pref), "bucket")
+             .withColumn("contrib", (p - q_) * F.log(p / q_)))
+    return terms.select(
+        "window_start", "window_end", "bucket",
+        r6(F.col("p_ref"), "p_ref"), r6(F.col("p_cur"), "p_cur"),
+        r6(F.col("contrib"), "contrib"),
+        r6(F.sum("contrib").over(wtot), "psi"))

@@ -368,3 +368,26 @@ def stream_session_window(sdf: DataFrame, time_col: str, gap: str,
         aggs.append(desc.builder(c, ident, Ctx()).alias(f"{var} ({agg})"))
     keys = [F.col(k) for k in series_cols] + [win.alias("session_window")]
     return sdf.groupBy(*keys).agg(*aggs)
+
+
+def stream_bucket_counts(sdf: DataFrame, time_col: str, value_col: str,
+                         edges_df: DataFrame, window: str,
+                         watermark: str = "0 seconds") -> DataFrame:
+    """Windowed histogram of a streaming value column against STATIC
+    reference bucket edges — the streaming half of a drift monitor:
+    the (1-row) edges DataFrame broadcasts to every task, bucket
+    assignment is a higher-order-function count over the edge array,
+    and the windowed groupBy keeps one state row per (window, bucket)
+    — bounded state regardless of stream volume.  Append mode emits a
+    window's counts once the watermark passes its end; a downstream
+    batch step (or foreachBatch) turns counts into shares and the PSI
+    against the reference distribution."""
+    v = F.col(value_col).cast("double")
+    bucket = (F.size(F.filter(F.col("__edges__"), lambda e: v > e))
+              + 1).alias("bucket")
+    return (ntz_to_session_ts(sdf)
+            .where(v.isNotNull())
+            .crossJoin(F.broadcast(edges_df))
+            .withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window), bucket)
+            .agg(F.count(F.lit(1)).alias("cnt")))

@@ -454,3 +454,52 @@ class TestStreamAsofJoin:
             assert got == exp
         finally:
             _sh.rmtree(d, ignore_errors=True)
+
+
+class TestStreamBucketCounts:
+    def test_windowed_histogram_matches_batch(self, spark, tmp_path):
+        """Streaming bucket counts (static edges broadcast) equal the
+        batch histogram per closed window."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.streaming.ops import (
+            run_to_memory_isolated,
+            stream_bucket_counts,
+        )
+        base = dt.datetime(2024, 1, 1)
+        rows = [(base + dt.timedelta(hours=h), float(h % 10))
+                for h in range(72)]
+        src = str(tmp_path / "ev")
+        spark.createDataFrame(rows, "ts timestamp, value double") \
+            .write.parquet(src)
+        edges_vals = [2.0, 5.0, 8.0]
+
+        def build(s):
+            sdf = (s.readStream.schema("ts timestamp, value double")
+                   .parquet(src))
+            edges = s.range(1).select(
+                F.array(*[F.lit(e) for e in edges_vals])
+                .alias("__edges__"))
+            return stream_bucket_counts(sdf, "ts", "value", edges,
+                                        "1 day").select(
+                F.col("window.start").alias("ws"), "bucket", "cnt")
+
+        import uuid as _uuid
+        name = "sbc_" + _uuid.uuid4().hex[:8]
+        run_to_memory_isolated(spark, build, name, output_mode="append")
+        got = {(r.ws, r.bucket): r.cnt
+               for r in spark.table(name).collect()}
+        # append semantics: windows with end <= max event time emit;
+        # max ts = Jan 3 23:00, so days 1 and 2 are closed, day 3 not
+        assert {w for (w, _) in got} == {base, base + dt.timedelta(days=1)}
+        # batch replay: values 0..9 uniform over 24h -> buckets by edges
+        # (-inf,2],(2,5],(5,8],(8,inf): sizes 3,3,3,1 per 10 values
+        for w in (base, base + dt.timedelta(days=1)):
+            day = [v for t, v in rows
+                   if w <= t < w + dt.timedelta(days=1)]
+            for b, lo, hi in [(1, -1e9, 2.0), (2, 2.0, 5.0),
+                              (3, 5.0, 8.0), (4, 8.0, 1e9)]:
+                want = sum(1 for v in day if lo < v <= hi)
+                assert got.get((w, b), 0) == want
