@@ -181,16 +181,18 @@ def kpss_test(df: DataFrame, time_col: str, value_col: str,
                         * F.pow(F.max("__T__") / F.lit(100.0),
                                 F.lit(0.25))).cast("int").alias("l")))
 
-    a = base.select(*series_cols, F.col("__rn__").alias("rn_a"),
-                    F.col("__e__").alias("e_a"))
+    # each LEFT row explodes to its l lag offsets and equi-joins the
+    # partner at rn - j: the intermediate is T*l rows per series, never
+    # the T^2 a key-only self-join + range filter would materialize
+    a = (base.join(num.select(*series_cols, "l"), series_cols)
+         .withColumn("j", F.explode(F.sequence(F.lit(1), F.col("l"))))
+         .select(*series_cols, "j",
+                 (F.col("__rn__") - F.col("j")).alias("rn_b"),
+                 F.col("__e__").alias("e_a")))
     b = base.select(*series_cols, F.col("__rn__").alias("rn_b"),
                     F.col("__e__").alias("e_b"))
-    lags = (a.join(b, series_cols)
-            .join(num.select(*series_cols, "l"), series_cols)
-            .where((F.col("rn_a") - F.col("rn_b") >= 1)
-                   & (F.col("rn_a") - F.col("rn_b") <= F.col("l")))
-            .groupBy(*series_cols,
-                     (F.col("rn_a") - F.col("rn_b")).alias("j"))
+    lags = (a.join(b, series_cols + ["rn_b"])
+            .groupBy(*series_cols, "j")
             .agg(F.round(F.sum(F.col("e_a") * F.col("e_b")), q)
                  .alias("gj")))
     wsum = (lags.join(num.select(*series_cols, "l", "T"), series_cols)
@@ -241,31 +243,28 @@ def ljung_box(df: DataFrame, time_col: str, value_col: str,
     w = Window.partitionBy(*series_cols).orderBy(time_col)
     wfull = Window.partitionBy(*series_cols)
     y = F.col(value_col).cast("double")
-    s = df.select(*series_cols,
+    # lag products UNROLLED as window expressions (h is a small fixed
+    # constant): one window pass + one groupBy, exchanges=1 — an
+    # earlier band self-join shape joined the series to itself on the
+    # key alone, a T^2-per-series intermediate before the range filter
+    s = df.select(*series_cols, F.col(time_col),
                   (y - F.avg(y).over(wfull)).alias("xd"),
-                  F.row_number().over(w).alias("rn"),
                   F.count(F.lit(1)).over(wfull).alias("n"))
-    a = s.select(*series_cols, F.col("rn").alias("rn_a"),
-                 F.col("xd").alias("xa"), "n")
-    b = s.select(*series_cols, F.col("rn").alias("rn_b"),
-                 F.col("xd").alias("xb"))
-    sp = (a.join(b, series_cols)
-          .where((F.col("rn_b") - F.col("rn_a") >= 0)
-                 & (F.col("rn_b") - F.col("rn_a") <= lags))
-          .groupBy(*series_cols,
-                   (F.col("rn_b") - F.col("rn_a")).alias("lag"))
-          .agg(F.sum(F.col("xa") * F.col("xb")).alias("sp"),
-               F.max("n").alias("n")))
-    wl = Window.partitionBy(*series_cols).orderBy("lag")
-    acf = (sp.withColumn("acf", F.round(
-               F.col("sp") / F.first("sp").over(wl), quantize))
-           .where((F.col("lag") >= 1) & (F.col("n") > lags)))
-    g = (acf.groupBy(*series_cols)
-         .agg(F.max("n").cast("double").alias("n"),
-              F.sum(F.col("acf") * F.col("acf")
-                    / (F.col("n") - F.col("lag"))).alias("ssum")))
+    s = s.select(*series_cols, "n",
+                 *[(F.col("xd") * F.lag("xd", k).over(w))
+                   .alias(f"__p{k}__") for k in range(0, lags + 1)])
+    g = s.groupBy(*series_cols).agg(
+        F.max("n").cast("double").alias("n"),
+        *[F.sum(f"__p{k}__").alias(f"__sp{k}__")
+          for k in range(0, lags + 1)])
+    g = g.where(F.col("n") > lags)
     n = F.col("n")
-    q_stat = n * (n + F.lit(2.0)) * F.col("ssum")
+    ssum = None
+    for k in range(1, lags + 1):
+        acf_k = F.round(F.col(f"__sp{k}__") / F.col("__sp0__"), quantize)
+        term = acf_k * acf_k / (n - F.lit(float(k)))
+        ssum = term if ssum is None else ssum + term
+    q_stat = n * (n + F.lit(2.0)) * ssum
     g = g.withColumn("q_stat", q_stat)
     half = F.col("q_stat") / F.lit(2.0)
     shape = lags // 2
