@@ -745,3 +745,81 @@ def video_signature(df: DataFrame, video_col: str, id_col: str,
                                + [f"f{j}" for j in range(n_sample)])
 
     return df.select(id_col, video_col).mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------ scene cuts
+def encode_fake_video_scenes(seed: int, width: int, height: int,
+                             n_frames: int, scene_len: int = 5) -> bytes:
+    """FVID payload with SCENE structure: frames within a scene of
+    ``scene_len`` are identical, each scene draws a fresh pseudo-raster
+    (frame f uses seed ``seed + f // scene_len``) — the fixture for
+    shot-boundary detection, replayable by a SQL oracle from the same
+    formula."""
+    header = VID_MAGIC + struct.pack("<BHHH", 1, width, height, n_frames)
+    per = width * height
+    body = b"".join(
+        _pixel_bytes(seed + (f // scene_len), per).tobytes()
+        for f in range(n_frames))
+    return header + body
+
+
+def synthesize_scene_video_column(df: DataFrame, id_col: str,
+                                  size_col: str, out: str = "video",
+                                  scene_len: int = 5) -> DataFrame:
+    """Attach a scene-structured FVID payload per row (16x16 grayscale,
+    n_frames = 10 + size % 20, scenes of ``scene_len`` frames)."""
+    df = _spread(df)
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_fake_video_scenes(int(i), 16, 16,
+                                         10 + int(s) % 20, scene_len)
+                for i, s in zip(pdf[id_col], pdf[size_col])]
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields)
+                          + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def video_scene_cuts(df: DataFrame, video_col: str, id_col: str,
+                     threshold: int = 10,
+                     stride: int = 1) -> DataFrame:
+    """Shot-boundary (scene cut) detection: dHash every ``stride``-th
+    frame, Hamming distance between consecutive sampled hashes, a cut
+    where the distance exceeds ``threshold`` — the standard cheap
+    shot detector that feeds clip segmentation for video training
+    data (one keyframe per shot, dedup per shot, caption per shot).
+
+    One Arrow stage per video row (payload bytes never shuffle); the
+    output is skinny (id, frame_idx, hamming, is_cut) rows.  For long
+    real videos set ``stride`` > 1 — detection granularity trades
+    against decode cost, the usual dial."""
+    id_f = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_f),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("is_cut", T.BooleanType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[video_col]):
+                try:
+                    _, frames = decode_video(bytes(payload))
+                except Exception:
+                    continue  # corrupt asset: skip the row
+                idxs = list(range(0, frames.shape[0], stride))
+                hashes = [dhash_from_pixels(frames[i]) for i in idxs]
+                for k in range(1, len(hashes)):
+                    ham = int(bin(hashes[k] ^ hashes[k - 1]).count("1"))
+                    rows.append((rid, idxs[k], ham, ham > threshold))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              schema.fields])
+
+    return df.select(id_col, video_col).mapInPandas(run, schema)

@@ -368,3 +368,49 @@ def q_multimodal_video_signature(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     vids = synthesize_video_column(d, "doc_id", "n_chars")
     return video_signature(vids, "video", "doc_id")
+
+
+@query("multimodal_scene_cuts", """
+WITH d AS (SELECT doc_id, 10 + n_chars % 20 AS nf FROM documents),
+fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM d),
+g AS (
+  SELECT fr.doc_id, fr.f, r.r, c.c,
+         ((fr.doc_id + fr.f // 5) * 2654435761
+          + ((2 * r.r) * 16 + 2 * c.c) * 97) % 256 AS gv
+  FROM fr,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS c) c),
+h AS (
+  SELECT a.doc_id, a.f,
+         sum(CASE WHEN a.gv > b.gv
+                  THEN (1::BIGINT << (a.r * 7 + a.c)) ELSE 0 END)::BIGINT
+             AS hv
+  FROM g a JOIN g b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r
+   AND b.c = a.c + 1
+  WHERE a.c < 7 GROUP BY 1, 2),
+x AS (
+  SELECT doc_id, f,
+         bit_count(xor(hv, lag(hv) OVER (PARTITION BY doc_id
+                                         ORDER BY f))) AS hamming
+  FROM h)
+SELECT doc_id, f::INT AS frame_idx, hamming::INT AS hamming,
+       hamming > 10 AS is_cut
+FROM x WHERE hamming IS NOT NULL
+""")
+def q_multimodal_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over scene-structured video fixtures:
+    per-frame dHash, consecutive Hamming distance, cut where > 10 —
+    the clip-segmentation step of a video training pipeline (keyframe
+    per shot, dedup per shot).  Frames repeat within 5-frame scenes
+    and change across them, so true cuts sit at frame_idx % 5 == 0;
+    the oracle replays every frame hash from the raster formula, the
+    XOR popcount, and the verdict."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        synthesize_scene_video_column,
+        video_scene_cuts,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vids = synthesize_scene_video_column(d, "doc_id", "n_chars")
+    return video_scene_cuts(vids, "video", "doc_id", threshold=10)

@@ -828,3 +828,47 @@ class TestGif:
         assert meta["n_frames"] == 2
         assert (frames[0] == [255, 0, 0]).all()
         assert (frames[1] == [255, 0, 0]).all()  # transparent -> prior
+
+
+class TestSceneCuts:
+    def test_cuts_at_scene_boundaries_only(self, spark):
+        from orange3_timeseries_spark.operators.multimodal import (
+            synthesize_scene_video_column,
+            video_scene_cuts,
+        )
+        d = spark.createDataFrame([(1, 10), (2, 3)],
+                                  "doc_id long, n_chars long")
+        # nf = 10 + n_chars % 20 -> doc 1: 20 frames, doc 2: 13 frames
+        vids = synthesize_scene_video_column(d, "doc_id", "n_chars")
+        out = video_scene_cuts(vids, "video", "doc_id",
+                               threshold=10).collect()
+        for r in out:
+            # scene structure: identical frames inside 5-frame scenes
+            if r.frame_idx % 5 == 0:
+                assert r.is_cut and r.hamming > 10, r
+            else:
+                assert not r.is_cut and r.hamming == 0, r
+        # doc 1: frames 1..19 scored; cuts at 5, 10, 15
+        d1 = [r for r in out if r.doc_id == 1]
+        assert len(d1) == 19
+        assert sorted(r.frame_idx for r in d1 if r.is_cut) == [5, 10, 15]
+
+    def test_stride_and_corrupt_rows(self, spark):
+        from orange3_timeseries_spark.operators.multimodal import (
+            synthesize_scene_video_column,
+            video_scene_cuts,
+        )
+        d = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+        vids = synthesize_scene_video_column(d, "doc_id", "n_chars")
+        strided = video_scene_cuts(vids, "video", "doc_id",
+                                   threshold=10, stride=5).collect()
+        # sampled frames 0,5,10,15: every consecutive pair crosses a
+        # scene boundary -> every row is a cut
+        assert [r.frame_idx for r in strided] == [5, 10, 15]
+        assert all(r.is_cut for r in strided)
+        # corrupt payload: row skipped, no job failure
+        import pyspark.sql.functions as F
+        bad = vids.withColumn(
+            "video", F.when(F.col("doc_id") == 1,
+                            F.lit(b"JUNK")).otherwise(F.col("video")))
+        assert video_scene_cuts(bad, "video", "doc_id").count() == 0
