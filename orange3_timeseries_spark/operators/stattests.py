@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["adf_test", "kpss_test", "ljung_box", "engle_granger",
-           "gap_profile",
+           "gap_profile", "winsorize",
            "MACKINNON_2010_CONST", "KPSS_CRIT_CONST",
            "MACKINNON_2010_N2"]
 
@@ -406,3 +406,36 @@ def gap_profile(df: DataFrame, time_col: str,
         F.col("n_gaps").cast("long").alias("n_gaps"),
         "median_gap_s", "max_gap_s", "missing_est",
         (n_obs / (n_obs + F.col("missing_est"))).alias("coverage"))
+
+
+def winsorize(df: DataFrame, value_col: str, series_cols: Sequence[str],
+              lower: float = 0.01, upper: float = 0.99,
+              out_col: str = None) -> DataFrame:
+    """Per-series winsorization: clamp ``value_col`` to its series'
+    [lower, upper] quantile ELEMENTS (lower-element convention, same
+    engine-portable selection as :func:`gap_profile` — no interpolated
+    midpoints) and flag clamped rows — the robust-preprocessing step
+    before model fitting when sensors spike.
+
+    One window pass (rank + count per series), one groupBy for the two
+    bounds, one broadcast-friendly skinny join back.  Adds
+    ``{out}_winsorized`` and ``{out}_clamped``; original rows and
+    columns pass through."""
+    series_cols = list(series_cols)
+    out = out_col or value_col
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*series_cols).orderBy(v)
+    wf = Window.partitionBy(*series_cols)
+    ranked = df.withColumn("__rk__", F.row_number().over(w)) \
+        .withColumn("__n__", F.count(F.lit(1)).over(wf))
+    lo_idx = F.greatest(F.floor(F.col("__n__") * lower), F.lit(1))
+    hi_idx = F.least(F.ceil(F.col("__n__") * upper), F.col("__n__"))
+    bounds = (ranked.groupBy(*series_cols).agg(
+        F.max(F.when(F.col("__rk__") == lo_idx, v)).alias("__lo__"),
+        F.max(F.when(F.col("__rk__") == hi_idx, v)).alias("__hi__")))
+    joined = ranked.drop("__rk__", "__n__").join(bounds, series_cols)
+    clamped = F.least(F.greatest(v, F.col("__lo__")), F.col("__hi__"))
+    return (joined
+            .withColumn(f"{out}_winsorized", clamped)
+            .withColumn(f"{out}_clamped", clamped != v)
+            .drop("__lo__", "__hi__"))

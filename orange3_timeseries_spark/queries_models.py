@@ -1082,3 +1082,36 @@ def q_gap_profile_by_user(spark, sf_dir):
                       r6(F.col("median_gap_s"), "median_gap_s"),
                       r6(F.col("max_gap_s"), "max_gap_s"),
                       "missing_est", r6(F.col("coverage"), "coverage"))
+
+
+@query("winsorize_by_user", """
+WITH r AS (
+  SELECT user_id, event_id, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY value::DOUBLE)
+             AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+b AS (
+  SELECT user_id,
+         max(CASE WHEN rk = greatest(floor(n * 0.05), 1)
+                  THEN v END) AS lo,
+         max(CASE WHEN rk = least(ceil(n * 0.95), n) THEN v END) AS hi
+  FROM r GROUP BY 1)
+SELECT r.user_id, r.event_id,
+       round(least(greatest(r.v, b.lo), b.hi), 6) AS v_winsorized,
+       least(greatest(r.v, b.lo), b.hi) != r.v AS v_clamped
+FROM r JOIN b USING (user_id)
+""")
+def q_winsorize_by_user(spark, sf_dir):
+    """Per-series 5/95% winsorization — robust preprocessing before
+    model fits: clamp to quantile ELEMENTS (lower-element selection,
+    engine-portable like gap_profile's median) and flag clamped rows.
+    One window pass + skinny bounds join; oracle replays the rank
+    selection and the clamp."""
+    from orange3_timeseries_spark.operators.stattests import winsorize
+
+    d = read_table(spark, sf_dir, "events")
+    out = winsorize(d, "value", ["user_id"], lower=0.05, upper=0.95)
+    return out.select("user_id", "event_id",
+                      r6(F.col("value_winsorized"), "v_winsorized"),
+                      F.col("value_clamped").alias("v_clamped"))

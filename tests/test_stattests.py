@@ -297,3 +297,32 @@ class TestGapProfile:
             "user_id int, ts timestamp")
         [r] = gap_profile(df, "ts", ["user_id"]).collect()
         assert r.median_gap_s == 3600.0  # element, not 1.5h midpoint
+
+
+class TestWinsorize:
+    def test_clamps_tails_only(self, spark):
+        from orange3_timeseries_spark.operators.stattests import winsorize
+
+        rows = [(0, t, float(t)) for t in range(1, 101)]  # 1..100
+        df = spark.createDataFrame(rows, "user_id int, t int, v double")
+        out = winsorize(df, "v", ["user_id"], lower=0.05,
+                        upper=0.95).collect()
+        # bounds: 5th element (5.0) and 95th element (95.0)
+        for r in out:
+            assert r.v_winsorized == min(max(r.v, 5.0), 95.0)
+            assert r.v_clamped == (r.v < 5.0 or r.v > 95.0)
+        assert sum(r.v_clamped for r in out) == 9  # 1..4 and 96..100
+        # passthrough: original columns survive
+        assert {"user_id", "t", "v"} <= set(out[0].asDict())
+
+    def test_per_series_independent_bounds(self, spark):
+        from orange3_timeseries_spark.operators.stattests import winsorize
+
+        rows = [(0, t, float(t)) for t in range(10)] + \
+               [(1, t, float(t * 100)) for t in range(10)]
+        df = spark.createDataFrame(rows, "user_id int, t int, v double")
+        out = winsorize(df, "v", ["user_id"], lower=0.2,
+                        upper=0.8).collect()
+        hi = {u: max(r.v_winsorized for r in out if r.user_id == u)
+              for u in (0, 1)}
+        assert hi[1] == hi[0] * 100  # series scaled independently
