@@ -590,3 +590,87 @@ class TestCodecRoundtripProperties:
                                    merges).collect()
         want = sum(len(_ref_encode(w, merges)) for w in words)
         assert r.n_tokens == want
+
+
+class TestRound6Properties:
+    @settings(max_examples=8, deadline=None)
+    @given(n_words=st.integers(1, 60), size=st.integers(2, 16),
+           overlap=st.integers(0, 8))
+    def test_chunking_reconstructs_tokens(self, spark, n_words, size,
+                                          overlap):
+        """Every token appears in >= 1 chunk; de-overlapped
+        concatenation reconstructs the document exactly."""
+        from orange3_timeseries_spark.operators.chunking import (
+            chunk_documents,
+        )
+        if overlap >= size:
+            overlap = size - 1
+        words = [f"w{i}" for i in range(n_words)]
+        df = spark.createDataFrame([(1, " ".join(words))],
+                                   "doc_id long, text string")
+        out = sorted(chunk_documents(df, "doc_id", "text", size=size,
+                                     overlap=overlap).collect(),
+                     key=lambda r: r.chunk_id)
+        rebuilt = []
+        for r in out:
+            toks = r.chunk_text.split(" ")
+            start = 0 if r.chunk_id == 0 else \
+                len(rebuilt) - r.chunk_start
+            rebuilt.extend(toks[start:])
+        assert rebuilt == words
+
+    @settings(max_examples=6, deadline=None)
+    @given(vals=st.lists(st.floats(-1e3, 1e3), min_size=12,
+                         max_size=60),
+           lo=st.floats(0.0, 0.3), hi=st.floats(0.7, 1.0))
+    def test_winsorize_bounds_and_order(self, spark, vals, lo, hi):
+        """Winsorized values stay inside the data range, clamping is
+        monotone (order-preserving), and unclamped rows are
+        untouched."""
+        from orange3_timeseries_spark.operators.stattests import (
+            winsorize,
+        )
+        df = spark.createDataFrame(
+            [(0, i, float(v)) for i, v in enumerate(vals)],
+            "user_id int, t int, v double")
+        out = winsorize(df, "v", ["user_id"], lower=lo,
+                        upper=hi).collect()
+        mn, mx = min(vals), max(vals)
+        for r in out:
+            assert mn <= r.v_winsorized <= mx
+            if not r.v_clamped:
+                assert r.v_winsorized == r.v
+        pairs = sorted((r.v, r.v_winsorized) for r in out)
+        ws = [w for _, w in pairs]
+        assert ws == sorted(ws)  # monotone in the original value
+
+    @settings(max_examples=5, deadline=None)
+    @given(vals=st.lists(st.floats(-50, 50), min_size=50, max_size=200))
+    def test_psi_self_comparison_is_zero(self, spark, vals):
+        """PSI of a distribution against itself is exactly 0 (every
+        bucket share matches)."""
+        from orange3_timeseries_spark.operators.drift import psi_drift
+
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "v double")
+        out = psi_drift(df, df, "v").collect()
+        assert all(abs(r.psi) < 1e-12 for r in out)
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 1000))
+    def test_adf_matches_numpy_on_random_series(self, spark, seed):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.stattests import adf_test
+        from tests.test_stattests import _numpy_adf
+
+        rng = np.random.RandomState(seed)
+        y = np.cumsum(rng.standard_normal(60)) \
+            if seed % 2 else rng.standard_normal(60)
+        df = spark.createDataFrame(
+            [(0, t, float(y[t])) for t in range(60)],
+            "user_id int, t int, v double")
+        [r] = adf_test(df, "t", "v", ["user_id"]).collect()
+        beta, tau, n = _numpy_adf(y)
+        assert r.n_obs == n
+        assert abs(r.tau - tau) < 1e-3
