@@ -35,16 +35,21 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     k/n reference quantiles (linear interpolation)."""
     qs = [k / n_buckets for k in range(1, n_buckets)]
     v = F.col(value_col).cast("double")
+    # eager 1-row materialization: the edge array feeds BOTH bucketing
+    # branches — left lazy, Catalyst re-derives the whole reference
+    # scan+percentile subtree in every branch (measured 68 Exchange
+    # nodes in the composed plan; 2 after pinning)
     edges = ref.agg(
         F.percentile(v, F.array(*[F.lit(q) for q in qs]))
-        .alias("__edges__"))
+        .alias("__edges__")).localCheckpoint()
 
     def bucketed(df: DataFrame, name: str) -> DataFrame:
         b = (F.size(F.filter(F.col("__edges__"),
                              lambda e: v > e)) + 1).alias("bucket")
         counts = (df.select(v.alias(value_col)).where(v.isNotNull())
                   .crossJoin(F.broadcast(edges))
-                  .groupBy(b).agg(F.count(F.lit(1)).alias("__c__")))
+                  .groupBy(b).agg(F.count(F.lit(1)).alias("__c__"))
+                  ).localCheckpoint()  # <= n_buckets rows, reused twice
         total = counts.agg(F.sum("__c__").alias("__t__"))
         return (counts.crossJoin(F.broadcast(total))
                 .select("bucket", (F.col("__c__") / F.col("__t__"))
@@ -61,6 +66,6 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     p = F.greatest(F.col("p_ref"), F.lit(eps))
     q = F.greatest(F.col("p_cur"), F.lit(eps))
     contrib = (p - q) * F.log(p / q)
-    out = shares.withColumn("contrib", contrib)
+    out = shares.withColumn("contrib", contrib).localCheckpoint()
     total = out.agg(F.sum("contrib").alias("psi"))
     return out.crossJoin(F.broadcast(total))
