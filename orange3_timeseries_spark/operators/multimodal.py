@@ -823,3 +823,97 @@ def video_scene_cuts(df: DataFrame, video_col: str, id_col: str,
                                               schema.fields])
 
     return df.select(id_col, video_col).mapInPandas(run, schema)
+
+
+# ------------------------------------------------------ silence spans
+def encode_fake_audio_segments(seed: int, sample_rate: int,
+                               n_samples: int,
+                               seg_len: int = 500) -> bytes:
+    """FAUD payload with SILENCE structure: alternating ``seg_len``
+    segments — even segments hover at the 128 midline (amplitude <= 2),
+    odd segments span the full range — the fixture for voice-activity /
+    silence segmentation, replayable by a SQL oracle from the formula
+    ``v(i) = 128 + (h(i) % 5) - 2`` (quiet) / ``h(i) % 256`` (loud)
+    with ``h(i) = seed*2654435761 + i*97``."""
+    header = AUD_MAGIC + struct.pack("<BHI", 1, sample_rate, n_samples)
+    i = np.arange(n_samples, dtype=np.uint64)
+    h = (np.uint64(seed % (1 << 31)) * np.uint64(2654435761)
+         + i * np.uint64(97))
+    quiet = ((i // np.uint64(seg_len)) % np.uint64(2)) == 0
+    v = np.where(quiet,
+                 np.uint64(128) + h % np.uint64(5) - np.uint64(2),
+                 h % np.uint64(256)).astype(np.uint8)
+    return header + v.tobytes()
+
+
+def synthesize_segment_audio_column(df: DataFrame, id_col: str,
+                                    size_col: str, out: str = "audio",
+                                    seg_len: int = 500) -> DataFrame:
+    """Attach a silence-structured FAUD payload per row
+    (n_samples = 1000 + size % 500 — bounded so per-sample SQL replay
+    stays cheap)."""
+    df = _spread(df)
+    fields = df.schema.fields
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_fake_audio_segments(int(i), 8000,
+                                           1000 + int(s) % 500, seg_len)
+                for i, s in zip(pdf[id_col], pdf[size_col])]
+            pdf = pdf.copy()
+            pdf[out] = payloads
+            yield pdf
+
+    schema = T.StructType(list(fields)
+                          + [T.StructField(out, T.BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_silence_spans(df: DataFrame, audio_col: str, id_col: str,
+                        frame: int = 250,
+                        rms_threshold: float = 20.0) -> DataFrame:
+    """Silence-span segmentation (cheap voice-activity detection): RMS
+    per non-overlapping ``frame``-sample window around the 128 midline,
+    consecutive sub-threshold frames merge into spans — the step that
+    trims dead air / splits long recordings before ASR or audio-corpus
+    dedup.  One Arrow stage per clip row; output is skinny
+    ``(id, span_start_frame, span_end_frame, n_frames)`` rows (end
+    exclusive).  Trailing partial frames are ignored (standard VAD
+    framing)."""
+    id_f = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_f),
+        T.StructField("span_start_frame", T.IntegerType()),
+        T.StructField("span_end_frame", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[audio_col]):
+                try:
+                    meta, samples = decode_audio(bytes(payload))
+                except Exception:
+                    continue
+                s = np.asarray(samples, dtype=np.float64)
+                if meta.get("format") == "FAUD":
+                    s = s - 128.0  # unsigned fixture centers at 128
+                n_frames = len(s) // frame
+                if not n_frames:
+                    continue
+                fr = s[:n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                silent = rms < rms_threshold
+                start = None
+                for k in range(n_frames + 1):
+                    on = k < n_frames and silent[k]
+                    if on and start is None:
+                        start = k
+                    elif not on and start is not None:
+                        rows.append((rid, start, k, k - start))
+                        start = None
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              schema.fields])
+
+    return df.select(id_col, audio_col).mapInPandas(run, schema)

@@ -414,3 +414,43 @@ def q_multimodal_scene_cuts(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     vids = synthesize_scene_video_column(d, "doc_id", "n_chars")
     return video_scene_cuts(vids, "video", "doc_id", threshold=10)
+
+
+@query("multimodal_silence_spans", """
+WITH d AS (SELECT doc_id, 1000 + n_chars % 500 AS n FROM documents),
+fr AS (SELECT doc_id, n, unnest(generate_series(0, n // 250 - 1)) AS k
+       FROM d),
+s AS (
+  SELECT fr.doc_id, fr.k,
+         sqrt(avg(pow(CASE WHEN (i.i // 500) % 2 = 0
+                  THEN ((fr.doc_id * 2654435761 + i.i * 97) % 5) - 2
+                  ELSE ((fr.doc_id * 2654435761 + i.i * 97) % 256) - 128
+                  END, 2))) AS rms
+  FROM fr, LATERAL (SELECT unnest(generate_series(fr.k * 250,
+                                  fr.k * 250 + 249)) AS i) i
+  GROUP BY 1, 2),
+sf AS (SELECT doc_id, k FROM s WHERE rms < 20.0),
+sp AS (SELECT doc_id, k,
+              k - row_number() OVER (PARTITION BY doc_id ORDER BY k)
+                  AS grp
+       FROM sf)
+SELECT doc_id, min(k)::INT AS span_start_frame,
+       (max(k) + 1)::INT AS span_end_frame, count(*)::INT AS n_frames
+FROM sp GROUP BY doc_id, grp
+""")
+def q_multimodal_silence_spans(spark, sf_dir):
+    """Silence-span segmentation (cheap VAD) over silence-structured
+    audio fixtures: 250-sample frame RMS around the midline,
+    sub-threshold frames merged into spans — the dead-air trimming /
+    recording-splitting step before ASR or audio dedup.  The oracle
+    replays every sample from the fixture formula, the frame RMS, the
+    threshold verdict, and the gaps-and-islands span merge."""
+    from orange3_timeseries_spark.operators.multimodal import (
+        audio_silence_spans,
+        synthesize_segment_audio_column,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    auds = synthesize_segment_audio_column(d, "doc_id", "n_chars")
+    return audio_silence_spans(auds, "audio", "doc_id", frame=250,
+                               rms_threshold=20.0)

@@ -872,3 +872,39 @@ class TestSceneCuts:
             "video", F.when(F.col("doc_id") == 1,
                             F.lit(b"JUNK")).otherwise(F.col("video")))
         assert video_scene_cuts(bad, "video", "doc_id").count() == 0
+
+
+class TestSilenceSpans:
+    def test_known_segment_structure(self, spark):
+        from orange3_timeseries_spark.operators.multimodal import (
+            audio_silence_spans,
+            synthesize_segment_audio_column,
+        )
+        # n_chars=250 -> n=1250 samples -> 5 frames of 250; segments of
+        # 500 alternate quiet/loud: frames 0,1 quiet; 2,3 loud; 4 quiet
+        d = spark.createDataFrame([(1, 250)], "doc_id long, n_chars long")
+        auds = synthesize_segment_audio_column(d, "doc_id", "n_chars")
+        out = sorted(audio_silence_spans(auds, "audio", "doc_id")
+                     .collect(), key=lambda r: r.span_start_frame)
+        assert [(r.span_start_frame, r.span_end_frame, r.n_frames)
+                for r in out] == [(0, 2, 2), (4, 5, 1)]
+
+    def test_wav_path_and_corrupt_rows(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.multimodal import (
+            audio_silence_spans,
+            encode_wav,
+        )
+        # real WAV: 500 near-zero samples then 500 loud ones
+        quiet = np.zeros(500, dtype=np.int16)
+        rng = np.random.RandomState(0)
+        loud = (rng.randint(-20000, 20000, 500)).astype(np.int16)
+        wav = encode_wav(np.concatenate([quiet, loud]), 8000)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"JUNK"))],
+            "doc_id long, audio binary")
+        out = audio_silence_spans(df, "audio", "doc_id", frame=250,
+                                  rms_threshold=100.0).collect()
+        assert [(r.doc_id, r.span_start_frame, r.span_end_frame)
+                for r in out] == [(1, 0, 2)]  # corrupt row skipped
