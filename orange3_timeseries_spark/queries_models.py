@@ -1115,3 +1115,97 @@ def q_winsorize_by_user(spark, sf_dir):
     return out.select("user_id", "event_id",
                       r6(F.col("value_winsorized"), "v_winsorized"),
                       F.col("value_clamped").alias("v_clamped"))
+
+
+@query("temporal_split_events", """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+s AS (
+  SELECT e.user_id, e.event_id,
+         CASE WHEN epoch_us(e.ts) <= b.mn + ((b.mx - b.mn) * 7) // 10
+              THEN 'train'
+              WHEN epoch_us(e.ts) <= b.mn + ((b.mx - b.mn) * 85) // 100
+              THEN 'val' ELSE 'test' END AS split
+  FROM events e, b)
+SELECT user_id, event_id, split FROM s
+""")
+def q_temporal_split_events(spark, sf_dir):
+    """TEMPORAL train/val/test split (70/15/15 by event-time range) —
+    the leakage-safe split for forecasting data, where a hash split
+    would leak the future into training (the time-series counterpart
+    of the cluster-aware ``leakage_safe_split``).  Map-only against a
+    broadcast 1-row bounds aggregate; cutoffs in integer microseconds
+    so both engines compare exactly."""
+    d = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    b = d.agg(F.min(us).alias("__mn__"), F.max(us).alias("__mx__"))
+    j = d.crossJoin(F.broadcast(b))
+    span = F.col("__mx__") - F.col("__mn__")
+    t_tr = F.col("__mn__") + F.floor(span * 7 / 10).cast("long")
+    t_va = F.col("__mn__") + F.floor(span * 85 / 100).cast("long")
+    split = (F.when(us <= t_tr, "train")
+             .when(us <= t_va, "val").otherwise("test"))
+    return j.select("user_id", "event_id", split.alias("split"))
+
+
+@query("rolling_corr_by_user", """
+WITH m AS (
+  SELECT user_id, ts, value::DOUBLE AS y,
+         round(avg(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN 11 PRECEDING
+                                                 AND CURRENT ROW), 7)
+             AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+w AS (
+  SELECT user_id, rn,
+         count(*) OVER win AS n,
+         round(sum(y) OVER win, 7) AS sy,
+         round(sum(x) OVER win, 7) AS sx,
+         round(sum(y*y) OVER win, 7) AS syy,
+         round(sum(x*x) OVER win, 7) AS sxx,
+         round(sum(x*y) OVER win, 7) AS sxy
+  FROM m
+  WINDOW win AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT user_id, rn::INT AS idx,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS corr
+FROM w WHERE rn >= 24
+""")
+def q_rolling_corr_by_user(spark, sf_dir):
+    """Rolling 24-point Pearson correlation between each series and its
+    12-point trailing mean — the windowed co-movement monitor (pairs
+    trading, sensor cross-checks).  Window sums only, rounded-sum
+    firewall, closed-form correlation; rows before a full window are
+    suppressed (Complete keep policy)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "events")
+    wts = Window.partitionBy("user_id").orderBy("ts")
+    y = F.col("value").cast("double")
+    m = d.select("user_id",
+                 F.round(F.avg(y).over(wts.rowsBetween(-11, 0)), 7)
+                 .alias("x"),
+                 y.alias("y"),
+                 F.row_number().over(wts).alias("rn"))
+    win = Window.partitionBy("user_id").orderBy("rn") \
+        .rowsBetween(-23, 0)
+    r7 = lambda c: F.round(c, 7)  # noqa: E731
+    x, yy = F.col("x"), F.col("y")
+    w = m.select(
+        "user_id", "rn",
+        F.count(F.lit(1)).over(win).alias("n"),
+        r7(F.sum(yy).over(win)).alias("sy"),
+        r7(F.sum(x).over(win)).alias("sx"),
+        r7(F.sum(yy * yy).over(win)).alias("syy"),
+        r7(F.sum(x * x).over(win)).alias("sxx"),
+        r7(F.sum(x * yy).over(win)).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy_, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = ((n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy_ - sy * sy)))
+    return (w.where(F.col("rn") >= 24)
+            .select("user_id", F.col("rn").cast("int").alias("idx"),
+                    r6(corr, "corr")))
