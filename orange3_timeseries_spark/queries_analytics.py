@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.frame import TimeSeriesFrame
-from orange3_timeseries_spark.queries import query, r6
+from orange3_timeseries_spark.queries import QUERIES, query, r6
 from orange3_timeseries_spark.sources import read_table
 
 
@@ -114,7 +114,7 @@ def q_pacf_by_user(spark, sf_dir):
     return out.select("user_id", "lag", r6(F.col("pacf"), "pacf"))
 
 
-@query("periodogram_by_user", """
+_PERIODOGRAM_SQL = """
 WITH s AS (
   SELECT user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
@@ -156,7 +156,10 @@ sig AS (  -- strict local maxima, order 5, clip-mode boundaries
 SELECT user_id, round(1.0 / (k::DOUBLE / m::DOUBLE), 6) AS period,
        round(sp, 6) AS power
 FROM sig WHERE sp > lmax AND sp > rmax
-""")
+"""
+
+
+@query("periodogram_by_user", _PERIODOGRAM_SQL)
 def q_periodogram_by_user(spark, sf_dir):
     """Per-series significant spectral peaks.  The oracle replays the
     ENTIRE spectral pipeline in SQL — diff detrend, the DFT as per-bin
@@ -1262,3 +1265,28 @@ def q_ts_features_by_user(spark, sf_dir):
         r6(F.greatest(F.lit(0.0), F.lit(1.0) - var_rem / var_detr),
            "seasonal_strength"),
         r6(var_rem, "var_remainder"))
+
+
+@query("auto_period_by_user", f"""
+WITH pg AS ({_PERIODOGRAM_SQL})
+SELECT user_id, period, power FROM (
+  SELECT user_id, period, power,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY power DESC, period) AS rk
+  FROM pg) t
+WHERE rk = 1
+""")
+def q_auto_period_by_user(spark, sf_dir):
+    """Automatic seasonal-period detection per series: the strongest
+    significant periodogram peak — the value a user would type into the
+    Holt-Winters / seasonal-decompose period box, automated for a fleet
+    of series.  Composes the already-oracled periodogram (the oracle
+    embeds its full replay as a CTE) with a per-series top-1 window."""
+    from pyspark.sql import Window
+
+    base = QUERIES["periodogram_by_user"](spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("power").desc(), F.col("period"))
+    return (base.withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") == 1)
+            .select("user_id", "period", "power"))
