@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["adf_test", "kpss_test", "ljung_box", "engle_granger",
-           "gap_profile", "winsorize",
+           "gap_profile", "winsorize", "ecm_fit",
            "MACKINNON_2010_CONST", "KPSS_CRIT_CONST",
            "MACKINNON_2010_N2"]
 
@@ -439,3 +439,73 @@ def winsorize(df: DataFrame, value_col: str, series_cols: Sequence[str],
             .withColumn(f"{out}_winsorized", clamped)
             .withColumn(f"{out}_clamped", clamped != v)
             .drop("__lo__", "__hi__"))
+
+
+def ecm_fit(df: DataFrame, time_col: str, y_col: str, x_col: str,
+            series_cols: Sequence[str], quantize: int = 7) -> DataFrame:
+    """Error-correction model per series — the modeling step that
+    FOLLOWS a positive :func:`engle_granger` verdict:
+
+        Δy_t = α + γ·u_{t-1} + β·Δx_t + ε_t
+
+    with ``u`` the cointegrating residual.  ``γ`` (the error-correction
+    speed) must be negative for a valid ECM — each period closes a
+    ``-γ`` fraction of the gap to the long-run relation; ``β`` is the
+    short-run pass-through.
+
+    Plan identical to :func:`adf_test`: step-1 residuals via unbounded
+    window sums (no join back), then one groupBy of Gram sums and
+    closed-form Cramer algebra, all rounded at ``quantize``.  Returns
+    ``(series..., n_obs, alpha, ec_gamma, beta_dx, ec_valid)`` where
+    ``ec_valid`` means γ < 0."""
+    series_cols = list(series_cols)
+    q = quantize
+    wfull = Window.partitionBy(*series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    rows = df.where(y.isNotNull() & x.isNotNull())
+    n1 = F.count(F.lit(1)).over(wfull).cast("double")
+    sx1 = F.round(F.sum(x).over(wfull), q)
+    sy1 = F.round(F.sum(y).over(wfull), q)
+    sxx1 = F.round(F.sum(x * x).over(wfull), q)
+    sxy1 = F.round(F.sum(x * y).over(wfull), q)
+    b1 = F.round((n1 * sxy1 - sx1 * sy1) / (n1 * sxx1 - sx1 * sx1), q)
+    a1 = F.round((sy1 - b1 * sx1) / n1, q)
+    base = rows.select(*series_cols, F.col(time_col),
+                       y.alias("__y__"), x.alias("__x__"),
+                       F.round(y - (a1 + b1 * x), q).alias("__u__"))
+    step = base.select(
+        *series_cols,
+        (F.col("__y__") - F.lag("__y__", 1).over(w)).alias("__t__"),
+        (F.col("__x__") - F.lag("__x__", 1).over(w)).alias("__d__"),
+        F.lag("__u__", 1).over(w).alias("__e__"))
+    step = step.where(F.col("__t__").isNotNull()
+                      & F.col("__d__").isNotNull()
+                      & F.col("__e__").isNotNull())
+    r = lambda c: F.round(c, q)  # noqa: E731
+    e, d, t = F.col("__e__"), F.col("__d__"), F.col("__t__")
+    g = step.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        r(F.sum(e)).alias("sx"), r(F.sum(d)).alias("sd"),
+        r(F.sum(t)).alias("st"),
+        r(F.sum(e * e)).alias("sxx"), r(F.sum(d * d)).alias("sdd"),
+        r(F.sum(e * d)).alias("sxd"),
+        r(F.sum(e * t)).alias("sxt"), r(F.sum(d * t)).alias("sdt"))
+    g = g.where(F.col("n") >= 10)
+    # identical Cramer layout to adf_test (A rows: const, u_{t-1}, Δx)
+    n, sx, sd = F.col("n"), F.col("sx"), F.col("sd")
+    st, sxx, sdd = F.col("st"), F.col("sxx"), F.col("sdd")
+    sxd, sxt, sdt = F.col("sxd"), F.col("sxt"), F.col("sdt")
+    det = (n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+           + sd * (sx * sxd - sxx * sd))
+    alpha = (st * (sxx * sdd - sxd * sxd) - sx * (sxt * sdd - sxd * sdt)
+             + sd * (sxt * sxd - sxx * sdt)) / det
+    gamma = (n * (sxt * sdd - sdt * sxd) - st * (sx * sdd - sxd * sd)
+             + sd * (sx * sdt - sxt * sd)) / det
+    beta = (n * (sxx * sdt - sxd * sxt) - sx * (sx * sdt - sxt * sd)
+            + st * (sx * sxd - sxx * sd)) / det
+    out = g.select(*series_cols, F.col("n").cast("long").alias("n_obs"),
+                   alpha.alias("alpha"), gamma.alias("ec_gamma"),
+                   beta.alias("beta_dx"))
+    return out.withColumn("ec_valid", F.col("ec_gamma") < 0)

@@ -1209,3 +1209,84 @@ def q_rolling_corr_by_user(spark, sf_dir):
     return (w.where(F.col("rn") >= 24)
             .select("user_id", F.col("rn").cast("int").alias("idx"),
                     r6(corr, "corr")))
+
+
+@query("ecm_fit_by_user", """
+WITH mw AS (
+  SELECT user_id, ts, value::DOUBLE AS y,
+         round(avg(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN 11 PRECEDING
+                                                 AND CURRENT ROW), 7) AS x
+  FROM events),
+s AS (
+  SELECT user_id, ts, y, x,
+         count(*) OVER p::DOUBLE AS n,
+         round(sum(x) OVER p, 7) AS sx, round(sum(y) OVER p, 7) AS sy,
+         round(sum(x*x) OVER p, 7) AS sxx,
+         round(sum(x*y) OVER p, 7) AS sxy
+  FROM mw WINDOW p AS (PARTITION BY user_id)),
+co AS (
+  SELECT user_id, ts, n,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 7) AS b,
+         sy, sx
+  FROM s),
+u AS (
+  SELECT s.user_id, s.ts, s.y, s.x,
+         round(s.y - (round((co.sy - co.b * co.sx) / co.n, 7)
+                      + co.b * s.x), 7) AS u
+  FROM s JOIN co ON co.user_id = s.user_id AND co.ts = s.ts),
+st2 AS (
+  SELECT user_id,
+         y - lag(y) OVER w AS t, x - lag(x) OVER w AS d,
+         lag(u) OVER w AS e
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  QUALIFY t IS NOT NULL AND d IS NOT NULL AND e IS NOT NULL),
+g AS (
+  SELECT user_id, count(*)::DOUBLE AS n,
+         round(sum(e), 7) AS sx, round(sum(d), 7) AS sd,
+         round(sum(t), 7) AS st,
+         round(sum(e*e), 7) AS sxx, round(sum(d*d), 7) AS sdd,
+         round(sum(e*d), 7) AS sxd,
+         round(sum(e*t), 7) AS sxt, round(sum(d*t), 7) AS sdt
+  FROM st2 GROUP BY 1
+  HAVING count(*) >= 10),
+c AS (
+  SELECT *,
+         (n*(sxx*sdd - sxd*sxd) - sx*(sx*sdd - sxd*sd)
+          + sd*(sx*sxd - sxx*sd)) AS det
+  FROM g),
+fin AS (
+  SELECT user_id, n,
+         (st*(sxx*sdd - sxd*sxd) - sx*(sxt*sdd - sxd*sdt)
+          + sd*(sxt*sxd - sxx*sdt)) / det AS alpha,
+         (n*(sxt*sdd - sdt*sxd) - st*(sx*sdd - sxd*sd)
+          + sd*(sx*sdt - sxt*sd)) / det AS ec_gamma,
+         (n*(sxx*sdt - sxd*sxt) - sx*(sx*sdt - sxt*sd)
+          + st*(sx*sxd - sxx*sd)) / det AS beta_dx
+  FROM c)
+SELECT user_id, n::BIGINT AS n_obs, round(alpha, 6) AS alpha,
+       round(ec_gamma, 6) AS ec_gamma, round(beta_dx, 6) AS beta_dx,
+       ec_gamma < 0 AS ec_valid
+FROM fin
+""")
+def q_ecm_fit_by_user(spark, sf_dir):
+    """Error-correction model per series (the modeling step after the
+    Engle-Granger verdict, on the same value / trailing-mean pair):
+    Δy on (const, u_{t-1}, Δx) — the error-correction speed γ must be
+    negative, each period closing -γ of the gap to the long-run
+    relation.  Same closed-form Cramer plan as ADF; the oracle replays
+    both steps and the validity verdict."""
+    from orange3_timeseries_spark.operators.stattests import ecm_fit
+
+    d = read_table(spark, sf_dir, "events")
+    mw = d.select(
+        "user_id", "ts", F.col("value").cast("double").alias("y"),
+        F.round(
+            F.avg(F.col("value").cast("double"))
+            .over(__import__("pyspark.sql.window", fromlist=["Window"])
+                  .Window.partitionBy("user_id").orderBy("ts")
+                  .rowsBetween(-11, 0)), 7).alias("x"))
+    out = ecm_fit(mw, "ts", "y", "x", ["user_id"], quantize=7)
+    return out.select("user_id", "n_obs", r6(F.col("alpha"), "alpha"),
+                      r6(F.col("ec_gamma"), "ec_gamma"),
+                      r6(F.col("beta_dx"), "beta_dx"), "ec_valid")

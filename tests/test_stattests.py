@@ -326,3 +326,37 @@ class TestWinsorize:
         hi = {u: max(r.v_winsorized for r in out if r.user_id == u)
               for u in (0, 1)}
         assert hi[1] == hi[0] * 100  # series scaled independently
+
+
+class TestECM:
+    def test_recovers_known_coefficients(self, spark):
+        """Simulate a textbook ECM and recover (alpha, gamma, beta)."""
+        rng = np.random.RandomState(21)
+        x = np.cumsum(rng.standard_normal(400))
+        y = np.empty(400)
+        y[0] = 2.0 * x[0]
+        for t in range(1, 400):
+            u_prev = y[t - 1] - 2.0 * x[t - 1]
+            dy = 0.1 - 0.4 * u_prev + 1.2 * (x[t] - x[t - 1]) \
+                + 0.05 * rng.standard_normal()
+            y[t] = y[t - 1] + dy
+        from orange3_timeseries_spark.operators.stattests import ecm_fit
+
+        df = spark.createDataFrame(
+            [(0, t, float(y[t]), float(x[t])) for t in range(400)],
+            "user_id int, t int, y double, x double")
+        [r] = ecm_fit(df, "t", "y", "x", ["user_id"]).collect()
+        assert r.ec_valid
+        assert r.ec_gamma == pytest.approx(-0.4, abs=0.05)
+        assert r.beta_dx == pytest.approx(1.2, abs=0.05)
+        assert r.alpha == pytest.approx(0.1, abs=0.05)
+
+    def test_plan_is_catalyst(self, spark):
+        from orange3_timeseries_spark.operators.stattests import ecm_fit
+
+        df = spark.createDataFrame(
+            [(0, t, float(t), float(t * 2)) for t in range(50)],
+            "user_id int, t int, y double, x double")
+        plan = ecm_fit(df, "t", "y", "x", ["user_id"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
