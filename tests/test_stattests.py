@@ -349,7 +349,10 @@ class TestECM:
         assert r.ec_valid
         assert r.ec_gamma == pytest.approx(-0.4, abs=0.05)
         assert r.beta_dx == pytest.approx(1.2, abs=0.05)
-        assert r.alpha == pytest.approx(0.1, abs=0.05)
+        # the drift is absorbed by the cointegrating intercept (step-1
+        # centers u at its equilibrium u* = alpha/-gamma), so the ECM
+        # constant estimates ~0 = alpha + gamma*u* — textbook behavior
+        assert r.alpha == pytest.approx(0.0, abs=0.05)
 
     def test_plan_is_catalyst(self, spark):
         from orange3_timeseries_spark.operators.stattests import ecm_fit
