@@ -1290,3 +1290,71 @@ def q_auto_period_by_user(spark, sf_dir):
     return (base.withColumn("__rk__", F.row_number().over(w))
             .where(F.col("__rk__") == 1)
             .select("user_id", "period", "power"))
+
+
+def _holt_search_sql(grid=None):
+    """Unrolled recursion per (α, β) candidate: each combo replays the
+    engine's exact Holt recursion accumulating one-step SSE; winner by
+    (round(sse,6), α, β).  Smoothing complements are emitted as
+    ``repr(1-α)`` so the SQL literal parses to the identical double the
+    engine computes (1-0.8 is 0.19999999999999996, not 0.2)."""
+    from orange3_timeseries_spark.spark_analytics import HOLT_PARAM_GRID
+    grid = grid or HOLT_PARAM_GRID
+    ctes, fins = [], []
+    for i, (a, bta) in enumerate(grid):
+        ra, r1a = repr(a), repr(1 - a)
+        rb, r1b = repr(bta), repr(1 - bta)
+        lnew = f"{ra}::DOUBLE * r.x + {r1a}::DOUBLE * (hw.l + hw.b)"
+        ctes.append(f"""hw{i}(user_id, t, l, b, sse) AS (
+  SELECT a.user_id, 1, a.x, b2.x - a.x, 0.0::DOUBLE
+  FROM r a JOIN r b2 ON b2.user_id = a.user_id
+  WHERE a.rn = 1 AND b2.rn = 2
+  UNION ALL
+  SELECT hw.user_id, hw.t + 1,
+         {lnew},
+         {rb}::DOUBLE * (({lnew}) - hw.l) + {r1b}::DOUBLE * hw.b,
+         hw.sse + (r.x - (hw.l + hw.b)) * (r.x - (hw.l + hw.b))
+  FROM hw{i} hw JOIN r ON r.user_id = hw.user_id AND r.rn = hw.t + 1)""")
+        fins.append(f"""SELECT hw.user_id, {ra}::DOUBLE AS alpha,
+       {rb}::DOUBLE AS beta, hw.sse, n.n
+FROM hw{i} hw JOIN n ON n.user_id = hw.user_id WHERE hw.t = n.n""")
+    body = ",\n".join(ctes)
+    un = "\nUNION ALL\n".join(fins)
+    return f"""WITH RECURSIVE d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+n AS (SELECT user_id, count(*) AS n FROM r GROUP BY 1
+      HAVING count(*) >= 3),
+{body},
+allc AS ({un})
+SELECT user_id, alpha, beta, round(sse, 6) AS sse, n::BIGINT AS n_obs
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY round(sse, 6), alpha, beta) AS rk FROM allc) t
+WHERE rk = 1"""
+
+
+@query("holt_param_search_by_user", _holt_search_sql())
+def q_holt_param_search_by_user(spark, sf_dir):
+    """Automatic Holt smoothing-weight selection per series: 6-point
+    (α, β) grid scored by one-step in-sample SSE, winner per series —
+    the exponential-smoothing counterpart of the auto-ARIMA order
+    search.  The oracle unrolls ALL six smoothing recursions (each the
+    proven holt CTE shape, extended with an SSE accumulator) and
+    re-derives the same winner, with smoothing complements emitted as
+    exact double reprs so 1-α matches bit for bit."""
+    from orange3_timeseries_spark.spark_analytics import (
+        holt_param_search_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+    out = holt_param_search_table(tsf, "x")
+    return out.select("user_id", "alpha", "beta",
+                      r6(F.col("sse"), "sse"), "n_obs")

@@ -715,3 +715,53 @@ def baseline_forecast_table(tsf: TimeSeriesFrame, col: str, m: int = 7,
                       F.col("__sv__").alias("forecast")))
     out = naive.unionByName(snaive).unionByName(drift)
     return out.drop("__g__") if added else out
+
+
+#: default Holt smoothing-weight grid for the parameter search
+HOLT_PARAM_GRID = ((0.2, 0.1), (0.2, 0.3), (0.5, 0.1), (0.5, 0.3),
+                   (0.8, 0.1), (0.8, 0.3))
+
+
+def holt_param_search_table(tsf: TimeSeriesFrame, col: str,
+                            grid=HOLT_PARAM_GRID) -> DataFrame:
+    """Per-series Holt smoothing-weight selection: every (α, β) in
+    ``grid`` is scored by one-step-ahead in-sample SSE (the error of
+    ``l+b`` BEFORE each update — the standard exponential-smoothing
+    objective) and the minimizer wins, ties broken by
+    ``(round(sse,6), α, β)`` so engine and oracle always agree.
+
+    The grid rides INSIDE the per-series kernel (6 closed-form
+    recursions of microseconds each — exploding grid × series, the
+    auto-ARIMA layout, would pay Arrow packing 6× for no gain here);
+    series parallelism is the distribution axis.  Returns one row per
+    series: ``(series..., alpha, beta, sse, n_obs)``."""
+    fields = [T.StructField("alpha", T.DoubleType()),
+              T.StructField("beta", T.DoubleType()),
+              T.StructField("sse", T.DoubleType()),
+              T.StructField("n_obs", T.LongType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        x = x[~np.isnan(x)]
+        if len(x) < 3:
+            return None
+        best = None
+        for a, bta in grid:
+            l = x[0]
+            b = x[1] - x[0]
+            sse = 0.0
+            for t in range(1, len(x)):
+                err = x[t] - (l + b)
+                sse = sse + err * err
+                l_new = a * x[t] + (1 - a) * (l + b)
+                b = bta * (l_new - l) + (1 - bta) * b
+                l = l_new
+            key = (round(sse, 6), a, bta)
+            if best is None or key < best[0]:
+                best = (key, (a, bta, sse))
+        a, bta, sse = best[1]
+        return {"alpha": np.array([a]), "beta": np.array([bta]),
+                "sse": np.array([sse]),
+                "n_obs": np.array([len(x)], dtype="int64")}
+
+    return _packed_map(tsf, [col], fields, per_series)

@@ -627,3 +627,62 @@ class TestTsFeatures:
              for r in g.collect()}
         assert s[0][1] > 0.9          # strong seasonality detected
         assert s[1][1] < s[0][1]      # noise scores lower
+
+
+class TestHoltParamSearch:
+    def test_winner_matches_exhaustive_local(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import (
+            HOLT_PARAM_GRID,
+            holt_param_search_table,
+        )
+        rng = np.random.RandomState(4)
+        rows = []
+        for uid in range(3):
+            y = np.cumsum(rng.standard_normal(50)) + uid * 5
+            rows += [(uid, t, float(v)) for t, v in enumerate(y)]
+        df = spark.createDataFrame(rows, "user_id int, t int, x double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        got = {r.user_id: r for r in
+               holt_param_search_table(tsf, "x").collect()}
+
+        def sse(x, a, bta):
+            l, b, s = x[0], x[1] - x[0], 0.0
+            for t in range(1, len(x)):
+                e = x[t] - (l + b)
+                s += e * e
+                ln = a * x[t] + (1 - a) * (l + b)
+                b = bta * (ln - l) + (1 - bta) * b
+                l = ln
+            return s
+
+        for uid in range(3):
+            y = np.array([r[2] for r in rows if r[0] == uid])
+            best = min(HOLT_PARAM_GRID,
+                       key=lambda p: (round(sse(y, *p), 6), p[0], p[1]))
+            assert (got[uid].alpha, got[uid].beta) == best
+            assert got[uid].sse == pytest.approx(sse(y, *best), rel=1e-12)
+
+    def test_smooth_series_prefers_low_alpha(self, spark):
+        """A noisy level series is best tracked by heavy smoothing
+        (low alpha); a fast trend needs high alpha — the search must
+        discriminate."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import (
+            holt_param_search_table,
+        )
+        rng = np.random.RandomState(9)
+        rows = [(0, t, float(10 + rng.standard_normal()))
+                for t in range(80)]
+        rows += [(1, t, float(np.sin(t) * 8 + t)) for t in range(80)]
+        df = spark.createDataFrame(rows, "user_id int, t int, x double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        got = {r.user_id: r for r in
+               holt_param_search_table(tsf, "x").collect()}
+        assert got[0].alpha < got[1].alpha
