@@ -1358,3 +1358,50 @@ def q_holt_param_search_by_user(spark, sf_dir):
     out = holt_param_search_table(tsf, "x")
     return out.select("user_id", "alpha", "beta",
                       r6(F.col("sse"), "sse"), "n_obs")
+
+
+@query("croston_by_user", """
+WITH RECURSIVE s AS (
+  SELECT user_id,
+         CASE WHEN event_id % 7 < 2 THEN value ELSE 0 END AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+nz AS (
+  SELECT user_id, rn, x,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) AS k
+  FROM s WHERE x != 0),
+n AS (SELECT user_id, count(*) AS kn FROM nz GROUP BY 1
+      HAVING count(*) >= 2),
+rec(user_id, k, z, p) AS (
+  SELECT nz.user_id, 1, nz.x, nz.rn::DOUBLE FROM nz WHERE nz.k = 1
+  UNION ALL
+  SELECT rec.user_id, rec.k + 1,
+         0.2::DOUBLE * b.x + 0.8::DOUBLE * rec.z,
+         0.2::DOUBLE * (b.rn - a.rn)::DOUBLE + 0.8::DOUBLE * rec.p
+  FROM rec
+  JOIN nz a ON a.user_id = rec.user_id AND a.k = rec.k
+  JOIN nz b ON b.user_id = rec.user_id AND b.k = rec.k + 1)
+SELECT rec.user_id, round(z, 6) AS z_hat, round(p, 6) AS p_hat,
+       round(z / p, 6) AS forecast, n.kn::BIGINT AS n_nonzero
+FROM rec JOIN n USING (user_id) WHERE rec.k = n.kn
+""")
+def q_croston_by_user(spark, sf_dir):
+    """Croston's intermittent-demand forecast per series: the events
+    stream is made intermittent deterministically (demand only where
+    event_id % 7 < 2, ~28% of periods), then separate SES recursions
+    over non-zero sizes and inter-demand intervals give the flat
+    demand-rate forecast z/p — the forecaster SES/Holt cannot replace
+    when most periods are zero.  The oracle replays both recursions
+    over the identical non-zero subsequence."""
+    from orange3_timeseries_spark.spark_analytics import croston_table
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", "ts",
+        F.when(F.col("event_id") % 7 < 2, F.col("value"))
+        .otherwise(F.lit(0.0)).alias("x"))
+    tsf = TimeSeriesFrame(d, time_col="ts", series_cols=["user_id"])
+    out = croston_table(tsf, "x", alpha=0.2)
+    return out.select("user_id", r6(F.col("z_hat"), "z_hat"),
+                      r6(F.col("p_hat"), "p_hat"),
+                      r6(F.col("forecast"), "forecast"), "n_nonzero")

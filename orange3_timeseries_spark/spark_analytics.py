@@ -765,3 +765,41 @@ def holt_param_search_table(tsf: TimeSeriesFrame, col: str,
                 "n_obs": np.array([len(x)], dtype="int64")}
 
     return _packed_map(tsf, [col], fields, per_series)
+
+
+def croston_table(tsf: TimeSeriesFrame, col: str,
+                  alpha: float = 0.2) -> DataFrame:
+    """Croston's method per series — THE forecaster for intermittent
+    demand (spare parts, rare events), where SES/Holt on the raw series
+    just decays to zero between demands: SES with weight ``alpha`` runs
+    separately over the non-zero demand SIZES and the inter-demand
+    INTERVALS; the flat forecast is ``z_hat / p_hat`` (expected demand
+    per period).  Initialization: first non-zero size and first
+    interval (periods from series start to the first demand,
+    1-indexed).  Series with < 2 non-zero demands are skipped.
+
+    Returns one row per series: ``(series..., z_hat, p_hat, forecast,
+    n_nonzero)``.  Same packed per-series execution as the other
+    smoothing fits; expression order matches the recursive-CTE oracle."""
+    fields = [T.StructField("z_hat", T.DoubleType()),
+              T.StructField("p_hat", T.DoubleType()),
+              T.StructField("forecast", T.DoubleType()),
+              T.StructField("n_nonzero", T.LongType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        x = np.nan_to_num(x, nan=0.0)
+        nz = np.nonzero(x)[0]
+        if len(nz) < 2:
+            return None
+        z = x[nz[0]]
+        p = float(nz[0] + 1)  # periods to the first demand, 1-indexed
+        for k in range(1, len(nz)):
+            interval = float(nz[k] - nz[k - 1])
+            z = alpha * x[nz[k]] + (1 - alpha) * z
+            p = alpha * interval + (1 - alpha) * p
+        return {"z_hat": np.array([z]), "p_hat": np.array([p]),
+                "forecast": np.array([z / p]),
+                "n_nonzero": np.array([len(nz)], dtype="int64")}
+
+    return _packed_map(tsf, [col], fields, per_series)

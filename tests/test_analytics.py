@@ -686,3 +686,42 @@ class TestHoltParamSearch:
         got = {r.user_id: r for r in
                holt_param_search_table(tsf, "x").collect()}
         assert got[0].alpha < got[1].alpha
+
+
+class TestCroston:
+    def test_hand_computed_recursion(self, spark):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import croston_table
+
+        # demands at t=2 (4.0), t=5 (6.0), t=6 (2.0); alpha=0.2
+        xs = [0, 0, 4.0, 0, 0, 6.0, 2.0, 0]
+        df = spark.createDataFrame(
+            [(0, t, float(v)) for t, v in enumerate(xs)],
+            "user_id int, t int, x double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        [r] = croston_table(tsf, "x", alpha=0.2).collect()
+        z = 4.0
+        p = 3.0  # first demand at 0-based index 2 -> period 3
+        z = 0.2 * 6.0 + 0.8 * z; p = 0.2 * 3 + 0.8 * p   # t=5, gap 3
+        z = 0.2 * 2.0 + 0.8 * z; p = 0.2 * 1 + 0.8 * p   # t=6, gap 1
+        assert r.z_hat == pytest.approx(z, rel=1e-12)
+        assert r.p_hat == pytest.approx(p, rel=1e-12)
+        assert r.forecast == pytest.approx(z / p, rel=1e-12)
+        assert r.n_nonzero == 3
+
+    def test_sparse_series_skipped_and_rate_sensible(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import croston_table
+
+        rng = np.random.RandomState(3)
+        rows = [(0, t, float(5.0 if t % 4 == 0 else 0.0))
+                for t in range(40)]          # demand 5 every 4 periods
+        rows += [(1, t, 0.0) for t in range(40)]  # never demands
+        df = spark.createDataFrame(rows, "user_id int, t int, x double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        out = {r.user_id: r for r in croston_table(tsf, "x").collect()}
+        assert 1 not in out                      # all-zero series skipped
+        # regular demand 5/4: the rate estimate converges near 1.25
+        assert out[0].forecast == pytest.approx(5 / 4, rel=0.05)
