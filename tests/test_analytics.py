@@ -723,5 +723,9 @@ class TestCroston:
         tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
         out = {r.user_id: r for r in croston_table(tsf, "x").collect()}
         assert 1 not in out                      # all-zero series skipped
-        # regular demand 5/4: the rate estimate converges near 1.25
-        assert out[0].forecast == pytest.approx(5 / 4, rel=0.05)
+        # constant sizes: z_hat is exactly 5; p_hat converges toward 4
+        # from its init of 1 (first demand at t=0), so after 9 updates
+        # p = 4 - 3*0.8^9 ~ 3.6 and the rate sits between 5/4 and 5/3.6
+        assert out[0].z_hat == pytest.approx(5.0, rel=1e-12)
+        assert out[0].p_hat == pytest.approx(4 - 3 * 0.8 ** 9, rel=1e-9)
+        assert 1.25 <= out[0].forecast <= 1.4
