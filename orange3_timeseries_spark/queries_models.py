@@ -1290,3 +1290,147 @@ def q_ecm_fit_by_user(spark, sf_dir):
     return out.select("user_id", "n_obs", r6(F.col("alpha"), "alpha"),
                       r6(F.col("ec_gamma"), "ec_gamma"),
                       r6(F.col("beta_dx"), "beta_dx"), "ec_valid")
+
+
+def _var_auto_sql(maxlag=3, dp=7, sel_dp=4):
+    """Per-lag replay of the VAR(2-variable) AIC: the (m+2)x(m+2)
+    augmented Gram [[Z'Z, Z'Y], [Y'Z, Y'Y]] is forward-eliminated
+    through the m predictor pivots only; the remaining 2x2 block IS the
+    ML residual cross-product (Schur complement) — no back-substitution
+    needed for an IC.  aic = ln(det(S)/rows^2) + 2*free/rows,
+    free = 4p + 2.  Selection and display round to ``sel_dp`` so a
+    ~1e-10 Gram-rounding wobble can never flip the argmin on one engine
+    only (cf. the EG double-rounding lesson)."""
+    ctes = ["""base AS MATERIALIZED (
+  SELECT user_id,
+         value::DOUBLE AS y1,
+         round(avg(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN 11 PRECEDING
+                                                 AND CURRENT ROW), 7)
+             AS y2,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events)"""]
+    sels = []
+    for p in range(0, maxlag + 1):
+        m = 1 + 2 * p
+        cases = ["WHEN 0 THEN 1.0::DOUBLE"]
+        joins = []
+        for lag in range(1, p + 1):
+            cases.append(f"WHEN {1 + 2*(lag-1)} THEN l{lag}.y1")
+            cases.append(f"WHEN {2 + 2*(lag-1)} THEN l{lag}.y2")
+            joins.append(f"  LEFT JOIN base l{lag} ON l{lag}.user_id = "
+                         f"a.user_id AND l{lag}.rn = a.rn - {lag}")
+        cases.append(f"WHEN {m} THEN a.y1")
+        cases.append(f"WHEN {m + 1} THEN a.y2")
+        ctes.append(f"""z{p} AS MATERIALIZED (
+  SELECT a.user_id, a.rn, g.i,
+         CASE g.i {' '.join(cases)} END AS x
+  FROM base a
+  CROSS JOIN (SELECT unnest(generate_series(0, {m + 1})) AS i) g
+{chr(10).join(joins)}
+  WHERE a.rn > {p}),
+aug{p}_0 AS MATERIALIZED (
+  SELECT zi.user_id, zi.i, zj.i AS j, sum(round(zi.x * zj.x, 12)) AS a
+  FROM z{p} zi JOIN z{p} zj
+    ON zi.user_id = zj.user_id AND zi.rn = zj.rn
+  GROUP BY 1, 2, 3)""")
+        prev = f"aug{p}_0"
+        # normalize: round the Gram once before elimination
+        ctes.append(f"""augr{p} AS MATERIALIZED (
+  SELECT user_id, i, j, round(a, {dp}) AS a FROM {prev})""")
+        prev = f"augr{p}"
+        for k in range(m):
+            cur = f"e{p}_{k}"
+            ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT t.user_id, t.i, t.j,
+         CASE WHEN t.i > {k} THEN t.a - f.a / d.a * r.a ELSE t.a END AS a
+  FROM {prev} t
+  JOIN (SELECT user_id, a FROM {prev} WHERE i = {k} AND j = {k}) d
+    USING (user_id)
+  JOIN (SELECT user_id, i, a FROM {prev} WHERE j = {k}) f
+    ON f.user_id = t.user_id AND f.i = t.i
+  JOIN (SELECT user_id, j, a FROM {prev} WHERE i = {k}) r
+    ON r.user_id = t.user_id AND r.j = t.j)""")
+            prev = cur
+        ctes.append(f"""ic{p} AS (
+  SELECT s.user_id, {p} AS k_ar, n.rows,
+         ln((s00 * s11 - s01 * s01) / (n.rows * n.rows))
+             + 2.0 * {4 * p + 2} / n.rows AS aic
+  FROM (
+    SELECT user_id,
+           max(CASE WHEN i = {m} AND j = {m} THEN a END) AS s00,
+           max(CASE WHEN i = {m} AND j = {m + 1} THEN a END) AS s01,
+           max(CASE WHEN i = {m + 1} AND j = {m + 1} THEN a END) AS s11
+    FROM {prev} GROUP BY 1) s
+  JOIN (SELECT user_id, (cnt - {p})::DOUBLE AS rows FROM base
+        GROUP BY user_id, cnt
+        HAVING cnt - {p} > {p} * 2 + 3) n
+    ON n.user_id = s.user_id)""")
+        sels.append(f"SELECT user_id, k_ar, rows, aic FROM ic{p}")
+    body = ",\n".join(ctes)
+    un = " UNION ALL ".join(sels)
+    return f"""WITH {body},
+allic AS ({un})
+SELECT user_id, k_ar, rows::BIGINT AS n_obs,
+       round(aic, {sel_dp}) AS aic
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY round(aic, {sel_dp}), k_ar) AS rk FROM allic) t
+WHERE rk = 1"""
+
+
+@query("var_auto_lag_by_user", _var_auto_sql())
+def q_var_auto_lag_by_user(spark, sf_dir):
+    """Automatic VAR lag-order selection per series (lags 0..3 on the
+    (value, 12-pt trailing mean) pair, AIC argmin) — the vector
+    counterpart of the auto-ARIMA order search, exposing the model
+    tier's IC machinery as a fleet-scale query.  The oracle replays
+    every lag's multivariate fit WITHOUT back-substitution: forward-
+    eliminating the [[Z'Z, Z'Y],[Y'Z, Y'Y]] augmented Gram through the
+    predictor pivots leaves the ML residual cross-product as the Schur
+    complement, from which ln det and the AIC follow directly."""
+    import numpy as np
+    import pandas as pd
+
+    from orange3_timeseries_spark.models.spark import _pack_series
+    from orange3_timeseries_spark.models.var import _fit_var
+    from pyspark.sql import Window, types as T
+
+    d = read_table(spark, sf_dir, "events")
+    w12 = (__import__("pyspark.sql.window", fromlist=["Window"])
+           .Window.partitionBy("user_id").orderBy("ts")
+           .rowsBetween(-11, 0))
+    base = d.select(
+        "user_id", "ts", F.col("value").cast("double").alias("y1"),
+        F.round(F.avg(F.col("value").cast("double")).over(w12), 7)
+        .alias("y2"))
+    packed = _pack_series(base, ["user_id"], "ts", ["y1", "y2"])
+    schema = T.StructType([
+        base.schema["user_id"],
+        T.StructField("k_ar", T.IntegerType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("aic", T.DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                y = np.column_stack([np.asarray(r["y1"], dtype=float),
+                                     np.asarray(r["y2"], dtype=float)])
+                n = y.shape[0]
+                for p in range(0, 4):
+                    if n - p <= p * 2 + 3:
+                        continue
+                    res = _fit_var(y, p, "c")
+                    rows.append((r["user_id"], p, n - p,
+                                 float(res.aic)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              schema.fields])
+
+    scored = packed.mapInPandas(run, schema)
+    win = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("aic"), 4), F.col("k_ar"))
+    return (scored.withColumn("__rk__", F.row_number().over(win))
+            .where(F.col("__rk__") == 1)
+            .select("user_id", "k_ar", "n_obs",
+                    F.round(F.col("aic"), 4).alias("aic")))

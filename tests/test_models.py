@@ -547,3 +547,33 @@ class TestAutoOrder:
                        full[full.user_id == 0][["p", "d", "q"]].values)) \
             == {(1, 0, 0)}
         assert len(full[full.user_id == 1]) == 8
+
+
+class TestVarAutoLag:
+    def test_selects_true_lag_order(self, spark):
+        """A simulated VAR(2) pair should select lag 2 over 0/1/3."""
+        import numpy as np
+
+        from orange3_timeseries_spark.models.var import _fit_var
+
+        rng = np.random.RandomState(12)
+        y = np.zeros((300, 2))
+        A1 = np.array([[0.5, 0.1], [0.0, 0.4]])
+        A2 = np.array([[-0.3, 0.0], [0.1, -0.2]])
+        for t in range(2, 300):
+            y[t] = A1 @ y[t - 1] + A2 @ y[t - 2] \
+                + rng.standard_normal(2) * 0.5
+        aics = {p: _fit_var(y, p, "c").aic for p in range(4)}
+        assert min(aics, key=aics.get) == 2
+
+    def test_query_shape(self, spark):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as E
+
+        out = E.queries()["var_auto_lag_by_user"](
+            spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(0 <= r.k_ar <= 3 for r in rows)
+        assert len({r.user_id for r in rows}) == len(rows)  # one winner
