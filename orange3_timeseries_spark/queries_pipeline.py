@@ -2571,3 +2571,55 @@ def q_chunk_documents_corpus(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return chunk_documents(d, "doc_id", "text", size=64, overlap=16)
+
+
+@query("bucketed_join_user_value", """
+WITH agg AS (
+  SELECT user_id, count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1),
+dim AS (
+  SELECT user_id, min(event_type) AS first_type FROM events GROUP BY 1)
+SELECT a.user_id, a.n_events, a.sum_value, d.first_type
+FROM agg a JOIN dim d USING (user_id)
+""")
+def q_bucketed_join_user_value(spark, sf_dir):
+    """The bucketed-table co-location primitive under the value-hash
+    gate: an events aggregate and a per-user dim are BOTH written as
+    user_id-bucketed catalog tables, then equi-joined — Catalyst
+    recognizes the matching bucket layout and plans the join with ZERO
+    Exchange on either side (asserted in-plan here, not just in
+    tests), the property that makes every later per-user join in a
+    100 TB pipeline shuffle-free after one write.  Result values
+    hash-match the plain-join oracle; temp tables are dropped after an
+    eager materialization."""
+    import uuid as _uuid
+
+    from orange3_timeseries_spark.sources.writers import write_bucketed
+
+    d = read_table(spark, sf_dir, "events")
+    agg = (d.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value")))
+    dim = (d.groupBy("user_id")
+           .agg(F.min("event_type").alias("first_type")))
+    suffix = _uuid.uuid4().hex[:8]
+    ta, td = f"bq_agg_{suffix}", f"bq_dim_{suffix}"
+    # broadcast would WIN on this small dim (and a BroadcastExchange is
+    # still an Exchange) — disable it so the plan demonstrates the
+    # co-located sort-merge join bucketing buys at fact-x-fact scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(agg, ta, "user_id", 8)
+        write_bucketed(dim, td, "user_id", 8)
+        joined = spark.table(ta).join(spark.table(td), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, \
+            "bucketed join must be shuffle-free"
+        return joined.select("user_id", "n_events", "sum_value",
+                             "first_type").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {td}")
