@@ -90,3 +90,37 @@ def profile_columns(df: DataFrame, cols: Sequence[str],
         F.col("qs")[0].cast("double").alias("p25"),
         F.col("qs")[1].cast("double").alias("p50"),
         F.col("qs")[2].cast("double").alias("p75"))
+
+
+def profile_grouped(df: DataFrame, value_col: str,
+                    group_cols: Sequence[str]) -> DataFrame:
+    """Grouped single-column profile: one row per group with ``n,
+    n_null, n_distinct, mean, std, vmin, vmax, p25, p50, p75`` — the
+    per-slice variant of :func:`profile_columns` (per-source corpus
+    stats, per-tenant measures).  Same two-aggregation plan: moments
+    grouped on the keys, exact quartiles from a frequency-weighted
+    percentile over the (group, value) histogram — the histogram is
+    one row per distinct value per group, so the exact path stays
+    cheap whenever value cardinality is bounded."""
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    moments = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_null"),
+        F.avg(v).alias("mean"), F.stddev(v).alias("std"),
+        F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+    hist = (df.where(v.isNotNull())
+            .groupBy(*group_cols, v.alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__c__")))
+    quart = hist.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr("percentile(__v__, array(0.25, 0.5, 0.75), __c__)")
+         .alias("__qs__"))
+    out = moments.join(quart, group_cols)
+    return out.select(
+        *group_cols, "n", "n_null", "n_distinct", "mean", "std",
+        "vmin", "vmax",
+        F.col("__qs__")[0].alias("p25"),
+        F.col("__qs__")[1].alias("p50"),
+        F.col("__qs__")[2].alias("p75"))

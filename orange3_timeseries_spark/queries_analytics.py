@@ -1405,3 +1405,89 @@ def q_croston_by_user(spark, sf_dir):
     return out.select("user_id", r6(F.col("z_hat"), "z_hat"),
                       r6(F.col("p_hat"), "p_hat"),
                       r6(F.col("forecast"), "forecast"), "n_nonzero")
+
+
+@query("changepoint_effect_by_user", """
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                      AS day,
+                  avg(value) AS x
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             round(sum(x) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING), 7) AS cs,
+             round(sum(x * x) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING), 7) AS css,
+             round(sum(x) OVER (PARTITION BY user_id), 7) AS total,
+             round(sum(x * x) OVER (PARTITION BY user_id), 7) AS total2
+      FROM d),
+g AS (SELECT *,
+             round(abs(cs / t - (total - cs) / (n - t))
+                   * sqrt((t * (n - t)) / n::DOUBLE), 6) AS gap
+      FROM r WHERE t < n),
+b AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY gap DESC, t) AS rn
+      FROM g),
+w AS (SELECT user_id, day, gap, t, n,
+             cs / t AS m1, (total - cs) / (n - t) AS m2,
+             (css / t - (cs / t) * (cs / t)) * t / (t - 1.0) AS v1,
+             ((total2 - css) / (n - t)
+              - ((total - cs) / (n - t)) * ((total - cs) / (n - t)))
+                 * (n - t) / (n - t - 1.0) AS v2
+      FROM b WHERE rn = 1 AND t >= 2 AND n - t >= 2)
+SELECT user_id, day AS change_day, gap,
+       round(m1, 6) AS pre_mean, round(m2, 6) AS post_mean,
+       round(m2 - m1, 6) AS effect,
+       round((m2 - m1) / sqrt(v1 / t + v2 / (n - t)), 6) AS welch_t,
+       abs((m2 - m1) / sqrt(v1 / t + v2 / (n - t))) > 1.96
+           AS significant_5pct
+FROM w
+""")
+def q_changepoint_effect_by_user(spark, sf_dir):
+    """Change-point EFFECT estimation: at each series' winning
+    mean-shift split, the pre/post means, the shift size, and a Welch
+    t-statistic with a 5% verdict — turning detection into the
+    actionable 'how big was the break' number.  Same prefix-sum plan
+    as the detector plus a squared-sum channel; the rounded-cumsum
+    firewall pins both engines."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.groupBy("user_id",
+                    F.date_trunc("day", F.col("ts")).alias("day"))
+         .agg(F.avg("value").alias("x")))
+    pw = W.partitionBy("user_id")
+    ow = pw.orderBy("day")
+    x = F.col("x")
+    r = d.select(
+        "user_id", "day",
+        F.row_number().over(ow).alias("t"),
+        F.count("*").over(pw).alias("n"),
+        F.round(F.sum(x).over(ow.rowsBetween(W.unboundedPreceding, 0)),
+                7).alias("cs"),
+        F.round(F.sum(x * x).over(ow.rowsBetween(W.unboundedPreceding,
+                                                 0)), 7).alias("css"),
+        F.round(F.sum(x).over(pw), 7).alias("total"),
+        F.round(F.sum(x * x).over(pw), 7).alias("total2"))
+    t, n = F.col("t"), F.col("n")
+    cs, css = F.col("cs"), F.col("css")
+    total, total2 = F.col("total"), F.col("total2")
+    gap = F.round(F.abs(cs / t - (total - cs) / (n - t))
+                  * F.sqrt((t * (n - t)) / n.cast("double")), 6)
+    g = r.where(t < n).withColumn("gap", gap)
+    b = g.withColumn("rn", F.row_number().over(
+        pw.orderBy(F.col("gap").desc(), t)))
+    w = b.where((F.col("rn") == 1) & (t >= 2) & (n - t >= 2))
+    m1 = cs / t
+    m2 = (total - cs) / (n - t)
+    v1 = (css / t - m1 * m1) * t / (t - F.lit(1.0))
+    v2 = (((total2 - css) / (n - t)) - m2 * m2) \
+        * (n - t) / (n - t - F.lit(1.0))
+    wt = (m2 - m1) / F.sqrt(v1 / t + v2 / (n - t))
+    return w.select(
+        "user_id", F.col("day").alias("change_day"), "gap",
+        r6(m1, "pre_mean"), r6(m2, "post_mean"),
+        r6(m2 - m1, "effect"), r6(wt, "welch_t"),
+        (F.abs(wt) > 1.96).alias("significant_5pct"))

@@ -2623,3 +2623,33 @@ def q_bucketed_join_user_value(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {td}")
+
+
+@query("profile_documents_by_source", """
+SELECT source, count(*) AS n,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       count(DISTINCT n_chars) AS n_distinct,
+       round(avg(n_chars), 6) AS mean, round(stddev(n_chars), 6) AS std,
+       round(min(n_chars), 6) AS vmin, round(max(n_chars), 6) AS vmax,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY 1
+""")
+def q_profile_documents_by_source(spark, sf_dir):
+    """Per-source corpus length profile (exact quartiles) — the
+    data-card / curation-dashboard stats a corpus slice ships with;
+    same frequency-weighted exact-percentile plan as the lineitem
+    profiler, grouped by the slice key."""
+    from orange3_timeseries_spark.operators.profile import (
+        profile_grouped,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    out = profile_grouped(d, "n_chars", ["source"])
+    return out.select("source", "n", "n_null", "n_distinct",
+                      r6(F.col("mean"), "mean"), r6(F.col("std"), "std"),
+                      r6(F.col("vmin"), "vmin"), r6(F.col("vmax"), "vmax"),
+                      r6(F.col("p25"), "p25"), r6(F.col("p50"), "p50"),
+                      r6(F.col("p75"), "p75"))
