@@ -2653,3 +2653,60 @@ def q_profile_documents_by_source(spark, sf_dir):
                       r6(F.col("vmin"), "vmin"), r6(F.col("vmax"), "vmax"),
                       r6(F.col("p25"), "p25"), r6(F.col("p50"), "p50"),
                       r6(F.col("p75"), "p75"))
+
+
+@query("zipf_profile_corpus", """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g')), ' '), t -> t != '')) AS w
+  FROM documents),
+freq AS (SELECT w, count(*) AS f FROM toks GROUP BY 1),
+ranked AS (
+  SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS r
+  FROM freq QUALIFY r <= 200),
+lg AS (SELECT r, ln(r::DOUBLE) AS lr, ln(f::DOUBLE) AS lf FROM ranked),
+s AS (
+  SELECT count(*)::DOUBLE AS n, round(sum(lr), 7) AS sx,
+         round(sum(lf), 7) AS sy, round(sum(lr * lr), 7) AS sxx,
+         round(sum(lr * lf), 7) AS sxy
+  FROM lg)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept
+FROM s
+""")
+def q_zipf_profile_corpus(spark, sf_dir):
+    """Zipf rank-frequency profile of the corpus: OLS slope of
+    ln(freq) on ln(rank) over the top-200 tokens — natural language
+    sits near -1; templated/boilerplate or synthetic corpora drift
+    away, making the slope a cheap corpus-health metric next to the
+    perplexity gate.  One token count, a top-k window, closed-form
+    OLS on rounded sums."""
+    from pyspark.sql import Window
+
+    from orange3_timeseries_spark.operators.lm import lm_tokens_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(lm_tokens_expr(F.col("text")))
+                     .alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    ranked = (freq.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.col("f").desc(), F.col("w"))))
+        .where(F.col("r") <= 200))
+    lg = ranked.select(F.log(F.col("r").cast("double")).alias("lr"),
+                       F.log(F.col("f").cast("double")).alias("lf"))
+    s = lg.agg(F.count(F.lit(1)).cast("double").alias("n"),
+               F.round(F.sum("lr"), 7).alias("sx"),
+               F.round(F.sum("lf"), 7).alias("sy"),
+               F.round(F.sum(F.col("lr") * F.col("lr")), 7).alias("sxx"),
+               F.round(F.sum(F.col("lr") * F.col("lf")), 7).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(n.cast("long").alias("n_ranks"),
+                    r6(slope, "zipf_slope"),
+                    r6((sy - slope * sx) / n, "intercept"))
