@@ -2710,3 +2710,99 @@ def q_zipf_profile_corpus(spark, sf_dir):
     return s.select(n.cast("long").alias("n_ranks"),
                     r6(slope, "zipf_slope"),
                     r6((sy - slope * sx) / n, "intercept"))
+
+
+@query("pipeline_curate_chunks", f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_LM_TOKS} AS ts FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1))
+                      AS i) g),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) t GROUP BY 1),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+lp AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c2, 0) + 0.5) / (u.c1 + 0.5 * v.V)) AS lp
+  FROM pairs p
+  LEFT JOIN bi b USING (w1, w2)
+  JOIN uni u ON u.w = p.w1
+  CROSS JOIN v),
+ppl AS (SELECT doc_id, count(*) AS nb, exp(-avg(lp)) AS ppl
+        FROM lp GROUP BY 1 HAVING count(*) >= 20),
+gate AS (  -- keep the best 90% by perplexity RANK (no float cutoff)
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY ppl, doc_id) AS rk,
+           count(*) OVER () AS cnt
+    FROM ppl) t
+  WHERE rk <= (cnt * 9) // 10),
+normed AS (
+  SELECT d.doc_id, d.text,
+         trim(regexp_replace(regexp_replace(lower(d.text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+  FROM documents d JOIN gate USING (doc_id)),
+survivors AS (  -- exact dedup on normalized text, min-id keep
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(norm)
+                              ORDER BY doc_id) AS rn
+    FROM normed) t
+  WHERE rn = 1),
+ct AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS wt
+  FROM survivors),
+cb AS (
+  SELECT doc_id, wt, len(wt) AS n,
+         1 + CAST(ceil(greatest(len(wt) - 64, 0) / 48.0) AS INT)
+             AS n_chunks
+  FROM ct WHERE len(wt) > 0)
+SELECT doc_id, chunk_id::INT AS chunk_id, n_chunks,
+       len(list_slice(wt, chunk_id * 48 + 1, chunk_id * 48 + 64))
+           AS chunk_tokens
+FROM (SELECT doc_id, n_chunks, wt,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM cb) c
+""")
+def q_pipeline_curate_chunks(spark, sf_dir):
+    """The ROUND-6 curation pipeline as one lazy DAG: self-trained
+    bigram-LM perplexity gate (keep the best 90% by perplexity RANK —
+    rank arithmetic, no float threshold, so the cut is
+    engine-portable) → exact dedup on normalized text → context-window
+    chunking (64/16) of the survivors.  One value-hash covers the
+    composition: a wrong keep/drop/chunk in ANY stage breaks it.
+    Catalyst plans the chain as one job."""
+    from pyspark.sql import Window
+
+    from orange3_timeseries_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from orange3_timeseries_spark.operators.lm import bigram_perplexity
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = bigram_perplexity(d, "doc_id", "text", k=0.5)
+    ranked = (scored.where(F.col("n_bigrams") >= 20)
+              .select("doc_id",
+                      F.row_number().over(
+                          Window.orderBy(F.col("ppl"), F.col("doc_id")))
+                      .alias("__rk__"),
+                      F.count(F.lit(1)).over(
+                          Window.partitionBy()).alias("__cnt__")))
+    gate = ranked.where(
+        F.col("__rk__") <= F.floor(F.col("__cnt__") * 9 / 10)) \
+        .select("doc_id")
+    gated = d.join(gate, "doc_id")
+    normed = gated.select(
+        "doc_id", "text",
+        T.normalize_text_expr(F.col("text")).alias("__norm__"))
+    survivors = D.exact_dedup_filter(normed, "__norm__", "doc_id") \
+        .select("doc_id", "text")
+    return chunk_documents(survivors, "doc_id", "text",
+                           size=64, overlap=16) \
+        .select("doc_id", "chunk_id", "n_chunks", "chunk_tokens")
