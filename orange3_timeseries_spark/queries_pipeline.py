@@ -2102,7 +2102,7 @@ docw AS (
          unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                             x -> x != '')) AS w
   FROM documents)
-SELECT d.doc_id, sum(coalesce(t.n_tok, len(d.w))) AS n_tokens
+SELECT d.doc_id, sum(coalesce(t.n_tok, len(d.w)))::BIGINT AS n_tokens
 FROM docw d LEFT JOIN tok t USING (w)
 GROUP BY d.doc_id"""
 
