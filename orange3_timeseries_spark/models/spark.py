@@ -288,8 +288,15 @@ def auto_arima_order_by_series(tsf: TimeSeriesFrame, col: str,
                     res = m.results
                     rows.append(keys + [p_, d_, q_, float(res.aic),
                                         float(res.bic)])
-                except Exception:
-                    pass  # series too short for this order: no row
+                except (ValueError, np.linalg.LinAlgError,
+                        ZeroDivisionError, FloatingPointError):
+                    # expected infeasible fits only (series too short
+                    # for the order, singular Gram / degenerate
+                    # residuals): that order drops from this series'
+                    # grid.  Anything else propagates — a genuine bug
+                    # must fail the job, not silently change the
+                    # selected winner.
+                    pass
             yield pd.DataFrame(rows,
                                columns=[f.name for f in schema.fields])
 

@@ -144,6 +144,14 @@ def salted_join(left: DataFrame, right: DataFrame, keys,
     machinery sees an unsalted plan and exactly one of the two
     mechanisms applies — never both).
 
+    .. warning:: with ``n_salts=None`` this call is EAGER: sizing the
+       fan-out runs one key-frequency aggregation job over the left
+       side at plan-construction time (a Spark action, one extra scan),
+       so the function is not side-effect-free to call.  Pass an
+       explicit ``n_salts`` (e.g. the previous fixed default, 16) to
+       keep plan construction lazy, or reuse a :func:`skew_profile`
+       you already computed to pick the number once.
+
     Salt derivation: with ``unique_col`` (a unique row id — pass one
     whenever the table has it), the salt is ``xxhash64(unique_col)`` —
     deterministic across retries AND distinct per duplicate row.

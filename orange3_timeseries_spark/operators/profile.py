@@ -117,10 +117,15 @@ def profile_grouped(df: DataFrame, value_col: str,
         F.count(F.lit(1)).alias("n_distinct"),
         F.expr("percentile(__v__, array(0.25, 0.5, 0.75), __c__)")
          .alias("__qs__"))
-    out = moments.join(quart, group_cols)
+    # LEFT join: a group whose value column is entirely NULL has no
+    # histogram rows — it must still profile (n_distinct 0, NULL
+    # quartiles, the SQL-aggregate semantics), not vanish
+    out = moments.join(quart, group_cols, "left")
     return out.select(
-        *group_cols, "n", "n_null", "n_distinct", "mean", "std",
-        "vmin", "vmax",
+        *group_cols, "n", "n_null",
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long")
+         .alias("n_distinct"),
+        "mean", "std", "vmin", "vmax",
         F.col("__qs__")[0].alias("p25"),
         F.col("__qs__")[1].alias("p50"),
         F.col("__qs__")[2].alias("p75"))

@@ -344,7 +344,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             if not len(X):
                 continue
             scores = X @ C.T - 0.5 * (C * C).sum(1)
-            order = np.argsort(-scores, axis=1)[:, :nprobe]
+            # stable sort: an exact centroid-score tie at the nprobe
+            # boundary must resolve lowest-cid-first, matching the
+            # oracle's ORDER BY score DESC, cid
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
             rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep
@@ -664,7 +667,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
             if not len(X):
                 continue
             scores = X @ C.T - 0.5 * (C * C).sum(1)
-            order = np.argsort(-scores, axis=1)[:, :nprobe]
+            # stable sort: an exact centroid-score tie at the nprobe
+            # boundary must resolve lowest-cid-first, matching the
+            # oracle's ORDER BY score DESC, cid
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
             rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep

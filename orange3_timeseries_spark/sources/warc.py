@@ -32,13 +32,20 @@ __all__ = ["write_warc", "read_warc"]
 _CRLF = "\r\n"
 
 
-def _record(url: str, date: str, ctype: str, payload: bytes) -> bytes:
+def _record(url: str, date: str, ctype: str, payload: bytes,
+            seq: int = 0) -> bytes:
+    import hashlib
     import uuid
 
     # WARC-Record-ID is a MANDATORY named field for every record (ISO
-    # 28500 §5.2); deterministic UUID5 over (target URI, date) keeps the
-    # writer reproducible across retries while staying unique per record
-    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}")
+    # 28500 §5.2) and must be globally unique PER RECORD — (URI, date)
+    # alone is not (the same page captured twice in one second, or
+    # retried with a different payload).  UUID5 over (target URI, date,
+    # payload digest, sequence-within-file) is unique per record while
+    # staying deterministic, so retried writes still produce identical
+    # bytes.
+    digest = hashlib.sha256(payload).hexdigest()
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}|{digest}|{seq}")
     head = (f"WARC/1.0{_CRLF}"
             f"WARC-Type: resource{_CRLF}"
             f"WARC-Record-ID: <urn:uuid:{rid}>{_CRLF}"
@@ -79,8 +86,12 @@ def write_warc(df: DataFrame, path: str, url_col: str, text_col: str,
         buf = bytearray()
         n = 0
         for r in rows:
+            # (partition id << 32) | record index: globally unique and
+            # deterministic under a fixed input partitioning, so even
+            # byte-identical rows in different files get distinct IDs
             buf += _record(r["u"], r["d"], content_type,
-                           (r["t"] or "").encode())
+                           (r["t"] or "").encode(),
+                           seq=(pid << 32) | n)
             n += 1
         if n:
             # executors create the dir themselves: the driver-side

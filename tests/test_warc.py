@@ -38,6 +38,14 @@ class TestWarcFraming:
         assert a1 == a2  # deterministic
         rid = lambda blob: re.search(pat, blob).group(0)  # noqa: E731
         assert rid(a1) != rid(b1)  # unique per record
+        # same (URI, date) but different payload → distinct IDs (a
+        # retried capture with a changed body is a different record)
+        a3 = _record("u://a", "2024-01-01T00:00:00Z", "t", b"y")
+        assert rid(a3) != rid(a1)
+        # byte-identical record re-emitted at a different position →
+        # distinct IDs (same page captured twice in one second)
+        a4 = _record("u://a", "2024-01-01T00:00:00Z", "t", b"x", seq=1)
+        assert rid(a4) != rid(a1)
 
     def test_errors(self):
         from orange3_timeseries_spark.sources.warc import (
