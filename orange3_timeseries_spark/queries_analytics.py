@@ -1491,3 +1491,139 @@ def q_changepoint_effect_by_user(spark, sf_dir):
         r6(m1, "pre_mean"), r6(m2, "post_mean"),
         r6(m2 - m1, "effect"), r6(wt, "welch_t"),
         (F.abs(wt) > 1.96).alias("significant_5pct"))
+
+
+# ------------------------------------------------- monitoring/anomaly tier
+@query("robust_anomalies_by_user", """
+WITH base AS (
+  SELECT user_id, event_id, ts, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, x,
+         list_sort(list(x) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 24 PRECEDING
+                                          AND CURRENT ROW)) AS arr
+  FROM base),
+m AS (SELECT user_id, event_id, x, arr,
+             arr[(len(arr) + 1) // 2] AS med
+      FROM r WHERE len(arr) = 25),
+f AS (SELECT user_id, event_id, x, med,
+             list_sort(list_transform(arr, y -> abs(y - med)))
+                 [(len(arr) + 1) // 2] AS mad
+      FROM m)
+SELECT user_id, event_id, round(x, 6) AS x, round(med, 6) AS med,
+       round(mad, 6) AS mad,
+       CASE WHEN mad > 0
+            THEN round(0.6745 * (x - med) / mad, 6) END AS mod_z,
+       (mad > 0 AND
+        abs(round(0.6745 * (x - med) / mad, 6)) > 3.5) AS is_outlier
+FROM f
+""")
+def q_robust_anomalies_by_user(spark, sf_dir):
+    """ROBUST rolling outlier flags (modified z-score, Iglewicz-Hoaglin):
+    trailing-25-row exact median + MAD per user, so the outliers being
+    hunted cannot poison the baseline the way they inflate a rolling
+    mean/std z-score (``anomalies_by_user``'s known weakness).  Median
+    and MAD are exact lower-median ELEMENT selections from the sorted
+    window array — zero float aggregation, so engine and oracle agree
+    bit-for-bit before the display rounding."""
+    from orange3_timeseries_spark.operators.anomaly import (
+        rolling_mad_flags,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    out = rolling_mad_flags(ev, "value", "ts", ["user_id"], window=25,
+                            thresh=3.5, tie_cols=("event_id",))
+    return out.select("user_id", "event_id", "x", "med", "mad",
+                      "mod_z", "is_outlier")
+
+
+@query("cusum_by_user", """
+WITH base AS (
+  SELECT user_id, event_id, ts, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL),
+s AS (SELECT user_id, event_id, ts, x,
+             avg(x) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(x) OVER (PARTITION BY user_id) AS sd
+      FROM base),
+z AS (SELECT user_id, event_id, ts, round((x - mu) / sd, 6) AS z
+      FROM s WHERE sd > 0),
+p AS (SELECT user_id, event_id, ts, z,
+             sum(z - 0.5) OVER w AS pu,
+             sum(-z - 0.5) OVER w AS pd
+      FROM z
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+q AS (SELECT user_id, event_id, z,
+             round(pu - least(0, min(pu) OVER w), 6) AS s_up,
+             round(pd - least(0, min(pd) OVER w), 6) AS s_dn
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+SELECT user_id, event_id, z, s_up, s_dn,
+       s_up > 4.0 AS alarm_up, s_dn > 4.0 AS alarm_dn
+FROM q
+""")
+def q_cusum_by_user(spark, sf_dir):
+    """Two-sided standardized CUSUM drift detector (Page 1954) per user
+    with k=0.5σ slack and h=4σ alarms.  The textbook recursion
+    ``max(0, s+z-k)`` runs as its closed prefix form — running sum plus
+    running min, plain ordered windows (operators/anomaly.py) — so the
+    detector distributes without applyInPandas and the oracle replays
+    the identical prefix algebra."""
+    from orange3_timeseries_spark.operators.anomaly import cusum
+
+    ev = read_table(spark, sf_dir, "events")
+    out = cusum(ev, "value", "ts", ["user_id"], k=0.5, h=4.0,
+                tie_cols=("event_id",))
+    return out.select("user_id", "event_id", "z", "s_up", "s_dn",
+                      "alarm_up", "alarm_dn")
+
+
+def _ewma_sql(lam=0.2, L=3.0):
+    beta = repr(1.0 - lam)          # exact same double on both engines
+    ratio = repr(lam / (2.0 - lam))  # computed once, injected as literal
+    return f"""
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  avg(value) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+s AS (SELECT user_id, day, x,
+             avg(x) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(x) OVER (PARTITION BY user_id) AS sd,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
+      FROM d),
+g AS (SELECT user_id, day, x, mu, sd, t,
+             sum(x * power({beta}, -t)) OVER (PARTITION BY user_id
+                 ORDER BY day ROWS UNBOUNDED PRECEDING) AS geo
+      FROM s WHERE sd > 0),
+e AS (SELECT user_id, day, x, t,
+             round(power({beta}, t) * (mu + {lam!r} * geo), 6) AS ewma,
+             round(mu + {L!r} * sd * sqrt({ratio}
+                   * (1 - power({beta}, 2 * t))), 6) AS ucl,
+             round(mu - {L!r} * sd * sqrt({ratio}
+                   * (1 - power({beta}, 2 * t))), 6) AS lcl
+      FROM g)
+SELECT user_id, day, t, round(x, 6) AS x, ewma, ucl, lcl,
+       (ewma > ucl OR ewma < lcl) AS violation
+FROM e
+"""
+
+
+@query("ewma_chart_by_user", _ewma_sql())
+def q_ewma_chart_by_user(spark, sf_dir):
+    """EWMA control chart (λ=0.2, L=3) over each user's daily-mean
+    series: the recursion unrolls to an exact geometric running sum
+    (the Holt/theta trick), limits carry the Lucas-Saccucci start-up
+    tightening, and the violation flag compares ROUNDED chart values so
+    a 1-ulp pow() difference between engines can never flip it."""
+    from orange3_timeseries_spark.operators.anomaly import ewma_control
+
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.where(F.col("value").isNotNull())
+         .groupBy("user_id",
+                  F.date_trunc("day", F.col("ts")).alias("day"))
+         .agg(F.avg("value").alias("x")))
+    out = ewma_control(d, "x", "day", ["user_id"], lam=0.2, L=3.0)
+    return out.select("user_id", "day", "t", "x", "ewma", "ucl", "lcl",
+                      "violation")
