@@ -777,3 +777,38 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
                     F.lit("changed"))
               .otherwise(F.lit("unchanged")))
     return j.select(id_col, status.alias(status_col))
+
+
+def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    word n-grams whose first corpus appearance (lowest ``id_col``) is
+    this document.  The memorization/redundancy dial of corpus curation:
+    boilerplate-heavy or near-duplicate documents score near 0, fresh
+    content scores near 1 — the aggregate complement of pairwise dedup
+    (which only asks "is there A duplicate", not "how much is new").
+
+    Plan: explode distinct shingles (map-side), one map-combining
+    ``min(id)`` per shingle (the only corpus-wide shuffle, keyed on the
+    shingle hash — uniform), equi-join back, per-doc count.  Documents
+    too short for any n-gram keep a row with ``n_shingles = 0`` and
+    NULL novelty."""
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles_expr(F.col(text_col), n))
+                   .alias("__g__"))
+    first = sh.groupBy("__g__").agg(F.min(id_col).alias("__first__"))
+    per = (sh.join(first, "__g__")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum((F.col("__first__") == F.col(id_col))
+                      .cast("long")).alias("n_novel")))
+    out = (df.select(id_col).join(per, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_shingles", F.lit(0)).cast("long")
+                   .alias("n_shingles"),
+                   F.coalesce("n_novel", F.lit(0)).cast("long")
+                   .alias("n_novel")))
+    return out.withColumn(
+        "novelty",
+        F.when(F.col("n_shingles") > 0,
+               F.round(F.col("n_novel") / F.col("n_shingles"), 6)))

@@ -172,3 +172,66 @@ def weighted_sample(df: DataFrame, strata_col: str, key_col: str,
 
 
 __all__.append("weighted_sample")
+
+
+def temperature_mix(df: DataFrame, source_col: str, key_col: str,
+                    budget: int, alpha: float = 0.5) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM standard:
+    per-source sampling weight ``n_s^alpha``, alpha<1 upweights small
+    sources) with EXACT integer allocation: ideal counts
+    ``budget * n_s^alpha / sum n^alpha`` are apportioned by the
+    largest-remainder method (Hamilton; tie -> source asc), capped at
+    each source's actual size, then each source contributes its target
+    count of documents in deterministic hash order.
+
+    Where :func:`mix_corpus` takes EXPLICIT proportions and rate-samples
+    by weight, this derives the proportions from the corpus itself and
+    hits an exact per-source document count — the "rebalance the mix at
+    temperature T" curation step.
+
+    Determinism: with ``alpha=0.5`` the weight is ``sqrt(n)`` — IEEE
+    correctly rounded, bit-identical on every engine (other alphas use
+    ``pow``, correct to ~1 ulp); ideal counts round to 6 dp before
+    floor/remainder so the apportionment can never flip on that ulp.
+
+    Plan: one map-combining count per source (tiny), window math over
+    the #sources-row table, broadcast join of the targets, one
+    per-source rank window — a single corpus shuffle on the source key.
+    All lazy: no driver collect, no eager action."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n__"))
+    w = (F.sqrt(F.col("__n__")) if alpha == 0.5
+         else F.pow(F.col("__n__"), F.lit(float(alpha))))
+    gw = Window.partitionBy()  # global window over the tiny source table
+    t = (counts.withColumn("__w__", w)
+         .withColumn("__ideal__",
+                     F.round(F.lit(int(budget)) * F.col("__w__")
+                             / F.sum("__w__").over(gw), 6))
+         .withColumn("__base__", F.floor("__ideal__"))
+         .withColumn("__rem__", F.col("__ideal__") - F.col("__base__"))
+         .withColumn("__left__",
+                     F.lit(int(budget)) - F.sum("__base__").over(gw))
+         .withColumn("__rk__", F.row_number().over(
+             Window.orderBy(F.col("__rem__").desc(),
+                            F.col(source_col).asc())))
+         .withColumn("__target__",
+                     F.least(F.col("__n__"),
+                             F.col("__base__")
+                             + (F.col("__rk__") <= F.col("__left__"))
+                             .cast("long"))))
+    h = phash(F.col(key_col).cast("string"))
+    w2 = Window.partitionBy(source_col).orderBy(h.asc(),
+                                                F.col(key_col).asc())
+    return (df.join(F.broadcast(t.select(source_col, "__n__",
+                                         "__target__")), source_col)
+            .withColumn("__rn__", F.row_number().over(w2))
+            .where(F.col("__rn__") <= F.col("__target__"))
+            .select(*df.columns,
+                    F.col("__n__").alias("n_source"),
+                    F.col("__target__").alias("target")))
+
+
+__all__.append("temperature_mix")

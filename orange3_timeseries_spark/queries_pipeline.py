@@ -2806,3 +2806,71 @@ def q_pipeline_curate_chunks(spark, sf_dir):
     return chunk_documents(survivors, "doc_id", "text",
                            size=64, overlap=16) \
         .select("doc_id", "chunk_id", "n_chunks", "chunk_tokens")
+
+
+# --------------------------------------------------- round-7 curation tier
+@query("sample_temperature_mix", f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+a AS (SELECT source, n,
+             round(200 * sqrt(n) / sum(sqrt(n)) OVER (), 6) AS ideal
+      FROM counts),
+b AS (SELECT source, n, ideal, floor(ideal)::BIGINT AS base,
+             ideal - floor(ideal) AS rem
+      FROM a),
+c AS (SELECT source, n, base, rem,
+             200 - sum(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b),
+tgt AS (SELECT source, n AS n_source,
+               least(n, base + CASE WHEN rk <= leftover
+                                    THEN 1 ELSE 0 END) AS target
+        FROM c),
+ranked AS (
+  SELECT d.doc_id, d.source, t.n_source, t.target,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY {_PH_DOC}, d.doc_id) AS rn
+  FROM documents d JOIN tgt t USING (source))
+SELECT doc_id, source, n_source, target FROM ranked WHERE rn <= target
+""")
+def q_sample_temperature_mix(spark, sf_dir):
+    """Temperature-T=2 (alpha=0.5) corpus remix to an exact 200-doc
+    budget: per-source targets ``200·√n_s/Σ√n`` apportioned by largest
+    remainder (Hamilton), selection in deterministic hash order — the
+    multilingual-LM rebalancing step, fully in-plan (no driver collect,
+    one corpus shuffle).  ``sqrt`` is IEEE-exact on both engines; ideal
+    counts round 6 dp before floor/remainder (apportionment firewall)."""
+    from orange3_timeseries_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    out = temperature_mix(d, "source", "doc_id", budget=200, alpha=0.5)
+    return out.select("doc_id", "source", "n_source", "target")
+
+
+@query("ngram_novelty_by_doc", f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM documents),
+fst AS (SELECT g, min(doc_id) AS fid FROM sh GROUP BY 1),
+per AS (SELECT s.doc_id,
+               count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN f.fid = s.doc_id
+                        THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        FROM sh s JOIN fst f USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN round(p.n_novel / p.n_shingles::DOUBLE, 6)
+       END AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
+""")
+def q_ngram_novelty_by_doc(spark, sf_dir):
+    """Per-document 3-gram novelty: the share of a doc's distinct word
+    trigrams that first appear (lowest doc_id) in that document — the
+    aggregate redundancy/memorization dial of corpus curation, the
+    complement of pairwise dedup.  One shingle-keyed map-combining
+    min(id) shuffle; short docs keep a row with zero shingles."""
+    from orange3_timeseries_spark.operators.dedup import ngram_novelty
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_novelty(d, "text", "doc_id", n=3)

@@ -494,3 +494,113 @@ def test_dedup_clusters_distributed_branch_with_wide_ids(spark):
     labels = dict(dist)
     assert labels[ids[1]] == labels[ids[0]] == labels[ids[2]]
     assert labels[ids[3]] == labels[ids[4]] != labels[ids[0]]
+
+
+class TestTemperatureMix:
+    def _corpus(self, spark):
+        rows = []
+        for s, n in [("a", 100), ("b", 25), ("c", 4), ("d", 1)]:
+            rows += [(f"{s}{i}", s) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id string, source string")
+
+    def test_exact_budget_and_largest_remainder(self, spark):
+        import math
+
+        from orange3_timeseries_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        df = self._corpus(spark)
+        out = temperature_mix(df, "source", "doc_id", budget=20,
+                              alpha=0.5)
+        got = {r.source: 0 for r in out.collect()}
+        for r in out.collect():
+            got[r.source] = got.get(r.source, 0) + 1
+        assert sum(got.values()) == 20  # exact budget (no cap binds)
+        # replay Hamilton apportionment on sqrt weights
+        ns = {"a": 100, "b": 25, "c": 4, "d": 1}
+        tot = sum(math.sqrt(n) for n in ns.values())
+        ideal = {s: round(20 * math.sqrt(n) / tot, 6)
+                 for s, n in ns.items()}
+        base = {s: int(v) for s, v in ideal.items()}
+        left = 20 - sum(base.values())
+        for s in sorted(ideal, key=lambda s: (-(ideal[s] - base[s]), s))[
+                :left]:
+            base[s] += 1
+        assert got == {s: v for s, v in base.items() if v > 0} or got == base
+
+    def test_small_sources_upweighted_vs_proportional(self, spark):
+        from orange3_timeseries_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        df = self._corpus(spark)
+        out = temperature_mix(df, "source", "doc_id", budget=20,
+                              alpha=0.5).collect()
+        shares = {}
+        for r in out:
+            shares[r.source] = shares.get(r.source, 0) + 1
+        # proportional would give c: 20*4/130 = 0.6 -> ~1; sqrt gives more
+        assert shares.get("c", 0) >= 1
+        # and the big source contributes LESS than its raw share (15.4)
+        assert shares["a"] < 15
+
+    def test_cap_binds_small_source(self, spark):
+        from orange3_timeseries_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        rows = [(f"a{i}", "a") for i in range(100)] + [("b0", "b")]
+        df = spark.createDataFrame(rows, "doc_id string, source string")
+        out = temperature_mix(df, "source", "doc_id", budget=50,
+                              alpha=0.5).collect()
+        got = {}
+        for r in out:
+            got[r.source] = got.get(r.source, 0) + 1
+        assert got["b"] == 1  # capped at source size
+
+    def test_partitioning_invariant(self, spark):
+        from orange3_timeseries_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        df = self._corpus(spark)
+        a = {r.doc_id for r in temperature_mix(
+            df, "source", "doc_id", 20).collect()}
+        b = {r.doc_id for r in temperature_mix(
+            df.repartition(13), "source", "doc_id", 20).collect()}
+        assert a == b
+
+
+class TestNgramNovelty:
+    def test_hand_computed(self, spark):
+        from orange3_timeseries_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        docs = [
+            (1, "the quick brown fox jumps"),      # all 3 trigrams novel
+            (2, "the quick brown fox sleeps"),     # shares 2 of 3
+            (3, "xx"),                             # too short: 0 shingles
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        rows = {r.doc_id: r for r in
+                ngram_novelty(df, "text", "doc_id", n=3).collect()}
+        assert rows[1].n_shingles == 3 and rows[1].n_novel == 3
+        assert rows[1].novelty == 1.0
+        assert rows[2].n_shingles == 3 and rows[2].n_novel == 1
+        assert rows[2].novelty == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[3].n_shingles == 0 and rows[3].novelty is None
+
+    def test_duplicate_doc_scores_zero(self, spark):
+        from orange3_timeseries_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        text = "a b c d e f g h"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id int, text string")
+        rows = {r.doc_id: r for r in
+                ngram_novelty(df, "text", "doc_id").collect()}
+        assert rows[1].novelty == 1.0
+        assert rows[2].novelty == 0.0
