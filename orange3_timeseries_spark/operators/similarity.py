@@ -692,3 +692,175 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
         F.col("approx_l2").asc(), F.col("nn_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", n_centroids: int = 16,
+                         tau: float = 0.4, centroids=None,
+                         seed: int = 7) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    content-deterministic Lloyd quantizer, then WITHIN each cluster drop
+    every vector that has a lower-id neighbor with cosine ≥ ``tau``
+    (keep-lowest-id, the deterministic stand-in for the paper's
+    keep-one-per-group).  Returns one row per input vector:
+    ``(id, centroid_id, is_kept)``.
+
+    Scale: the all-pairs comparison is confined to clusters — pair count
+    is Σ|cluster|², not N² — and clusters are the IVF inverted lists the
+    engine already maintains, so the 100 TB path is the same
+    assignment GEMM + per-cluster join that serves ANN.  Cosines use the
+    Catalyst fold (``cosine_expr``) — sequential like the SQL replay's
+    ``list_cosine_similarity``, so both engines see bit-identical
+    values before the 6-dp compare."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        seed=seed, id_col=id_col)
+    assigned = _assign_centroid(
+        corpus.select(F.col(id_col).alias("__id__"),
+                      _as_double(F.col(vec_col)).alias("__v__")),
+        "__v__", centroids)
+    a = assigned.select(F.col("__id__").alias("__id_a__"),
+                        F.col("__v__").alias("__va__"),
+                        F.col("centroid_id").alias("__cid_a__"))
+    b = assigned.select(F.col("__id__").alias("__id_b__"),
+                        F.col("__v__").alias("__vb__"),
+                        F.col("centroid_id").alias("__cid_b__"))
+    pairs = (a.join(b, (F.col("__cid_a__") == F.col("__cid_b__"))
+                    & (F.col("__id_a__") < F.col("__id_b__")))
+             .where(F.round(cosine_expr(F.col("__va__"),
+                                        F.col("__vb__")), 6)
+                    >= F.lit(float(tau))))
+    drops = (pairs.select(F.col("__id_b__").alias("__id__")).distinct()
+             .withColumn("__dropped__", F.lit(True)))
+    return (assigned.join(drops, "__id__", "left")
+            .select(F.col("__id__").alias(id_col),
+                    F.col("centroid_id"),
+                    F.col("__dropped__").isNull().alias("is_kept")))
+
+
+def ivf_range_search(corpus: DataFrame, queries: DataFrame,
+                     radius: float, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     query_id_col: str = "query_id",
+                     n_centroids: int = 16, nprobe: int = 4,
+                     centroids=None, seed: int = 7) -> DataFrame:
+    """IVF approximate RANGE search: every corpus neighbor with cosine
+    ≥ ``radius`` among the query's ``nprobe`` probed lists — top-k's
+    sibling for radius workloads (dedup sweeps, "everything this
+    similar" audits).  Same plan as :func:`ivf_topk` (probe explode,
+    broadcast equi-join on ``centroid_id``, corpus never shuffles); the
+    rank window is replaced by a pushable cosine filter, so the
+    operator is join + filter — no window at all."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (Arrow batches)
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        seed=seed, id_col=id_col)
+    C = np.array(centroids, dtype=float)
+
+    c = _assign_centroid(
+        corpus.select(F.col(id_col).alias("nn_id"),
+                      _as_double(F.col(vec_col)).alias("cvec")),
+        "cvec", centroids)
+    qbase = queries.select(F.col(query_id_col),
+                           _as_double(F.col(vec_col)).alias("qvec"))
+    qschema = T.StructType(list(qbase.schema.fields)
+                           + [T.StructField("centroid_id",
+                                            T.IntegerType())])
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            scores = X @ C.T - 0.5 * (C * C).sum(1)
+            order = np.argsort(-scores, axis=1,
+                               kind="stable")[:, :nprobe]
+            rep = pdf.loc[pdf.index.repeat(nprobe)] \
+                .reset_index(drop=True)
+            rep["centroid_id"] = order.ravel().astype("int32")
+            yield rep
+
+    q = qbase.mapInPandas(probe, schema=qschema)
+    return (c.join(F.broadcast(q), "centroid_id")
+            .where(F.col(query_id_col) != F.col("nn_id"))
+            .select(query_id_col, "nn_id",
+                    F.round(cosine_expr(F.col("cvec"), F.col("qvec")),
+                            6).alias("cosine"))
+            .where(F.col("cosine") >= F.lit(float(radius))))
+
+
+def pca_top_component(corpus: DataFrame, vec_col: str = "embedding",
+                      iters: int = 8):
+    """Top principal component of the (mean-centered) embedding cloud by
+    POWER ITERATION — the whitening/compression primitive of embedding
+    pipelines, in the engine's standard split: each iteration is one
+    distributed corpus pass (dot products + per-dimension sums, 64-key
+    map-combining shuffle), the driver holds only the dim-sized vector.
+
+    Determinism firewall (what makes the unrolled SQL replay exact):
+    the mean vector and every per-dimension sum round to 6 dp, the
+    iterate renormalizes FROM the rounded sums and rounds again, and the
+    Catalyst dot product folds sequentially exactly like the replay's
+    ``list_inner_product`` — so both engines carry bit-identical
+    iterates.  Final sign: the largest-|loading| dimension (lowest
+    index on ties) is made positive.
+
+    Returns ``(v, eigenvalue, var_share, mean)`` where ``v`` is the
+    unit top component (list of 64 floats), ``eigenvalue`` the Rayleigh
+    quotient Σ(x_c·v)²/n, and ``var_share`` its share of total
+    per-dimension population variance (both rounded 6 dp)."""
+    import math
+
+    x = _as_double(F.col(vec_col)).alias("__x__")
+    base = corpus.select(x).localCheckpoint()
+    dim = len(base.first()["__x__"])
+    exploded = base.select(F.posexplode("__x__").alias("__d__", "__val__"))
+    mean_rows = (exploded.groupBy("__d__")
+                 .agg(F.avg("__val__").alias("m")).collect())
+    m = [0.0] * dim
+    for r in mean_rows:
+        m[r["__d__"]] = round(r["m"], 6)
+
+    v = [round(1.0 / math.sqrt(dim), 6)] * dim
+    m_lit = F.array(*[F.lit(float(y)) for y in m])
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(float(y)) for y in v])
+        xc = F.zip_with(F.col("__x__"), m_lit, lambda a, b: a - b)
+        d = F.aggregate(F.zip_with(xc, v_lit, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, y: acc + y)
+        srows = (base.select(xc.alias("__xc__"), d.alias("__dd__"))
+                 .select(F.posexplode("__xc__").alias("__d__", "__val__"),
+                         "__dd__")
+                 .groupBy("__d__")
+                 .agg(F.sum(F.col("__val__") * F.col("__dd__"))
+                      .alias("s"))
+                 .collect())
+        s = [0.0] * dim
+        for r in srows:
+            s[r["__d__"]] = round(r["s"], 6)
+        nrm = math.sqrt(sum(y * y for y in s))
+        v = [round(y / nrm, 6) for y in s]
+
+    # deterministic sign: largest-|loading| dim (lowest index on tie)
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-y for y in v]
+
+    v_lit = F.array(*[F.lit(float(y)) for y in v])
+    xc = F.zip_with(F.col("__x__"), m_lit, lambda a, b: a - b)
+    d = F.aggregate(F.zip_with(xc, v_lit, lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, y: acc + y)
+    lam_row = base.agg(
+        (F.sum(d * d) / F.count(F.lit(1))).alias("lam")).first()
+    lam = round(lam_row["lam"], 6)
+    tot_row = (exploded.groupBy("__d__")
+               .agg(F.var_pop("__val__").alias("vv"))
+               .agg(F.sum("vv").alias("tot")).first())
+    tot = round(tot_row["tot"], 6)
+    return v, lam, (round(lam / tot, 6) if tot else None), m
+
+

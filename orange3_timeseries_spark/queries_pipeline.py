@@ -491,14 +491,12 @@ def q_ann_ivf_served_topk(spark, sf_dir):
                       centroids=centroids)
 
 
-def _ivf_trained_sql(n_centroids=16, sample=2048, iters=10,
-                     nprobe=4, k=5, n_queries=10):
-    """Unrolled-Lloyd replay of the trained IVF path: DuckDB re-runs the
-    ENTIRE training — ordered sample, evenly spaced init, ``iters``
-    assignment/recompute rounds with first-index tie-break, empty-cluster
-    carry, 6-dp centroid rounding per round (the rounding is what pins
-    both sides to identical centroids instead of float-associativity
-    noise) — then the same serving replay ``ann_ivf_served_topk`` uses."""
+def _lloyd_assign_stages(n_centroids=16, sample=2048, iters=10):
+    """Shared unrolled-Lloyd CTE stages: deterministic training replay
+    ending in ``centf`` (final centroids + half-norms) and ``assignf``
+    (every corpus vector with its nearest centroid and DOUBLE vector) —
+    the common prefix of the trained-IVF serving oracle and the
+    SemDeDup / range-search oracles."""
     stages = [f"""samp AS MATERIALIZED (
   SELECT v, rn FROM (
     SELECT embedding::DOUBLE[] AS v,
@@ -538,8 +536,20 @@ assignf AS (
   SELECT vec_id AS nn_id, v AS cvec, cid
   FROM c CROSS JOIN centf
   QUALIFY row_number() OVER (PARTITION BY vec_id
-      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid) = 1),
-q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid) = 1)""")
+    return stages
+
+
+def _ivf_trained_sql(n_centroids=16, sample=2048, iters=10,
+                     nprobe=4, k=5, n_queries=10):
+    """Unrolled-Lloyd replay of the trained IVF path: DuckDB re-runs the
+    ENTIRE training — ordered sample, evenly spaced init, ``iters``
+    assignment/recompute rounds with first-index tie-break, empty-cluster
+    carry, 6-dp centroid rounding per round (the rounding is what pins
+    both sides to identical centroids instead of float-associativity
+    noise) — then the same serving replay ``ann_ivf_served_topk`` uses."""
+    stages = _lloyd_assign_stages(n_centroids, sample, iters)
+    stages.append(f"""q AS (SELECT vec_id AS query_id, v AS qv FROM c
       WHERE vec_id < {n_queries}),
 probes AS (
   SELECT query_id, qv, cid
@@ -2874,3 +2884,127 @@ def q_ngram_novelty_by_doc(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return ngram_novelty(d, "text", "doc_id", n=3)
+
+
+# --------------------------------------------------- round-7 semantic tier
+def _semdedup_sql(tau=0.4, n_centroids=16, sample=2048, iters=10):
+    body = ",\n".join(_lloyd_assign_stages(n_centroids, sample, iters))
+    return f"""WITH {body},
+pairs AS (
+  SELECT a.nn_id AS id_a, b.nn_id AS id_b
+  FROM assignf a JOIN assignf b
+    ON a.cid = b.cid AND a.nn_id < b.nn_id
+  WHERE round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
+drops AS (SELECT DISTINCT id_b FROM pairs)
+SELECT a.nn_id AS vec_id, a.cid AS centroid_id,
+       (d.id_b IS NULL) AS is_kept
+FROM assignf a LEFT JOIN drops d ON a.nn_id = d.id_b
+"""
+
+
+@query("semdedup_flags", _semdedup_sql())
+def q_semdedup_flags(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): Lloyd-
+    cluster the embedding space (the same content-deterministic trainer
+    the IVF index uses), then within each cluster drop every vector
+    with a lower-id neighbor at cosine ≥ 0.4 — pair cost is Σ|cluster|²,
+    never N².  The oracle replays the full unrolled Lloyd training plus
+    the within-cluster pair sweep."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_flags(e, n_centroids=16, tau=0.4)
+
+
+def _range_search_sql(radius=0.3, n_centroids=16, sample=2048,
+                      iters=10, nprobe=4, n_queries=10):
+    stages = _lloyd_assign_stages(n_centroids, sample, iters)
+    stages.append(f"""q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv, cid
+  FROM q CROSS JOIN centf
+  QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY list_inner_product(qv, cv) - half_cc DESC,
+               cid) <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.nn_id,
+         round(list_cosine_similarity(a.cvec, p.qv), 6) AS cosine
+  FROM probes p JOIN assignf a ON a.cid = p.cid
+  WHERE p.query_id != a.nn_id)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT query_id, nn_id, cosine FROM cand WHERE cosine >= {radius!r}"""
+
+
+@query("ann_range_search", _range_search_sql())
+def q_ann_range_search(spark, sf_dir):
+    """IVF RANGE search — every neighbor with cosine ≥ 0.3 within the
+    probed lists (top-k's sibling for radius workloads: dedup sweeps,
+    "everything this similar" audits).  Same trained-IVF plan as
+    ``ann_ivf_topk`` with the rank window replaced by a pushable
+    filter; the oracle replays training, probing, and the radius cut."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivf_range_search(e, queries, radius=0.3, n_centroids=16,
+                              nprobe=4)
+
+
+def _pca_power_sql(iters=8, dim=64):
+    import math
+
+    v0 = repr(round(1.0 / math.sqrt(dim), 6))
+    stages = [f"""c AS (SELECT vec_id, embedding::DOUBLE[] AS x
+              FROM embeddings),
+u AS (SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS d
+      FROM c),
+mv AS MATERIALIZED (SELECT list(m ORDER BY d) AS m FROM (
+  SELECT d, round(avg(val), 6) AS m FROM u GROUP BY d) t),
+xc AS MATERIALIZED (
+  SELECT vec_id, list_transform(range(1, len(x) + 1),
+                                i -> x[i] - m[i]) AS xc
+  FROM c CROSS JOIN mv),
+v0 AS (SELECT list_transform(range(1, {dim} + 1), i -> {v0}) AS v)"""]
+    for t in range(1, iters + 1):
+        stages.append(f"""d{t} AS (
+  SELECT vec_id, xc, list_inner_product(xc, v) AS dd
+  FROM xc CROSS JOIN v{t - 1}),
+s{t} AS MATERIALIZED (SELECT list(sv ORDER BY i) AS sv FROM (
+  SELECT i, round(sum(xc[i] * dd), 6) AS sv
+  FROM d{t}, LATERAL unnest(generate_series(1, len(xc))) g(i)
+  GROUP BY i) t),
+v{t} AS (SELECT list_transform(
+    sv, y -> round(y / sqrt(list_inner_product(sv, sv)), 6)) AS v
+  FROM s{t})""")
+    stages.append(f"""piv AS (
+  SELECT v[i] AS pv
+  FROM v{iters}, LATERAL unnest(generate_series(1, {dim})) g(i)
+  ORDER BY abs(v[i]) DESC, i LIMIT 1),
+vf AS (SELECT CASE WHEN pv < 0 THEN list_transform(v, y -> -y)
+              ELSE v END AS v
+       FROM v{iters} CROSS JOIN piv),
+dds AS (SELECT list_inner_product(xc, v) AS dd FROM xc CROSS JOIN vf),
+lam AS (SELECT round(sum(dd * dd) / count(*), 6) AS lam FROM dds),
+tot AS (SELECT round(sum(vv), 6) AS tot FROM (
+  SELECT var_pop(val) AS vv FROM u GROUP BY d) t)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT i AS dim, v[i] AS loading, lam AS eigenvalue,
+       round(lam / tot, 6) AS var_share
+FROM vf, LATERAL unnest(generate_series(1, {dim})) g(i), lam, tot"""
+
+
+@query("pca_top_component", _pca_power_sql())
+def q_pca_top_component(spark, sf_dir):
+    """Top principal component of the mean-centered embedding cloud by
+    8-round power iteration — the whitening/compression primitive of an
+    embedding pipeline.  Every round is one distributed pass (Catalyst
+    dot-product fold + 64-key map-combining per-dimension sums); the
+    driver holds only the 64-float iterate.  6-dp rounding of means,
+    sums, and iterates pins both engines to bit-identical vectors; the
+    oracle unrolls all 8 rounds as CTEs."""
+    e = read_table(spark, sf_dir, "embeddings")
+    v, lam, share, _m = S.pca_top_component(e, "embedding", iters=8)
+    return spark.createDataFrame(
+        [(i + 1, float(v[i]), float(lam), float(share))
+         for i in range(len(v))],
+        "dim bigint, loading double, eigenvalue double, var_share double")

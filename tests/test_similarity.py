@@ -209,3 +209,130 @@ class TestIVFPQ:
                       for r in pq_encode(emb_df, books).collect()}
         for _, r in idx.iterrows():
             assert list(r.pq_code) == solo_codes[r.vec_id]
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_dropped_keep_lowest_id(self, spark):
+        from orange3_timeseries_spark.operators.similarity import (
+            semantic_dedup_flags,
+        )
+
+        rng = np.random.RandomState(2)
+        base = rng.standard_normal((12, 8)).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(12)]
+        rows.append((100, base[3].tolist()))   # exact dup of id 3
+        rows.append((101, (base[5] * 2.0).tolist()))  # scaled: cos = 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in semantic_dedup_flags(
+            df, n_centroids=4, tau=0.99).collect()}
+        assert len(out) == 14  # one row per vector
+        assert out[3].is_kept and not out[100].is_kept
+        assert out[5].is_kept and not out[101].is_kept
+        # originals with no high-cos partner survive
+        assert sum(not r.is_kept for r in out.values()) == 2
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        from orange3_timeseries_spark.operators.similarity import (
+            semantic_dedup_flags,
+        )
+
+        # two tight groups far apart: with 2 centroids every vector's
+        # only high-cos partner is in its own cluster; tau low enough
+        # that WITHIN-cluster neighbors all pair up
+        a = [[10.0, 0.0, 0.1 * i, 0.0] for i in range(4)]
+        b = [[0.0, 10.0, 0.0, 0.1 * i] for i in range(4)]
+        rows = [(i, v) for i, v in enumerate(a + b)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in semantic_dedup_flags(
+            df, n_centroids=2, tau=0.9).collect()}
+        kept = [i for i, r in out.items() if r.is_kept]
+        # each tight group keeps exactly its lowest id
+        assert sorted(kept) == [0, 4]
+
+
+class TestRangeSearch:
+    def test_subset_of_brute_force_and_radius_respected(self, spark):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_range_search,
+        )
+
+        rng = np.random.RandomState(4)
+        X = rng.standard_normal((80, 16)).astype("float64")
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(80)],
+            "vec_id long, embedding array<double>")
+        qs = (df.where(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        got = ivf_range_search(df, qs, radius=0.3, n_centroids=8,
+                               nprobe=3).collect()
+        norms = np.linalg.norm(X, axis=1)
+        cos = (X @ X.T) / np.outer(norms, norms)
+        exact = {(q, j) for q in range(5) for j in range(80)
+                 if j != q and round(cos[q, j], 6) >= 0.3}
+        assert {(r.query_id, r.nn_id) for r in got} <= exact
+        assert all(r.cosine >= 0.3 for r in got)
+
+    def test_full_probe_equals_exact(self, spark):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_range_search,
+        )
+
+        rng = np.random.RandomState(9)
+        X = rng.standard_normal((40, 8)).astype("float64")
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(40)],
+            "vec_id long, embedding array<double>")
+        qs = (df.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        got = {(r.query_id, r.nn_id) for r in ivf_range_search(
+            df, qs, radius=0.2, n_centroids=4, nprobe=4).collect()}
+        norms = np.linalg.norm(X, axis=1)
+        cos = (X @ X.T) / np.outer(norms, norms)
+        exact = {(q, j) for q in range(3) for j in range(40)
+                 if j != q and round(cos[q, j], 6) >= 0.2}
+        assert got == exact  # nprobe = n_centroids: no recall loss
+
+
+class TestPcaTopComponent:
+    def test_matches_numpy_eigenvector(self, spark):
+        from orange3_timeseries_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        rng = np.random.RandomState(6)
+        direction = rng.standard_normal(12)
+        direction /= np.linalg.norm(direction)
+        X = (rng.standard_normal((300, 1)) * 5.0 * direction
+             + rng.standard_normal((300, 12)) * 0.3)
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(300)],
+            "vec_id long, embedding array<double>")
+        v, lam, share, m = pca_top_component(df, "embedding", iters=8)
+
+        Xc = X - X.mean(0)
+        w, V = np.linalg.eigh(np.cov(Xc.T, bias=True))
+        top = V[:, -1]
+        got = np.array(v)
+        if np.dot(got, top) < 0:
+            top = -top
+        assert np.allclose(got, top, atol=5e-3)
+        assert lam == pytest.approx(w[-1], rel=2e-3)
+        assert 0.9 < share <= 1.0  # dominant direction
+        assert np.allclose(m, X.mean(0), atol=1e-6)
+
+    def test_unit_norm_and_sign_convention(self, spark):
+        from orange3_timeseries_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        rng = np.random.RandomState(8)
+        X = rng.standard_normal((100, 6))
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(100)],
+            "vec_id long, embedding array<double>")
+        v, lam, share, _ = pca_top_component(df, "embedding", iters=8)
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)
+        piv = max(range(6), key=lambda i: (abs(v[i]), -i))
+        assert v[piv] > 0
