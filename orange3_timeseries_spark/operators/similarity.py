@@ -716,21 +716,29 @@ def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
                                         seed=seed, id_col=id_col)
+    # pin the assignment once: it feeds both pair sides AND the final
+    # flag join — without this the GEMM assignment (and its scan) runs
+    # three times, and the self-join would re-derive conflicting refs
     assigned = _assign_centroid(
         corpus.select(F.col(id_col).alias("__id__"),
                       _as_double(F.col(vec_col)).alias("__v__")),
-        "__v__", centroids)
-    a = assigned.select(F.col("__id__").alias("__id_a__"),
-                        F.col("__v__").alias("__va__"),
-                        F.col("centroid_id").alias("__cid_a__"))
-    b = assigned.select(F.col("__id__").alias("__id_b__"),
-                        F.col("__v__").alias("__vb__"),
-                        F.col("centroid_id").alias("__cid_b__"))
+        "__v__", centroids).localCheckpoint()
+    # norm once per VECTOR (N folds), not once per PAIR side — the pair
+    # stage then folds only the dot product: ~3x less per-pair work
+    normed = assigned.withColumn("__nrm__", norm_expr(F.col("__v__")))
+    a = normed.select(F.col("__id__").alias("__id_a__"),
+                      F.col("__v__").alias("__va__"),
+                      F.col("__nrm__").alias("__na__"),
+                      F.col("centroid_id").alias("__cid_a__"))
+    b = normed.select(F.col("__id__").alias("__id_b__"),
+                      F.col("__v__").alias("__vb__"),
+                      F.col("__nrm__").alias("__nb__"),
+                      F.col("centroid_id").alias("__cid_b__"))
+    cos = dot_expr(F.col("__va__"), F.col("__vb__")) \
+        / (F.col("__na__") * F.col("__nb__"))
     pairs = (a.join(b, (F.col("__cid_a__") == F.col("__cid_b__"))
                     & (F.col("__id_a__") < F.col("__id_b__")))
-             .where(F.round(cosine_expr(F.col("__va__"),
-                                        F.col("__vb__")), 6)
-                    >= F.lit(float(tau))))
+             .where(F.round(cos, 6) >= F.lit(float(tau))))
     drops = (pairs.select(F.col("__id_b__").alias("__id__")).distinct()
              .withColumn("__dropped__", F.lit(True)))
     return (assigned.join(drops, "__id__", "left")

@@ -1627,3 +1627,58 @@ def q_ewma_chart_by_user(spark, sf_dir):
     out = ewma_control(d, "x", "day", ["user_id"], lam=0.2, L=3.0)
     return out.select("user_id", "day", "t", "x", "ewma", "ucl", "lcl",
                       "violation")
+
+
+@query("residual_anomalies_by_user", f"""
+WITH dec AS ({_DECOMP_BY_USER_SQL}),
+r AS (SELECT user_id, event_id, v_adj - v_trend AS r FROM dec),
+a AS (SELECT user_id, list_sort(list(r)) AS arr FROM r GROUP BY 1),
+m AS (SELECT user_id, arr[(len(arr) + 1) // 2] AS med,
+             list_sort(list_transform(
+                 arr, y -> abs(y - arr[(len(arr) + 1) // 2])))
+                 [(len(arr) + 1) // 2] AS mad
+      FROM a)
+SELECT r.user_id, r.event_id, round(r.r, 6) AS resid,
+       round(0.6745 * (r.r - m.med) / m.mad, 6) AS mod_z
+FROM r JOIN m USING (user_id)
+WHERE m.mad > 0
+  AND abs(round(0.6745 * (r.r - m.med) / m.mad, 6)) > 3.5
+""")
+def q_residual_anomalies_by_user(spark, sf_dir):
+    """Deseasonalized residual anomalies — the composition a real
+    monitoring stack runs: classical decomposition strips trend and
+    period-12 seasonality (``seasonal_decompose_by_user``'s exact
+    stage), then a per-series robust modified z-score over the
+    residuals flags |z| > 3.5.  Flagging on residuals instead of raw
+    values is what stops seasonal peaks from flagging as anomalies.
+    Median/MAD are exact element selections; the residual is a
+    difference of the decomposition's 6-dp-rounded components, so both
+    engines score identical doubles."""
+    from orange3_timeseries_spark.spark_analytics import (
+        seasonal_components_table,
+    )
+    from pyspark.sql import Window as W
+
+    tsf = _events(spark, sf_dir)
+    dec = seasonal_components_table(tsf, "value", "event_id",
+                                    model="multiplicative", period=12)
+    r = dec.select(
+        "user_id", "event_id",
+        (F.round(F.col("adj"), 6) - F.round(F.col("trend"), 6))
+        .alias("r"))
+    pw = W.partitionBy("user_id")
+    arr = F.sort_array(F.collect_list("r").over(pw))
+    r = r.withColumn("__arr__", arr)
+    med = F.element_at(F.col("__arr__"),
+                       ((F.size("__arr__") + 1) / 2).cast("int"))
+    r = r.withColumn("__med__", med)
+    devs = F.array_sort(F.transform(
+        F.col("__arr__"), lambda y: F.abs(y - F.col("__med__"))))
+    mad = F.element_at(devs, ((F.size("__arr__") + 1) / 2).cast("int"))
+    r = r.withColumn("__mad__", mad)
+    mz = F.round(F.lit(0.6745) * (F.col("r") - F.col("__med__"))
+                 / F.col("__mad__"), 6)
+    return (r.where((F.col("__mad__") > 0) & (F.abs(mz) > 3.5))
+            .select("user_id", "event_id",
+                    F.round("r", 6).alias("resid"),
+                    mz.alias("mod_z")))

@@ -3008,3 +3008,92 @@ def q_pca_top_component(spark, sf_dir):
         [(i + 1, float(v[i]), float(lam), float(share))
          for i in range(len(v))],
         "dim bigint, loading double, eigenvalue double, var_share double")
+
+
+# ------------------------------------------------------ round-7 drift tier
+@query("drift_ks_events", """
+WITH r AS (SELECT event_type, value::DOUBLE AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+c AS (SELECT event_type, v,
+             sum(CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN rn >  n // 2 THEN 1 ELSE 0 END) AS c2
+      FROM r WHERE v IS NOT NULL GROUP BY 1, 2),
+run AS (SELECT event_type, v,
+               sum(c1) OVER w AS r1, sum(c2) OVER w AS r2,
+               sum(c1) OVER p AS n1, sum(c2) OVER p AS n2
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY v
+                     ROWS UNBOUNDED PRECEDING),
+               p AS (PARTITION BY event_type)),
+agg AS (SELECT event_type,
+               max(abs(r1 * n2 - r2 * n1))::DOUBLE AS mx,
+               max(n1)::BIGINT AS n_ref, max(n2)::BIGINT AS n_cur
+        FROM run GROUP BY 1),
+stat AS (SELECT event_type, n_ref, n_cur,
+                mx / (n_ref * n_cur)::DOUBLE AS d,
+                (n_ref * n_cur)::DOUBLE
+                    / (n_ref + n_cur)::DOUBLE AS ne
+         FROM agg),
+pv AS (SELECT event_type, n_ref, n_cur, d,
+              (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
+       FROM stat)
+SELECT event_type, n_ref, n_cur, round(d, 6) AS ks_stat,
+       round(CASE WHEN lam < 0.2 THEN 1.0 ELSE least(1.0, greatest(0.0,
+             2 * exp(-2 * lam * lam) - 2 * exp(-8 * lam * lam) + 2 * exp(-18 * lam * lam) - 2 * exp(-32 * lam * lam) + 2 * exp(-50 * lam * lam) - 2 * exp(-72 * lam * lam) + 2 * exp(-98 * lam * lam) - 2 * exp(-128 * lam * lam) + 2 * exp(-162 * lam * lam) - 2 * exp(-200 * lam * lam) + 2 * exp(-242 * lam * lam) - 2 * exp(-288 * lam * lam) + 2 * exp(-338 * lam * lam) - 2 * exp(-392 * lam * lam) + 2 * exp(-450 * lam * lam) - 2 * exp(-512 * lam * lam) + 2 * exp(-578 * lam * lam) - 2 * exp(-648 * lam * lam) + 2 * exp(-722 * lam * lam) - 2 * exp(-800 * lam * lam))) END, 6) AS p_value,
+       round(CASE WHEN lam < 0.2 THEN 1.0 ELSE least(1.0, greatest(0.0,
+             2 * exp(-2 * lam * lam) - 2 * exp(-8 * lam * lam) + 2 * exp(-18 * lam * lam) - 2 * exp(-32 * lam * lam) + 2 * exp(-50 * lam * lam) - 2 * exp(-72 * lam * lam) + 2 * exp(-98 * lam * lam) - 2 * exp(-128 * lam * lam) + 2 * exp(-162 * lam * lam) - 2 * exp(-200 * lam * lam) + 2 * exp(-242 * lam * lam) - 2 * exp(-288 * lam * lam) + 2 * exp(-338 * lam * lam) - 2 * exp(-392 * lam * lam) + 2 * exp(-450 * lam * lam) - 2 * exp(-512 * lam * lam) + 2 * exp(-578 * lam * lam) - 2 * exp(-648 * lam * lam) + 2 * exp(-722 * lam * lam) - 2 * exp(-800 * lam * lam))) END, 6) < 0.05 AS drifted
+FROM pv
+""")
+def q_drift_ks_events(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift gate per event type:
+    the first half of each type's timeline (by time rank) is the
+    reference, the second half the current window.  D maximizes on the
+    INTEGER numerator |r1*n2 - r2*n1| (bit-exact on any engine); the
+    asymptotic p-value uses Stephens' lambda correction with a 20-term
+    Kolmogorov series, and the drift verdict compares the ROUNDED
+    p-value so exp() ulps cannot flip it."""
+    from orange3_timeseries_spark.operators.drift import ks_drift
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    ranked = (ev.withColumn("__rn__", F.row_number().over(w))
+              .withColumn("__n__",
+                          F.count(F.lit(1))
+                          .over(W.partitionBy("event_type"))))
+    ref = ranked.where(F.col("__rn__") <= F.floor(F.col("__n__") / 2))
+    cur = ranked.where(F.col("__rn__") > F.floor(F.col("__n__") / 2))
+    return ks_drift(ref, cur, "value", ["event_type"])
+
+
+def _pca_scores_sql(iters=8, dim=64):
+    base = _pca_power_sql(iters, dim)
+    # reuse the power-iteration CTE body; swap the final projection for
+    # a per-vector score against the sign-fixed component
+    head, _, _tail = base.rpartition("\nSELECT i AS dim")
+    return f"""{head}
+SELECT c.vec_id, round(list_inner_product(x.xc, vf.v), 6) AS score
+FROM c JOIN xc x USING (vec_id) CROSS JOIN vf
+"""
+
+
+@query("pca_scores", _pca_scores_sql())
+def q_pca_scores(spark, sf_dir):
+    """Per-vector projection onto the corpus' top principal component
+    (the trained whitening/compression axis from
+    ``pca_top_component``): score = (x − mean)·v, the 1-D embedding a
+    curriculum or diversity sampler orders by.  Scoring is a pure
+    Catalyst fold over the broadcast component — map-only, exchanges=0
+    on the corpus side."""
+    e = read_table(spark, sf_dir, "embeddings")
+    v, _lam, _share, m = S.pca_top_component(e, "embedding", iters=8)
+    m_lit = F.array(*[F.lit(float(y)) for y in m])
+    v_lit = F.array(*[F.lit(float(y)) for y in v])
+    x = F.col("embedding").cast("array<double>")
+    xc = F.zip_with(x, m_lit, lambda a, b: a - b)
+    score = F.aggregate(F.zip_with(xc, v_lit, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, y: acc + y)
+    return e.select("vec_id", F.round(score, 6).alias("score"))

@@ -56,3 +56,76 @@ class TestPSI:
                         "v")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan  # HOF bucketing, no UDF
+
+
+class TestKsDrift:
+    def _two(self, spark, a, b):
+        ra = [(float(v),) for v in a]
+        rb = [(float(v),) for v in b]
+        return (spark.createDataFrame(ra, "value double"),
+                spark.createDataFrame(rb, "value double"))
+
+    @staticmethod
+    def _exact_d(a, b):
+        import numpy as np
+
+        a, b = np.sort(a), np.sort(b)
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        f1 = np.searchsorted(a, allv, side="right") / len(a)
+        f2 = np.searchsorted(b, allv, side="right") / len(b)
+        return np.max(np.abs(f1 - f2))
+
+    def test_matches_exact_ecdf_gap(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.drift import ks_drift
+
+        rng = np.random.RandomState(3)
+        a = rng.standard_normal(200)
+        b = rng.standard_normal(150) + 0.8
+        ref, cur = self._two(spark, a, b)
+        row = ks_drift(ref, cur, "value").collect()[0]
+        assert row.n_ref == 200 and row.n_cur == 150
+        assert row.ks_stat == pytest.approx(self._exact_d(a, b),
+                                            abs=1e-6)
+        assert row.drifted  # 0.8 sigma shift at n=200/150 is decisive
+
+    def test_identical_samples_not_drifted(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.drift import ks_drift
+
+        rng = np.random.RandomState(4)
+        a = rng.standard_normal(300)
+        ref, cur = self._two(spark, a, a)
+        row = ks_drift(ref, cur, "value").collect()[0]
+        assert row.ks_stat == 0.0
+        assert row.p_value == 1.0
+        assert not row.drifted
+
+    def test_ties_evaluated_after_full_value_mass(self, spark):
+        from orange3_timeseries_spark.operators.drift import ks_drift
+
+        # heavy ties: ref all 1.0, cur half 1.0 half 2.0 ->
+        # D at value 1.0 is |1 - 0.5| = 0.5 (after all ties), not 1.0
+        ref, cur = self._two(spark, [1.0] * 10, [1.0] * 5 + [2.0] * 5)
+        row = ks_drift(ref, cur, "value").collect()[0]
+        assert row.ks_stat == pytest.approx(0.5, abs=1e-9)
+
+    def test_grouped(self, spark):
+        import numpy as np
+
+        from orange3_timeseries_spark.operators.drift import ks_drift
+
+        rng = np.random.RandomState(5)
+        rows_ref, rows_cur = [], []
+        for g, shift in [("a", 0.0), ("b", 2.0)]:
+            for v in rng.standard_normal(120):
+                rows_ref.append((g, float(v)))
+            for v in rng.standard_normal(120) + shift:
+                rows_cur.append((g, float(v)))
+        ref = spark.createDataFrame(rows_ref, "g string, value double")
+        cur = spark.createDataFrame(rows_cur, "g string, value double")
+        out = {r.g: r for r in ks_drift(ref, cur, "value",
+                                        ["g"]).collect()}
+        assert not out["a"].drifted and out["b"].drifted
