@@ -1,0 +1,111 @@
+"""Rolling-origin forecast backtesting (time-series cross-validation,
+Tashman 2000 / Hyndman's tsCV): evaluate baseline forecasters at
+several training cutoffs ("origins") per series, scoring each
+``horizon``-step-ahead path against the actuals that follow the origin.
+
+The evaluation the reference's one-shot ``model_evaluation``
+(owmodelevaluation / functions.py:550-567) generalizes to in
+production: one split tells you nothing about stability; rolling
+origins are the standard protocol.
+
+Models (all closed-form — the standard baselines every paper reports
+against):
+
+- ``naive``  : ŷ_{t+h} = y_t
+- ``drift``  : ŷ_{t+h} = y_t + h·(y_t − y_1)/(t − 1)
+- ``snaive`` : ŷ_{t+h} = y_{t+h−season}
+
+Scale/determinism design: each series packs ONCE into an ordered array
+(one series-key shuffle, the same pack the ARIMA/VAR tier uses); every
+(origin, model, step) value is then an exact ``element_at`` lookup —
+closed-form arithmetic over identical doubles on any engine, unrolled
+per step (horizon is small and fixed).  MAE/sMAPE accumulate in fixed
+left-to-right step order and round 6 dp.  Invalid origins (not enough
+history for the seasonal lag, or not enough future for the horizon)
+are filtered by the same integer conditions on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_origin_eval"]
+
+
+def _score(arr: Column, t: int, horizon: int, season: int, model: str):
+    """(mae, smape) column pair for one origin/model — unrolled exact
+    element arithmetic; ``t`` is the 1-based origin index."""
+    y1 = F.element_at(arr, 1)
+    yt = F.element_at(arr, t)
+    abs_errs, smapes = [], []
+    for h in range(1, horizon + 1):
+        actual = F.element_at(arr, t + h)
+        if model == "naive":
+            pred = yt
+        elif model == "drift":
+            pred = yt + F.lit(float(h)) * (yt - y1) / F.lit(float(t - 1))
+        elif model == "snaive":
+            pred = F.element_at(arr, t + h - season)
+        else:
+            raise ValueError(f"unknown model {model!r}")
+        err = F.abs(pred - actual)
+        abs_errs.append(err)
+        smapes.append(F.lit(2.0) * err
+                      / F.nullif(F.abs(pred) + F.abs(actual), F.lit(0.0)))
+    mae = abs_errs[0]
+    for e in abs_errs[1:]:
+        mae = mae + e          # fixed left-to-right accumulation
+    sm = smapes[0]
+    for s in smapes[1:]:
+        sm = sm + s
+    n = F.lit(float(horizon))
+    return F.round(mae / n, 6), F.round(sm / n, 6)
+
+
+def rolling_origin_eval(df: DataFrame, value_col: str, order_col: str,
+                        group_cols: Sequence[str],
+                        origins: Sequence[int], horizon: int = 4,
+                        season: int = 7,
+                        models: Sequence[str] = ("naive", "drift",
+                                                 "snaive")) -> DataFrame:
+    """One row per (series, origin, model) with ``mae`` and ``smape``
+    over the ``horizon`` steps following the origin.  ``origins`` are
+    1-based training lengths; an origin is emitted only when
+    ``t > season`` (seasonal lag exists for every step), ``t >= 2``
+    (drift slope defined) and ``t + horizon <= n``."""
+    group_cols = list(group_cols)
+    origins = [int(t) for t in origins]
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col(order_col).asc()))
+    x = F.col(value_col).cast("double")
+    packed = (df.where(F.col(value_col).isNotNull())
+              .withColumn("__rn__", F.row_number().over(w))
+              .groupBy(*group_cols)
+              .agg(F.array_sort(
+                       F.collect_list(F.struct("__rn__", x.alias("v"))))
+                   .alias("__s__"))
+              .select(*group_cols,
+                      F.transform("__s__", lambda s: s["v"])
+                      .alias("__arr__"),
+                      F.size("__s__").alias("__n__")))
+    rows = []
+    for t in origins:
+        if t <= max(season, 2):
+            continue
+        for m in models:
+            mae, sm = _score(F.col("__arr__"), t, horizon, season, m)
+            rows.append(F.struct(
+                F.lit(t).alias("origin_t"), F.lit(m).alias("model"),
+                mae.alias("mae"), sm.alias("smape"),
+                (F.col("__n__") >= F.lit(t + horizon)).alias("__ok__")))
+    out = (packed.select(*group_cols,
+                         F.explode(F.array(*rows)).alias("__e__"))
+           .where(F.col("__e__.__ok__")))
+    return out.select(*group_cols,
+                      F.col("__e__.origin_t").alias("origin_t"),
+                      F.col("__e__.model").alias("model"),
+                      F.col("__e__.mae").alias("mae"),
+                      F.col("__e__.smape").alias("smape"))

@@ -1682,3 +1682,115 @@ def q_residual_anomalies_by_user(spark, sf_dir):
             .select("user_id", "event_id",
                     F.round("r", 6).alias("resid"),
                     mz.alias("mod_z")))
+
+
+# ------------------------------------------- round-7 forecasting workflow
+@query("lag_features_by_user", """
+WITH base AS (SELECT user_id, event_id, ts, value::DOUBLE AS x
+              FROM events WHERE value IS NOT NULL),
+l AS (SELECT user_id, event_id, x,
+             lag(x, 1) OVER w AS lag_1, lag(x, 2) OVER w AS lag_2,
+             lag(x, 3) OVER w AS lag_3, lag(x, 4) OVER w AS lag_4,
+             avg(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING
+                                   AND 1 PRECEDING) AS rm,
+             count(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING
+                                     AND 1 PRECEDING) AS c
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id,
+       round(lag_1, 6) AS lag_1, round(lag_2, 6) AS lag_2,
+       round(lag_3, 6) AS lag_3, round(lag_4, 6) AS lag_4,
+       round(rm, 6) AS roll_mean_4, round(x, 6) AS y
+FROM l
+WHERE c = 4 AND lag_1 IS NOT NULL AND lag_2 IS NOT NULL
+  AND lag_3 IS NOT NULL AND lag_4 IS NOT NULL
+""")
+def q_lag_features_by_user(spark, sf_dir):
+    """Supervised lag matrix per series — the "forecasting as
+    regression" transform: lags 1-4 plus a trailing 4-row mean that
+    EXCLUDES the current row (leakage-safe), current value as the
+    label.  One series-key shuffle, then narrow window lags; every
+    emitted row is a complete training example."""
+    from orange3_timeseries_spark.operators.features import lag_features
+
+    ev = read_table(spark, sf_dir, "events")
+    out = lag_features(ev, "value", "ts", ["user_id"],
+                       lags=(1, 2, 3, 4), roll=4,
+                       tie_cols=("event_id",))
+    return out.select("user_id", "event_id", "lag_1", "lag_2", "lag_3",
+                      "lag_4", "roll_mean_4", "y")
+
+
+@query("calendar_features_daily", """
+WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                  AS day FROM events),
+f AS (SELECT day,
+             (date_diff('day', DATE '1970-01-01', day::DATE) + 3) % 7
+                 + 1 AS dow,
+             dayofyear(day::DATE) AS doy
+      FROM days)
+SELECT day, dow::INT AS dow_iso,
+       day(f.day::DATE)::INT AS dom,
+       month(f.day::DATE)::INT AS month,
+       weekofyear(f.day::DATE)::INT AS week_iso,
+       doy::INT AS doy,
+       round(sin(0.8975979010256552 * (dow - 1)), 6) AS sin_w1,
+       round(cos(0.8975979010256552 * (dow - 1)), 6) AS cos_w1,
+       round(sin(2.0 * (0.8975979010256552 * (dow - 1))), 6) AS sin_w2,
+       round(cos(2.0 * (0.8975979010256552 * (dow - 1))), 6) AS cos_w2,
+       round(sin(0.017202423838958484 * (doy - 1)), 6) AS sin_a1,
+       round(cos(0.017202423838958484 * (doy - 1)), 6) AS cos_a1
+FROM f
+""")
+def q_calendar_features_daily(spark, sf_dir):
+    """Per-day calendar covariates + weekly/annual Fourier terms — the
+    seasonality encoding regression forecasters consume.  Day-of-week
+    derives from the integer day count since 1970-01-01 (a Thursday),
+    sidestepping the engines' dayofweek() origin disagreement; trig
+    rounds 6 dp.  Map-only (one distinct on the day grain)."""
+    from orange3_timeseries_spark.operators.features import (
+        calendar_features,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    days = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+            .distinct())
+    return calendar_features(days, "day")
+
+
+@query("rolling_origin_eval_by_user", """
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  avg(value) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT user_id, list(x ORDER BY day) AS arr, count(*) AS n
+      FROM d GROUP BY 1),
+o AS (SELECT unnest([18, 22, 26]) AS t),
+m AS (SELECT unnest(['naive', 'drift', 'snaive']) AS model)
+SELECT user_id, t AS origin_t, model,
+       round((abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 1.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 1 - 7] END) - arr[t + 1]) + abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 2.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 2 - 7] END) - arr[t + 2]) + abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 3.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 3 - 7] END) - arr[t + 3]) + abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 4.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 4 - 7] END) - arr[t + 4])) / 4.0, 6) AS mae,
+       round((2.0 * abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 1.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 1 - 7] END) - arr[t + 1]) / nullif(abs(CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 1.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 1 - 7] END) + abs(arr[t + 1]), 0.0) + 2.0 * abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 2.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 2 - 7] END) - arr[t + 2]) / nullif(abs(CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 2.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 2 - 7] END) + abs(arr[t + 2]), 0.0) + 2.0 * abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 3.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 3 - 7] END) - arr[t + 3]) / nullif(abs(CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 3.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 3 - 7] END) + abs(arr[t + 3]), 0.0) + 2.0 * abs((CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 4.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 4 - 7] END) - arr[t + 4]) / nullif(abs(CASE model WHEN 'naive' THEN arr[t] WHEN 'drift' THEN arr[t] + 4.0 * (arr[t] - arr[1]) / (t - 1) ELSE arr[t + 4 - 7] END) + abs(arr[t + 4]), 0.0)) / 4.0, 6) AS smape
+FROM p CROSS JOIN o CROSS JOIN m
+WHERE n >= t + 4 AND t > 7
+""")
+def q_rolling_origin_eval_by_user(spark, sf_dir):
+    """Rolling-origin backtesting (tsCV) of the three closed-form
+    baselines — naive, drift, seasonal-naive(7) — at training cutoffs
+    18/22/26 over each user's daily-mean series, scored by 4-step MAE
+    and sMAPE.  The production generalization of the reference's
+    one-shot model_evaluation (functions.py:550-567): each series packs
+    once into an ordered array, every forecast is an exact element
+    lookup, metrics accumulate in fixed step order (6-dp rounded)."""
+    from orange3_timeseries_spark.operators.backtest import (
+        rolling_origin_eval,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.where(F.col("value").isNotNull())
+         .groupBy("user_id",
+                  F.date_trunc("day", F.col("ts")).alias("day"))
+         .agg(F.avg("value").alias("x")))
+    return rolling_origin_eval(d, "x", "day", ["user_id"],
+                               origins=(18, 22, 26), horizon=4,
+                               season=7)
