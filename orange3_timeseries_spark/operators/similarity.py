@@ -706,45 +706,59 @@ def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
     keep-one-per-group).  Returns one row per input vector:
     ``(id, centroid_id, is_kept)``.
 
-    Scale: the all-pairs comparison is confined to clusters — pair count
-    is Σ|cluster|², not N² — and clusters are the IVF inverted lists the
-    engine already maintains, so the 100 TB path is the same
-    assignment GEMM + per-cluster join that serves ANN.  Cosines use the
-    Catalyst fold (``cosine_expr``) — sequential like the SQL replay's
-    ``list_cosine_similarity``, so both engines see bit-identical
-    values before the 6-dp compare."""
+    Scale: the all-pairs comparison is confined to clusters — pair cost
+    is Σ|cluster|², not N² — and runs as ONE blocked NumPy GEMM per
+    cluster under ``applyInPandas`` (the paper's own kernel), not a
+    per-pair expression: the round-7 scaling smoke measured the
+    Catalyst-fold pair join ~100× slower at 3k-vector clusters, so the
+    Arrow+BLAS path IS the scale path.  ``n_centroids`` is the dial
+    that bounds cluster size (clusters ∝ corpus keeps vectors/cluster
+    flat).  Block size caps the similarity-matrix slice at
+    |cluster|×1024 doubles regardless of cluster size.  Cosine
+    comparisons use the 6-dp-rounded value, matching the SQL replay."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
                                         seed=seed, id_col=id_col)
-    # pin the assignment once: it feeds both pair sides AND the final
-    # flag join — without this the GEMM assignment (and its scan) runs
-    # three times, and the self-join would re-derive conflicting refs
     assigned = _assign_centroid(
         corpus.select(F.col(id_col).alias("__id__"),
                       _as_double(F.col(vec_col)).alias("__v__")),
-        "__v__", centroids).localCheckpoint()
-    # norm once per VECTOR (N folds), not once per PAIR side — the pair
-    # stage then folds only the dot product: ~3x less per-pair work
-    normed = assigned.withColumn("__nrm__", norm_expr(F.col("__v__")))
-    a = normed.select(F.col("__id__").alias("__id_a__"),
-                      F.col("__v__").alias("__va__"),
-                      F.col("__nrm__").alias("__na__"),
-                      F.col("centroid_id").alias("__cid_a__"))
-    b = normed.select(F.col("__id__").alias("__id_b__"),
-                      F.col("__v__").alias("__vb__"),
-                      F.col("__nrm__").alias("__nb__"),
-                      F.col("centroid_id").alias("__cid_b__"))
-    cos = dot_expr(F.col("__va__"), F.col("__vb__")) \
-        / (F.col("__na__") * F.col("__nb__"))
-    pairs = (a.join(b, (F.col("__cid_a__") == F.col("__cid_b__"))
-                    & (F.col("__id_a__") < F.col("__id_b__")))
-             .where(F.round(cos, 6) >= F.lit(float(tau))))
-    drops = (pairs.select(F.col("__id_b__").alias("__id__")).distinct()
-             .withColumn("__dropped__", F.lit(True)))
-    return (assigned.join(drops, "__id__", "left")
-            .select(F.col("__id__").alias(id_col),
-                    F.col("centroid_id"),
-                    F.col("__dropped__").isNull().alias("is_kept")))
+        "__v__", centroids)
+    schema = T.StructType([
+        T.StructField("__id__", assigned.schema["__id__"].dataType),
+        T.StructField("centroid_id", T.IntegerType()),
+        T.StructField("is_kept", T.BooleanType()),
+    ])
+    t = float(tau)
+
+    def flags(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__id__", kind="stable") \
+            .reset_index(drop=True)
+        X = np.array(pdf["__v__"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        N = X / nrm[:, None]
+        m = len(N)
+        drop = np.zeros(m, dtype=bool)
+        B = 1024
+        for j0 in range(1, m, B):
+            j1 = min(j0 + B, m)
+            S = N[:j1] @ N[j0:j1].T           # (j1, j1-j0) slice
+            for lj in range(j1 - j0):
+                j = j0 + lj
+                drop[j] = bool(np.any(np.round(S[:j, lj], 6) >= t))
+        return pd.DataFrame({
+            "__id__": pdf["__id__"],
+            "centroid_id": pdf["centroid_id"].astype("int32"),
+            "is_kept": ~drop,
+        })
+
+    out = assigned.groupBy("centroid_id").applyInPandas(flags, schema)
+    return out.select(F.col("__id__").alias(id_col), "centroid_id",
+                      "is_kept")
 
 
 def ivf_range_search(corpus: DataFrame, queries: DataFrame,
