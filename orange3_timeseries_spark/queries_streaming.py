@@ -569,3 +569,53 @@ def q_streaming_drift_psi(spark, sf_dir):
         r6(F.col("p_ref"), "p_ref"), r6(F.col("p_cur"), "p_cur"),
         r6(F.col("contrib"), "contrib"),
         r6(F.sum("contrib").over(wtot), "psi"))
+
+
+@query("streaming_cusum", """
+WITH RECURSIVE s AS (
+  SELECT user_id, ts, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+  FROM events),
+z AS (SELECT user_id, ts, round((value - mu) / sd, 6) AS z,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM s WHERE sd > 0),
+rec(user_id, rn, ts, z, su, sdn) AS (
+  SELECT user_id, rn, ts, z,
+         greatest(0.0, 0.0 + (z - 0.5)),
+         greatest(0.0, 0.0 + (-z - 0.5))
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT z.user_id, z.rn, z.ts, z.z,
+         greatest(0.0, rec.su + (z.z - 0.5)),
+         greatest(0.0, rec.sdn + (-z.z - 0.5))
+  FROM rec JOIN z ON z.user_id = rec.user_id AND z.rn = rec.rn + 1)
+SELECT user_id, ts, z, round(su, 6) AS s_up, round(sdn, 6) AS s_dn,
+       round(su, 6) > 4.0 AS alarm_up, round(sdn, 6) > 4.0 AS alarm_dn
+FROM rec
+""")
+def q_streaming_cusum(spark, sf_dir):
+    """Continuous CUSUM drift monitor over the events STREAM: per-user
+    (s⁺, s⁻) state across micro-batches, standardized against the
+    static per-user reference stats (stream-static broadcast join — the
+    train/serve split).  The oracle replays the exact recursion as a
+    recursive CTE over the same 6-dp-rounded z, so the carried state is
+    reproduced bit-for-bit (both sides compute
+    ``max(0, s + (z − k))`` with identical association)."""
+    import uuid as _uuid
+
+    from orange3_timeseries_spark.streaming.ops import stream_cusum
+
+    def build(s):
+        ev = read_table(s, sf_dir, "events")
+        stats = ev.groupBy("user_id").agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sd"))
+        sdf = read_table_stream(s, sf_dir, "events")
+        return stream_cusum(sdf, "ts", ["user_id"], "value", stats,
+                            k=0.5, h=4.0)
+
+    name = "stream_cusum_" + _uuid.uuid4().hex[:8]
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
+    return spark.table(name)

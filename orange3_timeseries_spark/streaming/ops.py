@@ -391,3 +391,81 @@ def stream_bucket_counts(sdf: DataFrame, time_col: str, value_col: str,
             .withWatermark(time_col, watermark)
             .groupBy(F.window(F.col(time_col), window), bucket)
             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def stream_cusum(sdf: DataFrame, time_col: str,
+                 series_cols: Sequence[str], col: str,
+                 stats: DataFrame, k: float = 0.5,
+                 h: float = 4.0) -> DataFrame:
+    """Continuous two-sided CUSUM drift monitor — the streaming face of
+    ``operators.anomaly.cusum``: per-series state ``(s⁺, s⁻)`` carried
+    across micro-batches with ``applyInPandasWithState``, standardized
+    against a STATIC reference-stats table (the train/serve split a
+    production monitor actually runs: μ/σ come from the training
+    window, the stream is only scored).
+
+    ``stats`` must hold ``series_cols + (mu, sd)``; it joins broadcast
+    (stream-static, stateless) and rows with ``sd <= 0`` or no match
+    are dropped.  The standardized ``z`` is rounded 6 dp as a CATALYST
+    column before the state step, and the recursion is plain
+    left-to-right ``max(0, s + (z − k))`` float arithmetic — so an
+    engine-independent replay (a recursive CTE carrying raw ``s`` over
+    the same rounded ``z``) reproduces the state bit-for-bit.
+
+    Scale: state is two doubles per series, partitioned by the series
+    key; the static side broadcasts per micro-batch; rows are processed
+    in event-time order within a batch (the data contract makes
+    (series, time) unique), arrival order across batches."""
+    if not series_cols:
+        raise ValueError("stream_cusum needs at least one series key")
+    series_cols = list(series_cols)
+    enriched = (ntz_to_session_ts(sdf)
+                .join(F.broadcast(stats), series_cols, "inner")
+                .where(F.col("sd") > 0)
+                .withColumn("__z__", F.round(
+                    (F.col(col).cast("double") - F.col("mu"))
+                    / F.col("sd"), 6)))
+    key_fields = [sdf.schema[c] for c in series_cols]
+    out_schema = T.StructType(key_fields + [
+        sdf.schema[time_col],
+        T.StructField("z", T.DoubleType()),
+        T.StructField("s_up", T.DoubleType()),
+        T.StructField("s_dn", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s_up", T.DoubleType()),
+        T.StructField("s_dn", T.DoubleType()),
+    ])
+    kk = float(k)
+
+    def step(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        su, sd_ = state.get if state.exists else (0.0, 0.0)
+        pdf = pd.concat(list(pdfs)).sort_values(time_col)
+        zs = pdf["__z__"].astype(float).tolist()
+        ups, dns = [], []
+        for z in zs:
+            su = max(0.0, su + (z - kk))
+            sd_ = max(0.0, sd_ + (-z - kk))
+            ups.append(su)
+            dns.append(sd_)
+        state.update((su, sd_))
+        out = pd.DataFrame({
+            time_col: pdf[time_col].values,
+            "z": zs, "s_up": ups, "s_dn": dns,
+        })
+        for i, c in enumerate(series_cols):
+            out.insert(i, c, key[i])
+        yield out[[f.name for f in out_schema.fields]]
+
+    stepped = (enriched.groupBy(*series_cols)
+               .applyInPandasWithState(step, out_schema, state_schema,
+                                       "append",
+                                       GroupStateTimeout.NoTimeout))
+    hh = F.lit(float(h))
+    s_up6 = F.round(F.col("s_up"), 6)
+    s_dn6 = F.round(F.col("s_dn"), 6)
+    return stepped.select(*series_cols, time_col, "z",
+                          s_up6.alias("s_up"), s_dn6.alias("s_dn"),
+                          (s_up6 > hh).alias("alarm_up"),
+                          (s_dn6 > hh).alias("alarm_dn"))

@@ -503,3 +503,74 @@ class TestStreamBucketCounts:
                               (3, 5.0, 8.0), (4, 8.0, 1e9)]:
                 want = sum(1 for v in day if lo < v <= hi)
                 assert got.get((w, b), 0) == want
+
+
+class TestStreamCusum:
+    def test_matches_naive_recursion_and_carries_state(self, spark,
+                                                       tmp_path):
+        """Two micro-batches (maxFilesPerTrigger=1): the (s_up, s_dn)
+        state must carry across the batch boundary, and the full path
+        must equal the naive Python recursion over the 6-dp-rounded z."""
+        import os
+        import time
+
+        from orange3_timeseries_spark.streaming.ops import (
+            run_to_memory,
+            stream_cusum,
+        )
+
+        import numpy as np
+
+        base = dt.datetime(2024, 1, 1)
+        rng = np.random.RandomState(13)
+        vals = {uid: rng.standard_normal(40).tolist() for uid in range(3)}
+        for uid in vals:                     # level shift in 2nd half
+            vals[uid][20:] = [v + 2.0 for v in vals[uid][20:]]
+        rows = [(uid, base + dt.timedelta(minutes=7 * i),
+                 float(vals[uid][i]))
+                for uid in range(3) for i in range(40)]
+        half = [r for r in rows
+                if r[1] < base + dt.timedelta(minutes=7 * 20)]
+        rest = [r for r in rows
+                if r[1] >= base + dt.timedelta(minutes=7 * 20)]
+        d = str(tmp_path / "cusum_mb")
+        spark.createDataFrame(half, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+        first_files = [os.path.join(d, f) for f in os.listdir(d)
+                       if f.endswith(".parquet")]
+        spark.createDataFrame(rest, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+        now = time.time()
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet"):
+                os.utime(p, (now - 60, now - 60) if p in first_files
+                         else (now, now))
+
+        stats = (spark.createDataFrame(rows, SCHEMA)
+                 .groupBy("user_id")
+                 .agg(F.avg("value").alias("mu"),
+                      F.stddev_pop("value").alias("sd")))
+        mu_sd = {r.user_id: (r.mu, r.sd) for r in stats.collect()}
+        sdf = (spark.readStream.schema(SCHEMA)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        out = stream_cusum(sdf, "ts", ["user_id"], "value", stats,
+                           k=0.5, h=4.0)
+        run_to_memory(out, "t_cusum_mb")
+        got = spark.table("t_cusum_mb").toPandas() \
+            .sort_values(["user_id", "ts"]).reset_index(drop=True)
+        assert len(got) == 120
+        for uid, g in got.groupby("user_id"):
+            mu, sd = mu_sd[uid]
+            su = sdn = 0.0
+            for i, (_, r) in enumerate(g.iterrows()):
+                z = round((vals[uid][i] - mu) / sd, 6)
+                assert r.z == pytest.approx(z, abs=1e-9)
+                su = max(0.0, su + (z - 0.5))
+                sdn = max(0.0, sdn + (-z - 0.5))
+                assert r.s_up == pytest.approx(su, abs=1e-6), (uid, i)
+                assert r.s_dn == pytest.approx(sdn, abs=1e-6)
+                assert r.alarm_up == (round(su, 6) > 4.0)
+            # the level shift must alarm in the SECOND batch's rows
+            assert g.iloc[25:]["alarm_up"].any()
+            assert not g.iloc[:20]["alarm_up"].any()
