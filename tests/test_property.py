@@ -674,3 +674,70 @@ class TestRound6Properties:
         beta, tau, n = _numpy_adf(y)
         assert r.n_obs == n
         assert abs(r.tau - tau) < 1e-3
+
+
+class TestCusumPrefixIdentity:
+    """The closed prefix form s_t = P_t - min(0, min_{j<=t} P_j) used by
+    operators/anomaly.cusum must equal the textbook recursion
+    max(0, s + a) for ANY float sequence (up to accumulation noise)."""
+
+    @given(xs=st.lists(st.floats(min_value=-50, max_value=50,
+                                 allow_nan=False), min_size=1,
+                       max_size=200),
+           k=st.floats(min_value=0.0, max_value=2.0))
+    @settings(max_examples=200, deadline=None)
+    def test_identity(self, xs, k):
+        s = 0.0
+        p = 0.0
+        m = 0.0
+        for x in xs:
+            a = x - k
+            s = max(0.0, s + a)
+            p = p + a
+            m = min(m, p)
+            closed = p - min(0.0, m)
+            assert abs(closed - s) <= 1e-9 * max(1.0, abs(s), abs(p))
+
+
+class TestLowerMedianVsNumpy:
+    """_lower_median's (n+1)//2 element must equal numpy's 50th
+    percentile with the 'lower' interpolation on sorted data."""
+
+    @given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                                 allow_nan=False), min_size=1,
+                       max_size=101))
+    @settings(max_examples=200, deadline=None)
+    def test_element(self, xs):
+        import numpy as np
+
+        arr = sorted(xs)
+        got = arr[(len(arr) + 1) // 2 - 1]
+        want = float(np.percentile(np.array(xs), 50,
+                                   method="lower"))
+        assert got == want
+
+
+class TestHamiltonApportionment:
+    """temperature_mix's largest-remainder allocation: targets sum to
+    the budget whenever no source cap binds, and each target differs
+    from the unrounded ideal by less than 1 (the Hamilton property)."""
+
+    @given(ns=st.lists(st.integers(min_value=1, max_value=10_000),
+                       min_size=1, max_size=30),
+           budget=st.integers(min_value=0, max_value=500))
+    @settings(max_examples=200, deadline=None)
+    def test_allocation(self, ns, budget):
+        import math
+
+        tot = sum(math.sqrt(n) for n in ns)
+        ideal = [round(budget * math.sqrt(n) / tot, 6) for n in ns]
+        base = [int(i) for i in ideal]
+        left = budget - sum(base)
+        order = sorted(range(len(ns)),
+                       key=lambda i: (-(ideal[i] - base[i]), i))
+        tgt = list(base)
+        for i in order[:left]:
+            tgt[i] += 1
+        assert sum(tgt) == budget
+        for t, i in zip(tgt, ideal):
+            assert abs(t - i) < 1.0 + 1e-9
