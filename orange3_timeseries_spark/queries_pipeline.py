@@ -3097,3 +3097,99 @@ def q_pca_scores(spark, sf_dir):
     score = F.aggregate(F.zip_with(xc, v_lit, lambda a, b: a * b),
                         F.lit(0.0), lambda acc, y: acc + y)
     return e.select("vec_id", F.round(score, 6).alias("score"))
+
+
+
+def _curate_semantic_sql(tau=0.4):
+    """r7 capstone oracle: the bigram-perplexity RANK gate (identical
+    CTEs to ``pipeline_curate_chunks``) composed with the SemDeDup
+    flags (identical unrolled-Lloyd CTEs to ``semdedup_flags``) and a
+    per-source rollup of the surviving corpus — one value hash over the
+    three-stage composition."""
+    lloyd = ",\n".join(_lloyd_assign_stages())
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_LM_TOKS} AS ts FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1))
+                      AS i) g),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) t GROUP BY 1),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+lp AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c2, 0) + 0.5) / (u.c1 + 0.5 * v.V)) AS lp
+  FROM pairs p
+  LEFT JOIN bi b USING (w1, w2)
+  JOIN uni u ON u.w = p.w1
+  CROSS JOIN v),
+ppl AS (SELECT doc_id, count(*) AS nb, exp(-avg(lp)) AS ppl
+        FROM lp GROUP BY 1 HAVING count(*) >= 20),
+gate AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY ppl, doc_id) AS rk,
+           count(*) OVER () AS cnt
+    FROM ppl) t
+  WHERE rk <= (cnt * 9) // 10),
+{lloyd},
+sempairs AS (
+  SELECT a.nn_id AS id_a, b.nn_id AS id_b
+  FROM assignf a JOIN assignf b
+    ON a.cid = b.cid AND a.nn_id < b.nn_id
+  WHERE round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
+semdrops AS (SELECT DISTINCT id_b FROM sempairs),
+kept AS (
+  SELECT g.doc_id FROM gate g
+  LEFT JOIN semdrops s ON s.id_b = g.doc_id
+  WHERE s.id_b IS NULL)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS total_chars,
+       sum(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                           x -> x != '')))::BIGINT AS total_tokens
+FROM documents d JOIN kept USING (doc_id)
+GROUP BY 1"""
+
+
+@query("pipeline_curate_semantic", _curate_semantic_sql())
+def q_pipeline_curate_semantic(spark, sf_dir):
+    """The ROUND-7 curation capstone as one DAG: self-trained
+    perplexity RANK gate (keep the best 90%) -> SemDeDup semantic
+    deduplication over the aligned embedding table (Lloyd clusters +
+    within-cluster cosine drops, per-cluster GEMM kernel) -> per-source
+    corpus rollup (docs / chars / tokens).  One value hash covers the
+    composition: a wrong keep in EITHER gate or a wrong cluster
+    assignment moves a source's totals.  Text and embeddings join on
+    the shared id — the standard "score text, dedup in embedding
+    space" two-modality pipeline."""
+    from pyspark.sql import Window
+
+    from orange3_timeseries_spark.operators.lm import bigram_perplexity
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    scored = bigram_perplexity(d, "doc_id", "text", k=0.5)
+    ranked = (scored.where(F.col("n_bigrams") >= 20)
+              .select("doc_id",
+                      F.row_number().over(
+                          Window.orderBy(F.col("ppl"), F.col("doc_id")))
+                      .alias("__rk__"),
+                      F.count(F.lit(1)).over(
+                          Window.partitionBy()).alias("__cnt__")))
+    gate = ranked.where(
+        F.col("__rk__") <= F.floor(F.col("__cnt__") * 9 / 10))         .select("doc_id")
+    kept_vecs = (S.semantic_dedup_flags(e, n_centroids=16, tau=0.4)
+                 .where(F.col("is_kept"))
+                 .select(F.col("vec_id").alias("doc_id")))
+    kept = gate.join(kept_vecs, "doc_id")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                           lambda x: x != ""))
+    return (d.join(kept, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(toks).cast("long").alias("total_tokens")))
