@@ -1,0 +1,186 @@
+"""Model persistence: fit once, save the per-series model STATE as a
+plain parquet table, reload anywhere, forecast without refitting.
+
+The reference persists models by pickling the statsmodels object inside
+an Orange workflow.  The Spark-first equivalent is a SKINNY TABLE — one
+row per (series, var) holding the ARIMA order, coefficients, innovation
+variance, and the short state tails the forecast recursion needs:
+
+    (series..., var, p, d, q, const, phi[], theta[], sigma2,
+     w_tail[p], e_tail[q], y_tail[max(d,1)], n_obs)
+
+A table serializes with ordinary ``write.parquet`` (no pickle, no
+engine coupling — any reader that implements the recursion can score
+it), diffs cleanly between training runs, and broadcasts to a serving
+job.  ``forecast_from_model_table`` replays EXACTLY the recursion
+``ARIMA._predict`` runs (same association order on the same doubles),
+so a saved-then-loaded model forecasts bit-identically to the model
+that was just fit — asserted in tests/test_registry.py.
+
+Scale: fitting is the same grouped ``mapInPandas`` pass the forecast
+tier uses; the model table is O(series), not O(data); scoring is a
+map-only pass over the model table itself (no touch of the history
+data at serve time).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from orange3_timeseries_spark.frame import TimeSeriesFrame
+from orange3_timeseries_spark.models.arima import ARIMA, arma_psi_weights
+from orange3_timeseries_spark.models.spark import _pack_series
+from orange3_timeseries_spark.spark_analytics import (
+    _grouped,
+    _order_col,
+    _series_schema,
+)
+
+__all__ = ["arima_model_table", "forecast_from_model_table",
+           "write_model_table", "read_model_table"]
+
+_ARR = T.ArrayType(T.DoubleType())
+
+
+def arima_model_table(tsf: TimeSeriesFrame, cols: Sequence[str],
+                      order=(1, 0, 0), quantize=None,
+                      method: str = "hr") -> DataFrame:
+    """Fit ``ARIMA(order)`` per (series, var) and emit the persistable
+    state row (module docstring).  Same distributed shape as
+    ``forecast_by_series``; short/degenerate series yield no row."""
+    p, d, q = (int(x) for x in order)
+    ocol = _order_col(tsf)
+    cols = list(cols)
+    df, groups, _ = _grouped(tsf, keep_cols=[ocol, *cols])
+    schema = _series_schema(groups, df, [
+        T.StructField("var", T.StringType()),
+        T.StructField("p", T.IntegerType()),
+        T.StructField("d", T.IntegerType()),
+        T.StructField("q", T.IntegerType()),
+        T.StructField("const", T.DoubleType()),
+        T.StructField("phi", _ARR),
+        T.StructField("theta", _ARR),
+        T.StructField("sigma2", T.DoubleType()),
+        T.StructField("w_tail", _ARR),
+        T.StructField("e_tail", _ARR),
+        T.StructField("y_tail", _ARR),
+        T.StructField("n_obs", T.IntegerType()),
+    ])
+    packed = _pack_series(df, groups, ocol, cols)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                for name in cols:
+                    y = np.asarray(r[name], dtype=float)
+                    try:
+                        m = ARIMA((p, d, q), method=method,
+                                  quantize=quantize).fit(
+                                      y, var_names=[name])
+                    except (ValueError, np.linalg.LinAlgError,
+                            ZeroDivisionError, FloatingPointError):
+                        continue
+                    res = m.results
+                    w = m._w
+                    e = m._e
+                    rows.append(keys + [
+                        name, p, d, q, float(res.const),
+                        [float(v) for v in res.phi],
+                        [float(v) for v in res.theta],
+                        float(res.sigma2),
+                        [float(v) for v in w[len(w) - p:]] if p else [],
+                        [float(v) for v in e[len(e) - q:]] if q else [],
+                        [float(v) for v in
+                         m._y_levels[len(m._y_levels) - max(d, 1):]],
+                        int(len(y)),
+                    ])
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return packed.mapInPandas(run, schema=schema)
+
+
+def forecast_from_model_table(models: DataFrame, steps: int = 10,
+                              alpha: float = 0.05) -> DataFrame:
+    """Forecast ``steps`` ahead from a SAVED model table — no refit, no
+    history scan: replays the exact ``ARIMA._predict`` recursion from
+    the stored state (same association order, bit-identical output).
+    Emits the engine's forecast-table contract
+    ``(series..., step, var, forecast, ci_low, ci_high)``."""
+    from orange3_timeseries_spark.models._stats import norm_ppf
+
+    state_cols = {"var", "p", "d", "q", "const", "phi", "theta",
+                  "sigma2", "w_tail", "e_tail", "y_tail", "n_obs"}
+    groups = [c for c in models.columns if c not in state_cols]
+    fields = [models.schema[g] for g in groups]
+    schema = T.StructType(fields + [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("var", T.StringType()),
+        T.StructField("forecast", T.DoubleType()),
+        T.StructField("ci_low", T.DoubleType()),
+        T.StructField("ci_high", T.DoubleType()),
+    ])
+    z_q = float(norm_ppf(1 - alpha / 2))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                p, d, q = int(r["p"]), int(r["d"]), int(r["q"])
+                phi = np.asarray(r["phi"], dtype=float)
+                theta = np.asarray(r["theta"], dtype=float)
+                const = float(r["const"])
+                w_ext = [float(v) for v in r["w_tail"]]
+                e_hist_len = len(r["e_tail"])
+                e_ext = [float(v) for v in r["e_tail"]]
+                preds_diff = []
+                for _h in range(steps):
+                    val = const
+                    for i in range(p):
+                        val += phi[i] * w_ext[-1 - i]
+                    for j in range(q):
+                        idx = len(e_ext) - 1 - j
+                        e_val = 0.0 if idx >= e_hist_len else e_ext[idx]
+                        val += theta[j] * e_val
+                    preds_diff.append(val)
+                    w_ext.append(val)
+                    e_ext.append(0.0)
+                preds_diff = np.array(preds_diff)
+                if d:
+                    forecast = preds_diff.copy()
+                    tail = np.asarray(r["y_tail"], dtype=float)
+                    for k in range(d, 0, -1):
+                        base = np.diff(tail, k - 1)[-1]
+                        forecast = base + np.cumsum(forecast)
+                else:
+                    forecast = preds_diff
+                psi = arma_psi_weights(phi, theta, d, steps)
+                err = z_q * np.sqrt(float(r["sigma2"])
+                                    * np.cumsum(psi ** 2))
+                for h in range(steps):
+                    rows.append(keys + [h + 1, r["var"],
+                                        float(forecast[h]),
+                                        float(forecast[h] - err[h]),
+                                        float(forecast[h] + err[h])])
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return models.mapInPandas(run, schema=schema)
+
+
+def write_model_table(models: DataFrame, path: str) -> None:
+    """Persist a model table as parquet (overwrite)."""
+    models.write.mode("overwrite").parquet(path)
+
+
+def read_model_table(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted model table."""
+    return spark.read.parquet(path)

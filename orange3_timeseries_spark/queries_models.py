@@ -1434,3 +1434,36 @@ def q_var_auto_lag_by_user(spark, sf_dir):
             .where(F.col("__rk__") == 1)
             .select("user_id", "k_ar", "n_obs",
                     F.round(F.col("aic"), 4).alias("aic")))
+
+
+@query("arima_registry_forecast_by_user", _arima_211_sql())
+def q_arima_registry_forecast_by_user(spark, sf_dir):
+    """The MODEL-PERSISTENCE path under the SAME full HR replay oracle
+    as ``arima_forecast_by_user``: fit ARIMA(2,1,1) per series into a
+    parquet model table (coefficients + state tails, no pickle), write
+    it, READ IT BACK, and forecast from the loaded table without
+    refitting or touching the history.  Hash-green here proves the
+    persisted state is sufficient and the serve-time recursion is
+    bit-faithful to the fit-time one (models/registry.py)."""
+    import os
+    import tempfile
+
+    from orange3_timeseries_spark.models.registry import (
+        arima_model_table,
+        forecast_from_model_table,
+        read_model_table,
+        write_model_table,
+    )
+
+    tsf = _events(spark, sf_dir)
+    models = arima_model_table(tsf, ["value"], order=(2, 1, 1),
+                               quantize=7)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_models_{os.getpid()}")
+    write_model_table(models, path)
+    out = forecast_from_model_table(read_model_table(spark, path),
+                                    steps=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"),
+                      r6(F.col("ci_low"), "ci_low"),
+                      r6(F.col("ci_high"), "ci_high"))

@@ -1,0 +1,98 @@
+"""Model persistence: parquet round-trip + bit-identical forecasts."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tsf(spark, n_users=4, n=60, order_seed=3):
+    from orange3_timeseries_spark.frame import TimeSeriesFrame
+
+    rng = np.random.RandomState(order_seed)
+    rows = []
+    for uid in range(n_users):
+        y = 0.0
+        for t in range(n):
+            y = 5.0 + 0.6 * y + rng.standard_normal()
+            rows.append((uid, t, float(y)))
+    df = spark.createDataFrame(rows, "user_id int, t int, value double")
+    return TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+
+
+class TestArimaRegistry:
+    def test_saved_model_forecasts_bit_identical(self, spark, tmp_path):
+        from orange3_timeseries_spark.models.registry import (
+            arima_model_table,
+            forecast_from_model_table,
+            read_model_table,
+            write_model_table,
+        )
+        from orange3_timeseries_spark.models.arima import ARIMA
+        from orange3_timeseries_spark.models.spark import (
+            forecast_by_series,
+        )
+
+        tsf = _tsf(spark)
+        models = arima_model_table(tsf, ["value"], order=(2, 1, 1))
+        path = str(tmp_path / "arima_models")
+        write_model_table(models, path)
+        loaded = read_model_table(spark, path)
+        assert loaded.count() == 4
+
+        served = {(r.user_id, r.step): r for r in
+                  forecast_from_model_table(loaded, steps=8,
+                                            alpha=0.05).collect()}
+        direct = {(r.user_id, r.step): r for r in forecast_by_series(
+            tsf, ["value"],
+            lambda: ARIMA((2, 1, 1)), steps=8, alpha=0.05).collect()}
+        assert set(served) == set(direct) and len(served) == 32
+        for k in direct:
+            # EXACT equality: the registry replays the same recursion
+            # on the same stored doubles — not approximately, equal
+            assert served[k].forecast == direct[k].forecast, k
+            assert served[k].ci_low == direct[k].ci_low, k
+            assert served[k].ci_high == direct[k].ci_high, k
+
+    def test_no_refit_no_history_needed(self, spark, tmp_path):
+        """Scoring touches only the model table: forecasts come out
+        even when the original history no longer exists anywhere."""
+        from orange3_timeseries_spark.models.registry import (
+            arima_model_table,
+            forecast_from_model_table,
+            read_model_table,
+            write_model_table,
+        )
+
+        path = str(tmp_path / "m2")
+        write_model_table(
+            arima_model_table(_tsf(spark), ["value"], order=(1, 0, 0)),
+            path)
+        out = forecast_from_model_table(read_model_table(spark, path),
+                                        steps=3)
+        rows = out.collect()
+        assert len(rows) == 12
+        assert all(np.isfinite(r.forecast) for r in rows)
+        assert all(r.ci_low < r.forecast < r.ci_high for r in rows)
+
+    def test_ma_state_and_differencing_survive_roundtrip(self, spark,
+                                                         tmp_path):
+        """(0,1,2): forecast depends ONLY on stored e_tail + y_tail —
+        the pure test that the persisted state is sufficient."""
+        from orange3_timeseries_spark.models.registry import (
+            arima_model_table,
+            forecast_from_model_table,
+        )
+        from orange3_timeseries_spark.models.arima import ARIMA
+        from orange3_timeseries_spark.models.spark import (
+            forecast_by_series,
+        )
+
+        tsf = _tsf(spark, n_users=2, n=80, order_seed=11)
+        models = arima_model_table(tsf, ["value"], order=(0, 1, 2))
+        served = {(r.user_id, r.step): r.forecast for r in
+                  forecast_from_model_table(models, steps=5).collect()}
+        direct = {(r.user_id, r.step): r.forecast for r in
+                  forecast_by_series(tsf, ["value"],
+                                     lambda: ARIMA((0, 1, 2)),
+                                     steps=5).collect()}
+        assert served == direct
