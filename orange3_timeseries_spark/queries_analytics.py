@@ -1665,20 +1665,23 @@ def q_residual_anomalies_by_user(spark, sf_dir):
     r = dec.select(
         "user_id", "event_id",
         (F.round(F.col("adj"), 6) - F.round(F.col("trend"), 6))
-        .alias("r"))
-    pw = W.partitionBy("user_id")
-    arr = F.sort_array(F.collect_list("r").over(pw))
-    r = r.withColumn("__arr__", arr)
+        .alias("r")).localCheckpoint()
+    # med/MAD ONCE per user (150 skinny rows, broadcast back) — the
+    # per-row window-array form re-sorted the same ~660-element residual
+    # array once per ROW (measured ~2x the whole query's cost at sf0.1)
+    arr = F.sort_array(F.collect_list("r"))
+    stats = r.groupBy("user_id").agg(arr.alias("__arr__"))
     med = F.element_at(F.col("__arr__"),
                        ((F.size("__arr__") + 1) / 2).cast("int"))
-    r = r.withColumn("__med__", med)
+    stats = stats.withColumn("__med__", med)
     devs = F.array_sort(F.transform(
         F.col("__arr__"), lambda y: F.abs(y - F.col("__med__"))))
     mad = F.element_at(devs, ((F.size("__arr__") + 1) / 2).cast("int"))
-    r = r.withColumn("__mad__", mad)
+    stats = stats.select("user_id", "__med__", mad.alias("__mad__"))
+    j = r.join(F.broadcast(stats), "user_id")
     mz = F.round(F.lit(0.6745) * (F.col("r") - F.col("__med__"))
                  / F.col("__mad__"), 6)
-    return (r.where((F.col("__mad__") > 0) & (F.abs(mz) > 3.5))
+    return (j.where((F.col("__mad__") > 0) & (F.abs(mz) > 3.5))
             .select("user_id", "event_id",
                     F.round("r", 6).alias("resid"),
                     mz.alias("mod_z")))
