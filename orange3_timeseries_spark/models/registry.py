@@ -184,3 +184,124 @@ def write_model_table(models: DataFrame, path: str) -> None:
 def read_model_table(spark: SparkSession, path: str) -> DataFrame:
     """Load a persisted model table."""
     return spark.read.parquet(path)
+
+
+def var_model_table(tsf: TimeSeriesFrame, cols: Sequence[str],
+                    maxlags=1, trend: str = "c") -> DataFrame:
+    """Fit ``VAR(maxlags)`` per series over ``cols`` jointly and emit
+    one persistable state row per series: lag matrices, trend
+    coefficients, residual covariance (all flattened row-major with
+    their dims), and the last ``k_ar`` observation rows — everything
+    :func:`forecast_from_var_model_table` needs to reproduce
+    ``VAR._predict`` exactly."""
+    from orange3_timeseries_spark.models.var import VAR
+
+    ocol = _order_col(tsf)
+    cols = list(cols)
+    df, groups, _ = _grouped(tsf, keep_cols=[ocol, *cols])
+    schema = _series_schema(groups, df, [
+        T.StructField("vars", T.ArrayType(T.StringType())),
+        T.StructField("k_ar", T.IntegerType()),
+        T.StructField("neqs", T.IntegerType()),
+        T.StructField("nobs", T.IntegerType()),
+        T.StructField("trend", T.StringType()),
+        T.StructField("coefs", _ARR),        # (k_ar, k, k) row-major
+        T.StructField("trend_coefs", _ARR),  # (n_trend, k) row-major
+        T.StructField("n_trend", T.IntegerType()),
+        T.StructField("sigma_u", _ARR),      # (k, k) row-major
+        T.StructField("y_tail", _ARR),       # (k_ar, k) row-major
+    ])
+    packed = _pack_series(df, groups, ocol, cols)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                try:
+                    y = np.column_stack(
+                        [np.asarray(r[c], dtype=float) for c in cols])
+                    m = VAR(maxlags=maxlags, trend=trend).fit(
+                        y, var_names=cols)
+                except (ValueError, np.linalg.LinAlgError,
+                        ZeroDivisionError, FloatingPointError):
+                    continue
+                res = m.results
+                tail = (y[-res.k_ar:] if res.k_ar
+                        else np.empty((0, res.neqs)))
+                rows.append(keys + [
+                    list(cols), int(res.k_ar), int(res.neqs),
+                    int(res.nobs), res.trend,
+                    [float(v) for v in np.ravel(res.coefs)],
+                    [float(v) for v in np.ravel(res.trend_coefs)],
+                    int(res.trend_coefs.shape[0]),
+                    [float(v) for v in np.ravel(res.sigma_u)],
+                    [float(v) for v in np.ravel(tail)],
+                ])
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return packed.mapInPandas(run, schema=schema)
+
+
+def forecast_from_var_model_table(models: DataFrame, steps: int = 10,
+                                  alpha: float = 0.05) -> DataFrame:
+    """Forecast from a saved VAR model table — reconstructs the fitted
+    state and replays ``VAR._predict`` exactly (same recursion, same
+    psi-weight covariances), emitting the long forecast-table contract.
+    Map-only over the model table; the history is never touched."""
+    from orange3_timeseries_spark.models._stats import norm_ppf
+    from orange3_timeseries_spark.models.var import _VarResults
+
+    state_cols = {"vars", "k_ar", "neqs", "nobs", "trend", "coefs",
+                  "trend_coefs", "n_trend", "sigma_u", "y_tail"}
+    groups = [c for c in models.columns if c not in state_cols]
+    fields = [models.schema[g] for g in groups]
+    schema = T.StructType(fields + [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("var", T.StringType()),
+        T.StructField("forecast", T.DoubleType()),
+        T.StructField("ci_low", T.DoubleType()),
+        T.StructField("ci_high", T.DoubleType()),
+    ])
+    q_z = float(norm_ppf(1 - alpha / 2))
+    nan_ics = {"aic": float("nan"), "bic": float("nan"),
+               "hqic": float("nan"), "fpe": float("nan")}
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                p, k = int(r["k_ar"]), int(r["neqs"])
+                n_tr = int(r["n_trend"])
+                res = _VarResults(
+                    coefs=np.asarray(r["coefs"],
+                                     dtype=float).reshape(p, k, k),
+                    trend_coefs=np.asarray(
+                        r["trend_coefs"], dtype=float).reshape(n_tr, k),
+                    sigma_u=np.asarray(r["sigma_u"],
+                                       dtype=float).reshape(k, k),
+                    resid=None, fitted=None, k_ar=p, neqs=k,
+                    nobs=int(r["nobs"]), trend=r["trend"],
+                    ics=nan_ics)
+                tail = np.asarray(r["y_tail"],
+                                  dtype=float).reshape(-1, k)
+                fc = res.forecast(tail, steps)
+                sigma = np.sqrt(np.abs(np.diagonal(
+                    res.mse(steps), axis1=1, axis2=2)))
+                err = q_z * sigma
+                names = list(r["vars"])
+                for h in range(steps):
+                    for j, name in enumerate(names):
+                        rows.append(keys + [h + 1, name,
+                                            float(fc[h, j]),
+                                            float(fc[h, j] - err[h, j]),
+                                            float(fc[h, j] + err[h, j])])
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return models.mapInPandas(run, schema=schema)
+
+
+__all__ += ["var_model_table", "forecast_from_var_model_table"]

@@ -1467,3 +1467,40 @@ def q_arima_registry_forecast_by_user(spark, sf_dir):
                       r6(F.col("forecast"), "forecast"),
                       r6(F.col("ci_low"), "ci_low"),
                       r6(F.col("ci_high"), "ci_high"))
+
+
+from orange3_timeseries_spark.queries import ORACLE_SQL as _OS  # noqa: E402
+
+
+@query("var_registry_forecast_by_user", _OS["var_forecast_by_user"])
+def q_var_registry_forecast_by_user(spark, sf_dir):
+    """The VAR persistence path under the SAME closed-form replay
+    oracle as ``var_forecast_by_user``: fit the bivariate VAR(1) per
+    series into a parquet model table (lag matrices + trend coefs +
+    last-k_ar rows), write, READ BACK, forecast without refitting —
+    hash-green proves the persisted state fully determines the
+    forecast (models/registry.py)."""
+    import os
+    import tempfile
+
+    from orange3_timeseries_spark.models.registry import (
+        forecast_from_var_model_table,
+        read_model_table,
+        var_model_table,
+        write_model_table,
+    )
+    from orange3_timeseries_spark.operators.moving_transform import (
+        KEEP_COMPLETE,
+        sliding_window,
+    )
+
+    tsf = _events(spark, sf_dir)
+    tsf = sliding_window(tsf, {"value": ["mean"]}, 12, keep=KEEP_COMPLETE)
+    models = var_model_table(tsf, ["value", "value (mean)"], maxlags=1)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_var_models_{os.getpid()}")
+    write_model_table(models, path)
+    out = forecast_from_var_model_table(read_model_table(spark, path),
+                                        steps=3)
+    return out.select("user_id", "step", "var",
+                      r6(F.col("forecast"), "forecast"))

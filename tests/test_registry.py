@@ -96,3 +96,46 @@ class TestArimaRegistry:
                                      lambda: ARIMA((0, 1, 2)),
                                      steps=5).collect()}
         assert served == direct
+
+
+class TestVarRegistry:
+    def test_var_roundtrip_bit_identical(self, spark, tmp_path):
+        from orange3_timeseries_spark.models import VAR
+        from orange3_timeseries_spark.models.registry import (
+            forecast_from_var_model_table,
+            read_model_table,
+            var_model_table,
+            write_model_table,
+        )
+        from orange3_timeseries_spark.models.spark import (
+            forecast_by_series,
+        )
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+
+        rng = np.random.RandomState(21)
+        rows = []
+        for uid in range(3):
+            a = b = 0.0
+            for t in range(70):
+                a = 1.0 + 0.5 * a + 0.2 * b + rng.standard_normal()
+                b = -0.5 + 0.1 * a + 0.4 * b + rng.standard_normal()
+                rows.append((uid, t, float(a), float(b)))
+        tsf = TimeSeriesFrame(
+            spark.createDataFrame(
+                rows, "user_id int, t int, x double, y double"),
+            time_col="t", series_cols=["user_id"])
+
+        path = str(tmp_path / "var_models")
+        write_model_table(
+            var_model_table(tsf, ["x", "y"], maxlags=2), path)
+        served = {(r.user_id, r.step, r.var): r for r in
+                  forecast_from_var_model_table(
+                      read_model_table(spark, path), steps=4).collect()}
+        direct = {(r.user_id, r.step, r.var): r for r in
+                  forecast_by_series(tsf, ["x", "y"], lambda: VAR(2),
+                                     steps=4).collect()}
+        assert set(served) == set(direct) and len(served) == 24
+        for k in direct:
+            assert served[k].forecast == direct[k].forecast, k
+            assert served[k].ci_low == direct[k].ci_low, k
+            assert served[k].ci_high == direct[k].ci_high, k
