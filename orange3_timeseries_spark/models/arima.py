@@ -54,6 +54,49 @@ def arma_psi_weights(phi: np.ndarray, theta: np.ndarray, d: int,
     return psi
 
 
+def arma_forecast_diff(const, phi, theta, w_hist, e_hist,
+                       steps: int) -> np.ndarray:
+    """Point forecasts on the DIFFERENCED scale: the exact conditional
+    ARMA recursion ``ARIMA._predict`` runs (future innovations zero,
+    left-to-right accumulation).  Shared by the live model and the
+    model registry's refit-free serving — the recursion only reads the
+    last ``len(phi)`` of ``w_hist`` and last ``len(theta)`` of
+    ``e_hist``, so tails are sufficient."""
+    p, q = len(phi), len(theta)
+    w_ext = list(w_hist)
+    e_ext = list(e_hist)
+    e_hist_len = len(e_ext)
+    preds_diff = []
+    for _h in range(steps):
+        val = const
+        for i in range(p):
+            val += phi[i] * w_ext[-1 - i]
+        for j in range(q):
+            idx = len(e_ext) - 1 - j
+            # future innovations are zero
+            e_val = 0.0 if idx >= e_hist_len else e_ext[idx]
+            val += theta[j] * e_val
+        preds_diff.append(val)
+        w_ext.append(val)
+        e_ext.append(0.0)
+    return np.array(preds_diff)
+
+
+def integrate_forecast(preds_diff: np.ndarray, y_levels,
+                       d: int) -> np.ndarray:
+    """Integrate a differenced-scale forecast ``d`` times, anchored at
+    the last observed levels (needs the last ``max(d, 1)`` of
+    ``y_levels``)."""
+    if not d:
+        return preds_diff
+    forecast = preds_diff.copy()
+    tail = np.asarray(y_levels, dtype=float)
+    for k in range(d, 0, -1):
+        base = np.diff(tail, k - 1)[-1]
+        forecast = base + np.cumsum(forecast)
+    return forecast
+
+
 class ARIMA(BaseModel):
     """Autoregressive integrated moving average model (API parity with
     ``models.py:279-328``)."""
@@ -267,37 +310,32 @@ class ARIMA(BaseModel):
             err = z_q * np.sqrt(var_h)
             return forecast, forecast - err, forecast + err
 
-        w_ext = list(w)
-        e_ext = list(e_hist)
-        preds_diff = []
-        for h in range(steps):
-            val = res.const
-            for i in range(p):
-                val += res.phi[i] * w_ext[-1 - i]
-            for j in range(q):
-                idx = len(e_ext) - 1 - j
-                e_val = e_ext[idx] if idx >= len(e_hist) - 0 - 0 else e_ext[idx]
-                # future innovations are zero
-                if idx >= len(e_hist):
-                    e_val = 0.0
-                val += res.theta[j] * e_val
-            if X_fut is not None:
-                val += float(X_fut[h] @ res.beta_exog)
-            preds_diff.append(val)
-            w_ext.append(val)
-            e_ext.append(0.0)
-
-        preds_diff = np.array(preds_diff)
-        if d:
-            # integrate d times, anchored at the last observed levels
-            forecast = preds_diff.copy()
-            tail = self._y_levels
-            for k in range(d, 0, -1):
-                base = np.diff(tail, k - 1)[-1]
-                forecast = base + np.cumsum(forecast)
-            # note: loop handles d=1 exactly; d=2 integrates twice
+        if X_fut is None:
+            # the persistable recursion — shared with the model
+            # registry's refit-free serving path (models/registry.py),
+            # so "saved model forecasts bit-identically" is structural
+            preds_diff = arma_forecast_diff(res.const, res.phi,
+                                            res.theta, w, e_hist, steps)
         else:
-            forecast = preds_diff
+            w_ext = list(w)
+            e_ext = list(e_hist)
+            preds_diff = []
+            for h in range(steps):
+                val = res.const
+                for i in range(p):
+                    val += res.phi[i] * w_ext[-1 - i]
+                for j in range(q):
+                    idx = len(e_ext) - 1 - j
+                    # future innovations are zero
+                    e_val = 0.0 if idx >= len(e_hist) else e_ext[idx]
+                    val += res.theta[j] * e_val
+                val += float(X_fut[h] @ res.beta_exog)
+                preds_diff.append(val)
+                w_ext.append(val)
+                e_ext.append(0.0)
+            preds_diff = np.array(preds_diff)
+
+        forecast = integrate_forecast(preds_diff, self._y_levels, d)
 
         psi = arma_psi_weights(res.phi, res.theta, d, steps)
         var_h = res.sigma2 * np.cumsum(psi ** 2)

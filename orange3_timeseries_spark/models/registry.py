@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from orange3_timeseries_spark.frame import TimeSeriesFrame
-from orange3_timeseries_spark.models.arima import ARIMA, arma_psi_weights
+from orange3_timeseries_spark.models.arima import (
+    ARIMA,
+    arma_forecast_diff,
+    arma_psi_weights,
+    integrate_forecast,
+)
 from orange3_timeseries_spark.models.spark import _pack_series
 from orange3_timeseries_spark.spark_analytics import (
     _grouped,
@@ -134,34 +139,18 @@ def forecast_from_model_table(models: DataFrame, steps: int = 10,
             rows = []
             for _, r in pdf.iterrows():
                 keys = [r[g] for g in groups]
-                p, d, q = int(r["p"]), int(r["d"]), int(r["q"])
+                d = int(r["d"])
                 phi = np.asarray(r["phi"], dtype=float)
                 theta = np.asarray(r["theta"], dtype=float)
-                const = float(r["const"])
-                w_ext = [float(v) for v in r["w_tail"]]
-                e_hist_len = len(r["e_tail"])
-                e_ext = [float(v) for v in r["e_tail"]]
-                preds_diff = []
-                for _h in range(steps):
-                    val = const
-                    for i in range(p):
-                        val += phi[i] * w_ext[-1 - i]
-                    for j in range(q):
-                        idx = len(e_ext) - 1 - j
-                        e_val = 0.0 if idx >= e_hist_len else e_ext[idx]
-                        val += theta[j] * e_val
-                    preds_diff.append(val)
-                    w_ext.append(val)
-                    e_ext.append(0.0)
-                preds_diff = np.array(preds_diff)
-                if d:
-                    forecast = preds_diff.copy()
-                    tail = np.asarray(r["y_tail"], dtype=float)
-                    for k in range(d, 0, -1):
-                        base = np.diff(tail, k - 1)[-1]
-                        forecast = base + np.cumsum(forecast)
-                else:
-                    forecast = preds_diff
+                # the SAME functions the live ARIMA._predict calls —
+                # the bit-identical contract is structural, not
+                # copy-paste-synced
+                preds_diff = arma_forecast_diff(
+                    float(r["const"]), phi, theta,
+                    [float(v) for v in r["w_tail"]],
+                    [float(v) for v in r["e_tail"]], steps)
+                forecast = integrate_forecast(
+                    preds_diff, np.asarray(r["y_tail"], dtype=float), d)
                 psi = arma_psi_weights(phi, theta, d, steps)
                 err = z_q * np.sqrt(float(r["sigma2"])
                                     * np.cumsum(psi ** 2))
@@ -227,7 +216,11 @@ def var_model_table(tsf: TimeSeriesFrame, cols: Sequence[str],
                         ZeroDivisionError, FloatingPointError):
                     continue
                 res = m.results
-                tail = (y[-res.k_ar:] if res.k_ar
+                # tail from the NaN-FILTERED history the model actually
+                # fit (m._y), not the raw packed columns: _pack_series
+                # preserves nulls as NaN, and VAR._predict forecasts
+                # from the filtered rows
+                tail = (m._y[-res.k_ar:] if res.k_ar
                         else np.empty((0, res.neqs)))
                 rows.append(keys + [
                     list(cols), int(res.k_ar), int(res.neqs),

@@ -147,22 +147,33 @@ def cusum(df: DataFrame, value_col: str, order_col: str,
         (s_dn > F.lit(float(h))).alias("alarm_dn"))
 
 
+#: trailing rows the EWMA fold keeps: beta^200 < 1e-19 for any lam
+#: >= 0.2, so older observations contribute nothing at double precision
+_EWMA_WINDOW = 200
+
+
 def ewma_control(df: DataFrame, value_col: str, order_col: str,
                  group_cols: Sequence[str], lam: float = 0.2,
                  L: float = 3.0) -> DataFrame:
-    """EWMA control chart per series: smoothed statistic ``e_t`` from
-    the closed geometric form (chart centered on the series mean, the
-    standard in-control center line), with start-up-tightened limits
+    """EWMA control chart per series: the textbook recursion
+    ``e_t = λx_t + (1−λ)e_{t−1}`` (chart centered on the series mean μ,
+    ``e_0 = μ``) evaluated as an array FOLD over the trailing
+    ``_EWMA_WINDOW`` observations, with start-up-tightened limits
     ``μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t}))`` and a violation flag.
 
-    ``1-lam`` is evaluated once in Python and injected as a literal so
-    both engines smooth with the exact same double (the Holt-grid
-    complement lesson).  Zero-variance series are dropped."""
+    Why a fold and not the ``β^{−i}`` geometric running sum: the
+    rescaled form overflows double around t ≈ 3200 (``0.8^{-t}`` >
+    DBL_MAX), silently NaN-ing every later row of a long series.  The
+    fold is exact for ``t ≤ _EWMA_WINDOW`` and within ``β^200 ≈ 1e-20``
+    beyond (the older terms are sub-ulp), runs in frame order on every
+    engine, and is bounded per row.  ``1-lam`` is evaluated once in
+    Python and injected as a literal so both engines smooth with the
+    exact same double.  Zero-variance series are dropped."""
     group_cols = list(group_cols)
     beta = 1.0 - float(lam)  # exact same double on both engines
     pw = Window.partitionBy(*group_cols)
     ow = (pw.orderBy(F.col(order_col).asc())
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .rowsBetween(-(_EWMA_WINDOW - 1), 0))
     x = F.col(value_col).cast("double")
     df = df.where(F.col(value_col).isNotNull())
     base = (df.withColumn("__mu__", F.avg(x).over(pw))
@@ -170,11 +181,15 @@ def ewma_control(df: DataFrame, value_col: str, order_col: str,
             .where(F.col("__sd__") > 0)
             .withColumn("__t__", F.row_number().over(
                 pw.orderBy(F.col(order_col).asc()))))
-    # e_t = beta^t * (mu + lam * sum_{i<=t} x_i * beta^(-i))
-    term = x * F.pow(F.lit(beta), -F.col("__t__"))
-    geo = F.sum(term).over(ow)
-    e = F.pow(F.lit(beta), F.col("__t__")) \
-        * (F.col("__mu__") + F.lit(float(lam)) * geo)
+    # the literal recursion, folded oldest -> newest over the frame;
+    # init = mu while the frame still reaches back to t=0, else the
+    # (sub-ulp) pre-window contribution is dropped
+    arr = F.collect_list(x).over(ow)
+    init = F.when(F.col("__t__") <= _EWMA_WINDOW, F.col("__mu__")) \
+        .otherwise(F.lit(0.0))
+    e = F.aggregate(
+        arr, init.cast("double"),
+        lambda acc, y: acc * F.lit(beta) + F.lit(float(lam)) * y)
     width = (F.lit(float(L)) * F.col("__sd__")
              * F.sqrt(F.lit(float(lam) / (2.0 - float(lam)))
                       * (F.lit(1.0)

@@ -31,6 +31,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["rolling_origin_eval"]
 
@@ -93,7 +94,7 @@ def rolling_origin_eval(df: DataFrame, value_col: str, order_col: str,
                       F.size("__s__").alias("__n__")))
     rows = []
     for t in origins:
-        if t <= max(season, 2):
+        if t <= season or t < 2:
             continue
         for m in models:
             mae, sm = _score(F.col("__arr__"), t, horizon, season, m)
@@ -101,6 +102,17 @@ def rolling_origin_eval(df: DataFrame, value_col: str, order_col: str,
                 F.lit(t).alias("origin_t"), F.lit(m).alias("model"),
                 mae.alias("mae"), sm.alias("smape"),
                 (F.col("__n__") >= F.lit(t + horizon)).alias("__ok__")))
+    if not rows:
+        # every origin failed the validity pre-filter: empty result
+        # with the contract schema, not an unresolvable empty explode
+        sess = df.sparkSession
+        out_schema = T.StructType(
+            [packed.schema[g] for g in group_cols]
+            + [T.StructField("origin_t", T.IntegerType()),
+               T.StructField("model", T.StringType()),
+               T.StructField("mae", T.DoubleType()),
+               T.StructField("smape", T.DoubleType())])
+        return sess.createDataFrame([], out_schema)
     out = (packed.select(*group_cols,
                          F.explode(F.array(*rows)).alias("__e__"))
            .where(F.col("__e__.__ok__")))

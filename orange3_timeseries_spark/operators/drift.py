@@ -110,14 +110,18 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
            .withColumn("__r2__", F.sum("__c2__").over(ow))
            .withColumn("__n1__", F.sum("__c1__").over(pw))
            .withColumn("__n2__", F.sum("__c2__").over(pw)))
-    num = F.abs(F.col("__r1__") * F.col("__n2__")
-                - F.col("__r2__") * F.col("__n1__"))
+    # products as DOUBLE: int64 r1*n2 overflows once n_ref*n_cur >
+    # 2^63 (~3e9 rows per side); doubles are exact below 2^53 and
+    # IEEE-identically rounded beyond — far inside the 6-dp firewall
+    num = F.abs(F.col("__r1__").cast("double") * F.col("__n2__")
+                - F.col("__r2__").cast("double") * F.col("__n1__"))
     agg = (run.withColumn("__num__", num)
            .groupBy(*group_cols)
            .agg(F.max("__num__").alias("__mx__"),
                 F.max("__n1__").alias("n_ref"),
                 F.max("__n2__").alias("n_cur")))
-    d = F.col("__mx__") / (F.col("n_ref") * F.col("n_cur"))
+    d = F.col("__mx__") / (F.col("n_ref").cast("double")
+                           * F.col("n_cur"))
 
     # asymptotic Kolmogorov survival with Stephens' correction,
     # evaluated as a Catalyst expression.  Below λ = 0.2 the true
@@ -125,8 +129,8 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     # the 20-term alternating series truncates badly (at λ = 0 it sums
     # to exactly 0) — so small λ short-circuits to 1, the same branch
     # SciPy's kolmogorov() takes; for λ ≥ 0.2 the k=20 tail is < 1e-14
-    ne = (F.col("n_ref") * F.col("n_cur")
-          / (F.col("n_ref") + F.col("n_cur"))).cast("double")
+    ne = (F.col("n_ref").cast("double") * F.col("n_cur")
+          / (F.col("n_ref") + F.col("n_cur")))
     lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
     p = F.lit(0.0)
     for kk in range(1, 21):

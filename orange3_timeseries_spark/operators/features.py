@@ -75,7 +75,9 @@ def calendar_features(days: DataFrame, day_col: str = "day") -> DataFrame:
     All trig rounds 6 dp."""
     d = F.to_date(F.col(day_col))
     epoch_days = F.datediff(d, F.lit("1970-01-01"))
-    dow = (epoch_days + 3) % 7 + 1
+    # double-mod: % follows the dividend's sign in both engines, so
+    # pre-1970 dates (negative epoch_days) need the +7 normalization
+    dow = ((epoch_days + 3) % 7 + 7) % 7 + 1
     doy = F.dayofyear(d)
     wang = F.lit(2.0 * math.pi / 7.0) * (dow - 1).cast("double")
     aang = F.lit(2.0 * math.pi / 365.25) * (doy - 1).cast("double")

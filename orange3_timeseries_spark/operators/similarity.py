@@ -865,6 +865,10 @@ def pca_top_component(corpus: DataFrame, vec_col: str = "embedding",
         for r in srows:
             s[r["__d__"]] = round(r["s"], 6)
         nrm = math.sqrt(sum(y * y for y in s))
+        if nrm == 0.0:
+            # degenerate (constant) cloud: every centered projection is
+            # zero — keep the previous iterate instead of dividing by 0
+            break
         v = [round(y / nrm, 6) for y in s]
 
     # deterministic sign: largest-|loading| dim (lowest index on tie)

@@ -1594,11 +1594,15 @@ s AS (SELECT user_id, day, x,
              row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
       FROM d),
 g AS (SELECT user_id, day, x, mu, sd, t,
-             sum(x * power({beta}, -t)) OVER (PARTITION BY user_id
-                 ORDER BY day ROWS UNBOUNDED PRECEDING) AS geo
+             list(x) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS BETWEEN 199 PRECEDING
+                                    AND CURRENT ROW) AS arr
       FROM s WHERE sd > 0),
 e AS (SELECT user_id, day, x, t,
-             round(power({beta}, t) * (mu + {lam!r} * geo), 6) AS ewma,
+             round(list_reduce(
+                 list_prepend(CASE WHEN t <= 200 THEN mu
+                              ELSE 0.0 END, arr),
+                 (acc, y) -> acc * {beta} + {lam!r} * y), 6) AS ewma,
              round(mu + {L!r} * sd * sqrt({ratio}
                    * (1 - power({beta}, 2 * t))), 6) AS ucl,
              round(mu - {L!r} * sd * sqrt({ratio}
@@ -1669,15 +1673,18 @@ def q_residual_anomalies_by_user(spark, sf_dir):
     # med/MAD ONCE per user (150 skinny rows, broadcast back) — the
     # per-row window-array form re-sorted the same ~660-element residual
     # array once per ROW (measured ~2x the whole query's cost at sf0.1)
+    from orange3_timeseries_spark.operators.anomaly import (
+        _lower_median,
+    )
+
     arr = F.sort_array(F.collect_list("r"))
     stats = r.groupBy("user_id").agg(arr.alias("__arr__"))
-    med = F.element_at(F.col("__arr__"),
-                       ((F.size("__arr__") + 1) / 2).cast("int"))
-    stats = stats.withColumn("__med__", med)
+    stats = stats.withColumn("__med__",
+                             _lower_median(F.col("__arr__")))
     devs = F.array_sort(F.transform(
         F.col("__arr__"), lambda y: F.abs(y - F.col("__med__"))))
-    mad = F.element_at(devs, ((F.size("__arr__") + 1) / 2).cast("int"))
-    stats = stats.select("user_id", "__med__", mad.alias("__mad__"))
+    stats = stats.select("user_id", "__med__",
+                         _lower_median(devs).alias("__mad__"))
     j = r.join(F.broadcast(stats), "user_id")
     mz = F.round(F.lit(0.6745) * (F.col("r") - F.col("__med__"))
                  / F.col("__mad__"), 6)
@@ -1730,8 +1737,8 @@ def q_lag_features_by_user(spark, sf_dir):
 WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
                   AS day FROM events),
 f AS (SELECT day,
-             (date_diff('day', DATE '1970-01-01', day::DATE) + 3) % 7
-                 + 1 AS dow,
+             ((date_diff('day', DATE '1970-01-01', day::DATE) + 3)
+                  % 7 + 7) % 7 + 1 AS dow,
              dayofyear(day::DATE) AS doy
       FROM days)
 SELECT day, dow::INT AS dow_iso,

@@ -2894,7 +2894,9 @@ pairs AS (
   SELECT a.nn_id AS id_a, b.nn_id AS id_b
   FROM assignf a JOIN assignf b
     ON a.cid = b.cid AND a.nn_id < b.nn_id
-  WHERE round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
+  WHERE list_inner_product(a.cvec, a.cvec) > 0
+    AND list_inner_product(b.cvec, b.cvec) > 0
+    AND round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
 drops AS (SELECT DISTINCT id_b FROM pairs)
 SELECT a.nn_id AS vec_id, a.cid AS centroid_id,
        (d.id_b IS NULL) AS is_kept
@@ -3005,7 +3007,8 @@ def q_pca_top_component(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     v, lam, share, _m = S.pca_top_component(e, "embedding", iters=8)
     return spark.createDataFrame(
-        [(i + 1, float(v[i]), float(lam), float(share))
+        [(i + 1, float(v[i]), float(lam),
+          float(share) if share is not None else None)
          for i in range(len(v))],
         "dim bigint, loading double, eigenvalue double, var_share double")
 
@@ -3029,13 +3032,13 @@ run AS (SELECT event_type, v,
                      ROWS UNBOUNDED PRECEDING),
                p AS (PARTITION BY event_type)),
 agg AS (SELECT event_type,
-               max(abs(r1 * n2 - r2 * n1))::DOUBLE AS mx,
+               max(abs(r1::DOUBLE * n2 - r2::DOUBLE * n1)) AS mx,
                max(n1)::BIGINT AS n_ref, max(n2)::BIGINT AS n_cur
         FROM run GROUP BY 1),
 stat AS (SELECT event_type, n_ref, n_cur,
-                mx / (n_ref * n_cur)::DOUBLE AS d,
-                (n_ref * n_cur)::DOUBLE
-                    / (n_ref + n_cur)::DOUBLE AS ne
+                mx / (n_ref::DOUBLE * n_cur) AS d,
+                n_ref::DOUBLE * n_cur
+                    / (n_ref + n_cur) AS ne
          FROM agg),
 pv AS (SELECT event_type, n_ref, n_cur, d,
               (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
@@ -3140,7 +3143,9 @@ sempairs AS (
   SELECT a.nn_id AS id_a, b.nn_id AS id_b
   FROM assignf a JOIN assignf b
     ON a.cid = b.cid AND a.nn_id < b.nn_id
-  WHERE round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
+  WHERE list_inner_product(a.cvec, a.cvec) > 0
+    AND list_inner_product(b.cvec, b.cvec) > 0
+    AND round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
 semdrops AS (SELECT DISTINCT id_b FROM sempairs),
 kept AS (
   SELECT g.doc_id FROM gate g

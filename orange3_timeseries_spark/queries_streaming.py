@@ -579,7 +579,7 @@ WITH RECURSIVE s AS (
   FROM events),
 z AS (SELECT user_id, ts, round((value - mu) / sd, 6) AS z,
              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-      FROM s WHERE sd > 0),
+      FROM s WHERE sd > 0 AND value IS NOT NULL),
 rec(user_id, rn, ts, z, su, sdn) AS (
   SELECT user_id, rn, ts, z,
          greatest(0.0, 0.0 + (z - 0.5)),

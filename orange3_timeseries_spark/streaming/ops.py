@@ -419,7 +419,11 @@ def stream_cusum(sdf: DataFrame, time_col: str,
     if not series_cols:
         raise ValueError("stream_cusum needs at least one series key")
     series_cols = list(series_cols)
+    # NULL values must drop BEFORE the state step, like the batch
+    # operator: a NaN z would silently reset the carried state to 0
+    # (max(0, s + nan) == 0.0) and swallow a real alarm
     enriched = (ntz_to_session_ts(sdf)
+                .where(F.col(col).isNotNull())
                 .join(F.broadcast(stats), series_cols, "inner")
                 .where(F.col("sd") > 0)
                 .withColumn("__z__", F.round(

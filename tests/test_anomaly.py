@@ -142,3 +142,28 @@ class TestEwmaControl:
                       key=lambda r: r.t)
         widths = [r.ucl - r.lcl for r in rows]
         assert all(b >= a - 1e-9 for a, b in zip(widths, widths[1:]))
+
+
+class TestEwmaLongSeries:
+    def test_no_overflow_on_long_series(self, spark):
+        """The geometric rescaling form overflowed double around
+        t~3200; the fold form must stay finite on a 4000-point series
+        and still equal the naive recursion at the tail."""
+        from orange3_timeseries_spark.operators.anomaly import (
+            ewma_control,
+        )
+
+        rng = np.random.RandomState(17)
+        vals = rng.standard_normal(4000).tolist()
+        df = _series_df(spark, vals)
+        rows = sorted(ewma_control(df, "value", "ts",
+                                   ["user_id"]).collect(),
+                      key=lambda r: r.t)
+        assert len(rows) == 4000
+        assert all(math.isfinite(r.ewma) for r in rows)
+        x = np.array(vals)
+        e = x.mean()
+        for v in x:
+            e = 0.2 * v + 0.8 * e
+        assert rows[-1].ewma == pytest.approx(e, abs=1e-5)
+        assert rows[-1].violation is not None

@@ -124,3 +124,49 @@ class TestRollingOriginEval:
         got = {r.origin_t for r in out.collect()}
         # t=5 fails t>season; t=10 fails n>=t+4 (n=12); t=20 both
         assert got == {8}
+
+
+class TestCalendarPre1970:
+    def test_dow_correct_for_negative_epoch_days(self, spark):
+        from orange3_timeseries_spark.operators.features import (
+            calendar_features,
+        )
+
+        days = [dt.datetime(1969, 12, 20) + dt.timedelta(days=i)
+                for i in range(20)]  # spans the epoch boundary
+        df = spark.createDataFrame([(d,) for d in days],
+                                   "day timestamp")
+        rows = {r.day: r for r in
+                calendar_features(df, "day").collect()}
+        for d in days:
+            assert rows[d].dow_iso == d.isoweekday(), d
+
+
+class TestBacktestEmptyOrigins:
+    def test_all_invalid_origins_returns_empty_not_crash(self, spark):
+        from orange3_timeseries_spark.operators.backtest import (
+            rolling_origin_eval,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, float(i)) for i in range(12)],
+            "user_id int, ts int, value double")
+        out = rolling_origin_eval(df, "value", "ts", ["user_id"],
+                                  origins=(3, 5), horizon=4, season=7)
+        assert out.count() == 0
+        assert out.columns == ["user_id", "origin_t", "model", "mae",
+                               "smape"]
+
+    def test_small_season_allows_t2_boundary(self, spark):
+        from orange3_timeseries_spark.operators.backtest import (
+            rolling_origin_eval,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, float(i % 3 + 1)) for i in range(10)],
+            "user_id int, ts int, value double")
+        out = rolling_origin_eval(df, "value", "ts", ["user_id"],
+                                  origins=(2,), horizon=2, season=1)
+        # t=2 > season=1 and t>=2: emitted (was silently dropped by
+        # the old t <= max(season, 2) filter)
+        assert {r.origin_t for r in out.collect()} == {2}

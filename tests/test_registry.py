@@ -139,3 +139,40 @@ class TestVarRegistry:
             assert served[k].forecast == direct[k].forecast, k
             assert served[k].ci_low == direct[k].ci_low, k
             assert served[k].ci_high == direct[k].ci_high, k
+
+
+    def test_var_tail_uses_nan_filtered_history(self, spark):
+        """A trailing NULL row must not poison the persisted tail: VAR
+        fits (and forecasts from) the NaN-filtered history."""
+        from orange3_timeseries_spark.models import VAR
+        from orange3_timeseries_spark.models.registry import (
+            forecast_from_var_model_table,
+            var_model_table,
+        )
+        from orange3_timeseries_spark.models.spark import (
+            forecast_by_series,
+        )
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+
+        rng = np.random.RandomState(31)
+        rows = []
+        for t in range(50):
+            x = float(rng.standard_normal() + 0.1 * t)
+            y = float(rng.standard_normal())
+            if t in (47, 49):                 # NULLs at the tail
+                rows.append((1, t, None, y))
+            else:
+                rows.append((1, t, x, y))
+        tsf = TimeSeriesFrame(
+            spark.createDataFrame(
+                rows, "user_id int, t int, x double, y double"),
+            time_col="t", series_cols=["user_id"])
+        served = {(r.step, r.var): r.forecast for r in
+                  forecast_from_var_model_table(
+                      var_model_table(tsf, ["x", "y"], maxlags=1),
+                      steps=3).collect()}
+        direct = {(r.step, r.var): r.forecast for r in
+                  forecast_by_series(tsf, ["x", "y"], lambda: VAR(1),
+                                     steps=3).collect()}
+        assert served == direct
+        assert all(np.isfinite(v) for v in served.values())
