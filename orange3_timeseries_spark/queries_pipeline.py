@@ -3198,3 +3198,71 @@ def q_pipeline_curate_semantic(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.sum(toks).cast("long").alias("total_tokens")))
+
+
+@query("profile_embeddings", """
+WITH u AS (SELECT unnest(embedding::DOUBLE[]) AS val,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+SELECT dim::INT AS dim, count(*)::BIGINT AS n,
+       round(avg(val), 6) AS mean,
+       round(stddev_pop(val), 6) AS std,
+       round(min(val), 6) AS vmin, round(max(val), 6) AS vmax
+FROM u GROUP BY 1
+""")
+def q_profile_embeddings(spark, sf_dir):
+    """Per-DIMENSION embedding health profile (mean/std/min/max per
+    coordinate) — the collapse/scale diagnostic an embedding pipeline
+    checks before indexing (a dead or exploding dimension shows up
+    here).  One posexplode + 64-key map-combining aggregate; at 100 TB
+    the shuffle moves 64 partial rows per task, nothing else."""
+    e = read_table(spark, sf_dir, "embeddings")
+    u = e.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("d0", "val"))
+    return (u.groupBy((F.col("d0") + 1).cast("int").alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 r6(F.avg("val"), "mean"),
+                 r6(F.stddev_pop("val"), "std"),
+                 r6(F.min("val"), "vmin"),
+                 r6(F.max("val"), "vmax")))
+
+
+def _semdedup_rate_sql(tau=0.4, n_centroids=16, sample=2048, iters=10):
+    body = ",\n".join(_lloyd_assign_stages(n_centroids, sample, iters))
+    return f"""WITH {body},
+pairs AS (
+  SELECT a.nn_id AS id_a, b.nn_id AS id_b
+  FROM assignf a JOIN assignf b
+    ON a.cid = b.cid AND a.nn_id < b.nn_id
+  WHERE list_inner_product(a.cvec, a.cvec) > 0
+    AND list_inner_product(b.cvec, b.cvec) > 0
+    AND round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {tau!r}),
+drops AS (SELECT DISTINCT id_b FROM pairs)
+SELECT e.label, count(*)::BIGINT AS n,
+       sum(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept,
+       round(1.0 - sum(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_rate
+FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.id_b
+GROUP BY 1
+"""
+
+
+@query("semdedup_rate_by_label", _semdedup_rate_sql())
+def q_semdedup_rate_by_label(spark, sf_dir):
+    """Semantic-duplication RATE per label slice: SemDeDup flags rolled
+    up by the embedding table's class label — the per-domain redundancy
+    dashboard (which slice of the corpus is semantically bloated).
+    Reuses the full unrolled-Lloyd + pair-sweep oracle; the rollup is
+    one broadcast join + map-combining aggregate."""
+    e = read_table(spark, sf_dir, "embeddings")
+    flags = S.semantic_dedup_flags(e, n_centroids=16, tau=0.4)
+    j = e.select("vec_id", "label").join(
+        F.broadcast(flags.select("vec_id", "is_kept")), "vec_id")
+    kept = F.sum(F.col("is_kept").cast("int")).cast("long")
+    return (j.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 kept.alias("n_kept"),
+                 F.round(F.lit(1.0)
+                         - kept / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("dup_rate")))
