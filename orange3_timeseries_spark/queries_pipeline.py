@@ -3266,3 +3266,66 @@ def q_semdedup_rate_by_label(spark, sf_dir):
                  F.round(F.lit(1.0)
                          - kept / F.count(F.lit(1)).cast("double"), 6)
                  .alias("dup_rate")))
+
+
+def _ann_recall_sql(k=5, n_queries=10, n_centroids=16, sample=2048,
+                    iters=10, nprobe=4):
+    stages = _lloyd_assign_stages(n_centroids, sample, iters)
+    stages.append(f"""q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id < {n_queries}),
+bf AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.query_id, cc.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(cc.v, q.qv), 6)
+                        DESC, cc.vec_id) AS rnk
+    FROM q JOIN c cc ON cc.vec_id != q.query_id) t
+  WHERE rnk <= {k}),
+probes AS (
+  SELECT query_id, qv, cid
+  FROM q CROSS JOIN centf
+  QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY list_inner_product(qv, cv) - half_cc DESC,
+               cid) <= {nprobe}),
+ivf AS (
+  SELECT query_id, nn_id FROM (
+    SELECT p.query_id, a.nn_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(a.cvec, p.qv), 6)
+                        DESC, a.nn_id) AS rnk
+    FROM probes p JOIN assignf a ON a.cid = p.cid
+    WHERE p.query_id != a.nn_id) t
+  WHERE rnk <= {k})""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT b.query_id,
+       sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits,
+       round(sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {float(k)!r}, 6) AS recall
+FROM bf b LEFT JOIN ivf i USING (query_id, nn_id)
+GROUP BY 1"""
+
+
+@query("ann_recall_report", _ann_recall_sql())
+def q_ann_recall_report(spark, sf_dir):
+    """Index-quality monitoring: per-query recall@5 of the TRAINED IVF
+    index against exact brute force — the dashboard number an ANN
+    deployment tracks when retuning nprobe/centroids.  The oracle
+    composes the exact top-5 (full scored rank) with the complete
+    unrolled-Lloyd serving replay, so a recall regression in EITHER
+    path breaks the hash.  At 100 TB the brute-force side runs on a
+    bounded evaluation query set, never the corpus."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    bf = S.brute_force_topk(e, queries, k=5).select("query_id", "nn_id")
+    ivf = (S.ivf_topk(e, queries, k=5, n_centroids=16, nprobe=4)
+           .select("query_id", "nn_id")
+           .withColumn("__hit__", F.lit(1)))
+    j = bf.join(F.broadcast(ivf), ["query_id", "nn_id"], "left")
+    return (j.groupBy("query_id")
+            .agg(F.sum(F.coalesce("__hit__", F.lit(0))).cast("long")
+                 .alias("n_hits"),
+                 F.round(F.sum(F.coalesce("__hit__", F.lit(0)))
+                         / F.lit(5.0), 6).alias("recall")))
