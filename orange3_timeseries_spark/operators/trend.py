@@ -1,0 +1,249 @@
+"""Nonparametric trend and change-point tests per series.
+
+The reference's modeling tier is parametric throughout (ARIMA / VAR,
+``owarimamodel.py``, ``owvarmodel.py``); production monitoring of
+millions of series needs the distribution-free companions — the tests
+hydrologists and SRE teams actually run when normality can't be
+assumed:
+
+- :func:`mann_kendall` — the Mann-Kendall trend test (Mann 1945,
+  Kendall 1975): ``S = Σ_{i<j} sign(y_j − y_i)`` with the tie-corrected
+  variance ``Var S = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18`` and
+  the continuity-corrected normal statistic.  Emits Sen's slope (Sen
+  1968) — the median pairwise slope — as the robust trend magnitude.
+- :func:`theil_sen` — Theil-Sen robust line fit: slope = median of all
+  pairwise slopes, intercept = median of ``y_i − slope·x_i`` (Theil
+  1950); up to ~29% contamination breakdown vs 0% for OLS.
+- :func:`pettitt_test` — Pettitt (1979) rank-based single change-point
+  test: ``U_t = 2·Σ_{i≤t} r_i − t(n+1)`` over the average ranks ``r_i``,
+  ``K = max_t |U_t|``, approximate significance
+  ``p ≈ 2·exp(−6K²/(n³+n²))``.  The nonparametric sibling of the
+  mean-shift detector in ``queries_analytics.q_changepoint_by_user``.
+
+Scale design.  Per-series length ``n`` is bounded (the testdata holds
+it at ~67 per user at EVERY scale factor — users grow, series don't;
+the same holds for per-entity metrics series at 100 TB).  Mann-Kendall
+and Theil-Sen are pairwise by definition — O(n²) per series — so the
+cost is ``users × n²`` pairs: LINEAR in users, constant per series,
+produced by a single sort-merge self-join on the series key (series
+parallelize across the cluster; no driver state, no UDF).  A series
+longer than ``max_n`` rows is dropped, not silently truncated — the
+pairwise tests are the wrong tool past ~10⁴ points and the cap keeps a
+runaway series from quadratic blowup.  Pettitt needs only ranks and a
+prefix sum: O(n log n) per series, two window passes, no join.
+
+Determinism contract (cf. PLANS.md firewall rules):
+
+- ``S``, ``Var S``, ``U_t`` and ``K`` are INTEGER-or-half-integer
+  arithmetic carried in doubles far below 2^53 — bit-exact on any
+  engine.
+- Sen's slope / Theil-Sen medians are exact lower-median ELEMENT
+  selections from individually 7-dp-rounded pairwise slopes (round at
+  SOURCE, then select — no float combination for engines to disagree
+  on).
+- Significance flags compare the ROUNDED statistic against fixed
+  two-sided normal critical values (1-ulp noise cannot flip a flag);
+  Pettitt's closed-form ``exp`` p-value is replayed verbatim in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["mann_kendall", "theil_sen", "pettitt_test",
+           "NORMAL_TWO_SIDED"]
+
+#: two-sided standard-normal critical values (Φ^{-1}(1 − α/2))
+NORMAL_TWO_SIDED = {"1pct": 2.575829, "5pct": 1.959964, "10pct": 1.644854}
+
+#: pairwise-test series-length cap (see module docstring)
+DEFAULT_MAX_N = 10_000
+
+
+def _lower_median(arr_col: Column) -> Column:
+    """Exact lower median: element at 1-based position ``(n+1)//2`` of a
+    sorted array — selection, not interpolation (same helper contract as
+    ``operators.anomaly._lower_median``)."""
+    n = F.size(arr_col)
+    return F.element_at(arr_col, ((n + 1) / 2).cast("int"))
+
+
+def _pairs(df: DataFrame, time_col: str, value_col: str,
+           series_cols: Sequence[str], max_n: int) -> DataFrame:
+    """All ordered within-series pairs ``(i, j)`` with ``t_i < t_j``:
+    one sort-merge self-join on the series key.  Equal-timestamp pairs
+    are excluded (no defined order, and a slope over Δt = 0 is
+    undefined) — identically in the SQL oracles.  Emits ``__yi __yj
+    __dt_days`` (Δt in exact integer epoch-day fractions)."""
+    series_cols = list(series_cols)
+    pw = Window.partitionBy(*series_cols)
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*series_cols,
+                    F.col(time_col).alias("__t__"),
+                    F.col(value_col).cast("double").alias("__y__"))
+            .withColumn("__n__", F.count(F.lit(1)).over(pw))
+            .where(F.col("__n__").between(2, max_n)))
+    a = base.select(*series_cols, F.col("__t__").alias("__ti__"),
+                    F.col("__y__").alias("__yi__"), "__n__")
+    b = base.select(*series_cols, F.col("__t__").alias("__tj__"),
+                    F.col("__y__").alias("__yj__"))
+    p = a.join(b, on=series_cols, how="inner") \
+         .where(F.col("__ti__") < F.col("__tj__"))
+    # Δt as integer MICROSECOND difference / 86400e6 (unix_micros ↔
+    # DuckDB epoch_us): the subtraction is exact int64, the one
+    # division is the same IEEE op on both engines — no truncation
+    # (unix_timestamp drops sub-second parts and would diverge)
+    dt = ((F.unix_micros(F.col("__tj__")) - F.unix_micros(F.col("__ti__")))
+          .cast("double") / F.lit(86400.0e6))
+    return p.withColumn("__dt_days__", dt)
+
+
+def mann_kendall(df: DataFrame, time_col: str, value_col: str,
+                 series_cols: Sequence[str], quantize: int = 7,
+                 max_n: int = DEFAULT_MAX_N) -> DataFrame:
+    """One row per series: ``(series..., n_obs, s_stat, var_s, z,
+    sen_slope, trend, significant_5pct)``.
+
+    ``z`` carries the continuity correction ((S−1)/σ for S>0, (S+1)/σ
+    for S<0, 0 at S=0); ``trend`` is ``increasing`` / ``decreasing`` /
+    ``no trend`` at the two-sided 5% level on the 6-dp-rounded z;
+    ``sen_slope`` is per DAY (lower-median element of 7-dp-rounded
+    pairwise slopes).  Series with ``Var S = 0`` (all values tied) are
+    dropped — the statistic is undefined."""
+    series_cols = list(series_cols)
+    p = _pairs(df, time_col, value_col, series_cols, max_n)
+    slope = F.round((F.col("__yj__") - F.col("__yi__"))
+                    / F.col("__dt_days__"), quantize)
+    pg = p.groupBy(*series_cols).agg(
+        F.max("__n__").alias("__n__"),
+        F.sum(F.signum(F.col("__yj__") - F.col("__yi__")))
+        .cast("double").alias("__s__"),
+        F.sort_array(F.collect_list(slope)).alias("__slopes__"))
+
+    # tie-group correction Σ t(t−1)(2t+5) over equal y values
+    ties = (df.where(F.col(value_col).isNotNull())
+            .groupBy(*series_cols,
+                     F.col(value_col).cast("double").alias("__v__"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__t__"))
+            .groupBy(*series_cols)
+            .agg(F.sum(F.col("__t__") * (F.col("__t__") - 1)
+                       * (2 * F.col("__t__") + 5)).alias("__tc__")))
+
+    g = pg.join(ties, on=series_cols, how="inner")
+    n = F.col("__n__").cast("double")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("__tc__")) / F.lit(18.0)
+    g = g.withColumn("__var__", var_s).where(F.col("__var__") > 0)
+    s = F.col("__s__")
+    z = (F.when(s > 0, (s - 1) / F.sqrt(F.col("__var__")))
+          .when(s < 0, (s + 1) / F.sqrt(F.col("__var__")))
+          .otherwise(F.lit(0.0)))
+    z6 = F.round(z, 6)
+    crit = F.lit(NORMAL_TWO_SIDED["5pct"])
+    return g.select(
+        *series_cols,
+        F.col("__n__").cast("long").alias("n_obs"),
+        s.cast("long").alias("s_stat"),
+        F.round(F.col("__var__"), 6).alias("var_s"),
+        z6.alias("z"),
+        F.round(_lower_median(F.col("__slopes__")), 6).alias("sen_slope"),
+        F.when(z6 > crit, F.lit("increasing"))
+         .when(z6 < -crit, F.lit("decreasing"))
+         .otherwise(F.lit("no trend")).alias("trend"),
+        (F.abs(z6) > crit).alias("significant_5pct"))
+
+
+def theil_sen(df: DataFrame, time_col: str, value_col: str,
+              series_cols: Sequence[str], quantize: int = 7,
+              max_n: int = DEFAULT_MAX_N) -> DataFrame:
+    """Theil-Sen robust line per series: ``(series..., n_obs,
+    slope_per_day, intercept)`` with ``x`` in days since the series'
+    FIRST observation (anchoring at the series start keeps the
+    intercept in data units instead of an extrapolation to 1970).
+
+    slope = lower-median element of the 7-dp-rounded pairwise slopes;
+    intercept = lower-median element of the residual levels
+    ``y_i − slope·x_i`` (each rounded 7 dp before selection)."""
+    series_cols = list(series_cols)
+    p = _pairs(df, time_col, value_col, series_cols, max_n)
+    slope = F.round((F.col("__yj__") - F.col("__yi__"))
+                    / F.col("__dt_days__"), quantize)
+    sl = (p.groupBy(*series_cols)
+          .agg(F.max("__n__").alias("__n__"),
+               F.sort_array(F.collect_list(slope)).alias("__slopes__"))
+          .select(*series_cols, "__n__",
+                  _lower_median(F.col("__slopes__")).alias("__slope__")))
+
+    pw = Window.partitionBy(*series_cols)
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*series_cols, F.col(time_col).alias("__t__"),
+                    F.col(value_col).cast("double").alias("__y__"))
+            .withColumn("__t0__", F.min("__t__").over(pw)))
+    x_days = ((F.unix_micros(F.col("__t__")) - F.unix_micros(F.col("__t0__")))
+              .cast("double") / F.lit(86400.0e6))
+    joined = base.join(sl, on=series_cols, how="inner")
+    level = F.round(F.col("__y__") - F.col("__slope__") * x_days,
+                    quantize)
+    out = (joined.groupBy(*series_cols)
+           .agg(F.max("__n__").alias("__n__"),
+                F.max("__slope__").alias("__slope__"),
+                F.sort_array(F.collect_list(level)).alias("__levels__")))
+    return out.select(
+        *series_cols, F.col("__n__").cast("long").alias("n_obs"),
+        F.round(F.col("__slope__"), 6).alias("slope_per_day"),
+        F.round(_lower_median(F.col("__levels__")), 6).alias("intercept"))
+
+
+def pettitt_test(df: DataFrame, time_col: str, value_col: str,
+                 series_cols: Sequence[str]) -> DataFrame:
+    """Pettitt rank-based change-point test per series: ``(series...,
+    n_obs, k_stat, change_ts, p_value, significant_5pct)`` — the
+    change point is the EARLIEST time attaining ``K = max_t |U_t|``
+    (t ranges over 1..n−1; ``U_n ≡ 0``), ``p = min(1,
+    2·exp(−6K²/(n³+n²)))``.
+
+    Average ranks (min-rank + (ties−1)/2) make ``U_t`` exact
+    half-integer arithmetic → ``2·Σr`` integer-exact in doubles; no
+    quantize parameter is needed anywhere before the final p-value
+    rounding."""
+    series_cols = list(series_cols)
+    pw = Window.partitionBy(*series_cols)
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*series_cols, F.col(time_col).alias("__t__"),
+                    F.col(value_col).cast("double").alias("__y__")))
+    # average rank of each value within its series
+    rk = F.rank().over(pw.orderBy(F.col("__y__").asc()))
+    tie_n = F.count(F.lit(1)).over(
+        Window.partitionBy(*series_cols, F.col("__y__")))
+    base = base.withColumn(
+        "__r__", rk + (tie_n - F.lit(1)) / F.lit(2.0))
+    # (ts, y) ordering: equal-timestamp rows with equal y are
+    # interchangeable (equal average rank → identical prefix sums), so
+    # the y tie-break makes the cumulative path engine-deterministic
+    ow = (pw.orderBy(F.col("__t__").asc(), F.col("__y__").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = (base
+            .withColumn("__cr__", F.sum("__r__").over(ow))
+            .withColumn("__tt__", F.row_number().over(
+                pw.orderBy(F.col("__t__").asc(), F.col("__y__").asc())))
+            .withColumn("__n__", F.count(F.lit(1)).over(pw)))
+    n = F.col("__n__").cast("double")
+    u = 2 * F.col("__cr__") - F.col("__tt__") * (n + 1)
+    cand = (base.where(F.col("__tt__") < F.col("__n__"))
+            .withColumn("__u__", F.abs(u)))
+    best = Window.partitionBy(*series_cols).orderBy(
+        F.col("__u__").desc(), F.col("__tt__").asc())
+    top = (cand.withColumn("__rn__", F.row_number().over(best))
+           .where(F.col("__rn__") == 1))
+    k = F.col("__u__")
+    p = F.least(F.lit(1.0),
+                2 * F.exp(-6 * k * k / (n * n * n + n * n)))
+    p6 = F.round(p, 6)
+    return top.select(
+        *series_cols, F.col("__n__").cast("long").alias("n_obs"),
+        k.alias("k_stat"),
+        F.col("__t__").alias("change_ts"),
+        p6.alias("p_value"),
+        (p6 < F.lit(0.05)).alias("significant_5pct"))

@@ -1504,3 +1504,159 @@ def q_var_registry_forecast_by_user(spark, sf_dir):
                                         steps=3)
     return out.select("user_id", "step", "var",
                       r6(F.col("forecast"), "forecast"))
+
+
+@query("mann_kendall_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL),
+nn AS (
+  SELECT user_id, count(*) AS n FROM base GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 10000),
+p AS (
+  SELECT a.user_id,
+         sign(b.y - a.y) AS sg,
+         round((b.y - a.y)
+               / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0),
+               7) AS slope
+  FROM base a JOIN base b ON a.user_id = b.user_id AND a.ts < b.ts),
+agg AS (
+  SELECT user_id, sum(sg)::DOUBLE AS s,
+         list_sort(list(slope)) AS slopes
+  FROM p GROUP BY 1),
+tc AS (
+  SELECT user_id, sum(t*(t-1)*(2*t+5)) AS tcorr FROM (
+    SELECT user_id, count(*)::DOUBLE AS t
+    FROM base GROUP BY user_id, y) GROUP BY 1),
+fin AS (
+  SELECT nn.user_id, nn.n::DOUBLE AS n, s, slopes, tcorr,
+         (nn.n::DOUBLE * (nn.n::DOUBLE - 1) * (2 * nn.n::DOUBLE + 5)
+          - tcorr) / 18.0 AS var_s
+  FROM nn JOIN agg ON nn.user_id = agg.user_id
+  JOIN tc ON nn.user_id = tc.user_id
+  WHERE (nn.n::DOUBLE * (nn.n::DOUBLE - 1) * (2 * nn.n::DOUBLE + 5)
+         - tcorr) / 18.0 > 0),
+zed AS (
+  SELECT user_id, n, s, var_s,
+         round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                    WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                    ELSE 0.0 END, 6) AS z6,
+         slopes[(len(slopes) + 1) // 2] AS med_slope
+  FROM fin)
+SELECT user_id, n::BIGINT AS n_obs, s::BIGINT AS s_stat,
+       round(var_s, 6) AS var_s, z6 AS z,
+       round(med_slope, 6) AS sen_slope,
+       CASE WHEN z6 > 1.959964 THEN 'increasing'
+            WHEN z6 < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend,
+       abs(z6) > 1.959964 AS significant_5pct
+FROM zed
+""")
+def q_mann_kendall_by_user(spark, sf_dir):
+    """Mann-Kendall trend test + Sen's slope per series — the
+    distribution-free 'is this metric trending' monitor the reference's
+    parametric tier (ARIMA trend terms, ``owarimamodel.py``) has no
+    answer for.  S / Var S are integer-exact; z carries the continuity
+    correction; Sen's slope is an exact lower-median ELEMENT of
+    7-dp-rounded pairwise slopes (per day, via integer-microsecond
+    deltas).  The oracle replays the identical pairwise join, tie
+    correction, and element selection — statistic, slope, and the
+    trend verdict are all value-hash-verified."""
+    from orange3_timeseries_spark.operators.trend import mann_kendall
+
+    df = read_table(spark, sf_dir, "events")
+    return mann_kendall(df, "ts", "value", ["user_id"])
+
+
+@query("theil_sen_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL),
+nn AS (
+  SELECT user_id, count(*) AS n FROM base GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 10000),
+p AS (
+  SELECT a.user_id,
+         round((b.y - a.y)
+               / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0),
+               7) AS slope
+  FROM base a JOIN base b ON a.user_id = b.user_id AND a.ts < b.ts),
+sl2 AS (
+  SELECT user_id, n, slopes[(len(slopes) + 1) // 2] AS slope FROM (
+    SELECT p.user_id, nn.n, list_sort(list(slope)) AS slopes
+    FROM p JOIN nn ON p.user_id = nn.user_id
+    GROUP BY p.user_id, nn.n)),
+anchored AS (
+  SELECT base.user_id, y,
+         epoch_us(ts) - min(epoch_us(ts))
+             OVER (PARTITION BY base.user_id) AS us0
+  FROM base JOIN sl2 ON base.user_id = sl2.user_id),
+lev AS (
+  SELECT anchored.user_id, sl2.n, sl2.slope,
+         round(y - sl2.slope * (us0 / 86400000000.0), 7) AS level
+  FROM anchored JOIN sl2 ON anchored.user_id = sl2.user_id),
+fin AS (
+  SELECT user_id, n, slope, list_sort(list(level)) AS levels
+  FROM lev GROUP BY user_id, n, slope)
+SELECT user_id, n::BIGINT AS n_obs,
+       round(slope, 6) AS slope_per_day,
+       round(levels[(len(levels) + 1) // 2], 6) AS intercept
+FROM fin
+""")
+def q_theil_sen_by_user(spark, sf_dir):
+    """Theil-Sen robust line fit per series (slope = median pairwise
+    slope, intercept = median residual level anchored at the series
+    start) — up to 29% outlier breakdown vs 0% for the OLS trend the
+    parametric tier uses.  Shares the pairwise machinery (and its
+    linear-in-users scale story) with ``mann_kendall_by_user``; both
+    medians are exact element selections over 7-dp-rounded inputs,
+    replayed verbatim in the oracle."""
+    from orange3_timeseries_spark.operators.trend import theil_sen
+
+    df = read_table(spark, sf_dir, "events")
+    return theil_sen(df, "ts", "value", ["user_id"])
+
+
+@query("pettitt_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, ts, y,
+         rank() OVER (PARTITION BY user_id ORDER BY y)
+           + (count(*) OVER (PARTITION BY user_id, y) - 1) / 2.0 AS rr
+  FROM base),
+c AS (
+  SELECT user_id, ts,
+         sum(rr) OVER (PARTITION BY user_id ORDER BY ts, y
+                       ROWS UNBOUNDED PRECEDING) AS cr,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, y) AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM r),
+u AS (
+  SELECT user_id, ts, t, n, n::DOUBLE AS nd,
+         abs(2 * cr - t * (n::DOUBLE + 1)) AS uu
+  FROM c WHERE t < n),
+b AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY uu DESC, t) AS rn
+  FROM u)
+SELECT user_id, n::BIGINT AS n_obs, uu AS k_stat, ts AS change_ts,
+       round(least(1.0, 2 * exp(-6 * uu * uu / (nd*nd*nd + nd*nd))),
+             6) AS p_value,
+       round(least(1.0, 2 * exp(-6 * uu * uu / (nd*nd*nd + nd*nd))),
+             6) < 0.05 AS significant_5pct
+FROM b WHERE rn = 1
+""")
+def q_pettitt_by_user(spark, sf_dir):
+    """Pettitt rank-based single change-point test per series — the
+    nonparametric sibling of ``changepoint_by_user``'s mean-shift
+    statistic, with an actual significance level (closed-form
+    ``2·exp(−6K²/(n³+n²))``).  Average ranks make U_t exact
+    half-integer arithmetic, so K and the change point are bit-exact;
+    only the p-value touches floats (one exp, rounded 6 dp).  Two
+    window passes per series, no join, no UDF."""
+    from orange3_timeseries_spark.operators.trend import pettitt_test
+
+    df = read_table(spark, sf_dir, "events")
+    return pettitt_test(df, "ts", "value", ["user_id"])
