@@ -148,3 +148,83 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
 
 
 __all__.append("ks_drift")
+
+
+def js_divergence(df: DataFrame, group_col: str, item_col: str,
+                  top_k: int = 100) -> DataFrame:
+    """Jensen-Shannon divergence of each group's categorical item
+    distribution against the POOLED corpus distribution, restricted to
+    the top-``top_k`` global items (renormalized within that support) —
+    the standard "does this source's token mix look like the corpus"
+    audit between crawl snapshots / data sources.  One row per group:
+    ``(group, n_in_support, js_divergence, js_distance)`` (nats;
+    distance = √JS is the metric form).
+
+    Input is an OCCURRENCE table (one row per item instance, e.g.
+    exploded tokens).  Restricting to a fixed global top-K support is
+    what makes JS well-defined across groups (full-vocabulary JS is
+    dominated by hapax noise) and what bounds the state: the support is
+    a top-K aggregate (count desc, item asc tie-break — deterministic),
+    broadcast everywhere it is used.
+
+    Scale: two map-combinable counts (global, per-group), a broadcast
+    semi-join against the K-item support, and a groups × K skeleton —
+    no driver collect, no UDF; group count is unbounded, K is the only
+    constant.
+
+    Determinism: p and q are ratios of exact integer counts (identical
+    doubles on both engines); only the final sum of ≤ K per-item terms
+    is order-dependent (≪ 1e-12 wobble) and is rounded to 6 dp; the
+    distance takes √ of the ROUNDED divergence so both engines root the
+    same value."""
+    items = (df.where(F.col(item_col).isNotNull())
+             .select(F.col(group_col).alias("__g__"),
+                     F.col(item_col).alias("__i__")))
+    gc = items.groupBy("__i__").agg(F.count(F.lit(1)).alias("__gc__"))
+    # orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    # partial top-K merged on the driver, NOT a single-partition sort of
+    # the whole vocabulary (the Window-row_number top-K shape would be);
+    # deterministic via the (count desc, item asc) tie-break.  Eager
+    # K-row materialization (cf. psi_drift): the support feeds three
+    # branches — left lazy, the global count subtree re-derives per
+    # branch
+    topk = (gc.orderBy(F.col("__gc__").desc(), F.col("__i__").asc())
+            .limit(top_k)
+            .localCheckpoint())
+    gtot = topk.agg(F.sum("__gc__").cast("double").alias("__gt__"))
+    per = (items.join(F.broadcast(topk.select("__i__")), "__i__")
+           .groupBy("__g__", "__i__")
+           .agg(F.count(F.lit(1)).alias("__c__")))
+    groups = items.select("__g__").distinct()
+    skel = groups.crossJoin(F.broadcast(topk))
+    full = (skel.join(per, ["__g__", "__i__"], "left")
+            .select("__g__", "__i__", "__gc__",
+                    F.coalesce("__c__", F.lit(0)).alias("__c__")))
+    pw = Window.partitionBy("__g__")
+    full = full.withColumn("__st__",
+                           F.sum("__c__").over(pw).cast("double"))
+    full = full.crossJoin(F.broadcast(gtot))
+    p = F.when(F.col("__st__") > 0,
+               F.col("__c__").cast("double") / F.col("__st__")) \
+         .otherwise(F.lit(0.0))
+    q = F.col("__gc__").cast("double") / F.col("__gt__")
+    full = full.withColumn("__p__", p).withColumn("__q__", q)
+    m = (F.col("__p__") + F.col("__q__")) / F.lit(2.0)
+    term = (F.lit(0.5) * F.when(F.col("__p__") > 0,
+                                F.col("__p__")
+                                * F.log(F.col("__p__") / m))
+             .otherwise(F.lit(0.0))
+            + F.lit(0.5) * (F.col("__q__") * F.log(F.col("__q__") / m)))
+    agg = (full.withColumn("__term__", term)
+           .groupBy("__g__")
+           .agg(F.max("__st__").alias("__st__"),
+                F.round(F.sum("__term__"), 6).alias("__js__")))
+    return agg.select(
+        F.col("__g__").alias(group_col),
+        F.col("__st__").cast("long").alias("n_in_support"),
+        F.col("__js__").alias("js_divergence"),
+        F.round(F.sqrt(F.greatest(F.col("__js__"), F.lit(0.0))), 6)
+        .alias("js_distance"))
+
+
+__all__.append("js_divergence")

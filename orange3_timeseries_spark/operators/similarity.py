@@ -890,3 +890,53 @@ def pca_top_component(corpus: DataFrame, vec_col: str = "embedding",
     return v, lam, (round(lam / tot, 6) if tot else None), m
 
 
+
+
+def centroid_cosine(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label",
+                    quantize: int = 7) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the class-geometry audit behind semantic dedup and embedding
+    drift: which sources/classes have collapsed onto each other?  One
+    row per unordered label pair ``(label_a < label_b)``:
+    ``(label_a, label_b, cosine)``.
+
+    Plan: posexplode → one (label, dim) mean aggregation (map-side
+    partial means: the shuffle carries labels × dims rows, never
+    vectors), then norms and dot products over that SKINNY centroid
+    table (labels × dims rows; the pairwise stage is labels² × dims on
+    already-reduced data — labels are a small dimension by
+    construction, the billion-row vector table is touched exactly
+    once).
+
+    Determinism firewall: centroid components are rounded to
+    ``quantize`` dp at the aggregation (round-at-source), the norm and
+    dot sums are rounded again before the final division, so both
+    engines divide identical doubles."""
+    exploded = df.select(
+        F.col(label_col).alias("__l__"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("__d__", "__v__"))
+    cent = (exploded.groupBy("__l__", "__d__")
+            .agg(F.round(F.avg("__v__"), quantize).alias("__cv__")))
+    norms = (cent.groupBy("__l__")
+             .agg(F.round(F.sum(F.col("__cv__") * F.col("__cv__")),
+                          quantize).alias("__nsq__")))
+    a = cent.select(F.col("__l__").alias("label_a"), "__d__",
+                    F.col("__cv__").alias("__ca__"))
+    b = cent.select(F.col("__l__").alias("label_b"), "__d__",
+                    F.col("__cv__").alias("__cb__"))
+    dots = (a.join(b, on="__d__")
+            .where(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.round(F.sum(F.col("__ca__") * F.col("__cb__")),
+                         quantize).alias("__dot__")))
+    na = norms.select(F.col("__l__").alias("label_a"),
+                      F.col("__nsq__").alias("__na__"))
+    nb = norms.select(F.col("__l__").alias("label_b"),
+                      F.col("__nsq__").alias("__nb__"))
+    out = dots.join(na, "label_a").join(nb, "label_b")
+    cos = F.col("__dot__") / F.sqrt(F.col("__na__") * F.col("__nb__"))
+    return out.select("label_a", "label_b",
+                      F.round(cos, 6).alias("cosine"))
+

@@ -3329,3 +3329,79 @@ def q_ann_recall_report(spark, sf_dir):
                  .alias("n_hits"),
                  F.round(F.sum(F.coalesce("__hit__", F.lit(0)))
                          / F.lit(5.0), 6).alias("recall")))
+
+
+@query("js_divergence_by_source", f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS i FROM documents),
+gc AS (SELECT i, count(*) AS gcnt FROM tok GROUP BY 1),
+topk AS (SELECT i, gcnt FROM (
+    SELECT i, gcnt, row_number() OVER (ORDER BY gcnt DESC, i ASC) AS rk
+    FROM gc) t WHERE rk <= 100),
+gt AS (SELECT sum(gcnt)::DOUBLE AS g FROM topk),
+per AS (SELECT source, i, count(*) AS c
+        FROM tok JOIN topk USING (i) GROUP BY 1, 2),
+skel AS (SELECT s.source, t.i, t.gcnt
+         FROM (SELECT DISTINCT source FROM tok) s, topk t),
+fl AS (SELECT skel.source, skel.i, skel.gcnt, coalesce(per.c, 0) AS c
+       FROM skel LEFT JOIN per
+         ON skel.source = per.source AND skel.i = per.i),
+tot AS (SELECT source, sum(c)::DOUBLE AS st FROM fl GROUP BY 1),
+pq AS (SELECT fl.source, st,
+              CASE WHEN st > 0 THEN c / st ELSE 0.0 END AS p,
+              gcnt / g AS q
+       FROM fl JOIN tot ON fl.source = tot.source CROSS JOIN gt),
+terms AS (SELECT source, st,
+                 0.5 * (CASE WHEN p > 0
+                             THEN p * ln(p / ((p + q) / 2.0))
+                             ELSE 0.0 END)
+                 + 0.5 * (q * ln(q / ((p + q) / 2.0))) AS term
+          FROM pq),
+agg AS (SELECT source, max(st) AS st, round(sum(term), 6) AS js
+        FROM terms GROUP BY 1)
+SELECT source, st::BIGINT AS n_in_support, js AS js_divergence,
+       round(sqrt(greatest(js, 0.0)), 6) AS js_distance
+FROM agg
+""")
+def q_js_divergence_by_source(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's token distribution
+    against the pooled corpus over the global top-100 token support —
+    the 'which source drifted from the mix' audit between crawl
+    snapshots.  Counts are exact integers; only the ≤100-term final sum
+    is rounded (6 dp), and √JS roots the rounded value on both engines.
+    Plan: two map-combining counts + a broadcast K-item support — no
+    driver state, group count unbounded (operators/drift.py)."""
+    from orange3_timeseries_spark.operators.drift import js_divergence
+    from orange3_timeseries_spark.operators.text import tokens_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    occ = d.select("source",
+                   F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return js_divergence(occ, "source", "token", top_k=100)
+
+
+@query("label_centroid_cosine", """
+WITH x AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT label, u.i AS dim, v[u.i] AS val
+      FROM x, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u),
+c AS (SELECT label, dim, round(avg(val), 7) AS cv FROM e GROUP BY 1, 2),
+n AS (SELECT label, round(sum(cv * cv), 7) AS nsq FROM c GROUP BY 1),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+             round(sum(a.cv * b.cv), 7) AS dot
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT label_a, label_b,
+       round(dot / sqrt(na.nsq * nb.nsq), 6) AS cosine
+FROM p JOIN n na ON p.label_a = na.label
+JOIN n nb ON p.label_b = nb.label
+""")
+def q_label_centroid_cosine(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids — the
+    class-geometry companion to ``embedding_centroids`` /
+    ``semdedup_rate_by_label``: near-1 off-diagonal cosines mean two
+    classes have collapsed and semantic dedup will cross-fire.  The
+    vector table is touched once (posexplode + partial means); the
+    pairwise stage runs on the labels × dims centroid table.  Centroid
+    components, norms, and dots all round before the final division
+    (operators/similarity.py:centroid_cosine)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.centroid_cosine(e, "embedding", "label")
