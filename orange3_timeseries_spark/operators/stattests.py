@@ -509,3 +509,58 @@ def ecm_fit(df: DataFrame, time_col: str, y_col: str, x_col: str,
                    alpha.alias("alpha"), gamma.alias("ec_gamma"),
                    beta.alias("beta_dx"))
     return out.withColumn("ec_valid", F.col("ec_gamma") < 0)
+
+
+def hurst_rs(df: DataFrame, time_col: str, value_col: str,
+             series_cols: Sequence[str], min_n: int = 8) -> DataFrame:
+    """Single-scale rescaled-range (R/S) Hurst estimate per series
+    (Hurst 1951; Mandelbrot & Wallis 1969): over the whole series,
+
+        ``R = max_t(cumdev_t) − min_t(cumdev_t)``,  ``S = σ_pop(y)``,
+        ``H ≈ ln(R/S) / ln(n)``
+
+    with ``cumdev_t = Σ_{i≤t} (y_i − ȳ)`` — H ≈ 0.5 for a random walk
+    of increments, > 0.5 persistent (trending), < 0.5 anti-persistent
+    (mean-reverting).  The single-scale estimate is the screening form
+    (the multi-scale regression refines it); it is what a monitoring
+    fleet computes per metric to route series to the right forecaster.
+
+    Plan: one partition-window mean, one ordered running sum, one
+    per-series aggregate — exchanges = 1, no UDF.  Determinism: the
+    deviations are rounded 6 dp at SOURCE (the cusum firewall) so the
+    running sum is identical on both engines; R and S are rounded 6 dp
+    before the log ratio.  Series need ``n ≥ min_n``, ``S > 0`` and
+    ``R > 0``."""
+    series_cols = list(series_cols)
+    pw = Window.partitionBy(*series_cols)
+    ow = (pw.orderBy(F.col(time_col).asc(),
+                     F.col(value_col).asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    y = F.col(value_col).cast("double")
+    base = df.where(y.isNotNull())
+    # round the MEAN first, then the deviation: an engine ulp wobble in
+    # avg() otherwise shifts every deviation's 6-dp rounding boundary
+    # (observed once at sf0.01 — R flipped in the 6th decimal)
+    d = F.round(y - F.round(F.avg(y).over(pw), 6), 6)
+    base = (base.withColumn("__d__", d)
+            .withColumn("__cum__", F.sum("__d__").over(ow)))
+    g = base.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.max("__cum__").alias("__mx__"),
+        F.min("__cum__").alias("__mn__"),
+        F.stddev_pop(y).alias("__sd__"))
+    r_ = F.round(F.col("__mx__") - F.col("__mn__"), 6)
+    s_ = F.round(F.col("__sd__"), 6)
+    g = (g.withColumn("__r__", r_).withColumn("__s__", s_)
+         .where((F.col("__n__") >= min_n) & (F.col("__s__") > 0)
+                & (F.col("__r__") > 0)))
+    h = (F.log(F.col("__r__") / F.col("__s__"))
+         / F.log(F.col("__n__").cast("double")))
+    return g.select(
+        *series_cols, F.col("__n__").cast("long").alias("n_obs"),
+        F.col("__r__").alias("rs_range"),
+        F.col("__s__").alias("rs_std"),
+        F.round(h, 6).alias("hurst"))
+
+
+__all__.append("hurst_rs")

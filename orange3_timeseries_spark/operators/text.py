@@ -355,3 +355,45 @@ def calibrated_quality_filter(df, text_col: str, id_col: str,
     return (scored.join(F.broadcast(thr), strata_col)
             .where(F.col("score") >= F.col("__thr__"))
             .select(id_col, strata_col, "score"))
+
+
+def token_entropy(df, text_col: str, id_col: str):
+    """Per-document Shannon entropy (nats) of the whitespace-token
+    distribution plus the type-token ratio — the two classic lexical-
+    diversity quality signals (low entropy ⇒ boilerplate / repetition;
+    TTR near 0 ⇒ keyword stuffing).  Output: ``(id, n_tokens, n_types,
+    entropy, type_token_ratio)``.
+
+    Plan: explode → one (id, token) count → one per-id aggregation;
+    both groupBys map-side combine, shuffle rows ∝ distinct (id,
+    token) pairs.  p = c/n are exact integer ratios; the per-doc term
+    sum is rounded 6 dp (the usual association firewall)."""
+    from pyspark.sql import functions as F
+
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
+    base = widen_partitions(df.select(id_col, text_col))
+    tok = base.select(
+        id_col, F.explode(tokens_expr(F.col(text_col))).alias("__t__"))
+    c = (tok.groupBy(id_col, "__t__")
+         .agg(F.count(F.lit(1)).alias("__c__")))
+    from pyspark.sql import Window
+    n = F.sum("__c__").over(Window.partitionBy(id_col)).cast("double")
+    c = c.withColumn("__n__", n)
+    p = F.col("__c__").cast("double") / F.col("__n__")
+    term = p * F.log(p)
+    out = (c.withColumn("__term__", term)
+           .groupBy(id_col)
+           .agg(F.max("__n__").alias("__n__"),
+                F.count(F.lit(1)).alias("__types__"),
+                F.round(-F.sum("__term__"), 6).alias("entropy")))
+    return out.select(
+        id_col,
+        F.col("__n__").cast("long").alias("n_tokens"),
+        F.col("__types__").cast("long").alias("n_types"),
+        F.when(F.col("entropy") == -0.0, F.lit(0.0))
+         .otherwise(F.col("entropy")).alias("entropy"),
+        F.round(F.col("__types__").cast("double") / F.col("__n__"), 6)
+        .alias("type_token_ratio"))

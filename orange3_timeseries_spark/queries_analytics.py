@@ -1804,3 +1804,111 @@ def q_rolling_origin_eval_by_user(spark, sf_dir):
     return rolling_origin_eval(d, "x", "day", ["user_id"],
                                origins=(18, 22, 26), horizon=4,
                                season=7)
+
+
+@query("zorder_events", """
+WITH b AS (
+  SELECT event_id,
+         (user_id & 2097151) AS x,
+         ((epoch_us(ts) // 3600000000) & 2097151) AS y
+  FROM events)
+SELECT event_id,
+       ((((x >> 0) & 1) * 1)
+         + (((y >> 0) & 1) * 2)
+         + (((x >> 1) & 1) * 4)
+         + (((y >> 1) & 1) * 8)
+         + (((x >> 2) & 1) * 16)
+         + (((y >> 2) & 1) * 32)
+         + (((x >> 3) & 1) * 64)
+         + (((y >> 3) & 1) * 128)
+         + (((x >> 4) & 1) * 256)
+         + (((y >> 4) & 1) * 512)
+         + (((x >> 5) & 1) * 1024)
+         + (((y >> 5) & 1) * 2048)
+         + (((x >> 6) & 1) * 4096)
+         + (((y >> 6) & 1) * 8192)
+         + (((x >> 7) & 1) * 16384)
+         + (((y >> 7) & 1) * 32768)
+         + (((x >> 8) & 1) * 65536)
+         + (((y >> 8) & 1) * 131072)
+         + (((x >> 9) & 1) * 262144)
+         + (((y >> 9) & 1) * 524288)
+         + (((x >> 10) & 1) * 1048576)
+         + (((y >> 10) & 1) * 2097152)
+         + (((x >> 11) & 1) * 4194304)
+         + (((y >> 11) & 1) * 8388608)
+         + (((x >> 12) & 1) * 16777216)
+         + (((y >> 12) & 1) * 33554432)
+         + (((x >> 13) & 1) * 67108864)
+         + (((y >> 13) & 1) * 134217728)
+         + (((x >> 14) & 1) * 268435456)
+         + (((y >> 14) & 1) * 536870912)
+         + (((x >> 15) & 1) * 1073741824)
+         + (((y >> 15) & 1) * 2147483648)
+         + (((x >> 16) & 1) * 4294967296)
+         + (((y >> 16) & 1) * 8589934592)
+         + (((x >> 17) & 1) * 17179869184)
+         + (((y >> 17) & 1) * 34359738368)
+         + (((x >> 18) & 1) * 68719476736)
+         + (((y >> 18) & 1) * 137438953472)
+         + (((x >> 19) & 1) * 274877906944)
+         + (((y >> 19) & 1) * 549755813888)
+         + (((x >> 20) & 1) * 1099511627776)
+         + (((y >> 20) & 1) * 2199023255552)) AS zkey
+FROM b
+""")
+def q_zorder_events(spark, sf_dir):
+    '''Morton (Z-order) clustering key over (user_id, event hour) —
+    the layout primitive behind clustered parquet writes: range-
+    partitioning this key co-locates rows close in BOTH dimensions so
+    file min/max stats prune either predicate
+    (operators/partitioning.py:zorder_key; the repartition itself is
+    exercised with a pruning-stats assertion in tests/test_zorder.py).
+    Pure int64 shift/mask Catalyst arithmetic — bit-identical in SQL.'''
+    from orange3_timeseries_spark.operators.partitioning import zorder_key
+
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    keyed = ev.select("event_id",
+                      F.col("user_id").alias("__zx__"),
+                      hour.alias("__zy__"))
+    return keyed.select("event_id",
+                        zorder_key("__zx__", "__zy__").alias("zkey"))
+
+
+@query("hurst_rs_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL),
+d AS (
+  SELECT user_id, ts, y,
+         round(y - round(avg(y) OVER (PARTITION BY user_id), 6), 6) AS dd
+  FROM base),
+c AS (
+  SELECT user_id, y,
+         sum(dd) OVER (PARTITION BY user_id ORDER BY ts, y
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d),
+g AS (
+  SELECT user_id, count(*) AS n, max(cum) AS mx, min(cum) AS mn,
+         stddev_pop(y) AS sd
+  FROM c GROUP BY 1),
+f AS (
+  SELECT user_id, n, round(mx - mn, 6) AS r, round(sd, 6) AS s
+  FROM g)
+SELECT user_id, n::BIGINT AS n_obs, r AS rs_range, s AS rs_std,
+       round(ln(r / s) / ln(n::DOUBLE), 6) AS hurst
+FROM f WHERE n >= 8 AND s > 0 AND r > 0
+""")
+def q_hurst_rs_by_user(spark, sf_dir):
+    '''Single-scale rescaled-range Hurst estimate per series — the
+    persistence screen (H>0.5 trending / H<0.5 mean-reverting) that
+    routes series to the right forecaster, complementing the
+    stationarity tests (adf/kpss).  Deviations round 6 dp at SOURCE so
+    the running cumdev sum is engine-identical (the cusum firewall);
+    R and S round before the log ratio
+    (operators/stattests.py:hurst_rs).'''
+    from orange3_timeseries_spark.operators.stattests import hurst_rs
+
+    ev = read_table(spark, sf_dir, "events")
+    return hurst_rs(ev, "ts", "value", ["user_id"])

@@ -3405,3 +3405,26 @@ def q_label_centroid_cosine(spark, sf_dir):
     (operators/similarity.py:centroid_cosine)."""
     e = read_table(spark, sf_dir, "embeddings")
     return S.centroid_cosine(e, "embedding", "label")
+
+
+@query("text_entropy_by_doc", f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c)::DOUBLE AS n, count(*)::BIGINT AS types
+      FROM c GROUP BY 1),
+e AS (SELECT c.doc_id,
+             round(-sum((c / n.n) * ln(c / n.n)), 6) AS entropy
+      FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1)
+SELECT n.doc_id, n.n::BIGINT AS n_tokens, n.types AS n_types,
+       CASE WHEN e.entropy = 0 THEN 0.0 ELSE e.entropy END AS entropy,
+       round(n.types / n.n, 6) AS type_token_ratio
+FROM n JOIN e ON n.doc_id = e.doc_id
+""")
+def q_text_entropy_by_doc(spark, sf_dir):
+    """Per-document token Shannon entropy + type-token ratio — the
+    lexical-diversity quality signals (low entropy ⇒ boilerplate,
+    TTR → 0 ⇒ keyword stuffing) complementing the Gopher rules and the
+    repetition detector.  Exact integer count ratios; the per-doc term
+    sum rounds 6 dp (operators/text.py:token_entropy)."""
+    d = read_table(spark, sf_dir, "documents")
+    return T.token_entropy(d, "text", "doc_id")
