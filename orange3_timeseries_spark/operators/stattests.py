@@ -564,3 +564,99 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
 
 
 __all__.append("hurst_rs")
+
+
+def conformal_ar1_interval(df: DataFrame, time_col: str, value_col: str,
+                           series_cols: Sequence[str],
+                           alpha: float = 0.1, train_frac: float = 0.8,
+                           min_train: int = 10, min_cal: int = 5,
+                           quantize: int = 7) -> DataFrame:
+    """Split-conformal one-step prediction interval per series
+    (Vovk et al. 2005; Lei et al. 2018): fit AR(1) by closed-form OLS
+    on the first ``train_frac`` of the series, score absolute one-step
+    residuals on the held-out calibration tail, and take the
+    ``⌈(1−α)(m+1)⌉``-th smallest residual as the interval half-width —
+    a DISTRIBUTION-FREE ≥(1−α) coverage guarantee, no Gaussian
+    assumption (the honest alternative to the ARIMA ±z·σ bands when
+    residuals are fat-tailed).
+
+    Output: ``(series..., n_obs, n_cal, fc1, q_hat, lo, hi)`` — the
+    one-step forecast from the last observation with its conformal
+    band.  Series needing ``≥ min_train`` train pairs and ``≥ min_cal``
+    calibration points; degenerate fits (zero lag variance) drop.
+
+    Plan: ordered windows for (t, n, lag), one train-pair Gram
+    aggregation (Cramer closed form over ``quantize``-rounded sums —
+    the ADF firewall), one calibration aggregation collecting the
+    sorted residual array (bounded by the series length), two
+    broadcast-size joins on the series key; exchanges stay on the
+    series-key partitioning throughout.  The quantile is an exact
+    ELEMENT selection; ``⌈·⌉`` evaluates on the identical IEEE product
+    in both engines."""
+    series_cols = list(series_cols)
+    pw = Window.partitionBy(*series_cols)
+    ow = pw.orderBy(F.col(time_col).asc())
+    y = F.col(value_col).cast("double")
+    base = (df.where(y.isNotNull())
+            .select(*series_cols, F.col(time_col), y.alias("__y__"))
+            .withColumn("__t__", F.row_number().over(ow))
+            .withColumn("__n__", F.count(F.lit(1)).over(pw))
+            .withColumn("__lag__", F.lag("__y__", 1).over(ow)))
+    ntr = F.floor(F.col("__n__").cast("double") * F.lit(float(train_frac)))
+    base = base.withColumn("__ntr__", ntr)
+
+    q = quantize
+    r = lambda c: F.round(c, q)  # noqa: E731 — the firewall
+    train = base.where((F.col("__t__") >= 2)
+                       & (F.col("__t__") <= F.col("__ntr__")))
+    fit = train.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__m__"),
+        r(F.sum("__lag__")).alias("__sx__"),
+        r(F.sum("__y__")).alias("__sy__"),
+        r(F.sum(F.col("__lag__") * F.col("__y__"))).alias("__sxy__"),
+        r(F.sum(F.col("__lag__") * F.col("__lag__"))).alias("__sxx__"))
+    m, sx, sy = F.col("__m__"), F.col("__sx__"), F.col("__sy__")
+    sxy, sxx = F.col("__sxy__"), F.col("__sxx__")
+    det = m * sxx - sx * sx
+    fit = (fit.where((F.col("__m__") >= min_train) & (det != 0))
+           .withColumn("__phi__", (m * sxy - sx * sy) / det))
+    fit = fit.withColumn("__c__", (sy - F.col("__phi__") * sx) / m) \
+             .select(*series_cols, "__m__", "__phi__", "__c__")
+
+    cal = (base.where(F.col("__t__") > F.col("__ntr__"))
+           .where(F.col("__lag__").isNotNull())
+           .join(fit, on=series_cols, how="inner"))
+    resid = r(F.abs(F.col("__y__")
+                    - (F.col("__c__")
+                       + F.col("__phi__") * F.col("__lag__"))))
+    calagg = (cal.withColumn("__r__", resid)
+              .groupBy(*series_cols)
+              .agg(F.count(F.lit(1)).alias("__mc__"),
+                   F.sort_array(F.collect_list("__r__"))
+                   .alias("__rs__")))
+    calagg = calagg.where(F.col("__mc__") >= min_cal)
+    qidx = F.least(
+        F.ceil(F.lit(1.0 - float(alpha))
+               * (F.col("__mc__").cast("double") + 1)).cast("int"),
+        F.col("__mc__").cast("int"))
+    calagg = calagg.withColumn(
+        "__q__", F.element_at("__rs__", qidx))
+
+    last = (base.where(F.col("__t__") == F.col("__n__"))
+            .select(*series_cols, F.col("__y__").alias("__ylast__"),
+                    F.col("__n__")))
+    out = (last.join(fit, on=series_cols, how="inner")
+           .join(calagg, on=series_cols, how="inner"))
+    fc1 = F.col("__c__") + F.col("__phi__") * F.col("__ylast__")
+    out = out.withColumn("__fc__", fc1)
+    return out.select(
+        *series_cols,
+        F.col("__n__").cast("long").alias("n_obs"),
+        F.col("__mc__").cast("long").alias("n_cal"),
+        F.round(F.col("__fc__"), 6).alias("fc1"),
+        F.round(F.col("__q__"), 6).alias("q_hat"),
+        F.round(F.col("__fc__") - F.col("__q__"), 6).alias("lo"),
+        F.round(F.col("__fc__") + F.col("__q__"), 6).alias("hi"))
+
+
+__all__.append("conformal_ar1_interval")

@@ -247,3 +247,76 @@ def pettitt_test(df: DataFrame, time_col: str, value_col: str,
         F.col("__t__").alias("change_ts"),
         p6.alias("p_value"),
         (p6 < F.lit(0.05)).alias("significant_5pct"))
+
+
+def seasonal_mann_kendall(df: DataFrame, time_col: str, value_col: str,
+                          series_cols: Sequence[str], season_col: Column,
+                          quantize: int = 7,
+                          max_n: int = DEFAULT_MAX_N) -> DataFrame:
+    """Seasonal Mann-Kendall test (Hirsch & Slack 1984, independent-
+    seasons form): the MK statistic computed WITHIN each season and
+    summed — ``S = Σ_g S_g``, ``Var S = Σ_g Var S_g`` — so a strong
+    seasonal cycle cannot masquerade as (or mask) a monotone trend.
+    The seasonal Kendall slope pools the within-season pairwise slopes
+    and takes the lower-median element (the Hirsch-Slack estimator).
+    Output schema matches :func:`mann_kendall` (plus ``n_seasons``).
+
+    ``season_col`` is any deterministic Column (e.g. the epoch-day
+    day-of-week formula — NOT ``dayofweek()``, whose origin differs
+    between engines).  Pairs form within (series, season) only, so the
+    pairwise cost drops to ``Σ_g n_g²`` — cheaper than plain MK on the
+    same series.  Serial-correlation corrections (the full Hirsch-Slack
+    covariance) are out of scope and documented as such."""
+    series_cols = list(series_cols)
+    sdf = df.withColumn("__season__", season_col)
+    inner = series_cols + ["__season__"]
+    p = _pairs(sdf, time_col, value_col, inner, max_n)
+    slope = F.round((F.col("__yj__") - F.col("__yi__"))
+                    / F.col("__dt_days__"), quantize)
+    per_season = p.groupBy(*inner).agg(
+        F.max("__n__").alias("__ng__"),
+        F.sum(F.signum(F.col("__yj__") - F.col("__yi__")))
+        .cast("double").alias("__sg__"),
+        F.sort_array(F.collect_list(slope)).alias("__slopes__"))
+
+    ties = (sdf.where(F.col(value_col).isNotNull())
+            .groupBy(*inner,
+                     F.col(value_col).cast("double").alias("__v__"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__t__"))
+            .groupBy(*inner)
+            .agg(F.sum(F.col("__t__") * (F.col("__t__") - 1)
+                       * (2 * F.col("__t__") + 5)).alias("__tc__")))
+
+    g = per_season.join(ties, on=inner, how="inner")
+    ng = F.col("__ng__").cast("double")
+    var_g = (ng * (ng - 1) * (2 * ng + 5) - F.col("__tc__")) / F.lit(18.0)
+    g = g.withColumn("__vg__", var_g)
+    agg = g.groupBy(*series_cols).agg(
+        F.sum("__ng__").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).alias("__nseas__"),
+        F.sum("__sg__").alias("__s__"),
+        F.sum("__vg__").alias("__var__"),
+        F.sort_array(F.flatten(F.collect_list("__slopes__")))
+        .alias("__allslopes__"))
+    agg = agg.where(F.col("__var__") > 0)
+    s = F.col("__s__")
+    z = (F.when(s > 0, (s - 1) / F.sqrt(F.col("__var__")))
+          .when(s < 0, (s + 1) / F.sqrt(F.col("__var__")))
+          .otherwise(F.lit(0.0)))
+    z6 = F.round(z, 6)
+    crit = F.lit(NORMAL_TWO_SIDED["5pct"])
+    return agg.select(
+        *series_cols, "n_obs",
+        F.col("__nseas__").cast("long").alias("n_seasons"),
+        s.cast("long").alias("s_stat"),
+        F.round(F.col("__var__"), 6).alias("var_s"),
+        z6.alias("z"),
+        F.round(_lower_median(F.col("__allslopes__")), 6)
+        .alias("sen_slope"),
+        F.when(z6 > crit, F.lit("increasing"))
+         .when(z6 < -crit, F.lit("decreasing"))
+         .otherwise(F.lit("no trend")).alias("trend"),
+        (F.abs(z6) > crit).alias("significant_5pct"))
+
+
+__all__.append("seasonal_mann_kendall")

@@ -1660,3 +1660,129 @@ def q_pettitt_by_user(spark, sf_dir):
 
     df = read_table(spark, sf_dir, "events")
     return pettitt_test(df, "ts", "value", ["user_id"])
+
+
+@query("seasonal_mann_kendall_by_user", """
+WITH base AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000 + 3) % 7 AS season,
+         ts, value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL),
+nn AS (
+  SELECT user_id, season, count(*) AS n FROM base GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 10000),
+p AS (
+  SELECT a.user_id, a.season,
+         sign(b.y - a.y) AS sg,
+         round((b.y - a.y)
+               / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0),
+               7) AS slope
+  FROM base a JOIN base b
+    ON a.user_id = b.user_id AND a.season = b.season AND a.ts < b.ts
+  JOIN nn ON a.user_id = nn.user_id AND a.season = nn.season),
+ps AS (
+  SELECT user_id, season, sum(sg)::DOUBLE AS sg FROM p GROUP BY 1, 2),
+tc AS (
+  SELECT user_id, season, sum(t*(t-1)*(2*t+5)) AS tcorr FROM (
+    SELECT user_id, season, count(*)::DOUBLE AS t
+    FROM base GROUP BY user_id, season, y) GROUP BY 1, 2),
+vg AS (
+  SELECT ps.user_id, ps.season, ps.sg, nn.n,
+         (nn.n::DOUBLE * (nn.n::DOUBLE - 1) * (2 * nn.n::DOUBLE + 5)
+          - tcorr) / 18.0 AS var_g
+  FROM ps JOIN nn ON ps.user_id = nn.user_id AND ps.season = nn.season
+  JOIN tc ON ps.user_id = tc.user_id AND ps.season = tc.season),
+comb AS (
+  SELECT user_id, sum(n)::BIGINT AS n_obs, count(*)::BIGINT AS n_seasons,
+         sum(sg) AS s, sum(var_g) AS var_s
+  FROM vg GROUP BY 1 HAVING sum(var_g) > 0),
+sl AS (
+  SELECT user_id, list_sort(list(slope)) AS slopes FROM p GROUP BY 1),
+zed AS (
+  SELECT comb.user_id, n_obs, n_seasons, s, var_s,
+         round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                    WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                    ELSE 0.0 END, 6) AS z6,
+         slopes[(len(slopes) + 1) // 2] AS med_slope
+  FROM comb JOIN sl ON comb.user_id = sl.user_id)
+SELECT user_id, n_obs, n_seasons, s::BIGINT AS s_stat,
+       round(var_s, 6) AS var_s, z6 AS z,
+       round(med_slope, 6) AS sen_slope,
+       CASE WHEN z6 > 1.959964 THEN 'increasing'
+            WHEN z6 < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend,
+       abs(z6) > 1.959964 AS significant_5pct
+FROM zed
+""")
+def q_seasonal_mann_kendall_by_user(spark, sf_dir):
+    """Seasonal Mann-Kendall (Hirsch-Slack independent-seasons form)
+    per series with day-of-week seasons — the trend monitor that a
+    weekly cycle can neither fake nor hide.  The season key is the
+    epoch-day formula ``(days + 3) mod 7`` (dayofweek() origins differ
+    between engines); within-season S/VarS sum per series, and the
+    seasonal Kendall slope pools all within-season pairwise slopes
+    (operators/trend.py:seasonal_mann_kendall)."""
+    from orange3_timeseries_spark.operators.trend import (
+        seasonal_mann_kendall,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    season = F.expr("pmod(unix_micros(ts) div 86400000000 + 3, 7)")
+    return seasonal_mann_kendall(ev, "ts", "value", ["user_id"], season)
+
+
+@query("conformal_ar1_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS y,
+         row_number() OVER w AS t,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(value::DOUBLE) OVER w AS ylag
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+b2 AS (SELECT *, floor(n::DOUBLE * 0.8) AS ntr FROM base),
+fit AS (
+  SELECT user_id, count(*)::DOUBLE AS m,
+         round(sum(ylag), 7) AS sx, round(sum(y), 7) AS sy,
+         round(sum(ylag * y), 7) AS sxy,
+         round(sum(ylag * ylag), 7) AS sxx
+  FROM b2 WHERE t >= 2 AND t <= ntr GROUP BY 1
+  HAVING count(*) >= 10),
+coef AS (
+  SELECT user_id, m, sx, sy,
+         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS phi
+  FROM fit WHERE (m * sxx - sx * sx) <> 0),
+coef2 AS (
+  SELECT user_id, phi, (sy - phi * sx) / m AS c FROM coef),
+cal AS (
+  SELECT b2.user_id,
+         round(abs(y - (c + phi * ylag)), 7) AS r
+  FROM b2 JOIN coef2 USING (user_id)
+  WHERE t > ntr AND ylag IS NOT NULL),
+calagg AS (
+  SELECT user_id, count(*) AS mc, list_sort(list(r)) AS rs
+  FROM cal GROUP BY 1 HAVING count(*) >= 5),
+qh AS (
+  SELECT user_id, mc,
+         rs[least(ceil(0.9 * (mc::DOUBLE + 1))::INT, mc::INT)] AS q
+  FROM calagg),
+lastv AS (SELECT user_id, n, y AS ylast FROM b2 WHERE t = n)
+SELECT l.user_id, n::BIGINT AS n_obs, mc::BIGINT AS n_cal,
+       round(c + phi * ylast, 6) AS fc1,
+       round(q, 6) AS q_hat,
+       round((c + phi * ylast) - q, 6) AS lo,
+       round((c + phi * ylast) + q, 6) AS hi
+FROM lastv l JOIN coef2 USING (user_id) JOIN qh USING (user_id)
+""")
+def q_conformal_ar1_by_user(spark, sf_dir):
+    """Split-conformal one-step interval around the AR(1) forecast per
+    series: distribution-free ≥90% coverage from an exact ELEMENT
+    quantile of held-out absolute residuals — the honest band when
+    the ±z·σ Gaussian CI assumption fails.  Train/calibration split,
+    Gram sums, residual quantile and the interval all replay in SQL
+    (operators/stattests.py:conformal_ar1_interval)."""
+    from orange3_timeseries_spark.operators.stattests import (
+        conformal_ar1_interval,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return conformal_ar1_interval(ev, "ts", "value", ["user_id"])
