@@ -397,3 +397,65 @@ def token_entropy(df, text_col: str, id_col: str):
          .otherwise(F.col("entropy")).alias("entropy"),
         F.round(F.col("__types__").cast("double") / F.col("__n__"), 6)
         .alias("type_token_ratio"))
+
+
+def bigram_pmi(df, text_col: str, min_count: int = 5,
+               top_k: int = 50):
+    """Top-``top_k`` token bigram collocations by pointwise mutual
+    information ``PMI = ln( p(x,y) / (p(x)·p(y)) )`` with a
+    ``min_count`` pair floor (Church & Hanks 1990) — the classic
+    phrase-mining / tokenizer-seeding signal ("new york" scores high,
+    "of the" does not).  Output: ``(tok_a, tok_b, pair_count, pmi)``.
+
+    Plan: posexplode once, adjacent pairs via one ``lead()`` window on
+    the (doc, position) ordering (no self-join), two map-combining
+    counts, two broadcast 1-row totals, TakeOrderedAndProject for the
+    deterministic (pmi desc, tok_a, tok_b) top-K.  PMI is scalar
+    arithmetic on exact integer counts — identical doubles on any
+    engine, no rounding firewall needed before the 6-dp display
+    rounding."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
+    base = widen_partitions(df.select("doc_id", text_col)
+                            if "doc_id" in df.columns
+                            else df.select(text_col))
+    idc = "doc_id" if "doc_id" in df.columns else None
+    if idc is None:
+        base = base.withColumn("__doc__", F.monotonically_increasing_id())
+        idc = "__doc__"
+    tok = base.select(
+        F.col(idc).alias("__doc__"),
+        F.posexplode(tokens_expr(F.col(text_col)))
+        .alias("__pos__", "__t__"))
+    w = Window.partitionBy("__doc__").orderBy("__pos__")
+    bg = (tok.withColumn("__tb__", F.lead("__t__", 1).over(w))
+          .where(F.col("__tb__").isNotNull())
+          .select(F.col("__t__").alias("__ta__"), "__tb__"))
+    cb = bg.groupBy("__ta__", "__tb__").agg(
+        F.count(F.lit(1)).alias("__cxy__"))
+    cu = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("__tt__"))
+    btot = bg.agg(F.count(F.lit(1)).cast("double").alias("__bt__"))
+    ca = cu.select(F.col("__t__").alias("__ta__"),
+                   F.col("__c__").alias("__ca__"))
+    cbu = cu.select(F.col("__t__").alias("__tb__"),
+                    F.col("__c__").alias("__cb__"))
+    j = (cb.where(F.col("__cxy__") >= min_count)
+         .join(ca, "__ta__").join(cbu, "__tb__")
+         .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(btot)))
+    pmi = F.log((F.col("__cxy__").cast("double") / F.col("__bt__"))
+                / ((F.col("__ca__").cast("double") / F.col("__tt__"))
+                   * (F.col("__cb__").cast("double") / F.col("__tt__"))))
+    out = (j.withColumn("__pmi__", F.round(pmi, 6))
+           .orderBy(F.col("__pmi__").desc(), F.col("__ta__").asc(),
+                    F.col("__tb__").asc())
+           .limit(top_k))
+    return out.select(F.col("__ta__").alias("tok_a"),
+                      F.col("__tb__").alias("tok_b"),
+                      F.col("__cxy__").cast("long").alias("pair_count"),
+                      F.col("__pmi__").alias("pmi"))

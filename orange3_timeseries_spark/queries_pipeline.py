@@ -3428,3 +3428,37 @@ def q_text_entropy_by_doc(spark, sf_dir):
     sum rounds 6 dp (operators/text.py:token_entropy)."""
     d = read_table(spark, sf_dir, "documents")
     return T.token_entropy(d, "text", "doc_id")
+
+
+@query("bigram_pmi_top50", f"""
+WITH x AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, u.i AS pos, toks[u.i] AS t
+        FROM x, LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                         AS i) u),
+bg AS (SELECT a.t AS ta, b.t AS tb
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+cb AS (SELECT ta, tb, count(*) AS cxy FROM bg GROUP BY 1, 2),
+cu AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS tt FROM tok),
+btot AS (SELECT count(*)::DOUBLE AS bt FROM bg),
+p AS (SELECT ta, tb, cxy,
+             round(ln((cxy / bt)
+                      / ((ca.c / tt) * (cb2.c / tt))), 6) AS pmi
+      FROM cb
+      JOIN cu ca ON cb.ta = ca.t
+      JOIN cu cb2 ON cb.tb = cb2.t
+      CROSS JOIN tot CROSS JOIN btot
+      WHERE cxy >= 5)
+SELECT ta AS tok_a, tb AS tok_b, cxy::BIGINT AS pair_count, pmi
+FROM p ORDER BY pmi DESC, ta, tb LIMIT 50
+""")
+def q_bigram_pmi_top50(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (pair floor 5) — the phrase-
+    mining signal feeding tokenizer seeding and n-gram novelty.  PMI is
+    scalar arithmetic on exact integer counts (identical doubles both
+    engines); the top-K cut orders by (rounded pmi desc, tokens asc)
+    so the selected SET is deterministic
+    (operators/text.py:bigram_pmi)."""
+    d = read_table(spark, sf_dir, "documents")
+    return T.bigram_pmi(d, "text")

@@ -146,3 +146,48 @@ class TestHurstRS:
 
         df = self._series(spark, [5.0] * 20)
         assert hurst_rs(df, "ts", "value", ["user_id"]).count() == 0
+
+
+class TestBigramPMI:
+    def test_collocation_ranks_top_and_matches_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from orange3_timeseries_spark.operators.text import bigram_pmi
+
+        rng = np.random.RandomState(2)
+        filler = ["the", "a", "of", "to", "and", "in", "it", "is"]
+        texts = []
+        for _ in range(30):
+            words = list(rng.choice(filler, size=40))
+            words[10:12] = ["san", "francisco"]   # planted collocation
+            texts.append(" ".join(words))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        out = bigram_pmi(df, "text", min_count=5, top_k=10).collect()
+        assert out[0].tok_a == "san" and out[0].tok_b == "francisco"
+
+        # direct PMI reference for the planted pair
+        toks = [t.split() for t in texts]
+        uni = Counter(w for ws in toks for w in ws)
+        big = Counter((ws[i], ws[i + 1]) for ws in toks
+                      for i in range(len(ws) - 1))
+        T_ = sum(uni.values())
+        B_ = sum(big.values())
+        exp = math.log((big[("san", "francisco")] / B_)
+                       / ((uni["san"] / T_) * (uni["francisco"] / T_)))
+        assert out[0].pmi == pytest.approx(exp, abs=1e-5)
+        assert out[0].pair_count == 30
+
+    def test_min_count_floor(self, spark):
+        from orange3_timeseries_spark.operators.text import bigram_pmi
+
+        df = spark.createDataFrame(
+            [(0, "rare pair here"), (1, "common bit common bit "
+                                        "common bit common bit common bit")],
+            "doc_id long, text string")
+        out = bigram_pmi(df, "text", min_count=5, top_k=10).collect()
+        pairs = {(r.tok_a, r.tok_b) for r in out}
+        assert ("rare", "pair") not in pairs
+        assert ("common", "bit") in pairs
