@@ -59,6 +59,32 @@ def _density_periodogram(x: np.ndarray, fs: float = 1.0):
     return freqs, spec
 
 
+def spectral_entropy(x, *, detrend="diff"):
+    """Normalized spectral (Shannon) entropy of the detrended series and
+    the number of contributing bins, ``(H, K)``.
+
+    ``H = −Σ p_k ln p_k / ln K`` over the one-sided density periodogram
+    bins k ≥ 1 (DC excluded — after 'diff' detrending the DC term is
+    the telescoped endpoint difference, pure level information), with
+    ``p_k = P_k / Σ P``.  H → 0 for a pure tone (maximally
+    forecastable), → 1 for white noise; ``1 − H`` is the
+    "forecastability" Ω of Goerg (2013).  Returns ``(nan, 0)`` when
+    fewer than 2 bins exist or total power is 0."""
+    xd = _detrend(x, detrend)
+    _, spec = _density_periodogram(xd)
+    spec = spec[1:]
+    k = len(spec)
+    if k < 2:
+        return float("nan"), 0
+    total = spec.sum()
+    if not total > 0:
+        return float("nan"), 0
+    p = spec / total
+    nz = p[p > 0]
+    h = float(-(nz * np.log(nz)).sum() / np.log(k))
+    return h, k
+
+
 def periodogram(x, *, detrend="diff", fs: float = 1.0):
     """Return (periods, scaled_power) of significant spectral peaks."""
     x = _detrend(x, detrend)

@@ -1,0 +1,176 @@
+"""Event-stream shape diagnostics: burstiness and Benford digit QA.
+
+The reference treats a timeseries as an equally-spaced signal once
+constructed (``timeseries.py``'s equispaced assumption); production
+event streams are not equispaced, and two classic stream-shape
+diagnostics decide how to treat them before any resampling /
+interpolation step (``operators/interpolate.py``):
+
+- :func:`burstiness` — the Goh & Barabási (2008, EPL 81) burstiness
+  coefficient over inter-event times ``τ``:
+
+      ``B = (σ_τ − μ_τ) / (σ_τ + μ_τ)``  ∈ [−1, 1]
+
+  (−1 periodic, 0 Poisson, →1 extremely bursty) plus the
+  memory coefficient ``M`` (ibid.) — the lag-1 Pearson correlation of
+  consecutive inter-event times — which separates "bursty because
+  heavy-tailed" from "bursty because correlated".  Together they tell
+  the pipeline whether a per-series resample grid makes sense at all.
+- :func:`benford_digits` — first-significant-digit frequency audit
+  against Benford's law (Newcomb 1881 / Benford 1938), the standard
+  data-forgery / pipeline-corruption screen for multi-scale positive
+  measurements: per group, observed digit counts, the χ² statistic
+  against ``P(d) = log10(1 + 1/d)``, and an 8-df 5% verdict.
+
+Scale: both are one ``groupBy`` over window/lag-derived columns —
+exchanges = 1, pure Catalyst, no Python; a billion series or groups
+cost one skinny shuffle each (same shape as ``stattests.adf_test``).
+
+Determinism contract (PLANS.md firewall rules):
+
+- inter-event gaps are exact integer microsecond differences carried
+  in DOUBLE seconds (micros are second-multiples in the fixtures, and
+  ``x/1e6`` of the same int64 is one IEEE division — bit-identical on
+  any engine); μ/σ/corr are rounded 6 dp before the ratio arithmetic,
+  the same firewall ``stattests.hurst_rs`` ships.
+- Benford's first digit is extracted WITHOUT libm: a fixed decade
+  CASE-ladder multiplies by exact power-of-ten literals (every
+  ``10^k``, |k| ≤ 15, is exactly representable) — single IEEE
+  multiplies are bit-identical across engines, unlike ``log10``/
+  ``pow`` whose 1-ulp differences can flip ``floor`` at decade
+  boundaries.  The Benford probabilities are injected as full-
+  precision Python literals into BOTH engines, each χ² term is
+  rounded to an integer micro-unit (``round(term·1e6)`` → BIGINT) and
+  the terms are summed as integers — order-free and exact.
+"""
+
+from __future__ import annotations
+
+from math import log10
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["burstiness", "benford_digits", "BENFORD_P",
+           "CHI2_8DF_5PCT", "first_digit"]
+
+#: Benford first-digit probabilities, full double precision (these
+#: exact literals are injected into the SQL oracle too, so both
+#: engines start from identical constants).
+BENFORD_P = {d: log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+#: χ² critical value, 8 degrees of freedom, α = 0.05
+CHI2_8DF_5PCT = 15.507313
+
+
+def burstiness(df: DataFrame, time_col: str,
+               series_cols: Sequence[str],
+               min_gaps: int = 8) -> DataFrame:
+    """One row per series: ``(series..., n_gaps, mean_gap_s, std_gap_s,
+    burstiness, memory_coef, regime)``.
+
+    ``regime`` routes downstream treatment: ``'periodic'`` (B < −0.1)
+    → safe to resample on the modal grid, ``'poisson'`` (|B| ≤ 0.1) →
+    rate aggregation, ``'bursty'`` (B > 0.1) → sessionize first
+    (cf. ``queries.sessionize_events``).  Series with fewer than
+    ``min_gaps`` gaps are dropped — a two-point σ is noise.
+
+    Memory coefficient uses the n−1 consecutive gap pairs; when either
+    marginal σ is 0 (perfectly regular stream) ``memory_coef`` is NULL
+    rather than 0/0.
+    """
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    gaps = (df.select(*series_cols, F.col(time_col))
+            .withColumn("__g__", (us - F.lag(us, 1).over(w)) / F.lit(1e6))
+            .where(F.col("__g__").isNotNull()))
+    # lag-1 pair of gaps for the memory coefficient, in the same pass
+    paired = gaps.withColumn(
+        "__gp__", F.lag(F.col("__g__"), 1).over(
+            Window.partitionBy(*series_cols).orderBy(time_col)))
+    mem = F.corr("__g__", "__gp__")
+    agg = paired.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("__g__"), 6).alias("mean_gap_s"),
+        F.round(F.stddev_pop("__g__"), 6).alias("std_gap_s"),
+        # Spark's corr yields NaN on a zero-variance marginal where SQL
+        # engines yield NULL — normalize to NULL for the replay
+        F.round(F.when(F.isnan(mem), F.lit(None)).otherwise(mem), 6)
+        .alias("memory_coef"))
+    b = F.round((F.col("std_gap_s") - F.col("mean_gap_s"))
+                / (F.col("std_gap_s") + F.col("mean_gap_s")), 6)
+    out = (agg.where(F.col("n_gaps") >= F.lit(min_gaps))
+           .withColumn("burstiness", b)
+           .withColumn("regime", F.when(F.col("burstiness") < -0.1,
+                                        F.lit("periodic"))
+                       .when(F.col("burstiness") > 0.1, F.lit("bursty"))
+                       .otherwise(F.lit("poisson"))))
+    return out.select(*series_cols, "n_gaps", "mean_gap_s", "std_gap_s",
+                      "burstiness", "memory_coef", "regime")
+
+
+def first_digit(col: Column) -> Column:
+    """First significant digit (1-9) of ``|col|`` as an INT, NULL when
+    the magnitude is outside ``[1e-6, 1e15)`` (or NULL/zero).
+
+    libm-free: a decade CASE-ladder of comparisons against exact
+    power-of-ten literals picks the scale, one exact-literal multiply
+    brings the value into ``[1, 10)``-after-floor range, and the digit
+    is the first character of the BIGINT's decimal rendering — integer
+    → string is engine-identical, unlike float formatting."""
+    x = F.abs(col.cast("double"))
+    # scale so that floor(x * 10^k) has the first digit as its leading
+    # decimal digit; the ladder is exact-comparison + exact-literal
+    # multiply, so every engine lands on identical bigints.
+    scaled = F.when(x >= 1.0, x)
+    for k in range(1, 7):
+        # decimal-parsed literals (NOT pow()): a parsed "1e-3" is the
+        # correctly-rounded double, identical to the SQL literal's
+        lo = float(f"1e-{k}")
+        mul = float(f"1e{k}")
+        scaled = scaled.when(x >= F.lit(lo), x * F.lit(mul))
+    digit = F.substring(
+        F.floor(scaled).cast("bigint").cast("string"), 1, 1).cast("int")
+    ok = col.isNotNull() & (x >= F.lit(1e-6)) & (x < F.lit(1e15))
+    return F.when(ok, digit)
+
+
+def benford_digits(df: DataFrame, value_col: str,
+                   group_cols: Sequence[str],
+                   min_n: int = 50) -> DataFrame:
+    """One row per group: ``(group..., n_values, chi2, benford_ok)``
+    plus the per-digit observed shares packed as ``obs_share_1`` …
+    ``obs_share_9`` (6 dp).
+
+    χ² = Σ_d (obs_d − n·p_d)² / (n·p_d) with each term rounded to an
+    integer micro-unit before the (order-free, integer) sum — the
+    engine and the SQL replay add identical BIGINTs.  Groups with
+    fewer than ``min_n`` usable values are dropped: Benford needs
+    sample mass to mean anything."""
+    group_cols = list(group_cols)
+    d = first_digit(F.col(value_col))
+    rows = df.select(*group_cols, d.alias("__d__")).where(
+        F.col("__d__").isNotNull())
+    counts = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        *[F.sum(F.when(F.col("__d__") == dd, 1).otherwise(0))
+          .alias(f"__c{dd}__") for dd in range(1, 10)])
+    n = F.col("n_values").cast("double")
+    terms = []
+    for dd in range(1, 10):
+        exp_d = n * F.lit(BENFORD_P[dd])
+        diff = F.col(f"__c{dd}__").cast("double") - exp_d
+        terms.append(F.round(diff * diff / exp_d * F.lit(1e6), 0)
+                     .cast("bigint"))
+    chi2_units = terms[0]
+    for t in terms[1:]:
+        chi2_units = chi2_units + t
+    out = (counts.where(F.col("n_values") >= F.lit(min_n))
+           .withColumn("chi2", (chi2_units.cast("double") / F.lit(1e6)))
+           .withColumn("benford_ok", F.col("chi2") <= F.lit(CHI2_8DF_5PCT)))
+    share_cols = [F.round(F.col(f"__c{dd}__") / n, 6)
+                  .alias(f"obs_share_{dd}") for dd in range(1, 10)]
+    return out.select(*group_cols, "n_values", "chi2", "benford_ok",
+                      *share_cols)

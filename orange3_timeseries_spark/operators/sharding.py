@@ -103,3 +103,45 @@ def shard_manifest(assigned: DataFrame, shard_col: str,
     return (assigned.groupBy(shard_col)
             .agg(F.count("*").alias("n_docs"),
                  F.sum(weight_col).cast("long").alias("total_weight")))
+
+
+def compaction_plan(df: DataFrame, id_col: str, size_col: str,
+                    dir_cols, target_size: int,
+                    bin_col: str = "bin_id") -> DataFrame:
+    """Small-file compaction plan: within each partition directory
+    (``dir_cols``), pack items into output bins of ~``target_size``
+    bytes by the streaming cumulative-sum rule Delta/Iceberg OPTIMIZE
+    use — order items size-DESCENDING (id tie-break), take a running
+    byte total, and open a new bin each time the running total crosses
+    a ``target_size`` boundary:
+
+        ``bin = floor((cumsum − size) / target)``
+
+    i.e. an item belongs to the bin its STARTING byte offset falls in.
+    Size-descending order packs the big files first so the final bin —
+    the only one that may be under-filled — collects the tail of small
+    files, and every earlier bin overshoots ``target_size`` by at most
+    one item (the classic one-pass guarantee; items larger than
+    ``target_size`` get a bin of their own).
+
+    Scale: ordering is PER DIRECTORY (a window partitioned on
+    ``dir_cols``) — exactly how table compaction runs in production,
+    one planner task per partition dir, no global sort, no driver
+    state.  All arithmetic is BIGINT cumsum — bit-exact on any engine.
+
+    Returns the input ids with ``(dir_cols..., bin_id, bin_offset)``
+    where ``bin_offset`` is the item's starting byte offset within the
+    directory's packing order (the manifest a rewrite job consumes).
+    """
+    dir_cols = list(dir_cols)
+    w = (Window.partitionBy(*dir_cols)
+         .orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    size = F.col(size_col).cast("bigint")
+    cum = F.sum(size).over(w)
+    return (df.select(*dir_cols, F.col(id_col), F.col(size_col))
+            .withColumn("bin_offset", cum - size)
+            .withColumn(bin_col, F.floor(F.col("bin_offset")
+                                         / F.lit(int(target_size)))
+                        .cast("int"))
+            .drop(size_col))

@@ -1912,3 +1912,169 @@ def q_hurst_rs_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return hurst_rs(ev, "ts", "value", ["user_id"])
+
+
+@query("burstiness_by_user", """
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id, ts,
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)) / 1e6
+             AS gap
+  FROM e QUALIFY gap IS NOT NULL),
+p AS (
+  SELECT user_id, gap,
+         lag(gap) OVER (PARTITION BY user_id ORDER BY ts) AS gp
+  FROM g),
+a AS (
+  SELECT user_id, count(*) AS n_gaps,
+         round(avg(gap), 6) AS m,
+         round(stddev_pop(gap), 6) AS s,
+         round(corr(gap, gp), 6) AS mem
+  FROM p GROUP BY 1),
+b AS (
+  SELECT user_id, n_gaps, m, s, mem,
+         round((s - m) / (s + m), 6) AS bb
+  FROM a WHERE n_gaps >= 8)
+SELECT user_id, n_gaps::BIGINT AS n_gaps, m AS mean_gap_s,
+       s AS std_gap_s, bb AS burstiness, mem AS memory_coef,
+       CASE WHEN bb < -0.1 THEN 'periodic'
+            WHEN bb > 0.1 THEN 'bursty'
+            ELSE 'poisson' END AS regime
+FROM b
+""")
+def q_burstiness_by_user(spark, sf_dir):
+    '''Goh-Barabasi burstiness B = (s-m)/(s+m) and memory coefficient
+    (lag-1 gap correlation) per series -- the stream-shape triage that
+    decides whether a series may be resampled to a grid (periodic),
+    rate-aggregated (poisson), or must be sessionized first (bursty).
+    Gaps are exact integer-microsecond differences; mu/sigma/corr round
+    6 dp before the ratio (the hurst firewall)
+    (operators/eventstats.py:burstiness).'''
+    from orange3_timeseries_spark.operators.eventstats import burstiness
+
+    ev = read_table(spark, sf_dir, "events")
+    return burstiness(ev, "ts", ["user_id"])
+
+
+def _benford_sql() -> str:
+    """Benford oracle with the digit CASE-ladder and the χ² terms as
+    order-free integer micro-units; the Benford probabilities are the
+    SAME full-precision Python literals the engine injects."""
+    from orange3_timeseries_spark.operators.eventstats import BENFORD_P
+
+    ladder = """CASE WHEN x >= 1.0 THEN x
+                 WHEN x >= 1e-1 THEN x * 1e1
+                 WHEN x >= 1e-2 THEN x * 1e2
+                 WHEN x >= 1e-3 THEN x * 1e3
+                 WHEN x >= 1e-4 THEN x * 1e4
+                 WHEN x >= 1e-5 THEN x * 1e5
+                 WHEN x >= 1e-6 THEN x * 1e6 END"""
+    counts = ",\n         ".join(
+        f"sum(CASE WHEN dig = {d} THEN 1 ELSE 0 END) AS c{d}"
+        for d in range(1, 10))
+    units = " + ".join(
+        f"CAST(round((c{d} - n * {BENFORD_P[d]!r})"
+        f" * (c{d} - n * {BENFORD_P[d]!r})"
+        f" / (n * {BENFORD_P[d]!r}) * 1e6, 0) AS BIGINT)"
+        for d in range(1, 10))
+    shares = ",\n       ".join(
+        f"round(c{d} / n, 6) AS obs_share_{d}" for d in range(1, 10))
+    return f"""
+WITH v AS (
+  SELECT event_type, abs(value::DOUBLE) AS x FROM events
+  WHERE value IS NOT NULL
+    AND abs(value::DOUBLE) >= 1e-6 AND abs(value::DOUBLE) < 1e15),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(floor({ladder}) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS dig
+  FROM v),
+c AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         {counts}
+  FROM d GROUP BY 1),
+t AS (
+  SELECT event_type, n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
+         ({units}) AS units
+  FROM c WHERE n >= 50)
+SELECT event_type, CAST(n AS BIGINT) AS n_values,
+       units / 1e6 AS chi2,
+       (units / 1e6) <= 15.507313 AS benford_ok,
+       {shares}
+FROM t
+"""
+
+
+@query("benford_qa_events", _benford_sql())
+def q_benford_qa_events(spark, sf_dir):
+    '''First-significant-digit audit of event values against Benford's
+    law per event_type -- the classic corruption/forgery screen for
+    multi-scale positive measurements.  The digit is extracted libm-
+    free (decade CASE-ladder of exact power-of-ten literals + BIGINT
+    decimal rendering), and the χ² statistic is summed as integer
+    micro-units so both engines add identical BIGINTs
+    (operators/eventstats.py:benford_digits).'''
+    from orange3_timeseries_spark.operators.eventstats import benford_digits
+
+    ev = read_table(spark, sf_dir, "events")
+    return benford_digits(ev, "value", ["event_type"])
+
+
+@query("spectral_entropy_by_user", """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+d AS (  -- diff detrend, re-indexed 0..m-1 (periodogram family shape)
+  SELECT user_id, t - 1 AS td, n - 1 AS m,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY t) AS dv
+  FROM s
+  QUALIFY td >= 0 AND n >= 12),
+grid AS (  -- DC excluded: k = 1 .. m//2
+  SELECT user_id, m, unnest(range(1, m // 2 + 1)) AS k
+  FROM (SELECT DISTINCT user_id, m FROM d)),
+pw AS (
+  SELECT d.user_id, g.k, any_value(g.m) AS m,
+         pow(sum(d.dv * cos(2 * pi() * g.k * d.td / g.m)), 2)
+       + pow(sum(d.dv * sin(2 * pi() * g.k * d.td / g.m)), 2) AS raw
+  FROM d JOIN grid g ON d.user_id = g.user_id
+  GROUP BY 1, 2),
+spec AS (  -- one-sided density: /m, doubled except Nyquist on even m
+  SELECT user_id, k,
+         (raw / m) * (CASE WHEN m % 2 = 0 AND k = m // 2
+                           THEN 1 ELSE 2 END) AS p
+  FROM pw),
+tot AS (
+  SELECT user_id, sum(p) AS sp, count(*) AS kbins
+  FROM spec GROUP BY 1),
+ent AS (
+  SELECT s.user_id, any_value(t.kbins) AS kbins,
+         -sum(CASE WHEN s.p > 0
+                   THEN (s.p / t.sp) * ln(s.p / t.sp) ELSE 0 END)
+             / ln(any_value(t.kbins)) AS h
+  FROM spec s JOIN tot t ON s.user_id = t.user_id
+  WHERE t.sp > 0 AND t.kbins >= 2
+  GROUP BY 1)
+SELECT user_id, kbins::BIGINT AS n_bins,
+       round(h, 6) AS spectral_entropy,
+       round(1 - h, 6) AS forecastability
+FROM ent
+""")
+def q_spectral_entropy_by_user(spark, sf_dir):
+    '''Normalized spectral entropy H and Goerg forecastability 1-H per
+    series -- the scalar triage that routes series between the modeling
+    tier (low H: seasonal structure worth fitting) and plain rate
+    aggregation (H near 1: noise).  NumPy rfft under the packed
+    mapInPandas stage; the oracle replays the DFT as per-bin trig sums
+    over the diff-detrended series, DC excluded, one-sided density
+    weights, then the entropy sum
+    (spark_analytics.py:spectral_entropy_table).'''
+    from orange3_timeseries_spark.spark_analytics import (
+        spectral_entropy_table,
+    )
+    out = spectral_entropy_table(_events(spark, sf_dir), "value")
+    return out.select("user_id", "n_bins",
+                      r6(F.col("spectral_entropy"), "spectral_entropy"),
+                      r6(F.col("forecastability"), "forecastability"))

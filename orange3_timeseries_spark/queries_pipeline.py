@@ -3462,3 +3462,29 @@ def q_bigram_pmi_top50(spark, sf_dir):
     (operators/text.py:bigram_pmi)."""
     d = read_table(spark, sf_dir, "documents")
     return T.bigram_pmi(d, "text")
+
+
+@query("compaction_plan_docs", """
+WITH o AS (
+  SELECT source, doc_id,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars
+             AS bin_offset
+  FROM documents)
+SELECT source, doc_id, bin_offset::BIGINT AS bin_offset,
+       CAST(floor(bin_offset / 4000) AS INT) AS bin_id
+FROM o
+""")
+def q_compaction_plan_docs(spark, sf_dir):
+    '''Small-file compaction plan per partition directory: pack docs
+    into ~4000-byte output bins by the Delta/Iceberg OPTIMIZE rule
+    (size-descending order, bin = the target-size slot the item's
+    starting offset falls in).  Pure BIGINT cumsum per directory — one
+    planner window per partition dir, no global sort, no driver state
+    (operators/sharding.py:compaction_plan).'''
+    from orange3_timeseries_spark.operators.sharding import compaction_plan
+
+    d = read_table(spark, sf_dir, "documents")
+    return compaction_plan(d, "doc_id", "n_chars", ["source"],
+                           target_size=4000)

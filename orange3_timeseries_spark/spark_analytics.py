@@ -31,6 +31,7 @@ from orange3_timeseries_spark.functions.granger import granger_causality_arrays
 from orange3_timeseries_spark.functions.spectral import (
     periodogram,
     periodogram_nonequispaced,
+    spectral_entropy,
 )
 
 
@@ -285,6 +286,36 @@ def periodogram_table(tsf: TimeSeriesFrame, col: str, detrend=None,
 
     return _packed_map(tsf, [col], fields, per_series,
                        with_times=not equispaced)
+
+
+def spectral_entropy_table(tsf: TimeSeriesFrame, col: str,
+                           detrend="diff") -> DataFrame:
+    """One row per series: ``(series..., n_bins, spectral_entropy,
+    forecastability)`` — the normalized spectral entropy of the
+    detrended series and Goerg's Ω = 1 − H.  The triage scalar that
+    routes series between the modeling tier (low H → seasonal/ARIMA
+    models will pay off) and plain rate aggregation (H ≈ 1 → the
+    series is noise; don't burn cluster time fitting it).  Same
+    ≥12-observation floor and 'diff' default as
+    :func:`periodogram_table` (reference detrend default,
+    ``functions.py:76``); same packed per-series NumPy execution."""
+    fields = [T.StructField("n_bins", T.LongType()),
+              T.StructField("spectral_entropy", T.DoubleType()),
+              T.StructField("forecastability", T.DoubleType())]
+
+    def per_series(r):
+        x = np.asarray(r[col], dtype=float)
+        xd = x[~np.isnan(x)]
+        if len(xd) < 12:
+            return None
+        h, k = spectral_entropy(xd, detrend=detrend)
+        if not np.isfinite(h):
+            return None
+        return {"n_bins": np.array([k], dtype="int64"),
+                "spectral_entropy": np.array([h]),
+                "forecastability": np.array([1.0 - h])}
+
+    return _packed_map(tsf, [col], fields, per_series)
 
 
 def seasonal_decompose(tsf: TimeSeriesFrame, cols: Sequence[str],
