@@ -163,3 +163,46 @@ def bpe_doc_token_counts(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.sum(F.coalesce(F.col("n_tok"), fallback))
                  .alias("n_tokens")))
+
+
+def bpe_fertility(df: DataFrame, id_col: str, text_col: str,
+                  merges: Sequence[Tuple[str, str]],
+                  max_vocab: int = 50_000,
+                  word_counts: Optional[DataFrame] = None) -> DataFrame:
+    """Per-document tokenizer-quality profile under the given merges:
+    ``(id, n_words, n_tokens, n_unmerged, fertility, unmerged_ratio)``.
+
+    ``fertility`` (tokens per whitespace word) is THE standard
+    tokenizer-fit metric — near 1 means the vocabulary covers the text,
+    high values mean the text fragments into many subwords (wrong
+    domain/language for the merges).  ``n_unmerged`` counts multi-char
+    words the merge list never helped at all (token count == character
+    count) — the OOV-ish tail; ``unmerged_ratio`` divides by the
+    multi-char word count (NULL when a doc has none).
+
+    Same plan shape as :func:`bpe_doc_token_counts`: the replace chain
+    runs over the BOUNDED vocabulary, documents equi-join the broadcast
+    word→count table — exchanges = 2, no Python."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w")) \
+        .where(F.col("w") != "")
+    tok = bpe_token_count_table(df, text_col, merges, max_vocab,
+                                word_counts=word_counts)
+    ntok = F.coalesce(F.col("n_tok"), F.length("w"))
+    multi = F.length("w") > 1
+    unmerged = (multi & (ntok == F.length("w"))).cast("int")
+    agg = (words.join(F.broadcast(tok), "w", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum(ntok).alias("n_tokens"),
+                F.sum(unmerged).alias("n_unmerged"),
+                F.sum(multi.cast("int")).alias("__nm__")))
+    return agg.select(
+        F.col(id_col), F.col("n_words"), F.col("n_tokens"),
+        F.col("n_unmerged").cast("bigint").alias("n_unmerged"),
+        F.round(F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double"), 6).alias("fertility"),
+        F.round(F.col("n_unmerged").cast("double")
+                / F.nullif(F.col("__nm__"), F.lit(0)).cast("double"), 6)
+        .alias("unmerged_ratio"))

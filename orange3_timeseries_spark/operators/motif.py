@@ -1,0 +1,105 @@
+"""Matrix profile: per-window nearest-neighbor distance (motif /
+discord discovery) over ordered series.
+
+The reference's analytics tier finds periodic structure spectrally
+(``functions.py:76-174``); the matrix profile (Yeh et al., ICDM 2016)
+is the time-domain companion: for every length-``m`` subsequence, the
+z-normalized Euclidean distance to its nearest non-trivial neighbor.
+Low profile values = motifs (repeated shapes), high values = discords
+(anomalous shapes) — the standard primitive behind motif mining,
+discord-based anomaly detection, and segmentation.
+
+Spark-first design: rather than porting STOMP's O(n²) single-core
+streaming dot-product recurrence, the profile is expressed as a
+WINDOW-PAIR SELF-JOIN in pure Catalyst — subsequence arrays come from
+one ordered-window ``collect_list`` pass, z-scores are materialized at
+SOURCE, and the pairwise distance is a ``zip_with``/``aggregate`` fold
+over integer micro-units.  Series parallelize across the cluster (one
+shuffle on the series key); within a series the cost is O(n²·m) pairs
+— LINEAR in the number of series, bounded per series by ``max_n``
+(series longer than the cap are dropped loudly, not truncated — the
+same contract as ``operators/trend.py``; past ~10⁴ windows use a
+downsampled copy of the series).
+
+Determinism contract (PLANS.md firewall rules):
+
+- per-window μ and σ round 6 dp at source; z-scores are then single
+  IEEE divisions of identical inputs — bit-identical on any engine.
+- each pair's squared distance accumulates as BIGINT micro-units
+  (``round(Δz²·1e7)`` summed as integers) — order-free and exact, so
+  the nearest-neighbor argmin (min units, lowest index tie-break) is
+  an INTEGER comparison that cannot be flipped by float noise.
+- constant windows (σ = 0, z undefined) are excluded both as query
+  windows and as neighbor candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["matrix_profile"]
+
+
+def matrix_profile(df: DataFrame, time_col: str, value_col: str,
+                   series_cols: Sequence[str], m: int = 8,
+                   exclusion: int | None = None,
+                   max_n: int = 4096) -> DataFrame:
+    """One row per valid subsequence: ``(series..., idx, nn_idx,
+    nn_dist)`` — the z-normalized Euclidean distance and index of the
+    nearest neighbor at least ``exclusion`` positions away (default
+    ``m // 2``, the standard trivial-match exclusion zone).
+
+    ``idx`` is the 0-based window start; windows needing rows past the
+    series end don't exist.  ``nn_dist`` = ``round(sqrt(Σ Δz² ), 6)``
+    over the micro-unit sum."""
+    series_cols = list(series_cols)
+    if exclusion is None:
+        exclusion = m // 2
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    base = df.select(*series_cols, F.col(time_col),
+                     F.col(value_col).cast("double").alias("__x__"))
+    base = (base
+            .withColumn("__i__", F.row_number().over(w) - 1)
+            .withColumn("__n__", F.count(F.lit(1)).over(
+                Window.partitionBy(*series_cols)))
+            .where(F.col("__n__") <= F.lit(max_n)))
+    frame = w.rowsBetween(Window.currentRow, m - 1)
+    mu = F.round(F.avg("__x__").over(frame), 6)
+    sg = F.round(F.stddev_pop("__x__").over(frame), 6)
+    arr = F.collect_list("__x__").over(frame)
+    wins = (base
+            .withColumn("__mu__", mu)
+            .withColumn("__sg__", sg)
+            .withColumn("__a__", arr)
+            .where((F.col("__i__") <= F.col("__n__") - m)
+                   & (F.col("__sg__") > 0))
+            .withColumn("__z__", F.transform(
+                F.col("__a__"),
+                lambda x: (x - F.col("__mu__")) / F.col("__sg__")))
+            .select(*series_cols, F.col("__i__"), F.col("__z__")))
+    a = wins.alias("a")
+    b = wins.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in series_cols]
+    pairs = a.join(b, cond).where(
+        F.abs(F.col("a.__i__") - F.col("b.__i__")) >= F.lit(exclusion))
+    units = F.aggregate(
+        F.zip_with(F.col("a.__z__"), F.col("b.__z__"),
+                   lambda x, y: F.round((x - y) * (x - y) * F.lit(1e7), 0)
+                   .cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    scored = pairs.select(
+        *[F.col(f"a.{c}").alias(c) for c in series_cols],
+        F.col("a.__i__").alias("idx"),
+        F.col("b.__i__").alias("__j__"),
+        units.alias("__u__"))
+    pick = Window.partitionBy(*series_cols, "idx").orderBy(
+        F.asc("__u__"), F.asc("__j__"))
+    return (scored.withColumn("__rk__", F.row_number().over(pick))
+            .where(F.col("__rk__") == 1)
+            .select(*series_cols, "idx",
+                    F.col("__j__").alias("nn_idx"),
+                    F.round(F.sqrt(F.col("__u__") / F.lit(1e7)), 6)
+                    .alias("nn_dist")))

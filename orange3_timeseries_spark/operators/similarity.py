@@ -940,3 +940,71 @@ def centroid_cosine(df: DataFrame, vec_col: str = "embedding",
     return out.select("label_a", "label_b",
                       F.round(cos, 6).alias("cosine"))
 
+
+
+def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 8,
+                   quantize: int = 7) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985) diversity selection over an
+    embedding column — the coreset/diversity-sampling primitive of
+    data curation (pick K maximally-spread exemplars; 2-approximation
+    of the optimal covering radius).  Returns the K selected rows as
+    ``(sel_order, id, sel_dist)`` where ``sel_dist`` is the point's
+    min cosine-distance to the already-selected set at the moment it
+    was picked (monotone non-increasing — the coverage-radius curve;
+    NULL for the seed).
+
+    Deterministic contract: seed = lowest id; each step picks the
+    point with the LARGEST min-distance to the selected set, lowest id
+    on ties; distances are ``round(1 − round(dot, q)/sqrt(nsq_a·nsq_c),
+    6)`` with squared norms rounded at source (``quantize`` dp) — rank
+    cuts on rounded values, the house firewall.  Zero-norm vectors are
+    excluded (cosine undefined).
+
+    Scale: K passes over a persisted skinny ``(id, vec, nsq)``
+    projection, each a Catalyst ``zip_with`` dot against K broadcast
+    literal centers + one TakeOrdered(1) — driver state is K rows (the
+    centers), never the corpus.  K scans of a 100 TB table is the
+    honest cost of exact greedy k-center; for larger K run this on a
+    deterministic hash-sample (``sampling.hash_sample``) first, the
+    standard coreset-of-a-sample construction."""
+    spark = corpus.sparkSession
+    nsq = F.round(F.aggregate(F.transform(F.col("__v__"),
+                                          lambda x: x * x),
+                              F.lit(0.0), lambda a, v: a + v), quantize)
+    base = (corpus.select(F.col(id_col).alias("__id__"),
+                          _as_double(F.col(vec_col)).alias("__v__"))
+            .withColumn("__nsq__", nsq)
+            .where(F.col("__nsq__") > 0)
+            .persist())
+    try:
+        seed = base.orderBy("__id__").limit(1).collect()[0]
+        sel = [(1, seed["__id__"], None)]
+        centers = [(seed["__v__"], seed["__nsq__"])]
+        for step in range(2, k + 1):
+            dists = [
+                F.round(
+                    F.lit(1.0)
+                    - F.round(dot_expr(F.col("__v__"),
+                                       F.array(*[F.lit(float(c))
+                                                 for c in cv])),
+                              quantize)
+                    / F.sqrt(F.col("__nsq__") * F.lit(float(cn))), 6)
+                for cv, cn in centers]
+            mind = dists[0] if len(dists) == 1 else F.least(*dists)
+            picked = [r[1] for r in sel]
+            cand = (base.where(~F.col("__id__").isin(picked))
+                    .select("__id__", "__v__", "__nsq__",
+                            mind.alias("__d__"))
+                    .orderBy(F.desc("__d__"), F.asc("__id__"))
+                    .limit(1).collect())
+            if not cand:
+                break
+            row = cand[0]
+            sel.append((step, row["__id__"], float(row["__d__"])))
+            centers.append((row["__v__"], row["__nsq__"]))
+    finally:
+        base.unpersist()
+    schema = ("sel_order int, {} {}, sel_dist double"
+              .format(id_col, dict(corpus.dtypes)[id_col]))
+    return spark.createDataFrame(sel, schema=schema)

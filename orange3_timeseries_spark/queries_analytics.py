@@ -2078,3 +2078,49 @@ def q_spectral_entropy_by_user(spark, sf_dir):
     return out.select("user_id", "n_bins",
                       r6(F.col("spectral_entropy"), "spectral_entropy"),
                       r6(F.col("forecastability"), "forecastability"))
+
+
+@query("matrix_profile_by_user", """
+WITH s AS (
+  SELECT user_id, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+g AS (SELECT DISTINCT user_id, n FROM s WHERE n <= 4096),
+wi AS (SELECT user_id, unnest(range(0, n - 8 + 1)) AS i FROM g),
+el AS MATERIALIZED (
+  SELECT s.user_id, w.i, s.rn - w.i AS k, s.v
+  FROM s JOIN wi w ON s.user_id = w.user_id
+   AND s.rn BETWEEN w.i AND w.i + 7),
+st AS MATERIALIZED (
+  SELECT user_id, i, round(avg(v), 6) AS mu,
+         round(stddev_pop(v), 6) AS sg
+  FROM el GROUP BY 1, 2),
+z AS MATERIALIZED (
+  SELECT el.user_id, el.i, el.k, (el.v - st.mu) / st.sg AS z
+  FROM el JOIN st ON el.user_id = st.user_id AND el.i = st.i
+  WHERE st.sg > 0),
+pu AS MATERIALIZED (
+  SELECT a.user_id, a.i AS idx, b.i AS j,
+         sum(CAST(round((a.z - b.z) * (a.z - b.z) * 1e7, 0) AS BIGINT))
+             AS u
+  FROM z a JOIN z b ON a.user_id = b.user_id AND a.k = b.k
+  WHERE abs(a.i - b.i) >= 4
+  GROUP BY 1, 2, 3)
+SELECT user_id, idx, j AS nn_idx, round(sqrt(u / 1e7), 6) AS nn_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, idx
+                                   ORDER BY u, j) AS rk FROM pu)
+WHERE rk = 1
+""")
+def q_matrix_profile_by_user(spark, sf_dir):
+    '''Matrix profile (Yeh et al. 2016) per series: for every length-8
+    subsequence, the z-normalized Euclidean distance + index of its
+    nearest non-trivial neighbor (exclusion zone 4) -- motifs score
+    low, discords high.  Window-pair self-join in pure Catalyst;
+    pair distances accumulate as order-free BIGINT micro-units so the
+    argmin is an integer comparison
+    (operators/motif.py:matrix_profile).'''
+    from orange3_timeseries_spark.operators.motif import matrix_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    return matrix_profile(ev, "ts", "value", ["user_id"], m=8)

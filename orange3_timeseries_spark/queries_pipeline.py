@@ -2102,7 +2102,7 @@ v{t + 1} AS MATERIALIZED (
             f"SELECT {t + 1} AS merge_rank, x AS lft, y AS rgt FROM best{t}"
             for t in range(n_merges))
         return f"WITH {body}\n{sel}"
-    return f"""WITH {body},
+    prefix = f"""WITH {body},
 tok AS (SELECT w,
                ((len(s) - len(replace(s, '{S}', ''))) // 2)::INT
                    AS n_tok
@@ -2111,7 +2111,23 @@ docw AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                             x -> x != '')) AS w
-  FROM documents)
+  FROM documents)"""
+    if final == "fertility":
+        unm = ("CASE WHEN len(d.w) > 1 AND coalesce(t.n_tok, len(d.w))"
+               " = len(d.w) THEN 1 ELSE 0 END")
+        return f"""{prefix}
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(coalesce(t.n_tok, len(d.w)))::BIGINT AS n_tokens,
+       sum({unm})::BIGINT AS n_unmerged,
+       round(sum(coalesce(t.n_tok, len(d.w)))::DOUBLE
+             / count(*)::DOUBLE, 6) AS fertility,
+       round(sum({unm})::DOUBLE
+             / nullif(sum(CASE WHEN len(d.w) > 1 THEN 1 ELSE 0 END),
+                      0)::DOUBLE, 6) AS unmerged_ratio
+FROM docw d LEFT JOIN tok t USING (w)
+GROUP BY d.doc_id"""
+    return f"""{prefix}
 SELECT d.doc_id, sum(coalesce(t.n_tok, len(d.w)))::BIGINT AS n_tokens
 FROM docw d LEFT JOIN tok t USING (w)
 GROUP BY d.doc_id"""
@@ -3488,3 +3504,92 @@ def q_compaction_plan_docs(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return compaction_plan(d, "doc_id", "n_chars", ["source"],
                            target_size=4000)
+
+
+@query("bpe_fertility_by_doc", _bpe_train_sql(final="fertility"))
+def q_bpe_fertility_by_doc(spark, sf_dir):
+    '''Per-document tokenizer fit under the corpus-trained 16-merge
+    BPE: fertility (tokens per word — near 1 = vocabulary covers the
+    text), the unmerged multi-char word count (the OOV-ish tail the
+    merges never touched), and its ratio.  Same exchanges=2 broadcast
+    plan as bpe_doc_token_counts; the oracle re-derives the merges and
+    replays the per-word token-count join with the same integer
+    ratios (operators/bpe.py:bpe_fertility).'''
+    from orange3_timeseries_spark.operators.bpe import (
+        bpe_fertility,
+        train_bpe,
+        word_count_table,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    wc = word_count_table(d, "text").localCheckpoint()
+    merges = train_bpe(d, "text", n_merges=16, word_counts=wc)
+    return bpe_fertility(d, "doc_id", "text", merges, word_counts=wc)
+
+
+def _kcenter_sql(k=8):
+    """Unrolled Gonzalez greedy k-center replay: seed = lowest id, then
+    per step the farthest point (max min-cosine-distance to the
+    selected set, rounded 6 dp, lowest id ties), with each step's dot
+    products and squared norms rounded 7 dp exactly as the engine does
+    (operators/similarity.py:kcenter_select)."""
+    stages = ["""x AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS MATERIALIZED (
+  SELECT vec_id, u.i AS dim, v[u.i] AS val
+  FROM x, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u),
+nq AS MATERIALIZED (
+  SELECT vec_id, round(sum(val * val), 7) AS nsq FROM el GROUP BY 1
+  HAVING round(sum(val * val), 7) > 0),
+c1 AS MATERIALIZED (SELECT min(vec_id) AS cid FROM nq),
+md1 AS MATERIALIZED (
+  SELECT e.vec_id,
+         round(1 - round(sum(e.val * ce.val), 7)
+               / sqrt(any_value(ne.nsq) * any_value(nc.nsq)), 6) AS dist
+  FROM el e
+  JOIN c1 ON TRUE
+  JOIN el ce ON ce.vec_id = c1.cid AND ce.dim = e.dim
+  JOIN nq ne ON ne.vec_id = e.vec_id
+  JOIN nq nc ON nc.vec_id = c1.cid
+  GROUP BY e.vec_id)"""]
+    excl = ["(SELECT cid FROM c1)"]
+    for t in range(1, k):
+        not_in = " AND ".join(f"vec_id != {e}" for e in excl)
+        stages.append(f"""m{t} AS MATERIALIZED (
+  SELECT vec_id, dist FROM md{t}
+  WHERE {not_in}
+  ORDER BY dist DESC, vec_id ASC LIMIT 1)""")
+        excl.append(f"(SELECT vec_id FROM m{t})")
+        if t < k - 1:
+            stages.append(f"""d{t + 1} AS MATERIALIZED (
+  SELECT e.vec_id,
+         round(1 - round(sum(e.val * ce.val), 7)
+               / sqrt(any_value(ne.nsq) * any_value(nc.nsq)), 6) AS dist
+  FROM el e
+  JOIN m{t} ON TRUE
+  JOIN el ce ON ce.vec_id = m{t}.vec_id AND ce.dim = e.dim
+  JOIN nq ne ON ne.vec_id = e.vec_id
+  JOIN nq nc ON nc.vec_id = m{t}.vec_id
+  GROUP BY e.vec_id),
+md{t + 1} AS MATERIALIZED (
+  SELECT md.vec_id, least(md.dist, d.dist) AS dist
+  FROM md{t} md JOIN d{t + 1} d USING (vec_id))""")
+    body = ",\n".join(stages)
+    sel = ["SELECT 1 AS sel_order, cid AS vec_id,"
+           " CAST(NULL AS DOUBLE) AS sel_dist FROM c1"]
+    sel += [f"SELECT {t + 1}, vec_id, dist FROM m{t}"
+            for t in range(1, k)]
+    return f"WITH {body}\n" + "\nUNION ALL ".join(sel)
+
+
+@query("kcenter_diversity_sample", _kcenter_sql())
+def q_kcenter_diversity_sample(spark, sf_dir):
+    '''Greedy k-center (Gonzalez) diversity selection over the
+    embedding table — the coreset primitive of data curation: 8
+    maximally-spread exemplars with the coverage-radius curve
+    (each pick's min cosine-distance to the already-selected set).
+    K persisted-projection scans + TakeOrdered(1) per step, driver
+    state = K center rows; the oracle unrolls all 8 greedy steps
+    (operators/similarity.py:kcenter_select).'''
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.kcenter_select(e, "embedding", "vec_id", k=8)
