@@ -129,3 +129,75 @@ def profile_grouped(df: DataFrame, value_col: str,
         F.col("__qs__")[0].alias("p25"),
         F.col("__qs__")[1].alias("p50"),
         F.col("__qs__")[2].alias("p75"))
+
+
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        group_cols: Sequence[str],
+                        bins: int = 256,
+                        probs: Sequence[float] = (0.25, 0.5, 0.75,
+                                                  0.9, 0.99)) -> DataFrame:
+    """Mergeable-histogram approximate quantiles — the 100 TB
+    alternative to exact ``percentile`` (a full sort per group) and to
+    ``percentile_approx`` (whose KLL-style sketch is
+    merge-order-dependent and therefore unreplayable): two aggregation
+    passes, both map-combinable, with a DETERMINISTIC estimate.
+
+    Pass 1: per-group min/max/count.  Pass 2: fixed equi-width binning
+    (``floor((x−min)/width)``, clamped), integer bin counts.  The
+    p-quantile interpolates uniformly inside the first bin whose
+    cumulative count reaches ``p·n``:
+
+        ``q = min + width · (bin + (p·n − cum_before)/bin_count)``
+
+    Integer counts are bit-exact on any engine; the estimate is plain
+    IEEE arithmetic over them, so the SQL replay hashes identically.
+    Error is bounded by one bin width (``(max−min)/bins``) — the
+    documented trade for determinism + mergeability.  Degenerate
+    groups (``max == min``) emit the constant for every p.
+
+    One row per (group..., prob): ``(group..., prob, n_values,
+    quantile)``."""
+    group_cols = list(group_cols)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(*group_cols, x.alias("__x__"))
+    ext = base.groupBy(*group_cols).agg(
+        F.min("__x__").alias("__mn__"), F.max("__x__").alias("__mx__"),
+        F.count(F.lit(1)).alias("__n__"))
+    width = (F.col("__mx__") - F.col("__mn__")) / F.lit(float(bins))
+    binned = (base.join(F.broadcast(ext), group_cols)
+              .withColumn("__b__", F.when(
+                  F.col("__mx__") == F.col("__mn__"), F.lit(0))
+                  .otherwise(F.least(
+                      F.floor((F.col("__x__") - F.col("__mn__")) / width),
+                      F.lit(bins - 1)).cast("int"))))
+    counts = binned.groupBy(*group_cols, "__b__").agg(
+        F.count(F.lit(1)).alias("__c__"))
+    from pyspark.sql import Window
+    cw = (Window.partitionBy(*group_cols).orderBy("__b__")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (counts
+           .withColumn("__cum__", F.sum("__c__").over(cw))
+           .join(F.broadcast(ext), group_cols))
+    rows = []
+    for p in probs:
+        t = F.lit(float(p)) * F.col("__n__").cast("double")
+        hit = (F.col("__cum__").cast("double") >= t) \
+            & ((F.col("__cum__") - F.col("__c__")).cast("double") < t)
+        frac = (t - (F.col("__cum__") - F.col("__c__")).cast("double")) \
+            / F.col("__c__").cast("double")
+        q = F.when(F.col("__mx__") == F.col("__mn__"), F.col("__mn__")) \
+            .otherwise(F.col("__mn__")
+                       + width * (F.col("__b__").cast("double") + frac))
+        rows.append(F.when(hit, F.struct(
+            F.lit(float(p)).alias("prob"),
+            F.round(q, 6).alias("quantile"))))
+    exploded = (cum.select(*group_cols, F.col("__n__"),
+                           F.explode(F.array(*rows)).alias("__e__"))
+                .where(F.col("__e__").isNotNull()))
+    # the hit condition cum_before < p*n <= cum holds for exactly one
+    # present bin per p (cumulative ranges are disjoint), so no dedup
+    # stage is needed
+    return exploded.select(
+        *group_cols, F.col("__e__.prob").alias("prob"),
+        F.col("__n__").alias("n_values"),
+        F.col("__e__.quantile").alias("quantile"))

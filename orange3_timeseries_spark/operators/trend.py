@@ -53,7 +53,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall", "theil_sen", "pettitt_test",
+__all__ = ["mann_kendall", "theil_sen", "pettitt_test", "binseg_changepoints",
            "NORMAL_TWO_SIDED"]
 
 #: two-sided standard-normal critical values (Φ^{-1}(1 − α/2))
@@ -196,6 +196,47 @@ def theil_sen(df: DataFrame, time_col: str, value_col: str,
         F.round(_lower_median(F.col("__levels__")), 6).alias("intercept"))
 
 
+def _pettitt_core(base: DataFrame, part_cols: Sequence[str]) -> DataFrame:
+    """Pettitt machinery over ``(part_cols..., __t__, __y__)`` rows:
+    one row per partition with ``(part_cols..., __n__, __k__, __tt__,
+    __ts__, __p6__)`` — max-|U| statistic, its 1-based position and
+    timestamp (earliest on ties), and the rounded closed-form p-value.
+    Shared by :func:`pettitt_test` (whole series) and
+    :func:`binseg_changepoints` (per segment)."""
+    part_cols = list(part_cols)
+    pw = Window.partitionBy(*part_cols)
+    # average rank of each value within its partition
+    rk = F.rank().over(pw.orderBy(F.col("__y__").asc()))
+    tie_n = F.count(F.lit(1)).over(
+        Window.partitionBy(*part_cols, F.col("__y__")))
+    b = base.withColumn(
+        "__r__", rk + (tie_n - F.lit(1)) / F.lit(2.0))
+    # (ts, y) ordering: equal-timestamp rows with equal y are
+    # interchangeable (equal average rank → identical prefix sums), so
+    # the y tie-break makes the cumulative path engine-deterministic
+    ow = (pw.orderBy(F.col("__t__").asc(), F.col("__y__").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = (b
+         .withColumn("__cr__", F.sum("__r__").over(ow))
+         .withColumn("__tt__", F.row_number().over(
+             pw.orderBy(F.col("__t__").asc(), F.col("__y__").asc())))
+         .withColumn("__n__", F.count(F.lit(1)).over(pw)))
+    n = F.col("__n__").cast("double")
+    u = 2 * F.col("__cr__") - F.col("__tt__") * (n + 1)
+    cand = (b.where(F.col("__tt__") < F.col("__n__"))
+            .withColumn("__u__", F.abs(u)))
+    best = Window.partitionBy(*part_cols).orderBy(
+        F.col("__u__").desc(), F.col("__tt__").asc())
+    top = (cand.withColumn("__rn__", F.row_number().over(best))
+           .where(F.col("__rn__") == 1))
+    k = F.col("__u__")
+    p6 = F.round(F.least(F.lit(1.0),
+                         2 * F.exp(-6 * k * k / (n * n * n + n * n))), 6)
+    return top.select(*part_cols, F.col("__n__"), k.alias("__k__"),
+                      F.col("__tt__"), F.col("__t__").alias("__ts__"),
+                      p6.alias("__p6__"))
+
+
 def pettitt_test(df: DataFrame, time_col: str, value_col: str,
                  series_cols: Sequence[str]) -> DataFrame:
     """Pettitt rank-based change-point test per series: ``(series...,
@@ -209,44 +250,77 @@ def pettitt_test(df: DataFrame, time_col: str, value_col: str,
     quantize parameter is needed anywhere before the final p-value
     rounding."""
     series_cols = list(series_cols)
-    pw = Window.partitionBy(*series_cols)
     base = (df.where(F.col(value_col).isNotNull())
             .select(*series_cols, F.col(time_col).alias("__t__"),
                     F.col(value_col).cast("double").alias("__y__")))
-    # average rank of each value within its series
-    rk = F.rank().over(pw.orderBy(F.col("__y__").asc()))
-    tie_n = F.count(F.lit(1)).over(
-        Window.partitionBy(*series_cols, F.col("__y__")))
-    base = base.withColumn(
-        "__r__", rk + (tie_n - F.lit(1)) / F.lit(2.0))
-    # (ts, y) ordering: equal-timestamp rows with equal y are
-    # interchangeable (equal average rank → identical prefix sums), so
-    # the y tie-break makes the cumulative path engine-deterministic
-    ow = (pw.orderBy(F.col("__t__").asc(), F.col("__y__").asc())
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    base = (base
-            .withColumn("__cr__", F.sum("__r__").over(ow))
-            .withColumn("__tt__", F.row_number().over(
-                pw.orderBy(F.col("__t__").asc(), F.col("__y__").asc())))
-            .withColumn("__n__", F.count(F.lit(1)).over(pw)))
-    n = F.col("__n__").cast("double")
-    u = 2 * F.col("__cr__") - F.col("__tt__") * (n + 1)
-    cand = (base.where(F.col("__tt__") < F.col("__n__"))
-            .withColumn("__u__", F.abs(u)))
-    best = Window.partitionBy(*series_cols).orderBy(
-        F.col("__u__").desc(), F.col("__tt__").asc())
-    top = (cand.withColumn("__rn__", F.row_number().over(best))
-           .where(F.col("__rn__") == 1))
-    k = F.col("__u__")
-    p = F.least(F.lit(1.0),
-                2 * F.exp(-6 * k * k / (n * n * n + n * n)))
-    p6 = F.round(p, 6)
+    top = _pettitt_core(base, series_cols)
     return top.select(
         *series_cols, F.col("__n__").cast("long").alias("n_obs"),
-        k.alias("k_stat"),
-        F.col("__t__").alias("change_ts"),
-        p6.alias("p_value"),
-        (p6 < F.lit(0.05)).alias("significant_5pct"))
+        F.col("__k__").alias("k_stat"),
+        F.col("__ts__").alias("change_ts"),
+        F.col("__p6__").alias("p_value"),
+        (F.col("__p6__") < F.lit(0.05)).alias("significant_5pct"))
+
+
+def binseg_changepoints(df: DataFrame, time_col: str, value_col: str,
+                        series_cols: Sequence[str],
+                        min_seg: int = 5) -> DataFrame:
+    """Multiple change-point detection by depth-2 binary segmentation
+    (Scott & Knott 1974 / the standard binseg recursion) over the
+    Pettitt statistic: test the whole series; where the level-1 split
+    is significant (p < 0.05), re-test each side independently.  Up to
+    three rows per series: ``(series..., level, segment, n_obs, k_stat,
+    change_ts, p_value, significant_5pct)`` — level 1 is the whole
+    series (segment 0), level 2 the left/right segments (0/1).
+
+    A side is re-tested only when it holds at least ``2·min_seg``
+    observations (a split needs ``min_seg`` on each side to mean
+    anything).  Insignificant level-1 series emit their level-1 row
+    only — the binseg stopping rule.
+
+    Determinism: U statistics are exact half-integer arithmetic (see
+    :func:`pettitt_test`); the segment boundary is the level-1 argmax
+    POSITION (integer), so level-2 partitions are integer-derived —
+    nothing float crosses the recursion boundary.  Scale: two window
+    passes per level over the same series-key shuffle; the level-2
+    pass works on (series, segment) sub-partitions of the identical
+    data — one extra skinny join against the level-1 result."""
+    series_cols = list(series_cols)
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*series_cols, F.col(time_col).alias("__t__"),
+                    F.col(value_col).cast("double").alias("__y__")))
+    top1 = _pettitt_core(base, series_cols)
+    lvl1 = top1.select(
+        *series_cols, F.lit(1).alias("level"), F.lit(0).alias("segment"),
+        F.col("__n__").cast("long").alias("n_obs"),
+        F.col("__k__").alias("k_stat"),
+        F.col("__ts__").alias("change_ts"),
+        F.col("__p6__").alias("p_value"),
+        (F.col("__p6__") < F.lit(0.05)).alias("significant_5pct"))
+    splits = top1.where(F.col("__p6__") < F.lit(0.05)).select(
+        *series_cols, F.col("__tt__").alias("__k1__"),
+        F.col("__n__").alias("__n1__"))
+    rtt = F.row_number().over(
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("__t__").asc(), F.col("__y__").asc()))
+    seg = F.when(F.col("__rtt__") <= F.col("__k1__"), 0).otherwise(1)
+    seg_len = F.when(F.col("__seg__") == 0, F.col("__k1__")) \
+        .otherwise(F.col("__n1__") - F.col("__k1__"))
+    base2 = (base.withColumn("__rtt__", rtt)
+             .join(splits, series_cols)
+             .withColumn("__seg__", seg)
+             .where(seg_len >= F.lit(2 * min_seg))
+             .select(*series_cols, "__seg__", "__t__", "__y__"))
+    top2 = _pettitt_core(base2, series_cols + ["__seg__"])
+    lvl2 = top2.select(
+        *series_cols, F.lit(2).alias("level"),
+        F.col("__seg__").cast("int").alias("segment"),
+        F.col("__n__").cast("long").alias("n_obs"),
+        F.col("__k__").alias("k_stat"),
+        F.col("__ts__").alias("change_ts"),
+        F.col("__p6__").alias("p_value"),
+        (F.col("__p6__") < F.lit(0.05)).alias("significant_5pct"))
+    return lvl1.unionByName(lvl2)
 
 
 def seasonal_mann_kendall(df: DataFrame, time_col: str, value_col: str,

@@ -2124,3 +2124,146 @@ def q_matrix_profile_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return matrix_profile(ev, "ts", "value", ["user_id"], m=8)
+
+
+def _ensemble_sql(origins=(18, 22, 26), horizon=4, season=7):
+    """Inverse-MAE forecast-combination replay: per-origin absolute
+    errors as exact BIGINT micro-units (never a rounded mean — sums of
+    6-dp values over small integer divisors sit exactly on decimal
+    rounding boundaries, the one class where Spark's shortest-string
+    HALF_UP and a binary-value round systematically disagree), mean
+    MAE as plain IEEE division of the integer sum, ``1/(mae+1e-6)``
+    weights, fixed naive+drift+snaive accumulation — exactly
+    operators/backtest.py:ensemble_forecast."""
+    def pred(model, t, h):
+        if model == "naive":
+            return f"arr[{t}]"
+        if model == "drift":
+            return (f"(arr[{t}] + {h}.0 * (arr[{t}] - arr[1])"
+                    f" / ({t} - 1))")
+        return f"arr[{t} + {h} - {season}]"
+
+    def units(model, t):
+        return " + ".join(
+            f"CAST(round(abs({pred(model, t, h)} - arr[{t} + {h}])"
+            f" * 1e6, 0) AS BIGINT)"
+            for h in range(1, horizon + 1))
+
+    per = []
+    for t in origins:
+        per.append(f"""SELECT user_id, n,
+       {units('naive', t)} AS un,
+       {units('drift', t)} AS ud,
+       {units('snaive', t)} AS us
+FROM p WHERE n >= {t + horizon}""")
+    perorigin = "\nUNION ALL ".join(per)
+    fcs = []
+    for h in range(1, horizon + 1):
+        fn = "arr[n]"
+        fd = f"(arr[n] + {h}.0 * (arr[n] - arr[1]) / (n - 1))"
+        fs = f"arr[n + {h} - {season}]"
+        num = f"(wn * {fn} + wd * {fd} + ws * {fs})"
+        fcs.append(f"""SELECT user_id, {h} AS step,
+       round({fn}, 6) AS fc_naive, round({fd}, 6) AS fc_drift,
+       round({fs}, 6) AS fc_snaive,
+       round(wn, 6) AS w_naive, round(wd, 6) AS w_drift,
+       round(ws, 6) AS w_snaive,
+       round({num} / (wn + wd + ws), 6) AS fc_ensemble
+FROM f""")
+    body = "\nUNION ALL ".join(fcs)
+    hz = f"{horizon}.0"
+    return f"""
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  round(avg(value), 6) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT user_id, list(x ORDER BY day) AS arr, count(*) AS n
+      FROM d GROUP BY 1),
+perorigin AS (
+{perorigin}),
+sc AS (SELECT user_id, sum(un) AS sn, sum(ud) AS sd, sum(us) AS ss,
+              count(*) AS cnt
+       FROM perorigin GROUP BY 1),
+f AS (SELECT p.user_id, p.arr, p.n,
+             1.0 / ((sc.sn::DOUBLE / ({hz} * sc.cnt::DOUBLE)) / 1e6
+                    + 1e-6) AS wn,
+             1.0 / ((sc.sd::DOUBLE / ({hz} * sc.cnt::DOUBLE)) / 1e6
+                    + 1e-6) AS wd,
+             1.0 / ((sc.ss::DOUBLE / ({hz} * sc.cnt::DOUBLE)) / 1e6
+                    + 1e-6) AS ws
+      FROM p JOIN sc ON p.user_id = sc.user_id)
+{body}"""
+
+
+@query("forecast_ensemble_by_user", _ensemble_sql())
+def q_forecast_ensemble_by_user(spark, sf_dir):
+    '''Inverse-MAE forecast combination (Bates-Granger) of the three
+    closed-form baselines over each user's daily-mean series: rolling-
+    origin backtest MAEs (cutoffs 18/22/26, horizon 4) set the weights,
+    the combined 4-step forecast launches from the series end.  The
+    pipeline-scale default when per-series model selection is too
+    expensive -- combination beat every single model in M4
+    (operators/backtest.py:ensemble_forecast).'''
+    from orange3_timeseries_spark.operators.backtest import (
+        ensemble_forecast,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("value").isNotNull())
+             .groupBy("user_id", F.date_trunc("day", F.col("ts"))
+                      .alias("day"))
+             # round-at-source firewall: packed array elements must be
+             # identical doubles on both engines before the closed-form
+             # forecast arithmetic
+             .agg(F.round(F.avg("value"), 6).alias("x")))
+    return ensemble_forecast(daily, "x", "day", ["user_id"],
+                             origins=(18, 22, 26), horizon=4, season=7)
+
+
+@query("approx_quantiles_by_type", """
+WITH base AS (
+  SELECT event_type, value::DOUBLE AS x FROM events
+  WHERE value IS NOT NULL),
+ext AS (
+  SELECT event_type, min(x) AS mn, max(x) AS mx, count(*) AS n
+  FROM base GROUP BY 1),
+b AS (
+  SELECT base.event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((x - mn) / ((mx - mn) / 256.0))
+                              AS INT), 255) END AS bin
+  FROM base JOIN ext USING (event_type)),
+c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+cm AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c),
+j AS (SELECT cm.*, ext.mn, ext.mx, ext.n
+      FROM cm JOIN ext USING (event_type)),
+q AS (
+  SELECT event_type, p, n,
+         CASE WHEN mx = mn THEN mn
+              ELSE mn + ((mx - mn) / 256.0)
+                   * (bin + (p * n - ((cum - c)::DOUBLE)) / (c::DOUBLE))
+         END AS q
+  FROM j CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.9,
+                                  0.99]::DOUBLE[]) AS p)
+  WHERE cum::DOUBLE >= p * n AND (cum - c)::DOUBLE < p * n)
+SELECT event_type, p AS prob, n::BIGINT AS n_values,
+       round(q, 6) AS quantile
+FROM q
+""")
+def q_approx_quantiles_by_type(spark, sf_dir):
+    '''Mergeable-histogram approximate quantiles per event_type -- the
+    100 TB alternative to exact percentile sorts AND to
+    percentile_approx (whose sketch is merge-order-dependent and
+    unreplayable): two map-combinable aggregation passes, fixed
+    equi-width bins, deterministic within-bin interpolation, error
+    bounded by one bin width (operators/profile.py:
+    histogram_quantiles).'''
+    from orange3_timeseries_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", ["event_type"], bins=256)

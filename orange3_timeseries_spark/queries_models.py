@@ -1786,3 +1786,86 @@ def q_conformal_ar1_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return conformal_ar1_interval(ev, "ts", "value", ["user_id"])
+
+
+@query("binseg_changepoints_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS y
+  FROM events WHERE value IS NOT NULL),
+rk1 AS (
+  SELECT user_id, ts, y,
+         rank() OVER (PARTITION BY user_id ORDER BY y)
+           + (count(*) OVER (PARTITION BY user_id, y) - 1) / 2.0 AS rr
+  FROM base),
+c1 AS (
+  SELECT user_id, ts, y,
+         sum(rr) OVER (PARTITION BY user_id ORDER BY ts, y
+                       ROWS UNBOUNDED PRECEDING) AS cr,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, y) AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM rk1),
+u1 AS (SELECT user_id, ts, t, n, n::DOUBLE AS nd,
+              abs(2 * cr - t * (n::DOUBLE + 1)) AS uu
+       FROM c1 WHERE t < n),
+b1 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY uu DESC, t) AS rn
+       FROM u1),
+l1 AS (SELECT user_id, n, uu, ts, t AS k1,
+              round(least(1.0, 2 * exp(-6 * uu * uu
+                                       / (nd*nd*nd + nd*nd))), 6) AS p6
+       FROM b1 WHERE rn = 1),
+seg AS (
+  SELECT c1.user_id, c1.ts, c1.y,
+         CASE WHEN c1.t <= l1.k1 THEN 0 ELSE 1 END AS sg,
+         CASE WHEN c1.t <= l1.k1 THEN l1.k1 ELSE c1.n - l1.k1 END AS slen
+  FROM c1 JOIN l1 ON c1.user_id = l1.user_id
+  WHERE l1.p6 < 0.05),
+base2 AS (SELECT user_id, sg, ts, y FROM seg WHERE slen >= 10),
+rk2 AS (
+  SELECT user_id, sg, ts, y,
+         rank() OVER (PARTITION BY user_id, sg ORDER BY y)
+           + (count(*) OVER (PARTITION BY user_id, sg, y) - 1) / 2.0
+             AS rr
+  FROM base2),
+c2 AS (
+  SELECT user_id, sg, ts,
+         sum(rr) OVER (PARTITION BY user_id, sg ORDER BY ts, y
+                       ROWS UNBOUNDED PRECEDING) AS cr,
+         row_number() OVER (PARTITION BY user_id, sg
+                            ORDER BY ts, y) AS t,
+         count(*) OVER (PARTITION BY user_id, sg) AS n
+  FROM rk2),
+u2 AS (SELECT user_id, sg, ts, t, n, n::DOUBLE AS nd,
+              abs(2 * cr - t * (n::DOUBLE + 1)) AS uu
+       FROM c2 WHERE t < n),
+b2 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sg
+                                    ORDER BY uu DESC, t) AS rn
+       FROM u2),
+l2 AS (SELECT user_id, sg, n, uu, ts,
+              round(least(1.0, 2 * exp(-6 * uu * uu
+                                       / (nd*nd*nd + nd*nd))), 6) AS p6
+       FROM b2 WHERE rn = 1)
+SELECT user_id, 1 AS level, 0 AS segment, n::BIGINT AS n_obs,
+       uu AS k_stat, ts AS change_ts, p6 AS p_value,
+       p6 < 0.05 AS significant_5pct
+FROM l1
+UNION ALL
+SELECT user_id, 2 AS level, sg AS segment, n::BIGINT, uu, ts, p6,
+       p6 < 0.05
+FROM l2
+""")
+def q_binseg_changepoints_by_user(spark, sf_dir):
+    """Depth-2 binary segmentation over the Pettitt statistic per
+    series: the whole-series test, then — where the level-1 split is
+    significant — an independent re-test of each side (the binseg
+    stopping rule; sides shorter than 2·min_seg=10 are not re-tested).
+    Up to three change points per series from exact half-integer rank
+    arithmetic; the segment boundary crossing the recursion is the
+    INTEGER argmax position, so nothing float feeds level 2
+    (operators/trend.py:binseg_changepoints)."""
+    from orange3_timeseries_spark.operators.trend import (
+        binseg_changepoints,
+    )
+
+    df = read_table(spark, sf_dir, "events")
+    return binseg_changepoints(df, "ts", "value", ["user_id"], min_seg=5)
