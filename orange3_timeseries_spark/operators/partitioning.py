@@ -288,3 +288,51 @@ def zorder_repartition(df: DataFrame, x_col: str, y_col: str,
 
 
 __all__ += ["zorder_key", "zorder_repartition"]
+
+
+def hilbert_key(x_col, y_col, order: int = 16):
+    """Hilbert-curve index of two non-negative integer dimensions
+    (low ``order`` bits each) — the locality-preserving alternative to
+    :func:`zorder_key`: the Hilbert curve has NO long diagonal jumps,
+    so consecutive key ranges cover tighter rectangles and file min/max
+    stats prune measurably better than Morton on range predicates
+    (the reason Databricks liquid clustering moved off Z-order).
+
+    The classic xy→d bit transform (Hilbert 1891; iterative form of
+    the Wikipedia ``xy2d``): per level ``s = 2^(order−1) … 1``, take
+    quadrant bits ``rx/ry``, accumulate ``s²·((3rx) XOR ry)``, and
+    rotate/reflect the frame.  Implemented as ONE ``aggregate`` fold
+    over the literal level array with a ``(x, y, d)`` struct
+    accumulator — pure integer Catalyst expressions, one compact
+    codegen body (the unrolled 16-level projection would flirt with
+    the 64KB method limit), no UDF.  2·16 bits keeps d inside int64
+    with room; callers quantize wider dimensions first, as with
+    Z-order."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << order) - 1
+    x0 = F.col(x_col).cast("long").bitwiseAND(F.lit(mask))
+    y0 = F.col(y_col).cast("long").bitwiseAND(F.lit(mask))
+    levels = F.array(*[F.lit(1 << i).cast("long")
+                       for i in range(order - 1, -1, -1)])
+
+    def step(acc, s):
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        d2 = d + s * s * ((F.lit(3).cast("long") * rx).bitwiseXOR(ry))
+        flip = (ry == 0) & (rx == 1)
+        tx = F.when(flip, s - 1 - x).otherwise(x)
+        ty = F.when(flip, s - 1 - y).otherwise(y)
+        nx = F.when(ry == 0, ty).otherwise(tx)
+        ny = F.when(ry == 0, tx).otherwise(ty)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    init = F.struct(x0.alias("x"), y0.alias("y"),
+                    F.lit(0).cast("long").alias("d"))
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+__all__ += ["hilbert_key"]

@@ -2267,3 +2267,86 @@ def q_approx_quantiles_by_type(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return histogram_quantiles(ev, "value", ["event_type"], bins=256)
+
+
+@query("hilbert_events", """
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         user_id & 65535 AS x0,
+         (epoch_us(ts) // 3600000000) & 65535 AS y0
+  FROM events),
+rec AS (
+  SELECT event_id, x0::BIGINT AS x, y0::BIGINT AS y,
+         0::BIGINT AS d, 32768::BIGINT AS s
+  FROM pts
+  UNION ALL
+  SELECT event_id,
+         CASE WHEN (y & s) = 0 THEN
+              (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN (y & s) = 0 THEN
+              (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+              ELSE y END AS y,
+         d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                         CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+         s // 2 AS s
+  FROM rec WHERE s > 0)
+SELECT event_id, d AS hkey
+FROM rec WHERE s = 0
+""")
+def q_hilbert_events(spark, sf_dir):
+    '''Hilbert-curve clustering key over (user_id, event hour) -- the
+    locality-preserving upgrade of zorder_events: no diagonal jumps,
+    so consecutive key ranges cover tighter rectangles and file
+    min/max stats prune better on range predicates.  One integer
+    aggregate-fold over the 16 levels (pure Catalyst, compact codegen
+    body); the oracle replays the xy->d bit transform as a recursive
+    CTE carrying (x, y, d, s) -- bit-exact int64 arithmetic
+    (operators/partitioning.py:hilbert_key).'''
+    from orange3_timeseries_spark.operators.partitioning import (
+        hilbert_key,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    keyed = ev.select("event_id",
+                      F.col("user_id").alias("__hx__"),
+                      hour.alias("__hy__"))
+    return keyed.select("event_id",
+                        hilbert_key("__hx__", "__hy__", 16).alias("hkey"))
+
+
+@query("risk_metrics_by_user", """
+WITH base AS (
+  SELECT user_id, ts, value::DOUBLE AS v FROM events
+  WHERE value IS NOT NULL AND value > 0),
+r AS (
+  SELECT user_id,
+         round(ln(v / lag(v) OVER w), 6) AS r,
+         round(1.0 - v / max(v) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING), 6)
+             AS dd
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+a AS (
+  SELECT user_id, count(r) AS n, round(avg(r), 6) AS m,
+         round(stddev_pop(r), 6) AS s, max(dd) AS mdd
+  FROM r GROUP BY 1)
+SELECT user_id, n::BIGINT AS n_returns, m AS mean_return,
+       s AS volatility,
+       CASE WHEN s > 0 THEN round(m / s, 6) END AS sharpe,
+       mdd AS max_drawdown
+FROM a WHERE n >= 8
+""")
+def q_risk_metrics_by_user(spark, sf_dir):
+    '''Per-series financial risk trio over the value path: log-return
+    volatility, per-period Sharpe ratio, maximum drawdown -- the
+    metrics a risk user derives from the price series the reference's
+    finance connector fetches.  Log returns and per-row drawdowns
+    round 6 dp at SOURCE (ln is the one libm call), so the
+    running-max/drawdown selection compares identical doubles; one
+    ordered-window pass + one groupBy, exchanges=1
+    (operators/risk.py:risk_metrics).'''
+    from orange3_timeseries_spark.operators.risk import risk_metrics
+
+    ev = read_table(spark, sf_dir, "events")
+    return risk_metrics(ev, "ts", "value", ["user_id"])
