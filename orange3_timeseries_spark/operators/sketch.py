@@ -100,6 +100,62 @@ def hll_merge(*register_dfs: DataFrame, p: int = 10,
             .agg(F.max("max_rho").alias("max_rho")))
 
 
+def hll_overlap(df: DataFrame, key_col: str, group_col: str,
+                p: int = 10) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups by HLL
+    inclusion-exclusion: ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``, with
+    the union estimated from the MERGED registers (max per register) —
+    no second corpus pass, the defining sketch property.  One row per
+    unordered group pair: ``(group_a, group_b, est_a, est_b,
+    est_union, overlap_est, jaccard_est)``.
+
+    The overlap estimate inherits ~3× the base standard error (three
+    estimates subtract), so p should be ≥ 8 and small overlaps read as
+    noise — the standard caveat, worth it because the alternative is a
+    distinct-join per pair.  Scale: the corpus is touched ONCE
+    (register build); the pair stage runs on groups² × m register rows
+    — groups is a small dimension by construction (sources, days,
+    shards).  Overlap clamps at 0; jaccard divides the clamped
+    overlap by the union estimate."""
+    # pin the register table: it feeds the per-group estimates AND both
+    # sides of the pair-union stage — without the checkpoint the corpus
+    # hash pass re-runs once per consumer (observed 17-Exchange plan)
+    regs = hll_registers(df, key_col, p=p, group_cols=(group_col,)) \
+        .localCheckpoint(eager=True)
+    est = hll_estimate(regs, p=p, group_cols=(group_col,),
+                       out_col="__est__")
+    ga = est.select(F.col(group_col).alias("group_a"),
+                    F.col("__est__").alias("est_a"))
+    gb = est.select(F.col(group_col).alias("group_b"),
+                    F.col("__est__").alias("est_b"))
+    pairs = ga.crossJoin(gb).where(F.col("group_a") < F.col("group_b"))
+    keys = pairs.select("group_a", "group_b")
+    ra = regs.select(F.col(group_col).alias("group_a"),
+                     "reg", "max_rho")
+    rb = regs.select(F.col(group_col).alias("group_b"),
+                     "reg", "max_rho")
+    both = (keys.join(ra, "group_a").select("group_a", "group_b",
+                                            "reg", "max_rho")
+            .unionByName(
+                keys.join(rb, "group_b").select("group_a", "group_b",
+                                                "reg", "max_rho")))
+    union_regs = (both.groupBy("group_a", "group_b", "reg")
+                  .agg(F.max("max_rho").alias("max_rho")))
+    eu = hll_estimate(union_regs, p=p,
+                      group_cols=("group_a", "group_b"),
+                      out_col="est_union")
+    out = (pairs.join(eu, ["group_a", "group_b"])
+           .withColumn("overlap_est",
+                       F.round(F.greatest(
+                           F.col("est_a") + F.col("est_b")
+                           - F.col("est_union"), F.lit(0.0)), 6)))
+    return out.select(
+        "group_a", "group_b", "est_a", "est_b", "est_union",
+        "overlap_est",
+        F.round(F.col("overlap_est") / F.col("est_union"), 6)
+        .alias("jaccard_est"))
+
+
 def expected_error(p: int) -> float:
     """Standard error of the estimate: 1.04/sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)

@@ -2350,3 +2350,66 @@ def q_risk_metrics_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return risk_metrics(ev, "ts", "value", ["user_id"])
+
+
+@query("quantile_bins_events", """
+SELECT event_id, event_type,
+       ntile(10) OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS decile
+FROM events WHERE value IS NOT NULL
+""")
+def q_quantile_bins_events(spark, sf_dir):
+    '''Equal-frequency discretization (decile binning) of event values
+    within each event_type -- the feature-engineering transform
+    regression/classifier pipelines consume, and the deterministic
+    sibling of histogram_quantiles (exact ranks, not estimates).
+    ntile is SQL-standard (first buckets take the remainder), made
+    total by the (value, event_id) tie-break; one window pass per
+    type partition.'''
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("value").asc(), F.col("event_id").asc()))
+    return (ev.where(F.col("value").isNotNull())
+            .select("event_id", "event_type",
+                    F.ntile(10).over(w).alias("decile")))
+
+
+@query("event_transitions", """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (
+  SELECT event_type AS cur_type, next_type, count(*) AS n
+  FROM o WHERE next_type IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT cur_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.cur_type, c.next_type, c.n::BIGINT AS n_transitions,
+       round(c.n / t.tot::DOUBLE, 6) AS prob
+FROM c JOIN t ON c.cur_type = t.cur_type
+""")
+def q_event_transitions(spark, sf_dir):
+    '''First-order Markov transition matrix over per-user event-type
+    sequences: counts and conditional probabilities P(next | current)
+    -- the user-journey/sequence-analytics primitive (funnel drop-off,
+    anomalous-flow detection).  Integer counts + one ratio, exact on
+    any engine; one ordered window + two skinny aggregations.'''
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    o = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    c = (o.where(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("cur_type"), "next_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("cur_type").agg(F.sum("n").alias("tot"))
+    return (c.join(F.broadcast(t), "cur_type")
+            .select("cur_type", "next_type",
+                    F.col("n").cast("bigint").alias("n_transitions"),
+                    F.round(F.col("n") / F.col("tot").cast("double"), 6)
+                    .alias("prob")))

@@ -3593,3 +3593,64 @@ def q_kcenter_diversity_sample(spark, sf_dir):
     (operators/similarity.py:kcenter_select).'''
     e = read_table(spark, sf_dir, "embeddings")
     return S.kcenter_select(e, "embedding", "vec_id", k=8)
+
+
+@query("hll_overlap_sources", f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+h AS (SELECT source, {_PH.format(e='w')} AS h FROM tok),
+b AS (SELECT source, (h % 256)::INT AS reg,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE bit_count(((h >> 8) & -(h >> 8)) - 1) + 1
+             END AS rho
+      FROM h),
+r AS (SELECT source, reg, max(rho) AS max_rho FROM b GROUP BY 1, 2),
+a1 AS (SELECT source, sum(1.0 / (1::BIGINT << max_rho)) AS s,
+              (256 - count(*))::DOUBLE AS zeros
+       FROM r GROUP BY 1),
+e1 AS (SELECT source,
+              round(CASE WHEN (47072.71267120224 / (s + zeros)) <= 640.0
+                              AND zeros > 0
+                         THEN 256.0 * ln(256.0 / zeros)
+                         ELSE 47072.71267120224 / (s + zeros)
+                    END, 6) AS est
+       FROM a1),
+p AS (SELECT a.source AS group_a, b.source AS group_b,
+             a.est AS est_a, b.est AS est_b
+      FROM e1 a JOIN e1 b ON a.source < b.source),
+ur AS (SELECT p.group_a, p.group_b, r.reg, max(r.max_rho) AS max_rho
+       FROM p JOIN r ON r.source = p.group_a OR r.source = p.group_b
+       GROUP BY 1, 2, 3),
+a2 AS (SELECT group_a, group_b,
+              sum(1.0 / (1::BIGINT << max_rho)) AS s,
+              (256 - count(*))::DOUBLE AS zeros
+       FROM ur GROUP BY 1, 2),
+e2 AS (SELECT group_a, group_b,
+              round(CASE WHEN (47072.71267120224 / (s + zeros)) <= 640.0
+                              AND zeros > 0
+                         THEN 256.0 * ln(256.0 / zeros)
+                         ELSE 47072.71267120224 / (s + zeros)
+                    END, 6) AS est_union
+       FROM a2),
+o AS (SELECT p.group_a, p.group_b, p.est_a, p.est_b, e2.est_union,
+             round(greatest(p.est_a + p.est_b - e2.est_union, 0.0), 6)
+                 AS overlap_est
+      FROM p JOIN e2 ON p.group_a = e2.group_a
+                     AND p.group_b = e2.group_b)
+SELECT group_a, group_b, est_a, est_b, est_union, overlap_est,
+       round(overlap_est / est_union, 6) AS jaccard_est
+FROM o
+""")
+def q_hll_overlap_sources(spark, sf_dir):
+    '''Pairwise distinct-TOKEN overlap between sources by HLL
+    inclusion-exclusion (est(A)+est(B)-est(A∪B) over merged registers)
+    — the sketch-tier vocabulary-overlap dashboard next to
+    js_divergence_by_source: the corpus is hashed ONCE, the pair stage
+    runs on sources² × 256 register rows, never on tokens
+    (operators/sketch.py:hll_overlap).'''
+    from orange3_timeseries_spark.operators.sketch import hll_overlap
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source",
+                   F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                     r"\s+")).alias("w"))
+    return hll_overlap(tok, "w", "source", p=8)
