@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["profile_columns"]
@@ -172,7 +172,6 @@ def histogram_quantiles(df: DataFrame, value_col: str,
                       F.lit(bins - 1)).cast("int"))))
     counts = binned.groupBy(*group_cols, "__b__").agg(
         F.count(F.lit(1)).alias("__c__"))
-    from pyspark.sql import Window
     cw = (Window.partitionBy(*group_cols).orderBy("__b__")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (counts
@@ -201,3 +200,47 @@ def histogram_quantiles(df: DataFrame, value_col: str,
         *group_cols, F.col("__e__.prob").alias("prob"),
         F.col("__n__").alias("n_values"),
         F.col("__e__.quantile").alias("quantile"))
+
+
+def gini_concentration(df: DataFrame, size_col: str,
+                       group_cols: Sequence[str],
+                       min_n: int = 2) -> DataFrame:
+    """Gini coefficient of a non-negative integer size column per
+    group: ``(group..., n_items, total_size, gini)`` — the corpus-
+    balance audit (0 = perfectly even, →1 = one item holds all the
+    mass).  THE summary a data-mixing stage reads before weighting
+    sources: a source whose token mass is one mega-document is not a
+    diverse source, whatever its row count (companion to
+    ``sample_temperature_mix`` and ``skew_profile``).
+
+    Sorted-rank closed form ``G = Σ(2i − n − 1)·x_i / (n·Σx)`` over
+    ascending ``x_i`` (stable under ties — equal values commute).
+    All-BIGINT arithmetic: ranks and sizes are integers, the weighted
+    sum stays integer-exact on any engine; one rank window + one
+    groupBy on the group key.  Negative sizes are rejected rows
+    (filtered, they would make G meaningless)."""
+    group_cols = list(group_cols)
+    s = F.col(size_col).cast("bigint")
+    base = (df.where(s.isNotNull() & (s >= 0))
+            .select(*group_cols, s.alias("__s__")))
+    i = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(F.col("__s__").asc()))
+    nw = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    ranked = (base.withColumn("__i__", i.cast("bigint"))
+              .withColumn("__n__", nw.cast("bigint")))
+    wsum = F.sum((2 * F.col("__i__") - F.col("__n__") - 1)
+                 * F.col("__s__"))
+    g = ranked.groupBy(*group_cols).agg(
+        F.max("__n__").alias("n_items"),
+        F.sum("__s__").alias("total_size"),
+        wsum.alias("__w__"))
+    gini = F.when(F.col("total_size") > 0,
+                  F.round(F.col("__w__").cast("double")
+                          / (F.col("n_items").cast("double")
+                             * F.col("total_size").cast("double")), 6))
+    return (g.where(F.col("n_items") >= F.lit(min_n))
+            .select(*group_cols, "n_items", "total_size",
+                    gini.alias("gini")))
+
+
+__all__ += ["histogram_quantiles", "gini_concentration"]

@@ -660,3 +660,58 @@ def conformal_ar1_interval(df: DataFrame, time_col: str, value_col: str,
 
 
 __all__.append("conformal_ar1_interval")
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  series_cols: Sequence[str],
+                  min_n: int = 8) -> DataFrame:
+    """Spearman rank correlation between two columns per series:
+    ``(series..., n_obs, spearman)`` — the monotone-association
+    companion to the Pearson paths (``ccf``, ``rolling_corr``):
+    robust to outliers and nonlinearity, the right screen before
+    fitting anything linear.
+
+    Bit-exact design: average ranks (min-rank + (ties−1)/2) are exact
+    half-integers; the Pearson-on-ranks closed form
+
+        ``r = (n·ΣRxRy − ΣRx·ΣRy) / √((n·ΣRx²−(ΣRx)²)(n·ΣRy²−(ΣRy)²))``
+
+    sums only half-integer products far below 2^53 — EXACT doubles in
+    any aggregation order, so the one rounding (6 dp, after the final
+    division) is cosmetic, not a firewall.  Rows where either column
+    is NULL are dropped pairwise; zero rank variance (all ties) yields
+    NULL.  One series-key shuffle: two rank windows + one groupBy."""
+    series_cols = list(series_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (df.where(x.isNotNull() & y.isNotNull())
+            .select(*series_cols, x.alias("__x__"), y.alias("__y__")))
+
+    def avg_rank(col_name):
+        rk = F.rank().over(Window.partitionBy(*series_cols)
+                           .orderBy(F.col(col_name).asc()))
+        ties = F.count(F.lit(1)).over(
+            Window.partitionBy(*series_cols, F.col(col_name)))
+        return rk + (ties - F.lit(1)) / F.lit(2.0)
+
+    ranked = (base.withColumn("__rx__", avg_rank("__x__"))
+              .withColumn("__ry__", avg_rank("__y__")))
+    g = ranked.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__rx__").alias("__sx__"),
+        F.sum("__ry__").alias("__sy__"),
+        F.sum(F.col("__rx__") * F.col("__rx__")).alias("__sxx__"),
+        F.sum(F.col("__ry__") * F.col("__ry__")).alias("__syy__"),
+        F.sum(F.col("__rx__") * F.col("__ry__")).alias("__sxy__"))
+    n = F.col("n_obs").cast("double")
+    num = n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    vx = n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    vy = n * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(num / F.sqrt(vx * vy), 6))
+    return (g.where(F.col("n_obs") >= F.lit(min_n))
+            .select(*series_cols, F.col("n_obs").cast("long")
+                    .alias("n_obs"), r.alias("spearman")))
+
+
+__all__.append("spearman_corr")

@@ -459,3 +459,43 @@ def bigram_pmi(df, text_col: str, min_count: int = 5,
                       F.col("__tb__").alias("tok_b"),
                       F.col("__cxy__").cast("long").alias("pair_count"),
                       F.col("__pmi__").alias("pmi"))
+
+
+def readability(df, text_col: str, id_col: str):
+    """Flesch reading-ease per document: ``(id, n_words, n_sentences,
+    n_syllables, flesch)`` with
+
+        ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+
+    — the classic readability gate (high = simple prose, negative =
+    dense/technical/garbled), complementing the Gopher rules: a
+    perfectly "clean" document that scores −40 is a parts catalog,
+    not training prose.
+
+    Syllables use the standard vowel-group heuristic (runs of
+    ``[aeiouy]``, minimum 1 per word) — deterministic integer counts;
+    sentences count terminal-punctuation runs (``[.!?]+``, minimum 1).
+    Pure Catalyst regexp + integer arithmetic, map-only per document;
+    the one float expression is replayed verbatim by the oracle."""
+    toks = tokens_expr(F.col(text_col))
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(r"[.!?]+"), 0)), F.lit(1))
+    syl_per_word = F.transform(
+        toks, lambda w: F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1)))
+    syllables = F.aggregate(syl_per_word, F.lit(0),
+                            lambda acc, v: acc + v)
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double")
+                                / sentences.cast("double"))
+              - F.lit(84.6) * (syllables.cast("double")
+                               / words.cast("double")))
+    return (df.where(words > 0)
+            .select(F.col(id_col),
+                    words.cast("bigint").alias("n_words"),
+                    sentences.cast("bigint").alias("n_sentences"),
+                    syllables.cast("bigint").alias("n_syllables"),
+                    F.round(flesch, 6).alias("flesch")))

@@ -2413,3 +2413,48 @@ def q_event_transitions(spark, sf_dir):
                     F.col("n").cast("bigint").alias("n_transitions"),
                     F.round(F.col("n") / F.col("tot").cast("double"), 6)
                     .alias("prob")))
+
+
+@query("spearman_by_user", """
+WITH e AS (
+  SELECT user_id, value::DOUBLE AS x,
+         CAST(json_extract(props, '$.k') AS DOUBLE) AS y
+  FROM events),
+b AS (SELECT user_id, x, y FROM e
+      WHERE x IS NOT NULL AND y IS NOT NULL),
+r AS (
+  SELECT user_id,
+         rank() OVER (PARTITION BY user_id ORDER BY x)
+           + (count(*) OVER (PARTITION BY user_id, x) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY user_id ORDER BY y)
+           + (count(*) OVER (PARTITION BY user_id, y) - 1) / 2.0 AS ry
+  FROM b),
+g AS (SELECT user_id, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM r GROUP BY 1)
+SELECT user_id, n::BIGINT AS n_obs,
+       CASE WHEN (n::DOUBLE * sxx - sx * sx) > 0
+                 AND (n::DOUBLE * syy - sy * sy) > 0
+            THEN round((n::DOUBLE * sxy - sx * sy)
+                       / sqrt((n::DOUBLE * sxx - sx * sx)
+                              * (n::DOUBLE * syy - sy * sy)), 6)
+       END AS spearman
+FROM g WHERE n >= 8
+""")
+def q_spearman_by_user(spark, sf_dir):
+    '''Spearman rank correlation between the event value and its
+    numeric JSON property per series -- the outlier-robust monotone-
+    association screen beside the Pearson paths (ccf, rolling_corr).
+    Average ranks are exact half-integers, every sum in the closed
+    form is exact below 2^53, so the statistic is bit-identical on
+    any engine before the cosmetic 6-dp round
+    (operators/stattests.py:spearman_corr).'''
+    from orange3_timeseries_spark.operators.stattests import (
+        spearman_corr,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "y", F.get_json_object("props", "$.k").cast("double"))
+    return spearman_corr(ev, "value", "y", ["user_id"])

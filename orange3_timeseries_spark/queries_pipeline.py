@@ -3654,3 +3654,68 @@ def q_hll_overlap_sources(spark, sf_dir):
                    F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                      r"\s+")).alias("w"))
     return hll_overlap(tok, "w", "source", p=8)
+
+
+@query("gini_by_source", """
+WITH b AS (
+  SELECT source, n_chars::BIGINT AS s FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+r AS (
+  SELECT source, s,
+         row_number() OVER (PARTITION BY source ORDER BY s) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM b),
+g AS (
+  SELECT source, max(n)::BIGINT AS n_items, sum(s)::BIGINT AS total_size,
+         sum((2 * i - n - 1) * s)::BIGINT AS w
+  FROM r GROUP BY 1)
+SELECT source, n_items, total_size,
+       CASE WHEN total_size > 0
+            THEN round(w::DOUBLE / (n_items::DOUBLE * total_size::DOUBLE),
+                       6)
+       END AS gini
+FROM g WHERE n_items >= 2
+""")
+def q_gini_by_source(spark, sf_dir):
+    '''Gini coefficient of per-document byte mass within each source --
+    the corpus-balance audit a mixing stage reads before weighting
+    sources (a source whose mass is one mega-document is not diverse,
+    whatever its row count; companion to sample_temperature_mix and
+    skew_profile).  All-BIGINT sorted-rank arithmetic, bit-exact on
+    any engine (operators/profile.py:gini_concentration).'''
+    from orange3_timeseries_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return gini_concentration(d, "n_chars", ["source"])
+
+
+@query("readability_by_doc", """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(toks) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS s,
+         list_sum(list_transform(toks,
+             x -> greatest(len(regexp_extract_all(x, '[aeiouy]+', 0)),
+                           1)))::BIGINT AS syl
+  FROM t)
+SELECT doc_id, w::BIGINT AS n_words, s::BIGINT AS n_sentences,
+       syl AS n_syllables,
+       round(206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+                     - 84.6 * (syl::DOUBLE / w::DOUBLE), 6) AS flesch
+FROM c WHERE w > 0
+""")
+def q_readability_by_doc(spark, sf_dir):
+    '''Flesch reading-ease per document (vowel-group syllable
+    heuristic, terminal-punctuation sentence runs) -- the classic
+    readability gate beside the Gopher rules: clean-but-unreadable
+    docs (parts catalogs, minified fragments) score deeply negative.
+    Pure Catalyst regexp + integer arithmetic, map-only
+    (operators/text.py:readability).'''
+    d = read_table(spark, sf_dir, "documents")
+    return T.readability(d, "text", "doc_id")
