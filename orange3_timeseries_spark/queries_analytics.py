@@ -2458,3 +2458,161 @@ def q_spearman_by_user(spark, sf_dir):
     ev = ev.withColumn(
         "y", F.get_json_object("props", "$.k").cast("double"))
     return spearman_corr(ev, "value", "y", ["user_id"])
+
+
+@query("runs_test_by_user", """
+WITH b AS (
+  SELECT user_id, ts, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT user_id,
+         list_sort(list(v))[CAST(floor((count(*) + 1) / 2) AS INT)] AS med
+  FROM b GROUP BY 1),
+k AS (
+  SELECT b.user_id, ts, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+  FROM b JOIN m USING (user_id) WHERE v <> med),
+r AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS DISTINCT FROM s THEN 1 ELSE 0 END AS br
+  FROM k),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(s)::BIGINT AS a,
+         (count(*) - sum(s))::BIGINT AS bl, sum(br)::BIGINT AS runs
+  FROM r GROUP BY 1),
+z AS (
+  SELECT user_id, n, a, bl, runs,
+         round((runs::DOUBLE - ((2 * a * bl)::DOUBLE / n::DOUBLE + 1))
+               / sqrt(((2 * a * bl)::DOUBLE
+                       * ((2 * a * bl)::DOUBLE - n::DOUBLE))
+                      / ((n::DOUBLE * n::DOUBLE) * (n::DOUBLE - 1))),
+               6) AS z6
+  FROM g
+  WHERE n >= 20 AND a > 0 AND bl > 0 AND 2 * a * bl > n)
+SELECT user_id, n AS n_obs, a AS n_above, bl AS n_below, runs AS n_runs,
+       z6 AS z, abs(z6) > 1.959964 AS nonrandom_5pct
+FROM z
+""")
+def q_runs_test_by_user(spark, sf_dir):
+    '''Wald-Wolfowitz runs test per series -- the distribution-free
+    randomness screen (too few runs = sticky/trending, too many =
+    oscillating).  Dichotomized against the lower-median ELEMENT with
+    exact ties dropped; E[R]/Var[R] are BIGINT-exact integer products,
+    so the z statistic is bit-identical on any engine
+    (operators/randomness.py:runs_test).'''
+    from orange3_timeseries_spark.operators.randomness import runs_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return runs_test(ev, "ts", "value", ["user_id"])
+
+
+@query("variance_ratio_by_user", """
+WITH b AS (
+  SELECT user_id, ts,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+l AS (
+  SELECT user_id,
+         u - lag(u, 1) OVER pw AS x,
+         u - lag(u, 4) OVER pw AS y
+  FROM b WINDOW pw AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, count(x)::BIGINT AS n, sum(x)::BIGINT AS d,
+         sum(y)::BIGINT AS t,
+         sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
+  FROM l GROUP BY 1),
+c AS (
+  SELECT user_id, n,
+         n::DOUBLE * sx2::DOUBLE - d::DOUBLE * d::DOUBLE AS av,
+         (n::DOUBLE * n::DOUBLE * sy2::DOUBLE
+            - 8.0 * n::DOUBLE * d::DOUBLE * t::DOUBLE)
+           + (n::DOUBLE - 4 + 1) * 16.0 * d::DOUBLE * d::DOUBLE AS bv,
+         (4 * (n - 4 + 1) * (n - 4))::DOUBLE AS f
+  FROM g WHERE n >= 40),
+v AS (
+  SELECT user_id, n, (bv * (n::DOUBLE - 1)) / (av * f) AS vr
+  FROM c WHERE av > 0),
+z AS (
+  SELECT user_id, n, vr,
+         round((vr - 1) / sqrt(3.5 / n::DOUBLE), 6) AS z6
+  FROM v)
+SELECT user_id, n AS n_obs, round(vr, 6) AS vr, z6 AS z,
+       abs(z6) > 1.959964 AS reject_rw_5pct
+FROM z
+""")
+def q_variance_ratio_by_user(spark, sf_dir):
+    '''Lo-MacKinlay variance-ratio test (q=4) per series -- THE
+    standard random-walk screen: VR > 1 momentum, VR < 1 mean
+    reversion.  Levels are quantized to integer centi-units at source;
+    the overlapping-sum moments expand to bounded BIGINT raw sums
+    combined in fixed-order double arithmetic, so VR and z are
+    bit-identical cross-engine
+    (operators/randomness.py:variance_ratio).'''
+    from orange3_timeseries_spark.operators.randomness import (
+        variance_ratio,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return variance_ratio(ev, "ts", "value", ["user_id"])
+
+
+@query("hac_mean_by_user", """
+WITH b AS (
+  SELECT user_id, ts,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+l AS (
+  SELECT user_id, u,
+         lag(u, 1) OVER pw AS u1, lag(u, 2) OVER pw AS u2,
+         lag(u, 3) OVER pw AS u3, lag(u, 4) OVER pw AS u4,
+         lag(u, 5) OVER pw AS u5
+  FROM b WINDOW pw AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(u)::BIGINT AS uu,
+         sum(u * u)::BIGINT AS p0,
+         sum(u * u1)::BIGINT AS p1, sum(u + u1)::BIGINT AS e1,
+         sum(u * u2)::BIGINT AS p2, sum(u + u2)::BIGINT AS e2,
+         sum(u * u3)::BIGINT AS p3, sum(u + u3)::BIGINT AS e3,
+         sum(u * u4)::BIGINT AS p4, sum(u + u4)::BIGINT AS e4,
+         sum(u * u5)::BIGINT AS p5, sum(u + u5)::BIGINT AS e5
+  FROM l GROUP BY 1),
+c AS (
+  SELECT user_id, n, n::DOUBLE AS nd, uu::DOUBLE AS ud,
+         (nd * nd * p0::DOUBLE - nd * ud * (2.0 * ud))
+           + (nd - 0) * ud * ud AS g0,
+         (nd * nd * p1::DOUBLE - nd * ud * e1::DOUBLE)
+           + (nd - 1) * ud * ud AS g1,
+         (nd * nd * p2::DOUBLE - nd * ud * e2::DOUBLE)
+           + (nd - 2) * ud * ud AS g2,
+         (nd * nd * p3::DOUBLE - nd * ud * e3::DOUBLE)
+           + (nd - 3) * ud * ud AS g3,
+         (nd * nd * p4::DOUBLE - nd * ud * e4::DOUBLE)
+           + (nd - 4) * ud * ud AS g4,
+         (nd * nd * p5::DOUBLE - nd * ud * e5::DOUBLE)
+           + (nd - 5) * ud * ud AS g5
+  FROM g WHERE n >= 30),
+d AS (
+  SELECT user_id, n, nd, ud, g0,
+         6.0 * g0 + 10.0 * g1 + 8.0 * g2 + 6.0 * g3 + 4.0 * g4
+           + 2.0 * g5 AS lrvn,
+         (100.0 * nd) * (100.0 * nd) * nd AS deng
+  FROM c)
+SELECT user_id, n AS n_obs, ud / (100.0 * nd) AS mean,
+       round(g0 / deng, 6) AS gamma0,
+       round(lrvn / (6.0 * deng), 6) AS lrv,
+       round(sqrt((lrvn / (6.0 * deng)) / nd), 6) AS se_mean,
+       round(6.0 * nd * g0 / lrvn, 6) AS n_eff
+FROM d WHERE g0 > 0 AND lrvn > 0
+""")
+def q_hac_mean_by_user(spark, sf_dir):
+    '''Newey-West HAC inference on each series mean: Bartlett-kernel
+    long-run variance, autocorrelation-robust standard error, and the
+    effective sample size n_eff = n*gamma0/lrv -- the honest "how many
+    independent observations is this series worth?" number a sampling
+    stage budgets against.  Centi-unit lag moments are bounded exact
+    BIGINTs combined in fixed-order double arithmetic
+    (operators/randomness.py:hac_mean).'''
+    from orange3_timeseries_spark.operators.randomness import hac_mean
+
+    ev = read_table(spark, sf_dir, "events")
+    return hac_mean(ev, "ts", "value", ["user_id"])
