@@ -988,3 +988,189 @@ def q_calendar_rollup_events(spark, sf_dir):
     return out.select("level", "bucket", "n",
                       r6(F.col("value_sum"), "value_sum"),
                       r6(F.col("value_mean"), "value_mean"))
+
+
+# ------------------------------------------------- TPC-H star-join tier (r7d)
+@query("tpch_q3_top_orders", """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate,
+         sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))::BIGINT
+           AS ru
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY 1, 2)
+SELECT l_orderkey AS o_orderkey, o_orderdate,
+       ru::DOUBLE / 10000.0 AS revenue
+FROM rev
+ORDER BY ru DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q_tpch_q3_top_orders(spark, sf_dir):
+    """TPC-H Q3-flavored shipping-priority query: top-10 unshipped
+    BUILDING-segment orders by outstanding revenue.  The scale shape:
+    customer is a BROADCAST dim (no shuffle on the fact side for the
+    semi-filter), orders joins lineitem on the shared orderkey, the
+    rollup partial-aggregates map-side, and the top-10 runs as
+    TakeOrderedAndProject — no global sort materializes.
+
+    Revenue determinism: ``price·(1−disc)`` is computed as exact
+    BIGINT basis-point units (price cents × (100−disc%)) and summed
+    exactly — at extreme fact cardinality the unit sum would move to
+    DECIMAL accumulation, noted not needed below ~10^9 rows/group.
+    Ordering ties break on (o_orderdate, orderkey) so the LIMIT set is
+    deterministic cross-engine."""
+    cust = read_table(spark, sf_dir, "customer") \
+        .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate") < "1998-03-15") \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem") \
+        .where(F.col("l_shipdate") > "1998-03-15") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    ru = (F.round(F.col("l_extendedprice") * 100.0).cast("bigint")
+          * (F.lit(100) - F.round(F.col("l_discount") * 100.0)
+             .cast("bigint")))
+    rev = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .join(li, orders.o_orderkey == li.l_orderkey)
+           .groupBy("l_orderkey", "o_orderdate")
+           .agg(F.sum(ru).alias("__ru__")))
+    return (rev.orderBy(F.col("__ru__").desc(), "o_orderdate",
+                        "l_orderkey")
+            .limit(10)
+            .select(F.col("l_orderkey").alias("o_orderkey"),
+                    "o_orderdate",
+                    (F.col("__ru__").cast("double") / F.lit(10000.0))
+                    .alias("revenue")))
+
+
+@query("tpch_q5_nation_revenue", """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))::BIGINT
+         ::DOUBLE / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""")
+def q_tpch_q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-flavored local-supplier volume: 1996 revenue by ASIA
+    nation where the supplier and customer share a nation.  The
+    six-table star resolves to ONE fact-fact shuffle (orders ⋈
+    lineitem on orderkey): region, nation, supplier, and the filtered
+    customer side are all BROADCAST dims, the region/nation filters
+    prune before the fact scan ships rows, and the final nation rollup
+    is a five-row aggregate.  Revenue uses the same exact basis-point
+    BIGINT units as tpch_q3."""
+    region = read_table(spark, sf_dir, "region") \
+        .where(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    asia_nations = (nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)
+                    .select("n_nationkey", "n_name"))
+    supplier = read_table(spark, sf_dir, "supplier") \
+        .join(F.broadcast(asia_nations),
+              F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_nationkey", "n_name")
+    cust = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    orders = read_table(spark, sf_dir, "orders") \
+        .where((F.col("o_orderdate") >= "1996-01-01")
+               & (F.col("o_orderdate") < "1997-01-01")) \
+        .select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount")
+    ru = (F.round(F.col("l_extendedprice") * 100.0).cast("bigint")
+          * (F.lit(100) - F.round(F.col("l_discount") * 100.0)
+             .cast("bigint")))
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(li, orders.o_orderkey == li.l_orderkey)
+         .join(F.broadcast(supplier),
+               (li.l_suppkey == supplier.s_suppkey)
+               & (cust.c_nationkey == supplier.s_nationkey)))
+    return (j.groupBy("n_name").agg(F.sum(ru).alias("__ru__"))
+            .select("n_name",
+                    (F.col("__ru__").cast("double") / F.lit(10000.0))
+                    .alias("revenue")))
+
+
+@query("rfm_segments", """
+WITH g AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', max(o_orderdate),
+                   TIMESTAMP '2001-08-02 00:00:00')::BIGINT
+           AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS mu
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT c_custkey, recency_days, frequency, mu,
+         ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+           AS r_score,
+         ntile(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY mu, c_custkey) AS m_score
+  FROM g)
+SELECT c_custkey, recency_days, frequency,
+       mu::DOUBLE / 100.0 AS monetary,
+       r_score::INT AS r_score, f_score::INT AS f_score,
+       m_score::INT AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM s
+""")
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation over
+    orders — the classic marketing-analytics rollup.  Scale shape: the
+    heavy stage is the per-customer fact aggregation (one orderkey→
+    custkey shuffle with map-side partials); the three ntile windows
+    then run over the customer DIMENSION (orders of magnitude smaller
+    than the fact table).  Determinism: recency is integer days
+    against a literal reference date, monetary accumulates exact
+    BIGINT cents, and every ntile ordering carries a custkey tiebreak
+    so quintile boundaries are identical cross-engine."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    g = (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+         .agg(F.datediff(F.lit("2001-08-02").cast("date"),
+                         F.max(F.col("o_orderdate").cast("date")))
+              .cast("bigint").alias("recency_days"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum(F.round(F.col("o_totalprice") * 100.0)
+                    .cast("bigint")).alias("__mu__")))
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(),
+                                       "c_custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "c_custkey"))
+    m = F.ntile(5).over(Window.orderBy("__mu__", "c_custkey"))
+    s = (g.withColumn("r_score", r).withColumn("f_score", f)
+         .withColumn("m_score", m))
+    seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+                  & (F.col("m_score") >= 4), "champion")
+           .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+                 "at_risk")
+           .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2),
+                 "hibernating")
+           .otherwise("regular"))
+    return s.select("c_custkey", "recency_days", "frequency",
+                    (F.col("__mu__").cast("double") / F.lit(100.0))
+                    .alias("monetary"),
+                    "r_score", "f_score", "m_score", seg.alias("segment"))
