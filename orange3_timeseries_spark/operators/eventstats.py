@@ -174,3 +174,61 @@ def benford_digits(df: DataFrame, value_col: str,
                   .alias(f"obs_share_{dd}") for dd in range(1, 10)]
     return out.select(*group_cols, "n_values", "chi2", "benford_ok",
                       *share_cols)
+
+
+def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
+                min_both: int = 5) -> DataFrame:
+    """Directional association rules over (basket, item) pairs:
+    ``(antecedent, consequent, n_both, support, confidence, lift)`` —
+    classic market-basket mining (Agrawal-Srikant style counts over a
+    bounded item dimension, without the frequent-itemset recursion:
+    single items → pairs only, which is what event-type co-occurrence
+    dashboards actually read).
+
+    lift > 1 = the consequent is more likely in baskets containing the
+    antecedent; the three ratios are single divisions of exact BIGINT
+    counts (``support = n_AB/U``, ``confidence = n_AB/n_A``,
+    ``lift = n_AB·U/(n_A·n_B)``), so they are bit-identical on any
+    engine.
+
+    Scale: one distinct over (basket, item) — the only fact-sized
+    shuffle — then a self-join that reuses the basket partitioning and
+    a pair rollup bounded by the item-dimension²; the per-item counts
+    broadcast back onto the pair table.  The deduped basket table is
+    pinned (localCheckpoint, the hll_overlap pattern): it feeds the
+    universe count, the item counts, and BOTH self-join sides — without
+    the pin the fact-sized distinct re-runs once per consumer."""
+    base = (df.select(F.col(basket_col).alias("__b__"),
+                      F.col(item_col).alias("__i__")).distinct()
+            .localCheckpoint(eager=True))
+    u = base.select(F.countDistinct("__b__").alias("__U__"))
+    item_n = base.groupBy("__i__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ni__"))
+    lhs = base.select(F.col("__b__"), F.col("__i__").alias("antecedent"))
+    rhs = base.select(F.col("__b__"), F.col("__i__").alias("consequent"))
+    pairs = (lhs.join(rhs, on="__b__")
+             .where(F.col("antecedent") != F.col("consequent"))
+             .groupBy("antecedent", "consequent")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_both")))
+    na = item_n.select(F.col("__i__").alias("antecedent"),
+                       F.col("__ni__").alias("__na__"))
+    nb = item_n.select(F.col("__i__").alias("consequent"),
+                       F.col("__ni__").alias("__nb__"))
+    j = (pairs.join(F.broadcast(na), on="antecedent")
+         .join(F.broadcast(nb), on="consequent")
+         .crossJoin(F.broadcast(u)))
+    return (j.where(F.col("n_both") >= F.lit(min_both))
+            .select("antecedent", "consequent", "n_both",
+                    F.round(F.col("n_both").cast("double")
+                            / F.col("__U__").cast("double"), 6)
+                    .alias("support"),
+                    F.round(F.col("n_both").cast("double")
+                            / F.col("__na__").cast("double"), 6)
+                    .alias("confidence"),
+                    F.round((F.col("n_both") * F.col("__U__"))
+                            .cast("double")
+                            / (F.col("__na__") * F.col("__nb__"))
+                            .cast("double"), 6).alias("lift")))
+
+
+__all__.append("assoc_rules")

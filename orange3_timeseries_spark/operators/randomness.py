@@ -247,3 +247,60 @@ def hac_mean(df: DataFrame, time_col: str, value_col: str,
                     F.round(F.sqrt(lrv / nd), 6).alias("se_mean"),
                     F.round(F.lit(float(lp1)) * nd * F.col("__g0n__")
                             / F.col("__lrvn__"), 6).alias("n_eff")))
+
+
+def permutation_entropy(df: DataFrame, time_col: str, value_col: str,
+                        series_cols: Sequence[str],
+                        min_n: int = 30) -> DataFrame:
+    """Normalized permutation entropy of order m=3 per series:
+    ``(series..., n_triples, n_patterns, pe)`` — the Bandt-Pompe
+    (2002) complexity measure: pe → 1 for white noise, → 0 for
+    strictly monotone/deterministic dynamics.  The third leg of the
+    randomness triage (runs = sign structure, VR = variance scaling,
+    PE = ordinal structure), and the standard cheap "is there any
+    forecastable pattern here at all?" gate.
+
+    Each consecutive value triple maps to one of 6 ordinal patterns
+    (ties ranked by time index, the Bandt-Pompe convention) through a
+    mutually-exclusive comparison CASE ladder — integer pattern counts
+    are the only aggregates, and the entropy ``−Σ(cᵢ/n)·ln(cᵢ/n) /
+    ln 6`` is a fixed-order expression over them, so cross-engine
+    divergence is bounded by libm's ln ulp (absorbed by the 6-dp
+    round).  One lag window + one groupBy on the series key."""
+    import math
+
+    series_cols = list(series_cols)
+    b = _base(df, time_col, value_col, series_cols)
+    w = Window.partitionBy(*series_cols).orderBy("__t__")
+    a = F.lag("__v__", 2).over(w)
+    m = F.lag("__v__", 1).over(w)
+    c = F.col("__v__")
+    # tie rule: equal values keep time order (earlier index first)
+    pid = (F.when((a <= m) & (m <= c), 0)                  # a,b,c
+           .when((a <= m) & (c < m) & (a <= c), 1)         # a,c,b
+           .when((a <= m) & (c < m) & (c < a), 4)          # c,a,b
+           .when((m < a) & (a <= c), 2)                    # b,a,c
+           .when((m < a) & (c < a) & (m <= c), 3)          # b,c,a
+           .otherwise(5))                                  # c,b,a
+    b = b.withColumn("__p__", F.when(a.isNotNull(), pid))
+    aggs = [F.count("__p__").cast("bigint").alias("__n__")]
+    for i in range(6):
+        aggs.append(F.sum(F.when(F.col("__p__") == i, 1).otherwise(0))
+                    .cast("bigint").alias(f"__c{i}__"))
+    g = b.groupBy(*series_cols).agg(*aggs)
+    nd = F.col("__n__").cast("double")
+    h = F.lit(0.0)
+    npat = F.lit(0)
+    for i in range(6):
+        ci = F.col(f"__c{i}__")
+        frac = ci.cast("double") / nd
+        h = h + F.when(ci > 0, frac * F.log(frac)).otherwise(F.lit(0.0))
+        npat = npat + F.when(ci > 0, 1).otherwise(0)
+    pe = -h / F.lit(math.log(6.0))
+    return (g.where(F.col("__n__") >= F.lit(min_n))
+            .select(*series_cols, F.col("__n__").alias("n_triples"),
+                    npat.cast("int").alias("n_patterns"),
+                    F.round(pe, 6).alias("pe")))
+
+
+__all__.append("permutation_entropy")

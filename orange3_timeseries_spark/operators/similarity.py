@@ -1008,3 +1008,54 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
     schema = ("sel_order int, {} {}, sel_dist double"
               .format(id_col, dict(corpus.dtypes)[id_col]))
     return spark.createDataFrame(sel, schema=schema)
+
+
+def jl_project(df: DataFrame, vec_col: str = "embedding",
+               id_cols: Sequence[str] = ("vec_id",),
+               out_dim: int = 8, unit_scale: int = 6) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions via a DETERMINISTIC Achlioptas-style sparse sign
+    matrix: ``(id..., p0..p{k-1})`` — the cheap embedding compressor
+    that preserves pairwise distances within (1±ε) (Achlioptas 2003,
+    "Database-friendly random projections"), used before LSH
+    bucketing / coarse clustering when 64 dims of float are 8× more
+    bytes than a distance sketch needs.
+
+    The projection entry is ``r(t,j) = (((1103515245·(d·t+j) + 12345)
+    mod 2³¹) >> 16) mod 3 − 1 ∈ {−1,0,+1}`` — an LCG hash of the flat
+    matrix index with the high bits taken (an affine-in-(t,j) mod-3
+    formula would repeat rows every 3 output dims) — uniform thirds,
+    variance ⅔, scaled by ``√(3/(2k))`` so expected norms are
+    preserved: a hash-derived matrix instead of a stored one,
+    reproducible on any engine/worker with zero state.
+    Determinism: components quantize to 10^unit_scale integer units at
+    source, each output is an exact BIGINT dot product (sign flips and
+    adds only) times one literal double scale — bit-identical
+    cross-engine, order-free.
+
+    Scale: map-only (ZERO shuffle), whole-stage codegen higher-order
+    functions, no UDF; 100 TB of vectors stream through at scan
+    speed."""
+    import math
+
+    id_cols = list(id_cols)
+    scale = F.lit(math.sqrt(3.0 / (2 * out_dim)) / float(10 ** unit_scale))
+    def _entry(t, dim_hint=4096):
+        def fn(e, j):
+            u = (F.round(e.cast("double") * F.lit(float(10 ** unit_scale)))
+                 .cast("bigint"))
+            idx = F.lit(dim_hint * t) + j.cast("bigint")
+            h = (F.lit(1103515245) * idx + F.lit(12345)) % F.lit(2 ** 31)
+            return u * (F.shiftright(h, 16) % 3 - 1)
+        return fn
+
+    cols = []
+    for t in range(out_dim):
+        units = F.transform(F.col(vec_col), _entry(t))
+        acc = F.aggregate(units, F.lit(0).cast("bigint"),
+                          lambda a, v: a + v)
+        cols.append((acc.cast("double") * scale).alias(f"p{t}"))
+    return df.select(*id_cols, *cols)
+
+
+__all_jl__ = ["jl_project"]

@@ -2616,3 +2616,97 @@ def q_hac_mean_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return hac_mean(ev, "ts", "value", ["user_id"])
+
+
+@query("permutation_entropy_by_user", """
+WITH b AS (
+  SELECT user_id, ts, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL),
+l AS (
+  SELECT user_id, lag(v, 2) OVER pw AS a, lag(v, 1) OVER pw AS m,
+         v AS c
+  FROM b WINDOW pw AS (PARTITION BY user_id ORDER BY ts)),
+p AS (
+  SELECT user_id,
+         CASE WHEN a <= m AND m <= c THEN 0
+              WHEN a <= m AND c < m AND a <= c THEN 1
+              WHEN a <= m AND c < m AND c < a THEN 4
+              WHEN m < a AND a <= c THEN 2
+              WHEN m < a AND c < a AND m <= c THEN 3
+              ELSE 5 END AS pid
+  FROM l WHERE a IS NOT NULL),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN pid = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN pid = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN pid = 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+         sum(CASE WHEN pid = 3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+         sum(CASE WHEN pid = 4 THEN 1 ELSE 0 END)::BIGINT AS c4,
+         sum(CASE WHEN pid = 5 THEN 1 ELSE 0 END)::BIGINT AS c5
+  FROM p GROUP BY 1)
+SELECT user_id, n AS n_triples,
+       ((CASE WHEN c0 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+         + CASE WHEN c2 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN c3 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN c4 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN c5 > 0 THEN 1 ELSE 0 END)::INT AS n_patterns,
+       round(-(((((( 0.0
+         + CASE WHEN c0 > 0 THEN (c0::DOUBLE / n::DOUBLE)
+                        * ln(c0::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+         + CASE WHEN c1 > 0 THEN (c1::DOUBLE / n::DOUBLE)
+                        * ln(c1::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+         + CASE WHEN c2 > 0 THEN (c2::DOUBLE / n::DOUBLE)
+                        * ln(c2::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+         + CASE WHEN c3 > 0 THEN (c3::DOUBLE / n::DOUBLE)
+                        * ln(c3::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+         + CASE WHEN c4 > 0 THEN (c4::DOUBLE / n::DOUBLE)
+                        * ln(c4::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+         + CASE WHEN c5 > 0 THEN (c5::DOUBLE / n::DOUBLE)
+                        * ln(c5::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+         / 1.791759469228055, 6) AS pe
+FROM g WHERE n >= 30
+""")
+def q_permutation_entropy_by_user(spark, sf_dir):
+    '''Bandt-Pompe permutation entropy (order 3) per series -- the
+    ordinal-complexity leg of the randomness triage: pe -> 1 white
+    noise, -> 0 deterministic dynamics.  Integer pattern counts are
+    the only aggregates; the entropy is a fixed-order expression over
+    them (operators/randomness.py:permutation_entropy).'''
+    from orange3_timeseries_spark.operators.randomness import (
+        permutation_entropy,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return permutation_entropy(ev, "ts", "value", ["user_id"])
+
+
+@query("assoc_rules_events", """
+WITH base AS (
+  SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+uu AS (SELECT count(DISTINCT b)::BIGINT AS u FROM base),
+inn AS (SELECT i, count(*)::BIGINT AS ni FROM base GROUP BY 1),
+p AS (
+  SELECT l.i AS antecedent, r.i AS consequent, count(*)::BIGINT AS n_both
+  FROM base l JOIN base r ON l.b = r.b AND l.i <> r.i
+  GROUP BY 1, 2)
+SELECT antecedent, consequent, n_both,
+       round(n_both::DOUBLE / u::DOUBLE, 6) AS support,
+       round(n_both::DOUBLE / na.ni::DOUBLE, 6) AS confidence,
+       round((n_both * u)::DOUBLE / (na.ni * nb.ni)::DOUBLE, 6) AS lift
+FROM p
+CROSS JOIN uu
+JOIN inn na ON p.antecedent = na.i
+JOIN inn nb ON p.consequent = nb.i
+WHERE n_both >= 5
+""")
+def q_assoc_rules_events(spark, sf_dir):
+    '''Directional association rules between event types over user
+    baskets (support / confidence / lift) -- the co-occurrence
+    companion to the sequential event_transitions matrix.  All three
+    ratios are single divisions of exact BIGINT counts
+    (operators/eventstats.py:assoc_rules).'''
+    from orange3_timeseries_spark.operators.eventstats import assoc_rules
+
+    ev = read_table(spark, sf_dir, "events")
+    return assoc_rules(ev, "user_id", "event_type")

@@ -3719,3 +3719,29 @@ def q_readability_by_doc(spark, sf_dir):
     (operators/text.py:readability).'''
     d = read_table(spark, sf_dir, "documents")
     return T.readability(d, "text", "doc_id")
+
+
+def _jl_sql():
+    cols = []
+    for t in range(8):
+        cols.append(f"""
+       list_sum(list_transform(embedding, (e, i) ->
+         CAST(round(e::DOUBLE * 1000000.0) AS BIGINT)
+         * ((((1103515245 * ({4096 * t} + (i - 1)) + 12345)
+              % 2147483648) >> 16) % 3 - 1)))::BIGINT::DOUBLE
+         * (sqrt(3.0 / 16.0) / 1000000.0) AS p{t}""")
+    return ("SELECT vec_id," + ",".join(cols)
+            + "\nFROM embeddings WHERE embedding IS NOT NULL")
+
+
+@query("jl_projection_embeddings", _jl_sql())
+def q_jl_projection_embeddings(spark, sf_dir):
+    '''Johnson-Lindenstrauss random projection of the 64-d embeddings
+    to 8 dims via a deterministic hash-derived Achlioptas sign matrix
+    -- the zero-state embedding compressor ahead of LSH bucketing or
+    coarse clustering.  Exact BIGINT micro-unit dot products times one
+    literal scale: bit-identical cross-engine, map-only, zero shuffle
+    (operators/similarity.py:jl_project).'''
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .where(F.col("embedding").isNotNull())
+    return S.jl_project(emb, "embedding", ["vec_id"], out_dim=8)

@@ -1,0 +1,134 @@
+"""Permutation entropy, JL projection, association rules."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.operators.eventstats import assoc_rules
+from orange3_timeseries_spark.operators.randomness import (
+    permutation_entropy,
+)
+from orange3_timeseries_spark.operators.similarity import jl_project
+
+
+def _series(spark, values, sid="a"):
+    rows = [(sid, float(i), float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, ["sid", "t", "v"])
+
+
+class TestPermutationEntropy:
+    def test_monotone_pe_zero(self, spark):
+        row = permutation_entropy(_series(spark, range(50)), "t", "v",
+                                  ["sid"]).collect()[0]
+        assert row["pe"] == pytest.approx(0.0)
+        assert row["n_patterns"] == 1
+        assert row["n_triples"] == 48
+
+    def test_white_noise_pe_near_one(self, spark):
+        rng = np.random.RandomState(0)
+        row = permutation_entropy(_series(spark, rng.normal(size=2000)),
+                                  "t", "v", ["sid"]).collect()[0]
+        assert row["pe"] > 0.97
+        assert row["n_patterns"] == 6
+
+    def test_period2_oscillation_two_patterns(self, spark):
+        # 1,9,1,9,... -> only (acb) and (bac)-family patterns appear
+        row = permutation_entropy(_series(spark, [1, 9] * 40), "t", "v",
+                                  ["sid"]).collect()[0]
+        assert row["n_patterns"] == 2
+        # two equiprobable patterns: H = ln2, pe = ln2/ln6
+        assert row["pe"] == pytest.approx(
+            round(math.log(2) / math.log(6), 6), abs=2e-2)
+
+    def test_matches_direct_count(self, spark):
+        rng = np.random.RandomState(1)
+        v = np.round(rng.normal(size=200), 1)  # forces ties
+        row = permutation_entropy(_series(spark, v), "t", "v",
+                                  ["sid"]).collect()[0]
+        counts = {}
+        for a, b, c in zip(v, v[1:], v[2:]):
+            # stable argsort of (value, index) = Bandt-Pompe tie rule
+            order = tuple(np.argsort([a, b, c], kind="stable"))
+            counts[order] = counts.get(order, 0) + 1
+        n = sum(counts.values())
+        h = -sum(k / n * math.log(k / n) for k in counts.values())
+        assert row["n_triples"] == n
+        assert row["n_patterns"] == len(counts)
+        assert row["pe"] == pytest.approx(h / math.log(6), abs=1e-6)
+
+
+class TestJLProject:
+    def test_distance_preservation(self, spark):
+        rng = np.random.RandomState(2)
+        vecs = rng.normal(size=(60, 64)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        out = jl_project(df).toPandas().set_index("vec_id").sort_index()
+        p = out.values
+        dn = np.linalg.norm(vecs[:, None] - vecs[None, :], axis=2)
+        dp = np.linalg.norm(p[:, None] - p[None, :], axis=2)
+        m = dn > 0
+        ratio = dp[m] / dn[m]
+        assert 0.8 < ratio.mean() < 1.2        # norms preserved on avg
+        assert ratio.std() < 0.5               # k=8 JL concentration
+
+    def test_deterministic_and_linear(self, spark):
+        v = [float(i) / 64 for i in range(64)]
+        df = spark.createDataFrame(
+            [(1, v), (2, v), (3, [2 * x for x in v])],
+            "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df).collect()}
+        assert out[1] == out[2]                       # same input
+        for a, b in zip(out[1], out[3]):              # 2x input ~ 2x out
+            assert b == pytest.approx(2 * a, abs=1e-4)
+
+    def test_rows_differ_across_dims(self, spark):
+        # regression: an affine mod-3 hash repeated rows every 3 dims
+        rng = np.random.RandomState(3)
+        v = [float(x) for x in rng.normal(size=64)]
+        df = spark.createDataFrame([(1, v)],
+                                   "vec_id long, embedding array<float>")
+        row = jl_project(df).collect()[0]
+        vals = [row[f"p{t}"] for t in range(8)]
+        assert len(set(vals)) == 8
+
+
+class TestAssocRules:
+    def test_known_counts(self, spark):
+        # 6 baskets: A in all, B in 4, AB together in 4, C alone in 2
+        rows = ([(i, "A") for i in range(6)]
+                + [(i, "B") for i in range(4)]
+                + [(i, "C") for i in (4, 5)])
+        df = spark.createDataFrame(rows, ["b", "i"])
+        out = {(r["antecedent"], r["consequent"]): r
+               for r in assoc_rules(df, "b", "i", min_both=1).collect()}
+        ab = out[("A", "B")]
+        assert ab["n_both"] == 4
+        assert ab["support"] == pytest.approx(4 / 6, abs=1e-6)
+        assert ab["confidence"] == pytest.approx(4 / 6, abs=1e-6)
+        assert ab["lift"] == pytest.approx((4 * 6) / (6 * 4), abs=1e-6)
+        ba = out[("B", "A")]
+        assert ba["confidence"] == pytest.approx(1.0)   # A in every B
+        assert ba["lift"] == pytest.approx(1.0)          # A is universal
+
+    def test_duplicate_events_count_once(self, spark):
+        rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")]
+        df = spark.createDataFrame(rows, ["b", "i"])
+        out = {(r["antecedent"], r["consequent"]): r["n_both"]
+               for r in assoc_rules(df, "b", "i", min_both=1).collect()}
+        assert out[("A", "B")] == 2
+
+    def test_negative_association_lift_below_one(self, spark):
+        # A and B never co-occur except forced once; C co-occurs with A
+        rows = ([(i, "A") for i in range(5)]
+                + [(i, "B") for i in range(5, 9)] + [(0, "B")]
+                + [(i, "C") for i in range(5)])
+        df = spark.createDataFrame(rows, ["b", "i"])
+        out = {(r["antecedent"], r["consequent"]): r
+               for r in assoc_rules(df, "b", "i", min_both=1).collect()}
+        assert out[("A", "B")]["lift"] < 1.0
+        assert out[("A", "C")]["lift"] > 1.0
