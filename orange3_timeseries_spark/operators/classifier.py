@@ -99,3 +99,87 @@ def logistic_score_expr(feature_cols: Dict[str, Column],
                             for n in feature_cols]
     eta = _eta_expr(feats, beta)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+
+def rank_auc(df: DataFrame, score_units_col: str, label_col: str,
+             group_cols: Sequence[str]) -> DataFrame:
+    """Exact ROC-AUC of an integer-unit score against a boolean label,
+    per group: ``(group..., n_pos, n_neg, auc)`` — the Mann-Whitney
+    rank form ``AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻)`` with AVERAGE ranks
+    on ties, the textbook tie-corrected estimator.
+
+    Determinism: average ranks are exact half-integers carried as
+    BIGINT doubled-ranks ``2·rank + (ties−1)`` (the spearman trick),
+    the score itself must already be an exact integer-unit column (the
+    caller's responsibility — never rank a raw float), and AUC is a
+    fixed-order double combination of exact BIGINT sums.  Groups with
+    a single class are dropped (AUC undefined).
+
+    Scale: one rank window + one groupBy sharing the group key — one
+    skinny shuffle; a billion scored rows per slice cost one pass."""
+    group_cols = list(group_cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(score_units_col)
+    tw = Window.partitionBy(*group_cols, score_units_col)
+    rk2 = (F.lit(2).cast("bigint") * F.rank().over(w).cast("bigint")
+           + (F.count(F.lit(1)).over(tw).cast("bigint") - 1))
+    pos = F.col(label_col).cast("boolean")
+    r = df.select(*group_cols, F.col(score_units_col), pos.alias("__y__")) \
+          .where(F.col(score_units_col).isNotNull()
+                 & F.col("__y__").isNotNull()) \
+          .withColumn("__rk2__", rk2)
+    g = r.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n__"),
+        F.sum(F.when(F.col("__y__"), 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("__y__"), F.col("__rk2__"))).cast("bigint")
+        .alias("__s2__"))
+    npos = F.col("n_pos")
+    nneg = F.col("__n__") - npos
+    auc = F.round((F.col("__s2__").cast("double") / F.lit(2.0)
+                   - (npos * (npos + 1)).cast("double") / F.lit(2.0))
+                  / (npos * nneg).cast("double"), 6)
+    return (g.where((npos > 0) & (nneg > 0))
+            .select(*group_cols, "n_pos",
+                    nneg.cast("bigint").alias("n_neg"),
+                    auc.alias("auc")))
+
+
+def calibration_bins(df: DataFrame, score_units_col: str, label_col: str,
+                     n_bins: int = 10,
+                     unit_scale: int = 6) -> DataFrame:
+    """Reliability-diagram bins of an integer-unit probability score in
+    ``[0, 10^unit_scale]``: ``(bin, n_rows, mean_pred, obs_rate, gap)``
+    — mean predicted probability vs observed positive rate per score
+    decile, the audit that decides whether a threshold means what it
+    claims before it gates a corpus.
+
+    Bin edges cut on the INTEGER units (never ``floor(score·10)`` on a
+    float — a 6-dp decimal times 10 straddles the bin edge in binary);
+    ``mean_pred`` is an exact unit sum over one division, ``obs_rate``
+    an exact count ratio, ``gap`` their fixed-order difference —
+    bit-identical cross-engine.  One groupBy over ≤ n_bins groups."""
+    width = 10 ** unit_scale // n_bins
+    su = F.col(score_units_col)
+    b = df.select(
+        F.least(F.floor(su.cast("double") / F.lit(float(width))),
+                F.lit(n_bins - 1)).cast("int").alias("bin"),
+        su.alias("__su__"),
+        F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+        .alias("__pos__")) \
+        .where(su.isNotNull())
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("__pos__").cast("bigint").alias("__npos__"),
+        F.sum("__su__").cast("bigint").alias("__sus__"))
+    mean_pred = (F.col("__sus__").cast("double")
+                 / (F.col("n_rows") * F.lit(10 ** unit_scale))
+                 .cast("double"))
+    obs = (F.col("__npos__").cast("double")
+           / F.col("n_rows").cast("double"))
+    return g.select("bin", "n_rows", mean_pred.alias("mean_pred"),
+                    obs.alias("obs_rate"), (obs - mean_pred).alias("gap"))
+
+
+__all__ += ["rank_auc", "calibration_bins"]

@@ -3745,3 +3745,108 @@ def q_jl_projection_embeddings(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings") \
         .where(F.col("embedding").isNotNull())
     return S.jl_project(emb, "embedding", ["vec_id"], out_dim=8)
+
+
+_EN_MARKERS = "'the','and','of','to','a','in','is','it'"
+
+
+@query("langid_auc_by_source", f"""
+WITH t AS (
+  SELECT doc_id, source, lang = 'en' AS y, {_TOKS} AS toks
+  FROM documents),
+s AS (
+  SELECT source, y,
+         CAST(floor((len(list_filter(toks,
+                x -> x IN ({_EN_MARKERS}))) * 1000000)::DOUBLE
+              / len(toks)::DOUBLE) AS BIGINT) AS su
+  FROM t WHERE len(toks) > 0),
+r AS (
+  SELECT source, y,
+         2 * rank() OVER (PARTITION BY source ORDER BY su)
+           + (count(*) OVER (PARTITION BY source, su) - 1) AS rk2
+  FROM s),
+g AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS npos,
+         sum(CASE WHEN y THEN rk2 END)::BIGINT AS s2
+  FROM r GROUP BY 1)
+SELECT source, npos AS n_pos, (n - npos)::BIGINT AS n_neg,
+       round((s2::DOUBLE / 2.0 - (npos * (npos + 1))::DOUBLE / 2.0)
+             / (npos * (n - npos))::DOUBLE, 6) AS auc
+FROM g WHERE npos > 0 AND n - npos > 0
+""")
+def q_langid_auc_by_source(spark, sf_dir):
+    '''Exact rank-based ROC-AUC of the English-marker-fraction score
+    against the gold lang label, per source -- the generic scorer-
+    evaluation harness (Mann-Whitney AUC with average-rank ties)
+    applied to the language-ID signal.  The score is an exact
+    integer-unit column (floor of marker-hits per million tokens), so
+    ranks, sums, and the AUC ratio are bit-identical cross-engine
+    (operators/classifier.py:rank_auc).'''
+    from orange3_timeseries_spark.operators.classifier import rank_auc
+    from orange3_timeseries_spark.operators.text import (
+        LANG_MARKERS,
+        tokens_expr,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    n = F.size(toks)
+    su = F.floor((hits.cast("bigint") * 1000000).cast("double")
+                 / n.cast("double")).cast("bigint")
+    s = (d.where(n > 0)
+         .select("source", su.alias("su"),
+                 (F.col("lang") == "en").alias("y")))
+    return rank_auc(s, "su", "y", ["source"])
+
+
+@query("langid_calibration", f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS y, {_TOKS} AS toks
+  FROM documents),
+s AS (
+  SELECT y,
+         CAST(floor((len(list_filter(toks,
+                x -> x IN ({_EN_MARKERS}))) * 1000000)::DOUBLE
+              / len(toks)::DOUBLE) AS BIGINT) AS su
+  FROM t WHERE len(toks) > 0),
+b AS (
+  SELECT least(floor(su::DOUBLE / 100000.0), 9)::INT AS bin, su,
+         CASE WHEN y THEN 1 ELSE 0 END AS pos
+  FROM s),
+g AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS npos,
+         sum(su)::BIGINT AS sus
+  FROM b GROUP BY 1)
+SELECT bin, n AS n_rows,
+       sus::DOUBLE / (n * 1000000)::DOUBLE AS mean_pred,
+       npos::DOUBLE / n::DOUBLE AS obs_rate,
+       npos::DOUBLE / n::DOUBLE
+         - sus::DOUBLE / (n * 1000000)::DOUBLE AS gap
+FROM g
+""")
+def q_langid_calibration(spark, sf_dir):
+    '''Reliability diagram of the English-marker-fraction score: per
+    score decile, mean predicted fraction vs observed P(lang=en) and
+    the gap -- is the marker fraction usable as a probability before
+    it gates a corpus split?  Bins cut on the integer units (never
+    floor(float*10)); all ratios are single divisions of exact BIGINT
+    sums (operators/classifier.py:calibration_bins).'''
+    from orange3_timeseries_spark.operators.classifier import (
+        calibration_bins,
+    )
+    from orange3_timeseries_spark.operators.text import (
+        LANG_MARKERS,
+        tokens_expr,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    n = F.size(toks)
+    su = F.floor((hits.cast("bigint") * 1000000).cast("double")
+                 / n.cast("double")).cast("bigint")
+    s = (d.where(n > 0)
+         .select(su.alias("su"), (F.col("lang") == "en").alias("y")))
+    return calibration_bins(s, "su", "y")
