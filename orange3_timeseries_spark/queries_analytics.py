@@ -2710,3 +2710,82 @@ def q_assoc_rules_events(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return assoc_rules(ev, "user_id", "event_type")
+
+
+def _dtw_sql():
+    k = 7
+    cells = k * k
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+up AS (
+  SELECT user_id, dow,
+         CAST(floor((sum(cents) * 10000)::DOUBLE / count(*)::DOUBLE)
+              AS BIGINT) AS su
+  FROM b GROUP BY 1, 2),
+ua AS (
+  SELECT user_id, list(su ORDER BY dow) AS a
+  FROM up GROUP BY 1 HAVING count(*) = {k}),
+gp AS (
+  SELECT dow,
+         CAST(floor((sum(cents) * 10000)::DOUBLE / count(*)::DOUBLE)
+              AS BIGINT) AS su
+  FROM b GROUP BY 1),
+ga AS (SELECT list(su ORDER BY dow) AS g FROM gp),
+dp AS (
+  SELECT user_id, a, g, 1 AS t,
+         [abs(a[1] - g[1])] AS d
+  FROM ua CROSS JOIN ga
+  UNION ALL
+  SELECT user_id, a, g, t + 1,
+         list_append(d,
+           abs(a[((t + 1) - 1) // {k} + 1] - g[((t + 1) - 1) % {k} + 1])
+           + CASE WHEN t + 1 <= {k} THEN d[t]
+                  WHEN (t + 1 - 1) % {k} = 0 THEN d[t + 1 - {k}]
+                  ELSE least(d[t + 1 - {k}], d[t + 1 - {k} - 1], d[t])
+             END)
+  FROM dp WHERE t < {cells})
+SELECT user_id, d[{cells}]::DOUBLE / 1000000.0 AS dtw
+FROM dp WHERE t = {cells}
+"""
+
+
+@query("dtw_dow_profile_by_user", _dtw_sql())
+def q_dtw_dow_profile_by_user(spark, sf_dir):
+    '''DTW distance between each user's day-of-week mean profile and
+    the corpus-wide profile -- the "same weekly shape, shifted phase?"
+    ranking Euclidean distance gets wrong.  The O(K^2) dynamic program
+    runs as pure Catalyst nested aggregate folds over exact BIGINT
+    micro-unit arrays (runtime loops, no codegen unroll, no Python);
+    the oracle replays the identical recurrence cell-by-cell through a
+    flattened recursive CTE in row-major order
+    (operators/dtw.py:dtw_units_expr).'''
+    from orange3_timeseries_spark.operators.dtw import dtw_units_expr
+
+    k = 7
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    dow = (F.floor(F.unix_micros("ts") / F.lit(86400000000)) + 3) % 7
+    cents = F.round(F.col("value").cast("double") * 100.0).cast("bigint")
+    b = ev.select("user_id", dow.alias("dow"), cents.alias("cents"))
+    su = F.floor((F.sum("cents") * 10000).cast("double")
+                 / F.count(F.lit(1)).cast("double")).cast("bigint")
+    up = b.groupBy("user_id", "dow").agg(su.alias("su"))
+    ua = (up.groupBy("user_id")
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("dow", "su"))),
+              lambda s: s["su"]).alias("a"),
+              F.count(F.lit(1)).alias("__k__"))
+          .where(F.col("__k__") == k).drop("__k__"))
+    gp = b.groupBy("dow").agg(su.alias("su"))
+    ga = gp.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("dow", "su"))),
+        lambda s: s["su"]).alias("g"))
+    j = ua.crossJoin(F.broadcast(ga))
+    units = dtw_units_expr(F.col("a"), F.col("g"), k)
+    return j.select("user_id",
+                    (units.cast("double") / F.lit(1000000.0))
+                    .alias("dtw"))
