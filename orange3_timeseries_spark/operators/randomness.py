@@ -304,3 +304,46 @@ def permutation_entropy(df: DataFrame, time_col: str, value_col: str,
 
 
 __all__.append("permutation_entropy")
+
+
+def turning_points_test(df: DataFrame, time_col: str, value_col: str,
+                        series_cols: Sequence[str],
+                        min_n: int = 20) -> DataFrame:
+    """Turning-points randomness test per series: ``(series..., n_obs,
+    n_turning, z, nonrandom_5pct)`` — count strict local extrema
+    (peaks ``v_{t−1} < v_t > v_{t+1}`` and troughs ``> <``); under iid
+    exchangeability ``E[T] = 2(n−2)/3`` and ``Var[T] = (16n−29)/90``
+    (Kendall's classic result).  Too few turns = trending, too many =
+    rapid oscillation — the cheap complement to :func:`runs_test` that
+    needs no median pass (ONE lag window + groupBy, one exchange).
+
+    Ties never count as turning points (strict inequalities), the
+    standard discrete-data treatment.  Moments are single divisions of
+    exact integers; z is 6-dp rounded, the verdict compares |z| to
+    1.959964."""
+    series_cols = list(series_cols)
+    b = _base(df, time_col, value_col, series_cols)
+    w = Window.partitionBy(*series_cols).orderBy("__t__")
+    p = F.lag("__v__", 1).over(w)
+    nx = F.lead("__v__", 1).over(w)
+    c = F.col("__v__")
+    turn = F.when(((p < c) & (nx < c)) | ((p > c) & (nx > c)), 1) \
+            .otherwise(0)
+    b = b.withColumn("__turn__", F.when(p.isNotNull() & nx.isNotNull(),
+                                        turn))
+    g = b.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n__"),
+        F.sum("__turn__").cast("bigint").alias("n_turning"))
+    n = F.col("__n__")
+    nd = n.cast("double")
+    e_t = F.lit(2.0) * (nd - 2) / F.lit(3.0)
+    var_t = (F.lit(16.0) * nd - 29) / F.lit(90.0)
+    z6 = F.round((F.col("n_turning").cast("double") - e_t)
+                 / F.sqrt(var_t), 6)
+    return (g.where(n >= F.lit(min_n))
+            .select(*series_cols, n.cast("long").alias("n_obs"),
+                    "n_turning", z6.alias("z"),
+                    (F.abs(z6) > F.lit(_Z_5PCT)).alias("nonrandom_5pct")))
+
+
+__all__.append("turning_points_test")

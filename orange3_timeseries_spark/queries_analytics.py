@@ -2789,3 +2789,40 @@ def q_dtw_dow_profile_by_user(spark, sf_dir):
     return j.select("user_id",
                     (units.cast("double") / F.lit(1000000.0))
                     .alias("dtw"))
+
+
+@query("turning_points_by_user", """
+WITH b AS (
+  SELECT user_id, ts, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL),
+l AS (
+  SELECT user_id,
+         lag(v) OVER pw AS p, v AS c, lead(v) OVER pw AS nx
+  FROM b WINDOW pw AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                   AND ((p < c AND nx < c) OR (p > c AND nx > c))
+                  THEN 1 ELSE 0 END)::BIGINT AS t
+  FROM l GROUP BY 1),
+z AS (
+  SELECT user_id, n, t,
+         round((t::DOUBLE - 2.0 * (n::DOUBLE - 2) / 3.0)
+               / sqrt((16.0 * n::DOUBLE - 29) / 90.0), 6) AS z6
+  FROM g WHERE n >= 20)
+SELECT user_id, n AS n_obs, t AS n_turning, z6 AS z,
+       abs(z6) > 1.959964 AS nonrandom_5pct
+FROM z
+""")
+def q_turning_points_by_user(spark, sf_dir):
+    '''Turning-points randomness test per series (Kendall): count of
+    strict local extrema vs the iid expectation 2(n-2)/3 -- the cheap
+    trend-vs-oscillation screen beside runs_test that needs no median
+    pass.  Integer moments, single divisions, rounded-z verdict
+    (operators/randomness.py:turning_points_test).'''
+    from orange3_timeseries_spark.operators.randomness import (
+        turning_points_test,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return turning_points_test(ev, "ts", "value", ["user_id"])

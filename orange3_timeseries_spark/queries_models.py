@@ -1869,3 +1869,67 @@ def q_binseg_changepoints_by_user(spark, sf_dir):
 
     df = read_table(spark, sf_dir, "events")
     return binseg_changepoints(df, "ts", "value", ["user_id"], min_seg=5)
+
+
+def _garch_sql():
+    grid_vals = ", ".join(
+        f"({a}::DOUBLE, {b}::DOUBLE)" for a, b in
+        [(0.05, 0.90), (0.05, 0.80), (0.05, 0.70),
+         (0.10, 0.85), (0.10, 0.80), (0.10, 0.70),
+         (0.15, 0.80), (0.20, 0.75), (0.20, 0.70)])
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT user_id, ts,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+l AS (
+  SELECT user_id, ts,
+         u - lag(u) OVER (PARTITION BY user_id ORDER BY ts) AS r
+  FROM b),
+m AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(r)::BIGINT AS d,
+         sum(r * r)::BIGINT AS s2u, list(r ORDER BY ts) AS arr
+  FROM l WHERE r IS NOT NULL GROUP BY 1 HAVING count(*) >= 40),
+v AS (
+  SELECT user_id, n, arr,
+         (n::DOUBLE * s2u::DOUBLE - d::DOUBLE * d::DOUBLE)
+           / ((n::DOUBLE * n::DOUBLE) * 10000.0) AS vbar
+  FROM m),
+v2 AS (SELECT * FROM v WHERE vbar > 0),
+grid(alpha, beta) AS (VALUES {grid_vals}),
+rec AS (
+  SELECT user_id, alpha, beta, arr, n, vbar,
+         0::BIGINT AS t, vbar AS s2, 0.0::DOUBLE AS ll
+  FROM v2 CROSS JOIN grid
+  UNION ALL
+  SELECT user_id, alpha, beta, arr, n, vbar, t + 1,
+         (1.0 - alpha - beta) * vbar
+           + alpha * ((arr[CAST(t + 1 AS INT)]
+                       * arr[CAST(t + 1 AS INT)])::DOUBLE / 10000.0)
+           + beta * s2,
+         ll - (ln(s2) + ((arr[CAST(t + 1 AS INT)]
+                          * arr[CAST(t + 1 AS INT)])::DOUBLE / 10000.0)
+               / s2)
+  FROM rec WHERE t < n)
+SELECT user_id, alpha, beta, n AS n_obs,
+       round((1.0 - alpha - beta) * vbar, 6) AS omega,
+       round(ll, 6) AS loglik, round(s2, 6) AS sigma2_next
+FROM rec WHERE t = n
+"""
+
+
+@query("garch_grid_by_user", _garch_sql())
+def q_garch_grid_by_user(spark, sf_dir):
+    """GARCH(1,1) conditional-volatility grid fit per series: variance
+    targeting over 9 (alpha, beta) points with the Gaussian
+    log-likelihood emitted for EVERY point — volatility clustering is
+    the one stylized fact the conditional-mean tier (ARIMA/VAR) cannot
+    see, and the grid output avoids any float argmax a 1-ulp wobble
+    could flip.  The sigma^2/loglik recursion runs as one Catalyst
+    aggregate fold over the packed return array; the oracle replays it
+    step-by-step through a recursive CTE
+    (models/garch.py:garch_grid)."""
+    from orange3_timeseries_spark.models.garch import garch_grid
+
+    ev = read_table(spark, sf_dir, "events")
+    return garch_grid(ev, "ts", "value", ["user_id"])
