@@ -19,6 +19,8 @@ finite (the standard smoothing).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -228,3 +230,90 @@ def js_divergence(df: DataFrame, group_col: str, item_col: str,
 
 
 __all__.append("js_divergence")
+
+
+def page_hinkley(df: DataFrame, time_col: str, value_col: str,
+                 series_cols: Sequence[str], delta_sigma: float = 0.5,
+                 lambda_sigma: float = 5.0,
+                 min_n: int = 30) -> DataFrame:
+    """Page-Hinkley mean-shift detector per series (Page 1954, Hinkley
+    1971; the sequential drift test of the data-stream literature):
+    ``(series..., n_obs, ph_up, ph_down, lambda_thr, alarm,
+    alarm_ts)``.
+
+    With running mean ``x̄_t`` and slack ``δ = delta_sigma·σ̂``:
+    ``m⁺_T = Σ_{t≤T}(x_t − x̄_t − δ)`` and ``PH⁺_T = m⁺_T −
+    min_{s≤T} m⁺_s`` flags mean INCREASES when it exceeds
+    ``λ = lambda_sigma·σ̂``; the mirrored ``PH⁻`` (running max minus
+    ``m⁻_T = Σ(x_t − x̄_t + δ)``) flags decreases.  Under H0 the
+    drift −δ bounds the expected drawup near σ²/(2δ) with an
+    exponential tail ≈ exp(−2δλ/σ²), so the defaults (δ = σ/2,
+    λ = 5σ) hold the per-series false-alarm rate under 1%;
+    δ must stay well below the shift size you care to catch.  ``alarm_ts`` is the
+    first time either side exceeded λ.  The CUSUM companion for slow
+    drifts: PH's running-mean baseline adapts, so it catches gradual
+    shifts CUSUM's fixed reference dilutes.
+
+    Determinism: each term is ONE division of exact BIGINT centi-unit
+    prefix sums ``(u_t·t − S_t)/(10^s·t)`` (bit-identical on any
+    engine), σ̂ and δ come from exact global moments, and the m
+    cumulations are sequential running-frame sums of those
+    bit-identical doubles (the cusum precedent).  One ordered window
+    pass + one groupBy sharing the series key — one exchange."""
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy("__ts__")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    u = F.round(F.col(value_col).cast("double") * F.lit(100.0)) \
+         .cast("bigint")
+    b = (df.where(F.col(value_col).isNotNull())
+         .select(*series_cols, F.col(time_col).alias("__ts__"),
+                 u.alias("__u__")))
+    t = F.row_number().over(w).cast("bigint")
+    s_run = F.sum("__u__").over(run)
+    n_all = F.count(F.lit(1)).over(full).cast("bigint")
+    u_all = F.sum("__u__").over(full)
+    u2_all = F.sum(F.col("__u__") * F.col("__u__")).over(full)
+    # NB: Spark column names are case-insensitive — "__U__" would
+    # silently REPLACE "__u__" (observed: every row read the series
+    # total instead of its own value), so the frame-level sums get
+    # fully distinct names.
+    b = (b.withColumn("__t__", t).withColumn("__run__", s_run)
+         .withColumn("__n__", n_all).withColumn("__usum__", u_all)
+         .withColumn("__u2sum__", u2_all))
+    nd = F.col("__n__").cast("double")
+    sig = F.sqrt((nd * F.col("__u2sum__").cast("double")
+                  - F.col("__usum__").cast("double")
+                  * F.col("__usum__").cast("double"))
+                 / ((nd * nd) * F.lit(10000.0)))
+    term = ((F.col("__u__") * F.col("__t__") - F.col("__run__"))
+            .cast("double")
+            / (F.lit(100.0) * F.col("__t__").cast("double")))
+    delta = F.lit(float(delta_sigma)) * sig
+    b = (b.withColumn("__mu__", F.sum(term - delta).over(run))
+          .withColumn("__md__", F.sum(term + delta).over(run)))
+    ph_up = F.col("__mu__") - F.min("__mu__").over(run)
+    ph_dn = F.max("__md__").over(run) - F.col("__md__")
+    lam = F.lit(float(lambda_sigma)) * sig
+    b = (b.withColumn("__pu__", ph_up).withColumn("__pd__", ph_dn)
+          .withColumn("__lam__", lam))
+    hit = (F.col("__pu__") > F.col("__lam__")) \
+        | (F.col("__pd__") > F.col("__lam__"))
+    g = b.groupBy(*series_cols).agg(
+        F.max("__n__").alias("__N__"),
+        F.max("__pu__").alias("__phu__"),
+        F.max("__pd__").alias("__phd__"),
+        F.max("__lam__").alias("__l__"),
+        F.min(F.when(hit, F.col("__ts__"))).alias("alarm_ts"))
+    return (g.where((F.col("__N__") >= F.lit(min_n))
+                    & (F.col("__l__") > 0))
+            .select(*series_cols, F.col("__N__").alias("n_obs"),
+                    F.round(F.col("__phu__"), 6).alias("ph_up"),
+                    F.round(F.col("__phd__"), 6).alias("ph_down"),
+                    F.round(F.col("__l__"), 6).alias("lambda_thr"),
+                    F.col("alarm_ts").isNotNull().alias("alarm"),
+                    "alarm_ts"))
+
+
+__all__.append("page_hinkley")

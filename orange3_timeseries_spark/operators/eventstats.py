@@ -232,3 +232,55 @@ def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
 
 
 __all__.append("assoc_rules")
+
+
+def transition_entropy(df: DataFrame, time_col: str, state_col: str,
+                       series_cols: Sequence[str],
+                       min_n: int = 20) -> DataFrame:
+    """Conditional entropy of the state-transition process per series:
+    ``(series..., n_transitions, n_states, h_cond, predictability)`` —
+    ``H(next|cur) = −Σ_{a,b} p(a,b)·ln p(b|a)``, the information-
+    theoretic "how predictable is this stream's next event given the
+    current one?" (0 = deterministic protocol, ln(k) = uniform noise).
+    ``predictability = 1 − H/ln(k)`` with k the series' observed state
+    count (NULL for single-state series).  The scalar summary of the
+    full ``event_transitions`` matrix — the router between replayable
+    sessions and noise.
+
+    Counts are exact BIGINTs; each entropy term is
+    ``(n_ab/N)·ln(n_ab/n_a)`` over single integer divisions, summed
+    over at most k² terms per series (1-ulp summation wobble absorbed
+    by the 6-dp round, the acf precedent).  Ordered lag window + two
+    same-key groupBys — one exchange."""
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    b = (df.where(F.col(state_col).isNotNull())
+         .select(*series_cols, F.col(state_col).alias("__a__"),
+                 F.lead(state_col, 1).over(w).alias("__b__"))
+         .where(F.col("__b__").isNotNull()))
+    pair = b.groupBy(*series_cols, "__a__", "__b__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nab__"))
+    aw = Window.partitionBy(*series_cols, "__a__")
+    sw = Window.partitionBy(*series_cols)
+    pair = (pair.withColumn("__na__", F.sum("__nab__").over(aw))
+            .withColumn("__N__", F.sum("__nab__").over(sw)))
+    term = ((F.col("__nab__").cast("double")
+             / F.col("__N__").cast("double"))
+            * F.log(F.col("__nab__").cast("double")
+                    / F.col("__na__").cast("double")))
+    g = pair.groupBy(*series_cols).agg(
+        F.max("__N__").alias("n_transitions"),
+        F.size(F.array_distinct(
+            F.flatten(F.collect_list(F.array("__a__", "__b__")))))
+        .cast("int").alias("n_states"),
+        (-F.sum(term)).alias("__h__"))
+    h6 = F.round(F.col("__h__"), 6)
+    k = F.col("n_states").cast("double")
+    pred = F.when(F.col("n_states") > 1,
+                  F.round(F.lit(1.0) - F.col("__h__") / F.log(k), 6))
+    return (g.where(F.col("n_transitions") >= F.lit(min_n))
+            .select(*series_cols, "n_transitions", "n_states",
+                    h6.alias("h_cond"), pred.alias("predictability")))
+
+
+__all__.append("transition_entropy")

@@ -2826,3 +2826,103 @@ def q_turning_points_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return turning_points_test(ev, "ts", "value", ["user_id"])
+
+
+@query("page_hinkley_by_user", """
+WITH b AS (
+  SELECT user_id, ts,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+w1 AS (
+  SELECT user_id, ts, u,
+         row_number() OVER pw AS t,
+         sum(u) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS s,
+         count(*) OVER pf AS n,
+         sum(u) OVER pf AS uu,
+         sum(u * u) OVER pf AS u2
+  FROM b
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts),
+         pf AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)),
+w2 AS (
+  SELECT user_id, ts, n,
+         sqrt((n::DOUBLE * u2::DOUBLE - uu::DOUBLE * uu::DOUBLE)
+              / ((n::DOUBLE * n::DOUBLE) * 10000.0)) AS sig,
+         (u * t - s)::DOUBLE / (100.0 * t::DOUBLE) AS term
+  FROM w1),
+w3 AS (
+  SELECT user_id, ts, n, sig,
+         sum(term - 0.5 * sig) OVER (pw ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS mu,
+         sum(term + 0.5 * sig) OVER (pw ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS md
+  FROM w2 WINDOW pw AS (PARTITION BY user_id ORDER BY ts)),
+w4 AS (
+  SELECT user_id, ts, n, 5.0 * sig AS lam,
+         mu - min(mu) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pu,
+         max(md) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - md AS pd
+  FROM w3 WINDOW pw AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, max(n)::BIGINT AS n_obs, max(pu) AS phu,
+         max(pd) AS phd, max(lam) AS lam,
+         min(CASE WHEN pu > lam OR pd > lam THEN ts END) AS alarm_ts
+  FROM w4 GROUP BY 1)
+SELECT user_id, n_obs, round(phu, 6) AS ph_up, round(phd, 6) AS ph_down,
+       round(lam, 6) AS lambda_thr,
+       alarm_ts IS NOT NULL AS alarm, alarm_ts
+FROM g WHERE n_obs >= 30 AND lam > 0
+""")
+def q_page_hinkley_by_user(spark, sf_dir):
+    '''Page-Hinkley sequential mean-shift detector per series (both
+    directions, running-mean baseline, sigma-scaled slack/threshold)
+    -- the drift test that catches GRADUAL shifts cusum's fixed
+    reference dilutes.  Each term is one division of exact BIGINT
+    prefix sums; the cumulations are sequential running-frame sums of
+    bit-identical doubles (operators/drift.py:page_hinkley).'''
+    from orange3_timeseries_spark.operators.drift import page_hinkley
+
+    ev = read_table(spark, sf_dir, "events")
+    return page_hinkley(ev, "ts", "value", ["user_id"])
+
+
+@query("transition_entropy_by_user", """
+WITH b AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nb
+  FROM events WHERE event_type IS NOT NULL),
+p AS (
+  SELECT user_id, a, nb, count(*)::BIGINT AS nab
+  FROM b WHERE nb IS NOT NULL GROUP BY 1, 2, 3),
+w AS (
+  SELECT user_id, a, nb, nab,
+         sum(nab) OVER (PARTITION BY user_id, a) AS na,
+         sum(nab) OVER (PARTITION BY user_id) AS nn
+  FROM p),
+g AS (
+  SELECT user_id, max(nn)::BIGINT AS n_transitions,
+         len(list_distinct(flatten(list([a, nb]))))::INT AS n_states,
+         (-sum((nab::DOUBLE / nn::DOUBLE)
+               * ln(nab::DOUBLE / na::DOUBLE))) AS h
+  FROM w GROUP BY 1)
+SELECT user_id, n_transitions, n_states, round(h, 6) AS h_cond,
+       CASE WHEN n_states > 1
+            THEN round(1.0 - h / ln(n_states::DOUBLE), 6)
+       END AS predictability
+FROM g WHERE n_transitions >= 20
+""")
+def q_transition_entropy_by_user(spark, sf_dir):
+    '''Conditional entropy H(next|current) of each user's event-type
+    stream plus the normalized predictability score -- the scalar
+    summary of the event_transitions matrix that routes replayable
+    protocol sessions away from noise.  Exact BIGINT counts, single
+    divisions per term (operators/eventstats.py:transition_entropy).'''
+    from orange3_timeseries_spark.operators.eventstats import (
+        transition_entropy,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return transition_entropy(ev, "ts", "event_type", ["user_id"])

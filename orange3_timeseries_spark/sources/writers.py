@@ -94,3 +94,23 @@ def write_bucketed(df, table: str, bucket_cols, n_buckets: int,
         writer = writer.sortBy(*([sort_cols] if isinstance(
             sort_cols, str) else list(sort_cols)))
     writer.saveAsTable(table)
+
+
+def write_orc_partitioned(df, path: str,
+                          partition_cols: Sequence[str] = (),
+                          mode: str = "overwrite") -> None:
+    """ORC sink with optional directory partitioning — the
+    interoperability sink for Hive/Trino/Presto estates where ORC is
+    the table format (same pruning story as the parquet sinks: a
+    filter on a partition column skips whole directories, and ORC's
+    stripe-level min/max stats prune within files).  Spark's native
+    ORC writer — columnar, vectorized, zero extra dependencies."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*list(partition_cols))
+    w.orc(path)
+
+
+def read_orc(spark, path: str):
+    """Companion reader for :func:`write_orc_partitioned`."""
+    return spark.read.orc(path)

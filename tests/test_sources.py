@@ -355,3 +355,35 @@ class TestBucketedWrite:
             assert agg.count() == 31
         finally:
             spark.sql("DROP TABLE IF EXISTS bt_c")
+
+
+class TestOrc:
+    def test_orc_roundtrip_partitioned_prunes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from orange3_timeseries_spark.sources import read_table
+        from orange3_timeseries_spark.sources.writers import (
+            read_orc,
+            write_orc_partitioned,
+        )
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        df = ev.withColumn("d", F.to_date("ts"))
+        path = str(tmp_path / "orc_events")
+        write_orc_partitioned(df, path, ["d"])
+
+        back = read_orc(spark, path)
+        assert back.count() == ev.count()
+        # same multiset of (event_id, value)
+        a = sorted((r["event_id"], r["value"])
+                   for r in ev.select("event_id", "value").collect())
+        b = sorted((r["event_id"], r["value"])
+                   for r in back.select("event_id", "value").collect())
+        assert a == b
+        # partition pruning: a one-day filter reads one directory
+        one = back.where(F.col("d") == "2024-01-03")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or one.count() > 0
+        import os
+        dirs = [p for p in os.listdir(path) if p.startswith("d=")]
+        assert len(dirs) > 1
