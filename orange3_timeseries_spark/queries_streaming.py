@@ -619,3 +619,33 @@ def q_streaming_cusum(spark, sf_dir):
     run_to_memory_isolated(spark, build, name, output_mode="append",
                            state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
+
+
+@query("streaming_dedup", """
+SELECT event_id, user_id, ts, round(value, 6) AS value
+FROM events
+""")
+def q_streaming_dedup(spark, sf_dir):
+    """Exactly-once streaming dedup: the events stream UNIONED WITH
+    ITSELF (every record delivered twice — the at-least-once ingestion
+    model) flows through ``dropDuplicatesWithinWatermark(event_id)``
+    and must emit each event exactly once; the oracle is the original
+    table.  Duplicate copies are bit-identical rows, so which copy
+    survives is immaterial to the value hash — the check verifies the
+    COUNT halves and nothing else changes.  State per key is one
+    timestamp, evicted at the watermark (bounded by keys-per-horizon,
+    not stream length)."""
+    from orange3_timeseries_spark.streaming.ops import stream_dedup
+
+    def build(s):
+        once = read_table_stream(s, sf_dir, "events")
+        twice = once.union(read_table_stream(s, sf_dir, "events"))
+        out = stream_dedup(twice, "ts", ["event_id"],
+                           watermark="1 hour")
+        return out.select("event_id", "user_id", "ts",
+                          r6(F.col("value"), "value"))
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    run_to_memory_isolated(spark, build, name, output_mode="append",
+                           state_partitions=_state_width(spark, sf_dir))
+    return spark.table(name)

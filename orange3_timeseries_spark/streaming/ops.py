@@ -473,3 +473,20 @@ def stream_cusum(sdf: DataFrame, time_col: str,
                           s_up6.alias("s_up"), s_dn6.alias("s_dn"),
                           (s_up6 > hh).alias("alarm_up"),
                           (s_dn6 > hh).alias("alarm_dn"))
+
+
+def stream_dedup(sdf: DataFrame, time_col: str, key_cols: Sequence[str],
+                 watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once streaming deduplication by key within the watermark
+    horizon — ``dropDuplicatesWithinWatermark``: the first row per key
+    is emitted, later copies arriving within ``watermark`` of it are
+    dropped, and the key's state is evicted once the watermark passes
+    (bounded state, unlike a plain streaming ``dropDuplicates`` whose
+    key set grows forever).  THE ingestion front-door op: at-least-once
+    sources (Kafka redeliveries, retried file commits) become
+    effectively-once before any stateful aggregation sees the rows.
+
+    State per key = one timestamp; eviction is watermark-driven, so
+    memory is bounded by keys-per-horizon, not stream length."""
+    return (sdf.withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

@@ -574,3 +574,32 @@ class TestStreamCusum:
             # the level shift must alarm in the SECOND batch's rows
             assert g.iloc[25:]["alarm_up"].any()
             assert not g.iloc[:20]["alarm_up"].any()
+
+
+class TestStreamDedup:
+    def test_duplicated_stream_emits_each_key_once(self, spark,
+                                                   stream_dir):
+        from orange3_timeseries_spark.streaming.ops import stream_dedup
+
+        once = _read_stream(spark, stream_dir) \
+            .withColumn("key", F.concat_ws("_", "user_id", "ts"))
+        doubled = once.union(once)
+        out = stream_dedup(doubled, "ts", ["key"], watermark="1 hour")
+        run_to_memory(out, "t_dedup")
+        got = spark.table("t_dedup").toPandas()
+        assert len(got) == 120                     # 240 in, 120 out
+        assert got.key.nunique() == 120
+        # payloads intact
+        ref = {(r.user_id, r.ts): r.value
+               for r in spark.read.parquet(stream_dir).collect()}
+        for _, r in got.iterrows():
+            assert ref[(r.user_id, r.ts)] == r.value
+
+    def test_distinct_rows_pass_through(self, spark, stream_dir):
+        from orange3_timeseries_spark.streaming.ops import stream_dedup
+
+        once = _read_stream(spark, stream_dir)
+        out = stream_dedup(once, "ts", ["user_id", "ts"],
+                           watermark="30 minutes")
+        run_to_memory(out, "t_dedup_clean")
+        assert spark.table("t_dedup_clean").count() == 120
