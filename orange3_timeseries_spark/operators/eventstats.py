@@ -284,3 +284,56 @@ def transition_entropy(df: DataFrame, time_col: str, state_col: str,
 
 
 __all__.append("transition_entropy")
+
+
+def sbc_classification(df: DataFrame, time_col: str, value_col: str,
+                       series_cols: Sequence[str],
+                       min_demand_days: int = 4) -> DataFrame:
+    """Syntetos-Boylan-Croston demand classification per series:
+    ``(series..., n_days, n_demand_days, adi, cv2, demand_class)`` —
+    the standard router in front of the forecasting tier: ``smooth``
+    series go to exponential smoothing / ARIMA, ``intermittent`` to
+    Croston (cf. ``croston_by_user``), ``erratic`` to robust methods,
+    ``lumpy`` to quantile/bootstrap approaches (Syntetos & Boylan
+    2005 cutoffs: ADI 1.32, CV² 0.49).
+
+    On the DAILY demand grid: ``ADI = span_days / demand_days`` (mean
+    inter-demand interval) and ``CV² = (n·Σs² − S²)/S²`` over the
+    nonzero daily sums — both single divisions of exact BIGINT
+    centi-unit moments, so the classification booleans compare
+    bit-identical doubles against the literal cutoffs on any engine.
+    One day-rollup + one series groupBy — the aggregates share the
+    series key."""
+    series_cols = list(series_cols)
+    day = F.floor(F.unix_micros(F.col(time_col).cast("timestamp"))
+                  / F.lit(86400000000)).cast("bigint")
+    cents = F.round(F.col(value_col).cast("double") * 100.0) \
+             .cast("bigint")
+    b = (df.where(F.col(value_col).isNotNull())
+         .select(*series_cols, day.alias("__d__"), cents.alias("__c__")))
+    daily = b.groupBy(*series_cols, "__d__").agg(
+        F.sum("__c__").alias("__s__"))
+    nz = daily.where(F.col("__s__") != 0)
+    g = nz.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand_days"),
+        (F.max("__d__") - F.min("__d__") + 1).cast("bigint")
+        .alias("n_days"),
+        F.sum("__s__").alias("__S__"),
+        F.sum(F.col("__s__") * F.col("__s__")).alias("__S2__"))
+    nd = F.col("n_demand_days").cast("double")
+    adi = F.col("n_days").cast("double") / nd
+    sd = F.col("__S__").cast("double")
+    cv2 = ((nd * F.col("__S2__").cast("double") - sd * sd) / (sd * sd))
+    cls = (F.when((adi < 1.32) & (cv2 < 0.49), "smooth")
+           .when((adi >= 1.32) & (cv2 < 0.49), "intermittent")
+           .when((adi < 1.32) & (cv2 >= 0.49), "erratic")
+           .otherwise("lumpy"))
+    return (g.where((F.col("n_demand_days") >= F.lit(min_demand_days))
+                    & (F.col("__S__") != 0))
+            .select(*series_cols, "n_days", "n_demand_days",
+                    F.round(adi, 6).alias("adi"),
+                    F.round(cv2, 6).alias("cv2"),
+                    cls.alias("demand_class")))
+
+
+__all__.append("sbc_classification")

@@ -244,3 +244,44 @@ def gini_concentration(df: DataFrame, size_col: str,
 
 
 __all__ += ["histogram_quantiles", "gini_concentration"]
+
+
+def k_anonymity(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, k: int = 10,
+                sensitive_buckets: int = 10) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier combos:
+    ``(quasi..., n_rows, l_diversity, risky)`` — the privacy gate a
+    dataset passes before leaving a trust boundary: any combination of
+    quasi-identifiers shared by fewer than ``k`` individuals
+    re-identifies them (Sweeney 2002), and a large-but-homogeneous
+    group still leaks its sensitive value without l-diversity
+    (Machanavalli et al. 2007).
+
+    ``l_diversity`` counts distinct ``sensitive_buckets``-quantile-free
+    integer buckets of the sensitive column inside the combo (bucket =
+    floor of the value scaled into its global [min,max) range — a
+    deterministic equal-width cut, no quantile pass); ``risky`` flags
+    ``n_rows < k OR l_diversity < 2``.  One groupBy on the quasi key
+    plus a broadcast 1-row min/max — two skinny exchanges at any
+    scale."""
+    quasi_cols = list(quasi_cols)
+    s = F.col(sensitive_col).cast("double")
+    rng = df.agg(F.min(s).alias("__lo__"), F.max(s).alias("__hi__"))
+    j = df.crossJoin(F.broadcast(rng))
+    span = F.col("__hi__") - F.col("__lo__")
+    bucket = F.when(span > 0,
+                    F.least(F.floor((s - F.col("__lo__")) / span
+                                    * F.lit(sensitive_buckets)),
+                            F.lit(sensitive_buckets - 1))) \
+             .otherwise(F.lit(0))
+    g = (j.withColumn("__b__", bucket)
+         .groupBy(*quasi_cols)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+              F.countDistinct("__b__").cast("int")
+              .alias("l_diversity")))
+    return g.select(*quasi_cols, "n_rows", "l_diversity",
+                    ((F.col("n_rows") < F.lit(k))
+                     | (F.col("l_diversity") < 2)).alias("risky"))
+
+
+__all__ += ["k_anonymity"]

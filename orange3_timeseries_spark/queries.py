@@ -1174,3 +1174,79 @@ def q_rfm_segments(spark, sf_dir):
                     (F.col("__mu__").cast("double") / F.lit(100.0))
                     .alias("monetary"),
                     "r_score", "f_score", "m_score", seg.alias("segment"))
+
+
+@query("k_anonymity_customers", """
+WITH r AS (
+  SELECT min(c_acctbal::DOUBLE) AS lo, max(c_acctbal::DOUBLE) AS hi
+  FROM customer),
+b AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN hi - lo > 0
+              THEN least(floor((c_acctbal::DOUBLE - lo) / (hi - lo)
+                               * 10), 9)
+              ELSE 0 END AS bk
+  FROM customer CROSS JOIN r),
+g AS (
+  SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS n_rows,
+         count(DISTINCT bk)::INT AS l_diversity
+  FROM b GROUP BY 1, 2)
+SELECT c_mktsegment, c_nationkey, n_rows, l_diversity,
+       n_rows < 10 OR l_diversity < 2 AS risky
+FROM g
+""")
+def q_k_anonymity_customers(spark, sf_dir):
+    """k-anonymity / l-diversity privacy audit over the customer
+    quasi-identifier combo (mktsegment × nation) with account balance
+    as the sensitive attribute — the gate a dataset passes before
+    leaving a trust boundary (companion to text_pii_redaction on the
+    structured side).  Deterministic equal-width sensitive buckets, no
+    quantile pass (operators/profile.py:k_anonymity)."""
+    from orange3_timeseries_spark.operators.profile import k_anonymity
+
+    c = read_table(spark, sf_dir, "customer")
+    return k_anonymity(c, ["c_mktsegment", "c_nationkey"], "c_acctbal")
+
+
+@query("sbc_demand_class_by_user", """
+WITH b AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+daily AS (
+  SELECT user_id, d, sum(c)::BIGINT AS s
+  FROM b GROUP BY 1, 2),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS ndd,
+         (max(d) - min(d) + 1)::BIGINT AS nd,
+         sum(s)::BIGINT AS ss, sum(s * s)::BIGINT AS s2
+  FROM daily WHERE s <> 0 GROUP BY 1),
+c AS (
+  SELECT user_id, nd, ndd,
+         nd::DOUBLE / ndd::DOUBLE AS adi,
+         (ndd::DOUBLE * s2::DOUBLE - ss::DOUBLE * ss::DOUBLE)
+           / (ss::DOUBLE * ss::DOUBLE) AS cv2
+  FROM g WHERE ndd >= 4 AND ss <> 0)
+SELECT user_id, nd AS n_days, ndd AS n_demand_days,
+       round(adi, 6) AS adi, round(cv2, 6) AS cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class
+FROM c
+""")
+def q_sbc_demand_class_by_user(spark, sf_dir):
+    """Syntetos-Boylan demand classification of each user's daily
+    purchase stream (ADI × CV² quadrants) — the router in front of the
+    forecasting tier: smooth → ETS/ARIMA, intermittent → Croston,
+    erratic/lumpy → robust and quantile methods.  Both statistics are
+    single divisions of exact BIGINT centi-unit moments
+    (operators/eventstats.py:sbc_classification)."""
+    from orange3_timeseries_spark.operators.eventstats import (
+        sbc_classification,
+    )
+
+    ev = read_table(spark, sf_dir, "events") \
+        .where(F.col("event_type") == "purchase")
+    return sbc_classification(ev, "ts", "value", ["user_id"])
