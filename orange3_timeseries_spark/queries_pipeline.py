@@ -3850,3 +3850,127 @@ def q_langid_calibration(spark, sf_dir):
     s = (d.where(n > 0)
          .select(su.alias("su"), (F.col("lang") == "en").alias("y")))
     return calibration_bins(s, "su", "y")
+
+
+@query("pipeline_source_dashboard", """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, lang, n_chars::BIGINT AS n_chars,
+         md5(text) AS digest,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         text
+  FROM documents),
+r AS (
+  SELECT source,
+         len(toks) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS s,
+         list_sum(list_transform(toks,
+             x -> greatest(len(regexp_extract_all(x, '[aeiouy]+', 0)),
+                           1)))::BIGINT AS syl
+  FROM t WHERE len(toks) > 0),
+f AS (
+  SELECT source,
+         round(206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+                       - 84.6 * (syl::DOUBLE / w::DOUBLE), 6) AS fl
+  FROM r),
+fm AS (
+  SELECT source,
+         list_sort(list(fl))[CAST(floor((count(*) + 1) / 2) AS INT)]
+           AS med_flesch
+  FROM f GROUP BY 1),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars,
+         sum(len(toks))::BIGINT AS total_tokens,
+         count(DISTINCT digest)::BIGINT AS n_distinct_texts,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+  FROM t GROUP BY 1),
+gb AS (
+  SELECT source, n_chars AS sz,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t WHERE n_chars IS NOT NULL AND n_chars >= 0),
+gini AS (
+  SELECT source,
+         CASE WHEN sum(sz) > 0
+              THEN round(sum((2 * i - n - 1) * sz)::DOUBLE
+                         / (max(n)::DOUBLE * sum(sz)::DOUBLE), 6)
+         END AS gini
+  FROM gb GROUP BY 1)
+SELECT a.source, a.n_docs, a.total_chars,
+       a.total_tokens::DOUBLE / a.n_docs::DOUBLE AS mean_tokens,
+       round(1.0 - a.n_distinct_texts::DOUBLE / a.n_docs::DOUBLE, 6)
+         AS exact_dup_rate,
+       round(a.n_en::DOUBLE / a.n_docs::DOUBLE, 6) AS en_share,
+       fm.med_flesch, g.gini
+FROM agg a
+JOIN fm ON a.source = fm.source
+JOIN gini g ON a.source = g.source
+""")
+def q_pipeline_source_dashboard(spark, sf_dir):
+    '''The r7d capstone: a per-source corpus-quality dashboard
+    composing five operator families under ONE value hash -- document
+    counts and byte/token mass, exact-duplicate rate (md5 digests),
+    English share, the lower-median Flesch readability ELEMENT (an
+    actual document's score -- never a mean of rounded floats, the
+    divergence class COVERAGE.md documents), and the Gini byte-mass
+    concentration.  The table a curation run reads FIRST: which
+    sources are redundant, unreadable, non-English, or dominated by a
+    single mega-document.  All ratios are single divisions of exact
+    BIGINT counts; every fragment reuses an already-oracled operator
+    (readability, gini_concentration, exact_dedup, language share).'''
+    from pyspark.sql import Window
+
+    from orange3_timeseries_spark.operators.text import (
+        readability,
+        tokens_expr,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    doc = d.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("digest"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+        (F.col("lang") == "en").cast("int").alias("is_en"))
+    fl = readability(d, "text", "doc_id") \
+        .join(d.select("doc_id", "source"), "doc_id")
+    fm = fl.groupBy("source").agg(
+        F.element_at(F.sort_array(F.collect_list("flesch")),
+                     ((F.count(F.lit(1)) + 1) / 2).cast("int"))
+        .alias("med_flesch"))
+    agg = doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").alias("__toks__"),
+        F.countDistinct("digest").cast("bigint").alias("__nd__"),
+        F.sum("is_en").cast("bigint").alias("__en__"))
+    gw = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
+    cw = Window.partitionBy("source")
+    gb = (doc.where(F.col("n_chars").isNotNull()
+                    & (F.col("n_chars") >= 0))
+          .withColumn("__i__", F.row_number().over(gw).cast("bigint"))
+          .withColumn("__n__", F.count(F.lit(1)).over(cw).cast("bigint")))
+    gini = gb.groupBy("source").agg(
+        F.max("__n__").alias("__gn__"),
+        F.sum("n_chars").alias("__gs__"),
+        F.sum((2 * F.col("__i__") - F.col("__n__") - 1)
+              * F.col("n_chars")).alias("__gw__"))
+    gini = gini.select(
+        "source",
+        F.when(F.col("__gs__") > 0,
+               F.round(F.col("__gw__").cast("double")
+                       / (F.col("__gn__").cast("double")
+                          * F.col("__gs__").cast("double")), 6))
+        .alias("gini"))
+    out = (agg.join(fm, "source").join(gini, "source"))
+    return out.select(
+        "source", "n_docs", "total_chars",
+        (F.col("__toks__").cast("double")
+         / F.col("n_docs").cast("double")).alias("mean_tokens"),
+        F.round(F.lit(1.0) - F.col("__nd__").cast("double")
+                / F.col("n_docs").cast("double"), 6)
+        .alias("exact_dup_rate"),
+        F.round(F.col("__en__").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("en_share"),
+        "med_flesch", "gini")
