@@ -156,19 +156,23 @@ def calibration_bins(df: DataFrame, score_units_col: str, label_col: str,
     claims before it gates a corpus.
 
     Bin edges cut on the INTEGER units (never ``floor(score·10)`` on a
-    float — a 6-dp decimal times 10 straddles the bin edge in binary);
+    float — a 6-dp decimal times 10 straddles the bin edge in binary),
+    clamped into [0, n_bins); rows with a NULL label are dropped (the
+    same convention as :func:`rank_auc`);
     ``mean_pred`` is an exact unit sum over one division, ``obs_rate``
     an exact count ratio, ``gap`` their fixed-order difference —
     bit-identical cross-engine.  One groupBy over ≤ n_bins groups."""
     width = 10 ** unit_scale // n_bins
     su = F.col(score_units_col)
     b = df.select(
-        F.least(F.floor(su.cast("double") / F.lit(float(width))),
-                F.lit(n_bins - 1)).cast("int").alias("bin"),
+        F.greatest(
+            F.least(F.floor(su.cast("double") / F.lit(float(width))),
+                    F.lit(n_bins - 1)),
+            F.lit(0)).cast("int").alias("bin"),
         su.alias("__su__"),
         F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
         .alias("__pos__")) \
-        .where(su.isNotNull())
+        .where(su.isNotNull() & F.col(label_col).isNotNull())
     g = b.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("__pos__").cast("bigint").alias("__npos__"),

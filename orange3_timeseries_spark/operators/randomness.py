@@ -46,10 +46,15 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from orange3_timeseries_spark.operators.trend import (
+    NORMAL_TWO_SIDED,
+    _lower_median,
+)
+
 __all__ = ["runs_test", "variance_ratio", "hac_mean"]
 
-#: two-sided 5% normal critical value (same literal as trend.py)
-_Z_5PCT = 1.959964
+#: two-sided 5% normal critical value (shared with trend.py)
+_Z_5PCT = NORMAL_TWO_SIDED["5pct"]
 
 
 def _base(df: DataFrame, time_col: str, value_col: str,
@@ -84,9 +89,8 @@ def runs_test(df: DataFrame, time_col: str, value_col: str,
     series_cols = list(series_cols)
     b = _base(df, time_col, value_col, series_cols)
     med = (b.groupBy(*series_cols)
-           .agg(F.element_at(
-               F.sort_array(F.collect_list("__v__")),
-               ((F.count(F.lit(1)) + 1) / 2).cast("int")).alias("__med__")))
+           .agg(_lower_median(F.sort_array(F.collect_list("__v__")))
+                .alias("__med__")))
     k = (b.join(med, on=series_cols, how="inner")
          .where(F.col("__v__") != F.col("__med__"))
          .withColumn("__s__", F.when(F.col("__v__") > F.col("__med__"),

@@ -1057,5 +1057,3 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
         cols.append((acc.cast("double") * scale).alias(f"p{t}"))
     return df.select(*id_cols, *cols)
 
-
-__all_jl__ = ["jl_project"]

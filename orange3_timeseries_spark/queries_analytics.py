@@ -2718,7 +2718,7 @@ def _dtw_sql():
     return f"""
 WITH RECURSIVE b AS (
   SELECT user_id,
-         (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+         (((epoch_us(ts) // 86400000000 + 3) % 7) + 7) % 7 AS dow,
          CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS cents
   FROM events WHERE value IS NOT NULL),
 up AS (
@@ -2768,7 +2768,8 @@ def q_dtw_dow_profile_by_user(spark, sf_dir):
     k = 7
     ev = read_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull())
-    dow = (F.floor(F.unix_micros("ts") / F.lit(86400000000)) + 3) % 7
+    dow = (((F.floor(F.unix_micros("ts") / F.lit(86400000000)) + 3)
+            % 7) + 7) % 7  # pmod: pre-1970 days must not go negative
     cents = F.round(F.col("value").cast("double") * 100.0).cast("bigint")
     b = ev.select("user_id", dow.alias("dow"), cents.alias("cents"))
     su = F.floor((F.sum("cents") * 10000).cast("double")

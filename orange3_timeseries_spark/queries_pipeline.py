@@ -3759,7 +3759,7 @@ s AS (
          CAST(floor((len(list_filter(toks,
                 x -> x IN ({_EN_MARKERS}))) * 1000000)::DOUBLE
               / len(toks)::DOUBLE) AS BIGINT) AS su
-  FROM t WHERE len(toks) > 0),
+  FROM t WHERE len(toks) > 0 AND y IS NOT NULL),
 r AS (
   SELECT source, y,
          2 * rank() OVER (PARTITION BY source ORDER BY su)
@@ -3810,7 +3810,7 @@ s AS (
          CAST(floor((len(list_filter(toks,
                 x -> x IN ({_EN_MARKERS}))) * 1000000)::DOUBLE
               / len(toks)::DOUBLE) AS BIGINT) AS su
-  FROM t WHERE len(toks) > 0),
+  FROM t WHERE len(toks) > 0 AND y IS NOT NULL),
 b AS (
   SELECT least(floor(su::DOUBLE / 100000.0), 9)::INT AS bin, su,
          CASE WHEN y THEN 1 ELSE 0 END AS pos
@@ -3880,7 +3880,7 @@ fm AS (
 agg AS (
   SELECT source, count(*)::BIGINT AS n_docs,
          sum(n_chars)::BIGINT AS total_chars,
-         sum(len(toks))::BIGINT AS total_tokens,
+         sum(coalesce(len(toks), 0))::BIGINT AS total_tokens,
          count(DISTINCT digest)::BIGINT AS n_distinct_texts,
          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
   FROM t GROUP BY 1),
@@ -3918,12 +3918,14 @@ def q_pipeline_source_dashboard(spark, sf_dir):
     single mega-document.  All ratios are single divisions of exact
     BIGINT counts; every fragment reuses an already-oracled operator
     (readability, gini_concentration, exact_dedup, language share).'''
-    from pyspark.sql import Window
-
+    from orange3_timeseries_spark.operators.profile import (
+        gini_concentration,
+    )
     from orange3_timeseries_spark.operators.text import (
         readability,
         tokens_expr,
     )
+    from orange3_timeseries_spark.operators.trend import _lower_median
 
     d = read_table(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
@@ -3931,13 +3933,13 @@ def q_pipeline_source_dashboard(spark, sf_dir):
         "doc_id", "source",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.md5("text").alias("digest"),
-        F.size(toks).cast("bigint").alias("n_toks"),
+        F.greatest(F.size(toks), F.lit(0)).cast("bigint")
+        .alias("n_toks"),
         (F.col("lang") == "en").cast("int").alias("is_en"))
     fl = readability(d, "text", "doc_id") \
         .join(d.select("doc_id", "source"), "doc_id")
     fm = fl.groupBy("source").agg(
-        F.element_at(F.sort_array(F.collect_list("flesch")),
-                     ((F.count(F.lit(1)) + 1) / 2).cast("int"))
+        _lower_median(F.sort_array(F.collect_list("flesch")))
         .alias("med_flesch"))
     agg = doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -3945,24 +3947,8 @@ def q_pipeline_source_dashboard(spark, sf_dir):
         F.sum("n_toks").alias("__toks__"),
         F.countDistinct("digest").cast("bigint").alias("__nd__"),
         F.sum("is_en").cast("bigint").alias("__en__"))
-    gw = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
-    cw = Window.partitionBy("source")
-    gb = (doc.where(F.col("n_chars").isNotNull()
-                    & (F.col("n_chars") >= 0))
-          .withColumn("__i__", F.row_number().over(gw).cast("bigint"))
-          .withColumn("__n__", F.count(F.lit(1)).over(cw).cast("bigint")))
-    gini = gb.groupBy("source").agg(
-        F.max("__n__").alias("__gn__"),
-        F.sum("n_chars").alias("__gs__"),
-        F.sum((2 * F.col("__i__") - F.col("__n__") - 1)
-              * F.col("n_chars")).alias("__gw__"))
-    gini = gini.select(
-        "source",
-        F.when(F.col("__gs__") > 0,
-               F.round(F.col("__gw__").cast("double")
-                       / (F.col("__gn__").cast("double")
-                          * F.col("__gs__").cast("double")), 6))
-        .alias("gini"))
+    gini = gini_concentration(doc, "n_chars", ["source"],
+                              min_n=1).select("source", "gini")
     out = (agg.join(fm, "source").join(gini, "source"))
     return out.select(
         "source", "n_docs", "total_chars",
