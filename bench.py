@@ -137,6 +137,19 @@ def main():
                     spark.catalog.dropGlobalTempView(t.name)
         except Exception:
             pass
+        try:
+            # localCheckpoint() blocks (hll_overlap, assoc_rules, psi,
+            # classifier training bases, ...) are PERSISTENT RDDs that
+            # catalog.clearCache() does NOT release — over a 242-query
+            # session the dead blocks pile up in the block manager and
+            # the r7d bench measured broad 2-5x late-session inflation
+            # (pipeline_curate_corpus 35 s in-sequence vs 4.5 s warm).
+            # Safe here: bench queries never reuse a prior query's plan.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs() \
+                    .values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()

@@ -1250,3 +1250,56 @@ def q_sbc_demand_class_by_user(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events") \
         .where(F.col("event_type") == "purchase")
     return sbc_classification(ev, "ts", "value", ["user_id"])
+
+
+@query("tpch_q14_promo_share", """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+       sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100.0) AS BIGINT))
+                ELSE 0 END)::BIGINT::DOUBLE / 10000.0 AS promo_revenue,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+         ::BIGINT::DOUBLE / 10000.0 AS total_revenue,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100.0)
+                                       AS BIGINT))
+                    ELSE 0 END)::BIGINT::DOUBLE
+             / sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+               ::BIGINT::DOUBLE, 6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""")
+def q_tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14-flavored promotion-effect query: monthly share of
+    revenue from PROMO-type parts — the part dimension BROADCASTS onto
+    the lineitem scan (map-side join, no fact shuffle before the
+    month rollup) and both revenue sums are exact basis-point BIGINTs,
+    so the share is one division of bit-identical integers.  Closes
+    table coverage: every testdata table now feeds at least one
+    oracled query."""
+    part = read_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_type")
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount")
+    ru = (F.round(F.col("l_extendedprice") * 100.0).cast("bigint")
+          * (F.lit(100) - F.round(F.col("l_discount") * 100.0)
+             .cast("bigint")))
+    j = li.join(F.broadcast(part),
+                li.l_partkey == part.p_partkey)
+    g = (j.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+         .agg(F.sum(F.when(F.col("p_type") == "PROMO", ru)
+                    .otherwise(F.lit(0))).alias("__pr__"),
+              F.sum(ru).alias("__tr__")))
+    return g.select(
+        "month",
+        (F.col("__pr__").cast("double") / F.lit(10000.0))
+        .alias("promo_revenue"),
+        (F.col("__tr__").cast("double") / F.lit(10000.0))
+        .alias("total_revenue"),
+        F.round(F.lit(100.0) * F.col("__pr__").cast("double")
+                / F.col("__tr__").cast("double"), 6)
+        .alias("promo_share_pct"))

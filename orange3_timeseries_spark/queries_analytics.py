@@ -2927,3 +2927,53 @@ def q_transition_entropy_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return transition_entropy(ev, "ts", "event_type", ["user_id"])
+
+
+@query("incremental_daily_rollup", """
+WITH b AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT user_id, day::BIGINT AS day, count(*)::BIGINT AS n,
+         sum(u)::BIGINT AS su, min(u)::BIGINT AS mn,
+         max(u)::BIGINT AS mx
+  FROM b GROUP BY 1, 2)
+SELECT user_id, day, n AS n_events,
+       su::DOUBLE / 100.0 AS total,
+       mn::DOUBLE / 100.0 AS vmin,
+       mx::DOUBLE / 100.0 AS vmax,
+       su::DOUBLE / (n * 100)::DOUBLE AS mean
+FROM g
+""")
+def q_incremental_daily_rollup(spark, sf_dir):
+    '''Incremental ETL contract: the first half of the month is reduced
+    to a parquet STATE TABLE of exact BIGINT partial aggregates
+    (written day-partitioned, read back), the second half is folded in
+    with one skinny merge -- and the served rollup must hash
+    IDENTICALLY to the oracle's full recompute over all raw rows.
+    This is the 100 TB daily-pipeline shape: history is never
+    rescanned, and because the state is integer-exact the merge is
+    associative in any order/partitioning (float partials are not)
+    (operators/incremental.py).'''
+    import tempfile
+
+    from orange3_timeseries_spark.operators.incremental import (
+        merge_states,
+        rollup_state,
+        serve_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = "2024-01-16"
+    old = rollup_state(ev.where(F.col("ts") < cutoff), "ts", "value",
+                       ["user_id"])
+    path = tempfile.mkdtemp(prefix="rollup_state_") + "/state"
+    old.write.mode("overwrite").partitionBy("day").parquet(path)
+    state = spark.read.parquet(path) \
+        .select("user_id", "day", "n", "sum_units", "min_units",
+                "max_units")
+    delta = rollup_state(ev.where(F.col("ts") >= cutoff), "ts", "value",
+                         ["user_id"])
+    return serve_rollup(merge_states(state, delta))
