@@ -3960,3 +3960,124 @@ def q_pipeline_source_dashboard(spark, sf_dir):
         F.round(F.col("__en__").cast("double")
                 / F.col("n_docs").cast("double"), 6).alias("en_share"),
         "med_flesch", "gini")
+
+
+@query("langid_confusion", f"""
+SELECT labeled_lang AS gold, pred_lang AS pred, count(*)::BIGINT AS n
+FROM ({_lang_sql().strip()})
+GROUP BY 1, 2
+""")
+def q_langid_confusion(spark, sf_dir):
+    '''Confusion matrix of the stopword-marker language-ID heuristic
+    against the gold lang label -- the standard multiclass evaluation
+    view (which languages leak into which predictions, where 'und'
+    swallows real text).  Pure count aggregation over the already-
+    oracled scorer projection.'''
+    d = read_table(spark, sf_dir, "documents")
+    s = d.select(F.col("lang").alias("gold"),
+                 T.language_id_expr(F.col("text")).alias("pred"))
+    return s.groupBy("gold", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query("langid_class_metrics", f"""
+WITH s AS ({_lang_sql().strip()}),
+g AS (SELECT labeled_lang AS cls, count(*)::BIGINT AS n_gold
+      FROM s GROUP BY 1),
+p AS (SELECT pred_lang AS cls, count(*)::BIGINT AS n_pred
+      FROM s GROUP BY 1),
+t AS (SELECT labeled_lang AS cls, count(*)::BIGINT AS tp
+      FROM s WHERE labeled_lang = pred_lang GROUP BY 1)
+SELECT g.cls, g.n_gold,
+       coalesce(p.n_pred, 0)::BIGINT AS n_pred,
+       coalesce(t.tp, 0)::BIGINT AS tp,
+       CASE WHEN coalesce(p.n_pred, 0) > 0
+            THEN round(coalesce(t.tp, 0)::DOUBLE / p.n_pred::DOUBLE, 6)
+       END AS precision,
+       round(coalesce(t.tp, 0)::DOUBLE / g.n_gold::DOUBLE, 6) AS recall,
+       round(2.0 * coalesce(t.tp, 0)::DOUBLE
+             / (g.n_gold + coalesce(p.n_pred, 0))::DOUBLE, 6) AS f1
+FROM g LEFT JOIN p ON g.cls = p.cls LEFT JOIN t ON g.cls = t.cls
+""")
+def q_langid_class_metrics(spark, sf_dir):
+    '''Per-class precision / recall / F1 of the language-ID heuristic
+    (gold classes as rows).  F1 uses the single-division identity
+    ``2·tp/(n_gold + n_pred)`` -- one ratio of exact BIGINTs, never a
+    compound of two rounded ratios.'''
+    d = read_table(spark, sf_dir, "documents")
+    s = d.select(F.col("lang").alias("gold"),
+                 T.language_id_expr(F.col("text")).alias("pred"))
+    g = s.groupBy(F.col("gold").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gold"))
+    p = s.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+    t = (s.where(F.col("gold") == F.col("pred"))
+         .groupBy(F.col("gold").alias("cls"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("tp")))
+    j = (g.join(p, "cls", "left").join(t, "cls", "left")
+         .select("cls", "n_gold",
+                 F.coalesce("n_pred", F.lit(0)).cast("bigint")
+                 .alias("n_pred"),
+                 F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp")))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.round(F.col("tp").cast("double")
+                          / F.col("n_pred").cast("double"), 6))
+    rec = F.round(F.col("tp").cast("double")
+                  / F.col("n_gold").cast("double"), 6)
+    f1 = F.round(F.lit(2.0) * F.col("tp").cast("double")
+                 / (F.col("n_gold") + F.col("n_pred")).cast("double"), 6)
+    return j.select("cls", "n_gold", "n_pred", "tp",
+                    prec.alias("precision"), rec.alias("recall"),
+                    f1.alias("f1"))
+
+
+@query("top_share_by_source", """
+WITH r AS (
+  SELECT source, n_chars::BIGINT AS sz,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0)
+SELECT source, max(n)::BIGINT AS n_docs,
+       ((max(n) + 9) // 10)::BIGINT AS top_k,
+       sum(CASE WHEN i <= (n + 9) // 10 THEN sz ELSE 0 END)::BIGINT
+         AS top_mass,
+       sum(sz)::BIGINT AS total_mass,
+       CASE WHEN sum(sz) > 0
+            THEN round(sum(CASE WHEN i <= (n + 9) // 10 THEN sz
+                           ELSE 0 END)::DOUBLE / sum(sz)::DOUBLE, 6)
+       END AS top_decile_share
+FROM r GROUP BY 1
+""")
+def q_top_share_by_source(spark, sf_dir):
+    '''Lorenz top-decile mass share per source: what fraction of the
+    byte mass sits in the largest 10% of documents -- the pointwise
+    companion to gini_by_source a mixing stage reads to spot
+    mega-document domination.  Integer rank cut (ceil(n/10) largest by
+    size with doc_id tiebreak), exact BIGINT mass sums, one
+    division.'''
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    sz = F.col("n_chars").cast("bigint")
+    b = (d.where(sz.isNotNull() & (sz >= 0))
+         .select("source", "doc_id", sz.alias("sz")))
+    w = Window.partitionBy("source").orderBy(F.col("sz").desc(),
+                                             "doc_id")
+    cw = Window.partitionBy("source")
+    b = (b.withColumn("__i__", F.row_number().over(w).cast("bigint"))
+         .withColumn("__n__", F.count(F.lit(1)).over(cw).cast("bigint")))
+    k = F.floor((F.col("__n__") + 9) / 10).cast("bigint")
+    b = b.withColumn("__k__", k)
+    g = b.groupBy("source").agg(
+        F.max("__n__").alias("n_docs"),
+        F.max("__k__").alias("top_k"),
+        F.sum(F.when(F.col("__i__") <= F.col("__k__"), F.col("sz"))
+              .otherwise(F.lit(0))).alias("top_mass"),
+        F.sum("sz").alias("total_mass"))
+    return g.select(
+        "source", "n_docs", "top_k", "top_mass", "total_mass",
+        F.when(F.col("total_mass") > 0,
+               F.round(F.col("top_mass").cast("double")
+                       / F.col("total_mass").cast("double"), 6))
+        .alias("top_decile_share"))

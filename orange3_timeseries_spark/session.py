@@ -15,6 +15,14 @@ from pyspark.sql import SparkSession
 # shuffle partitions should be ~2-3x total cores; locally we match core count.
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
+    # STATIC conf (read once at JVM start): the generated-class cache
+    # defaults to 100 entries, and a session that plans hundreds of
+    # distinct queries (the 240+-query bench, a long notebook) evicts
+    # the big HOF/dedup classes and re-pays their 5-9 s janino compile
+    # on every revisit — measured as broad late-session inflation in
+    # the r7d bench.  5000 entries of generated classes is a few
+    # hundred MB of metaspace at worst, nothing at driver scale.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # NumPy-style arithmetic: x/0 -> null, no overflow errors — the kernels
     # encode their own zero/NaN rules explicitly (cf. operators/aggregate.py).
     "spark.sql.ansi.enabled": "false",
