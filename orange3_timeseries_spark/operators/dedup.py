@@ -812,3 +812,65 @@ def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
         "novelty",
         F.when(F.col("n_shingles") > 0,
                F.round(F.col("n_novel") / F.col("n_shingles"), 6)))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
+                    min_len: int = 20) -> DataFrame:
+    """CCNet-style exact SEGMENT-level deduplication (Wenzek et al.
+    2020; the RefinedWeb/FineWeb recipe's first pass): split every
+    document into sentence-ish segments, keep each distinct normalized
+    segment ONLY at its first occurrence corpus-wide (min doc id, then
+    min position — the deterministic first-introducer rule the n-gram
+    novelty scorer also uses), and report per-document survival:
+    ``(id, n_segments, n_kept, kept_ratio, kept_text)``.
+
+    Sub-document dedup is the modality exact/minhash DOC-level dedup
+    cannot express: boilerplate headers, navigation chrome, and quoted
+    reposts repeat across millions of otherwise-distinct pages, and
+    dropping them at segment level recovers the unique prose.
+
+    Segments are ``[^.!?]+[.!?]*`` runs (RE2-safe — no lookbehind),
+    deduped on their lowercased trimmed form when at least ``min_len``
+    chars (short segments pass through — "Yes." is not boilerplate
+    worth globalizing).  ``kept_text`` is the in-order rejoin of
+    surviving segments.
+
+    Scale: one explode + one (segment-key) shuffle for the
+    first-occurrence window + one doc-key regroup; the segment key is
+    content-hashed text (skinny), and everything is exact counts —
+    bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(r"[^.!?]+[.!?]*"), 0)
+    base = (df.select(F.col(id_col).alias("__id__"),
+                      F.posexplode(toks).alias("__pos__", "__seg__")))
+    norm = F.lower(F.trim(F.col("__seg__")))
+    base = base.withColumn("__k__", norm) \
+               .where(F.length(F.trim(F.col("__seg__"))) > 0)
+    w = Window.partitionBy("__k__").orderBy("__id__", "__pos__")
+    first = F.row_number().over(w) == 1
+    keep = F.when(F.length(F.col("__k__")) < F.lit(min_len),
+                  F.lit(True)).otherwise(first)
+    marked = base.withColumn("__keep__", keep)
+    return (marked.groupBy(F.col("__id__").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                 F.sum(F.col("__keep__").cast("int")).cast("bigint")
+                 .alias("n_kept"),
+                 F.round(F.sum(F.col("__keep__").cast("int"))
+                         .cast("double")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("kept_ratio"),
+                 # NULL (not '') when nothing survives — the SQL
+                 # string_agg convention, and the honest value
+                 F.nullif(
+                     F.concat_ws(" ", F.transform(
+                         F.filter(
+                             F.array_sort(F.collect_list(F.struct(
+                                 "__pos__", "__keep__", "__seg__"))),
+                             lambda s: s["__keep__"]),
+                         lambda s: F.trim(s["__seg__"]))),
+                     F.lit("")).alias("kept_text")))
+
+
+

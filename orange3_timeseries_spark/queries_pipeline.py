@@ -4081,3 +4081,40 @@ def q_top_share_by_source(spark, sf_dir):
                F.round(F.col("top_mass").cast("double")
                        / F.col("total_mass").cast("double"), 6))
         .alias("top_decile_share"))
+
+
+@query("paragraph_dedup_corpus", """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*', 0) AS l
+  FROM documents),
+e AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS seg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) u),
+b AS (
+  SELECT doc_id, pos, seg, lower(trim(seg)) AS k
+  FROM e WHERE length(trim(seg)) > 0),
+m AS (
+  SELECT doc_id, pos, seg, k,
+         CASE WHEN length(k) < 20 THEN TRUE
+              ELSE row_number() OVER (PARTITION BY k
+                                      ORDER BY doc_id, pos) = 1
+         END AS keep
+  FROM b)
+SELECT doc_id, count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS kept_ratio,
+       string_agg(CASE WHEN keep THEN trim(seg) END, ' '
+                  ORDER BY pos) AS kept_text
+FROM m GROUP BY 1
+""")
+def q_paragraph_dedup_corpus(spark, sf_dir):
+    '''CCNet-style segment-level exact dedup (the RefinedWeb first
+    pass): each distinct normalized sentence-segment survives only at
+    its corpus-wide first occurrence (min doc, then min position);
+    short segments pass through.  Emits per-doc survival stats AND the
+    rebuilt text, all value-hashed — the sub-document dedup modality
+    doc-level exact/minhash passes cannot express
+    (operators/dedup.py:paragraph_dedup).'''
+    d = read_table(spark, sf_dir, "documents")
+    return D.paragraph_dedup(d, "text", "doc_id")
