@@ -1033,27 +1033,45 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
     adds only) times one literal double scale — bit-identical
     cross-engine, order-free.
 
-    Scale: map-only (ZERO shuffle), whole-stage codegen higher-order
-    functions, no UDF; 100 TB of vectors stream through at scan
-    speed."""
+    Scale: map-only (ZERO shuffle), no UDF, embarrassingly parallel.
+    Throughput note: higher-order functions evaluate per-element
+    OUTSIDE whole-stage codegen, so the floor is ~60 µs/row at
+    64→8 dims (~16k rows/s/core; a billion vectors ≈ 1 cpu-day,
+    minutes on a cluster) — measured identical across the per-dim,
+    array-accumulator, and literal-matrix formulations.  When JL is
+    the hot path rather than a verifiable prep step, the same matrix
+    in a vectorized Pandas UDF (one NumPy ``X @ R.T`` per Arrow
+    batch) is the ~100x-faster engine-specific route."""
     import math
 
     id_cols = list(id_cols)
     scale = F.lit(math.sqrt(3.0 / (2 * out_dim)) / float(10 ** unit_scale))
-    def _entry(t, dim_hint=4096):
-        def fn(e, j):
-            u = (F.round(e.cast("double") * F.lit(float(10 ** unit_scale)))
-                 .cast("bigint"))
-            idx = F.lit(dim_hint * t) + j.cast("bigint")
-            h = (F.lit(1103515245) * idx + F.lit(12345)) % F.lit(2 ** 31)
-            return u * (F.shiftright(h, 16) % 3 - 1)
-        return fn
+    # Quantize ONCE into a (u, j) struct array behind a projection
+    # barrier, then run out_dim allocation-free scalar folds over it:
+    # the per-dim naive form re-walked the raw array out_dim times
+    # re-rounding every element (measured 8x slower at 500k x 64), and
+    # a single fold carrying an out_dim-array accumulator allocated a
+    # fresh array per ELEMENT (GC-bound).  Integer sums are order-free,
+    # so the oracle's per-dim replay is value-identical.
+    dim_hint = 4096
+    pre = F.transform(
+        F.col(vec_col),
+        lambda e, j: F.struct(
+            F.round(e.cast("double") * F.lit(float(10 ** unit_scale)))
+            .cast("bigint").alias("u"),
+            j.cast("bigint").alias("j")))
+    tmp = df.select(*id_cols, pre.alias("__uj__"))
 
-    cols = []
-    for t in range(out_dim):
-        units = F.transform(F.col(vec_col), _entry(t))
-        acc = F.aggregate(units, F.lit(0).cast("bigint"),
-                          lambda a, v: a + v)
-        cols.append((acc.cast("double") * scale).alias(f"p{t}"))
-    return df.select(*id_cols, *cols)
+    def fold(t):
+        def step(acc, s):
+            idx = F.lit(dim_hint * t) + s["j"]
+            h = (F.lit(1103515245) * idx + F.lit(12345)) % F.lit(2 ** 31)
+            return acc + s["u"] * (F.shiftright(h, 16) % 3 - 1)
+        return F.aggregate(F.col("__uj__"), F.lit(0).cast("bigint"),
+                           step)
+
+    return tmp.select(
+        *id_cols,
+        *[(fold(t).cast("double") * scale).alias(f"p{t}")
+          for t in range(out_dim)])
 
