@@ -715,3 +715,129 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
 
 
 __all__.append("spearman_corr")
+
+
+def mann_whitney(df: DataFrame, score_units_col: str, label_col: str,
+                 group_cols: Sequence[str], min_each: int = 8) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum two-sample test per group:
+    ``(group..., n_pos, n_neg, u_stat, auc, z, significant_5pct)`` —
+    the distribution-free "do these two samples come from the same
+    distribution?" test (Mann & Whitney 1947), with the tie-corrected
+    normal approximation:
+
+        U = ΣR⁺ − n⁺(n⁺+1)/2,   E[U] = n⁺n⁻/2,
+        Var[U] = (n⁺n⁻/12)·(n+1 − Σ(t³−t)/(n(n−1)))
+
+    (t = size of each tied value group).  ``auc = U/(n⁺n⁻)`` is the
+    common-language effect size, the same quantity
+    :func:`classifier.rank_auc` reports.
+
+    Determinism: the score must be an exact INTEGER-unit column
+    (quantize at source); average ranks ride as BIGINT doubled-ranks,
+    the tie sum ``Σ(t³−t)`` is BIGINT-exact, and U/z are fixed-order
+    double combinations — bit-identical cross-engine.  One rank window
+    + one tie groupBy + one group rollup, all on the group key."""
+    group_cols = list(group_cols)
+    su = F.col(score_units_col)
+    y = F.col(label_col).cast("boolean")
+    base = (df.select(*group_cols, su.alias("__su__"), y.alias("__y__"))
+            .where(su.isNotNull() & y.isNotNull()))
+    w = Window.partitionBy(*group_cols).orderBy("__su__")
+    tw = Window.partitionBy(*group_cols, "__su__")
+    tcnt = F.count(F.lit(1)).over(tw).cast("bigint")
+    rk2 = (F.lit(2).cast("bigint") * F.rank().over(w).cast("bigint")
+           + (tcnt - 1))
+    b = base.withColumn("__rk2__", rk2).withColumn("__t__", tcnt)
+    ties = (b.groupBy(*group_cols, "__su__")
+            .agg(F.max("__t__").alias("__tg__"))
+            .groupBy(*group_cols)
+            .agg(F.sum(F.col("__tg__") * F.col("__tg__") * F.col("__tg__")
+                       - F.col("__tg__")).alias("__T__")))
+    g = b.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n__"),
+        F.sum(F.when(F.col("__y__"), 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("__y__"), F.col("__rk2__"))).cast("bigint")
+        .alias("__s2__"))
+    g = g.join(ties, on=group_cols, how="inner")
+    n1 = F.col("n_pos")
+    n2 = F.col("__n__") - n1
+    nd = F.col("__n__").cast("double")
+    u = (F.col("__s2__").cast("double") / F.lit(2.0)
+         - (n1 * (n1 + 1)).cast("double") / F.lit(2.0))
+    mu = (n1 * n2).cast("double") / F.lit(2.0)
+    var = ((n1 * n2).cast("double") / F.lit(12.0)
+           * ((nd + 1) - F.col("__T__").cast("double")
+              / (nd * (nd - 1))))
+    z6 = F.round((u - mu) / F.sqrt(var), 6)
+    auc = F.round(u / (n1 * n2).cast("double"), 6)
+    return (g.where((n1 >= F.lit(min_each)) & (n2 >= F.lit(min_each))
+                    & (var > 0))
+            .select(*group_cols, "n_pos",
+                    n2.cast("bigint").alias("n_neg"),
+                    F.round(u, 1).alias("u_stat"),
+                    auc.alias("auc"), z6.alias("z"),
+                    (F.abs(z6) > F.lit(1.959964)).alias("significant_5pct")))
+
+
+def dow_anova(df: DataFrame, time_col: str, value_col: str,
+              series_cols: Sequence[str], min_n: int = 50,
+              quantize_scale: int = 2) -> DataFrame:
+    """One-way ANOVA of value by DAY OF WEEK per series: ``(series...,
+    n_obs, f_stat, eta_sq, seasonal_5pct)`` — the significance test
+    behind "does this series actually have weekly seasonality?", the
+    gate in front of the seasonal decomposition / seasonal-MK tier
+    (fitting a 7-phase season to noise manufactures structure).
+
+    ``F = (SSB/(k−1)) / (SSW/(n−k))`` with k = 7 (series missing a
+    weekday are dropped — unbalanced-but-present groups are fine,
+    absent cells are not); ``eta_sq = SSB/SST`` is the effect size.
+    Sums of squares expand to exact BIGINT moments per weekday
+    (``n_d, S_d, Q_d`` pivoted to columns, the benford-ladder shape)
+    combined in fixed-order double arithmetic: ``SST = Q − S²/n``,
+    ``SSB = Σ_d S_d²/n_d − S²/n``.  Verdict compares the 6-dp-rounded
+    F to 2.098627 — the F(6, ∞) 5% point, a large-n approximation
+    (exact at df2 → ∞; at the default ``min_n`` = 50 the true critical
+    is ≈ 2.22, so borderline calls need the emitted F itself).
+    One groupBy — one exchange."""
+    series_cols = list(series_cols)
+    day = F.floor(F.unix_micros(F.col(time_col).cast("timestamp"))
+                  / F.lit(86400000000))
+    dow = (((day + 3) % 7) + 7) % 7
+    u = F.round(F.col(value_col).cast("double")
+                * F.lit(float(10 ** quantize_scale))).cast("bigint")
+    b = (df.where(F.col(value_col).isNotNull())
+         .select(*series_cols, dow.alias("__d__"), u.alias("__u__")))
+    aggs = []
+    for d in range(7):
+        isd = F.col("__d__") == d
+        aggs.append(F.sum(F.when(isd, 1).otherwise(0)).cast("bigint")
+                    .alias(f"__n{d}__"))
+        aggs.append(F.sum(F.when(isd, F.col("__u__"))).alias(f"__s{d}__"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    aggs.append(F.sum("__u__").alias("__S__"))
+    aggs.append(F.sum(F.col("__u__") * F.col("__u__")).alias("__Q__"))
+    g = b.groupBy(*series_cols).agg(*aggs)
+    nd = F.col("__n__").cast("double")
+    sd = F.col("__S__").cast("double")
+    sst = F.col("__Q__").cast("double") - sd * sd / nd
+    ssb = F.lit(0.0)
+    for d in range(7):
+        sdd = F.col(f"__s{d}__").cast("double")
+        ssb = ssb + sdd * sdd / F.col(f"__n{d}__").cast("double")
+    ssb = ssb - sd * sd / nd
+    ssw = sst - ssb
+    f_stat = (ssb / F.lit(6.0)) / (ssw / (nd - 7))
+    f6 = F.round(f_stat, 6)
+    present = F.lit(True)
+    for d in range(7):
+        present = present & (F.col(f"__n{d}__") > 0)
+    return (g.where((F.col("__n__") >= F.lit(min_n)) & present)
+            .where(ssw > 0)
+            .select(*series_cols, F.col("__n__").alias("n_obs"),
+                    f6.alias("f_stat"),
+                    F.round(ssb / sst, 6).alias("eta_sq"),
+                    (f6 > F.lit(2.098627)).alias("seasonal_5pct")))
+
+
+__all__ += ["mann_whitney", "dow_anova"]

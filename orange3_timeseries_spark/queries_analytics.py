@@ -2977,3 +2977,123 @@ def q_incremental_daily_rollup(spark, sf_dir):
     delta = rollup_state(ev.where(F.col("ts") >= cutoff), "ts", "value",
                          ["user_id"])
     return serve_rollup(merge_states(state, delta))
+
+
+@query("mann_whitney_purchase_by_user", """
+WITH b AS (
+  SELECT user_id,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS su,
+         event_type = 'purchase' AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT user_id, su, y,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY su)
+           + (count(*) OVER (PARTITION BY user_id, su) - 1) AS rk2,
+         count(*) OVER (PARTITION BY user_id, su) AS tc
+  FROM b),
+ties AS (
+  SELECT user_id, sum(tg * tg * tg - tg)::BIGINT AS t
+  FROM (SELECT user_id, su, max(tc) AS tg FROM r GROUP BY 1, 2)
+  GROUP BY 1),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN y THEN rk2 END)::BIGINT AS s2
+  FROM r GROUP BY 1),
+c AS (
+  SELECT g.user_id, n, n1, (n - n1)::BIGINT AS n2, s2, t,
+         s2::DOUBLE / 2.0 - (n1 * (n1 + 1))::DOUBLE / 2.0 AS u,
+         (n1 * (n - n1))::DOUBLE / 2.0 AS mu,
+         (n1 * (n - n1))::DOUBLE / 12.0
+           * ((n::DOUBLE + 1) - t::DOUBLE
+              / (n::DOUBLE * (n::DOUBLE - 1))) AS v
+  FROM g JOIN ties ON g.user_id = ties.user_id),
+z AS (
+  SELECT user_id, n1, n2, u,
+         round(u / (n1 * n2)::DOUBLE, 6) AS auc,
+         round((u - mu) / sqrt(v), 6) AS z6
+  FROM c WHERE n1 >= 8 AND n2 >= 8 AND v > 0)
+SELECT user_id, n1 AS n_pos, n2 AS n_neg, round(u, 1) AS u_stat,
+       auc, z6 AS z, abs(z6) > 1.959964 AS significant_5pct
+FROM z
+""")
+def q_mann_whitney_purchase_by_user(spark, sf_dir):
+    '''Mann-Whitney rank-sum test per user: do purchase events carry a
+    different value distribution than the user's other events?  The
+    distribution-free two-sample screen (tie-corrected normal
+    approximation) plus the common-language effect size (AUC).
+    Centi-unit integer scores, BIGINT doubled-ranks and tie sums,
+    fixed-order double combinations
+    (operators/stattests.py:mann_whitney).'''
+    from orange3_timeseries_spark.operators.stattests import mann_whitney
+
+    ev = read_table(spark, sf_dir, "events") \
+        .where(F.col("event_type").isNotNull())
+    ev = ev.select(
+        "user_id",
+        F.round(F.col("value").cast("double") * 100.0).cast("bigint")
+        .alias("su"),
+        (F.col("event_type") == "purchase").alias("y"))
+    return mann_whitney(ev, "su", "y", ["user_id"])
+
+
+@query("dow_anova_by_user", """
+WITH b AS (
+  SELECT user_id,
+         (((epoch_us(ts) // 86400000000 + 3) % 7) + 7) % 7 AS d,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT user_id,
+         sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN d = 0 THEN u END)::BIGINT AS s0,
+         sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN d = 1 THEN u END)::BIGINT AS s1,
+         sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN d = 2 THEN u END)::BIGINT AS s2,
+         sum(CASE WHEN d = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+         sum(CASE WHEN d = 3 THEN u END)::BIGINT AS s3,
+         sum(CASE WHEN d = 4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+         sum(CASE WHEN d = 4 THEN u END)::BIGINT AS s4,
+         sum(CASE WHEN d = 5 THEN 1 ELSE 0 END)::BIGINT AS n5,
+         sum(CASE WHEN d = 5 THEN u END)::BIGINT AS s5,
+         sum(CASE WHEN d = 6 THEN 1 ELSE 0 END)::BIGINT AS n6,
+         sum(CASE WHEN d = 6 THEN u END)::BIGINT AS s6,
+         count(*)::BIGINT AS n, sum(u)::BIGINT AS s,
+         sum(u * u)::BIGINT AS q
+  FROM b GROUP BY 1),
+c AS (
+  SELECT user_id, n,
+         q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE AS sst,
+         ((((((0.0
+           + s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+           + s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+           + s2::DOUBLE * s2::DOUBLE / n2::DOUBLE)
+           + s3::DOUBLE * s3::DOUBLE / n3::DOUBLE)
+           + s4::DOUBLE * s4::DOUBLE / n4::DOUBLE)
+           + s5::DOUBLE * s5::DOUBLE / n5::DOUBLE)
+           + s6::DOUBLE * s6::DOUBLE / n6::DOUBLE
+           - s::DOUBLE * s::DOUBLE / n::DOUBLE AS ssb
+  FROM g
+  WHERE n >= 50 AND n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0
+    AND n4 > 0 AND n5 > 0 AND n6 > 0),
+f AS (
+  SELECT user_id, n, sst, ssb, sst - ssb AS ssw,
+         round((ssb / 6.0) / ((sst - ssb) / (n::DOUBLE - 7)), 6) AS f6
+  FROM c WHERE sst - ssb > 0)
+SELECT user_id, n AS n_obs, f6 AS f_stat,
+       round(ssb / sst, 6) AS eta_sq,
+       f6 > 2.098627 AS seasonal_5pct
+FROM f
+""")
+def q_dow_anova_by_user(spark, sf_dir):
+    '''One-way day-of-week ANOVA per series -- "is the weekly
+    seasonality statistically real?", the gate in front of the
+    seasonal decomposition tier.  Exact BIGINT per-weekday moments
+    pivoted to columns, fixed-order SSB/SST combination, rounded-F
+    verdict against the F(6, inf) 5% point
+    (operators/stattests.py:dow_anova).'''
+    from orange3_timeseries_spark.operators.stattests import dow_anova
+
+    ev = read_table(spark, sf_dir, "events")
+    return dow_anova(ev, "ts", "value", ["user_id"])
