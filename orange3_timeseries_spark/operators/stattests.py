@@ -841,3 +841,72 @@ def dow_anova(df: DataFrame, time_col: str, value_col: str,
 
 
 __all__ += ["mann_whitney", "dow_anova"]
+
+
+def kruskal_dow(df: DataFrame, time_col: str, value_col: str,
+                series_cols: Sequence[str], min_n: int = 50,
+                quantize_scale: int = 2) -> DataFrame:
+    """Kruskal-Wallis H test of value by DAY OF WEEK per series:
+    ``(series..., n_obs, h_stat, seasonal_5pct)`` — the rank-based
+    companion to :func:`dow_anova` (Kruskal & Wallis 1952): immune to
+    outliers and monotone transforms, the right weekly-seasonality
+    gate when the level distribution is heavy-tailed.
+
+        H = [12/(n(n+1))·Σ_d R_d²/n_d − 3(n+1)] / (1 − ΣT/(n³−n))
+
+    with R_d the average-rank sums per weekday and ΣT = Σ(t³−t) the
+    tie correction.  Ranks ride as BIGINT doubled-ranks (the spearman
+    trick), tie sums are BIGINT-exact, and H is a fixed-order double
+    combination; the verdict compares the 6-dp-rounded H to 12.591587
+    (χ²(6) 5%) — exact, not an approximation, unlike the ANOVA F's
+    large-n critical.  Series missing a weekday are dropped.  One rank
+    window + one groupBy on the series key."""
+    series_cols = list(series_cols)
+    day = F.floor(F.unix_micros(F.col(time_col).cast("timestamp"))
+                  / F.lit(86400000000))
+    dow = (((day + 3) % 7) + 7) % 7
+    u = F.round(F.col(value_col).cast("double")
+                * F.lit(float(10 ** quantize_scale))).cast("bigint")
+    b = (df.where(F.col(value_col).isNotNull())
+         .select(*series_cols, dow.alias("__d__"), u.alias("__u__")))
+    w = Window.partitionBy(*series_cols).orderBy("__u__")
+    tw = Window.partitionBy(*series_cols, "__u__")
+    tcnt = F.count(F.lit(1)).over(tw).cast("bigint")
+    rk2 = (F.lit(2).cast("bigint") * F.rank().over(w).cast("bigint")
+           + (tcnt - 1))
+    b = b.withColumn("__rk2__", rk2).withColumn("__t__", tcnt)
+    ties = (b.groupBy(*series_cols, "__u__")
+            .agg(F.max("__t__").alias("__tg__"))
+            .groupBy(*series_cols)
+            .agg(F.sum(F.col("__tg__") * F.col("__tg__") * F.col("__tg__")
+                       - F.col("__tg__")).alias("__T__")))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n__")]
+    for d in range(7):
+        isd = F.col("__d__") == d
+        aggs.append(F.sum(F.when(isd, 1).otherwise(0)).cast("bigint")
+                    .alias(f"__n{d}__"))
+        aggs.append(F.sum(F.when(isd, F.col("__rk2__"))).cast("bigint")
+                    .alias(f"__r{d}__"))
+    g = b.groupBy(*series_cols).agg(*aggs) \
+         .join(ties, on=series_cols, how="inner")
+    nd = F.col("__n__").cast("double")
+    acc = F.lit(0.0)
+    for d in range(7):
+        rd = F.col(f"__r{d}__").cast("double") / F.lit(2.0)
+        acc = acc + rd * rd / F.col(f"__n{d}__").cast("double")
+    h_raw = (F.lit(12.0) / (nd * (nd + 1)) * acc
+             - F.lit(3.0) * (nd + 1))
+    corr = (F.lit(1.0) - F.col("__T__").cast("double")
+            / (nd * nd * nd - nd))
+    h6 = F.round(h_raw / corr, 6)
+    present = F.lit(True)
+    for d in range(7):
+        present = present & (F.col(f"__n{d}__") > 0)
+    return (g.where((F.col("__n__") >= F.lit(min_n)) & present
+                    & (corr > 0))
+            .select(*series_cols, F.col("__n__").alias("n_obs"),
+                    h6.alias("h_stat"),
+                    (h6 > F.lit(12.591587)).alias("seasonal_5pct")))
+
+
+__all__.append("kruskal_dow")

@@ -3097,3 +3097,72 @@ def q_dow_anova_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return dow_anova(ev, "ts", "value", ["user_id"])
+
+
+@query("kruskal_dow_by_user", """
+WITH b AS (
+  SELECT user_id,
+         (((epoch_us(ts) // 86400000000 + 3) % 7) + 7) % 7 AS d,
+         CAST(round(value::DOUBLE * 100.0) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, d, u,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY u)
+           + (count(*) OVER (PARTITION BY user_id, u) - 1) AS rk2,
+         count(*) OVER (PARTITION BY user_id, u) AS tc
+  FROM b),
+ties AS (
+  SELECT user_id, sum(tg * tg * tg - tg)::BIGINT AS t
+  FROM (SELECT user_id, u, max(tc) AS tg FROM r GROUP BY 1, 2)
+  GROUP BY 1),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN d = 0 THEN rk2 END)::BIGINT AS r0,
+         sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN d = 1 THEN rk2 END)::BIGINT AS r1,
+         sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN d = 2 THEN rk2 END)::BIGINT AS r2,
+         sum(CASE WHEN d = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+         sum(CASE WHEN d = 3 THEN rk2 END)::BIGINT AS r3,
+         sum(CASE WHEN d = 4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+         sum(CASE WHEN d = 4 THEN rk2 END)::BIGINT AS r4,
+         sum(CASE WHEN d = 5 THEN 1 ELSE 0 END)::BIGINT AS n5,
+         sum(CASE WHEN d = 5 THEN rk2 END)::BIGINT AS r5,
+         sum(CASE WHEN d = 6 THEN 1 ELSE 0 END)::BIGINT AS n6,
+         sum(CASE WHEN d = 6 THEN rk2 END)::BIGINT AS r6
+  FROM r GROUP BY 1),
+c AS (
+  SELECT g.user_id, n,
+         round((12.0 / (n::DOUBLE * (n::DOUBLE + 1))
+           * (((((((0.0
+             + (r0::DOUBLE / 2.0) * (r0::DOUBLE / 2.0) / n0::DOUBLE)
+             + (r1::DOUBLE / 2.0) * (r1::DOUBLE / 2.0) / n1::DOUBLE)
+             + (r2::DOUBLE / 2.0) * (r2::DOUBLE / 2.0) / n2::DOUBLE)
+             + (r3::DOUBLE / 2.0) * (r3::DOUBLE / 2.0) / n3::DOUBLE)
+             + (r4::DOUBLE / 2.0) * (r4::DOUBLE / 2.0) / n4::DOUBLE)
+             + (r5::DOUBLE / 2.0) * (r5::DOUBLE / 2.0) / n5::DOUBLE)
+             + (r6::DOUBLE / 2.0) * (r6::DOUBLE / 2.0) / n6::DOUBLE)
+           - 3.0 * (n::DOUBLE + 1))
+           / (1.0 - t::DOUBLE
+              / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)),
+           6) AS h6
+  FROM g JOIN ties ON g.user_id = ties.user_id
+  WHERE n >= 50 AND n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0
+    AND n4 > 0 AND n5 > 0 AND n6 > 0
+    AND 1.0 - t::DOUBLE
+        / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) > 0)
+SELECT user_id, n AS n_obs, h6 AS h_stat,
+       h6 > 12.591587 AS seasonal_5pct
+FROM c
+""")
+def q_kruskal_dow_by_user(spark, sf_dir):
+    '''Kruskal-Wallis H weekly-seasonality gate per series -- the
+    rank-based, outlier-immune companion to dow_anova with an EXACT
+    chi-square(6) critical value.  BIGINT doubled-ranks, exact tie
+    sums, fixed-order H combination
+    (operators/stattests.py:kruskal_dow).'''
+    from orange3_timeseries_spark.operators.stattests import kruskal_dow
+
+    ev = read_table(spark, sf_dir, "events")
+    return kruskal_dow(ev, "ts", "value", ["user_id"])

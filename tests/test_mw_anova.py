@@ -127,3 +127,78 @@ class TestDowAnova:
         out = dow_anova(_ts_df(spark, rows), "ts", "v", ["sid"],
                         min_n=30)
         assert out.count() == 0
+
+
+class TestKruskalDow:
+    def test_agrees_with_anova_on_planted_pattern(self, spark):
+        from orange3_timeseries_spark.operators.stattests import (
+            kruskal_dow,
+        )
+        rng = np.random.RandomState(6)
+        rows = [(d, h, 10.0 * (d % 7) + rng.normal(0, 0.5))
+                for d in range(70) for h in (1, 13)]
+        row = kruskal_dow(_ts_df(spark, rows), "ts", "v",
+                          ["sid"]).collect()[0]
+        assert row["seasonal_5pct"] and row["h_stat"] > 50
+
+    def test_flat_not_flagged(self, spark):
+        from orange3_timeseries_spark.operators.stattests import (
+            kruskal_dow,
+        )
+        rng = np.random.RandomState(7)
+        rows = [(d, h, rng.normal(50, 5))
+                for d in range(70) for h in (1, 13)]
+        row = kruskal_dow(_ts_df(spark, rows), "ts", "v",
+                          ["sid"]).collect()[0]
+        assert not row["seasonal_5pct"]
+
+    def test_matches_direct_h(self, spark):
+        from orange3_timeseries_spark.operators.stattests import (
+            kruskal_dow,
+        )
+        rng = np.random.RandomState(8)
+        rows = [(d, h, round(rng.normal(20 + (d % 7), 3), 2))
+                for d in range(63) for h in (2, 14)]
+        row = kruskal_dow(_ts_df(spark, rows), "ts", "v",
+                          ["sid"]).collect()[0]
+        vals = [(d % 7, round(v * 100)) for d, h, v in rows]
+        allv = sorted(v for _, v in vals)
+        import collections
+        # average ranks
+        pos = {}
+        i = 0
+        while i < len(allv):
+            j = i
+            while j < len(allv) and allv[j] == allv[i]:
+                j += 1
+            pos[allv[i]] = (i + 1 + j) / 2
+            i = j
+        rsums = collections.defaultdict(float)
+        ns = collections.Counter()
+        for dcls, v in vals:
+            rsums[dcls] += pos[v]
+            ns[dcls] += 1
+        n = len(vals)
+        h = (12 / (n * (n + 1))
+             * sum(rsums[d] ** 2 / ns[d] for d in rsums)
+             - 3 * (n + 1))
+        counts = collections.Counter(v for _, v in vals)
+        tie = sum(t ** 3 - t for t in counts.values())
+        h /= 1 - tie / (n ** 3 - n)
+        assert row["h_stat"] == pytest.approx(h, rel=1e-6)
+
+    def test_robust_to_outliers_where_anova_is_not(self, spark):
+        # one absurd outlier: ANOVA eta collapses, KW barely moves
+        from orange3_timeseries_spark.operators.stattests import (
+            kruskal_dow,
+        )
+        rng = np.random.RandomState(9)
+        rows = [(d, h, 10.0 * (d % 7) + rng.normal(0, 0.5))
+                for d in range(70) for h in (1, 13)]
+        rows[3] = (rows[3][0], rows[3][1], 1e7)
+        kw = kruskal_dow(_ts_df(spark, rows), "ts", "v",
+                         ["sid"]).collect()[0]
+        av = dow_anova(_ts_df(spark, rows), "ts", "v",
+                       ["sid"]).collect()[0]
+        assert kw["seasonal_5pct"]          # rank test still sees it
+        assert av["eta_sq"] < 0.2           # variance test blinded
