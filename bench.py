@@ -39,8 +39,7 @@ def main():
     from orange3_timeseries_spark import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]",
-                      extra_conf={"spark.sql.shuffle.partitions": cpus,
-                                  "spark.sql.codegen.cache.maxEntries": "5000"})
+                      extra_conf={"spark.sql.shuffle.partitions": cpus})
 
     # JVM / codegen / Arrow warm-up so the first timed query doesn't pay
     # one-time initialization (~5 s of JIT on a cold JVM): a window pass

@@ -836,9 +836,12 @@ def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
     surviving segments.
 
     Scale: one explode + one (segment-key) shuffle for the
-    first-occurrence window + one doc-key regroup; the segment key is
-    content-hashed text (skinny), and everything is exact counts —
-    bit-identical cross-engine."""
+    first-occurrence window + one doc-key regroup.  The window
+    partitions on the normalized segment TEXT (the rebuilt-text output
+    needs the strings shuffled anyway, so a hashed key would not
+    shrink the exchange); a stats-only variant that drops
+    ``kept_text`` could key on a 64-bit hash instead.  All counts are
+    exact — bit-identical cross-engine."""
     from pyspark.sql import Window
 
     toks = F.regexp_extract_all(F.col(text_col),

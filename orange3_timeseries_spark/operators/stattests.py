@@ -748,18 +748,16 @@ def mann_whitney(df: DataFrame, score_units_col: str, label_col: str,
     rk2 = (F.lit(2).cast("bigint") * F.rank().over(w).cast("bigint")
            + (tcnt - 1))
     b = base.withColumn("__rk2__", rk2).withColumn("__t__", tcnt)
-    ties = (b.groupBy(*group_cols, "__su__")
-            .agg(F.max("__t__").alias("__tg__"))
-            .groupBy(*group_cols)
-            .agg(F.sum(F.col("__tg__") * F.col("__tg__") * F.col("__tg__")
-                       - F.col("__tg__")).alias("__T__")))
+    # per-group tie sum Σ(t³−t) folds into the row aggregate as
+    # Σ_rows(t²−1): each size-t tie group contributes t rows of t²−1
     g = b.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n__"),
         F.sum(F.when(F.col("__y__"), 1).otherwise(0)).cast("bigint")
         .alias("n_pos"),
         F.sum(F.when(F.col("__y__"), F.col("__rk2__"))).cast("bigint")
-        .alias("__s2__"))
-    g = g.join(ties, on=group_cols, how="inner")
+        .alias("__s2__"),
+        F.sum(F.col("__t__") * F.col("__t__") - 1).cast("bigint")
+        .alias("__T__"))
     n1 = F.col("n_pos")
     n2 = F.col("__n__") - n1
     nd = F.col("__n__").cast("double")
@@ -796,9 +794,14 @@ def dow_anova(df: DataFrame, time_col: str, value_col: str,
     (``n_d, S_d, Q_d`` pivoted to columns, the benford-ladder shape)
     combined in fixed-order double arithmetic: ``SST = Q − S²/n``,
     ``SSB = Σ_d S_d²/n_d − S²/n``.  Verdict compares the 6-dp-rounded
-    F to 2.098627 — the F(6, ∞) 5% point, a large-n approximation
-    (exact at df2 → ∞; at the default ``min_n`` = 50 the true critical
-    is ≈ 2.22, so borderline calls need the emitted F itself).
+    F to 2.098598 (= χ²₆(5%)/6, the F(6, ∞) 5% point) — a large-n
+    approximation (at the default ``min_n`` = 50 the true critical is
+    ≈ 2.22, so borderline calls need the emitted F itself).  A series
+    with ``SSW = 0`` but ``SSB > 0`` (perfectly weekly-periodic) is
+    KEPT and flagged seasonal with a NULL F (the statistic is +∞);
+    only zero-total-variance series drop.  Integer-range bound: the
+    ``Σu²`` moment needs ``n·(10^s·|value|)² < 2^63`` — rescale
+    ``quantize_scale`` down for large-magnitude series.
     One groupBy — one exchange."""
     series_cols = list(series_cols)
     day = F.floor(F.unix_micros(F.col(time_col).cast("timestamp"))
@@ -828,16 +831,18 @@ def dow_anova(df: DataFrame, time_col: str, value_col: str,
     ssb = ssb - sd * sd / nd
     ssw = sst - ssb
     f_stat = (ssb / F.lit(6.0)) / (ssw / (nd - 7))
-    f6 = F.round(f_stat, 6)
+    f6 = F.when(ssw > 0, F.round(f_stat, 6))
     present = F.lit(True)
     for d in range(7):
         present = present & (F.col(f"__n{d}__") > 0)
+    seasonal = (F.when(ssw > 0, f6 > F.lit(2.098598))
+                .otherwise(ssb > 0))
     return (g.where((F.col("__n__") >= F.lit(min_n)) & present)
-            .where(ssw > 0)
+            .where(sst > 0)
             .select(*series_cols, F.col("__n__").alias("n_obs"),
                     f6.alias("f_stat"),
                     F.round(ssb / sst, 6).alias("eta_sq"),
-                    (f6 > F.lit(2.098627)).alias("seasonal_5pct")))
+                    seasonal.alias("seasonal_5pct")))
 
 
 __all__ += ["mann_whitney", "dow_anova"]
@@ -875,20 +880,17 @@ def kruskal_dow(df: DataFrame, time_col: str, value_col: str,
     rk2 = (F.lit(2).cast("bigint") * F.rank().over(w).cast("bigint")
            + (tcnt - 1))
     b = b.withColumn("__rk2__", rk2).withColumn("__t__", tcnt)
-    ties = (b.groupBy(*series_cols, "__u__")
-            .agg(F.max("__t__").alias("__tg__"))
-            .groupBy(*series_cols)
-            .agg(F.sum(F.col("__tg__") * F.col("__tg__") * F.col("__tg__")
-                       - F.col("__tg__")).alias("__T__")))
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n__")]
+    # Σ(t³−t) as the row-level Σ(t²−1) — no extra rollup + join
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n__"),
+            F.sum(F.col("__t__") * F.col("__t__") - 1).cast("bigint")
+            .alias("__T__")]
     for d in range(7):
         isd = F.col("__d__") == d
         aggs.append(F.sum(F.when(isd, 1).otherwise(0)).cast("bigint")
                     .alias(f"__n{d}__"))
         aggs.append(F.sum(F.when(isd, F.col("__rk2__"))).cast("bigint")
                     .alias(f"__r{d}__"))
-    g = b.groupBy(*series_cols).agg(*aggs) \
-         .join(ties, on=series_cols, how="inner")
+    g = b.groupBy(*series_cols).agg(*aggs)
     nd = F.col("__n__").cast("double")
     acc = F.lit(0.0)
     for d in range(7):

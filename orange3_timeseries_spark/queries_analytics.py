@@ -2957,6 +2957,7 @@ def q_incremental_daily_rollup(spark, sf_dir):
     rescanned, and because the state is integer-exact the merge is
     associative in any order/partitioning (float partials are not)
     (operators/incremental.py).'''
+    import os
     import tempfile
 
     from orange3_timeseries_spark.operators.incremental import (
@@ -2966,16 +2967,22 @@ def q_incremental_daily_rollup(spark, sf_dir):
     )
 
     ev = read_table(spark, sf_dir, "events")
-    cutoff = "2024-01-16"
+    cutoff = "2024-01-16"   # mid-range of the fixtures' January span
     old = rollup_state(ev.where(F.col("ts") < cutoff), "ts", "value",
                        ["user_id"])
-    path = tempfile.mkdtemp(prefix="rollup_state_") + "/state"
+    # FIXED overwrite path: a fresh mkdtemp per call would leak a /tmp
+    # directory every bench/driver invocation
+    path = os.path.join(tempfile.gettempdir(),
+                        "spark_graft_rollup_state")
     old.write.mode("overwrite").partitionBy("day").parquet(path)
-    state = spark.read.parquet(path) \
-        .select("user_id", "day", "n", "sum_units", "min_units",
-                "max_units")
     delta = rollup_state(ev.where(F.col("ts") >= cutoff), "ts", "value",
                          ["user_id"])
+    try:
+        state = spark.read.parquet(path) \
+            .select("user_id", "day", "n", "sum_units", "min_units",
+                    "max_units")
+    except Exception:   # empty pre-cutoff slice -> schema-less dir
+        state = old
     return serve_rollup(merge_states(state, delta))
 
 
@@ -3078,12 +3085,16 @@ c AS (
   WHERE n >= 50 AND n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0
     AND n4 > 0 AND n5 > 0 AND n6 > 0),
 f AS (
-  SELECT user_id, n, sst, ssb, sst - ssb AS ssw,
-         round((ssb / 6.0) / ((sst - ssb) / (n::DOUBLE - 7)), 6) AS f6
-  FROM c WHERE sst - ssb > 0)
+  SELECT user_id, n, sst, ssb,
+         CASE WHEN sst - ssb > 0
+              THEN round((ssb / 6.0) / ((sst - ssb) / (n::DOUBLE - 7)),
+                         6)
+         END AS f6
+  FROM c WHERE sst > 0)
 SELECT user_id, n AS n_obs, f6 AS f_stat,
        round(ssb / sst, 6) AS eta_sq,
-       f6 > 2.098627 AS seasonal_5pct
+       CASE WHEN sst - ssb > 0 THEN f6 > 2.098598
+            ELSE ssb > 0 END AS seasonal_5pct
 FROM f
 """)
 def q_dow_anova_by_user(spark, sf_dir):

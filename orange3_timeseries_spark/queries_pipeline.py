@@ -4005,15 +4005,20 @@ def q_langid_class_metrics(spark, sf_dir):
     ``2·tp/(n_gold + n_pred)`` -- one ratio of exact BIGINTs, never a
     compound of two rounded ratios.'''
     d = read_table(spark, sf_dir, "documents")
-    s = d.select(F.col("lang").alias("gold"),
-                 T.language_id_expr(F.col("text")).alias("pred"))
-    g = s.groupBy(F.col("gold").alias("cls")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_gold"))
-    p = s.groupBy(F.col("pred").alias("cls")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pred"))
-    t = (s.where(F.col("gold") == F.col("pred"))
+    # ONE scan of the expensive scorer expression: the (gold, pred)
+    # confusion rollup, then three cheap class-dimension rollups on it
+    conf = (d.select(F.col("lang").alias("gold"),
+                     T.language_id_expr(F.col("text")).alias("pred"))
+            .groupBy("gold", "pred")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .localCheckpoint(eager=True))
+    g = conf.groupBy(F.col("gold").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_gold"))
+    p = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_pred"))
+    t = (conf.where(F.col("gold") == F.col("pred"))
          .groupBy(F.col("gold").alias("cls"))
-         .agg(F.count(F.lit(1)).cast("bigint").alias("tp")))
+         .agg(F.sum("n").cast("bigint").alias("tp")))
     j = (g.join(p, "cls", "left").join(t, "cls", "left")
          .select("cls", "n_gold",
                  F.coalesce("n_pred", F.lit(0)).cast("bigint")

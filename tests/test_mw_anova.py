@@ -202,3 +202,20 @@ class TestKruskalDow:
                        ["sid"]).collect()[0]
         assert kw["seasonal_5pct"]          # rank test still sees it
         assert av["eta_sq"] < 0.2           # variance test blinded
+
+
+class TestDowAnovaPerfectPeriod:
+    def test_zero_ssw_flagged_seasonal_with_null_f(self, spark):
+        # exactly periodic: every weekday has one constant value
+        rows = [(d, h, float(10 * (d % 7))) for d in range(70)
+                for h in (1, 13)]
+        row = dow_anova(_ts_df(spark, rows), "ts", "v",
+                        ["sid"]).collect()[0]
+        assert row["seasonal_5pct"]
+        assert row["f_stat"] is None          # F = +inf, emitted NULL
+        assert row["eta_sq"] == pytest.approx(1.0)
+
+    def test_constant_series_dropped(self, spark):
+        rows = [(d, 1, 5.0) for d in range(70)]
+        assert dow_anova(_ts_df(spark, rows), "ts", "v",
+                         ["sid"]).count() == 0
