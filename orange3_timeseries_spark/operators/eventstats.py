@@ -337,3 +337,64 @@ def sbc_classification(df: DataFrame, time_col: str, value_col: str,
 
 
 __all__.append("sbc_classification")
+
+
+def window_funnel(df: DataFrame, time_col: str, type_col: str,
+                  series_cols: Sequence[str],
+                  steps: Sequence[str] = ("view", "click", "purchase"),
+                  window: str = "1 hour") -> DataFrame:
+    """ClickHouse-``windowFunnel``-style sliding-window funnel (3
+    steps): ``(series..., funnel_level, n_events)`` — the deepest
+    step reachable through ANY strictly-ordered event chain
+    ``t₁ < t₂ < t₃ ≤ t₁ + window``.  The first-touch funnel
+    (``event_funnel``) misses users whose FIRST view went nowhere but
+    whose later session converted; the windowed variant is the one
+    conversion dashboards actually mean.
+
+    Pure window algebra, no per-user state or UDF: with events ordered
+    by time per series, ``lastv`` = running max of step-1 times over
+    STRICTLY EARLIER rows; a step-2 row is chain-valid when ``lastv ≥
+    t₂ − W`` (the latest prior step-1 is the optimal anchor) and then
+    carries its anchor ``lastv`` forward; a step-3 row completes when
+    the running max of carried anchors over earlier rows is ``≥ t₃ −
+    W``.  All comparisons are exact integer microseconds — bit-exact
+    cross-engine.  One ordered window pass + one groupBy sharing the
+    series key (one exchange).
+
+    Only 3-step funnels (the overwhelmingly common case); longer
+    funnels chain the same anchor-forwarding construction once per
+    extra step."""
+    series_cols = list(series_cols)
+    import re as _re
+
+    m = _re.match(r"(\d+)\s*(second|minute|hour|day)s?", window)
+    mult = {"second": 1_000_000, "minute": 60_000_000,
+            "hour": 3_600_000_000, "day": 86_400_000_000}[m.group(2)]
+    w_us = int(m.group(1)) * mult
+    s1, s2, s3 = steps
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    b = (df.where(F.col(type_col).isin(list(steps)))
+         .select(*series_cols, F.col(type_col).alias("__e__"),
+                 us.alias("__t__")))
+    w = Window.partitionBy(*series_cols).orderBy("__t__")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    lastv = F.max(F.when(F.col("__e__") == s1, F.col("__t__"))).over(prev)
+    b = b.withColumn("__lv__", lastv)
+    ok2 = ((F.col("__e__") == s2) & F.col("__lv__").isNotNull()
+           & (F.col("__lv__") >= F.col("__t__") - F.lit(w_us)))
+    b = b.withColumn("__anchor__", F.when(ok2, F.col("__lv__")))
+    best_anchor = F.max("__anchor__").over(prev)
+    ok3 = ((F.col("__e__") == s3) & best_anchor.isNotNull()
+           & (best_anchor >= F.col("__t__") - F.lit(w_us)))
+    lvl = (F.when(ok3, 3)
+           .when(ok2, 2)
+           .when(F.col("__e__") == s1, 1)
+           .otherwise(0))
+    g = (b.withColumn("__lvl__", lvl)
+         .groupBy(*series_cols)
+         .agg(F.max("__lvl__").cast("int").alias("funnel_level"),
+              F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return g
+
+
+__all__.append("window_funnel")

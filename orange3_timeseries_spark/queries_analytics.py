@@ -3177,3 +3177,48 @@ def q_kruskal_dow_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return kruskal_dow(ev, "ts", "value", ["user_id"])
+
+
+@query("window_funnel_by_user", """
+WITH b AS (
+  SELECT user_id, event_type AS e, epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+w1 AS (
+  SELECT user_id, e, t,
+         max(CASE WHEN e = 'view' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS lv
+  FROM b),
+w2 AS (
+  SELECT user_id, e, t, lv,
+         CASE WHEN e = 'click' AND lv IS NOT NULL
+                   AND lv >= t - 3600000000 THEN lv END AS anchor
+  FROM w1),
+w3 AS (
+  SELECT user_id, e, t, lv, anchor,
+         max(anchor) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS ba
+  FROM w2)
+SELECT user_id,
+       max(CASE WHEN e = 'purchase' AND ba IS NOT NULL
+                     AND ba >= t - 3600000000 THEN 3
+                WHEN anchor IS NOT NULL THEN 2
+                WHEN e = 'view' THEN 1 ELSE 0 END)::INT AS funnel_level,
+       count(*)::BIGINT AS n_events
+FROM w3 GROUP BY 1
+""")
+def q_window_funnel_by_user(spark, sf_dir):
+    '''ClickHouse-windowFunnel-style sliding-window funnel per user:
+    deepest view->click->purchase chain with every step inside ONE
+    HOUR of the anchoring view, through ANY chain (not just first
+    touch).  Anchor-forwarding window algebra on exact integer
+    microseconds -- bit-exact cross-engine, one ordered pass
+    (operators/eventstats.py:window_funnel).'''
+    from orange3_timeseries_spark.operators.eventstats import (
+        window_funnel,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return window_funnel(ev, "ts", "event_type", ["user_id"])
