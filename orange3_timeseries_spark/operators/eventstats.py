@@ -28,11 +28,14 @@ cost one skinny shuffle each (same shape as ``stattests.adf_test``).
 
 Determinism contract (PLANS.md firewall rules):
 
-- inter-event gaps are exact integer microsecond differences carried
-  in DOUBLE seconds (micros are second-multiples in the fixtures, and
-  ``x/1e6`` of the same int64 is one IEEE division — bit-identical on
-  any engine); μ/σ/corr are rounded 6 dp before the ratio arithmetic,
-  the same firewall ``stattests.hurst_rs`` ships.
+- inter-event gaps are exact integer microsecond differences; the
+  mean gap is ONE IEEE division of the exact BIGINT microsecond sum
+  (never ``round(avg(...), 6)`` of derived values — sums over small
+  divisors land exactly on decimal .5 boundaries where Spark's
+  shortest-string HALF_UP round and a binary-value round disagree,
+  the ``ensemble_forecast`` rule); σ/corr run over the identical
+  ``gap_us/1e6`` DOUBLE seconds on both engines and round 6 dp
+  before the ratio arithmetic, the ``stattests.hurst_rs`` firewall.
 - Benford's first digit is extracted WITHOUT libm: a fixed decade
   CASE-ladder multiplies by exact power-of-ten literals (every
   ``10^k``, |k| ≤ 15, is exactly representable) — single IEEE
@@ -84,16 +87,22 @@ def burstiness(df: DataFrame, time_col: str,
     w = Window.partitionBy(*series_cols).orderBy(time_col)
     us = F.unix_micros(F.col(time_col).cast("timestamp"))
     gaps = (df.select(*series_cols, F.col(time_col))
-            .withColumn("__g__", (us - F.lag(us, 1).over(w)) / F.lit(1e6))
-            .where(F.col("__g__").isNotNull()))
+            .withColumn("__gus__", (us - F.lag(us, 1).over(w))
+                        .cast("bigint"))
+            .where(F.col("__gus__").isNotNull())
+            .withColumn("__g__", F.col("__gus__") / F.lit(1e6)))
     # lag-1 pair of gaps for the memory coefficient, in the same pass
     paired = gaps.withColumn(
         "__gp__", F.lag(F.col("__g__"), 1).over(
             Window.partitionBy(*series_cols).orderBy(time_col)))
     mem = F.corr("__g__", "__gp__")
+    # exact BIGINT microsecond sum, ONE division to seconds — no
+    # boundary-sensitive rounded mean
+    mean_s = (F.sum("__gus__").cast("double") / F.count(F.lit(1))) \
+        / F.lit(1e6)
     agg = paired.groupBy(*series_cols).agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.avg("__g__"), 6).alias("mean_gap_s"),
+        mean_s.alias("mean_gap_s"),
         F.round(F.stddev_pop("__g__"), 6).alias("std_gap_s"),
         # Spark's corr yields NaN on a zero-variance marginal where SQL
         # engines yield NULL — normalize to NULL for the replay
@@ -343,53 +352,58 @@ def window_funnel(df: DataFrame, time_col: str, type_col: str,
                   series_cols: Sequence[str],
                   steps: Sequence[str] = ("view", "click", "purchase"),
                   window: str = "1 hour") -> DataFrame:
-    """ClickHouse-``windowFunnel``-style sliding-window funnel (3
-    steps): ``(series..., funnel_level, n_events)`` — the deepest
-    step reachable through ANY strictly-ordered event chain
-    ``t₁ < t₂ < t₃ ≤ t₁ + window``.  The first-touch funnel
-    (``event_funnel``) misses users whose FIRST view went nowhere but
-    whose later session converted; the windowed variant is the one
-    conversion dashboards actually mean.
+    """ClickHouse-``windowFunnel``-style sliding-window funnel (any
+    number of steps ≥ 2): ``(series..., funnel_level, n_events)`` —
+    the deepest step reachable through ANY strictly-ordered event
+    chain ``t₁ < t₂ < … < t_k ≤ t₁ + window``.  The first-touch
+    funnel (``event_funnel``) misses users whose FIRST step-1 event
+    went nowhere but whose later session converted; the windowed
+    variant is the one conversion dashboards actually mean.
 
-    Pure window algebra, no per-user state or UDF: with events ordered
-    by time per series, ``lastv`` = running max of step-1 times over
-    STRICTLY EARLIER rows; a step-2 row is chain-valid when ``lastv ≥
-    t₂ − W`` (the latest prior step-1 is the optimal anchor) and then
-    carries its anchor ``lastv`` forward; a step-3 row completes when
-    the running max of carried anchors over earlier rows is ``≥ t₃ −
-    W``.  All comparisons are exact integer microseconds — bit-exact
-    cross-engine.  One ordered window pass + one groupBy sharing the
-    series key (one exchange).
-
-    Only 3-step funnels (the overwhelmingly common case); longer
-    funnels chain the same anchor-forwarding construction once per
-    extra step."""
+    Pure window algebra, no per-user state or UDF, chained once per
+    step: ``a₁ = t`` on step-1 rows; for each later step *i*,
+    ``mᵢ₋₁`` = running max of ``aᵢ₋₁`` over STRICTLY EARLIER TIMES
+    (a ``RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` frame on
+    integer microseconds — rows tied on the timestamp are excluded by
+    VALUE, so the result is deterministic under any tie order, unlike
+    a ROWS frame) and ``aᵢ = mᵢ₋₁`` on step-*i* rows where
+    ``mᵢ₋₁ ≥ t − W``.  The carried anchor is always the ORIGINAL
+    step-1 time, so the whole chain lands inside one window of its
+    first event (ClickHouse semantics); taking the running MAX anchor
+    is optimal — it maximizes the reachable ``t_k``.  All comparisons
+    are exact integer microseconds — bit-exact cross-engine.  The
+    k−1 window functions share one window spec, so Catalyst computes
+    them in a single sort+scan: one ordered window pass + one groupBy
+    sharing the series key (one exchange)."""
     series_cols = list(series_cols)
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("window_funnel needs at least 2 steps")
     import re as _re
 
     m = _re.match(r"(\d+)\s*(second|minute|hour|day)s?", window)
     mult = {"second": 1_000_000, "minute": 60_000_000,
             "hour": 3_600_000_000, "day": 86_400_000_000}[m.group(2)]
     w_us = int(m.group(1)) * mult
-    s1, s2, s3 = steps
     us = F.unix_micros(F.col(time_col).cast("timestamp"))
-    b = (df.where(F.col(type_col).isin(list(steps)))
+    b = (df.where(F.col(type_col).isin(steps))
          .select(*series_cols, F.col(type_col).alias("__e__"),
                  us.alias("__t__")))
-    w = Window.partitionBy(*series_cols).orderBy("__t__")
-    prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    lastv = F.max(F.when(F.col("__e__") == s1, F.col("__t__"))).over(prev)
-    b = b.withColumn("__lv__", lastv)
-    ok2 = ((F.col("__e__") == s2) & F.col("__lv__").isNotNull()
-           & (F.col("__lv__") >= F.col("__t__") - F.lit(w_us)))
-    b = b.withColumn("__anchor__", F.when(ok2, F.col("__lv__")))
-    best_anchor = F.max("__anchor__").over(prev)
-    ok3 = ((F.col("__e__") == s3) & best_anchor.isNotNull()
-           & (best_anchor >= F.col("__t__") - F.lit(w_us)))
-    lvl = (F.when(ok3, 3)
-           .when(ok2, 2)
-           .when(F.col("__e__") == s1, 1)
-           .otherwise(0))
+    # strict past by TIME VALUE: range frame ending 1 microsecond
+    # before the current row's timestamp
+    strict_past = (Window.partitionBy(*series_cols).orderBy("__t__")
+                   .rangeBetween(Window.unboundedPreceding, -1))
+    b = b.withColumn(
+        "__a1__", F.when(F.col("__e__") == steps[0], F.col("__t__")))
+    for i, step in enumerate(steps[1:], start=2):
+        best = F.max(f"__a{i - 1}__").over(strict_past)
+        b = b.withColumn(
+            f"__a{i}__",
+            F.when((F.col("__e__") == step)
+                   & (best >= F.col("__t__") - F.lit(w_us)), best))
+    lvl = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        lvl = F.when(F.col(f"__a{i}__").isNotNull(), i).otherwise(lvl)
     g = (b.withColumn("__lvl__", lvl)
          .groupBy(*series_cols)
          .agg(F.max("__lvl__").cast("int").alias("funnel_level"),

@@ -16,10 +16,12 @@ one ordered-window ``collect_list`` pass, z-scores are materialized at
 SOURCE, and the pairwise distance is a ``zip_with``/``aggregate`` fold
 over integer micro-units.  Series parallelize across the cluster (one
 shuffle on the series key); within a series the cost is O(n²·m) pairs
-— LINEAR in the number of series, bounded per series by ``max_n``
-(series longer than the cap are dropped loudly, not truncated — the
-same contract as ``operators/trend.py``; past ~10⁴ windows use a
-downsampled copy of the series).
+— LINEAR in the number of series, bounded per series by ``max_n``.
+Series longer than the cap are NOT silently dropped: each one emits a
+single SENTINEL row ``(series..., idx = −1, nn_idx = series length,
+nn_dist = NULL)`` so a consumer can see exactly which series were
+capped and how long they are (the repo's no-silent-caps rule); past
+~10⁴ windows, feed a downsampled copy of the series instead.
 
 Determinism contract (PLANS.md firewall rules):
 
@@ -54,7 +56,11 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
 
     ``idx`` is the 0-based window start; windows needing rows past the
     series end don't exist.  ``nn_dist`` = ``round(sqrt(Σ Δz² ), 6)``
-    over the micro-unit sum."""
+    over the micro-unit sum.
+
+    Series longer than ``max_n`` rows contribute one sentinel row
+    ``(series..., idx = −1, nn_idx = series length, nn_dist = NULL)``
+    instead of a profile — visible, never silently missing."""
     series_cols = list(series_cols)
     if exclusion is None:
         exclusion = m // 2
@@ -64,8 +70,16 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
     base = (base
             .withColumn("__i__", F.row_number().over(w) - 1)
             .withColumn("__n__", F.count(F.lit(1)).over(
-                Window.partitionBy(*series_cols)))
-            .where(F.col("__n__") <= F.lit(max_n)))
+                Window.partitionBy(*series_cols))))
+    # no-silent-caps rule: capped series surface as one sentinel row
+    # each (distinct reuses the window shuffle's series partitioning)
+    capped = (base.where(F.col("__n__") > F.lit(max_n))
+              .select(*series_cols, "__n__").distinct()
+              .select(*series_cols,
+                      F.lit(-1).alias("idx"),
+                      F.col("__n__").cast("int").alias("nn_idx"),
+                      F.lit(None).cast("double").alias("nn_dist")))
+    base = base.where(F.col("__n__") <= F.lit(max_n))
     frame = w.rowsBetween(Window.currentRow, m - 1)
     mu = F.round(F.avg("__x__").over(frame), 6)
     sg = F.round(F.stddev_pop("__x__").over(frame), 6)
@@ -97,9 +111,10 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
         units.alias("__u__"))
     pick = Window.partitionBy(*series_cols, "idx").orderBy(
         F.asc("__u__"), F.asc("__j__"))
-    return (scored.withColumn("__rk__", F.row_number().over(pick))
-            .where(F.col("__rk__") == 1)
-            .select(*series_cols, "idx",
-                    F.col("__j__").alias("nn_idx"),
-                    F.round(F.sqrt(F.col("__u__") / F.lit(1e7)), 6)
-                    .alias("nn_dist")))
+    profile = (scored.withColumn("__rk__", F.row_number().over(pick))
+               .where(F.col("__rk__") == 1)
+               .select(*series_cols, "idx",
+                       F.col("__j__").alias("nn_idx"),
+                       F.round(F.sqrt(F.col("__u__") / F.lit(1e7)), 6)
+                       .alias("nn_dist")))
+    return profile.unionByName(capped)

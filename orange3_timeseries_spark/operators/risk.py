@@ -19,11 +19,17 @@ tickers cost one skinny shuffle (the ``stattests.adf_test`` shape).
 
 Determinism contract: rows with non-positive values are excluded
 (log undefined — and a zero price is a data error, not a return);
-log returns and per-row drawdowns round 6 dp at SOURCE (``ln`` is the
-one libm call — rounding immediately after it firewalls the 1-ulp
-engine differences), so the running max / max-drawdown selection is
-an exact comparison of identical doubles and μ/σ round again before
-the Sharpe division (the ``hurst_rs`` firewall)."""
+log returns round to exact BIGINT micro-units at SOURCE (``ln`` is
+the one libm call — rounding immediately after it firewalls the
+1-ulp engine differences) and per-row drawdowns round 6 dp, so the
+running max / max-drawdown selection is an exact comparison of
+identical doubles.  ``mean_return`` is a plain IEEE division of the
+exact integer micro-unit sum (never ``round(avg(6dp values), 6)`` —
+sums of 6-dp values over small divisors land exactly on decimal .5
+boundaries where Spark's shortest-string HALF_UP round and a
+binary-value round systematically disagree; the ``ensemble_forecast``
+rule), and σ rounds 6 dp before the Sharpe division (the
+``hurst_rs`` firewall)."""
 
 from __future__ import annotations
 
@@ -48,17 +54,22 @@ def risk_metrics(df: DataFrame, time_col: str, value_col: str,
     v = F.col(value_col).cast("double")
     base = (df.where(v.isNotNull() & (v > 0))
             .select(*series_cols, F.col(time_col), v.alias("__v__")))
-    r = F.round(F.log(F.col("__v__") / F.lag("__v__", 1).over(w)), 6)
+    # exact BIGINT micro-units of the 6-dp log return: summed exactly,
+    # divided ONCE for the mean (identical IEEE ops on any engine)
+    ru = F.round(F.log(F.col("__v__") / F.lag("__v__", 1).over(w))
+                 * F.lit(1e6)).cast("bigint")
     runmax = F.max("__v__").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     dd = F.round(F.lit(1.0) - F.col("__v__") / runmax, 6)
     rows = (base
-            .withColumn("__r__", r)
+            .withColumn("__ru__", ru)
             .withColumn("__dd__", dd))
+    mean = (F.sum("__ru__").cast("double") / F.count("__ru__")) / F.lit(1e6)
     agg = rows.groupBy(*series_cols).agg(
-        F.count("__r__").alias("n_returns"),
-        F.round(F.avg("__r__"), 6).alias("mean_return"),
-        F.round(F.stddev_pop("__r__"), 6).alias("volatility"),
+        F.count("__ru__").alias("n_returns"),
+        mean.alias("mean_return"),
+        F.round(F.stddev_pop(F.col("__ru__").cast("double")
+                             / F.lit(1e6)), 6).alias("volatility"),
         F.max("__dd__").alias("max_drawdown"))
     sharpe = F.when(F.col("volatility") > 0,
                     F.round(F.col("mean_return") / F.col("volatility"), 6))

@@ -1919,16 +1919,16 @@ WITH e AS (
   SELECT user_id, ts, epoch_us(ts) AS us FROM events),
 g AS (
   SELECT user_id, ts,
-         (us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)) / 1e6
-             AS gap
-  FROM e QUALIFY gap IS NOT NULL),
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY ts))::BIGINT
+             AS gus
+  FROM e QUALIFY gus IS NOT NULL),
 p AS (
-  SELECT user_id, gap,
-         lag(gap) OVER (PARTITION BY user_id ORDER BY ts) AS gp
+  SELECT user_id, gus, gus / 1e6 AS gap,
+         lag(gus / 1e6) OVER (PARTITION BY user_id ORDER BY ts) AS gp
   FROM g),
 a AS (
   SELECT user_id, count(*) AS n_gaps,
-         round(avg(gap), 6) AS m,
+         (sum(gus)::BIGINT::DOUBLE / count(*)) / 1e6 AS m,
          round(stddev_pop(gap), 6) AS s,
          round(corr(gap, gp), 6) AS mem
   FROM p GROUP BY 1),
@@ -1948,8 +1948,10 @@ def q_burstiness_by_user(spark, sf_dir):
     (lag-1 gap correlation) per series -- the stream-shape triage that
     decides whether a series may be resampled to a grid (periodic),
     rate-aggregated (poisson), or must be sessionized first (bursty).
-    Gaps are exact integer-microsecond differences; mu/sigma/corr round
-    6 dp before the ratio (the hurst firewall)
+    Gaps are exact integer-microsecond differences; the mean gap is
+    ONE IEEE division of the exact BIGINT microsecond sum (never a
+    rounded mean of derived values -- the ensemble_forecast boundary
+    rule); sigma/corr round 6 dp before the ratio (the hurst firewall)
     (operators/eventstats.py:burstiness).'''
     from orange3_timeseries_spark.operators.eventstats import burstiness
 
@@ -2111,6 +2113,10 @@ SELECT user_id, idx, j AS nn_idx, round(sqrt(u / 1e7), 6) AS nn_dist
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, idx
                                    ORDER BY u, j) AS rk FROM pu)
 WHERE rk = 1
+UNION ALL
+SELECT user_id, -1 AS idx, n::INT AS nn_idx,
+       CAST(NULL AS DOUBLE) AS nn_dist
+FROM (SELECT DISTINCT user_id, n FROM s WHERE n > 4096)
 """)
 def q_matrix_profile_by_user(spark, sf_dir):
     '''Matrix profile (Yeh et al. 2016) per series: for every length-8
@@ -2118,8 +2124,9 @@ def q_matrix_profile_by_user(spark, sf_dir):
     nearest non-trivial neighbor (exclusion zone 4) -- motifs score
     low, discords high.  Window-pair self-join in pure Catalyst;
     pair distances accumulate as order-free BIGINT micro-units so the
-    argmin is an integer comparison
-    (operators/motif.py:matrix_profile).'''
+    argmin is an integer comparison.  Series past the max_n=4096 cap
+    surface as sentinel rows (idx=-1, nn_idx=length, NULL dist), never
+    silently vanish (operators/motif.py:matrix_profile).'''
     from orange3_timeseries_spark.operators.motif import matrix_profile
 
     ev = read_table(spark, sf_dir, "events")
@@ -2322,14 +2329,15 @@ WITH base AS (
   WHERE value IS NOT NULL AND value > 0),
 r AS (
   SELECT user_id,
-         round(ln(v / lag(v) OVER w), 6) AS r,
+         CAST(round(ln(v / lag(v) OVER w) * 1e6, 0) AS BIGINT) AS ru,
          round(1.0 - v / max(v) OVER (PARTITION BY user_id ORDER BY ts
                                       ROWS UNBOUNDED PRECEDING), 6)
              AS dd
   FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 a AS (
-  SELECT user_id, count(r) AS n, round(avg(r), 6) AS m,
-         round(stddev_pop(r), 6) AS s, max(dd) AS mdd
+  SELECT user_id, count(ru) AS n,
+         (sum(ru)::BIGINT::DOUBLE / count(ru)) / 1e6 AS m,
+         round(stddev_pop(ru::DOUBLE / 1e6), 6) AS s, max(dd) AS mdd
   FROM r GROUP BY 1)
 SELECT user_id, n::BIGINT AS n_returns, m AS mean_return,
        s AS volatility,
@@ -2341,9 +2349,10 @@ def q_risk_metrics_by_user(spark, sf_dir):
     '''Per-series financial risk trio over the value path: log-return
     volatility, per-period Sharpe ratio, maximum drawdown -- the
     metrics a risk user derives from the price series the reference's
-    finance connector fetches.  Log returns and per-row drawdowns
-    round 6 dp at SOURCE (ln is the one libm call), so the
-    running-max/drawdown selection compares identical doubles; one
+    finance connector fetches.  Log returns are exact BIGINT
+    micro-units at SOURCE (ln is the one libm call); mean_return is
+    ONE IEEE division of the exact integer sum (never a rounded mean
+    of rounded values -- the ensemble_forecast boundary rule); one
     ordered-window pass + one groupBy, exchanges=1
     (operators/risk.py:risk_metrics).'''
     from orange3_timeseries_spark.operators.risk import risk_metrics
@@ -2970,10 +2979,12 @@ def q_incremental_daily_rollup(spark, sf_dir):
     cutoff = "2024-01-16"   # mid-range of the fixtures' January span
     old = rollup_state(ev.where(F.col("ts") < cutoff), "ts", "value",
                        ["user_id"])
-    # FIXED overwrite path: a fresh mkdtemp per call would leak a /tmp
-    # directory every bench/driver invocation
+    # FIXED overwrite path per process: a fresh mkdtemp per call would
+    # leak a /tmp directory every bench/driver invocation, while a
+    # shared unnamespaced path lets two concurrent sessions clobber
+    # each other mid read-back (the ARIMA/VAR registry convention)
     path = os.path.join(tempfile.gettempdir(),
-                        "spark_graft_rollup_state")
+                        f"spark_graft_rollup_state_{os.getpid()}")
     old.write.mode("overwrite").partitionBy("day").parquet(path)
     delta = rollup_state(ev.where(F.col("ts") >= cutoff), "ts", "value",
                          ["user_id"])
@@ -3179,42 +3190,53 @@ def q_kruskal_dow_by_user(spark, sf_dir):
     return kruskal_dow(ev, "ts", "value", ["user_id"])
 
 
-@query("window_funnel_by_user", """
-WITH b AS (
+def _window_funnel_sql(steps, w_us=3_600_000_000):
+    """N-step anchor-forwarding funnel replay.  The strict-past frames
+    are RANGE frames on the integer-microsecond timestamp (``RANGE
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``) — rows tied on
+    (series, ts) are excluded by VALUE, so the chain is deterministic
+    under any tie order, exactly like the operator."""
+    types = ", ".join(f"'{s}'" for s in steps)
+    ctes = [f"""b AS (
   SELECT user_id, event_type AS e, epoch_us(ts) AS t
-  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+  FROM events WHERE event_type IN ({types})),
 w1 AS (
   SELECT user_id, e, t,
-         max(CASE WHEN e = 'view' THEN t END)
-           OVER (PARTITION BY user_id ORDER BY t
-                 ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS lv
-  FROM b),
-w2 AS (
-  SELECT user_id, e, t, lv,
-         CASE WHEN e = 'click' AND lv IS NOT NULL
-                   AND lv >= t - 3600000000 THEN lv END AS anchor
-  FROM w1),
-w3 AS (
-  SELECT user_id, e, t, lv, anchor,
-         max(anchor) OVER (PARTITION BY user_id ORDER BY t
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS ba
-  FROM w2)
-SELECT user_id,
-       max(CASE WHEN e = 'purchase' AND ba IS NOT NULL
-                     AND ba >= t - 3600000000 THEN 3
-                WHEN anchor IS NOT NULL THEN 2
-                WHEN e = 'view' THEN 1 ELSE 0 END)::INT AS funnel_level,
+         CASE WHEN e = '{steps[0]}' THEN t END AS a1
+  FROM b)"""]
+    for i in range(2, len(steps) + 1):
+        ctes.append(f"""w{i} AS (
+  SELECT user_id, e, t, {', '.join(f'a{j}' for j in range(1, i))},
+         CASE WHEN e = '{steps[i - 1]}'
+                   AND max(a{i - 1})
+                         OVER (PARTITION BY user_id ORDER BY t
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                       >= t - {w_us} THEN
+           max(a{i - 1}) OVER (PARTITION BY user_id ORDER BY t
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) END AS a{i}
+  FROM w{i - 1})""")
+    lvl = "CASE " + " ".join(
+        f"WHEN a{i} IS NOT NULL THEN {i}"
+        for i in range(len(steps), 0, -1)) + " ELSE 0 END"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT user_id, max({lvl})::INT AS funnel_level,
        count(*)::BIGINT AS n_events
-FROM w3 GROUP BY 1
-""")
+FROM w{len(steps)} GROUP BY 1
+"""
+
+
+@query("window_funnel_by_user",
+       _window_funnel_sql(("view", "click", "purchase")))
 def q_window_funnel_by_user(spark, sf_dir):
     '''ClickHouse-windowFunnel-style sliding-window funnel per user:
     deepest view->click->purchase chain with every step inside ONE
     HOUR of the anchoring view, through ANY chain (not just first
     touch).  Anchor-forwarding window algebra on exact integer
-    microseconds -- bit-exact cross-engine, one ordered pass
+    microseconds with strict-past RANGE frames (tie-order
+    deterministic) -- bit-exact cross-engine, one ordered pass
     (operators/eventstats.py:window_funnel).'''
     from orange3_timeseries_spark.operators.eventstats import (
         window_funnel,
@@ -3222,3 +3244,20 @@ def q_window_funnel_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return window_funnel(ev, "ts", "event_type", ["user_id"])
+
+
+@query("window_funnel4_by_user",
+       _window_funnel_sql(("signup", "view", "click", "purchase")))
+def q_window_funnel4_by_user(spark, sf_dir):
+    '''Four-step sliding-window funnel (signup->view->click->purchase,
+    one hour): the N-step generalization of window_funnel_by_user --
+    the anchor-forwarding construction chains once per extra step,
+    still one window exchange (the k-1 running maxes share a single
+    window spec) (operators/eventstats.py:window_funnel).'''
+    from orange3_timeseries_spark.operators.eventstats import (
+        window_funnel,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return window_funnel(ev, "ts", "event_type", ["user_id"],
+                         steps=("signup", "view", "click", "purchase"))

@@ -78,10 +78,34 @@ class TestMatrixProfile:
         ref = _np_matrix_profile(x)
         assert {r["idx"] for r in out} == set(ref)
 
-    def test_max_n_drops_long_series(self, spark):
+    def test_max_n_capped_series_emits_sentinel(self, spark):
+        # no-silent-caps rule: a series past max_n must still appear —
+        # as one sentinel row (idx=-1, nn_idx=length, NULL dist)
         df = _series_df(spark, np.arange(30.0))
-        assert matrix_profile(df, "ts", "value", ["user_id"],
-                              max_n=20).count() == 0
+        out = matrix_profile(df, "ts", "value", ["user_id"],
+                             max_n=20).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["idx"] == -1
+        assert row["nn_idx"] == 30
+        assert row["nn_dist"] is None
+
+    def test_max_n_mixed_lengths(self, spark):
+        # short series keeps its full profile alongside the capped
+        # series' sentinel
+        rng = np.random.RandomState(7)
+        short = _series_df(spark, rng.normal(size=16), sid="s")
+        long = _series_df(spark, rng.normal(size=25), sid="l")
+        out = matrix_profile(short.unionByName(long), "ts", "value",
+                             ["user_id"], max_n=20).collect()
+        by_sid = {}
+        for r in out:
+            by_sid.setdefault(r["user_id"], []).append(r)
+        assert [r["idx"] for r in by_sid["l"]] == [-1]
+        assert by_sid["l"][0]["nn_idx"] == 25
+        short_vals = list(short.toPandas().sort_values("ts")["value"])
+        ref = _np_matrix_profile(short_vals)
+        assert {r["idx"] for r in by_sid["s"]} == set(ref)
 
 
 class TestKCenter:

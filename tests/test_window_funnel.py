@@ -59,3 +59,45 @@ class TestWindowFunnel:
         rows = [(1, 0, "view"), (2, 0, "purchase")]
         lv = _levels(spark, rows)
         assert lv[1] == 1 and lv[2] == 0
+
+    def test_tied_timestamps_are_not_strictly_earlier(self, spark):
+        # view and click at the SAME timestamp: the click must not see
+        # the tied view — strictness is by TIME VALUE (range frame),
+        # deterministic under any physical tie order
+        rows = [(1, 0, "view"), (1, 0, "click"), (1, 10, "purchase")]
+        assert _levels(spark, rows)[1] == 1
+        # one microsecond apart would chain (minutes=10 granularity
+        # here, so use a separate row a minute later)
+        rows2 = [(1, 0, "view"), (1, 1, "click"), (1, 1, "purchase")]
+        # click@1 chains on view@0; purchase tied with click@1 must NOT
+        assert _levels(spark, rows2)[1] == 2
+
+    def test_four_step_funnel(self, spark):
+        steps = ("signup", "view", "click", "purchase")
+
+        def lv4(rows, window="1 hour"):
+            return {r["user_id"]: r["funnel_level"] for r in
+                    window_funnel(_df(spark, rows), "ts", "event_type",
+                                  ["user_id"], steps=steps,
+                                  window=window).collect()}
+
+        full = [(1, 0, "signup"), (1, 5, "view"), (1, 10, "click"),
+                (1, 30, "purchase")]
+        assert lv4(full)[1] == 4
+        # last step lands outside one hour of the anchoring signup
+        late = [(1, 0, "signup"), (1, 5, "view"), (1, 10, "click"),
+                (1, 90, "purchase")]
+        assert lv4(late)[1] == 3
+        assert lv4(late, window="2 hours")[1] == 4
+        # out-of-order middle step breaks the chain at its depth
+        broken = [(1, 0, "signup"), (1, 10, "click"), (1, 20, "view"),
+                  (1, 30, "purchase")]
+        assert lv4(broken)[1] == 2
+
+    def test_two_step_funnel(self, spark):
+        rows = [(1, 0, "view"), (1, 10, "click")]
+        out = {r["user_id"]: r["funnel_level"] for r in
+               window_funnel(_df(spark, rows), "ts", "event_type",
+                             ["user_id"],
+                             steps=("view", "click")).collect()}
+        assert out[1] == 2
