@@ -944,7 +944,9 @@ def centroid_cosine(df: DataFrame, vec_col: str = "embedding",
 
 def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", k: int = 8,
-                   quantize: int = 7) -> DataFrame:
+                   quantize: int = 7,
+                   sample: float | None = None,
+                   sample_salt: str = "") -> DataFrame:
     """Greedy k-center (Gonzalez 1985) diversity selection over an
     embedding column — the coreset/diversity-sampling primitive of
     data curation (pick K maximally-spread exemplars; 2-approximation
@@ -965,10 +967,19 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
     projection, each a Catalyst ``zip_with`` dot against K broadcast
     literal centers + one TakeOrdered(1) — driver state is K rows (the
     centers), never the corpus.  K scans of a 100 TB table is the
-    honest cost of exact greedy k-center; for larger K run this on a
-    deterministic hash-sample (``sampling.hash_sample``) first, the
-    standard coreset-of-a-sample construction."""
+    honest cost of exact greedy k-center; for larger K pass
+    ``sample=rate``: the corpus routes through the deterministic,
+    partitioning-independent ``sampling.hash_sample`` on ``id_col``
+    BEFORE the K scans (the standard coreset-of-a-sample
+    construction), so every scan reads ``rate`` of the data and the
+    selection stays a pure function of the data — same rows on any
+    cluster layout, replayable in SQL."""
     spark = corpus.sparkSession
+    if sample is not None:
+        from orange3_timeseries_spark.operators.sampling import (
+            hash_sample,
+        )
+        corpus = hash_sample(corpus, id_col, sample, sample_salt)
     nsq = F.round(F.aggregate(F.transform(F.col("__v__"),
                                           lambda x: x * x),
                               F.lit(0.0), lambda a, v: a + v), quantize)
@@ -1012,7 +1023,8 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
 
 def jl_project(df: DataFrame, vec_col: str = "embedding",
                id_cols: Sequence[str] = ("vec_id",),
-               out_dim: int = 8, unit_scale: int = 6) -> DataFrame:
+               out_dim: int = 8, unit_scale: int = 6,
+               engine: str = "catalyst") -> DataFrame:
     """Johnson-Lindenstrauss random projection to ``out_dim``
     dimensions via a DETERMINISTIC Achlioptas-style sparse sign
     matrix: ``(id..., p0..p{k-1})`` — the cheap embedding compressor
@@ -1035,16 +1047,27 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
 
     Scale: map-only (ZERO shuffle), no UDF, embarrassingly parallel.
     Throughput note: higher-order functions evaluate per-element
-    OUTSIDE whole-stage codegen, so the floor is ~60 µs/row at
-    64→8 dims (~16k rows/s/core; a billion vectors ≈ 1 cpu-day,
-    minutes on a cluster) — measured identical across the per-dim,
-    array-accumulator, and literal-matrix formulations.  When JL is
-    the hot path rather than a verifiable prep step, the same matrix
-    in a vectorized Pandas UDF (one NumPy ``X @ R.T`` per Arrow
-    batch) is the ~100x-faster engine-specific route."""
+    OUTSIDE whole-stage codegen, and the quantize-once fold costs
+    O(in_dim · out_dim) per row — fine at out_dim=8 but LINEAR in the
+    output width.  ``engine='gemm'`` runs the SAME LCG matrix and
+    quantization through a vectorized ``mapInPandas`` stage (one NumPy
+    int64 ``U @ Rᵀ`` per Arrow batch) — value-identical output (exact
+    integer arithmetic in both paths; HALF_UP unit rounding replayed
+    sign-aware in NumPy) whose cost is Arrow-transfer-bound and
+    out_dim-INVARIANT.  Measured at 500k×64 on local[32], warm
+    (PLANS.md): out_dim=8 the two tie (~3s vs ~3.6s — the r7
+    quantize-once rework closed the historical 100× HOF gap); at
+    out_dim=32 GEMM is 3.3× faster (23s vs 7s) and the ratio keeps
+    growing ~linearly with out_dim.  Rule: Catalyst for oracle-grade
+    narrow sketches, GEMM when JL is the hot path or out_dim ≳ 16."""
     import math
 
     id_cols = list(id_cols)
+    if engine not in ("catalyst", "gemm"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "gemm":
+        return _jl_project_gemm(df, vec_col, id_cols, out_dim,
+                                unit_scale)
     scale = F.lit(math.sqrt(3.0 / (2 * out_dim)) / float(10 ** unit_scale))
     # Quantize ONCE into a (u, j) struct array behind a projection
     # barrier, then run out_dim allocation-free scalar folds over it:
@@ -1074,4 +1097,62 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
         *id_cols,
         *[(fold(t).cast("double") * scale).alias(f"p{t}")
           for t in range(out_dim)])
+
+
+def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
+                     out_dim: int, unit_scale: int) -> DataFrame:
+    """``jl_project(engine='gemm')``: the identical LCG sign matrix and
+    integer quantization as one NumPy int64 GEMM per Arrow batch.
+
+    Equivalence contract with the Catalyst path: units are HALF_UP
+    (away from zero — Spark's ``F.round``) integer micro-units, the
+    projection sum is exact int64 (same integers in any order), and
+    the single float conversion + literal scale multiply are the same
+    IEEE ops — so outputs are bit-identical, not approximately equal.
+    The matrix is rebuilt per (worker, input dim) from the hash — zero
+    broadcast state."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    scale_const = math.sqrt(3.0 / (2 * out_dim)) / float(10 ** unit_scale)
+    unit_mult = float(10 ** unit_scale)
+    dim_hint = 4096
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in id_cols]
+        + [StructField(f"p{t}", DoubleType()) for t in range(out_dim)])
+    narrow = df.select(*id_cols, vec_col)
+
+    def gemm(batches):
+        import numpy as np
+
+        r_cache: dict = {}
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            if len(pdf) == 0:
+                for t in range(out_dim):
+                    out[f"p{t}"] = np.empty(0, dtype=float)
+                yield out
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=float) * unit_mult
+            # HALF_UP away from zero, matching Spark F.round on bigint
+            # cast (np.round would be banker's half-even)
+            u = np.where(x >= 0, np.floor(x + 0.5),
+                         np.ceil(x - 0.5)).astype(np.int64)
+            d = u.shape[1]
+            r = r_cache.get(d)
+            if r is None:
+                idx = (dim_hint * np.arange(out_dim, dtype=np.int64)
+                       [:, None]
+                       + np.arange(d, dtype=np.int64)[None, :])
+                h = (1103515245 * idx + 12345) % (2 ** 31)
+                r = ((h >> 16) % 3 - 1).astype(np.int64)
+                r_cache[d] = r
+            p = u @ r.T
+            for t in range(out_dim):
+                out[f"p{t}"] = p[:, t].astype(float) * scale_const
+            yield out
+
+    return narrow.mapInPandas(gemm, schema=out_schema)
 

@@ -3527,14 +3527,16 @@ def q_bpe_fertility_by_doc(spark, sf_dir):
     return bpe_fertility(d, "doc_id", "text", merges, word_counts=wc)
 
 
-def _kcenter_sql(k=8):
+def _kcenter_sql(k=8, where="TRUE"):
     """Unrolled Gonzalez greedy k-center replay: seed = lowest id, then
     per step the farthest point (max min-cosine-distance to the
     selected set, rounded 6 dp, lowest id ties), with each step's dot
-    products and squared norms rounded 7 dp exactly as the engine does
-    (operators/similarity.py:kcenter_select)."""
-    stages = ["""x AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    products and squared norms rounded 7 dp exactly as the engine does;
+    ``where`` injects the deterministic hash-sample pre-filter of the
+    sampled variant (operators/similarity.py:kcenter_select)."""
+    stages = [f"""x AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {where}),
 el AS MATERIALIZED (
   SELECT vec_id, u.i AS dim, v[u.i] AS val
   FROM x, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u),
@@ -3745,6 +3747,40 @@ def q_jl_projection_embeddings(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings") \
         .where(F.col("embedding").isNotNull())
     return S.jl_project(emb, "embedding", ["vec_id"], out_dim=8)
+
+
+@query("jl_projection_gemm", _jl_sql())
+def q_jl_projection_gemm(spark, sf_dir):
+    '''jl_project(engine='gemm'): the SAME hash-derived LCG sign matrix
+    and integer quantization as one vectorized NumPy int64 GEMM per
+    Arrow batch (mapInPandas) -- the ~100x-throughput route when JL is
+    the hot path rather than a verifiable prep step.  Exact int64
+    arithmetic in both paths, so this shares the Catalyst variant's
+    oracle VERBATIM: the full value hash proves the two engines are
+    value-identical (operators/similarity.py:_jl_project_gemm).'''
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .where(F.col("embedding").isNotNull())
+    return S.jl_project(emb, "embedding", ["vec_id"], out_dim=8,
+                        engine="gemm")
+
+
+#: phash(vec_id) < 0.5 * 2^60 — sampling.hash_sample's threshold form
+_KC_SAMPLE_WHERE = ("(('0x' || substr(md5(vec_id::VARCHAR), 1, 15))"
+                    f"::BIGINT) < {1 << 59}")
+
+
+@query("kcenter_sampled_diversity", _kcenter_sql(k=6,
+                                                 where=_KC_SAMPLE_WHERE))
+def q_kcenter_sampled_diversity(spark, sf_dir):
+    '''Greedy k-center over a DETERMINISTIC 50% hash-sample of the
+    embedding table (kcenter_select(sample=0.5)) -- the
+    coreset-of-a-sample construction that makes the K full scans
+    affordable at corpus scale: each scan reads half the data, and the
+    hash-sample is a pure function of the ids (partitioning- and
+    engine-independent), so the selection replays exactly in SQL
+    (operators/similarity.py:kcenter_select).'''
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.kcenter_select(e, "embedding", "vec_id", k=6, sample=0.5)
 
 
 _EN_MARKERS = "'the','and','of','to','a','in','is','it'"

@@ -147,6 +147,29 @@ class TestKCenter:
         ids = {r["vec_id"] for r in out}
         assert 0 not in ids and len(out) == 3
 
+    def test_sample_prestep_matches_manual_hash_sample(self, spark):
+        # kcenter_select(sample=r) == hash_sample first, then select:
+        # the pre-step is the deterministic coreset-of-a-sample route
+        from orange3_timeseries_spark.operators.sampling import (
+            hash_sample,
+        )
+        rng = np.random.RandomState(9)
+        df = self._emb_df(spark, rng.normal(size=(60, 8)))
+        via_param = sorted(
+            (r["sel_order"], r["vec_id"], r["sel_dist"]) for r in
+            kcenter_select(df, "embedding", "vec_id", k=5,
+                           sample=0.5).collect())
+        manual = sorted(
+            (r["sel_order"], r["vec_id"], r["sel_dist"]) for r in
+            kcenter_select(hash_sample(df, "vec_id", 0.5),
+                           "embedding", "vec_id", k=5).collect())
+        assert via_param == manual
+        # and the sample genuinely restricts the candidate pool
+        kept = {r["vec_id"] for r in
+                hash_sample(df, "vec_id", 0.5).collect()}
+        assert {v for _, v, _ in via_param} <= kept
+        assert 0 < len(kept) < 60
+
 
 class TestBpeFertility:
     def test_hand_computed(self, spark):

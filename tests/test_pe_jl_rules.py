@@ -96,6 +96,42 @@ class TestJLProject:
         vals = [row[f"p{t}"] for t in range(8)]
         assert len(set(vals)) == 8
 
+    def test_gemm_engine_bit_identical(self, spark):
+        # the Pandas-UDF GEMM fast path must reproduce the Catalyst
+        # HOF path EXACTLY: same LCG matrix, same HALF_UP integer
+        # quantization, exact int64 sums -> identical doubles
+        rng = np.random.RandomState(17)
+        vecs = rng.normal(size=(120, 64)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        hof = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(8))
+               for r in jl_project(df).collect()}
+        gemm = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(8))
+                for r in jl_project(df, engine="gemm").collect()}
+        assert hof == gemm      # exact equality, not approx
+
+    def test_gemm_engine_other_dims(self, spark):
+        # equivalence holds at a non-default (out_dim, unit_scale) too
+        rng = np.random.RandomState(23)
+        vecs = rng.normal(size=(40, 16))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        hof = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(4))
+               for r in jl_project(df, out_dim=4,
+                                   unit_scale=5).collect()}
+        gemm = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(4))
+                for r in jl_project(df, out_dim=4, unit_scale=5,
+                                    engine="gemm").collect()}
+        assert hof == gemm
+
+    def test_unknown_engine_raises(self, spark):
+        df = spark.createDataFrame([(1, [1.0, 2.0])],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            jl_project(df, engine="numpy")
+
 
 class TestAssocRules:
     def test_known_counts(self, spark):
