@@ -104,22 +104,38 @@ def ccf_values(x: np.ndarray, y: np.ndarray, nlags: int):
     return lags, vals
 
 
-def holt_values(x: np.ndarray, alpha: float, beta: float, horizon: int):
-    """Holt linear-trend exponential smoothing with the standard
-    initialization l₁ = x₁, b₁ = x₂ − x₁ and recursion
-    l_t = α·x_t + (1−α)(l+b),  b_t = β(l_t − l_prev) + (1−β)b —
-    expression order matches the recursive-CTE oracle exactly.
-    Returns the h-step forecasts ŷ_{n+h} = l_n + h·b_n."""
+def holt_state(x: np.ndarray, alpha: float, beta: float):
+    """Final (level, trend) of the Holt recursion — the persistable
+    model state.  ``None`` for series shorter than 2 observations."""
     x = np.asarray(x, dtype=float)
     if len(x) < 2:
-        return []
+        return None
     l = x[0]
     b = x[1] - x[0]
     for t in range(1, len(x)):
         l_new = alpha * x[t] + (1 - alpha) * (l + b)
         b = beta * (l_new - l) + (1 - beta) * b
         l = l_new
-    return [l + (h + 1) * b for h in range(horizon)]
+    return (float(l), float(b))
+
+
+def holt_forecast_from_state(level: float, trend: float, horizon: int):
+    """ŷ_{n+h} = l_n + h·b_n from a saved Holt state."""
+    return [level + (h + 1) * trend for h in range(horizon)]
+
+
+def holt_values(x: np.ndarray, alpha: float, beta: float, horizon: int):
+    """Holt linear-trend exponential smoothing with the standard
+    initialization l₁ = x₁, b₁ = x₂ − x₁ and recursion
+    l_t = α·x_t + (1−α)(l+b),  b_t = β(l_t − l_prev) + (1−β)b —
+    expression order matches the recursive-CTE oracle exactly.
+    Returns the h-step forecasts ŷ_{n+h} = l_n + h·b_n.  Split into
+    :func:`holt_state` + :func:`holt_forecast_from_state` so the model
+    registry serves a saved state bit-identically BY CONSTRUCTION."""
+    st = holt_state(x, alpha, beta)
+    if st is None:
+        return []
+    return holt_forecast_from_state(st[0], st[1], horizon)
 
 
 def holt_winters_values(x: np.ndarray, m: int, alpha: float, beta: float,
@@ -133,11 +149,24 @@ def holt_winters_values(x: np.ndarray, m: int, alpha: float, beta: float,
         s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
 
     Forecast ŷ_{n+h} = l + h·b + s_{n+h−m·⌈h/m⌉}.  Expression order
-    mirrors the recursive-CTE oracle; needs ≥ 2m observations."""
+    mirrors the recursive-CTE oracle; needs ≥ 2m observations.  Split
+    into :func:`holt_winters_state` + :func:`hw_forecast_from_state`
+    for registry serving."""
+    st = holt_winters_state(x, m, alpha, beta, gamma)
+    if st is None:
+        return []
+    return hw_forecast_from_state(st[0], st[1], st[2], horizon)
+
+
+def holt_winters_state(x: np.ndarray, m: int, alpha: float, beta: float,
+                       gamma: float):
+    """Final (level, trend, season[m]) of the additive Holt-Winters
+    recursion; the season list is the ROTATED buffer (element 0 is the
+    h=1 season).  ``None`` for series shorter than 2m."""
     x = np.asarray(x, dtype=float)
     n = len(x)
     if n < 2 * m:
-        return []
+        return None
     l = float(np.mean(x[:m]))
     b = (float(np.mean(x[m:2 * m])) - l) / m
     season = [x[i] - l for i in range(m)]
@@ -148,10 +177,15 @@ def holt_winters_values(x: np.ndarray, m: int, alpha: float, beta: float,
         l = l_new
         season = season[1:] + [gamma * (x[t] - l_new)
                                + (1 - gamma) * s_old]
-    out = []
-    for h in range(1, horizon + 1):
-        out.append(l + h * b + season[(h - 1) % m])
-    return out
+    return (float(l), float(b), [float(s) for s in season])
+
+
+def hw_forecast_from_state(level: float, trend: float, season,
+                           horizon: int):
+    """ŷ_{n+h} = l + h·b + season[(h−1) mod m] from a saved HW state."""
+    m = len(season)
+    return [level + h * trend + season[(h - 1) % m]
+            for h in range(1, horizon + 1)]
 
 
 def holt_damped_values(x, alpha: float, beta: float, phi: float,
@@ -165,22 +199,40 @@ def holt_damped_values(x, alpha: float, beta: float, phi: float,
 
     — the flat-ish long-horizon behavior real demand series want
     (``phi = 1`` reduces exactly to :func:`holt_values`).  Expression
-    order mirrors the recursive-CTE oracle."""
+    order mirrors the recursive-CTE oracle.  Split into
+    :func:`holt_damped_state` + :func:`damped_forecast_from_state`
+    for registry serving."""
+    st = holt_damped_state(x, alpha, beta, phi)
+    if st is None:
+        return []
+    return damped_forecast_from_state(st[0], st[1], phi, horizon)
 
+
+def holt_damped_state(x, alpha: float, beta: float, phi: float):
+    """Final (level, trend) of the damped-trend Holt recursion;
+    ``None`` for series shorter than 2 observations."""
     x = np.asarray(x, dtype=float)
     if len(x) < 2:
-        return []
+        return None
     l = x[0]
     b = x[1] - x[0]
     for t in range(1, len(x)):
         l_new = alpha * x[t] + (1 - alpha) * (l + phi * b)
         b = beta * (l_new - l) + (1 - beta) * phi * b
         l = l_new
+    return (float(l), float(b))
+
+
+def damped_forecast_from_state(level: float, trend: float, phi: float,
+                               horizon: int):
+    """ŷ_{n+h} = l + (φ + … + φ^h)·b from a saved damped-Holt state —
+    the cumulative damp sum accumulates in the SAME order as the fit
+    path always did, so serving is bit-faithful."""
     out = []
     damp = 0.0
     for h in range(1, horizon + 1):
         damp += phi ** h
-        out.append(l + damp * b)
+        out.append(level + damp * trend)
     return out
 
 
@@ -196,12 +248,23 @@ def theta_values(x, alpha: float, horizon: int):
     with ``l_n`` the SES level (l_1 = θ2_1; l_t = α·θ2_t + (1−α)l).
     The OLS uses centered closed-form slope/intercept (1-indexed t), so
     a ``regr_slope``-based oracle replays it; the SES level folds to the
-    closed geometric-weight sum the oracle uses."""
+    closed geometric-weight sum the oracle uses.  Split into
+    :func:`theta_state` + :func:`theta_forecast_from_state` for
+    registry serving."""
+    st = theta_state(x, alpha)
+    if st is None:
+        return []
+    return theta_forecast_from_state(st[0], st[1], st[2], st[3], horizon)
 
+
+def theta_state(x, alpha: float):
+    """Final (a, b, l, n) of the Theta fit: OLS intercept/slope of the
+    θ=0 line, the SES level of the θ=2 line, and the series length —
+    everything the forecast needs.  ``None`` for n < 3."""
     x = np.asarray(x, dtype=float)
     n = len(x)
     if n < 3:
-        return []
+        return None
     t = np.arange(1, n + 1, dtype=float)
     tbar = t.mean()
     xbar = x.mean()
@@ -211,4 +274,11 @@ def theta_values(x, alpha: float, horizon: int):
     l = theta2[0]
     for v in theta2[1:]:
         l = alpha * v + (1 - alpha) * l
-    return [((a + b * (n + h)) + l) / 2.0 for h in range(1, horizon + 1)]
+    return (float(a), float(b), float(l), int(n))
+
+
+def theta_forecast_from_state(a: float, b: float, l: float, n: int,
+                              horizon: int):
+    """ŷ_{n+h} = ((a + b·(n+h)) + l)/2 from a saved Theta state."""
+    return [((a + b * (n + h)) + l) / 2.0
+            for h in range(1, horizon + 1)]

@@ -298,3 +298,155 @@ def forecast_from_var_model_table(models: DataFrame, steps: int = 10,
 
 
 __all__ += ["var_model_table", "forecast_from_var_model_table"]
+
+
+#: smoothing-family registry: family name -> (state fitter, server)
+_SMOOTH_FAMILIES = ("holt", "holt_damped", "holt_winters", "theta")
+
+
+def smoothing_model_table(tsf: TimeSeriesFrame, cols: Sequence[str],
+                          family: str = "holt", alpha: float = 0.5,
+                          beta: float = 0.3, gamma: float = 0.4,
+                          m: int = 7, phi: float = 0.9) -> DataFrame:
+    """Fit the named exponential-smoothing family per (series, var) and
+    emit one persistable state row:
+
+        (series..., var, family, level, trend, season[], aux[],
+         phi, n_obs)
+
+    — ``season`` is Holt-Winters' rotated seasonal buffer (element 0 =
+    the h=1 season), ``aux`` carries Theta's OLS intercept ``[a]``
+    (its slope rides in ``trend``), ``phi`` is the damping factor
+    (1.0 where unused).  Together with ARIMA/VAR model tables this
+    makes EVERY forecaster in the engine refit-free servable under the
+    same parquet contract: plain columns, no pickle, engine-agnostic.
+    Short/degenerate series yield no row (same contract as the live
+    ``*_forecast_table`` fits).
+
+    Serving replays the forecast through the SAME
+    ``*_forecast_from_state`` functions the live fit path calls
+    (functions/correlation.py), so a saved-then-loaded model forecasts
+    bit-identically — structural reuse, not copy-paste sync."""
+    from orange3_timeseries_spark.functions.correlation import (
+        holt_damped_state,
+        holt_state,
+        holt_winters_state,
+        theta_state,
+    )
+
+    if family not in _SMOOTH_FAMILIES:
+        raise ValueError(f"unknown smoothing family {family!r}")
+    ocol = _order_col(tsf)
+    cols = list(cols)
+    df, groups, _ = _grouped(tsf, keep_cols=[ocol, *cols])
+    schema = _series_schema(groups, df, [
+        T.StructField("var", T.StringType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("season", _ARR),
+        T.StructField("aux", _ARR),
+        T.StructField("phi", T.DoubleType()),
+        T.StructField("n_obs", T.IntegerType()),
+    ])
+    packed = _pack_series(df, groups, ocol, cols)
+
+    def fit_state(x):
+        if family == "holt":
+            st = holt_state(x, alpha, beta)
+            if st is None:
+                return None
+            return st[0], st[1], [], [], 1.0
+        if family == "holt_damped":
+            st = holt_damped_state(x, alpha, beta, phi)
+            if st is None:
+                return None
+            return st[0], st[1], [], [], float(phi)
+        if family == "holt_winters":
+            st = holt_winters_state(x, m, alpha, beta, gamma)
+            if st is None:
+                return None
+            return st[0], st[1], st[2], [], 1.0
+        st = theta_state(x, alpha)                      # theta
+        if st is None:
+            return None
+        a, b, l, _n = st
+        return l, b, [], [a], 1.0
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                for name in cols:
+                    x = np.asarray(r[name], dtype=float)
+                    x = x[~np.isnan(x)]
+                    st = fit_state(x)
+                    if st is None:
+                        continue
+                    level, trend, season, aux, phi_out = st
+                    rows.append(keys + [name, family, level, trend,
+                                        season, aux, phi_out,
+                                        int(len(x))])
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return packed.mapInPandas(run, schema=schema)
+
+
+def forecast_from_smoothing_table(models: DataFrame,
+                                  steps: int = 5) -> DataFrame:
+    """Forecast from a saved smoothing model table — no refit, no
+    history scan; dispatches per row on ``family`` to the same
+    ``*_forecast_from_state`` functions the live fits use.  Emits
+    ``(series..., step, var, forecast)`` (smoothing fits carry no
+    closed-form state covariance, so no CI columns — matching the live
+    ``holt_*_table`` contract)."""
+    from orange3_timeseries_spark.functions.correlation import (
+        damped_forecast_from_state,
+        holt_forecast_from_state,
+        hw_forecast_from_state,
+        theta_forecast_from_state,
+    )
+
+    state_cols = {"var", "family", "level", "trend", "season", "aux",
+                  "phi", "n_obs"}
+    groups = [c for c in models.columns if c not in state_cols]
+    fields = [models.schema[g] for g in groups]
+    schema = T.StructType(fields + [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("var", T.StringType()),
+        T.StructField("forecast", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                keys = [r[g] for g in groups]
+                fam = r["family"]
+                level, trend = float(r["level"]), float(r["trend"])
+                if fam == "holt":
+                    fc = holt_forecast_from_state(level, trend, steps)
+                elif fam == "holt_damped":
+                    fc = damped_forecast_from_state(
+                        level, trend, float(r["phi"]), steps)
+                elif fam == "holt_winters":
+                    fc = hw_forecast_from_state(
+                        level, trend, [float(s) for s in r["season"]],
+                        steps)
+                elif fam == "theta":
+                    fc = theta_forecast_from_state(
+                        float(r["aux"][0]), trend, level,
+                        int(r["n_obs"]), steps)
+                else:
+                    continue
+                for h, v in enumerate(fc, start=1):
+                    rows.append(keys + [h, r["var"], float(v)])
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return models.mapInPandas(run, schema=schema)
+
+
+__all__ += ["smoothing_model_table", "forecast_from_smoothing_table"]

@@ -1146,6 +1146,87 @@ def q_theta_forecast_by_user(spark, sf_dir):
                       r6(F.col("forecast"), "forecast"))
 
 
+def _daily_tsf(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    return TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+
+
+def _smoothing_registry_forecast(spark, sf_dir, family, **params):
+    """Shared body of the smoothing-family persistence queries: fit the
+    state table, WRITE it to parquet, READ IT BACK, and forecast from
+    the loaded table without refitting — hash-green against the live
+    fit's oracle proves the persisted state is sufficient and serving
+    is bit-faithful (models/registry.py:smoothing_model_table)."""
+    import os
+    import tempfile
+
+    from orange3_timeseries_spark.models.registry import (
+        forecast_from_smoothing_table,
+        read_model_table,
+        smoothing_model_table,
+        write_model_table,
+    )
+
+    models = smoothing_model_table(_daily_tsf(spark, sf_dir), ["x"],
+                                   family=family, **params)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{family}_models_{os.getpid()}")
+    write_model_table(models, path)
+    out = forecast_from_smoothing_table(read_model_table(spark, path),
+                                        steps=5)
+    return out.select("user_id", "step",
+                      r6(F.col("forecast"), "forecast"))
+
+
+from orange3_timeseries_spark.queries import ORACLE_SQL as _OSA  # noqa: E402
+
+
+@query("holt_registry_forecast_by_user", _OSA["holt_forecast_by_user"])
+def q_holt_registry_forecast_by_user(spark, sf_dir):
+    """Holt MODEL-PERSISTENCE path under the SAME recursive-CTE oracle
+    as holt_forecast_by_user: fit the (level, trend) state per series
+    into a parquet model table, write, READ BACK, forecast refit-free.
+    Serving calls the same holt_forecast_from_state the live fit uses
+    (models/registry.py:smoothing_model_table)."""
+    return _smoothing_registry_forecast(spark, sf_dir, "holt",
+                                        alpha=0.5, beta=0.3)
+
+
+@query("hw_registry_forecast_by_user", _OSA["holt_winters_by_user"])
+def q_hw_registry_forecast_by_user(spark, sf_dir):
+    """Holt-Winters persistence path under the SAME recursive-CTE
+    oracle as holt_winters_by_user: the (level, trend, season[7])
+    state round-trips through parquet and serves refit-free
+    (models/registry.py:smoothing_model_table)."""
+    return _smoothing_registry_forecast(spark, sf_dir, "holt_winters",
+                                        m=7, alpha=0.5, beta=0.3,
+                                        gamma=0.4)
+
+
+@query("damped_registry_forecast_by_user", _OSA["holt_damped_by_user"])
+def q_damped_registry_forecast_by_user(spark, sf_dir):
+    """Damped-trend Holt persistence path under the SAME oracle as
+    holt_damped_by_user: (level, trend, phi) state table, write/read/
+    serve without refitting (models/registry.py)."""
+    return _smoothing_registry_forecast(spark, sf_dir, "holt_damped",
+                                        alpha=0.5, beta=0.3, phi=0.9)
+
+
+@query("theta_registry_forecast_by_user",
+       _OSA["theta_forecast_by_user"])
+def q_theta_registry_forecast_by_user(spark, sf_dir):
+    """Theta-method persistence path under the SAME closed-form oracle
+    as theta_forecast_by_user: the (a, b, l, n) state rides the shared
+    smoothing parquet contract (slope in ``trend``, intercept in
+    ``aux``), serving refit-free (models/registry.py)."""
+    return _smoothing_registry_forecast(spark, sf_dir, "theta",
+                                        alpha=0.5)
+
+
 @query("baseline_forecasts_by_user", """
 WITH d AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -88,14 +88,19 @@ class TestRiskMetrics:
         prices = 100 * np.exp(np.cumsum(rng.normal(0, 0.02, 50)))
         row = risk_metrics(self._df(spark, prices), "ts", "value",
                            ["user_id"]).collect()[0]
-        r = np.round(np.log(prices[1:] / prices[:-1]), 6)
+        # micro-unit contract: exact BIGINT sum of round(ln·1e6),
+        # ONE division for the mean (never a rounded mean of rounded
+        # values — the decimal .5 boundary divergence class)
+        ru = np.round(np.log(prices[1:] / prices[:-1]) * 1e6)
+        r = ru / 1e6
         assert row["n_returns"] == 49
-        assert row["mean_return"] == pytest.approx(round(r.mean(), 6),
-                                                   abs=1e-9)
+        assert row["mean_return"] == pytest.approx(
+            (ru.sum() / 49) / 1e6, abs=1e-12)
         assert row["volatility"] == pytest.approx(round(r.std(), 6),
                                                   abs=1e-9)
         assert row["sharpe"] == pytest.approx(
-            round(round(r.mean(), 6) / round(r.std(), 6), 6), abs=1e-9)
+            round(((ru.sum() / 49) / 1e6) / round(r.std(), 6), 6),
+            abs=1e-9)
         runmax = np.maximum.accumulate(prices)
         mdd = np.round(1.0 - prices / runmax, 6).max()
         assert row["max_drawdown"] == pytest.approx(mdd, abs=1e-9)

@@ -176,3 +176,68 @@ class TestVarRegistry:
                                      steps=3).collect()}
         assert served == direct
         assert all(np.isfinite(v) for v in served.values())
+
+
+class TestSmoothingRegistry:
+    FAMILIES = [
+        ("holt", dict(alpha=0.5, beta=0.3)),
+        ("holt_damped", dict(alpha=0.5, beta=0.3, phi=0.9)),
+        ("holt_winters", dict(m=7, alpha=0.5, beta=0.3, gamma=0.4)),
+        ("theta", dict(alpha=0.5)),
+    ]
+
+    def _live(self, spark, tsf, family, params, steps):
+        from orange3_timeseries_spark.spark_analytics import (
+            holt_damped_table,
+            holt_forecast_table,
+            holt_winters_table,
+            theta_forecast_table,
+        )
+        fn = {"holt": holt_forecast_table,
+              "holt_damped": holt_damped_table,
+              "holt_winters": holt_winters_table,
+              "theta": theta_forecast_table}[family]
+        return fn(tsf, "value", horizon=steps, **params)
+
+    @pytest.mark.parametrize("family,params",
+                             FAMILIES, ids=[f for f, _ in FAMILIES])
+    def test_roundtrip_bit_identical_to_live_fit(self, spark, tmp_path,
+                                                 family, params):
+        from orange3_timeseries_spark.models.registry import (
+            forecast_from_smoothing_table,
+            read_model_table,
+            smoothing_model_table,
+            write_model_table,
+        )
+
+        tsf = _tsf(spark)
+        models = smoothing_model_table(tsf, ["value"], family=family,
+                                       **params)
+        path = str(tmp_path / f"{family}_models")
+        write_model_table(models, path)
+        served = {(r["user_id"], r["step"]): r["forecast"] for r in
+                  forecast_from_smoothing_table(
+                      read_model_table(spark, path), steps=5).collect()}
+        live = {(r["user_id"], r["step"]): r["forecast"] for r in
+                self._live(spark, tsf, family, params, 5).collect()}
+        assert set(served) == set(live) and len(served) == 20
+        for k in live:                       # EXACT, not approx
+            assert served[k] == live[k], (family, k)
+
+    def test_short_series_yield_no_row(self, spark):
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.models.registry import (
+            smoothing_model_table,
+        )
+        df = spark.createDataFrame([(1, 0, 1.0)],
+                                   "user_id int, t int, value double")
+        tsf = TimeSeriesFrame(df, time_col="t", series_cols=["user_id"])
+        assert smoothing_model_table(tsf, ["value"],
+                                     family="holt").count() == 0
+
+    def test_unknown_family_raises(self, spark):
+        from orange3_timeseries_spark.models.registry import (
+            smoothing_model_table,
+        )
+        with pytest.raises(ValueError):
+            smoothing_model_table(_tsf(spark), ["value"], family="ses")
