@@ -300,7 +300,9 @@ def forecast_from_var_model_table(models: DataFrame, steps: int = 10,
 __all__ += ["var_model_table", "forecast_from_var_model_table"]
 
 
-#: smoothing-family registry: family name -> (state fitter, server)
+#: valid ``family`` values for the smoothing state tables; dispatch is
+#: the if-chains in ``smoothing_model_table.fit_state`` and
+#: ``forecast_from_smoothing_table.run`` — extend BOTH when adding one
 _SMOOTH_FAMILIES = ("holt", "holt_damped", "holt_winters", "theta")
 
 
@@ -440,7 +442,11 @@ def forecast_from_smoothing_table(models: DataFrame,
                         float(r["aux"][0]), trend, level,
                         int(r["n_obs"]), steps)
                 else:
-                    continue
+                    # no-silent-drops rule: a foreign/corrupt family
+                    # string must fail loudly, not forecast nothing
+                    raise ValueError(
+                        f"unknown smoothing family {fam!r} in model "
+                        f"table (known: {_SMOOTH_FAMILIES})")
                 for h, v in enumerate(fc, start=1):
                     rows.append(keys + [h, r["var"], float(v)])
             yield pd.DataFrame(rows,

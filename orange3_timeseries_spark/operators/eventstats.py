@@ -371,10 +371,11 @@ def window_funnel(df: DataFrame, time_col: str, type_col: str,
     step-1 time, so the whole chain lands inside one window of its
     first event (ClickHouse semantics); taking the running MAX anchor
     is optimal — it maximizes the reachable ``t_k``.  All comparisons
-    are exact integer microseconds — bit-exact cross-engine.  The
-    k−1 window functions share one window spec, so Catalyst computes
-    them in a single sort+scan: one ordered window pass + one groupBy
-    sharing the series key (one exchange)."""
+    are exact integer microseconds — bit-exact cross-engine.  Each
+    ``mᵢ`` reads the previous step's anchor column, so the physical
+    plan is k−1 CHAINED Window operators — but they share one window
+    spec, so there is still only ONE exchange and ONE sort on the
+    series key, plus the groupBy that reuses the same partitioning."""
     series_cols = list(series_cols)
     steps = list(steps)
     if len(steps) < 2:

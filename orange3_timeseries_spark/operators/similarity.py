@@ -1124,23 +1124,27 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
         + [StructField(f"p{t}", DoubleType()) for t in range(out_dim)])
     narrow = df.select(*id_cols, vec_col)
 
+    def half_up(x):
+        """HALF_UP away from zero, EXACTLY matching Spark's F.round →
+        bigint cast: the fractional part ``x − floor(x)`` is an exact
+        float subtraction for |x| < 2⁵², so the ≥ 0.5 comparison sees
+        the true side of the tie — unlike ``floor(x + 0.5)``, whose
+        IEEE add can round half-even ACROSS the boundary for |x| just
+        below .5 (e.g. 0.5 − 2⁻⁵⁴ + 0.5 rounds up to exactly 1.0), and
+        unlike ``np.round``'s banker's rounding at exact ties."""
+        import numpy as np
+
+        fx = np.floor(x)
+        cx = np.ceil(x)
+        return np.where(x >= 0, fx + ((x - fx) >= 0.5),
+                        cx - ((cx - x) >= 0.5))
+
     def gemm(batches):
         import numpy as np
 
         r_cache: dict = {}
-        for pdf in batches:
-            out = pdf[id_cols].copy()
-            if len(pdf) == 0:
-                for t in range(out_dim):
-                    out[f"p{t}"] = np.empty(0, dtype=float)
-                yield out
-                continue
-            x = np.asarray(list(pdf[vec_col]), dtype=float) * unit_mult
-            # HALF_UP away from zero, matching Spark F.round on bigint
-            # cast (np.round would be banker's half-even)
-            u = np.where(x >= 0, np.floor(x + 0.5),
-                         np.ceil(x - 0.5)).astype(np.int64)
-            d = u.shape[1]
+
+        def matrix(d):
             r = r_cache.get(d)
             if r is None:
                 idx = (dim_hint * np.arange(out_dim, dtype=np.int64)
@@ -1149,9 +1153,35 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
                 h = (1103515245 * idx + 12345) % (2 ** 31)
                 r = ((h >> 16) % 3 - 1).astype(np.int64)
                 r_cache[d] = r
-            p = u @ r.T
+            return r
+
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            n = len(pdf)
+            if n == 0:
+                for t in range(out_dim):
+                    out[f"p{t}"] = np.empty(0, dtype=float)
+                yield out
+                continue
+            # NULL vectors → NULL outputs (the Catalyst path's
+            # behavior); ragged lengths group by dim, each group one
+            # GEMM.  Element-level nulls are the caller's to filter —
+            # the registered queries gate on embedding IS NOT NULL.
+            vecs = pdf[vec_col].reset_index(drop=True)
+            lens = vecs.map(lambda v: -1 if v is None else len(v))
+            p_obj = np.empty((n, out_dim), dtype=object)
+            for d, grp in lens.groupby(lens):
+                idxs = grp.index.to_numpy()
+                if d == -1:
+                    continue                     # leave None cells
+                x = np.asarray(list(vecs.iloc[idxs]),
+                               dtype=float) * unit_mult
+                u = half_up(x).astype(np.int64)
+                p = (u @ matrix(int(d)).T).astype(float) * scale_const
+                for t in range(out_dim):
+                    p_obj[idxs, t] = p[:, t]
             for t in range(out_dim):
-                out[f"p{t}"] = p[:, t].astype(float) * scale_const
+                out[f"p{t}"] = p_obj[:, t]
             yield out
 
     return narrow.mapInPandas(gemm, schema=out_schema)

@@ -950,6 +950,18 @@ def q_anomalies_by_user(spark, sf_dir):
                     F.round(z, 6).alias("zscore")))
 
 
+def _daily_tsf(spark, sf_dir):
+    """The smoothing tier's shared per-user DAILY grid (mean value per
+    day) — ONE definition for the four live fits AND their registry
+    twins, which share oracles: a drift here would silently diverge
+    five queries at once."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.avg("value").alias("x")))
+    return TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
+
+
 @query("holt_forecast_by_user", """
 WITH RECURSIVE d AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -984,12 +996,8 @@ def q_holt_forecast_by_user(spark, sf_dir):
         holt_forecast_table,
     )
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
-    out = holt_forecast_table(tsf, "x", alpha=0.5, beta=0.3, horizon=5)
+    out = holt_forecast_table(_daily_tsf(spark, sf_dir), "x",
+                              alpha=0.5, beta=0.3, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
 
@@ -1038,13 +1046,8 @@ def q_holt_winters_by_user(spark, sf_dir):
         holt_winters_table,
     )
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
-    out = holt_winters_table(tsf, "x", m=7, alpha=0.5, beta=0.3,
-                             gamma=0.4, horizon=5)
+    out = holt_winters_table(_daily_tsf(spark, sf_dir), "x", m=7,
+                             alpha=0.5, beta=0.3, gamma=0.4, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
 
@@ -1086,13 +1089,8 @@ def q_holt_damped_by_user(spark, sf_dir):
         holt_damped_table,
     )
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
-    out = holt_damped_table(tsf, "x", alpha=0.5, beta=0.3, phi=0.9,
-                            horizon=5)
+    out = holt_damped_table(_daily_tsf(spark, sf_dir), "x", alpha=0.5,
+                            beta=0.3, phi=0.9, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
 
@@ -1136,22 +1134,10 @@ def q_theta_forecast_by_user(spark, sf_dir):
         theta_forecast_table,
     )
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
-    out = theta_forecast_table(tsf, "x", alpha=0.5, horizon=5)
+    out = theta_forecast_table(_daily_tsf(spark, sf_dir), "x",
+                               alpha=0.5, horizon=5)
     return out.select("user_id", "step",
                       r6(F.col("forecast"), "forecast"))
-
-
-def _daily_tsf(spark, sf_dir):
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    return TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
 
 
 def _smoothing_registry_forecast(spark, sf_dir, family, **params):

@@ -132,6 +132,38 @@ class TestJLProject:
         with pytest.raises(ValueError):
             jl_project(df, engine="numpy")
 
+    def test_gemm_half_up_boundary_matches_catalyst(self, spark):
+        # the largest double below 0.5 micro-units: floor(x+0.5) would
+        # round UP (the IEEE add lands on exactly 1.0) while Spark's
+        # shortest-string HALF_UP rounds DOWN — the exact-fraction
+        # form must agree with Catalyst on both signs
+        eps = 0.49999999999999994 / 1e6        # x*1e6 = 0.5 - 2^-54
+        tie = 1.5 / 1e6                        # exactly representable .5
+        vecs = [[eps] * 8, [-eps] * 8, [tie] * 8, [-tie] * 8,
+                [2.4999999999999996 / 1e6] * 8]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        hof = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(8))
+               for r in jl_project(df).collect()}
+        gemm = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(8))
+                for r in jl_project(df, engine="gemm").collect()}
+        assert hof == gemm
+
+    def test_gemm_null_and_ragged_vectors(self, spark):
+        # NULL embeddings must yield NULL projections (the Catalyst
+        # behavior), and mixed vector lengths in one batch must not
+        # crash — each length group gets its own hash matrix
+        rows = [(1, [1.0] * 8), (2, None), (3, [2.0] * 4)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df, engine="gemm").collect()}
+        assert got[2] == [None] * 8
+        hof = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df).collect()}
+        assert got[1] == hof[1] and got[3] == hof[3]
+
 
 class TestAssocRules:
     def test_known_counts(self, spark):

@@ -241,3 +241,17 @@ class TestSmoothingRegistry:
         )
         with pytest.raises(ValueError):
             smoothing_model_table(_tsf(spark), ["value"], family="ses")
+
+    def test_foreign_family_in_table_fails_loudly(self, spark):
+        # a model table with an unrecognized family string must raise,
+        # not silently forecast nothing (no-silent-drops rule)
+        from orange3_timeseries_spark.models.registry import (
+            forecast_from_smoothing_table,
+        )
+        bad = spark.createDataFrame(
+            [(1, "value", "ses", 1.0, 0.1, [], [], 1.0, 10)],
+            "user_id int, var string, family string, level double, "
+            "trend double, season array<double>, aux array<double>, "
+            "phi double, n_obs int")
+        with pytest.raises(Exception, match="unknown smoothing family"):
+            forecast_from_smoothing_table(bad, steps=2).collect()
