@@ -70,16 +70,20 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
     base = (base
             .withColumn("__i__", F.row_number().over(w) - 1)
             .withColumn("__n__", F.count(F.lit(1)).over(
-                Window.partitionBy(*series_cols))))
+                Window.partitionBy(*series_cols)))
+            .where(F.col("__n__") <= F.lit(max_n)))
     # no-silent-caps rule: capped series surface as one sentinel row
-    # each (distinct reuses the window shuffle's series partitioning)
-    capped = (base.where(F.col("__n__") > F.lit(max_n))
-              .select(*series_cols, "__n__").distinct()
+    # each.  Derived from a SEPARATE pruned-scan groupBy count (map-
+    # side partial agg over just the series columns) — re-deriving it
+    # from the windowed projection would re-run the full window SORT a
+    # second time just to find the handful of capped series
+    capped = (df.groupBy(*series_cols)
+              .agg(F.count(F.lit(1)).alias("__n__"))
+              .where(F.col("__n__") > F.lit(max_n))
               .select(*series_cols,
                       F.lit(-1).alias("idx"),
                       F.col("__n__").cast("int").alias("nn_idx"),
                       F.lit(None).cast("double").alias("nn_dist")))
-    base = base.where(F.col("__n__") <= F.lit(max_n))
     frame = w.rowsBetween(Window.currentRow, m - 1)
     mu = F.round(F.avg("__x__").over(frame), 6)
     sg = F.round(F.stddev_pop("__x__").over(frame), 6)
