@@ -76,7 +76,11 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
     # each.  Derived from a SEPARATE pruned-scan groupBy count (map-
     # side partial agg over just the series columns) — re-deriving it
     # from the windowed projection would re-run the full window SORT a
-    # second time just to find the handful of capped series
+    # second time just to find the handful of capped series.  Both
+    # branches descend from the SAME df relation, so file-backed
+    # sources share one file listing (one snapshot — the two scans
+    # cannot disagree on membership); for truly mutable non-file
+    # sources, checkpoint df first
     capped = (df.groupBy(*series_cols)
               .agg(F.count(F.lit(1)).alias("__n__"))
               .where(F.col("__n__") > F.lit(max_n))

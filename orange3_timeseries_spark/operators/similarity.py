@@ -1099,6 +1099,26 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
           for t in range(out_dim)])
 
 
+def _half_up_exact(x):
+    """HALF_UP away from zero, EXACTLY matching Spark's F.round →
+    bigint cast: the fractional part ``x − floor(x)`` is an exact
+    float subtraction for |x| < 2⁵² (Sterbenz), so the ≥ 0.5
+    comparison sees the true side of the tie — unlike
+    ``floor(x + 0.5)``, whose IEEE add can round half-even ACROSS the
+    boundary for x just below a half (e.g. 0.5 − 2⁻⁵⁴ + 0.5 rounds up
+    to exactly 1.0), and unlike ``np.round``'s banker's rounding at
+    exact ties.  Module-level so the unit test can drive the raw
+    boundary doubles directly — for ``unit_scale=6`` the divergent
+    inputs are unreachable through the ``e·1e6`` multiply, so only a
+    direct test can catch a regression to the add-based form."""
+    import numpy as np
+
+    fx = np.floor(x)
+    cx = np.ceil(x)
+    return np.where(x >= 0, fx + ((x - fx) >= 0.5),
+                    cx - ((cx - x) >= 0.5))
+
+
 def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
                      out_dim: int, unit_scale: int) -> DataFrame:
     """``jl_project(engine='gemm')``: the identical LCG sign matrix and
@@ -1123,21 +1143,6 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
         [in_fields[c] for c in id_cols]
         + [StructField(f"p{t}", DoubleType()) for t in range(out_dim)])
     narrow = df.select(*id_cols, vec_col)
-
-    def half_up(x):
-        """HALF_UP away from zero, EXACTLY matching Spark's F.round →
-        bigint cast: the fractional part ``x − floor(x)`` is an exact
-        float subtraction for |x| < 2⁵², so the ≥ 0.5 comparison sees
-        the true side of the tie — unlike ``floor(x + 0.5)``, whose
-        IEEE add can round half-even ACROSS the boundary for |x| just
-        below .5 (e.g. 0.5 − 2⁻⁵⁴ + 0.5 rounds up to exactly 1.0), and
-        unlike ``np.round``'s banker's rounding at exact ties."""
-        import numpy as np
-
-        fx = np.floor(x)
-        cx = np.ceil(x)
-        return np.where(x >= 0, fx + ((x - fx) >= 0.5),
-                        cx - ((cx - x) >= 0.5))
 
     def gemm(batches):
         import numpy as np
@@ -1169,6 +1174,18 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
             # the registered queries gate on embedding IS NOT NULL.
             vecs = pdf[vec_col].reset_index(drop=True)
             lens = vecs.map(lambda v: -1 if v is None else len(v))
+            if lens.nunique() == 1 and lens.iloc[0] != -1:
+                # the common case — homogeneous, null-free batch:
+                # plain float64 columns, no object boxing on the
+                # engine's Arrow-bound hot path
+                x = np.asarray(list(vecs), dtype=float) * unit_mult
+                u = _half_up_exact(x).astype(np.int64)
+                p = (u @ matrix(int(lens.iloc[0])).T).astype(float) \
+                    * scale_const
+                for t in range(out_dim):
+                    out[f"p{t}"] = p[:, t]
+                yield out
+                continue
             p_obj = np.empty((n, out_dim), dtype=object)
             for d, grp in lens.groupby(lens):
                 idxs = grp.index.to_numpy()
@@ -1176,7 +1193,7 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
                     continue                     # leave None cells
                 x = np.asarray(list(vecs.iloc[idxs]),
                                dtype=float) * unit_mult
-                u = half_up(x).astype(np.int64)
+                u = _half_up_exact(x).astype(np.int64)
                 p = (u @ matrix(int(d)).T).astype(float) * scale_const
                 for t in range(out_dim):
                     p_obj[idxs, t] = p[:, t]

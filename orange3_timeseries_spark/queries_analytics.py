@@ -1251,12 +1251,8 @@ def q_baseline_forecasts_by_user(spark, sf_dir):
         baseline_forecast_table,
     )
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
-    out = baseline_forecast_table(tsf, "x", m=7, horizon=5)
+    out = baseline_forecast_table(_daily_tsf(spark, sf_dir), "x", m=7,
+                                  horizon=5)
     return out.select("user_id", "method", "step",
                       r6(F.col("forecast"), "forecast"))
 
@@ -1417,12 +1413,7 @@ def q_holt_param_search_by_user(spark, sf_dir):
         holt_param_search_table,
     )
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("ts")).alias("day"))
-             .agg(F.avg("value").alias("x")))
-    tsf = TimeSeriesFrame(daily, time_col="day", series_cols=["user_id"])
-    out = holt_param_search_table(tsf, "x")
+    out = holt_param_search_table(_daily_tsf(spark, sf_dir), "x")
     return out.select("user_id", "alpha", "beta",
                       r6(F.col("sse"), "sse"), "n_obs")
 

@@ -30,15 +30,17 @@ def timed(df):
 
 
 def events(n, users):
-    et = (F.when(F.xxhash64("id") % 5 == 0, "signup")
-          .when(F.xxhash64("id") % 5 == 1, "view")
-          .when(F.xxhash64("id") % 5 == 2, "click")
-          .when(F.xxhash64("id") % 5 == 3, "purchase")
+    # pmod: xxhash64 is SIGNED — a plain % sends half the ids to
+    # negative remainders and the otherwise() bucket
+    h5 = F.pmod(F.xxhash64("id"), F.lit(5))
+    et = (F.when(h5 == 0, "signup").when(h5 == 1, "view")
+          .when(h5 == 2, "click").when(h5 == 3, "purchase")
           .otherwise("error"))
     return spark.range(n).select(
         (F.col("id") % users).alias("user_id"),
         F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
-        ((F.xxhash64("id") % 100000) / 100.0).alias("value"),
+        ((F.pmod(F.xxhash64("id"), F.lit(100000))) / 100.0)
+        .alias("value"),
         et.alias("event_type"))
 
 
@@ -61,14 +63,22 @@ def smoke_funnel():
     from orange3_timeseries_spark.operators.eventstats import (
         window_funnel,
     )
+    # 30 users → per-user event spacing 30 min < the 1-hour window, so
+    # chains genuinely form and the anchor-forwarding evaluation (not
+    # just sort/shuffle plumbing) is what scales; assert deep levels
+    # actually occur so a degenerate fixture fails loudly
+    from pyspark.sql import functions as FF
     sizes, secs = [1_000_000, 10_000_000], []
     for n in sizes:
-        df = events(n, n // 100).localCheckpoint(eager=True)
-        secs.append(timed(window_funnel(
-            df, "ts", "event_type", ["user_id"],
-            steps=("signup", "view", "click", "purchase"))))
+        df = events(n, 30).localCheckpoint(eager=True)
+        out = window_funnel(df, "ts", "event_type", ["user_id"],
+                            steps=("signup", "view", "click",
+                                   "purchase"))
+        secs.append(timed(out))
+        deep = out.where(FF.col("funnel_level") >= 3).count()
+        assert deep > 0, "degenerate funnel fixture: no chains formed"
         df.unpersist()
-    report("window_funnel 4-step", sizes, secs)
+    report("window_funnel 4-step (chains form)", sizes, secs)
 
 
 def smoke_jl_gemm():

@@ -133,11 +133,12 @@ class TestJLProject:
             jl_project(df, engine="numpy")
 
     def test_gemm_half_up_boundary_matches_catalyst(self, spark):
-        # the largest double below 0.5 micro-units: floor(x+0.5) would
-        # round UP (the IEEE add lands on exactly 1.0) while Spark's
-        # shortest-string HALF_UP rounds DOWN — the exact-fraction
-        # form must agree with Catalyst on both signs
-        eps = 0.49999999999999994 / 1e6        # x*1e6 = 0.5 - 2^-54
+        # ties and near-tie values through the full e*1e6 pipeline on
+        # both signs (NOTE: the truly divergent double 0.5 - 2^-54 is
+        # unreachable as e*1e6 at unit_scale=6 — the direct unit test
+        # below is the regression catcher for the rounding form; this
+        # test pins end-to-end tie agreement)
+        eps = 0.49999999999999994 / 1e6
         tie = 1.5 / 1e6                        # exactly representable .5
         vecs = [[eps] * 8, [-eps] * 8, [tie] * 8, [-tie] * 8,
                 [2.4999999999999996 / 1e6] * 8]
@@ -149,6 +150,36 @@ class TestJLProject:
         gemm = {r["vec_id"]: tuple(r[f"p{t}"] for t in range(8))
                 for r in jl_project(df, engine="gemm").collect()}
         assert hof == gemm
+
+    def test_half_up_exact_matches_spark_semantics_directly(self):
+        # drive the raw boundary doubles straight into the rounding
+        # helper: Spark's F.round(x) is BigDecimal(shortest-repr of x)
+        # HALF_UP, replayed here via decimal.Decimal(repr(x)).  The
+        # add-based floor(x+0.5) form FAILS this test at 0.5 - 2^-54
+        # (the IEEE add rounds half-even up to exactly 1.0), which is
+        # exactly the regression this pins against.
+        import decimal
+
+        from orange3_timeseries_spark.operators.similarity import (
+            _half_up_exact,
+        )
+
+        def spark_round(x):
+            return float(decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+        boundary = 0.5 - 2.0 ** -54            # largest double < 0.5
+        cases = [boundary, -boundary, 0.5, -0.5, 1.5, -1.5, 2.5,
+                 2.4999999999999996, -2.4999999999999996,
+                 0.49999999999999994, 1e6 + 0.5, -(1e6 + 0.5),
+                 123456.49999999999, 0.0, 7.0, -7.0]
+        got = _half_up_exact(np.array(cases))
+        for x, g in zip(cases, got):
+            assert g == spark_round(x), x
+        # and the old add-based form demonstrably diverges here, so
+        # this test genuinely discriminates the two implementations
+        assert np.floor(boundary + 0.5) == 1.0
+        assert _half_up_exact(np.array([boundary]))[0] == 0.0
 
     def test_gemm_null_and_ragged_vectors(self, spark):
         # NULL embeddings must yield NULL projections (the Catalyst
