@@ -101,3 +101,57 @@ class TestWindowFunnel:
                              ["user_id"],
                              steps=("view", "click")).collect()}
         assert out[1] == 2
+
+    def test_random_streams_match_bruteforce_reference(self, spark):
+        """Property check: on 40 random event streams the window
+        algebra must agree with a direct exists-a-chain search
+        (t₁ < t₂ < … < t_k ≤ t₁ + W over every candidate tuple)."""
+        import random
+
+        steps = ("signup", "view", "click", "purchase")
+        types = list(steps) + ["error"]
+        rng = random.Random(42)
+        rows = []
+        expected = {}
+        for uid in range(40):
+            n = rng.randint(1, 25)
+            evs = sorted(
+                (rng.randint(0, 300), rng.choice(types))
+                for _ in range(n))
+            # drop (t, e) duplicates so (user, ts) stays unique per
+            # the data contract (ties are covered by the dedicated
+            # tie test above)
+            seen, uniq = set(), []
+            for t, e in evs:
+                if t not in seen:
+                    seen.add(t)
+                    uniq.append((t, e))
+            rows += [(uid, t, e) for t, e in uniq]
+
+            def deepest(uniq):
+                best = 0
+                times = {s: [t for t, e in uniq if e == s]
+                         for s in steps}
+                def extend(level, last_t, anchor):
+                    nonlocal best
+                    best = max(best, level)
+                    if level == len(steps):
+                        return
+                    for t in times[steps[level]]:
+                        if t > last_t and t <= anchor + 60:
+                            extend(level + 1, t, anchor)
+                for t1 in times[steps[0]]:
+                    extend(1, t1, t1)
+                return best
+
+            expected[uid] = deepest(uniq)
+        got = {r["user_id"]: r["funnel_level"] for r in
+               window_funnel(_df(spark, rows), "ts", "event_type",
+                             ["user_id"], steps=steps,
+                             window="1 hour").collect()}
+        for uid, want in expected.items():
+            if uid in got:
+                assert got[uid] == want, uid
+            else:
+                # user had no funnel-step events at all
+                assert want == 0
