@@ -181,6 +181,29 @@ class TestJLProject:
         assert np.floor(boundary + 0.5) == 1.0
         assert _half_up_exact(np.array([boundary]))[0] == 0.0
 
+    def test_half_up_exact_property_sweep(self):
+        # hypothesis: on arbitrary finite doubles in the |x| < 2^52
+        # contract range, the helper equals Spark's shortest-string
+        # HALF_UP semantics (Decimal of repr)
+        import decimal
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from orange3_timeseries_spark.operators.similarity import (
+            _half_up_exact,
+        )
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.floats(allow_nan=False, allow_infinity=False,
+                         min_value=-1e12, max_value=1e12))
+        def check(x):
+            want = float(decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+            assert _half_up_exact(np.array([x]))[0] == want, x
+
+        check()
+
     def test_gemm_null_and_ragged_vectors(self, spark):
         # NULL embeddings must yield NULL projections (the Catalyst
         # behavior), and mixed vector lengths in one batch must not
