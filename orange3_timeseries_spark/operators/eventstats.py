@@ -352,10 +352,14 @@ def window_funnel(df: DataFrame, time_col: str, type_col: str,
                   series_cols: Sequence[str],
                   steps: Sequence[str] = ("view", "click", "purchase"),
                   window: str = "1 hour") -> DataFrame:
-    """ClickHouse-``windowFunnel``-style sliding-window funnel (any
-    number of steps ≥ 2): ``(series..., funnel_level, n_events)`` —
-    the deepest step reachable through ANY strictly-ordered event
-    chain ``t₁ < t₂ < … < t_k ≤ t₁ + window``.  The first-touch
+    """ClickHouse-``windowFunnel(strict_increase)``-style
+    sliding-window funnel (any number of steps ≥ 2): ``(series...,
+    funnel_level, n_events)`` — the deepest step reachable through ANY
+    strictly-ordered event chain ``t₁ < t₂ < … < t_k ≤ t₁ + window``.
+    The strictness matches ClickHouse's ``strict_increase`` mode and
+    is a deliberate, tested part of the contract (default ClickHouse
+    lets equal-timestamp events chain; here ties are excluded by time
+    VALUE, which is what makes the result tie-order deterministic).  The first-touch
     funnel (``event_funnel``) misses users whose FIRST step-1 event
     went nowhere but whose later session converted; the windowed
     variant is the one conversion dashboards actually mean.
@@ -382,9 +386,15 @@ def window_funnel(df: DataFrame, time_col: str, type_col: str,
         raise ValueError("window_funnel needs at least 2 steps")
     import re as _re
 
-    m = _re.match(r"(\d+)\s*(second|minute|hour|day)s?", window)
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*", window)
+    if m is None:
+        raise ValueError(
+            f"window_funnel: unsupported window spec {window!r} — "
+            "expected '<N> second|minute|hour|day|week[s]'")
     mult = {"second": 1_000_000, "minute": 60_000_000,
-            "hour": 3_600_000_000, "day": 86_400_000_000}[m.group(2)]
+            "hour": 3_600_000_000, "day": 86_400_000_000,
+            "week": 7 * 86_400_000_000}[m.group(2)]
     w_us = int(m.group(1)) * mult
     us = F.unix_micros(F.col(time_col).cast("timestamp"))
     b = (df.where(F.col(type_col).isin(steps))

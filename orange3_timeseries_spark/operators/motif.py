@@ -60,7 +60,15 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
 
     Series longer than ``max_n`` rows contribute one sentinel row
     ``(series..., idx = −1, nn_idx = series length, nn_dist = NULL)``
-    instead of a profile — visible, never silently missing."""
+    instead of a profile — visible, never silently missing.
+
+    .. caveat:: the sentinel branch is a second (pruned, cheap) scan
+       of ``df``.  Both branches descend from the same relation, so
+       file-backed sources share one snapshot and cannot disagree on
+       series membership; for a MUTABLE non-file source (a live JDBC
+       table, a changing view) the two scans could observe different
+       per-series counts — checkpoint or persist ``df`` first in that
+       case."""
     series_cols = list(series_cols)
     if exclusion is None:
         exclusion = m // 2

@@ -1130,7 +1130,11 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
     the single float conversion + literal scale multiply are the same
     IEEE ops — so outputs are bit-identical, not approximately equal.
     The matrix is rebuilt per (worker, input dim) from the hash — zero
-    broadcast state."""
+    broadcast state.
+
+    Dirty-data contract: a row whose vector is NULL, or contains any
+    NULL/NaN/Inf element, yields NULL projections (never a silently
+    wrong number — int64-casting a non-finite is undefined)."""
     import math
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -1170,20 +1174,38 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
                 continue
             # NULL vectors → NULL outputs (the Catalyst path's
             # behavior); ragged lengths group by dim, each group one
-            # GEMM.  Element-level nulls are the caller's to filter —
-            # the registered queries gate on embedding IS NOT NULL.
+            # GEMM.  Rows with element-level NULL/NaN/Inf also emit
+            # NULL projections — casting a non-finite to int64 would
+            # silently produce INT64_MIN garbage.
             vecs = pdf[vec_col].reset_index(drop=True)
             lens = vecs.map(lambda v: -1 if v is None else len(v))
             if lens.nunique() == 1 and lens.iloc[0] != -1:
-                # the common case — homogeneous, null-free batch:
-                # plain float64 columns, no object boxing on the
-                # engine's Arrow-bound hot path
                 x = np.asarray(list(vecs), dtype=float) * unit_mult
-                u = _half_up_exact(x).astype(np.int64)
-                p = (u @ matrix(int(lens.iloc[0])).T).astype(float) \
-                    * scale_const
+                finite = np.isfinite(x).all(axis=1)
+                if finite.all():
+                    # the common case — homogeneous, null-free,
+                    # all-finite batch: plain float64 columns, no
+                    # object boxing on the Arrow-bound hot path
+                    u = _half_up_exact(x).astype(np.int64)
+                    p = (u @ matrix(int(lens.iloc[0])).T) \
+                        .astype(float) * scale_const
+                    for t in range(out_dim):
+                        out[f"p{t}"] = p[:, t]
+                    yield out
+                    continue
+                # element-level NULL/NaN/Inf rows → NULL outputs
+                # (int64 cast of a non-finite is UB garbage, never
+                # emit it); the finite rows still take one GEMM
+                p_obj = np.empty((n, out_dim), dtype=object)
+                idxs = np.flatnonzero(finite)
+                if idxs.size:
+                    u = _half_up_exact(x[idxs]).astype(np.int64)
+                    p = (u @ matrix(int(lens.iloc[0])).T) \
+                        .astype(float) * scale_const
+                    for t in range(out_dim):
+                        p_obj[idxs, t] = p[:, t]
                 for t in range(out_dim):
-                    out[f"p{t}"] = p[:, t]
+                    out[f"p{t}"] = p_obj[:, t]
                 yield out
                 continue
             p_obj = np.empty((n, out_dim), dtype=object)
@@ -1193,7 +1215,11 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
                     continue                     # leave None cells
                 x = np.asarray(list(vecs.iloc[idxs]),
                                dtype=float) * unit_mult
-                u = _half_up_exact(x).astype(np.int64)
+                finite = np.isfinite(x).all(axis=1)
+                idxs = idxs[finite]              # non-finite → None
+                if not idxs.size:
+                    continue
+                u = _half_up_exact(x[finite]).astype(np.int64)
                 p = (u @ matrix(int(d)).T).astype(float) * scale_const
                 for t in range(out_dim):
                     p_obj[idxs, t] = p[:, t]

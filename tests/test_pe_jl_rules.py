@@ -218,6 +218,39 @@ class TestJLProject:
                for r in jl_project(df).collect()}
         assert got[1] == hof[1] and got[3] == hof[3]
 
+    def test_gemm_nonfinite_elements_yield_null(self, spark):
+        # regression (ADVICE r8): an element-level NULL/NaN used to
+        # flow through .astype(int64) as INT64_MIN and emit a huge
+        # wrong projection — it must yield NULL outputs instead, in
+        # BOTH the homogeneous batch path and the ragged path
+        nan = float("nan")
+        inf = float("inf")
+        # homogeneous batch (all length 8) with dirty rows mixed in
+        rows = [(1, [1.0] * 8), (2, [1.0] * 4 + [nan] + [1.0] * 3),
+                (3, [inf] * 8), (4, [2.0] * 8),
+                (5, [1.0] * 7 + [None])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df, engine="gemm").collect()}
+        assert got[2] == [None] * 8
+        assert got[3] == [None] * 8
+        assert got[5] == [None] * 8
+        hof = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df).collect()}
+        assert got[1] == hof[1] and got[4] == hof[4]
+        # ragged batch: dirty rows inside one length group, clean
+        # rows of another length still project exactly
+        rows = [(1, [1.0] * 8), (2, [nan] * 4), (3, [2.0] * 4)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df, engine="gemm").collect()}
+        assert got[2] == [None] * 8
+        hof = {r["vec_id"]: [r[f"p{t}"] for t in range(8)]
+               for r in jl_project(df).collect()}
+        assert got[1] == hof[1] and got[3] == hof[3]
+
 
 class TestAssocRules:
     def test_known_counts(self, spark):

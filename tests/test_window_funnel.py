@@ -72,6 +72,28 @@ class TestWindowFunnel:
         # click@1 chains on view@0; purchase tied with click@1 must NOT
         assert _levels(spark, rows2)[1] == 2
 
+    def test_week_window_unit(self, spark):
+        # '1 week' parses and spans 7 days: a chain 3 days apart fits
+        rows = [(1, 0, "view"), (1, 3 * 24 * 60, "click"),
+                (1, 6 * 24 * 60, "purchase")]
+        assert _levels(spark, rows, window="1 week")[1] == 3
+        # and the same chain caps at level 2 in a 4-day window (the
+        # purchase at day 6 falls outside view@0 + 4d)
+        assert _levels(spark, rows, window="4 days")[1] == 2
+
+    def test_bad_window_unit_raises_value_error(self, spark):
+        # regression (ADVICE r8): '2 fortnights' used to die with an
+        # AttributeError on the regex match; now a clear ValueError
+        import pytest
+
+        rows = [(1, 0, "view")]
+        with pytest.raises(ValueError, match="unsupported window"):
+            window_funnel(_df(spark, rows), "ts", "event_type",
+                          ["user_id"], window="2 fortnights")
+        with pytest.raises(ValueError, match="unsupported window"):
+            window_funnel(_df(spark, rows), "ts", "event_type",
+                          ["user_id"], window="1 hour and more")
+
     def test_four_step_funnel(self, spark):
         steps = ("signup", "view", "click", "purchase")
 
