@@ -4159,3 +4159,74 @@ def q_paragraph_dedup_corpus(spark, sf_dir):
     (operators/dedup.py:paragraph_dedup).'''
     d = read_table(spark, sf_dir, "documents")
     return D.paragraph_dedup(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------- BM25 tier
+_BM25_SQL = """
+WITH d AS (SELECT doc_id, {t} AS toks FROM documents WHERE source <> 'src0'),
+q AS (SELECT doc_id AS query_id, unnest(list_distinct({q})) AS __tok__
+      FROM documents WHERE source = 'src0'),
+post AS (SELECT doc_id, len(toks)::INT AS dl, unnest(toks) AS __tok__ FROM d),
+tf AS (SELECT doc_id, __tok__, dl, count(*)::BIGINT AS tf
+       FROM post GROUP BY 1, 2, 3),
+qtok AS (SELECT DISTINCT __tok__ FROM q),
+hit AS (SELECT t.*, count(*) OVER (PARTITION BY __tok__)::BIGINT AS df
+        FROM tf t JOIN qtok USING (__tok__)),
+stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sdl FROM d),
+terms AS (
+  SELECT q.query_id, h.doc_id,
+         CAST(round(
+           ln(((s.n - h.df)::DOUBLE + 0.5) / (h.df::DOUBLE + 0.5) + 1.0)
+           * ((h.tf::DOUBLE * 2.2)
+              / (h.tf::DOUBLE
+                 + 1.2 * (0.25 + 0.75 * (h.dl::DOUBLE
+                                         / (s.sdl::DOUBLE / s.n::DOUBLE)))))
+           * 1e6) AS BIGINT) AS units
+  FROM hit h CROSS JOIN stats s JOIN q ON q.__tok__ = h.__tok__),
+per_doc AS (SELECT query_id, doc_id, sum(units)::BIGINT AS units,
+                   count(*)::BIGINT AS n_terms
+            FROM terms GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY units DESC, doc_id) AS rk
+           FROM per_doc)
+SELECT query_id, doc_id, CAST(rk AS INT) AS rank,
+       units::DOUBLE / 1e6 AS score, n_terms
+FROM ranked WHERE rk <= {k}
+"""
+
+
+@query("bm25_topk_queries", _BM25_SQL.format(
+    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5))
+def q_bm25_topk_queries(spark, sf_dir):
+    """BM25 top-5 retrieval: 6-token keyword queries drawn from the
+    'src0' slice rank the rest of the corpus (the retrieval primitive
+    behind decontamination-by-retrieval / quality-slicing).  Inverted
+    index = postings DataFrame; query tokens broadcast-pruned into the
+    postings BEFORE df/idf; per-term scores rounded once to integer
+    micro-units and summed exactly, so the (units DESC, doc_id ASC)
+    ranking is an integer compare no engine can reassociate
+    (operators/retrieval.py)."""
+    from orange3_timeseries_spark.operators.retrieval import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    qs = (d.where(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(T.tokens_expr(F.col("text")), 1, 6),
+                               " ").alias("text")))
+    return bm25_topk(d.where(F.col("source") != "src0"), qs, top_k=5)
+
+
+@query("bm25_decontam_retrieval", _BM25_SQL.format(
+    t=_TOKS, q=_TOKS, k=3))
+def q_bm25_decontam_retrieval(spark, sf_dir):
+    """Decontamination-by-retrieval: every full 'src0' document (the
+    stand-in eval benchmark) retrieves its top-3 BM25 neighbors from
+    the training corpus — the ranked complement to the exact 13-gram
+    gate (`text_decontaminate`), catching paraphrase-level overlap that
+    exact n-grams miss.  Same operator, full-text queries."""
+    from orange3_timeseries_spark.operators.retrieval import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    qs = (d.where(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("query_id"), "text"))
+    return bm25_topk(d.where(F.col("source") != "src0"), qs, top_k=3)

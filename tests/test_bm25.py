@@ -1,0 +1,114 @@
+"""BM25 top-k retrieval (operators/retrieval.py): planted-relevance
+goldens, a literal scoring replay, and determinism contracts."""
+
+import math
+
+from orange3_timeseries_spark.operators.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, text string")
+
+
+def _ref_score(query_tokens, doc_tokens, corpus, k1=1.2, b=0.75):
+    """Literal replica of the operator's micro-unit pipeline: per-term
+    double with the documented association, HALF_UP round to 1e-6
+    units, exact integer sum."""
+    import decimal
+
+    n = len(corpus)
+    avgdl = float(sum(len(d) for d in corpus)) / float(n)
+    dl = float(len(doc_tokens))
+    units = 0
+    matched = 0
+    for t in set(query_tokens):
+        tf = float(doc_tokens.count(t))
+        if tf == 0:
+            continue
+        matched += 1
+        df = sum(1 for d in corpus if t in d)
+        idf = math.log((float(n - df) + 0.5) / (float(df) + 0.5) + 1.0)
+        norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        term = idf * ((tf * (k1 + 1.0)) / (tf + norm)) * 1e6
+        units += int(decimal.Decimal(repr(term)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+    return units, matched
+
+
+class TestBM25:
+    CORPUS = [(1, "apple banana apple"),
+              (2, "apple orange pear plum"),
+              (3, "kiwi melon")]
+
+    def test_planted_relevance_ranks_first(self, spark):
+        # doc 1 has both query terms and the higher tf — must be rank 1;
+        # doc 3 shares no token — must be absent
+        out = bm25_topk(_docs(spark, self.CORPUS),
+                        _queries(spark, [(100, "apple banana")]),
+                        top_k=10).collect()
+        by_rank = {r["rank"]: r for r in out}
+        assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+            == [1, 2]
+        assert by_rank[1]["n_terms"] == 2 and by_rank[2]["n_terms"] == 1
+
+    def test_scores_match_literal_replay(self, spark):
+        toks = [t[1].split() for t in self.CORPUS]
+        out = {r["doc_id"]: r for r in
+               bm25_topk(_docs(spark, self.CORPUS),
+                         _queries(spark, [(100, "apple banana")]),
+                         top_k=10).collect()}
+        for doc_id, dtoks in zip((1, 2), toks):
+            units, matched = _ref_score("apple banana".split(), dtoks, toks)
+            assert out[doc_id]["score"] == units / 1e6, doc_id
+            assert out[doc_id]["n_terms"] == matched
+
+    def test_tie_breaks_on_doc_id(self, spark):
+        # identical docs score identically (exact integer units) and
+        # must order by doc_id ascending
+        docs = [(7, "alpha beta"), (3, "alpha beta"), (9, "alpha beta")]
+        out = sorted(bm25_topk(_docs(spark, docs),
+                               _queries(spark, [(1, "alpha")]),
+                               top_k=10).collect(),
+                     key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in out] == [3, 7, 9]
+        assert len({r["score"] for r in out}) == 1
+
+    def test_top_k_truncates(self, spark):
+        docs = [(i, "common word%d" % i) for i in range(20)]
+        out = bm25_topk(_docs(spark, docs),
+                        _queries(spark, [(1, "common")]),
+                        top_k=5).collect()
+        assert len(out) == 5
+        assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+    def test_unmatched_query_yields_no_rows(self, spark):
+        out = bm25_topk(_docs(spark, self.CORPUS),
+                        _queries(spark, [(1, "zebra xylophone")]),
+                        top_k=5).collect()
+        assert out == []
+
+    def test_repeated_query_terms_count_once(self, spark):
+        # binary-qtf BM25: "apple apple" == "apple"
+        a = bm25_topk(_docs(spark, self.CORPUS),
+                      _queries(spark, [(1, "apple apple")]), top_k=5)
+        b = bm25_topk(_docs(spark, self.CORPUS),
+                      _queries(spark, [(1, "apple")]), top_k=5)
+        sa = sorted((r["doc_id"], r["score"], r["n_terms"])
+                    for r in a.collect())
+        sb = sorted((r["doc_id"], r["score"], r["n_terms"])
+                    for r in b.collect())
+        assert sa == sb
+
+    def test_shorter_doc_outranks_longer_at_equal_tf(self, spark):
+        # the b-length normalization: same tf, shorter doc wins
+        docs = [(1, "target filler filler filler filler filler"),
+                (2, "target filler")]
+        out = sorted(bm25_topk(_docs(spark, docs),
+                               _queries(spark, [(1, "target")]),
+                               top_k=5).collect(),
+                     key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in out] == [2, 1]
