@@ -48,7 +48,18 @@ def mae(true, pred) -> float:
 
 
 def pocid(true, pred) -> float:
+    """POCID (``functions.py:46-49``) with one determinism tweak: both
+    series are snapped to the 1e-6 grid before the sign comparison.  The
+    direction test ``diff(true) * diff(pred) > 0`` is a boolean computed
+    from floats, and AR-family forecasts converge toward the series mean,
+    so consecutive predictions can differ by ~1 ulp — where independent
+    float paths (NumPy vs a SQL replay, or two cluster plans) legitimately
+    disagree on the sign.  Quantizing first makes the flag a function of
+    the 6-decimal values, which every engine agrees on; diffs ≥ 1e-6 are
+    unaffected."""
     true, pred = _align(true, pred)
+    true = np.round(true, 6)
+    pred = np.round(pred, 6)
     return float(100 * np.mean((np.diff(true) * np.diff(pred)) > 0))
 
 

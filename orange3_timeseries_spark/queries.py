@@ -537,19 +537,34 @@ def q_sliding_weighted_ma(spark, sf_dir):
 
 @query("sliding_product_geometric", """
 SELECT user_id, ts,
-       round(ln(product(value) OVER w), 6) AS log_prod3,
-       round(exp(avg(ln(value)) OVER w), 6) AS geo3
-FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
-      FROM events) t
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-QUALIFY rn >= 3
+       round(CASE WHEN prod > 0 THEN ln(prod) END, 6) AS log_prod3,
+       round(CASE WHEN minv < 0 THEN NULL
+                  WHEN minv = 0 THEN 0.0
+                  ELSE exp(avg_lnv) END, 6) AS geo3
+FROM (SELECT user_id, ts, rn,
+             product(value) OVER w AS prod,
+             min(value) OVER w AS minv,
+             avg(CASE WHEN value > 0 THEN ln(value) END) OVER w AS avg_lnv
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts) rn
+            FROM events) t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) g
+WHERE rn >= 3
 """)
 def q_sliding_product_geometric(spark, sf_dir):
     """Sliding product (log-sum-exp path) + geometric mean, width 3.
     The product is compared in the log domain: the engine's scalable
     log-sum-exp accumulation and DuckDB's sequential multiply agree to
-    ~1e-15 in ln but drift in the last float ulp of the raw product."""
+    ~1e-15 in ln but drift in the last float ulp of the raw product.
+    The oracle guards every ``ln`` behind CASE so exact-zero values
+    (present at sf0.1) replay the engine's poison rules — product with a
+    zero -> 0 -> NULL log (Spark ``log`` of non-positive is NULL), and
+    geometric-with-a-zero -> 0 (``aggregate.py`` registry) — instead of
+    raising DuckDB's log-of-zero range error.  ``ln`` must live inside
+    CASE *arguments* (not post-hoc over a window of raw ``ln(value)``)
+    because DuckDB hoists window expressions and would evaluate the
+    poisoned branch anyway."""
     out = sliding_window(_events(spark, sf_dir),
                          {"value": ["product", "geometric"]}, 3,
                          keep=KEEP_COMPLETE)

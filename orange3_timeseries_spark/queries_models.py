@@ -507,10 +507,12 @@ pool AS (  -- pooled OOS predictions in model_evaluation's extend order
          s.y AS t
   FROM fc JOIN s ON s.user_id = fc.user_id
                 AND s.rn = s.n - fc.fold * 5 + fc.h),
-pool_d AS (
+pool_d AS (  -- POCID diffs on the 6dp grid (mirrors metrics.pocid)
   SELECT user_id, i, t, p,
-         t - lag(t) OVER (PARTITION BY user_id ORDER BY i) AS dt,
-         p - lag(p) OVER (PARTITION BY user_id ORDER BY i) AS dp,
+         round(t, 6) - lag(round(t, 6)) OVER (PARTITION BY user_id
+                                              ORDER BY i) AS dt,
+         round(p, 6) - lag(round(p, 6)) OVER (PARTITION BY user_id
+                                              ORDER BY i) AS dp,
          avg(t) OVER (PARTITION BY user_id) AS tbar
   FROM pool),
 oos AS (
@@ -526,10 +528,12 @@ fitted AS (  -- full-fit one-step fitted values (rn=1 row passes through)
   SELECT s.user_id, s.rn, s.y AS t,
          CASE WHEN s.rn = 1 THEN s.y ELSE fit.c + fit.phi * s.ylag END AS p
   FROM s JOIN fit ON fit.user_id = s.user_id AND fit.fold = 0),
-fitted_d AS (
+fitted_d AS (  -- POCID diffs on the 6dp grid (mirrors metrics.pocid)
   SELECT user_id, rn, t, p,
-         t - lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS dt,
-         p - lag(p) OVER (PARTITION BY user_id ORDER BY rn) AS dp,
+         round(t, 6) - lag(round(t, 6)) OVER (PARTITION BY user_id
+                                              ORDER BY rn) AS dt,
+         round(p, 6) - lag(round(p, 6)) OVER (PARTITION BY user_id
+                                              ORDER BY rn) AS dp,
          avg(t) OVER (PARTITION BY user_id) AS tbar
   FROM fitted),
 ins AS (
