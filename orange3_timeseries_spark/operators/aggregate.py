@@ -17,7 +17,7 @@ mode            omit nulls; tie -> smallest     (scipy ``stats.mode``)
 std/var         population ddof=0, skip nulls   (``np.nanstd/nanvar``)
 lin./exp. MA    positional weights renormalized over non-null
                 (``aggregate.py:50-83``); all-null -> null
-harmonic        any null or value<=0 in window -> null (scipy ``hmean``)
+harmonic        any null or negative -> null; zero -> 0 (scipy ``hmean``)
 geometric       any null -> null; negative -> null; zero -> 0 (``gmean``)
 non-zero        count of finite non-zero        (``aggregate.py:23-24``)
 defined         count of finite                 (``aggregate.py:27-28``)

@@ -38,7 +38,7 @@ Determinism contract (cf. PLANS.md firewall rules):
   arithmetic carried in doubles far below 2^53 — bit-exact on any
   engine.
 - Sen's slope / Theil-Sen medians are exact lower-median ELEMENT
-  selections from individually 7-dp-rounded pairwise slopes (round at
+  selections from individually 6-dp-rounded pairwise slopes (round at
   SOURCE, then select — no float combination for engines to disagree
   on).
 - Significance flags compare the ROUNDED statistic against fixed
@@ -102,7 +102,7 @@ def _pairs(df: DataFrame, time_col: str, value_col: str,
 
 
 def mann_kendall(df: DataFrame, time_col: str, value_col: str,
-                 series_cols: Sequence[str], quantize: int = 7,
+                 series_cols: Sequence[str], quantize: int = 6,
                  max_n: int = DEFAULT_MAX_N) -> DataFrame:
     """One row per series: ``(series..., n_obs, s_stat, var_s, z,
     sen_slope, trend, significant_5pct)``.
@@ -110,8 +110,12 @@ def mann_kendall(df: DataFrame, time_col: str, value_col: str,
     ``z`` carries the continuity correction ((S−1)/σ for S>0, (S+1)/σ
     for S<0, 0 at S=0); ``trend`` is ``increasing`` / ``decreasing`` /
     ``no trend`` at the two-sided 5% level on the 6-dp-rounded z;
-    ``sen_slope`` is per DAY (lower-median element of 7-dp-rounded
-    pairwise slopes).  Series with ``Var S = 0`` (all values tied) are
+    ``sen_slope`` is per DAY: the lower-median ELEMENT of the
+    ``quantize``-dp-rounded pairwise slopes, emitted with NO second
+    rounding — re-rounding a finer grid to 6 dp lands exactly on
+    half-boundaries (e.g. a 7-dp median of 0.0161095) where decimal
+    HALF_UP and binary rounding legitimately disagree across engines.
+    Series with ``Var S = 0`` (all values tied) are
     dropped — the statistic is undefined."""
     series_cols = list(series_cols)
     p = _pairs(df, time_col, value_col, series_cols, max_n)
@@ -148,7 +152,7 @@ def mann_kendall(df: DataFrame, time_col: str, value_col: str,
         s.cast("long").alias("s_stat"),
         F.round(F.col("__var__"), 6).alias("var_s"),
         z6.alias("z"),
-        F.round(_lower_median(F.col("__slopes__")), 6).alias("sen_slope"),
+        _lower_median(F.col("__slopes__")).alias("sen_slope"),
         F.when(z6 > crit, F.lit("increasing"))
          .when(z6 < -crit, F.lit("decreasing"))
          .otherwise(F.lit("no trend")).alias("trend"),
@@ -156,16 +160,18 @@ def mann_kendall(df: DataFrame, time_col: str, value_col: str,
 
 
 def theil_sen(df: DataFrame, time_col: str, value_col: str,
-              series_cols: Sequence[str], quantize: int = 7,
+              series_cols: Sequence[str], quantize: int = 6,
               max_n: int = DEFAULT_MAX_N) -> DataFrame:
     """Theil-Sen robust line per series: ``(series..., n_obs,
     slope_per_day, intercept)`` with ``x`` in days since the series'
     FIRST observation (anchoring at the series start keeps the
     intercept in data units instead of an extrapolation to 1970).
 
-    slope = lower-median element of the 7-dp-rounded pairwise slopes;
-    intercept = lower-median element of the residual levels
-    ``y_i − slope·x_i`` (each rounded 7 dp before selection)."""
+    slope = lower-median element of the ``quantize``-dp-rounded
+    pairwise slopes; intercept = lower-median element of the residual
+    levels ``y_i − slope·x_i`` (each rounded ``quantize`` dp before
+    selection).  Both medians are emitted without a second rounding —
+    see :func:`mann_kendall` on why double-rounding is engine-divergent."""
     series_cols = list(series_cols)
     p = _pairs(df, time_col, value_col, series_cols, max_n)
     slope = F.round((F.col("__yj__") - F.col("__yi__"))
@@ -192,8 +198,8 @@ def theil_sen(df: DataFrame, time_col: str, value_col: str,
                 F.sort_array(F.collect_list(level)).alias("__levels__")))
     return out.select(
         *series_cols, F.col("__n__").cast("long").alias("n_obs"),
-        F.round(F.col("__slope__"), 6).alias("slope_per_day"),
-        F.round(_lower_median(F.col("__levels__")), 6).alias("intercept"))
+        F.col("__slope__").alias("slope_per_day"),
+        _lower_median(F.col("__levels__")).alias("intercept"))
 
 
 def _pettitt_core(base: DataFrame, part_cols: Sequence[str]) -> DataFrame:
@@ -325,7 +331,7 @@ def binseg_changepoints(df: DataFrame, time_col: str, value_col: str,
 
 def seasonal_mann_kendall(df: DataFrame, time_col: str, value_col: str,
                           series_cols: Sequence[str], season_col: Column,
-                          quantize: int = 7,
+                          quantize: int = 6,
                           max_n: int = DEFAULT_MAX_N) -> DataFrame:
     """Seasonal Mann-Kendall test (Hirsch & Slack 1984, independent-
     seasons form): the MK statistic computed WITHIN each season and
@@ -385,8 +391,7 @@ def seasonal_mann_kendall(df: DataFrame, time_col: str, value_col: str,
         s.cast("long").alias("s_stat"),
         F.round(F.col("__var__"), 6).alias("var_s"),
         z6.alias("z"),
-        F.round(_lower_median(F.col("__allslopes__")), 6)
-        .alias("sen_slope"),
+        _lower_median(F.col("__allslopes__")).alias("sen_slope"),
         F.when(z6 > crit, F.lit("increasing"))
          .when(z6 < -crit, F.lit("decreasing"))
          .otherwise(F.lit("no trend")).alias("trend"),

@@ -322,13 +322,25 @@ def q_period_hour_of_day(spark, sf_dir):
 
 @query("period_geo_harmonic", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "Time",
-       round(exp(avg(ln(value))), 6) AS geo_v,
-       round(count(value) / sum(1.0 / value), 6) AS harm_v
+       round(CASE WHEN min(value) < 0 THEN NULL
+                  WHEN min(value) = 0 THEN 0.0
+                  ELSE exp(avg(CASE WHEN value > 0 THEN ln(value) END))
+             END, 6) AS geo_v,
+       round(CASE WHEN min(value) < 0 THEN NULL
+                  WHEN min(value) = 0 THEN 0.0
+                  ELSE count(value)
+                       / sum(CASE WHEN value > 0 THEN 1.0 / value END)
+             END, 6) AS harm_v
 FROM events GROUP BY 1
 """)
 def q_period_geo_harmonic(spark, sf_dir):
-    """Geometric + harmonic mean rollups (``aggregate.py:106-117,170-173``);
-    events values are strictly positive so both are defined."""
+    """Geometric + harmonic mean rollups (``aggregate.py:106-117,170-173``).
+    The oracle replays the engine's poison rules for non-positive values
+    (present at sf0.1: six exact zeros): negative in the day -> NULL,
+    zero in the day -> 0, with every ``ln``/``1/x`` guarded inside the
+    aggregate argument so DuckDB never evaluates log-of-zero.  Days with
+    all-positive values keep the original bit-identical float path (the
+    guard CASE is a no-op there)."""
     tsf = TimeSeriesFrame(_events(spark, sf_dir).df, time_col="ts")
     out = period_aggregation(tsf, "Days",
                              [("value", "geometric"), ("value", "harmonic")])

@@ -1522,7 +1522,7 @@ p AS (
          sign(b.y - a.y) AS sg,
          round((b.y - a.y)
                / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0),
-               7) AS slope
+               6) AS slope
   FROM base a JOIN base b ON a.user_id = b.user_id AND a.ts < b.ts),
 agg AS (
   SELECT user_id, sum(sg)::DOUBLE AS s,
@@ -1549,7 +1549,7 @@ zed AS (
   FROM fin)
 SELECT user_id, n::BIGINT AS n_obs, s::BIGINT AS s_stat,
        round(var_s, 6) AS var_s, z6 AS z,
-       round(med_slope, 6) AS sen_slope,
+       med_slope AS sen_slope,
        CASE WHEN z6 > 1.959964 THEN 'increasing'
             WHEN z6 < -1.959964 THEN 'decreasing'
             ELSE 'no trend' END AS trend,
@@ -1562,7 +1562,7 @@ def q_mann_kendall_by_user(spark, sf_dir):
     parametric tier (ARIMA trend terms, ``owarimamodel.py``) has no
     answer for.  S / Var S are integer-exact; z carries the continuity
     correction; Sen's slope is an exact lower-median ELEMENT of
-    7-dp-rounded pairwise slopes (per day, via integer-microsecond
+    6-dp-rounded pairwise slopes (per day, via integer-microsecond
     deltas).  The oracle replays the identical pairwise join, tie
     correction, and element selection — statistic, slope, and the
     trend verdict are all value-hash-verified."""
@@ -1583,7 +1583,7 @@ p AS (
   SELECT a.user_id,
          round((b.y - a.y)
                / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0),
-               7) AS slope
+               6) AS slope
   FROM base a JOIN base b ON a.user_id = b.user_id AND a.ts < b.ts),
 sl2 AS (
   SELECT user_id, n, slopes[(len(slopes) + 1) // 2] AS slope FROM (
@@ -1597,14 +1597,14 @@ anchored AS (
   FROM base JOIN sl2 ON base.user_id = sl2.user_id),
 lev AS (
   SELECT anchored.user_id, sl2.n, sl2.slope,
-         round(y - sl2.slope * (us0 / 86400000000.0), 7) AS level
+         round(y - sl2.slope * (us0 / 86400000000.0), 6) AS level
   FROM anchored JOIN sl2 ON anchored.user_id = sl2.user_id),
 fin AS (
   SELECT user_id, n, slope, list_sort(list(level)) AS levels
   FROM lev GROUP BY user_id, n, slope)
 SELECT user_id, n::BIGINT AS n_obs,
-       round(slope, 6) AS slope_per_day,
-       round(levels[(len(levels) + 1) // 2], 6) AS intercept
+       slope AS slope_per_day,
+       levels[(len(levels) + 1) // 2] AS intercept
 FROM fin
 """)
 def q_theil_sen_by_user(spark, sf_dir):
@@ -1613,7 +1613,7 @@ def q_theil_sen_by_user(spark, sf_dir):
     start) — up to 29% outlier breakdown vs 0% for the OLS trend the
     parametric tier uses.  Shares the pairwise machinery (and its
     linear-in-users scale story) with ``mann_kendall_by_user``; both
-    medians are exact element selections over 7-dp-rounded inputs,
+    medians are exact element selections over 6-dp-rounded inputs,
     replayed verbatim in the oracle."""
     from orange3_timeseries_spark.operators.trend import theil_sen
 
@@ -1680,7 +1680,7 @@ p AS (
          sign(b.y - a.y) AS sg,
          round((b.y - a.y)
                / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0),
-               7) AS slope
+               6) AS slope
   FROM base a JOIN base b
     ON a.user_id = b.user_id AND a.season = b.season AND a.ts < b.ts
   JOIN nn ON a.user_id = nn.user_id AND a.season = nn.season),
@@ -1711,7 +1711,7 @@ zed AS (
   FROM comb JOIN sl ON comb.user_id = sl.user_id)
 SELECT user_id, n_obs, n_seasons, s::BIGINT AS s_stat,
        round(var_s, 6) AS var_s, z6 AS z,
-       round(med_slope, 6) AS sen_slope,
+       med_slope AS sen_slope,
        CASE WHEN z6 > 1.959964 THEN 'increasing'
             WHEN z6 < -1.959964 THEN 'decreasing'
             ELSE 'no trend' END AS trend,
