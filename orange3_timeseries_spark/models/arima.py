@@ -97,6 +97,47 @@ def integrate_forecast(preds_diff: np.ndarray, y_levels,
     return forecast
 
 
+def _ne_ols_quantized(y, X, scales):
+    """Normal-equation OLS for the ``quantize=`` firewall path:
+    ``(beta, resid, rss)`` from a Gram system accumulated in EXACT
+    integer units.
+
+    Each regressor column is snapped to its decimal grid (``scales[j]``
+    units per 1.0: 100 for the constant and the 0.01-grid series
+    columns, 1000 for the 3dp-rounded innovation proxies) and the
+    normal-equation entries are computed as int64 sums — exact, hence
+    identical no matter which order any engine accumulates them in —
+    then descaled by one power-of-ten division per entry.  This is the
+    only formulation that survives a cross-engine replay: float Gram
+    sums differ by accumulation order (~1e-13 relative, enough to
+    straddle the coefficient rounding boundary for a few series per
+    thousand), and ROUNDED float Gram sums are worse — sums of
+    decimal-grid products land EXACTLY on rounding-grid ties, where
+    engines' tie rules and 1-ulp noise pick different grid points.
+
+    Falls back to plain :func:`ols` when the data is not on the assumed
+    grid (max unit-snap error > 1e-6) — off-grid inputs have no replay
+    oracle to protect.  Magnitude budget: |units| <= ~5e5, squared
+    products <= ~2.5e11, sums over <=1e5 rows <= ~2.5e16 < 2^63; entries
+    above 2^53 convert to double deterministically (same exact integer
+    -> same nearest double on every engine)."""
+    s = np.asarray(scales, dtype=float)
+    U = X * s
+    Ur = np.rint(U)
+    if np.abs(U - Ur).max() > 1e-6:
+        return ols(y, X)
+    U = Ur.astype(np.int64)
+    uy = np.rint(y * 100.0).astype(np.int64)
+    A = (U.T @ U).astype(float) / np.outer(s, s)
+    b = (U.T @ uy).astype(float) / (s * 100.0)
+    try:
+        beta = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        beta, *_ = np.linalg.lstsq(A, b, rcond=None)
+    resid = y - X @ beta
+    return beta, resid, float(resid @ resid)
+
+
 class ARIMA(BaseModel):
     """Autoregressive integrated moving average model (API parity with
     ``models.py:279-328``)."""
@@ -124,9 +165,16 @@ class ARIMA(BaseModel):
         ``train_ivf_centroids(id_col=...)``'s per-round centroid
         rounding) so an independent engine replaying the fit through
         normal-equation elimination lands on bit-identical coefficients
-        instead of chasing solver float noise.  The perturbation is
-        ~1e-k, orders of magnitude below statistical estimation error;
-        default ``None`` leaves the numerics untouched.
+        instead of chasing solver float noise.  On this path the OLS
+        stages solve the NORMAL EQUATIONS with the Gram sums accumulated
+        in EXACT integer units (see :func:`_ne_ols_quantized`) and the
+        stage-1 residual proxies round to 3 decimals — otherwise the two
+        engines' different Gram accumulation orders (pairwise vs
+        sequential sums) leave the coefficients ~1e-12 apart, close
+        enough to straddle the k-decimal rounding boundary at volume.
+        The perturbation is orders of magnitude below statistical
+        estimation error; default ``None`` leaves the numerics untouched
+        (plain ``lstsq``).
         """
         super().__init__()
         self.order = tuple(order)
@@ -167,12 +215,20 @@ class ARIMA(BaseModel):
             if n <= m + 1:
                 m = max(n - 2, 1)
             Z = np.column_stack((np.ones(n - m), lagmat(w, m)))
-            beta1, e_tail, _ = ols(w[m:], Z)
+            if self.quantize is None:
+                beta1, e_tail, _ = ols(w[m:], Z)
+            else:
+                beta1, e_tail, _ = _ne_ols_quantized(
+                    w[m:], Z, [100.0] * (m + 1))
             if self.quantize is not None:
                 beta1 = np.round(beta1, self.quantize)
+                # proxies on the 3dp grid: coarse enough that the two
+                # engines' ulp-apart predictions snap to the same grid
+                # point, fine enough (1e-3 on residual-scale values)
+                # to leave the stage-2 fit statistically untouched --
+                # and 1000-units keep the stage-2 integer Gram exact
                 e = np.concatenate((np.zeros(m),
-                                    np.round(w[m:] - Z @ beta1,
-                                             self.quantize)))
+                                    np.round(w[m:] - Z @ beta1, 3)))
             else:
                 e = np.concatenate((np.zeros(m), w[m:] - Z @ beta1))
         else:
@@ -191,7 +247,12 @@ class ARIMA(BaseModel):
             parts.append(np.atleast_2d(Xd)[r:].reshape(rows, -1))
         Z2 = np.hstack(parts)
         target = w[r:]
-        beta, resid, rss = ols(target, Z2)
+        if self.quantize is None or Xd is not None:
+            # exog columns have no decimal-grid contract -> plain OLS
+            beta, resid, rss = ols(target, Z2)
+        else:
+            beta, resid, rss = _ne_ols_quantized(
+                target, Z2, [100.0] * (1 + p) + [1000.0] * q)
         if self.quantize is not None:
             beta = np.round(beta, self.quantize)
             resid = target - Z2 @ beta
@@ -214,6 +275,16 @@ class ARIMA(BaseModel):
             self._refit_mle(w, p, q, const, phi, theta,
                             Xd=Xd, beta_hr=beta_exog)
             return
+        if self.quantize is not None:
+            # sigma2 rides into the psi-weight CI width: rss is a sum of
+            # ~n squared residuals whose accumulation ORDER differs
+            # between NumPy (pairwise) and a SQL replay (sequential), a
+            # ~1e-13 relative gap that surfaces as interval-bound
+            # rounding flips at volume.  Quantize it onto a 1e-4 grid —
+            # far coarser than the gap, far finer than any CI use —
+            # AFTER the information criteria, so AIC/BIC (and the
+            # auto-order replay built on them) keep the raw value.
+            sigma2 = np.round(sigma2, 4)
         self.results = _ArimaResults(const, phi, theta, beta_exog,
                                      float(sigma2), resid, fitted_diff,
                                      float(aic), float(bic))

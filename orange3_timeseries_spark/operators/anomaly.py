@@ -68,10 +68,16 @@ def rolling_mad_flags(df: DataFrame, value_col: str, order_col: str,
     (the current row included).  Emits only rows with a FULL window, so
     the flag's meaning never varies with warm-up length.
 
-    Output adds ``med``, ``mad``, ``mod_z`` (all rounded 6 dp; ``mod_z``
-    NULL when MAD = 0) and ``is_outlier`` (``MAD > 0 AND |mod_z| >
-    thresh``; a zero-MAD window — over half the values identical —
-    flags nothing, the documented Iglewicz-Hoaglin degenerate case).
+    Output adds ``med``, ``mad`` (rounded 6 dp for display), ``mod_z``
+    (UNROUNDED; NULL when MAD = 0) and ``is_outlier`` (``MAD > 0 AND
+    |mod_z| > thresh``; a zero-MAD window — over half the values
+    identical — flags nothing, the documented Iglewicz-Hoaglin
+    degenerate case).  ``mod_z`` carries no final rounding because its
+    inputs (x, an element-selected median, an element-selected MAD) are
+    bit-identical on every engine and the single expression replays the
+    same IEEE association — while a round(.,6) WOULD diverge: a ratio
+    of 2-decimal data values times 0.6745 lands exactly on 6dp
+    half-boundaries, where decimal HALF_UP and binary rounding disagree.
     """
     group_cols = list(group_cols)
     order = [F.col(order_col).asc()] + [F.col(c).asc() for c in tie_cols]
@@ -95,12 +101,12 @@ def rolling_mad_flags(df: DataFrame, value_col: str, order_col: str,
                     F.round(x, 6).alias("x"),
                     F.round("__med__", 6).alias("med"),
                     F.round("__mad__", 6).alias("mad"),
-                    F.when(F.col("__mad__") > 0, F.round(mz, 6))
-                     .alias("mod_z"),
-                    # compare the ROUNDED statistic: a 1-ulp engine
-                    # difference in mz must not flip the flag
+                    F.when(F.col("__mad__") > 0, mz).alias("mod_z"),
+                    # mz is bit-identical across engines (exact-element
+                    # inputs, one shared association), so the flag can
+                    # compare it directly — no rounding needed or wanted
                     ((F.col("__mad__") > 0)
-                     & (F.abs(F.round(mz, 6)) > F.lit(float(thresh))))
+                     & (F.abs(mz) > F.lit(float(thresh))))
                     .alias("is_outlier")))
 
 

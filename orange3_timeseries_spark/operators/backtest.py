@@ -226,15 +226,21 @@ def ensemble_forecast(df: DataFrame, value_col: str, order_col: str,
         num = (wts["naive"] * fc["naive"] + wts["drift"] * fc["drift"]
                + wts["snaive"] * fc["snaive"])
         den = wts["naive"] + wts["drift"] + wts["snaive"]
+        # emitted UNROUNDED: forecasts/weights derive from the 6dp-grid
+        # series and exact integer error units through one shared IEEE
+        # association, so both engines hold bit-identical doubles — and
+        # a final round(.,6) WOULD diverge (a 6dp grid value times
+        # h/(n-1) lands exactly on 6dp half-boundaries; seen at sf0.1
+        # on fc_drift, where decimal HALF_UP and binary rounding split)
         rows.append(F.struct(
             F.lit(h).alias("step"),
-            F.round(fc["naive"], 6).alias("fc_naive"),
-            F.round(fc["drift"], 6).alias("fc_drift"),
-            F.round(fc["snaive"], 6).alias("fc_snaive"),
-            F.round(wts["naive"], 6).alias("w_naive"),
-            F.round(wts["drift"], 6).alias("w_drift"),
-            F.round(wts["snaive"], 6).alias("w_snaive"),
-            F.round(num / den, 6).alias("fc_ensemble")))
+            fc["naive"].alias("fc_naive"),
+            fc["drift"].alias("fc_drift"),
+            fc["snaive"].alias("fc_snaive"),
+            wts["naive"].alias("w_naive"),
+            wts["drift"].alias("w_drift"),
+            wts["snaive"].alias("w_snaive"),
+            (num / den).alias("fc_ensemble")))
     out = joined.select(*group_cols,
                         F.explode(F.array(*rows)).alias("__e__"))
     return out.select(*group_cols, "__e__.step", "__e__.fc_naive",

@@ -649,14 +649,19 @@ def conformal_ar1_interval(df: DataFrame, time_col: str, value_col: str,
            .join(calagg, on=series_cols, how="inner"))
     fc1 = F.col("__c__") + F.col("__phi__") * F.col("__ylast__")
     out = out.withColumn("__fc__", fc1)
+    # outputs ship UNROUNDED: fc/q are derived from quantized sums and
+    # element selection with one shared IEEE association, so the doubles
+    # are bit-identical on every engine — while round(.,6) of the
+    # 7dp-grid quantile element lands exactly on 6dp half-boundaries
+    # (decimal HALF_UP vs binary rounding diverge; seen at sf0.1)
     return out.select(
         *series_cols,
         F.col("__n__").cast("long").alias("n_obs"),
         F.col("__mc__").cast("long").alias("n_cal"),
-        F.round(F.col("__fc__"), 6).alias("fc1"),
-        F.round(F.col("__q__"), 6).alias("q_hat"),
-        F.round(F.col("__fc__") - F.col("__q__"), 6).alias("lo"),
-        F.round(F.col("__fc__") + F.col("__q__"), 6).alias("hi"))
+        F.col("__fc__").alias("fc1"),
+        F.col("__q__").alias("q_hat"),
+        (F.col("__fc__") - F.col("__q__")).alias("lo"),
+        (F.col("__fc__") + F.col("__q__")).alias("hi"))
 
 
 __all__.append("conformal_ar1_interval")

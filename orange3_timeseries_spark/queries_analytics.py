@@ -1496,9 +1496,9 @@ w AS (SELECT user_id, day, gap, t, n,
                  * (n - t) / (n - t - 1.0) AS v2
       FROM b WHERE rn = 1 AND t >= 2 AND n - t >= 2)
 SELECT user_id, day AS change_day, gap,
-       round(m1, 6) AS pre_mean, round(m2, 6) AS post_mean,
-       round(m2 - m1, 6) AS effect,
-       round((m2 - m1) / sqrt(v1 / t + v2 / (n - t)), 6) AS welch_t,
+       m1 AS pre_mean, m2 AS post_mean,
+       m2 - m1 AS effect,
+       (m2 - m1) / sqrt(v1 / t + v2 / (n - t)) AS welch_t,
        abs((m2 - m1) / sqrt(v1 / t + v2 / (n - t))) > 1.96
            AS significant_5pct
 FROM w
@@ -1544,10 +1544,17 @@ def q_changepoint_effect_by_user(spark, sf_dir):
     v2 = (((total2 - css) / (n - t)) - m2 * m2) \
         * (n - t) / (n - t - F.lit(1.0))
     wt = (m2 - m1) / F.sqrt(v1 / t + v2 / (n - t))
+    # means/effect/welch_t are emitted UNROUNDED: every input (cs, css,
+    # total, total2) is already on the 7dp grid — bit-identical across
+    # engines — and the downstream arithmetic replays the same IEEE
+    # association, so the doubles match exactly.  A final round(.,6)
+    # would REINTRODUCE divergence: a 7dp grid value divided by a small
+    # integer t lands exactly on 6dp half-boundaries at rate ~1/(20t),
+    # where decimal HALF_UP and binary rounding disagree (seen at sf0.1).
     return w.select(
         "user_id", F.col("day").alias("change_day"), "gap",
-        r6(m1, "pre_mean"), r6(m2, "post_mean"),
-        r6(m2 - m1, "effect"), r6(wt, "welch_t"),
+        m1.alias("pre_mean"), m2.alias("post_mean"),
+        (m2 - m1).alias("effect"), wt.alias("welch_t"),
         (F.abs(wt) > 1.96).alias("significant_5pct"))
 
 
@@ -1573,9 +1580,9 @@ f AS (SELECT user_id, event_id, x, med,
 SELECT user_id, event_id, round(x, 6) AS x, round(med, 6) AS med,
        round(mad, 6) AS mad,
        CASE WHEN mad > 0
-            THEN round(0.6745 * (x - med) / mad, 6) END AS mod_z,
+            THEN 0.6745 * (x - med) / mad END AS mod_z,
        (mad > 0 AND
-        abs(round(0.6745 * (x - med) / mad, 6)) > 3.5) AS is_outlier
+        abs(0.6745 * (x - med) / mad) > 3.5) AS is_outlier
 FROM f
 """)
 def q_robust_anomalies_by_user(spark, sf_dir):
@@ -2229,11 +2236,11 @@ FROM p WHERE n >= {t + horizon}""")
         fs = f"arr[n + {h} - {season}]"
         num = f"(wn * {fn} + wd * {fd} + ws * {fs})"
         fcs.append(f"""SELECT user_id, {h} AS step,
-       round({fn}, 6) AS fc_naive, round({fd}, 6) AS fc_drift,
-       round({fs}, 6) AS fc_snaive,
-       round(wn, 6) AS w_naive, round(wd, 6) AS w_drift,
-       round(ws, 6) AS w_snaive,
-       round({num} / (wn + wd + ws), 6) AS fc_ensemble
+       {fn} AS fc_naive, {fd} AS fc_drift,
+       {fs} AS fc_snaive,
+       wn AS w_naive, wd AS w_drift,
+       ws AS w_snaive,
+       {num} / (wn + wd + ws) AS fc_ensemble
 FROM f""")
     body = "\nUNION ALL ".join(fcs)
     hz = f"{horizon}.0"

@@ -263,22 +263,30 @@ ylast AS (SELECT user_id, y AS y_last FROM s WHERE rn = cnt),
 z1 AS MATERIALIZED (
   SELECT a.user_id, a.t, g.i,
          CASE WHEN g.i = 0 THEN 1.0::DOUBLE ELSE b.w END AS x,
-         a.w AS yt
+         a.w AS yt,
+         CASE WHEN g.i = 0 THEN 100
+              ELSE CAST(round(b.w * 100) AS BIGINT) END AS xu,
+         CAST(round(a.w * 100) AS BIGINT) AS ytu
   FROM w a
   CROSS JOIN (SELECT unnest(generate_series(0, {m})) AS i) g
   LEFT JOIN w b ON b.user_id = a.user_id AND b.t = a.t - g.i
   WHERE a.t > {m}),
 aug1 AS MATERIALIZED (
-  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  -- EXACT integer-unit Gram sums (0.01-grid data x 100), one descale
+  -- division: identical bits on every engine regardless of
+  -- accumulation order (mirrors models/arima.py:_ne_ols_quantized)
+  SELECT zi.user_id, zi.i, zj.i AS j,
+         sum(zi.xu * zj.xu)::DOUBLE / 10000.0 AS a
   FROM z1 zi JOIN z1 zj ON zi.user_id = zj.user_id AND zi.t = zj.t
   GROUP BY 1, 2, 3
   UNION ALL
-  SELECT user_id, i, {m + 1} AS j, sum(x * yt) AS a FROM z1 GROUP BY 1, 2),
+  SELECT user_id, i, {m + 1} AS j,
+         sum(xu * ytu)::DOUBLE / 10000.0 AS a FROM z1 GROUP BY 1, 2),
 {g1},
 e AS MATERIALIZED (
   SELECT w.user_id, w.t,
          CASE WHEN w.t <= {m} THEN 0.0::DOUBLE
-              ELSE round(w.w - p.pred, {dp}) END AS e
+              ELSE round(w.w - p.pred, 3) END AS e
   FROM w LEFT JOIN (
     SELECT z1.user_id, z1.t, sum(z1.x * b.v) AS pred
     FROM z1 JOIN beta1 b ON b.user_id = z1.user_id AND b.i = z1.i
@@ -288,7 +296,12 @@ z2 AS MATERIALIZED (
          CASE g.i WHEN 0 THEN 1.0::DOUBLE
                   WHEN 1 THEN w1.w WHEN 2 THEN w2.w
                   ELSE e1.e END AS x,
-         a.w AS yt
+         a.w AS yt,
+         CASE g.i WHEN 0 THEN 100
+                  WHEN 1 THEN CAST(round(w1.w * 100) AS BIGINT)
+                  WHEN 2 THEN CAST(round(w2.w * 100) AS BIGINT)
+                  ELSE CAST(round(e1.e * 1000) AS BIGINT) END AS xu,
+         CAST(round(a.w * 100) AS BIGINT) AS ytu
   FROM w a
   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
   LEFT JOIN w w1 ON w1.user_id = a.user_id AND w1.t = a.t - 1
@@ -296,11 +309,17 @@ z2 AS MATERIALIZED (
   LEFT JOIN e e1 ON e1.user_id = a.user_id AND e1.t = a.t - 1
   WHERE a.t > 2),
 aug2 AS MATERIALIZED (
-  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  SELECT zi.user_id, zi.i, zj.i AS j,
+         sum(zi.xu * zj.xu)::DOUBLE
+         / ((CASE WHEN zi.i = 3 THEN 1000.0 ELSE 100.0 END)
+            * (CASE WHEN zj.i = 3 THEN 1000.0 ELSE 100.0 END)) AS a
   FROM z2 zi JOIN z2 zj ON zi.user_id = zj.user_id AND zi.t = zj.t
   GROUP BY 1, 2, 3
   UNION ALL
-  SELECT user_id, i, 4 AS j, sum(x * yt) AS a FROM z2 GROUP BY 1, 2),
+  SELECT user_id, i, 4 AS j,
+         sum(xu * ytu)::DOUBLE
+         / ((CASE WHEN i = 3 THEN 1000.0 ELSE 100.0 END) * 100.0) AS a
+  FROM z2 GROUP BY 1, 2),
 {g2},
 coefs AS MATERIALIZED (
   SELECT user_id,
@@ -316,7 +335,10 @@ res2 AS MATERIALIZED (
   GROUP BY z2.user_id, z2.t),
 sg AS MATERIALIZED (
   SELECT r.user_id,
-         sum(r.res * r.res) / count(*) AS sigma2,
+         -- 1e-4 grid, mirroring models/arima.py: the rss accumulation
+         -- order differs between engines (~1e-13 relative), which can
+         -- flip the 6dp CI-bound rounding at volume
+         round(sum(r.res * r.res) / count(*), 4) AS sigma2,
          max(CASE WHEN r.t = mx.tmax THEN r.res END) AS e_last
   FROM res2 r JOIN (SELECT user_id, max(t) AS tmax FROM res2
                     GROUP BY 1) mx USING (user_id)
@@ -671,24 +693,29 @@ wd1 AS MATERIALIZED (
         ctes.append(f"""z1d{d} AS MATERIALIZED (
   SELECT a.user_id, a.t, g.i,
          CASE WHEN g.i = 0 THEN 1.0::DOUBLE ELSE b.w END AS x,
-         a.w AS yt
+         a.w AS yt,
+         CASE WHEN g.i = 0 THEN 100
+              ELSE CAST(round(b.w * 100) AS BIGINT) END AS xu,
+         CAST(round(a.w * 100) AS BIGINT) AS ytu
   FROM wd{d} a
   CROSS JOIN (SELECT unnest(generate_series(0, {m})) AS i) g
   LEFT JOIN wd{d} b ON b.user_id = a.user_id AND b.t = a.t - g.i
   WHERE a.t > {m}),
 aug1d{d} AS MATERIALIZED (
-  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  SELECT zi.user_id, zi.i, zj.i AS j,
+         sum(zi.xu * zj.xu)::DOUBLE / 10000.0 AS a
   FROM z1d{d} zi JOIN z1d{d} zj
     ON zi.user_id = zj.user_id AND zi.t = zj.t
   GROUP BY 1, 2, 3
   UNION ALL
-  SELECT user_id, i, {m + 1} AS j, sum(x * yt) AS a
+  SELECT user_id, i, {m + 1} AS j,
+         sum(xu * ytu)::DOUBLE / 10000.0 AS a
   FROM z1d{d} GROUP BY 1, 2)""")
         ctes.extend(_gauss_sql(f"1d{d}", m + 1, f"aug1d{d}", dp))
         ctes.append(f"""ed{d} AS MATERIALIZED (
   SELECT w.user_id, w.t,
          CASE WHEN w.t <= {m} THEN 0.0::DOUBLE
-              ELSE round(w.w - p.pred, {dp}) END AS e
+              ELSE round(w.w - p.pred, 3) END AS e
   FROM wd{d} w LEFT JOIN (
     SELECT z.user_id, z.t, sum(z.x * b.v) AS pred
     FROM z1d{d} z JOIN beta1d{d} b
@@ -700,30 +727,46 @@ aug1d{d} AS MATERIALIZED (
         dim = 1 + p + q
         o = f"{p}{d}{q}"
         cases = ["WHEN 0 THEN 1.0::DOUBLE"]
+        ucases = ["WHEN 0 THEN 100"]
         joins = []
         for j in range(1, p + 1):
             cases.append(f"WHEN {j} THEN w{j}.w")
+            ucases.append(f"WHEN {j} THEN CAST(round(w{j}.w * 100)"
+                          f" AS BIGINT)")
             joins.append(f"  LEFT JOIN wd{d} w{j} ON w{j}.user_id = "
                          f"a.user_id AND w{j}.t = a.t - {j}")
         for j in range(1, q + 1):
             cases.append(f"WHEN {p + j} THEN e{j}.e")
+            ucases.append(f"WHEN {p + j} THEN CAST(round(e{j}.e * 1000)"
+                          f" AS BIGINT)")
             joins.append(f"  LEFT JOIN ed{d} e{j} ON e{j}.user_id = "
                          f"a.user_id AND e{j}.t = a.t - {j}")
+        # descale: 100 units for const/series lags, 1000 for MA proxies
+        si = (f"(CASE WHEN zi.i > {p} THEN 1000.0 ELSE 100.0 END)"
+              if q else "100.0")
+        sj = (f"(CASE WHEN zj.i > {p} THEN 1000.0 ELSE 100.0 END)"
+              if q else "100.0")
+        sr = (f"(CASE WHEN i > {p} THEN 1000.0 ELSE 100.0 END)"
+              if q else "100.0")
         ctes.append(f"""z{o} AS MATERIALIZED (
   SELECT a.user_id, a.t, g.i,
          CASE g.i {' '.join(cases)} END AS x,
-         a.w AS yt
+         a.w AS yt,
+         CASE g.i {' '.join(ucases)} END AS xu,
+         CAST(round(a.w * 100) AS BIGINT) AS ytu
   FROM wd{d} a
   CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
 {chr(10).join(joins)}
   WHERE a.t > {r}),
 aug{o} AS MATERIALIZED (
-  SELECT zi.user_id, zi.i, zj.i AS j, sum(zi.x * zj.x) AS a
+  SELECT zi.user_id, zi.i, zj.i AS j,
+         sum(zi.xu * zj.xu)::DOUBLE / ({si} * {sj}) AS a
   FROM z{o} zi JOIN z{o} zj
     ON zi.user_id = zj.user_id AND zi.t = zj.t
   GROUP BY 1, 2, 3
   UNION ALL
-  SELECT user_id, i, {dim} AS j, sum(x * yt) AS a
+  SELECT user_id, i, {dim} AS j,
+         sum(xu * ytu)::DOUBLE / ({sr} * 100.0) AS a
   FROM z{o} GROUP BY 1, 2)""")
         ctes.extend(_gauss_sql(o, dim, f"aug{o}", dp))
         ctes.append(f"""ic{o} AS (
@@ -1771,10 +1814,10 @@ qh AS (
   FROM calagg),
 lastv AS (SELECT user_id, n, y AS ylast FROM b2 WHERE t = n)
 SELECT l.user_id, n::BIGINT AS n_obs, mc::BIGINT AS n_cal,
-       round(c + phi * ylast, 6) AS fc1,
-       round(q, 6) AS q_hat,
-       round((c + phi * ylast) - q, 6) AS lo,
-       round((c + phi * ylast) + q, 6) AS hi
+       c + phi * ylast AS fc1,
+       q AS q_hat,
+       (c + phi * ylast) - q AS lo,
+       (c + phi * ylast) + q AS hi
 FROM lastv l JOIN coef2 USING (user_id) JOIN qh USING (user_id)
 """)
 def q_conformal_ar1_by_user(spark, sf_dir):
