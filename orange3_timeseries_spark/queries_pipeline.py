@@ -3203,10 +3203,15 @@ def q_pipeline_curate_semantic(spark, sf_dir):
                           Window.partitionBy()).alias("__cnt__")))
     gate = ranked.where(
         F.col("__rk__") <= F.floor(F.col("__cnt__") * 9 / 10))         .select("doc_id")
-    kept_vecs = (S.semantic_dedup_flags(e, n_centroids=16, tau=0.4)
-                 .where(F.col("is_kept"))
+    # anti-join against the VERIFIED drops, not inner-join against the
+    # keeps: a doc with no embedding row cannot be judged a near-dup,
+    # so it passes the semantic gate untouched (at sf0.1 the embeddings
+    # table covers only a subset of documents — an inner join would
+    # silently discard every unembedded doc)
+    sem_drops = (S.semantic_dedup_flags(e, n_centroids=16, tau=0.4)
+                 .where(~F.col("is_kept"))
                  .select(F.col("vec_id").alias("doc_id")))
-    kept = gate.join(kept_vecs, "doc_id")
+    kept = gate.join(sem_drops, "doc_id", "left_anti")
     toks = F.size(F.filter(F.split(F.col("text"), r"\s+"),
                            lambda x: x != ""))
     return (d.join(kept, "doc_id")
