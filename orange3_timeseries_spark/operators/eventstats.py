@@ -423,3 +423,72 @@ def window_funnel(df: DataFrame, time_col: str, type_col: str,
 
 
 __all__.append("window_funnel")
+
+
+def ccf_value_volume(df: DataFrame, time_col: str, value_col: str,
+                     series_cols: Sequence[str],
+                     lags: Sequence[int] = (-3, -2, -1, 0, 1, 2, 3),
+                     min_days: int = 8,
+                     value_dp: int = 4) -> DataFrame:
+    """Cross-correlation between a series' daily mean VALUE and its
+    daily event VOLUME at integer day lags: one row per (series, lag)
+    with ``corr(x_d, y_{d+lag})`` — positive lag means value leads
+    volume.  The "does the metric follow activity" monitor that ACF
+    (value vs itself) cannot answer.
+
+    Determinism: the daily mean is quantized to ``value_dp`` decimals
+    and both channels are carried as exact integer units, so all five
+    Pearson moment sums are exact int64 — the correlation is one
+    integer-exact numerator over two sqrt's, bit-identical on any
+    engine, emitted UNROUNDED.  Pairs align on existing calendar days
+    only (epoch-day integer equality — gaps simply produce no pair);
+    (series, lag) cells with fewer than ``min_days`` aligned pairs or
+    zero variance in either channel are dropped.
+
+    Scale: the daily rollup is a map-side-combining aggregate that
+    shrinks events by ~the daily frequency; the lag join and moment
+    aggregation run on the skinny (series, day) table, partitioned by
+    the series key throughout."""
+    series_cols = list(series_cols)
+    unit = float(10 ** value_dp)
+    day = F.date_trunc("day", F.col(time_col))
+    daily = (df.where(F.col(value_col).isNotNull())
+             .groupBy(*series_cols, day.alias("__day__"))
+             .agg(F.round(F.avg(F.col(value_col).cast("double")),
+                          value_dp).alias("__x__"),
+                  F.count(F.lit(1)).alias("__y__"))
+             .select(*series_cols,
+                     (F.unix_micros(F.col("__day__"))
+                      / F.lit(86400000000)).cast("long").alias("__d__"),
+                     F.round(F.col("__x__") * unit).cast("long")
+                     .alias("__xu__"),
+                     F.col("__y__").cast("long").alias("__yu__")))
+    a = daily.select(*series_cols, F.col("__d__").alias("__da__"),
+                     F.col("__xu__"))
+    b = daily.select(*series_cols, F.col("__d__").alias("__db__"),
+                     F.col("__yu__"))
+    lag_col = F.explode(F.array(*[F.lit(int(v)) for v in lags]))
+    al = a.withColumn("__lag__", lag_col)
+    pairs = al.join(b, on=series_cols).where(
+        F.col("__db__") == F.col("__da__") + F.col("__lag__"))
+    xu, yu = F.col("__xu__"), F.col("__yu__")
+    g = pairs.groupBy(*series_cols, "__lag__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(xu).alias("__sx__"), F.sum(yu).alias("__sy__"),
+        F.sum(xu * yu).alias("__sxy__"),
+        F.sum(xu * xu).alias("__sxx__"),
+        F.sum(yu * yu).alias("__syy__"))
+    n = F.col("__n__")
+    num = n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    dx = n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    dy = n * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")
+    return (g.where((n >= min_days) & (dx > 0) & (dy > 0))
+            .select(*series_cols,
+                    F.col("__lag__").cast("int").alias("lag"),
+                    n.cast("long").alias("n_days"),
+                    (num.cast("double")
+                     / (F.sqrt(dx.cast("double"))
+                        * F.sqrt(dy.cast("double")))).alias("ccf")))
+
+
+__all__.append("ccf_value_volume")

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators.text import tokens_expr
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, *,
@@ -123,3 +123,44 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
                     F.col("rank").cast("int").alias("rank"),
                     (F.col("__units__") / F.lit(unit)).alias("score"),
                     "n_terms"))
+
+
+def rrf_fuse(rankings, k: int = 60, top_k: int = 10, *,
+             query_id_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    per-query rankings: ``score(d) = sum_r 1/(k + rank_r(d))`` with a
+    missing ranker contributing 0; output ``(query_id, doc_id,
+    rank_1..rank_N, score, rrf_rank)`` with ``rrf_rank`` breaking score
+    ties on ``id_col`` ascending.
+
+    The standard hybrid-retrieval combiner (BM25 + embedding ANN) for
+    training-data pipelines: rank fusion needs no score calibration
+    between rankers, and because every input is an INTEGER rank the
+    score is the same fixed left-to-right sum of exact reciprocals on
+    every engine — the fused ordering is bit-deterministic, no quantize
+    firewall needed.  Each ranking is a skinny (query, doc, rank) table,
+    so the N-way outer join shuffles only ids and small ints no matter
+    how large the underlying corpus is."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    fused = None
+    for i, r in enumerate(rankings, start=1):
+        part = r.select(query_id_col, id_col,
+                        F.col(rank_col).cast("int").alias(f"rank_{i}"))
+        fused = part if fused is None else fused.join(
+            part, on=[query_id_col, id_col], how="full_outer")
+    score = None
+    for i in range(1, len(rankings) + 1):
+        term = F.coalesce(F.lit(1.0) / (F.lit(float(k))
+                                        + F.col(f"rank_{i}")),
+                          F.lit(0.0))
+        score = term if score is None else score + term
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("__score__").desc(), F.col(id_col).asc()))
+    return (fused.withColumn("__score__", score)
+            .withColumn("rrf_rank", F.row_number().over(w))
+            .where(F.col("rrf_rank") <= top_k)
+            .select(query_id_col, id_col,
+                    *[f"rank_{i}" for i in range(1, len(rankings) + 1)],
+                    F.col("__score__").alias("score"), "rrf_rank"))

@@ -3326,3 +3326,93 @@ def q_window_funnel4_by_user(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return window_funnel(ev, "ts", "event_type", ["user_id"],
                          steps=("signup", "view", "click", "purchase"))
+
+
+# --------------------------------------------------------- round-9 additions
+@query("ccf_value_volume_by_user", """
+WITH daily AS (
+  SELECT user_id,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+         CAST(round(round(avg(value), 4) * 10000) AS BIGINT) AS xu,
+         count(*)::BIGINT AS yu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2),
+l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+p AS (SELECT a.user_id, l.lag, a.xu, b.yu
+      FROM daily a CROSS JOIN l
+      JOIN daily b ON b.user_id = a.user_id AND b.d = a.d + l.lag),
+g AS (SELECT user_id, lag, count(*)::BIGINT AS n,
+             sum(xu)::BIGINT AS sx, sum(yu)::BIGINT AS sy,
+             sum(xu * yu)::BIGINT AS sxy,
+             sum(xu * xu)::BIGINT AS sxx,
+             sum(yu * yu)::BIGINT AS syy
+      FROM p GROUP BY 1, 2)
+SELECT user_id, CAST(lag AS INT) AS lag, n AS n_days,
+       (n * sxy - sx * sy)::DOUBLE
+       / (sqrt((n * sxx - sx * sx)::DOUBLE)
+          * sqrt((n * syy - sy * sy)::DOUBLE)) AS ccf
+FROM g
+WHERE n >= 8 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+""")
+def q_ccf_value_volume_by_user(spark, sf_dir):
+    """Daily value-vs-volume cross-correlation at lags -3..3 per user —
+    'does the metric follow activity' (operators/eventstats.py:
+    ccf_value_volume).  All five Pearson moments are exact int64 over
+    4dp-quantized daily means and integer counts, so the correlation is
+    bit-identical cross-engine and ships unrounded."""
+    from orange3_timeseries_spark.operators.eventstats import (
+        ccf_value_volume,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return ccf_value_volume(ev, "ts", "value", ["user_id"])
+
+
+@query("hurst_rs_by_user", """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS u,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t,
+         count(*) OVER (PARTITION BY user_id) AS ntot
+  FROM events WHERE value IS NOT NULL),
+sc AS (SELECT unnest([8, 16, 32]) AS n),
+fb AS (SELECT b.user_id, sc.n, (b.t - 1) // sc.n AS blk,
+              b.t - ((b.t - 1) // sc.n) * sc.n AS k, b.u, b.t
+       FROM base b CROSS JOIN sc
+       WHERE (b.t - 1) // sc.n < b.ntot // sc.n),
+wr AS (SELECT user_id, n, blk,
+              n * (sum(u) OVER w) - k * (sum(u) OVER bw) AS z,
+              n * (sum(u * u) OVER bw)
+                - (sum(u) OVER bw) * (sum(u) OVER bw) AS s2
+       FROM fb
+       WINDOW w AS (PARTITION BY user_id, n, blk ORDER BY t
+                    ROWS UNBOUNDED PRECEDING),
+              bw AS (PARTITION BY user_id, n, blk)),
+blocks AS (SELECT user_id, n, blk,
+                  (max(z) - min(z))::BIGINT AS r, max(s2)::BIGINT AS s2
+           FROM wr GROUP BY 1, 2, 3 HAVING max(s2) > 0),
+ps AS (SELECT user_id, n, avg(r::DOUBLE / sqrt(s2::DOUBLE)) AS mrs
+       FROM blocks GROUP BY 1, 2),
+pv AS (SELECT user_id,
+              max(CASE WHEN n = 8 THEN mrs END) AS rs8,
+              max(CASE WHEN n = 16 THEN mrs END) AS rs16,
+              max(CASE WHEN n = 32 THEN mrs END) AS rs32
+       FROM ps GROUP BY 1)
+SELECT user_id,
+       round(rs8, 6) AS rs8, round(rs16, 6) AS rs16,
+       round(rs32, 6) AS rs32,
+       round(CASE WHEN rs8 > 0 AND rs32 > 0
+                  THEN (ln(rs32) - ln(rs8)) / 1.3862943611198908 END, 6) AS hurst
+FROM pv
+""")
+def q_hurst_rs_by_user(spark, sf_dir):
+    '''Hurst exponent by rescaled-range analysis at octave scales
+    8/16/32 per user (operators/trend.py:hurst_rs): block R/S =
+    R_int/sqrt(S_int) from exact 0.01-grid integer units, H = the
+    closed-form log-log slope over the octave-spaced scales.'''
+    from orange3_timeseries_spark.operators.trend import hurst_rs
+
+    ev = read_table(spark, sf_dir, "events")
+    return hurst_rs(ev, "ts", "value", ["user_id"],
+                    tie_cols=("event_id",))

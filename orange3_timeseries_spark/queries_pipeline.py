@@ -4235,3 +4235,92 @@ def q_bm25_decontam_retrieval(spark, sf_dir):
     qs = (d.where(F.col("source") == "src0")
           .select(F.col("doc_id").alias("query_id"), "text"))
     return bm25_topk(d.where(F.col("source") != "src0"), qs, top_k=3)
+
+
+@query("rrf_hybrid_retrieval", f"""
+WITH qids AS (
+  SELECT d.doc_id FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.source = 'src0' AND d.doc_id < 500),
+dd AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+       WHERE source <> 'src0'),
+q AS (SELECT doc_id AS query_id, unnest(list_distinct({_TOKS})) AS __tok__
+      FROM documents WHERE source = 'src0'
+        AND doc_id IN (SELECT doc_id FROM qids)),
+post AS (SELECT doc_id, len(toks)::INT AS dl, unnest(toks) AS __tok__
+         FROM dd),
+tf AS (SELECT doc_id, __tok__, dl, count(*)::BIGINT AS tf
+       FROM post GROUP BY 1, 2, 3),
+qtok AS (SELECT DISTINCT __tok__ FROM q),
+hit AS (SELECT t.*, count(*) OVER (PARTITION BY __tok__)::BIGINT AS df
+        FROM tf t JOIN qtok USING (__tok__)),
+stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sdl
+          FROM dd),
+terms AS (
+  SELECT q.query_id, h.doc_id,
+         CAST(round(
+           ln(((s.n - h.df)::DOUBLE + 0.5) / (h.df::DOUBLE + 0.5) + 1.0)
+           * ((h.tf::DOUBLE * 2.2)
+              / (h.tf::DOUBLE
+                 + 1.2 * (0.25 + 0.75 * (h.dl::DOUBLE
+                                         / (s.sdl::DOUBLE / s.n::DOUBLE)))))
+           * 1e6) AS BIGINT) AS units
+  FROM hit h CROSS JOIN stats s JOIN q ON q.__tok__ = h.__tok__),
+per_doc AS (SELECT query_id, doc_id, sum(units)::BIGINT AS units
+            FROM terms GROUP BY 1, 2),
+bmr AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY units DESC, doc_id) AS ra
+        FROM per_doc QUALIFY ra <= 20),
+c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN documents d2
+        ON d2.doc_id = e.vec_id AND d2.source <> 'src0'),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (SELECT doc_id FROM qids)),
+emr AS (SELECT query_id, nn_id, rb FROM (
+  SELECT qv.query_id, c.vec_id AS nn_id,
+         row_number() OVER (PARTITION BY qv.query_id
+                            ORDER BY round(list_cosine_similarity(c.v,
+                                                                  qv.qv), 6)
+                                     DESC, c.vec_id) AS rb
+  FROM c, qv WHERE c.vec_id != qv.query_id) t WHERE rb <= 20),
+f AS (SELECT coalesce(b.query_id, e2.query_id) AS query_id,
+             coalesce(b.doc_id, e2.nn_id) AS doc_id,
+             CAST(b.ra AS INT) AS rank_1, CAST(e2.rb AS INT) AS rank_2,
+             coalesce(1.0 / (60.0 + b.ra), 0.0)
+               + coalesce(1.0 / (60.0 + e2.rb), 0.0) AS score
+      FROM bmr b FULL JOIN emr e2
+        ON e2.query_id = b.query_id AND e2.nn_id = b.doc_id)
+SELECT query_id, doc_id, rank_1, rank_2, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT)
+           AS rrf_rank
+FROM f
+QUALIFY rrf_rank <= 5
+""")
+def q_rrf_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion: every embedded
+    'src0' document (doc_id < 500) queries the training corpus through
+    BOTH rankers — BM25 over full text (top-20) and exact cosine over
+    embeddings (top-20) — and RRF (k=60) fuses the two rank lists into
+    a final top-5 (operators/retrieval.py:rrf_fuse).  Rank fusion is
+    the calibration-free hybrid combiner; the fused score is a fixed
+    two-term sum of exact reciprocals of INTEGER ranks, bit-identical
+    cross-engine, shipped unrounded."""
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_topk, rrf_fuse,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    qd = (d.where((F.col("source") == "src0") & (F.col("doc_id") < 500))
+          .join(e.select(F.col("vec_id").alias("doc_id")), "doc_id"))
+    corpus = d.where(F.col("source") != "src0")
+    bm = bm25_topk(corpus,
+                   qd.select(F.col("doc_id").alias("query_id"), "text"),
+                   top_k=20).select("query_id", "doc_id", "rank")
+    ec = e.join(corpus.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    eq = (e.join(qd.select(F.col("doc_id").alias("vec_id")), "vec_id")
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    ann = S.brute_force_topk(ec, eq, k=20).select(
+        "query_id", F.col("nn_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, ann], k=60, top_k=5)

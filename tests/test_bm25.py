@@ -3,6 +3,8 @@ goldens, a literal scoring replay, and determinism contracts."""
 
 import math
 
+import pytest
+
 from orange3_timeseries_spark.operators.retrieval import bm25_topk
 
 
@@ -112,3 +114,44 @@ class TestBM25:
                                top_k=5).collect(),
                      key=lambda r: r["rank"])
         assert [r["doc_id"] for r in out] == [2, 1]
+
+
+# ------------------------------------------------------------------ RRF
+class TestRrfFuse:
+    def _ranks(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, rank int")
+
+    def test_fusion_scores_and_tiebreak(self, spark):
+        from orange3_timeseries_spark.operators.retrieval import rrf_fuse
+
+        a = self._ranks(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        b = self._ranks(spark, [(1, 11, 1), (1, 13, 2)])
+        out = {r["doc_id"]: r for r in
+               rrf_fuse([a, b], k=60, top_k=10).collect()}
+        # doc 11 appears in both rankers
+        assert out[11]["score"] == pytest.approx(1 / 62 + 1 / 61, abs=0)
+        assert out[11]["rrf_rank"] == 1
+        # doc 10 (rank 1 in a only) vs doc 13 (rank 2 in b only)
+        assert out[10]["score"] == pytest.approx(1 / 61, abs=0)
+        assert out[13]["score"] == pytest.approx(1 / 62, abs=0)
+        assert out[10]["rrf_rank"] == 2
+        # missing-ranker rank columns surface as NULL
+        assert out[10]["rank_2"] is None and out[13]["rank_1"] is None
+
+    def test_score_tie_breaks_on_doc_id(self, spark):
+        from orange3_timeseries_spark.operators.retrieval import rrf_fuse
+
+        a = self._ranks(spark, [(1, 20, 1), (1, 30, 2)])
+        b = self._ranks(spark, [(1, 30, 1), (1, 20, 2)])
+        out = sorted(rrf_fuse([a, b], top_k=5).collect(),
+                     key=lambda r: r["rrf_rank"])
+        # symmetric ranks -> equal scores -> doc_id ascending wins
+        assert [r["doc_id"] for r in out] == [20, 30]
+
+    def test_single_ranking_rejected(self, spark):
+        from orange3_timeseries_spark.operators.retrieval import rrf_fuse
+
+        a = self._ranks(spark, [(1, 10, 1)])
+        with pytest.raises(ValueError, match="at least two"):
+            rrf_fuse([a])

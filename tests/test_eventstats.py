@@ -216,3 +216,57 @@ class TestSpectralEntropy:
         out = spectral_entropy_table(
             self._tsf(spark, np.arange(8.0)), "value")
         assert out.count() == 0
+
+
+# ----------------------------------------------------- value-volume CCF
+class TestCcfValueVolume:
+    def _events(self, spark, rows):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        data = []
+        eid = 0
+        for day, (val, cnt) in enumerate(rows):
+            for j in range(cnt):
+                data.append((eid, t0 + dt.timedelta(days=day, hours=j),
+                             1, float(val)))
+                eid += 1
+        return spark.createDataFrame(
+            data, "event_id long, ts timestamp, user_id int, value double")
+
+    def test_perfect_lag0(self, spark):
+        from orange3_timeseries_spark.operators.eventstats import (
+            ccf_value_volume,
+        )
+
+        # daily mean value == daily count -> corr 1 at lag 0
+        rows = [(c, c) for c in [1, 5, 2, 8, 3, 9, 4, 7, 6, 2, 5, 8]]
+        out = ccf_value_volume(self._events(spark, rows), "ts", "value",
+                               ["user_id"], min_days=5)
+        got = {r["lag"]: r["ccf"] for r in out.collect()}
+        assert got[0] == pytest.approx(1.0, abs=1e-12)
+
+    def test_value_leads_volume(self, spark):
+        from orange3_timeseries_spark.operators.eventstats import (
+            ccf_value_volume,
+        )
+
+        # tomorrow's count = today's value -> corr 1 at lag +1
+        vals = [1, 5, 2, 8, 3, 9, 4, 7, 6, 2, 5, 8, 3]
+        rows = [(vals[d], vals[d - 1] if d else 4)
+                for d in range(len(vals))]
+        out = ccf_value_volume(self._events(spark, rows), "ts", "value",
+                               ["user_id"], min_days=5)
+        got = {r["lag"]: r["ccf"] for r in out.collect()}
+        assert got[1] == pytest.approx(1.0, abs=1e-12)
+        assert abs(got[0]) < 0.9
+
+    def test_min_days_and_degenerate(self, spark):
+        from orange3_timeseries_spark.operators.eventstats import (
+            ccf_value_volume,
+        )
+
+        # constant counts -> zero volume variance -> no rows at all
+        rows = [(v, 3) for v in [1, 5, 2, 8, 3, 9, 4, 7, 6, 2]]
+        out = ccf_value_volume(self._events(spark, rows), "ts", "value",
+                               ["user_id"], min_days=5)
+        assert out.collect() == []

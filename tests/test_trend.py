@@ -193,3 +193,53 @@ class TestPettitt:
                                      ["user_id"]).collect()}
         assert set(out) == {1, 2}
         assert out[1].significant_5pct
+
+
+# ------------------------------------------------------------- Hurst R/S
+class TestHurstRS:
+    def _run(self, spark, values, scales=(8, 16, 32)):
+        from orange3_timeseries_spark.operators.trend import hurst_rs
+
+        df = _ts_df(spark, values)
+        return hurst_rs(df, "ts", "value", ["user_id"],
+                        scales=scales).collect()
+
+    def test_matches_numpy_reference(self, spark):
+        rng = np.random.RandomState(7)
+        vals = np.round(rng.uniform(10, 200, 96), 2)
+        row = self._run(spark, vals.tolist())[0]
+        for n, col in ((8, "rs8"), (16, "rs16"), (32, "rs32")):
+            rss = []
+            for b in range(len(vals) // n):
+                blk = vals[b * n:(b + 1) * n]
+                z = np.cumsum(blk - blk.mean())
+                r = z.max() - z.min()
+                s = blk.std()
+                if s > 0:
+                    rss.append(r / s)
+            assert row[col] == pytest.approx(np.mean(rss), abs=1e-5)
+        expected_h = (np.log(row["rs32"]) - np.log(row["rs8"])) \
+            / (np.log(32) - np.log(8))
+        assert row["hurst"] == pytest.approx(expected_h, abs=1e-5)
+
+    def test_trend_beats_alternating(self, spark):
+        trend = [round(10 + 1.37 * i, 2) for i in range(96)]
+        alt = [100.0 if i % 2 else 50.0 for i in range(96)]
+        h_trend = self._run(spark, trend)[0]["hurst"]
+        h_alt = self._run(spark, alt)[0]["hurst"]
+        assert h_trend > 0.9          # persistent ramp
+        assert h_alt < h_trend        # antipersistent flip-flop
+
+    def test_constant_blocks_dropped(self, spark):
+        # constant series: every block has zero variance, so the series
+        # drops entirely (R/S undefined) — same convention as
+        # mann_kendall's VarS = 0 drop, mirrored by the SQL oracle
+        assert self._run(spark, [42.0] * 64) == []
+
+    def test_short_series_partial_scales(self, spark):
+        # 20 obs: two blocks at 8, one at 16, none at 32
+        rng = np.random.RandomState(3)
+        row = self._run(spark,
+                        np.round(rng.uniform(1, 9, 20), 2).tolist())[0]
+        assert row["rs8"] is not None and row["rs16"] is not None
+        assert row["rs32"] is None and row["hurst"] is None
