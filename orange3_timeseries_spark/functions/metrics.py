@@ -56,11 +56,25 @@ def pocid(true, pred) -> float:
     float paths (NumPy vs a SQL replay, or two cluster plans) legitimately
     disagree on the sign.  Quantizing first makes the flag a function of
     the 6-decimal values, which every engine agrees on; diffs ≥ 1e-6 are
-    unaffected."""
+    unaffected.  The snap is explicit HALF-AWAY-FROM-ZERO (exact-fraction
+    form) so it matches SQL ``round`` bit-for-bit even when a value lands
+    exactly on a 6dp tie — ``np.round``'s half-to-even would pick the
+    other grid point there."""
     true, pred = _align(true, pred)
-    true = np.round(true, 6)
-    pred = np.round(pred, 6)
+    true = _snap6(true)
+    pred = _snap6(pred)
     return float(100 * np.mean((np.diff(true) * np.diff(pred)) > 0))
+
+
+def _snap6(a):
+    """Exact half-away-from-zero rounding to 6 decimals (mirrors SQL
+    ``round(x, 6)``): ``floor(|s|) + (frac >= 0.5)`` on the scaled value
+    is exact for |s| < 2^52 — ``floor(s + 0.5)`` would misround at
+    ``s = j + 0.5 - 2^-54``."""
+    s = a * 1e6
+    mag = np.abs(s)
+    f = np.floor(mag)
+    return np.sign(s) * (f + ((mag - f) >= 0.5)) / 1e6
 
 
 # ------------------------------------------------------ Spark agg expressions
@@ -85,7 +99,13 @@ def r2_expr(true: Column, pred: Column) -> Column:
 
 
 def pocid_expr(true_diff: Column, pred_diff: Column) -> Column:
-    """POCID over pre-computed consecutive diffs (use ``lag`` upstream)."""
+    """POCID over pre-computed consecutive diffs (use ``lag`` upstream).
+
+    Unlike :func:`pocid` this applies NO quantization — callers are
+    expected to pass diffs of already-quantized columns (the registered
+    queries lag 6dp-rounded forecasts), because a sign test on raw
+    floats is engine-divergent when consecutive values differ by ~1 ulp
+    (AR-family forecasts converging to the mean)."""
     return 100 * F.avg(((true_diff * pred_diff) > 0).cast("double"))
 
 

@@ -124,10 +124,15 @@ def _ne_ols_quantized(y, X, scales):
     s = np.asarray(scales, dtype=float)
     U = X * s
     Ur = np.rint(U)
-    if np.abs(U - Ur).max() > 1e-6:
+    Uy = y * 100.0
+    Uyr = np.rint(Uy)
+    # the TARGET must be on the grid too: the last observation appears
+    # only in y (never in the lag matrix), so checking X alone would
+    # let an off-grid final value through and silently misquantize it
+    if np.abs(U - Ur).max() > 1e-6 or np.abs(Uy - Uyr).max() > 1e-6:
         return ols(y, X)
     U = Ur.astype(np.int64)
-    uy = np.rint(y * 100.0).astype(np.int64)
+    uy = Uyr.astype(np.int64)
     A = (U.T @ U).astype(float) / np.outer(s, s)
     b = (U.T @ uy).astype(float) / (s * 100.0)
     try:
@@ -226,9 +231,29 @@ class ARIMA(BaseModel):
                 # engines' ulp-apart predictions snap to the same grid
                 # point, fine enough (1e-3 on residual-scale values)
                 # to leave the stage-2 fit statistically untouched --
-                # and 1000-units keep the stage-2 integer Gram exact
-                e = np.concatenate((np.zeros(m),
-                                    np.round(w[m:] - Z @ beta1, 3)))
+                # and 1000-units keep the stage-2 integer Gram exact.
+                # The snap itself is EXACT int64 half-away arithmetic
+                # (w on 0.01-grid x100, beta1 on the 10^-k grid x10^k,
+                # so the residual in 100*10^k units is an exact int):
+                # a float dot + np.round would both accumulate
+                # engine-specific association error AND break ties
+                # half-to-even where SQL round goes half-away
+                Zs = Z * 100.0
+                ws = w[m:] * 100.0
+                Zr, wr_ = np.rint(Zs), np.rint(ws)
+                bscale = 10 ** int(self.quantize)
+                if (bscale % 10 == 0
+                        and np.abs(Zs - Zr).max() <= 1e-6
+                        and np.abs(ws - wr_).max() <= 1e-6):
+                    bu = np.rint(beta1 * bscale).astype(np.int64)
+                    ru = (wr_.astype(np.int64) * bscale
+                          - Zr.astype(np.int64) @ bu)
+                    den = (100 * bscale) // 1000
+                    eu = np.sign(ru) * ((np.abs(ru) + den // 2) // den)
+                    e3 = eu / 1000.0
+                else:  # off-grid input: no oracle contract to protect
+                    e3 = np.round(w[m:] - Z @ beta1, 3)
+                e = np.concatenate((np.zeros(m), e3))
             else:
                 e = np.concatenate((np.zeros(m), w[m:] - Z @ beta1))
         else:

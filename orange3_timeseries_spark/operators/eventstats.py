@@ -436,31 +436,43 @@ def ccf_value_volume(df: DataFrame, time_col: str, value_col: str,
     volume.  The "does the metric follow activity" monitor that ACF
     (value vs itself) cannot answer.
 
-    Determinism: the daily mean is quantized to ``value_dp`` decimals
-    and both channels are carried as exact integer units, so all five
-    Pearson moment sums are exact int64 — the correlation is one
-    integer-exact numerator over two sqrt's, bit-identical on any
-    engine, emitted UNROUNDED.  Pairs align on existing calendar days
-    only (epoch-day integer equality — gaps simply produce no pair);
-    (series, lag) cells with fewer than ``min_days`` aligned pairs or
-    zero variance in either channel are dropped.
+    Determinism: the daily mean is derived from EXACT integer sums —
+    values snap to 0.01-grid units (the same input contract as the
+    quantized ARIMA path), the per-day unit sum and count aggregate
+    exactly in any order, and the ``value_dp``-decimal mean is one
+    shared division + round of those two integers (never a float
+    ``avg``, whose accumulation order could straddle a rounding tie).
+    Both channels are then exact integer units, so all five Pearson
+    moment sums are exact int64 — the correlation is one integer-exact
+    numerator over two sqrt's, bit-identical on any engine, emitted
+    UNROUNDED.  Pairs align on existing calendar days only (epoch-day
+    integer equality — gaps simply produce no pair); (series, lag)
+    cells with fewer than ``min_days`` aligned pairs or zero variance
+    in either channel are dropped.  Magnitude budget (int64, Spark
+    wraps silently with ANSI off): ``|value|·10^value_dp · n_days <
+    3e9`` keeps ``n·Σx²`` under 2^63 — e.g. |value| < 80k at the
+    default dp=4 over a full year.
 
     Scale: the daily rollup is a map-side-combining aggregate that
     shrinks events by ~the daily frequency; the lag join and moment
     aggregation run on the skinny (series, day) table, partitioned by
     the series key throughout."""
     series_cols = list(series_cols)
-    unit = float(10 ** value_dp)
+    if value_dp < 2:
+        raise ValueError("value_dp must be >= 2 (values are snapped to"
+                         " the 0.01 grid before the mean)")
+    factor = float(10 ** value_dp) / 100.0
     day = F.date_trunc("day", F.col(time_col))
     daily = (df.where(F.col(value_col).isNotNull())
              .groupBy(*series_cols, day.alias("__day__"))
-             .agg(F.round(F.avg(F.col(value_col).cast("double")),
-                          value_dp).alias("__x__"),
+             .agg(F.sum(F.round(F.col(value_col).cast("double") * 100)
+                        .cast("long")).alias("__su__"),
                   F.count(F.lit(1)).alias("__y__"))
              .select(*series_cols,
                      (F.unix_micros(F.col("__day__"))
                       / F.lit(86400000000)).cast("long").alias("__d__"),
-                     F.round(F.col("__x__") * unit).cast("long")
+                     F.round(F.col("__su__") * F.lit(factor)
+                             / F.col("__y__")).cast("long")
                      .alias("__xu__"),
                      F.col("__y__").cast("long").alias("__yu__")))
     a = daily.select(*series_cols, F.col("__d__").alias("__da__"),

@@ -48,6 +48,7 @@ Determinism contract (cf. PLANS.md firewall rules):
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -414,8 +415,11 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
     diagnostic (H>0.5 trending / persistent, H<0.5 mean-reverting)
     that complements the ACF tier.
 
-    With the default three octave-spaced scales the OLS slope collapses
-    to the closed form ``(ln RS_max − ln RS_min) / (2·ln 2)``.
+    ``scales`` must be a three-term geometric progression (enforced):
+    for three log-equally-spaced points the OLS log-log slope collapses
+    EXACTLY to the closed form ``(ln RS_max − ln RS_min) / span`` — the
+    middle scale carries zero OLS weight, so nothing is silently
+    ignored.
 
     Determinism: values are snapped to 0.01-grid integer units, so
     every block statistic is EXACT int64 arithmetic — the 100n factors
@@ -427,6 +431,14 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
     scale over the same series-key shuffle; block count is bounded by
     ``len(series)/min(scales)``."""
     series_cols = list(series_cols)
+    scales = sorted(int(n) for n in scales)
+    if len(scales) != 3 or scales[1] * scales[1] != scales[0] * scales[2]:
+        raise ValueError(
+            "scales must be a 3-term geometric progression (e.g. 8,16,32"
+            " or 16,32,64): the closed-form slope (ln RS_max - ln RS_min)"
+            " / span equals the OLS log-log slope only for three"
+            " log-equally-spaced points — interior scales would be"
+            " silently ignored otherwise")
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tie_cols]
     pw = Window.partitionBy(*series_cols)
     base = (df.where(F.col(value_col).isNotNull())
@@ -435,7 +447,6 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
                     .cast("long").alias("__u__"))
             .withColumn("__t__", F.row_number().over(pw.orderBy(*order)))
             .withColumn("__ntot__", F.count(F.lit(1)).over(pw)))
-    scales = sorted(int(n) for n in scales)
     exploded = base.withColumn(
         "__n__", F.explode(F.array(*[F.lit(n) for n in scales])))
     n = F.col("__n__")
@@ -469,7 +480,7 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
                .pivot("__n__", scales)
                .agg(F.first("__mrs__")))
     lo, hi = F.col(str(scales[0])), F.col(str(scales[-1]))
-    span = float(np_log(scales[-1]) - np_log(scales[0]))
+    span = float(math.log(scales[-1]) - math.log(scales[0]))
     h = F.when((lo > 0) & (hi > 0),
                (F.log(hi) - F.log(lo)) / F.lit(span))
     return pivoted.select(
@@ -477,13 +488,6 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
         *[F.round(F.col(str(s)), 6).alias(f"rs{s}") for s in scales],
         F.round(h, 6).alias("hurst"))
 
-
-def np_log(x):
-    """Natural log via the Python float path — used only to build the
-    constant log-scale span literal, so the engine and any SQL replay
-    share the identical double."""
-    import math
-    return math.log(x)
 
 
 __all__.extend(["hurst_rs"])

@@ -3331,9 +3331,14 @@ def q_window_funnel4_by_user(spark, sf_dir):
 # --------------------------------------------------------- round-9 additions
 @query("ccf_value_volume_by_user", """
 WITH daily AS (
+  -- the 4dp daily mean from EXACT integer sums: one shared division of
+  -- two exact integers + round (a float avg's accumulation order could
+  -- straddle the rounding tie; ties here divide to exactly .5 where
+  -- HALF_UP and half-away agree for either sign)
   SELECT user_id,
          epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
-         CAST(round(round(avg(value), 4) * 10000) AS BIGINT) AS xu,
+         CAST(round((sum(CAST(round(value * 100) AS BIGINT)) * 100)::DOUBLE
+                    / count(*)) AS BIGINT) AS xu,
          count(*)::BIGINT AS yu
   FROM events WHERE value IS NOT NULL
   GROUP BY 1, 2),

@@ -284,11 +284,21 @@ aug1 AS MATERIALIZED (
          sum(xu * ytu)::DOUBLE / 10000.0 AS a FROM z1 GROUP BY 1, 2),
 {g1},
 e AS MATERIALIZED (
+  -- 3dp proxies by EXACT int64 half-away arithmetic (w x100 units,
+  -- beta x10^dp units -> residual exact in 100*10^dp units); a float
+  -- dot + round would accumulate engine-specific association error
+  -- and break decimal ties half-to-even vs half-away
   SELECT w.user_id, w.t,
          CASE WHEN w.t <= {m} THEN 0.0::DOUBLE
-              ELSE round(w.w - p.pred, 3) END AS e
+              ELSE sign(CAST(round(w.w * 100) AS BIGINT) * {10 ** dp}
+                        - p.predu)
+                   * ((abs(CAST(round(w.w * 100) AS BIGINT) * {10 ** dp}
+                           - p.predu) + {10 ** dp // 20})
+                      // {10 ** dp // 10}) / 1000.0 END AS e
   FROM w LEFT JOIN (
-    SELECT z1.user_id, z1.t, sum(z1.x * b.v) AS pred
+    SELECT z1.user_id, z1.t,
+           sum(z1.xu * CAST(round(b.v * {10 ** dp}) AS BIGINT))::BIGINT
+               AS predu
     FROM z1 JOIN beta1 b ON b.user_id = z1.user_id AND b.i = z1.i
     GROUP BY 1, 2) p ON p.user_id = w.user_id AND p.t = w.t),
 z2 AS MATERIALIZED (
@@ -715,9 +725,15 @@ aug1d{d} AS MATERIALIZED (
         ctes.append(f"""ed{d} AS MATERIALIZED (
   SELECT w.user_id, w.t,
          CASE WHEN w.t <= {m} THEN 0.0::DOUBLE
-              ELSE round(w.w - p.pred, 3) END AS e
+              ELSE sign(CAST(round(w.w * 100) AS BIGINT) * {10 ** dp}
+                        - p.predu)
+                   * ((abs(CAST(round(w.w * 100) AS BIGINT) * {10 ** dp}
+                           - p.predu) + {10 ** dp // 20})
+                      // {10 ** dp // 10}) / 1000.0 END AS e
   FROM wd{d} w LEFT JOIN (
-    SELECT z.user_id, z.t, sum(z.x * b.v) AS pred
+    SELECT z.user_id, z.t,
+           sum(z.xu * CAST(round(b.v * {10 ** dp}) AS BIGINT))::BIGINT
+               AS predu
     FROM z1d{d} z JOIN beta1d{d} b
       ON b.user_id = z.user_id AND b.i = z.i
     GROUP BY 1, 2) p ON p.user_id = w.user_id AND p.t = w.t)""")

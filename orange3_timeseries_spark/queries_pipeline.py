@@ -4167,10 +4167,15 @@ def q_paragraph_dedup_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- BM25 tier
-_BM25_SQL = """
-WITH d AS (SELECT doc_id, {t} AS toks FROM documents WHERE source <> 'src0'),
+# The shared BM25 scoring chain (ONE definition of the idf/weight float
+# association — every BM25-backed oracle formats this, so a scoring
+# change cannot silently fork between the retrieval tier and the hybrid
+# fusion oracle).  Placeholders: {t} corpus token expr, {q} query token
+# expr, {qwhere} extra query-set filter ('' for the whole src0 slice).
+_BM25_CORE = """d AS (SELECT doc_id, {t} AS toks FROM documents
+       WHERE source <> 'src0'),
 q AS (SELECT doc_id AS query_id, unnest(list_distinct({q})) AS __tok__
-      FROM documents WHERE source = 'src0'),
+      FROM documents WHERE source = 'src0'{qwhere}),
 post AS (SELECT doc_id, len(toks)::INT AS dl, unnest(toks) AS __tok__ FROM d),
 tf AS (SELECT doc_id, __tok__, dl, count(*)::BIGINT AS tf
        FROM post GROUP BY 1, 2, 3),
@@ -4190,18 +4195,20 @@ terms AS (
   FROM hit h CROSS JOIN stats s JOIN q ON q.__tok__ = h.__tok__),
 per_doc AS (SELECT query_id, doc_id, sum(units)::BIGINT AS units,
                    count(*)::BIGINT AS n_terms
-            FROM terms GROUP BY 1, 2),
+            FROM terms GROUP BY 1, 2)"""
+
+_BM25_SQL = ("WITH " + _BM25_CORE + """,
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY units DESC, doc_id) AS rk
            FROM per_doc)
 SELECT query_id, doc_id, CAST(rk AS INT) AS rank,
        units::DOUBLE / 1e6 AS score, n_terms
 FROM ranked WHERE rk <= {k}
-"""
+""")
 
 
 @query("bm25_topk_queries", _BM25_SQL.format(
-    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5))
+    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5, qwhere=""))
 def q_bm25_topk_queries(spark, sf_dir):
     """BM25 top-5 retrieval: 6-token keyword queries drawn from the
     'src0' slice rank the rest of the corpus (the retrieval primitive
@@ -4222,7 +4229,7 @@ def q_bm25_topk_queries(spark, sf_dir):
 
 
 @query("bm25_decontam_retrieval", _BM25_SQL.format(
-    t=_TOKS, q=_TOKS, k=3))
+    t=_TOKS, q=_TOKS, k=3, qwhere=""))
 def q_bm25_decontam_retrieval(spark, sf_dir):
     """Decontamination-by-retrieval: every full 'src0' document (the
     stand-in eval benchmark) retrieves its top-3 BM25 neighbors from
@@ -4237,36 +4244,14 @@ def q_bm25_decontam_retrieval(spark, sf_dir):
     return bm25_topk(d.where(F.col("source") != "src0"), qs, top_k=3)
 
 
-@query("rrf_hybrid_retrieval", f"""
-WITH qids AS (
-  SELECT d.doc_id FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-  WHERE d.source = 'src0' AND d.doc_id < 500),
-dd AS (SELECT doc_id, {_TOKS} AS toks FROM documents
-       WHERE source <> 'src0'),
-q AS (SELECT doc_id AS query_id, unnest(list_distinct({_TOKS})) AS __tok__
-      FROM documents WHERE source = 'src0'
-        AND doc_id IN (SELECT doc_id FROM qids)),
-post AS (SELECT doc_id, len(toks)::INT AS dl, unnest(toks) AS __tok__
-         FROM dd),
-tf AS (SELECT doc_id, __tok__, dl, count(*)::BIGINT AS tf
-       FROM post GROUP BY 1, 2, 3),
-qtok AS (SELECT DISTINCT __tok__ FROM q),
-hit AS (SELECT t.*, count(*) OVER (PARTITION BY __tok__)::BIGINT AS df
-        FROM tf t JOIN qtok USING (__tok__)),
-stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sdl
-          FROM dd),
-terms AS (
-  SELECT q.query_id, h.doc_id,
-         CAST(round(
-           ln(((s.n - h.df)::DOUBLE + 0.5) / (h.df::DOUBLE + 0.5) + 1.0)
-           * ((h.tf::DOUBLE * 2.2)
-              / (h.tf::DOUBLE
-                 + 1.2 * (0.25 + 0.75 * (h.dl::DOUBLE
-                                         / (s.sdl::DOUBLE / s.n::DOUBLE)))))
-           * 1e6) AS BIGINT) AS units
-  FROM hit h CROSS JOIN stats s JOIN q ON q.__tok__ = h.__tok__),
-per_doc AS (SELECT query_id, doc_id, sum(units)::BIGINT AS units
-            FROM terms GROUP BY 1, 2),
+@query("rrf_hybrid_retrieval", "WITH qids AS (\n"
+       """  SELECT d.doc_id FROM documents d JOIN embeddings e
+    ON e.vec_id = d.doc_id
+  WHERE d.source = 'src0' AND d.doc_id < 500),\n"""
+       + _BM25_CORE.format(
+           t=_TOKS, q=_TOKS,
+           qwhere="\n        AND doc_id IN (SELECT doc_id FROM qids)")
+       + """,
 bmr AS (SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY units DESC, doc_id) AS ra
