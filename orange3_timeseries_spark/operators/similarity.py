@@ -282,15 +282,48 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
 
 
 def _assign_centroid(df: DataFrame, vec_col: str, centroids,
-                     out: str = "centroid_id") -> DataFrame:
-    """Nearest-centroid assignment via one NumPy GEMM per Arrow batch."""
+                     out: str = "centroid_id",
+                     two_level: bool = False) -> DataFrame:
+    """Nearest-centroid assignment via one NumPy GEMM per Arrow batch.
+
+    ``two_level=True`` switches to coarse-group assignment (the
+    FAISS-IMI move): the k centroids are themselves clustered into
+    ~sqrt(k) groups driver-side, each point routes to its nearest GROUP
+    first and only scores that group's centroids — per-point cost drops
+    from ``k·d`` to ``~2·sqrt(k)·d``.  With the "clusters ∝ corpus"
+    dial (k = n/3000), flat assignment is the ONE superlinear term in
+    the semantic-dedup pipeline (n·k·d = n²·d/3000; the r9 decade smoke
+    measured exponent 1.42 through it), and two-level assignment
+    restores ~n^1.25.  The routing is approximate — a point near a
+    group boundary can land in a neighboring centroid's cell — which is
+    fine for bucketing-style consumers (SemDeDup candidate clusters,
+    IVF probe lists) and still fully deterministic (same argmax +
+    first-index tie rules at both levels)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    C = __import__("numpy").array(centroids, dtype=float)
+    C = np.array(centroids, dtype=float)
     schema = T.StructType(list(df.schema.fields)
                           + [T.StructField(out, T.IntegerType())])
+
+    groups = None
+    if two_level and len(C) >= 16:
+        n_groups = max(2, int(len(C) ** 0.5))
+        # tiny driver-side Lloyd over the centroid table itself, same
+        # deterministic rules as train_ivf_centroids(id_col=...)
+        G = C[[(i * len(C)) // n_groups for i in range(n_groups)]].copy()
+        for _ in range(8):
+            sc = C @ G.T - 0.5 * (G * G).sum(1)
+            a = sc.argmax(1)
+            for j in range(n_groups):
+                m = a == j
+                if m.any():
+                    G[j] = C[m].mean(0)
+        member = C @ G.T - 0.5 * (G * G).sum(1)
+        ga = member.argmax(1)
+        # centroid indices per group, padded into a ragged list
+        groups = (G, [np.flatnonzero(ga == j) for j in range(n_groups)])
 
     def assign(batches):
         for pdf in batches:
@@ -298,9 +331,26 @@ def _assign_centroid(df: DataFrame, vec_col: str, centroids,
             if not len(X):
                 yield pdf.assign(**{out: pd.Series([], dtype="int32")})
                 continue
-            # argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
-            scores = X @ C.T - 0.5 * (C * C).sum(1)
-            yield pdf.assign(**{out: scores.argmax(1).astype("int32")})
+            if groups is None:
+                # argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
+                scores = X @ C.T - 0.5 * (C * C).sum(1)
+                yield pdf.assign(**{out: scores.argmax(1).astype("int32")})
+                continue
+            G, idx_lists = groups
+            gs = X @ G.T - 0.5 * (G * G).sum(1)
+            ga = gs.argmax(1)
+            res = np.empty(len(X), dtype="int32")
+            for j, idxs in enumerate(idx_lists):
+                m = np.flatnonzero(ga == j)
+                if not m.size:
+                    continue
+                if not idxs.size:       # empty group cannot win argmax
+                    res[m] = 0
+                    continue
+                Cg = C[idxs]
+                sc = X[m] @ Cg.T - 0.5 * (Cg * Cg).sum(1)
+                res[m] = idxs[sc.argmax(1)].astype("int32")
+            yield pdf.assign(**{out: res})
 
     return df.mapInPandas(assign, schema=schema)
 
@@ -697,7 +747,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
 def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", n_centroids: int = 16,
                          tau: float = 0.4, centroids=None,
-                         seed: int = 7) -> DataFrame:
+                         seed: int = 7,
+                         two_level_assign: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the
     content-deterministic Lloyd quantizer, then WITHIN each cluster drop
@@ -715,7 +766,14 @@ def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
     that bounds cluster size (clusters ∝ corpus keeps vectors/cluster
     flat).  Block size caps the similarity-matrix slice at
     |cluster|×1024 doubles regardless of cluster size.  Cosine
-    comparisons use the 6-dp-rounded value, matching the SQL replay."""
+    comparisons use the 6-dp-rounded value, matching the SQL replay.
+
+    ``two_level_assign=True`` is the LARGE-k scale dial: with clusters
+    ∝ corpus, flat assignment is n·k·d — the pipeline's one superlinear
+    term — and coarse-group routing cuts it to ~n·2·sqrt(k)·d (see
+    ``_assign_centroid``).  Bucketing becomes approximate near group
+    boundaries (identical/near-identical vectors still co-route), so
+    keep it OFF for oracle-replayed small-k queries."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -726,7 +784,7 @@ def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
     assigned = _assign_centroid(
         corpus.select(F.col(id_col).alias("__id__"),
                       _as_double(F.col(vec_col)).alias("__v__")),
-        "__v__", centroids)
+        "__v__", centroids, two_level=two_level_assign)
     schema = T.StructType([
         T.StructField("__id__", assigned.schema["__id__"].dataType),
         T.StructField("centroid_id", T.IntegerType()),

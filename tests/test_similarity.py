@@ -336,3 +336,56 @@ class TestPcaTopComponent:
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)
         piv = max(range(6), key=lambda i: (abs(v[i]), -i))
         assert v[piv] > 0
+
+
+class TestTwoLevelAssign:
+    def test_duplicates_coroute_and_deterministic(self, spark):
+        import numpy as np
+        from orange3_timeseries_spark.operators.similarity import (
+            semantic_dedup_flags, train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(11)
+        base = rng.uniform(-1, 1, (400, 16)).round(4)
+        base[50] = base[10]          # exact duplicate pair
+        base[300] = base[200]
+        rows = [(i, base[i].tolist()) for i in range(len(base))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = train_ivf_centroids(df, "embedding", 25, id_col="vec_id")
+        out = semantic_dedup_flags(df, n_centroids=25, tau=0.999,
+                                   centroids=cents,
+                                   two_level_assign=True)
+        rows1 = {r["vec_id"]: (r["centroid_id"], r["is_kept"])
+                 for r in out.collect()}
+        # complete partition
+        assert len(rows1) == 400
+        # identical vectors route to the same cell; the higher id drops
+        assert rows1[10][0] == rows1[50][0]
+        assert rows1[10][1] and not rows1[50][1]
+        assert rows1[200][0] == rows1[300][0]
+        assert rows1[200][1] and not rows1[300][1]
+        # deterministic across runs
+        rows2 = {r["vec_id"]: (r["centroid_id"], r["is_kept"])
+                 for r in semantic_dedup_flags(
+                     df, n_centroids=25, tau=0.999, centroids=cents,
+                     two_level_assign=True).collect()}
+        assert rows1 == rows2
+
+    def test_small_k_falls_back_to_flat(self, spark):
+        import numpy as np
+        from orange3_timeseries_spark.operators.similarity import (
+            semantic_dedup_flags, train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [(i, rng.uniform(-1, 1, 8).round(4).tolist())
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = train_ivf_centroids(df, "embedding", 8, id_col="vec_id")
+        flat = semantic_dedup_flags(df, n_centroids=8, tau=0.9,
+                                    centroids=cents).collect()
+        two = semantic_dedup_flags(df, n_centroids=8, tau=0.9,
+                                   centroids=cents,
+                                   two_level_assign=True).collect()
+        # k < 16 -> the two-level dial is a no-op, results identical
+        assert sorted(map(tuple, flat)) == sorted(map(tuple, two))
