@@ -77,6 +77,14 @@ def sliding_window(tsf: TimeSeriesFrame, specs: Specs, width: int,
 
     ``shift`` > 1 keeps every ``shift``-th complete window
     (``_windowed``, ``aggregate.py:31-38``).
+
+    Scale note: a frame WITHOUT series columns is one global ordered
+    window — Spark necessarily moves it to a single partition (the
+    ``WindowExec`` "No Partition Defined" warning).  That is the
+    reference's own single-table semantic (one Timeseries = one ordered
+    axis), inherently sequential on any engine; for corpus-scale work
+    give the frame ``series_cols`` so every window runs per-series
+    under the series-key partitioning.
     """
     specs = _normalize_specs(specs)
     had_idx = ROW_IDX in tsf.df.columns
