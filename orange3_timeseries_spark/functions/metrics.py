@@ -68,13 +68,9 @@ def pocid(true, pred) -> float:
 
 def _snap6(a):
     """Exact half-away-from-zero rounding to 6 decimals (mirrors SQL
-    ``round(x, 6)``): ``floor(|s|) + (frac >= 0.5)`` on the scaled value
-    is exact for |s| < 2^52 — ``floor(s + 0.5)`` would misround at
-    ``s = j + 0.5 - 2^-54``."""
-    s = a * 1e6
-    mag = np.abs(s)
-    f = np.floor(mag)
-    return np.sign(s) * (f + ((mag - f) >= 0.5)) / 1e6
+    ``round(x, 6)``) — the shared boundary-tested kernel."""
+    from orange3_timeseries_spark.functions._rounding import half_up_exact
+    return half_up_exact(a * 1e6) / 1e6
 
 
 # ------------------------------------------------------ Spark agg expressions

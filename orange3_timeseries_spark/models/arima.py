@@ -242,7 +242,14 @@ class ARIMA(BaseModel):
                 ws = w[m:] * 100.0
                 Zr, wr_ = np.rint(Zs), np.rint(ws)
                 bscale = 10 ** int(self.quantize)
-                if (bscale % 10 == 0
+                # int64 budget: |w|*100*bscale and the (m+1)-term dot of
+                # |Z|*100 x |beta|*bscale must both stay under 2^62 —
+                # silently wrapped products would poison the proxies
+                zmax = max(np.abs(Zr).max(), np.abs(wr_).max(), 1.0)
+                bmax = max(np.abs(beta1).max(), 1.0)
+                budget_ok = (zmax * bscale * max(bmax, 1.0)
+                             * (Z.shape[1] + 1)) < 2 ** 62
+                if (bscale % 10 == 0 and budget_ok
                         and np.abs(Zs - Zr).max() <= 1e-6
                         and np.abs(ws - wr_).max() <= 1e-6):
                     bu = np.rint(beta1 * bscale).astype(np.int64)

@@ -344,8 +344,13 @@ def _assign_centroid(df: DataFrame, vec_col: str, centroids,
                 m = np.flatnonzero(ga == j)
                 if not m.size:
                     continue
-                if not idxs.size:       # empty group cannot win argmax
-                    res[m] = 0
+                if not idxs.size:
+                    # group centroids are fitted on the CENTROID table,
+                    # so a group can end up memberless while arbitrary
+                    # points still route to it — those points fall back
+                    # to the exact flat scan (never a fixed bogus cell)
+                    sc = X[m] @ C.T - 0.5 * (C * C).sum(1)
+                    res[m] = sc.argmax(1).astype("int32")
                     continue
                 Cg = C[idxs]
                 sc = X[m] @ Cg.T - 0.5 * (Cg * Cg).sum(1)
@@ -1157,24 +1162,12 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
           for t in range(out_dim)])
 
 
-def _half_up_exact(x):
-    """HALF_UP away from zero, EXACTLY matching Spark's F.round →
-    bigint cast: the fractional part ``x − floor(x)`` is an exact
-    float subtraction for |x| < 2⁵² (Sterbenz), so the ≥ 0.5
-    comparison sees the true side of the tie — unlike
-    ``floor(x + 0.5)``, whose IEEE add can round half-even ACROSS the
-    boundary for x just below a half (e.g. 0.5 − 2⁻⁵⁴ + 0.5 rounds up
-    to exactly 1.0), and unlike ``np.round``'s banker's rounding at
-    exact ties.  Module-level so the unit test can drive the raw
-    boundary doubles directly — for ``unit_scale=6`` the divergent
-    inputs are unreachable through the ``e·1e6`` multiply, so only a
-    direct test can catch a regression to the add-based form."""
-    import numpy as np
-
-    fx = np.floor(x)
-    cx = np.ceil(x)
-    return np.where(x >= 0, fx + ((x - fx) >= 0.5),
-                    cx - ((cx - x) >= 0.5))
+# the shared exact tie-rule kernel — single definition, single test
+# surface (functions/_rounding.py); re-exported under the historical
+# module-level name so the direct boundary tests keep driving it here
+from orange3_timeseries_spark.functions._rounding import (  # noqa: E402
+    half_up_exact as _half_up_exact,
+)
 
 
 def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,

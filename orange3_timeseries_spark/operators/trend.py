@@ -432,9 +432,12 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
     ``len(series)/min(scales)``."""
     series_cols = list(series_cols)
     scales = sorted(int(n) for n in scales)
-    if len(scales) != 3 or scales[1] * scales[1] != scales[0] * scales[2]:
+    if (len(scales) != 3 or scales[0] >= scales[1]
+            or scales[1] >= scales[2]
+            or scales[1] * scales[1] != scales[0] * scales[2]):
         raise ValueError(
-            "scales must be a 3-term geometric progression (e.g. 8,16,32"
+            "scales must be a strictly increasing 3-term geometric"
+            " progression (e.g. 8,16,32"
             " or 16,32,64): the closed-form slope (ln RS_max - ln RS_min)"
             " / span equals the OLS log-log slope only for three"
             " log-equally-spaced points — interior scales would be"

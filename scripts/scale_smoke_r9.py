@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Round-9 scaling smoke (judge ask #5): extend the dedup-tier decade —
 500k -> 5M docs at a FIXED 2% planted-duplicate rate for
-substring_pairs, minhash_lsh_pairs, and semdedup_flags.  Prints seconds
-at each size plus the log10 scaling exponent (expect ~1.0; the banded /
-bucketed plans are linear in the corpus at fixed duplicate rate)."""
+substring_pairs, minhash_lsh_pairs, and semdedup_flags (flat AND
+two-level assignment).  Prints seconds at each size plus the log10
+scaling exponent — expect ~1.0 for the banded/bucketed dedup plans and
+the two-level semdedup leg; the flat semdedup leg documents the
+known-quadratic n*k*d assignment under the k ∝ n dial (~1.4)."""
 import math
 import os
 import sys
@@ -89,12 +91,18 @@ run("minhash_lsh_pairs", lambda n: timed(
     500_000, 5_000_000)
 
 
-def _sem(n):
+def _sem(n, two_level=False):
     e = embs(n)
     k = max(16, n // 3000)    # ~3000 vecs/cluster — the 100 TB dial
     cents = train_ivf_centroids(e, "embedding", k, id_col="vec_id")
     return timed(semantic_dedup_flags(e, n_centroids=k, tau=0.9,
-                                      centroids=cents))
+                                      centroids=cents,
+                                      two_level_assign=two_level))
 
 
-run("semdedup_flags", _sem, 500_000, 5_000_000)
+# flat assignment is n*k*d — QUADRATIC under the k ∝ n dial (measured
+# exponent 1.42); the two-level leg is the fix (measured 1.03) and the
+# number SCALE.md quotes
+run("semdedup_flags_flat", _sem, 500_000, 5_000_000)
+run("semdedup_flags_two_level",
+    lambda n: _sem(n, two_level=True), 500_000, 5_000_000)
