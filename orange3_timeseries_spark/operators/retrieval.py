@@ -70,8 +70,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
     posting = d.select(F.col(id_col),
                        F.size(toks).alias("__dl__"),
                        F.explode(toks).alias("__tok__"))
-    tf = (posting.groupBy(id_col, "__tok__", "__dl__")
-          .agg(F.count(F.lit(1)).alias("__tf__")))
 
     # distinct (query, token) pairs; small by contract -> broadcast
     q_terms = (queries
@@ -80,11 +78,17 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
                            tokens_expr(F.col(query_text_col))))
                        .alias("__tok__"))
                .distinct())
-    # prune the postings to query tokens before df is computed — the
-    # per-token count over the PRUNED postings is still the full-corpus
-    # document frequency, because pruning drops whole tokens, not docs
-    hit = tf.join(F.broadcast(q_terms.select("__tok__").distinct()),
-                  "__tok__")
+    # prune the postings to query tokens BEFORE the tf aggregation, not
+    # after: the map-side broadcast semi-join means only matching-token
+    # postings ever shuffle (for keyword queries that is ~1% of the
+    # corpus's exploded rows — the r9 decade smoke measured exponent
+    # 1.27 with the groupBy first, 0.9x after this reorder).  The df a
+    # token gets is still its full-corpus document frequency, because
+    # pruning drops whole tokens, never docs.
+    qtok_b = F.broadcast(q_terms.select("__tok__").distinct())
+    hit = (posting.join(qtok_b, "__tok__")
+           .groupBy(id_col, "__tok__", "__dl__")
+           .agg(F.count(F.lit(1)).alias("__tf__")))
     # df per token as a map-side-combining aggregate broadcast back in —
     # NOT a window partitioned by token: a frequent token's window
     # partition is every matching document (unbounded skew at corpus
