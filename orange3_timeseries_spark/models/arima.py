@@ -117,10 +117,12 @@ def _ne_ols_quantized(y, X, scales):
 
     Falls back to plain :func:`ols` when the data is not on the assumed
     grid (max unit-snap error > 1e-6) — off-grid inputs have no replay
-    oracle to protect.  Magnitude budget: |units| <= ~5e5, squared
-    products <= ~2.5e11, sums over <=1e5 rows <= ~2.5e16 < 2^63; entries
-    above 2^53 convert to double deterministically (same exact integer
-    -> same nearest double on every engine)."""
+    oracle to protect.  Magnitude budget (ENFORCED below — np.int64
+    matmuls wrap silently): falls back to plain :func:`ols` unless
+    ``max|unit|² · n_rows < 2^62``; typical inputs sit at |units| <=
+    ~5e5, squared products <= ~2.5e11, sums over <=1e5 rows <= ~2.5e16
+    < 2^63; entries above 2^53 convert to double deterministically
+    (same exact integer -> same nearest double on every engine)."""
     s = np.asarray(scales, dtype=float)
     U = X * s
     Ur = np.rint(U)
@@ -130,6 +132,14 @@ def _ne_ols_quantized(y, X, scales):
     # only in y (never in the lag matrix), so checking X alone would
     # let an off-grid final value through and silently misquantize it
     if np.abs(U - Ur).max() > 1e-6 or np.abs(Uy - Uyr).max() > 1e-6:
+        return ols(y, X)
+    # enforce the documented magnitude budget BEFORE the int64 matmuls:
+    # each Gram entry is a sum of n_rows unit products, and np.int64
+    # wraps silently on overflow — wrong coefficients with no error.
+    # Mirrors the budget_ok guard on the stage-1 proxy path.
+    umax = max(float(np.abs(Ur).max(initial=0.0)),
+               float(np.abs(Uyr).max(initial=0.0)), 1.0)
+    if umax * umax * max(Ur.shape[0], 1) >= 2 ** 62:
         return ols(y, X)
     U = Ur.astype(np.int64)
     uy = Uyr.astype(np.int64)
@@ -316,7 +326,13 @@ class ARIMA(BaseModel):
             # far coarser than the gap, far finer than any CI use —
             # AFTER the information criteria, so AIC/BIC (and the
             # auto-order replay built on them) keep the raw value.
-            sigma2 = np.round(sigma2, 4)
+            # Snap through the shared half-away kernel, not np.round
+            # (banker's half-even) — SQL round is half away from zero,
+            # and the single-tie-rule contract lives in _rounding.py.
+            from orange3_timeseries_spark.functions._rounding import (
+                half_up_exact,
+            )
+            sigma2 = float(half_up_exact(sigma2 * 1e4)) / 1e4
         self.results = _ArimaResults(const, phi, theta, beta_exog,
                                      float(sigma2), resid, fitted_diff,
                                      float(aic), float(bic))

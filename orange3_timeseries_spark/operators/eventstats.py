@@ -461,7 +461,13 @@ def ccf_value_volume(df: DataFrame, time_col: str, value_col: str,
     if value_dp < 2:
         raise ValueError("value_dp must be >= 2 (values are snapped to"
                          " the 0.01 grid before the mean)")
-    factor = float(10 ** value_dp) / 100.0
+    # integer-domain rescale BEFORE the double cast — the same
+    # association the oracle uses ((sum·10^dp/100)::DOUBLE / count);
+    # a float factor multiplied onto the double-cast sum can round the
+    # other way once |sum·factor| exceeds 2^53, straddling the snap
+    # boundary this function exists to avoid.  Bound: exact while
+    # |Σunits|·10^(dp-2) < 2^53 per (series, day).
+    factor = 10 ** value_dp // 100
     day = F.date_trunc("day", F.col(time_col))
     daily = (df.where(F.col(value_col).isNotNull())
              .groupBy(*series_cols, day.alias("__day__"))
@@ -471,7 +477,8 @@ def ccf_value_volume(df: DataFrame, time_col: str, value_col: str,
              .select(*series_cols,
                      (F.unix_micros(F.col("__day__"))
                       / F.lit(86400000000)).cast("long").alias("__d__"),
-                     F.round(F.col("__su__") * F.lit(factor)
+                     F.round((F.col("__su__") * F.lit(factor))
+                             .cast("double")
                              / F.col("__y__")).cast("long")
                      .alias("__xu__"),
                      F.col("__y__").cast("long").alias("__yu__")))

@@ -424,12 +424,20 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
     Determinism: values are snapped to 0.01-grid integer units, so
     every block statistic is EXACT int64 arithmetic — the 100n factors
     cancel and ``R/S = R_int / sqrt(S_int)`` is one division and one
-    sqrt of exact integers, bit-identical on any engine; only the
-    across-block mean and the final logs are float.  Blocks with zero
-    variance (constant values) are dropped from the mean — R/S is
-    undefined there.  Scale: one ordered-window pass per series per
-    scale over the same series-key shuffle; block count is bounded by
-    ``len(series)/min(scales)``."""
+    sqrt of exact integers, bit-identical on any engine.  The
+    across-block mean is ORDER-FREE too: each block's R/S snaps to 6dp
+    micro-units (R/S is irrational, so a snap tie is measure-zero),
+    the per-scale sum is an exact BIGINT, and the mean is one shared
+    ``(sum / count) / 1e6`` association — float ``avg`` partials
+    reassociate partition-dependently in Spark but sequentially in an
+    oracle replay, the divergence class the rest of this chain
+    removes.  The ``rs{n}`` columns are emitted UNROUNDED (the mean is
+    already an exact-integer/smallint rational; re-rounding it to 6dp
+    would land exactly on half-boundaries where engines' tie rules
+    split).  Blocks with zero variance (constant values) are dropped
+    from the mean — R/S is undefined there.  Scale: one ordered-window
+    pass per series per scale over the same series-key shuffle; block
+    count is bounded by ``len(series)/min(scales)``."""
     series_cols = list(series_cols)
     scales = sorted(int(n) for n in scales)
     if (len(scales) != 3 or scales[0] >= scales[1]
@@ -477,8 +485,10 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
                       (F.col("__r__").cast("double")
                        / F.sqrt(F.col("__s2__").cast("double")))
                       .alias("__rs__")))
+    rs_micro = F.round(F.col("__rs__") * F.lit(1e6)).cast("long")
     per_scale = blocks.groupBy(*series_cols, "__n__").agg(
-        F.avg("__rs__").alias("__mrs__"))
+        (F.sum(rs_micro).cast("double") / F.count(F.lit(1))
+         / F.lit(1e6)).alias("__mrs__"))
     pivoted = (per_scale.groupBy(*series_cols)
                .pivot("__n__", scales)
                .agg(F.first("__mrs__")))
@@ -488,7 +498,7 @@ def hurst_rs(df: DataFrame, time_col: str, value_col: str,
                (F.log(hi) - F.log(lo)) / F.lit(span))
     return pivoted.select(
         *series_cols,
-        *[F.round(F.col(str(s)), 6).alias(f"rs{s}") for s in scales],
+        *[F.col(str(s)).alias(f"rs{s}") for s in scales],
         F.round(h, 6).alias("hurst"))
 
 

@@ -75,6 +75,13 @@ def query(name: str, sql: str | None):
             return fn(spark, sf_dir)
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            # a silent overwrite de-verifies the earlier registration:
+            # its driver rows keep looking green while the semantics
+            # under the name have changed (the r9 hurst_rs_by_user
+            # incident) — fail loud at import instead
+            raise ValueError(
+                f"duplicate @query registration: {name!r}")
         QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql

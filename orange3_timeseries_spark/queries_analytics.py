@@ -3373,7 +3373,7 @@ def q_ccf_value_volume_by_user(spark, sf_dir):
     return ccf_value_volume(ev, "ts", "value", ["user_id"])
 
 
-@query("hurst_rs_by_user", """
+@query("hurst_rs_scales_by_user", """
 WITH base AS (
   SELECT user_id, event_id,
          CAST(round(value * 100) AS BIGINT) AS u,
@@ -3397,25 +3397,31 @@ wr AS (SELECT user_id, n, blk,
 blocks AS (SELECT user_id, n, blk,
                   (max(z) - min(z))::BIGINT AS r, max(s2)::BIGINT AS s2
            FROM wr GROUP BY 1, 2, 3 HAVING max(s2) > 0),
-ps AS (SELECT user_id, n, avg(r::DOUBLE / sqrt(s2::DOUBLE)) AS mrs
+ps AS (SELECT user_id, n,
+              (sum(CAST(round(r::DOUBLE / sqrt(s2::DOUBLE) * 1e6)
+                        AS BIGINT))::BIGINT)::DOUBLE
+              / count(*) / 1e6 AS mrs
        FROM blocks GROUP BY 1, 2),
 pv AS (SELECT user_id,
               max(CASE WHEN n = 8 THEN mrs END) AS rs8,
               max(CASE WHEN n = 16 THEN mrs END) AS rs16,
               max(CASE WHEN n = 32 THEN mrs END) AS rs32
        FROM ps GROUP BY 1)
-SELECT user_id,
-       round(rs8, 6) AS rs8, round(rs16, 6) AS rs16,
-       round(rs32, 6) AS rs32,
+SELECT user_id, rs8, rs16, rs32,
        round(CASE WHEN rs8 > 0 AND rs32 > 0
                   THEN (ln(rs32) - ln(rs8)) / 1.3862943611198908 END, 6) AS hurst
 FROM pv
 """)
-def q_hurst_rs_by_user(spark, sf_dir):
+def q_hurst_rs_scales_by_user(spark, sf_dir):
     '''Hurst exponent by rescaled-range analysis at octave scales
     8/16/32 per user (operators/trend.py:hurst_rs): block R/S =
     R_int/sqrt(S_int) from exact 0.01-grid integer units, H = the
-    closed-form log-log slope over the octave-spaced scales.'''
+    closed-form log-log slope over the octave-spaced scales.  The
+    across-block mean is an exact BIGINT sum of 6dp-snapped block R/S
+    micro-units over the block count (order-free both engines); the
+    rs columns are emitted UNROUNDED — the mean is an exact
+    grid/smallint rational, which a second 6dp round would park
+    exactly on cross-engine tie boundaries.'''
     from orange3_timeseries_spark.operators.trend import hurst_rs
 
     ev = read_table(spark, sf_dir, "events")

@@ -577,3 +577,37 @@ class TestVarAutoLag:
         assert len(rows) > 0
         assert all(0 <= r.k_ar <= 3 for r in rows)
         assert len({r.user_id for r in rows}) == len(rows)  # one winner
+
+
+class TestQuantizedGramBudget:
+    def test_overflow_guard_falls_back_to_plain_ols(self):
+        # units ~1e9 squared over 64 rows would exceed 2^62 and wrap the
+        # int64 Gram matmul silently; the guard must route to plain ols
+        # (whose float path is approximate but not WRONG) instead
+        import numpy as np
+
+        from orange3_timeseries_spark.models.arima import (
+            _ne_ols_quantized,
+            ols,
+        )
+
+        rng = np.random.RandomState(11)
+        n = 64
+        # on-grid at scale 100 (multiples of 0.01) but astronomically
+        # large, so the grid check passes and only the budget trips
+        X = np.column_stack(
+            (np.ones(n), np.round(rng.uniform(1e6, 2e7, n), 2)))
+        beta_true = np.array([3.0, 1.5])
+        y = np.round(X @ beta_true, 2)
+        bq, rq, rssq = _ne_ols_quantized(y, X, [100.0, 100.0])
+        bo, ro, rsso = ols(y, X)
+        assert np.allclose(bq, bo)          # identical -> fell back
+        assert np.isfinite(rssq)
+        # sanity: a small on-grid problem still takes the integer path
+        Xs = np.column_stack(
+            (np.ones(n), np.round(rng.uniform(1, 9, n), 2)))
+        ys = np.round(Xs @ beta_true, 2)
+        bs, _, _ = _ne_ols_quantized(ys, Xs, [100.0, 100.0])
+        # the target is snapped to the 0.01 grid, so recovery is only
+        # grid-accurate — the point is the integer path ran and solved
+        assert np.allclose(bs, beta_true, atol=1e-2)
