@@ -1930,7 +1930,9 @@ def q_pipeline_embedding_index(spark, sf_dir):
     encoding of the surviving vectors (codebooks injected from the
     first 16 corpus embeddings) — the 'build the compressed serving
     index from the deduplicated corpus' path, one value hash over both
-    stages."""
+    stages.  Single-modality (embeddings only), so the sf-dependent
+    documents/embeddings coverage gap audited by
+    `coverage_audit_embeddings` cannot drop rows here."""
     e = read_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_neardup_pairs(e, threshold=0.35)
     kept = D.dedup_corpus(e, pairs, "vec_id")
@@ -3186,7 +3188,12 @@ def q_pipeline_curate_semantic(spark, sf_dir):
     composition: a wrong keep in EITHER gate or a wrong cluster
     assignment moves a source's totals.  Text and embeddings join on
     the shared id — the standard "score text, dedup in embedding
-    space" two-modality pipeline."""
+    space" two-modality pipeline.  The join-coverage contract this
+    pipeline relies on (embeddings ⊆ documents; documents-side
+    coverage may be partial, 0.4 at sf0.1) is measured by
+    `coverage_audit_embeddings` (operators/audit.py:coverage_audit)
+    and asserted executable in tests/test_audit.py — hence the
+    anti-join below instead of an inner join."""
     from pyspark.sql import Window
 
     from orange3_timeseries_spark.operators.lm import bigram_perplexity
@@ -4309,3 +4316,61 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
     ann = S.brute_force_topk(ec, eq, k=20).select(
         "query_id", F.col("nn_id").alias("doc_id"), "rank")
     return rrf_fuse([bm, ann], k=60, top_k=5)
+
+
+# ------------------------------------------------------- coverage audit
+@query("coverage_audit_embeddings", """
+WITH l AS (SELECT doc_id AS k, count(*) AS n FROM documents
+           WHERE doc_id IS NOT NULL GROUP BY 1),
+r AS (SELECT vec_id AS k, count(*) AS n FROM embeddings
+      WHERE vec_id IS NOT NULL GROUP BY 1),
+j AS (SELECT l.n AS nl, r.n AS nr
+      FROM l FULL OUTER JOIN r ON l.k = r.k),
+a AS (SELECT
+        coalesce(sum(nl), 0)::BIGINT AS lr,
+        count(CASE WHEN nl IS NOT NULL THEN 1 END)::BIGINT AS lk,
+        coalesce(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                          THEN nl END), 0)::BIGINT AS lmr,
+        count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                   THEN 1 END)::BIGINT AS lmk,
+        coalesce(sum(nr), 0)::BIGINT AS rr,
+        count(CASE WHEN nr IS NOT NULL THEN 1 END)::BIGINT AS rk,
+        coalesce(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                          THEN nr END), 0)::BIGINT AS rmr,
+        count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                   THEN 1 END)::BIGINT AS rmk,
+        (SELECT count(*) FROM documents
+         WHERE doc_id IS NULL)::BIGINT AS lnull,
+        (SELECT count(*) FROM embeddings
+         WHERE vec_id IS NULL)::BIGINT AS rnull
+      FROM j)
+SELECT 'documents' AS side, lr + lnull AS n_rows,
+       lnull AS null_key_rows, lk AS n_keys,
+       lmr AS matched_rows, lmk AS matched_keys,
+       CASE WHEN lr + lnull > 0
+            THEN lmr::DOUBLE / (lr + lnull) END AS row_share,
+       CASE WHEN lk > 0 THEN lmk::DOUBLE / lk END AS key_share
+FROM a
+UNION ALL
+SELECT 'embeddings', rr + rnull, rnull, rk, rmr, rmk,
+       CASE WHEN rr + rnull > 0
+            THEN rmr::DOUBLE / (rr + rnull) END,
+       CASE WHEN rk > 0 THEN rmk::DOUBLE / rk END
+FROM a
+""")
+def q_coverage_audit_embeddings(spark, sf_dir):
+    '''Join-coverage audit of documents vs embeddings on
+    doc_id = vec_id (operators/audit.py:coverage_audit) — the reusable
+    form of the round-9 silent-drop bug class: sf0.1 embeddings cover
+    only 2000/5000 documents, so any docs⋈embeddings inner join
+    (pipeline_curate_semantic, pipeline_embedding_index,
+    rrf_hybrid_retrieval query gating) silently discards 60% of the
+    corpus unless the pipeline anti-joins the verified drops.  The two
+    output rows report exactly the shares those pipelines must assert;
+    shares are single exact-integer divisions, emitted unrounded.'''
+    from orange3_timeseries_spark.operators.audit import coverage_audit
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    return coverage_audit(d, e, "doc_id", "vec_id",
+                          labels=("documents", "embeddings"))
