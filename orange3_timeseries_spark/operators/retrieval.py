@@ -37,68 +37,30 @@ Scoring formula (the Lucene/"BM25+1" robust-idf form, always >= 0)::
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators.text import tokens_expr
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "Bm25Index", "bm25_build_index",
+           "write_bm25_index", "read_bm25_index", "bm25_topk_from_index"]
 
 
-def bm25_topk(docs: DataFrame, queries: DataFrame, *,
-              text_col: str = "text", id_col: str = "doc_id",
-              query_text_col: str = "text", query_id_col: str = "query_id",
-              k1: float = 1.2, b: float = 0.75, top_k: int = 10,
-              unit_scale: int = 6) -> DataFrame:
-    """Top-``top_k`` BM25 matches per query: ``(query_id, doc_id, rank,
-    score, n_terms)``.
-
-    ``n_terms`` is the number of distinct query tokens the document
-    matched; ``score`` is the exact micro-unit sum presented as a
-    double (``units / 10^unit_scale``).  Queries are tokenized like
-    documents (lowercased whitespace tokens) and deduplicated — the
-    classic binary-qtf BM25.  A query whose tokens match nothing
-    produces no rows.
-    """
-    from orange3_timeseries_spark.operators.partitioning import (
-        widen_partitions,
-    )
-
+def _bm25_score_topk(hit: DataFrame, stats: DataFrame,
+                     q_terms: DataFrame, *, id_col: str,
+                     query_id_col: str, k1: float, b: float,
+                     top_k: int, unit_scale: int) -> DataFrame:
+    """The shared BM25 scoring kernel: from pruned postings-with-df
+    ``hit`` = (id_col, __tok__, __dl__, __tf__, __df__), the one-row
+    corpus ``stats`` = (__n__, __sdl__), and the distinct
+    ``q_terms`` = (query_id, __tok__), produce the ranked top-k table.
+    Both the live :func:`bm25_topk` and the persisted-index serve path
+    :func:`bm25_topk_from_index` route here — the bit-identical
+    build→serve contract is structural, not copy-paste-synced."""
     unit = float(10 ** unit_scale)
-    d = widen_partitions(docs.select(id_col, text_col))
-    toks = tokens_expr(F.col(text_col))
-    posting = d.select(F.col(id_col),
-                       F.size(toks).alias("__dl__"),
-                       F.explode(toks).alias("__tok__"))
-
-    # distinct (query, token) pairs; small by contract -> broadcast
-    q_terms = (queries
-               .select(F.col(query_id_col),
-                       F.explode(F.array_distinct(
-                           tokens_expr(F.col(query_text_col))))
-                       .alias("__tok__"))
-               .distinct())
-    # prune the postings to query tokens BEFORE the tf aggregation, not
-    # after: the map-side broadcast semi-join means only matching-token
-    # postings ever shuffle (for keyword queries that is ~1% of the
-    # corpus's exploded rows — the r9 decade smoke measured exponent
-    # 1.27 with the groupBy first, 0.9x after this reorder).  The df a
-    # token gets is still its full-corpus document frequency, because
-    # pruning drops whole tokens, never docs.
-    qtok_b = F.broadcast(q_terms.select("__tok__").distinct())
-    hit = (posting.join(qtok_b, "__tok__")
-           .groupBy(id_col, "__tok__", "__dl__")
-           .agg(F.count(F.lit(1)).alias("__tf__")))
-    # df per token as a map-side-combining aggregate broadcast back in —
-    # NOT a window partitioned by token: a frequent token's window
-    # partition is every matching document (unbounded skew at corpus
-    # scale), while the aggregated df table is <= |distinct query tokens|
-    # rows no matter how large the corpus is
-    df_tbl = hit.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
-    hit = hit.join(F.broadcast(df_tbl), "__tok__")
-
-    stats = d.agg(F.count(F.lit(1)).alias("__n__"),
-                  F.sum(F.size(toks)).alias("__sdl__"))
     scored = hit.crossJoin(F.broadcast(stats))
 
     # fixed-association IEEE pipeline, identical in the DuckDB oracle:
@@ -127,6 +89,69 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
                     F.col("rank").cast("int").alias("rank"),
                     (F.col("__units__") / F.lit(unit)).alias("score"),
                     "n_terms"))
+
+
+def _query_terms(queries: DataFrame, query_text_col: str,
+                 query_id_col: str) -> DataFrame:
+    """Distinct (query, token) pairs; small by contract -> broadcast."""
+    return (queries
+            .select(F.col(query_id_col),
+                    F.explode(F.array_distinct(
+                        tokens_expr(F.col(query_text_col))))
+                    .alias("__tok__"))
+            .distinct())
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_text_col: str = "text", query_id_col: str = "query_id",
+              k1: float = 1.2, b: float = 0.75, top_k: int = 10,
+              unit_scale: int = 6) -> DataFrame:
+    """Top-``top_k`` BM25 matches per query: ``(query_id, doc_id, rank,
+    score, n_terms)``.
+
+    ``n_terms`` is the number of distinct query tokens the document
+    matched; ``score`` is the exact micro-unit sum presented as a
+    double (``units / 10^unit_scale``).  Queries are tokenized like
+    documents (lowercased whitespace tokens) and deduplicated — the
+    classic binary-qtf BM25.  A query whose tokens match nothing
+    produces no rows.
+    """
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
+    d = widen_partitions(docs.select(id_col, text_col))
+    toks = tokens_expr(F.col(text_col))
+    posting = d.select(F.col(id_col),
+                       F.size(toks).alias("__dl__"),
+                       F.explode(toks).alias("__tok__"))
+
+    q_terms = _query_terms(queries, query_text_col, query_id_col)
+    # prune the postings to query tokens BEFORE the tf aggregation, not
+    # after: the map-side broadcast semi-join means only matching-token
+    # postings ever shuffle (for keyword queries that is ~1% of the
+    # corpus's exploded rows — the r9 decade smoke measured exponent
+    # 1.27 with the groupBy first, 0.9x after this reorder).  The df a
+    # token gets is still its full-corpus document frequency, because
+    # pruning drops whole tokens, never docs.
+    qtok_b = F.broadcast(q_terms.select("__tok__").distinct())
+    hit = (posting.join(qtok_b, "__tok__")
+           .groupBy(id_col, "__tok__", "__dl__")
+           .agg(F.count(F.lit(1)).alias("__tf__")))
+    # df per token as a map-side-combining aggregate broadcast back in —
+    # NOT a window partitioned by token: a frequent token's window
+    # partition is every matching document (unbounded skew at corpus
+    # scale), while the aggregated df table is <= |distinct query tokens|
+    # rows no matter how large the corpus is
+    df_tbl = hit.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    hit = hit.join(F.broadcast(df_tbl), "__tok__")
+
+    stats = d.agg(F.count(F.lit(1)).alias("__n__"),
+                  F.sum(F.size(toks)).alias("__sdl__"))
+    return _bm25_score_topk(hit, stats, q_terms, id_col=id_col,
+                            query_id_col=query_id_col, k1=k1, b=b,
+                            top_k=top_k, unit_scale=unit_scale)
 
 
 def rrf_fuse(rankings, k: int = 60, top_k: int = 10, *,
@@ -168,3 +193,187 @@ def rrf_fuse(rankings, k: int = 60, top_k: int = 10, *,
             .select(query_id_col, id_col,
                     *[f"rank_{i}" for i in range(1, len(rankings) + 1)],
                     F.col("__score__").alias("score"), "rrf_rank"))
+
+
+class Bm25Index(NamedTuple):
+    """A persisted-or-persistable BM25 inverted index: three skinny
+    state tables under the same build-once/serve-refit-free contract as
+    the forecaster model tables (``models/registry.py``) — plain
+    parquet columns, no pickle, engine-agnostic.
+
+    - ``postings``: one row per (doc, token) — ``(token, <id_col>, tf,
+      dl, bucket)``.  ``bucket = pmod(xxhash64(token), n_buckets)`` is
+      the partition key: serving prunes whole parquet partitions by the
+      query tokens' buckets before any join runs.
+    - ``token_df``: the dictionary — ``(token, df, bucket)``.
+    - ``stats``: ONE row — ``(n_docs, sum_dl, n_buckets)``.
+
+    All counts are BIGINT, so a write→read round-trip is exact and a
+    serve from the loaded index scores bit-identically to the live
+    corpus-scan path (shared kernel :func:`_bm25_score_topk`).
+    """
+
+    postings: DataFrame
+    token_df: DataFrame
+    stats: DataFrame
+    id_col: str = "doc_id"
+
+
+def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     n_buckets: int = 64) -> Bm25Index:
+    """Build the full-corpus inverted index ONCE: explode tokens, one
+    map-side-combining tf aggregation (the only corpus-sized shuffle —
+    skinny (id, token, two ints) rows), one vocabulary-sized df
+    aggregation, one single-row stats aggregate.  Unlike the live
+    :func:`bm25_topk` there is no query-token pruning here — the index
+    must serve ANY future query — which is exactly why it pays to
+    persist it: every serve afterwards touches only the query tokens'
+    buckets."""
+    from orange3_timeseries_spark.operators.partitioning import (
+        widen_partitions,
+    )
+
+    d = widen_partitions(docs.select(id_col, text_col))
+    toks = tokens_expr(F.col(text_col))
+    posting = d.select(F.col(id_col),
+                       F.size(toks).alias("dl"),
+                       F.explode(toks).alias("token"))
+    tf = (posting.groupBy(id_col, "token", "dl")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    bucket = F.pmod(F.xxhash64(F.col("token")),
+                    F.lit(n_buckets)).cast("int")
+    postings = tf.select("token", id_col, "tf",
+                         F.col("dl").cast("bigint").alias("dl"),
+                         bucket.alias("bucket"))
+    token_df = (tf.groupBy("token")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+                .select("token", "df", bucket.alias("bucket")))
+    # stats use the SAME expressions as the live path (count every doc,
+    # token-less ones included) so live and served scores share N/Σdl
+    stats = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum(F.size(toks)).cast("bigint").alias("sum_dl"),
+                  F.lit(int(n_buckets)).alias("n_buckets"))
+    return Bm25Index(postings, token_df, stats, id_col)
+
+
+def write_bm25_index(index: Bm25Index, path: str) -> None:
+    """Persist the index as three parquet state tables (overwrite).
+    ``postings`` and ``token_df`` are partitioned by ``bucket`` so a
+    serve-time bucket filter becomes parquet PartitionFilters — the
+    scan never opens the other buckets' files."""
+    (index.postings.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(path, "postings")))
+    (index.token_df.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(path, "token_df")))
+    index.stats.write.mode("overwrite").parquet(
+        os.path.join(path, "stats"))
+
+
+def read_bm25_index(spark: SparkSession, path: str,
+                    id_col: str = "doc_id") -> Bm25Index:
+    """Load a persisted index; no data is scanned until a serve runs."""
+    return Bm25Index(
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "token_df")),
+        spark.read.parquet(os.path.join(path, "stats")),
+        id_col)
+
+
+def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
+                         query_text_col: str = "text",
+                         query_id_col: str = "query_id",
+                         k1: float = 1.2, b: float = 0.75,
+                         top_k: int = 10, unit_scale: int = 6,
+                         prune_buckets: bool = True) -> DataFrame:
+    """Serve BM25 top-k from a LOADED index — no corpus rescan, no tf
+    re-aggregation: the only work is (1) an optional parquet partition
+    prune to the query tokens' buckets (a bounded collect of <=
+    |distinct query tokens| ints — queries are small by the same
+    contract that lets them broadcast), (2) a broadcast semi-join
+    pruning postings to query tokens, and (3) the shared scoring
+    kernel's one skinny (query, doc) aggregation + top-k rank window.
+    Every exchange after the scan is bounded by |queries| × top-k-ish
+    row counts, independent of corpus size.
+
+    Scores are bit-identical to :func:`bm25_topk` on the same corpus:
+    tf/dl/df/N/Σdl round-trip exactly as BIGINTs and both paths route
+    through :func:`_bm25_score_topk`."""
+    id_col = index.id_col
+    if id_col not in index.postings.columns:
+        raise ValueError(
+            f"index postings have no {id_col!r} column (columns: "
+            f"{index.postings.columns}) — pass the id_col the index "
+            "was built with to read_bm25_index")
+    q_terms = _query_terms(queries, query_text_col, query_id_col)
+    qtok = q_terms.select("__tok__").distinct()
+
+    post = index.postings
+    tdf = index.token_df
+    if prune_buckets:
+        n_buckets = int(index.stats.select("n_buckets").first()[0])
+        bks = sorted(r[0] for r in qtok.select(
+            F.pmod(F.xxhash64(F.col("__tok__")), F.lit(n_buckets))
+            .cast("int").alias("b")).distinct().collect())
+        post = post.where(F.col("bucket").isin(bks))
+        tdf = tdf.where(F.col("bucket").isin(bks))
+
+    qtok_b = F.broadcast(qtok)
+    hit = (post.withColumnRenamed("token", "__tok__")
+           .join(qtok_b, "__tok__")
+           .select(id_col, "__tok__",
+                   F.col("dl").alias("__dl__"),
+                   F.col("tf").alias("__tf__")))
+    df_tbl = (tdf.withColumnRenamed("token", "__tok__")
+              .join(qtok_b, "__tok__")
+              .select("__tok__", F.col("df").alias("__df__")))
+    hit = hit.join(F.broadcast(df_tbl), "__tok__")
+    stats = index.stats.select(F.col("n_docs").alias("__n__"),
+                               F.col("sum_dl").alias("__sdl__"))
+    return _bm25_score_topk(hit, stats, q_terms, id_col=id_col,
+                            query_id_col=query_id_col, k1=k1, b=b,
+                            top_k=top_k, unit_scale=unit_scale)
+
+
+def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
+                     text_col: str = "text") -> Bm25Index:
+    """Merge newly ingested documents into an existing index WITHOUT
+    rebuilding it — the index-maintenance path a 100 TB corpus needs
+    (a daily crawl drop is ~0.1% of the corpus; re-aggregating the
+    other 99.9% per ingest is the cost this avoids).
+
+    Mergeability is exact because every piece of index state is an
+    integer count: the delta postings aggregate over ``new_docs`` only,
+    per-token df merges by BIGINT addition, and the one-row stats add —
+    so a serve from the merged index is hash-identical to a full
+    rebuild over the union (asserted by ``bm25_incremental_topk``'s
+    oracle and tests/test_bm25.py).  Caller contract: ``new_docs`` ids
+    are disjoint from the indexed ones (same contract as any append) —
+    a re-ingested id would double-count its postings.
+
+    Scale: the only corpus-sized work is over the DELTA (one explode +
+    tf aggregation); the df merge shuffles at most |vocab| skinny rows
+    and the stats merge is two one-row tables."""
+    id_col = base.id_col
+    n_buckets = int(base.stats.select("n_buckets").first()[0])
+    delta = bm25_build_index(new_docs, text_col=text_col,
+                             id_col=id_col, n_buckets=n_buckets)
+    postings = base.postings.select(
+        "token", id_col, "tf", "dl", "bucket").unionByName(
+        delta.postings.select("token", id_col, "tf", "dl", "bucket"))
+    token_df = (base.token_df.select("token", "df", "bucket")
+                .unionByName(delta.token_df
+                             .select("token", "df", "bucket"))
+                .groupBy("token", "bucket")
+                .agg(F.sum("df").cast("bigint").alias("df"))
+                .select("token", "df", "bucket"))
+    stats = (base.stats.select("n_docs", "sum_dl", "n_buckets")
+             .unionByName(delta.stats
+                          .select("n_docs", "sum_dl", "n_buckets"))
+             .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+                  F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+                  F.max("n_buckets").alias("n_buckets")))
+    return Bm25Index(postings, token_df, stats, id_col)
+
+
+__all__.append("bm25_merge_index")

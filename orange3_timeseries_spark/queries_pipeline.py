@@ -4374,3 +4374,80 @@ def q_coverage_audit_embeddings(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     return coverage_audit(d, e, "doc_id", "vec_id",
                           labels=("documents", "embeddings"))
+
+
+@query("bm25_registry_topk", _BM25_SQL.format(
+    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5, qwhere=""))
+def q_bm25_registry_topk(spark, sf_dir):
+    """The PERSISTED-INDEX serve path under the SAME full replay oracle
+    as ``bm25_topk_queries``: build the full-corpus inverted index once
+    (postings + per-token df + (N, Σdl) stats as bucket-partitioned
+    parquet state tables), WRITE it, READ IT BACK, and serve the very
+    same 6-token queries from the loaded index — no corpus rescan, no
+    tf re-aggregation, parquet partitions pruned to the query tokens'
+    buckets.  Hash-green here proves the persisted state is sufficient
+    and the serve-time scoring is bit-faithful to the live path (both
+    route through the shared `_bm25_score_topk` kernel;
+    operators/retrieval.py).  The retrieval analogue of
+    ``arima_registry_forecast_by_user``."""
+    import os
+    import tempfile
+
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_topk_from_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from orange3_timeseries_spark.operators.text import tokens_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    qs = (d.where(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
+                               " ").alias("text")))
+    idx = bm25_build_index(d.where(F.col("source") != "src0"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_bm25_{os.getpid()}")
+    write_bm25_index(idx, path)
+    return bm25_topk_from_index(read_bm25_index(spark, path), qs,
+                                top_k=5)
+
+
+@query("bm25_incremental_topk", _BM25_SQL.format(
+    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5, qwhere=""))
+def q_bm25_incremental_topk(spark, sf_dir):
+    """Index MAINTENANCE under the same full replay oracle: build the
+    inverted index over half the training corpus (even doc_id), MERGE
+    the other half in as an incremental ingest (delta-only tf
+    aggregation + BIGINT df/stats addition — no rebuild), persist the
+    merged index, read it back, and serve.  Hash-equal to the live
+    full-corpus query proves merged state == rebuilt state exactly
+    (operators/retrieval.py:bm25_merge_index) — the daily-crawl-drop
+    ingest path at 100 TB."""
+    import os
+    import tempfile
+
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_merge_index,
+        bm25_topk_from_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from orange3_timeseries_spark.operators.text import tokens_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    qs = (d.where(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
+                               " ").alias("text")))
+    corpus = d.where(F.col("source") != "src0")
+    base = bm25_build_index(corpus.where(F.col("doc_id") % 2 == 0))
+    merged = bm25_merge_index(base,
+                              corpus.where(F.col("doc_id") % 2 != 0))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_bm25_inc_{os.getpid()}")
+    write_bm25_index(merged, path)
+    return bm25_topk_from_index(read_bm25_index(spark, path), qs,
+                                top_k=5)

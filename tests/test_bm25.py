@@ -155,3 +155,138 @@ class TestRrfFuse:
         a = self._ranks(spark, [(1, 10, 1)])
         with pytest.raises(ValueError, match="at least two"):
             rrf_fuse([a])
+
+
+class TestBm25IndexRegistry:
+    CORPUS = [(1, "apple banana cherry apple"),
+              (2, "banana date elderberry"),
+              (3, "cherry cherry fig grape apple"),
+              (4, "quantum flux capacitor"),
+              (5, "apple grape")]
+    QS = [(100, "apple cherry"), (200, "banana grape fig")]
+
+    def _index(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        idx = bm25_build_index(_docs(spark, self.CORPUS), n_buckets=8)
+        path = str(tmp_path / "bm25_index")
+        write_bm25_index(idx, path)
+        return read_bm25_index(spark, path)
+
+    def test_served_bit_identical_to_live(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_topk_from_index,
+        )
+
+        qs = _queries(spark, self.QS)
+        live = bm25_topk(_docs(spark, self.CORPUS), qs, top_k=4)
+        served = bm25_topk_from_index(self._index(spark, tmp_path), qs,
+                                      top_k=4)
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        lrows = sorted(live.collect(), key=key)
+        srows = sorted(served.collect(), key=key)
+        assert len(lrows) > 0
+        # EXACT equality, score double included — the registry contract
+        assert [tuple(r) for r in lrows] == [tuple(r) for r in srows]
+
+    def test_bucket_prune_changes_nothing(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_topk_from_index,
+        )
+
+        idx = self._index(spark, tmp_path)
+        qs = _queries(spark, self.QS)
+        a = bm25_topk_from_index(idx, qs, top_k=4, prune_buckets=True)
+        b = bm25_topk_from_index(idx, qs, top_k=4, prune_buckets=False)
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(map(tuple, a.collect()), key=lambda t: t[:3]) == \
+            sorted(map(tuple, b.collect()), key=lambda t: t[:3])
+
+    def test_serve_plan_prunes_partitions_and_skips_corpus(
+            self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_topk_from_index,
+        )
+
+        served = bm25_topk_from_index(self._index(spark, tmp_path),
+                                      _queries(spark, self.QS), top_k=4)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # the serve scan must read the persisted index with a bucket
+        # partition filter (prints `bucket = N` for one bucket,
+        # `bucket IN (...)` for several)...
+        import re
+        assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+ (=|IN)",
+                         plan), plan[:2000]
+        # ...and the only parquet scans are the three index state
+        # tables (postings, token_df, stats) — the corpus is never
+        # re-read or re-tokenized at serve time (paths are truncated
+        # in toString, so count scans rather than parsing locations)
+        assert plan.count("FileScan parquet") == 3, plan[:2000]
+        assert "text:string" not in plan  # no doc text enters the plan
+
+    def test_index_state_tables_shape(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path)
+        [st] = idx.stats.collect()
+        assert st.n_docs == 5 and st.n_buckets == 8
+        assert st.sum_dl == sum(len(t.split()) for _, t in self.CORPUS)
+        post = {(r.token, r.doc_id): (r.tf, r.dl)
+                for r in idx.postings.collect()}
+        assert post[("apple", 1)] == (2, 4)
+        assert post[("cherry", 3)][0] == 2
+        dfs = {r.token: r.df for r in idx.token_df.collect()}
+        assert dfs["apple"] == 3 and dfs["quantum"] == 1
+
+
+class TestBm25MergeIndex:
+    def test_merge_equals_rebuild_bit_identical(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_merge_index,
+            bm25_topk_from_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        corpus = TestBm25IndexRegistry.CORPUS
+        qs = _queries(spark, TestBm25IndexRegistry.QS)
+        half_a = _docs(spark, [r for r in corpus if r[0] % 2 == 0])
+        half_b = _docs(spark, [r for r in corpus if r[0] % 2 == 1])
+
+        merged = bm25_merge_index(
+            bm25_build_index(half_a, n_buckets=8), half_b)
+        mp = str(tmp_path / "merged")
+        write_bm25_index(merged, mp)
+        served_m = bm25_topk_from_index(read_bm25_index(spark, mp), qs,
+                                        top_k=4)
+
+        full = bm25_build_index(_docs(spark, corpus), n_buckets=8)
+        fp = str(tmp_path / "full")
+        write_bm25_index(full, fp)
+        served_f = bm25_topk_from_index(read_bm25_index(spark, fp), qs,
+                                        top_k=4)
+
+        key = lambda t: (t[0], t[2])  # noqa: E731  (query, rank)
+        assert sorted(map(tuple, served_m.collect()), key=key) == \
+            sorted(map(tuple, served_f.collect()), key=key)
+        # merged state tables equal the rebuilt ones exactly
+        assert sorted(map(tuple, merged.token_df.collect())) == \
+            sorted(map(tuple, full.token_df.collect()))
+        assert merged.stats.first() == full.stats.first()
+
+    def test_merged_df_adds_across_halves(self, spark):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_merge_index,
+        )
+
+        a = _docs(spark, [(1, "apple pie"), (2, "apple tart")])
+        b = _docs(spark, [(3, "apple crumble"), (4, "banana split")])
+        merged = bm25_merge_index(bm25_build_index(a, n_buckets=4), b)
+        dfs = {r.token: r.df for r in merged.token_df.collect()}
+        assert dfs["apple"] == 3 and dfs["banana"] == 1
+        st = merged.stats.first()
+        assert st.n_docs == 4 and st.sum_dl == 8 and st.n_buckets == 4
