@@ -360,6 +360,51 @@ def _assign_centroid(df: DataFrame, vec_col: str, centroids,
     return df.mapInPandas(assign, schema=schema)
 
 
+def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
+                          *, query_id_col: str, nprobe: int,
+                          k: int) -> DataFrame:
+    """The shared IVF serve kernel: ``lists`` = inverted-listed corpus
+    ``(centroid_id, nn_id, cvec)``, ``C`` = the centroid matrix.  Each
+    query GEMM-probes its ``nprobe`` nearest centroids, candidates come
+    from ONE equi-join on ``centroid_id`` (probe table broadcast — the
+    corpus never shuffles), exact cosine + rank window finish.  Both
+    the live :func:`ivf_topk` and the persisted-index serve path
+    :func:`ivf_topk_from_index` route here — bit-identical serving is
+    structural."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qbase = queries.select(F.col(query_id_col),
+                           _as_double(F.col("__qv_in__")).alias("qvec"))
+    qschema = T.StructType(list(qbase.schema.fields)
+                           + [T.StructField("centroid_id", T.IntegerType())])
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            scores = X @ C.T - 0.5 * (C * C).sum(1)
+            # stable sort: an exact centroid-score tie at the nprobe
+            # boundary must resolve lowest-cid-first, matching the
+            # oracle's ORDER BY score DESC, cid
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep["centroid_id"] = order.ravel().astype("int32")
+            yield rep
+
+    q = qbase.mapInPandas(probe, schema=qschema)
+    scored = (lists.join(F.broadcast(q), "centroid_id")
+              .where(F.col(query_id_col) != F.col("nn_id"))
+              .select(query_id_col, "nn_id",
+                      F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
+                       .alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              vec_col: str = "embedding", id_col: str = "vec_id",
              query_id_col: str = "query_id", k: int = 5,
@@ -384,39 +429,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         corpus.select(F.col(id_col).alias("nn_id"),
                       _as_double(F.col(vec_col)).alias("cvec")),
         "cvec", centroids)
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    qbase = queries.select(F.col(query_id_col),
-                           _as_double(F.col(vec_col)).alias("qvec"))
-    qschema = T.StructType(list(qbase.schema.fields)
-                           + [T.StructField("centroid_id", T.IntegerType())])
-
-    def probe(batches):
-        for pdf in batches:
-            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-            if not len(X):
-                continue
-            scores = X @ C.T - 0.5 * (C * C).sum(1)
-            # stable sort: an exact centroid-score tie at the nprobe
-            # boundary must resolve lowest-cid-first, matching the
-            # oracle's ORDER BY score DESC, cid
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
-            rep["centroid_id"] = order.ravel().astype("int32")
-            yield rep
-
-    q = qbase.mapInPandas(probe, schema=qschema)
-    scored = (c.join(F.broadcast(q), "centroid_id")
-              .where(F.col(query_id_col) != F.col("nn_id"))
-              .select(query_id_col, "nn_id",
-                      F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
-                       .alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
-                                                 F.col("nn_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    qin = queries.select(F.col(query_id_col),
+                         F.col(vec_col).alias("__qv_in__"))
+    return _ivf_probe_score_topk(c, qin, C, query_id_col=query_id_col,
+                                 nprobe=nprobe, k=k)
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
@@ -822,6 +838,116 @@ def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
     out = assigned.groupBy("centroid_id").applyInPandas(flags, schema)
     return out.select(F.col("__id__").alias(id_col), "centroid_id",
                       "is_kept")
+
+
+class IvfIndex:
+    """A persisted-or-persistable IVF index under the same build-once/
+    serve-refit-free contract as the BM25 and forecaster registries
+    (``models/registry.py``): two plain parquet state tables, no
+    pickle.
+
+    - ``centroids``: ``(centroid_id INT, centroid ARRAY<DOUBLE>)`` —
+      O(k·d), broadcast/collected at serve time (the same "model rides
+      the closure" contract the live path uses).
+    - ``lists``: the inverted lists — every corpus vector with its
+      assigned cell, ``(centroid_id INT, nn_id, cvec ARRAY<DOUBLE>)``,
+      PARTITIONED by ``centroid_id`` so a serve's probe set prunes
+      whole parquet partitions.
+
+    Doubles round-trip bit-exactly through parquet and assignment is
+    persisted (never recomputed), so a serve from the loaded index is
+    bit-identical to live :func:`ivf_topk` with the same centroids —
+    both route through :func:`_ivf_probe_score_topk`."""
+
+    def __init__(self, centroids: DataFrame, lists: DataFrame,
+                 id_col: str = "vec_id"):
+        self.centroids = centroids
+        self.lists = lists
+        self.id_col = id_col
+
+
+def ivf_build_index(corpus: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_centroids: int = 16,
+                    centroids=None, sample: int = 2048,
+                    two_level_assign: bool = False) -> IvfIndex:
+    """Build the IVF index ONCE: train (or inject) the coarse
+    quantizer, assign every corpus vector to its nearest centroid (one
+    GEMM map pass — ``two_level_assign`` for the clusters-∝-corpus
+    regime), and emit the two state tables.  The expensive part — the
+    full-corpus assignment — is exactly what persisting avoids
+    recomputing per query batch."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        sample=sample, id_col=id_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>")
+    lists = _assign_centroid(
+        corpus.select(F.col(id_col).alias("nn_id"),
+                      _as_double(F.col(vec_col)).alias("cvec")),
+        "cvec", centroids, two_level=two_level_assign
+    ).select("centroid_id", "nn_id", "cvec")
+    return IvfIndex(cent_df, lists, id_col)
+
+
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the index (overwrite); inverted lists partitioned by
+    ``centroid_id`` so serve-time probe filters become parquet
+    PartitionFilters."""
+    import os
+
+    index.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids"))
+    (index.lists.repartition("centroid_id").write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(os.path.join(path, "lists")))
+
+
+def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
+    """Load a persisted IVF index; nothing is scanned until a serve."""
+    import os
+
+    return IvfIndex(
+        spark.read.parquet(os.path.join(path, "centroids")),
+        spark.read.parquet(os.path.join(path, "lists")), id_col)
+
+
+def ivf_topk_from_index(index: IvfIndex, queries: DataFrame,
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id", k: int = 5,
+                        nprobe: int = 4,
+                        prune_partitions: bool = True) -> DataFrame:
+    """Serve IVF top-k from a LOADED index — no corpus rescan, no
+    re-assignment: collect the O(k·d) centroid table (the same bounded
+    driver-side footprint the live path's closure carries), GEMM-probe
+    each query's ``nprobe`` cells, optionally prune the lists scan to
+    the UNION of probed cells (a ≤ k-int filter → parquet partition
+    pruning), and score through the shared kernel.  Exchanges are
+    bounded by |queries| × nprobe list sizes, independent of corpus
+    size."""
+    import numpy as np
+
+    cent_rows = index.centroids.orderBy("centroid_id").collect()
+    C = np.array([r["centroid"] for r in cent_rows], dtype=float)
+
+    lists = index.lists
+    qin = queries.select(F.col(query_id_col),
+                         F.col(vec_col).alias("__qv_in__"))
+    if prune_partitions:
+        # the probe set comes from the SAME GEMM the distributed probe
+        # runs; queries are driver-bounded by the contract that already
+        # broadcasts them, and the filter itself is ≤ n_centroids ints
+        qpd = qin.select("__qv_in__").toPandas()
+        if len(qpd):
+            X = np.array([list(v) for v in qpd["__qv_in__"]],
+                         dtype=np.float64)
+            sc = X @ C.T - 0.5 * (C * C).sum(1)
+            order = np.argsort(-sc, axis=1, kind="stable")[:, :nprobe]
+            probed = sorted({int(c) for c in order.ravel()})
+            lists = lists.where(F.col("centroid_id").isin(probed))
+    return _ivf_probe_score_topk(lists, qin, C,
+                                 query_id_col=query_id_col,
+                                 nprobe=nprobe, k=k)
 
 
 def ivf_range_search(corpus: DataFrame, queries: DataFrame,

@@ -4451,3 +4451,36 @@ def q_bm25_incremental_topk(spark, sf_dir):
     write_bm25_index(merged, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
+
+
+from orange3_timeseries_spark.queries import ORACLE_SQL as _OS_R10  # noqa: E402
+
+
+@query("ann_ivf_registry_topk", _OS_R10["ann_ivf_served_topk"])
+def q_ann_ivf_registry_topk(spark, sf_dir):
+    """The IVF PERSISTED-INDEX path under the SAME full value-hash
+    oracle as ``ann_ivf_served_topk``: inject the deterministic
+    centroids, assign the whole corpus ONCE into inverted lists, WRITE
+    the (centroids, lists) state tables as centroid-partitioned
+    parquet, READ THEM BACK, and serve the probes from the loaded
+    lists — no corpus rescan, no re-assignment, the lists scan pruned
+    to the probed cells.  Hash-green proves the persisted assignment +
+    centroid state is sufficient and serve-time scoring is
+    bit-faithful to the live path (operators/similarity.py:
+    _ivf_probe_score_topk shared kernel) — the ANN sibling of
+    ``bm25_registry_topk``."""
+    import os
+    import tempfile
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    idx = S.ivf_build_index(e, centroids=centroids)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_ivf_{os.getpid()}")
+    S.write_ivf_index(idx, path)
+    return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
+                                 queries, k=5, nprobe=4)

@@ -389,3 +389,70 @@ class TestTwoLevelAssign:
                                    two_level_assign=True).collect()
         # k < 16 -> the two-level dial is a no-op, results identical
         assert sorted(map(tuple, flat)) == sorted(map(tuple, two))
+
+
+class TestIvfIndexRegistry:
+    def _index(self, spark, emb_df, tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_build_index,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        cents = train_ivf_centroids(emb_df, n_centroids=16,
+                                    id_col="vec_id")
+        idx = ivf_build_index(emb_df, centroids=cents)
+        path = str(tmp_path / "ivf_index")
+        write_ivf_index(idx, path)
+        return cents, read_ivf_index(spark, path)
+
+    def test_served_bit_identical_to_live(self, spark, emb_df,
+                                          tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_topk_from_index,
+        )
+
+        cents, idx = self._index(spark, emb_df, tmp_path)
+        qs = _queries(emb_df)
+        live = ivf_topk(emb_df, qs, k=5, nprobe=4, centroids=cents)
+        served = ivf_topk_from_index(idx, qs, k=5, nprobe=4)
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        lrows = [(r["query_id"], r["nn_id"], r["cosine"], r["rank"])
+                 for r in sorted(live.collect(), key=key)]
+        srows = [(r["query_id"], r["nn_id"], r["cosine"], r["rank"])
+                 for r in sorted(served.collect(), key=key)]
+        assert lrows and lrows == srows
+
+    def test_partition_prune_plan_and_equivalence(self, spark, emb_df,
+                                                  tmp_path):
+        import re
+
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_topk_from_index,
+        )
+
+        _, idx = self._index(spark, emb_df, tmp_path)
+        qs = _queries(emb_df, n=2)
+        a = ivf_topk_from_index(idx, qs, k=3, nprobe=2,
+                                prune_partitions=True)
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*centroid_id#\d+ (=|IN)", plan)
+        b = ivf_topk_from_index(idx, qs, k=3, nprobe=2,
+                                prune_partitions=False)
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+
+    def test_state_tables_shape(self, spark, emb_df, tmp_path):
+        cents, idx = self._index(spark, emb_df, tmp_path)
+        assert idx.centroids.count() == 16
+        # every corpus vector is inverted-listed exactly once
+        assert idx.lists.count() == emb_df.count()
+        cids = {r["centroid_id"] for r in
+                idx.lists.select("centroid_id").distinct().collect()}
+        assert cids <= set(range(16))
+        # centroids round-trip exactly
+        got = {r["centroid_id"]: r["centroid"]
+               for r in idx.centroids.collect()}
+        for i, c in enumerate(cents):
+            assert got[i] == [float(x) for x in c]
