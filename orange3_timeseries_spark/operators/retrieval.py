@@ -336,7 +336,8 @@ def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
 
 
 def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
-                     text_col: str = "text") -> Bm25Index:
+                     text_col: str = "text",
+                     check_disjoint: bool = True) -> Bm25Index:
     """Merge newly ingested documents into an existing index WITHOUT
     rebuilding it — the index-maintenance path a 100 TB corpus needs
     (a daily crawl drop is ~0.1% of the corpus; re-aggregating the
@@ -349,12 +350,31 @@ def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
     rebuild over the union (asserted by ``bm25_incremental_topk``'s
     oracle and tests/test_bm25.py).  Caller contract: ``new_docs`` ids
     are disjoint from the indexed ones (same contract as any append) —
-    a re-ingested id would double-count its postings.
+    a re-ingested id would double-count its postings, silently
+    inflating that doc's tf/df/stats in every subsequent serve.
+    ``check_disjoint`` (default True) enforces this LOUDLY with a
+    semi-join of the new ids into the base postings (one early-exit
+    scan of the base at merge time — the same fail-loud rule the query
+    registry's duplicate guard follows); pass False only in a pipeline
+    that already proves disjointness, e.g. via
+    ``operators/audit.py:coverage_audit``.
 
     Scale: the only corpus-sized work is over the DELTA (one explode +
-    tf aggregation); the df merge shuffles at most |vocab| skinny rows
-    and the stats merge is two one-row tables."""
+    tf aggregation) plus the optional disjointness scan; the df merge
+    shuffles at most |vocab| skinny rows and the stats merge is two
+    one-row tables."""
     id_col = base.id_col
+    if check_disjoint:
+        dup = (base.postings.select(id_col)
+               .join(new_docs.select(id_col).distinct(), id_col,
+                     "left_semi")
+               .limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"bm25_merge_index: {id_col}={dup[0][0]!r} is already "
+                "indexed — merging would double-count its postings. "
+                "Dedup the ingest (or pass check_disjoint=False if "
+                "disjointness is proven upstream).")
     n_buckets = int(base.stats.select("n_buckets").first()[0])
     delta = bm25_build_index(new_docs, text_col=text_col,
                              id_col=id_col, n_buckets=n_buckets)

@@ -360,6 +360,19 @@ def _assign_centroid(df: DataFrame, vec_col: str, centroids,
     return df.mapInPandas(assign, schema=schema)
 
 
+def _ivf_probe_order(X, C, nprobe: int):
+    """THE probe computation — one definition for the distributed
+    per-batch probe and the driver-side partition-prune set, so the
+    parquet filter can never exclude a cell the probe selects.  Stable
+    argsort: an exact centroid-score tie at the nprobe boundary must
+    resolve lowest-cid-first, matching the oracle's ORDER BY score
+    DESC, cid."""
+    import numpy as np
+
+    scores = X @ C.T - 0.5 * (C * C).sum(1)
+    return np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+
+
 def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
                           *, query_id_col: str, nprobe: int,
                           k: int) -> DataFrame:
@@ -384,11 +397,7 @@ def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
             X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
             if not len(X):
                 continue
-            scores = X @ C.T - 0.5 * (C * C).sum(1)
-            # stable sort: an exact centroid-score tie at the nprobe
-            # boundary must resolve lowest-cid-first, matching the
-            # oracle's ORDER BY score DESC, cid
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            order = _ivf_probe_order(X, C, nprobe)
             rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep
@@ -737,11 +746,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
             X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
             if not len(X):
                 continue
-            scores = X @ C.T - 0.5 * (C * C).sum(1)
-            # stable sort: an exact centroid-score tie at the nprobe
-            # boundary must resolve lowest-cid-first, matching the
-            # oracle's ORDER BY score DESC, cid
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            order = _ivf_probe_order(X, C, nprobe)
             rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep
@@ -941,8 +946,9 @@ def ivf_topk_from_index(index: IvfIndex, queries: DataFrame,
         if len(qpd):
             X = np.array([list(v) for v in qpd["__qv_in__"]],
                          dtype=np.float64)
-            sc = X @ C.T - 0.5 * (C * C).sum(1)
-            order = np.argsort(-sc, axis=1, kind="stable")[:, :nprobe]
+            # the SAME probe computation the distributed path runs
+            # (_ivf_probe_order) — the filter cannot desynchronize
+            order = _ivf_probe_order(X, C, nprobe)
             probed = sorted({int(c) for c in order.ravel()})
             lists = lists.where(F.col("centroid_id").isin(probed))
     return _ivf_probe_score_topk(lists, qin, C,

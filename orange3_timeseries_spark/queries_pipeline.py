@@ -4407,8 +4407,12 @@ def q_bm25_registry_topk(spark, sf_dir):
                   F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
                                " ").alias("text")))
     idx = bm25_build_index(d.where(F.col("source") != "src0"))
+    # path keyed by (pid, sf): re-runs overwrite (no /tmp growth per
+    # process) and a held lazy DataFrame from another SF keeps reading
+    # ITS index instead of a silently swapped one
+    tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_bm25_{os.getpid()}")
+                        f"spark_graft_bm25_{os.getpid()}_{tag}")
     write_bm25_index(idx, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
@@ -4446,8 +4450,9 @@ def q_bm25_incremental_topk(spark, sf_dir):
     base = bm25_build_index(corpus.where(F.col("doc_id") % 2 == 0))
     merged = bm25_merge_index(base,
                               corpus.where(F.col("doc_id") % 2 != 0))
+    tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_bm25_inc_{os.getpid()}")
+                        f"spark_graft_bm25_inc_{os.getpid()}_{tag}")
     write_bm25_index(merged, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
@@ -4479,8 +4484,9 @@ def q_ann_ivf_registry_topk(spark, sf_dir):
     queries = (e.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     idx = S.ivf_build_index(e, centroids=centroids)
+    tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_ivf_{os.getpid()}")
+                        f"spark_graft_ivf_{os.getpid()}_{tag}")
     S.write_ivf_index(idx, path)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
                                  queries, k=5, nprobe=4)

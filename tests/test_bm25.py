@@ -290,3 +290,19 @@ class TestBm25MergeIndex:
         assert dfs["apple"] == 3 and dfs["banana"] == 1
         st = merged.stats.first()
         assert st.n_docs == 4 and st.sum_dl == 8 and st.n_buckets == 4
+
+    def test_merge_rejects_duplicate_ids(self, spark):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_merge_index,
+        )
+
+        a = _docs(spark, [(1, "apple pie"), (2, "apple tart")])
+        again = _docs(spark, [(2, "apple tart"), (3, "new doc")])
+        base = bm25_build_index(a, n_buckets=4)
+        with pytest.raises(ValueError, match="already[ ]indexed"):
+            bm25_merge_index(base, again)
+        # explicit opt-out still merges (caller proved disjointness —
+        # or accepts the corruption)
+        merged = bm25_merge_index(base, again, check_disjoint=False)
+        assert merged.stats.first().n_docs == 4
