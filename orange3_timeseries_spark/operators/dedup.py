@@ -23,7 +23,8 @@ No Python UDFs anywhere — everything is Catalyst expressions.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import os
+from typing import NamedTuple, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -877,3 +878,184 @@ def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
 
 
 
+
+
+# ------------------------------------------------- persisted LSH dedup index
+class LshIndex(NamedTuple):
+    """A persisted-or-persistable MinHash-LSH near-duplicate index under
+    the same build-once/serve-refit-free contract as ``Bm25Index``
+    (operators/retrieval.py) and the forecaster model tables
+    (models/registry.py) — plain parquet columns, no pickle.
+
+    - ``entries``: one row per (doc, band) — ``(<id_col>, band,
+      band_key, bucket)``.  ``bucket = pmod(band_key, n_buckets)`` is
+      the parquet partition key: probing prunes whole partitions by
+      the delta's band-key buckets before the candidate join runs.
+    - ``docs``: ``(<id_col>, <text_col>)`` — kept so a probe can
+      VERIFY candidates with exact Jaccard against the indexed text
+      (the same semantics as :func:`minhash_lsh_pairs_between`); a
+      dedup-at-ingest service needs the indexed content anyway.
+
+    Band keys are integers from the same expressions the live path
+    uses, so a write→read round-trip is exact and a probe against the
+    loaded index collides on exactly the pairs a live cross-corpus run
+    would.
+    """
+
+    entries: DataFrame
+    docs: DataFrame
+    k: int = 16
+    bands: int = 4
+    n: int = 3
+    n_buckets: int = 64
+    hash_family: str = "md5"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def lsh_build_index(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 16, bands: int = 4,
+                    n: int = 3, n_buckets: int = 64,
+                    hash_family: str = "md5") -> LshIndex:
+    """Build the corpus-side LSH index ONCE: one signature pass over
+    the corpus (the only corpus-sized work — CPU-bound shingle+minhash,
+    widened scan), emitting skinny (id, band, band_key, bucket) rows.
+    Unlike the live :func:`minhash_lsh_pairs_between` there is no
+    probe-side pruning here — the index must serve ANY future ingest
+    batch — which is exactly why it pays to persist it: every probe
+    afterwards touches only the delta's buckets."""
+    entries = _band_entries(docs, text_col, id_col, k, bands, n,
+                            hash_family)
+    entries = entries.select(
+        id_col, "band", "band_key",
+        F.pmod(F.col("band_key"), F.lit(n_buckets)).cast("int")
+        .alias("bucket"))
+    return LshIndex(entries, docs.select(id_col, text_col),
+                    k, bands, n, n_buckets, hash_family, id_col,
+                    text_col)
+
+
+def write_lsh_index(index: LshIndex, path: str) -> None:
+    """Persist the index as three parquet state tables (overwrite):
+    ``entries`` partitioned by ``bucket`` (probe-time bucket filters
+    become parquet PartitionFilters), ``docs`` plain, ``params`` one
+    row recording the banding scheme so a reader probes with the SAME
+    (k, bands, n, hash family) the index was built with."""
+    (index.entries.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(path, "entries")))
+    index.docs.write.mode("overwrite").parquet(
+        os.path.join(path, "docs"))
+    spark = index.entries.sparkSession
+    params = spark.createDataFrame(
+        [(index.k, index.bands, index.n, index.n_buckets,
+          index.hash_family, index.id_col, index.text_col)],
+        "k int, bands int, n int, n_buckets int, hash_family string,"
+        " id_col string, text_col string")
+    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def read_lsh_index(spark, path: str) -> LshIndex:
+    """Load a persisted index.  Only the one-row params table is read
+    eagerly; entries/docs stay lazy until a probe runs."""
+    p = spark.read.parquet(os.path.join(path, "params")).first()
+    return LshIndex(
+        spark.read.parquet(os.path.join(path, "entries")),
+        spark.read.parquet(os.path.join(path, "docs")),
+        int(p.k), int(p.bands), int(p.n), int(p.n_buckets),
+        p.hash_family, p.id_col, p.text_col)
+
+
+def lsh_probe_index(index: LshIndex, new_docs: DataFrame, *,
+                    threshold: float = 0.2,
+                    prune_buckets: bool = True) -> DataFrame:
+    """Probe an ingest batch against a LOADED index — the
+    dedup-at-ingest serve path: no corpus re-signature, no corpus
+    rescan beyond the probed buckets.  Returns ``(id_new, id_index,
+    jaccard)`` for verified near-duplicate pairs (``id_new`` from
+    ``new_docs``, ``id_index`` from the indexed corpus, exact text
+    Jaccard >= threshold — identical semantics to
+    :func:`minhash_lsh_pairs_between`).
+
+    Plan: the delta's band entries are computed live (one signature
+    pass over the DELTA only); with ``prune_buckets`` their distinct
+    buckets — a bounded collect of <= |delta| * bands ints, small by
+    the same ingest-batch contract that lets the delta broadcast —
+    filter the entries scan down to the touched parquet partitions
+    (a second signature pass over the delta; deltas are small by
+    contract, the corpus-side saving dominates).  The candidate join
+    broadcasts the delta entries; texts are re-attached only for
+    colliding candidates, so the verify cost is candidates, not
+    corpus.  Caller contract: ``new_docs`` ids are disjoint from the
+    indexed ones (an overlapping id would self-pair; see
+    :func:`lsh_merge_index`'s guard)."""
+    id_col, text_col = index.id_col, index.text_col
+    delta = new_docs.select(id_col, text_col)
+    eb = _band_entries(delta, text_col, id_col, index.k, index.bands,
+                       index.n, index.hash_family)
+    entries = index.entries
+    if prune_buckets:
+        bks = [r[0] for r in
+               eb.select(F.pmod(F.col("band_key"),
+                                F.lit(index.n_buckets)).cast("int")
+                         .alias("b")).distinct().collect()]
+        entries = entries.where(F.col("bucket").isin(bks))
+    a = entries.alias("a")
+    b = eb.alias("b")
+    cand = (a.join(F.broadcast(b),
+                   [F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_key") == F.col("b.band_key")])
+            .select(F.col(f"b.{id_col}").alias("id_new"),
+                    F.col(f"a.{id_col}").alias("id_index"))
+            .dropDuplicates(["id_new", "id_index"]))
+    tn = delta.select(F.col(id_col).alias("id_new"),
+                      F.col(text_col).alias("__t_n__"))
+    ti = index.docs.select(F.col(id_col).alias("id_index"),
+                           F.col(text_col).alias("__t_i__"))
+    verified = (cand.join(F.broadcast(tn), "id_new").join(ti, "id_index")
+                .withColumn("sh_n", shingles_expr(F.col("__t_n__"),
+                                                  index.n))
+                .withColumn("sh_i", shingles_expr(F.col("__t_i__"),
+                                                  index.n)))
+    return (verified.select("id_new", "id_index",
+                            jaccard_expr(F.col("sh_n"), F.col("sh_i"))
+                            .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def lsh_merge_index(base: LshIndex, new_docs: DataFrame, *,
+                    check_disjoint: bool = True) -> LshIndex:
+    """Fold an ingested batch INTO the index without rebuilding it —
+    the maintenance path of a dedup-at-ingest service (probe first,
+    then merge the survivors).  Band entries are per-doc independent,
+    so a merge is exactly a delta signature pass + append: merged
+    state == rebuilt state row-for-row.  Caller contract: ``new_docs``
+    ids are disjoint from the indexed ones — a re-ingested id would
+    duplicate its entries and self-pair on every later probe.
+    ``check_disjoint`` (default True) enforces this LOUDLY with a
+    semi-join of the new ids into the indexed docs (one early-exit
+    scan at merge time, the same fail-loud rule as
+    ``bm25_merge_index``)."""
+    id_col, text_col = base.id_col, base.text_col
+    if check_disjoint:
+        dup = (base.docs.select(id_col)
+               .join(new_docs.select(id_col).distinct(), id_col,
+                     "left_semi")
+               .limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"lsh_merge_index: {id_col}={dup[0][0]!r} is already "
+                "indexed — merging would duplicate its band entries "
+                "and self-pair on every later probe. Dedup the ingest "
+                "(or pass check_disjoint=False if disjointness is "
+                "proven upstream).")
+    delta = lsh_build_index(new_docs, text_col=text_col, id_col=id_col,
+                            k=base.k, bands=base.bands, n=base.n,
+                            n_buckets=base.n_buckets,
+                            hash_family=base.hash_family)
+    return LshIndex(
+        base.entries.select(id_col, "band", "band_key", "bucket")
+        .unionByName(delta.entries.select(id_col, "band", "band_key",
+                                          "bucket")),
+        base.docs.unionByName(delta.docs),
+        base.k, base.bands, base.n, base.n_buckets, base.hash_family,
+        id_col, text_col)

@@ -4490,3 +4490,73 @@ def q_ann_ivf_registry_topk(spark, sf_dir):
     S.write_ivf_index(idx, path)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
                                  queries, k=5, nprobe=4)
+
+
+def _lsh_probe_sql(k=16, bands=4, threshold=0.2):
+    """The ``_crosscorpus_sql`` replay with the registry split: index =
+    doc_id % 10 <= 8 (built on <= 6, merged 7-8), probe batch =
+    doc_id % 10 = 9.  Banding, signatures and the exact-Jaccard verify
+    replay the identical portable-hash pipeline, so a hash match proves
+    the persisted band entries collide on exactly the pairs a live
+    cross-corpus run finds."""
+    rpb = k // bands
+    band_keys = ", ".join(
+        _PH.format(e="(" + " || ',' || ".join(
+            f"m{b * rpb + r}::VARCHAR" for r in range(rpb)) + ")")
+        + f" AS bk{b}" for b in range(bands))
+    return f"""{_minhash_sig_sql(k)},
+bk AS (SELECT doc_id, {band_keys} FROM sig),
+entries AS (
+  SELECT doc_id, u.band, u.key FROM bk,
+  LATERAL (SELECT * FROM (VALUES {", ".join(f"({b}, bk{b})" for b in range(bands))})
+           AS v(band, key)) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_index
+  FROM entries a JOIN entries b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <= 8)
+SELECT id_new, id_index,
+       round(len(list_intersect(x.s, y.s))::DOUBLE
+             / nullif(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 0),
+             6) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = id_new
+JOIN sh y ON y.doc_id = id_index
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / nullif(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 0)
+      >= {threshold}
+"""
+
+
+@query("dedup_lsh_registry_probe", _lsh_probe_sql())
+def q_dedup_lsh_registry_probe(spark, sf_dir):
+    """The DEDUP-AT-INGEST serve path under a full replay oracle:
+    build the MinHash-LSH band index over 70% of the corpus
+    (doc_id % 10 <= 6), MERGE two more deciles in as incremental
+    ingests (band entries are per-doc independent, so merged state ==
+    rebuilt state row-for-row), WRITE the (entries, docs, params)
+    state tables as bucket-partitioned parquet, READ THEM BACK, and
+    probe the final decile against the loaded index — no corpus
+    re-signature, the entries scan pruned to the probe's band-key
+    buckets, exact-Jaccard verification only on colliding candidates
+    (operators/dedup.py:lsh_probe_index).  Hash-green proves the
+    persisted band entries + indexed text are sufficient state and the
+    probe collides on exactly the pairs the live
+    ``minhash_lsh_pairs_between`` run finds — the dedup sibling of
+    ``bm25_registry_topk`` / ``ann_ivf_registry_topk``."""
+    import os
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents")
+    dec = F.col("doc_id") % 10
+    idx = D.lsh_build_index(d.where(dec <= 6))
+    idx = D.lsh_merge_index(idx, d.where(dec == 7))
+    idx = D.lsh_merge_index(idx, d.where(dec == 8))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_lsh_{os.getpid()}_{tag}")
+    D.write_lsh_index(idx, path)
+    out = D.lsh_probe_index(D.read_lsh_index(spark, path),
+                            d.where(dec == 9), threshold=0.2)
+    return out.select("id_new", "id_index", r6(F.col("jaccard"),
+                                               "jaccard"))
