@@ -3427,3 +3427,49 @@ def q_hurst_rs_scales_by_user(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return hurst_rs(ev, "ts", "value", ["user_id"],
                     tie_cols=("event_id",))
+
+
+@query("reconcile_forecasts_by_user", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(round(value * 100)::BIGINT) AS u
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+b AS (SELECT max(day) AS mx FROM daily),
+grid AS (SELECT user_id, h
+         FROM (SELECT DISTINCT user_id FROM daily)
+         CROSS JOIN (SELECT unnest(range(1, 8))::INT AS h)),
+bu AS (SELECT user_id, (datediff('day', mx, day) + 7)::INT AS h, u
+       FROM daily, b WHERE day > mx - INTERVAL 7 DAY),
+tot AS (SELECT h, sum(u)::BIGINT AS t FROM bu GROUP BY h),
+w AS (SELECT user_id, sum(u)::BIGINT AS w28 FROM daily, b
+      WHERE day > mx - INTERVAL 28 DAY GROUP BY user_id),
+tw AS (SELECT sum(u)::BIGINT AS t28 FROM daily, b
+       WHERE day > mx - INTERVAL 28 DAY)
+SELECT g.user_id, g.h,
+       coalesce(bu.u, 0)::DOUBLE / 100.0 AS bu_fc,
+       round((coalesce(tot.t, 0) * coalesce(w.w28, 0))::DOUBLE
+             / nullif(t28, 0) / 100.0, 6) AS td_fc
+FROM grid g
+LEFT JOIN bu ON bu.user_id = g.user_id AND bu.h = g.h
+LEFT JOIN tot ON tot.h = g.h
+LEFT JOIN w ON w.user_id = g.user_id
+CROSS JOIN tw
+""")
+def q_reconcile_forecasts_by_user(spark, sf_dir):
+    """Hierarchical forecast reconciliation over the user hierarchy
+    (operators/reconcile.py): per-user seasonal-naive bottom-up base
+    forecasts (exact integer units) next to the proportional top-down
+    split of the aggregate forecast by trailing-28-day share —
+    integer-domain product, one float division, association shared
+    with the oracle verbatim.  One corpus-sized daily rollup; every
+    later table is users × 7.  Beyond-reference: the reference
+    forecasts series independently (orange3-timeseries models.py);
+    coherence across the hierarchy is the property a distributed
+    rollup pipeline actually consumes."""
+    from orange3_timeseries_spark.operators.reconcile import (
+        reconcile_forecasts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return reconcile_forecasts(ev, "ts", "user_id", "value",
+                               horizon=7, season=7, share_window=28)
