@@ -247,3 +247,74 @@ def ensemble_forecast(df: DataFrame, value_col: str, order_col: str,
                       "__e__.fc_drift", "__e__.fc_snaive",
                       "__e__.w_naive", "__e__.w_drift",
                       "__e__.w_snaive", "__e__.fc_ensemble")
+
+
+def naive_mase(df: DataFrame, time_col: str, key_col: str,
+               value_col: str, *, test_len: int = 5, min_obs: int = 10,
+               value_dp: int = 2) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) of the naive forecaster over each
+    series' daily rollup: hold out the last ``test_len`` observed days,
+    forecast them all with the last train value, and scale the test MAE
+    by the train one-step naive MAE — the scale-free error metric the
+    reference's metric set (rmse/mae/mape/pocid; functions.py:495-582)
+    lacks, and the one that stays comparable across series of different
+    magnitude, which is what a fleet-wide forecast scorecard needs.
+
+    Exactness: daily totals are BIGINT units (``round(value·10^dp)``
+    sums), both absolute-error sums stay BIGINT, and
+    ``mase = (Σ|e_test| · (m−1)) / (test_len · Σ|Δ_train|)`` is an
+    integer-domain product with ONE float division — order-free, so
+    any engine computes the identical double.  NULL when the train
+    diffs are all zero (flat series has no naive scale).  int64
+    budget: ``Σ|e_test| · (m−1) < 2^63`` — test_len·max-daily-units ×
+    series-days, ~1e13 at 1e7-unit days and 30-year series.
+
+    Returns one row per series with >= ``min_obs`` observed days:
+    ``(key, n_days, mae, naive_scale, mase)``; ``mae`` and
+    ``naive_scale`` are exact unit sums over single divisions.
+
+    Plan: one corpus-sized map-side-combining rollup, then two window
+    passes and one aggregate over daily rows, all partitioned by the
+    series key — no joins, no second corpus scan.
+    """
+    from pyspark.sql import Window
+
+    scale = 10 ** value_dp
+    day = F.date_trunc("day", F.col(time_col))
+    daily = (df.where(F.col(value_col).isNotNull())
+             .groupBy(F.col(key_col), day.alias("__day__"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * scale).cast("long")).alias("__u__")))
+    w = Window.partitionBy(key_col).orderBy("__day__")
+    wp = Window.partitionBy(key_col)
+    rows = (daily
+            .withColumn("__rn__", F.row_number().over(w))
+            .withColumn("__n__", F.count(F.lit(1)).over(wp))
+            .withColumn("__lag__", F.lag("__u__").over(w)))
+    rows = rows.withColumn(
+        "__anchor__",
+        F.max(F.when(F.col("__rn__") == F.col("__n__") - test_len,
+                     F.col("__u__"))).over(wp))
+    is_test = F.col("__rn__") > F.col("__n__") - test_len
+    is_train_diff = (F.col("__rn__") >= 2) & ~is_test
+    g = (rows.where(F.col("__n__") >= min_obs)
+         .groupBy(key_col)
+         .agg(F.max("__n__").alias("n_days"),
+              F.sum(F.when(is_test,
+                           F.abs(F.col("__u__") - F.col("__anchor__"))))
+              .cast("long").alias("__se__"),
+              F.sum(F.when(is_train_diff,
+                           F.abs(F.col("__u__") - F.col("__lag__"))))
+              .cast("long").alias("__sd__"),
+              F.sum(is_train_diff.cast("long")).cast("long")
+              .alias("__md__")))
+    return g.select(
+        key_col, "n_days",
+        (F.col("__se__").cast("double") / F.lit(float(test_len))
+         / F.lit(float(scale))).alias("mae"),
+        F.round(F.col("__sd__").cast("double")
+                / F.nullif(F.col("__md__"), F.lit(0)).cast("double")
+                / F.lit(float(scale)), 6).alias("naive_scale"),
+        F.round((F.col("__se__") * F.col("__md__")).cast("double")
+                / F.nullif(F.lit(test_len) * F.col("__sd__"),
+                           F.lit(0)).cast("double"), 6).alias("mase"))

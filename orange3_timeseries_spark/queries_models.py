@@ -1996,3 +1996,50 @@ def q_garch_grid_by_user(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return garch_grid(ev, "ts", "value", ["user_id"])
+
+
+@query("mase_naive_by_user", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(round(value * 100)::BIGINT) AS u
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+r0 AS (
+  SELECT user_id, u,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(u) OVER (PARTITION BY user_id ORDER BY day) AS lu
+  FROM daily),
+r AS (
+  SELECT *, max(CASE WHEN rn = n - 5 THEN u END)
+                OVER (PARTITION BY user_id) AS anchor
+  FROM r0),
+g AS (
+  SELECT user_id, max(n)::BIGINT AS n_days,
+         sum(CASE WHEN rn > n - 5 THEN abs(u - anchor) END)::BIGINT
+             AS se,
+         sum(CASE WHEN rn >= 2 AND rn <= n - 5 THEN abs(u - lu)
+             END)::BIGINT AS sd,
+         sum(CASE WHEN rn >= 2 AND rn <= n - 5 THEN 1 END)::BIGINT
+             AS md
+  FROM r WHERE n >= 10 GROUP BY user_id)
+SELECT user_id, n_days,
+       se::DOUBLE / 5.0 / 100.0 AS mae,
+       round(sd::DOUBLE / nullif(md, 0)::DOUBLE / 100.0, 6)
+           AS naive_scale,
+       round((se * md)::DOUBLE / nullif(5 * sd, 0)::DOUBLE, 6) AS mase
+FROM g
+""")
+def q_mase_naive_by_user(spark, sf_dir):
+    """MASE of the naive forecaster per user over the daily rollup
+    (operators/backtest.py:naive_mase): last-5-observed-days holdout
+    scored against the train one-step naive MAE — the scale-free
+    companion to ``model_eval_by_user``'s rmse/mae/mape/pocid
+    (functions.py:495-582), comparable across series of different
+    magnitude.  Both error sums are exact BIGINT unit sums; mase is an
+    integer-domain product with one float division, so the oracle
+    replays it bit-for-bit."""
+    from orange3_timeseries_spark.operators.backtest import naive_mase
+
+    ev = read_table(spark, sf_dir, "events")
+    return naive_mase(ev, "ts", "user_id", "value",
+                      test_len=5, min_obs=10)
