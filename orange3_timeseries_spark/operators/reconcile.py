@@ -69,6 +69,13 @@ def reconcile_forecasts(df: DataFrame, time_col: str, key_col: str,
              .groupBy(F.col(key_col), day.alias("__day__"))
              .agg(F.sum(F.round(F.col(value_col).cast("double")
                                 * scale).cast("long")).alias("__u__")))
+    # the rollup feeds SIX consumers (anchor, grid, base forecasts,
+    # aggregate, share numerator/denominator); without pinning, each
+    # branch re-scans the corpus and re-runs the rollup (column pruning
+    # defeats ReusedExchange).  It is keys × days — skinny — so a
+    # localCheckpoint turns 6 corpus scans into 1 (house pattern, cf.
+    # operators/drift.py:54).
+    daily = daily.localCheckpoint()
     mx = daily.agg(F.max("__day__").alias("__mx__"))
     d = daily.join(F.broadcast(mx))
     hs = F.explode(F.array(*[F.lit(h) for h in range(1, horizon + 1)]))
