@@ -595,14 +595,26 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
     shuffle is the skinny (query_id, nn_id, approx) top-k window.  Ranks
     order by the ROUNDED distance (6 dp) then id so engine-order ties
     are deterministic."""
+    codes = pq_encode(
+        corpus.select(F.col(id_col).alias("nn_id"), vec_col),
+        codebooks, vec_col=vec_col, id_col="nn_id")
+    return _pq_adc_topk(codes, queries, codebooks, k=k,
+                        vec_col=vec_col, query_id_col=query_id_col)
+
+
+def _pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks,
+                 k: int = 5, vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """The shared ADC scoring kernel over an (nn_id, pq_code) codes
+    table — both the live :func:`pq_topk` (encode-then-score) and the
+    persisted-index serve path (:func:`pq_topk_from_index`, LOADED
+    codes) route through it, so their scores are bit-identical by
+    construction."""
     import functools
     import operator
 
     M = len(codebooks)
     ds = len(codebooks[0][0])
-    codes = pq_encode(
-        corpus.select(F.col(id_col).alias("nn_id"), vec_col),
-        codebooks, vec_col=vec_col, id_col="nn_id")
     luts = queries.select(
         F.col(query_id_col),
         *[_dists_to_codebook(F.col(vec_col), m * ds, ds, cb)
@@ -1412,3 +1424,89 @@ def _jl_project_gemm(df: DataFrame, vec_col: str, id_cols: list,
 
     return narrow.mapInPandas(gemm, schema=out_schema)
 
+
+
+class PqIndex:
+    """A persisted-or-persistable product-quantization index under the
+    same build-once/serve-refit-free contract as :class:`IvfIndex`:
+    two plain parquet state tables, no pickle.
+
+    - ``codes``: every corpus vector's PQ code — ``(nn_id,
+      pq_code ARRAY<INT>)``, M small ints instead of d floats (the
+      memory-compression half of billion-vector serving; the expensive
+      mapInPandas encode runs ONCE at build time).
+    - ``codebooks``: the M×K subspace centroids in long form —
+      ``(m INT, j INT, centroid ARRAY<DOUBLE>)`` — O(M·K·d/M),
+      collected at serve time (the same "model rides the closure"
+      contract the live path uses).
+
+    Codes are exact integers and centroid doubles round-trip
+    bit-exactly through parquet, so a serve from the loaded index is
+    bit-identical to live :func:`pq_topk` with the same codebooks —
+    both route through :func:`_pq_adc_topk`."""
+
+    def __init__(self, codes: DataFrame, codebooks,
+                 id_col: str = "vec_id"):
+        self.codes = codes
+        self.codebooks = codebooks
+        self.id_col = id_col
+
+
+def pq_build_index(corpus: DataFrame, codebooks=None,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_subspaces: int = 8, n_centroids: int = 16,
+                   sample: int = 2048) -> PqIndex:
+    """Build the PQ index ONCE: train (or inject) the codebooks and
+    run the Arrow-batched encode over the whole corpus — the one
+    corpus-sized pass persisting avoids repeating per query batch."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col, n_subspaces,
+                                       n_centroids, sample=sample)
+    codes = pq_encode(
+        corpus.select(F.col(id_col).alias("nn_id"), vec_col),
+        codebooks, vec_col=vec_col, id_col="nn_id")
+    return PqIndex(codes, codebooks, id_col)
+
+
+def write_pq_index(index: PqIndex, path: str) -> None:
+    """Persist the index (overwrite): codes as skinny parquet, the
+    codebooks exploded to (m, j, centroid) rows."""
+    import os
+
+    index.codes.write.mode("overwrite").parquet(
+        os.path.join(path, "codes"))
+    spark = index.codes.sparkSession
+    rows = [(int(m), int(j), [float(x) for x in c])
+            for m, cb in enumerate(index.codebooks)
+            for j, c in enumerate(cb)]
+    spark.createDataFrame(
+        rows, "m int, j int, centroid array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
+    """Load a persisted PQ index.  Only the O(M·K) codebook table is
+    collected eagerly (the serve-time LUTs need it driver-side, the
+    same bounded footprint the live path carries); codes stay lazy."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), {})[int(r["j"])] = \
+            [float(x) for x in r["centroid"]]
+    codebooks = [[by_m[m][j] for j in sorted(by_m[m])]
+                 for m in sorted(by_m)]
+    return PqIndex(spark.read.parquet(os.path.join(path, "codes")),
+                   codebooks, id_col)
+
+
+def pq_topk_from_index(index: PqIndex, queries: DataFrame, k: int = 5,
+                       vec_col: str = "embedding",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """Serve ADC top-k from a LOADED index — no corpus rescan, no
+    re-encode: the scan reads M ints per vector, each query broadcasts
+    its M×K lookup table, and scoring is M ``element_at`` lookups per
+    (query, vector) through the shared :func:`_pq_adc_topk` kernel."""
+    return _pq_adc_topk(index.codes, queries, index.codebooks, k=k,
+                        vec_col=vec_col, query_id_col=query_id_col)

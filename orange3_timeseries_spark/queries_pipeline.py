@@ -4560,3 +4560,36 @@ def q_dedup_lsh_registry_probe(spark, sf_dir):
                             d.where(dec == 9), threshold=0.2)
     return out.select("id_new", "id_index", r6(F.col("jaccard"),
                                                "jaccard"))
+
+
+@query("ann_pq_registry_topk", _OS_R10["ann_pq_topk"])
+def q_ann_pq_registry_topk(spark, sf_dir):
+    """The PQ PERSISTED-INDEX path under the SAME full value-hash
+    oracle as ``ann_pq_topk``: inject the deterministic codebooks,
+    encode the whole corpus ONCE (the Arrow-batched mapInPandas pass),
+    WRITE the (codes, codebooks) state tables, READ THEM BACK, and
+    serve the ADC top-5 from the loaded codes — no corpus rescan, no
+    re-encode, the serve scan reads 8 ints per vector instead of 64
+    floats.  Hash-green proves the persisted codes + codebooks are
+    sufficient state and serve-time ADC is bit-faithful to the live
+    path (operators/similarity.py:_pq_adc_topk shared kernel) —
+    completing the ANN serving matrix alongside
+    ``ann_ivf_registry_topk``."""
+    import os
+    import tempfile
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    M, ds = 8, 8
+    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+              for r in cent_rows] for m in range(M)]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    idx = S.pq_build_index(e, codebooks=books)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_pq_{os.getpid()}_{tag}")
+    S.write_pq_index(idx, path)
+    return S.pq_topk_from_index(S.read_pq_index(spark, path),
+                                queries, k=5)

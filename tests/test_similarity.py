@@ -456,3 +456,67 @@ class TestIvfIndexRegistry:
                for r in idx.centroids.collect()}
         for i, c in enumerate(cents):
             assert got[i] == [float(x) for x in c]
+
+
+class TestPqIndexRegistry:
+    def _books(self, emb_df, M=4, ds=4):
+        rows = (emb_df.where(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect())
+        return [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+                 for r in rows] for m in range(M)]
+
+    def _index(self, spark, emb_df, tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_build_index,
+            read_pq_index,
+            write_pq_index,
+        )
+
+        books = self._books(emb_df)
+        idx = pq_build_index(emb_df, codebooks=books)
+        path = str(tmp_path / "pq_index")
+        write_pq_index(idx, path)
+        return books, read_pq_index(spark, path)
+
+    def test_served_bit_identical_to_live(self, spark, emb_df,
+                                          tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_topk, pq_topk_from_index,
+        )
+
+        books, idx = self._index(spark, emb_df, tmp_path)
+        qs = _queries(emb_df)
+        live = pq_topk(emb_df, qs, books, k=5)
+        served = pq_topk_from_index(idx, qs, k=5)
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        lrows = sorted(map(tuple, live.collect()), key=lambda t: t[:2])
+        srows = sorted(map(tuple, served.collect()),
+                       key=lambda t: t[:2])
+        assert lrows and lrows == srows
+
+    def test_codebooks_round_trip_exactly(self, spark, emb_df,
+                                          tmp_path):
+        books, idx = self._index(spark, emb_df, tmp_path)
+        assert idx.codebooks == books
+
+    def test_serve_plan_reads_codes_only(self, spark, emb_df,
+                                         tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_topk_from_index,
+        )
+
+        _, idx = self._index(spark, emb_df, tmp_path)
+        served = pq_topk_from_index(idx, _queries(emb_df, n=2), k=3)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # ONE parquet scan (the codes table); no corpus embeddings, no
+        # mapInPandas re-encode in the serve plan
+        assert plan.count("FileScan parquet") == 1, plan[:2000]
+        assert "MapInPandas" not in plan
+        assert "embedding" not in plan.split("FileScan")[1][:500]
+
+    def test_codes_state_shape(self, spark, emb_df, tmp_path):
+        _, idx = self._index(spark, emb_df, tmp_path)
+        rows = idx.codes.collect()
+        assert len(rows) == emb_df.count()
+        assert all(len(r["pq_code"]) == 4 for r in rows)
+        assert all(0 <= c < 8 for r in rows for c in r["pq_code"])
