@@ -1510,3 +1510,69 @@ def pq_topk_from_index(index: PqIndex, queries: DataFrame, k: int = 5,
     (query, vector) through the shared :func:`_pq_adc_topk` kernel."""
     return _pq_adc_topk(index.codes, queries, index.codebooks, k=k,
                         vec_col=vec_col, query_id_col=query_id_col)
+
+
+def ivf_merge_index(base: IvfIndex, new_vectors: DataFrame,
+                    vec_col: str = "embedding", *,
+                    check_disjoint: bool = True,
+                    two_level_assign: bool = False) -> IvfIndex:
+    """Fold newly ingested vectors INTO an IVF index without
+    re-assigning the existing lists: assignment depends only on the
+    (frozen) centroids, so the merge is exactly one delta assignment
+    pass + append — merged state == rebuilt state row-for-row, and a
+    serve from the merged index is bit-identical to a rebuild over the
+    union.  Caller contract: ``new_vectors`` ids are disjoint from the
+    indexed ones (``check_disjoint`` enforces it LOUDLY, same rule as
+    ``bm25_merge_index`` / ``lsh_merge_index``).  Note the centroids
+    are NOT retrained — the standard serving trade-off; retrain +
+    rebuild when drift accumulates."""
+    id_col = base.id_col
+    if check_disjoint:
+        dup = (base.lists.select(F.col("nn_id").alias(id_col))
+               .join(new_vectors.select(id_col).distinct(), id_col,
+                     "left_semi")
+               .limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"ivf_merge_index: {id_col}={dup[0][0]!r} is already "
+                "indexed — merging would duplicate its list entry. "
+                "Dedup the ingest (or pass check_disjoint=False if "
+                "disjointness is proven upstream).")
+    cent_rows = base.centroids.orderBy("centroid_id").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    delta = _assign_centroid(
+        new_vectors.select(F.col(id_col).alias("nn_id"),
+                           _as_double(F.col(vec_col)).alias("cvec")),
+        "cvec", centroids, two_level=two_level_assign
+    ).select("centroid_id", "nn_id", "cvec")
+    return IvfIndex(base.centroids,
+                    base.lists.select("centroid_id", "nn_id", "cvec")
+                    .unionByName(delta), id_col)
+
+
+def pq_merge_index(base: PqIndex, new_vectors: DataFrame,
+                   vec_col: str = "embedding", *,
+                   check_disjoint: bool = True) -> PqIndex:
+    """Fold newly ingested vectors INTO a PQ index without re-encoding
+    the corpus: codes depend only on the (frozen) codebooks, so the
+    merge is one delta encode pass + append — merged state == rebuilt
+    state row-for-row.  Same disjoint-ids contract and loud guard as
+    the other index families; codebooks are NOT retrained."""
+    id_col = base.id_col
+    if check_disjoint:
+        dup = (base.codes.select(F.col("nn_id").alias(id_col))
+               .join(new_vectors.select(id_col).distinct(), id_col,
+                     "left_semi")
+               .limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"pq_merge_index: {id_col}={dup[0][0]!r} is already "
+                "indexed — merging would duplicate its code row. "
+                "Dedup the ingest (or pass check_disjoint=False if "
+                "disjointness is proven upstream).")
+    delta = pq_encode(
+        new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
+        base.codebooks, vec_col=vec_col, id_col="nn_id")
+    return PqIndex(base.codes.select("nn_id", "pq_code")
+                   .unionByName(delta.select("nn_id", "pq_code")),
+                   base.codebooks, id_col)

@@ -4593,3 +4593,63 @@ def q_ann_pq_registry_topk(spark, sf_dir):
     S.write_pq_index(idx, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
                                 queries, k=5)
+
+
+@query("ann_ivf_incremental_topk", _OS_R10["ann_ivf_served_topk"])
+def q_ann_ivf_incremental_topk(spark, sf_dir):
+    """IVF index MAINTENANCE under the same full value-hash oracle:
+    build the inverted lists over half the corpus (even vec_id), MERGE
+    the other half in as an incremental ingest (assignment depends
+    only on the frozen centroids, so the merge is one delta assignment
+    pass + append — operators/similarity.py:ivf_merge_index), persist,
+    read back, and serve.  Hash-equal to the live one-shot query
+    proves merged state == rebuilt state exactly — the
+    vector-ingest sibling of ``bm25_incremental_topk``."""
+    import os
+    import tempfile
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    base = S.ivf_build_index(e.where(F.col("vec_id") % 2 == 0),
+                             centroids=centroids)
+    merged = S.ivf_merge_index(base, e.where(F.col("vec_id") % 2 != 0))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_ivf_inc_{os.getpid()}_{tag}")
+    S.write_ivf_index(merged, path)
+    return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
+                                 queries, k=5, nprobe=4)
+
+
+@query("ann_pq_incremental_topk", _OS_R10["ann_pq_topk"])
+def q_ann_pq_incremental_topk(spark, sf_dir):
+    """PQ index MAINTENANCE under the same full value-hash oracle:
+    encode half the corpus (even vec_id), MERGE the other half in
+    (codes depend only on the frozen codebooks — one delta encode pass
+    + append; operators/similarity.py:pq_merge_index), persist, read
+    back, and serve ADC top-5.  Hash-equal to the live one-shot query
+    proves merged state == rebuilt state exactly."""
+    import os
+    import tempfile
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+                 .select("embedding").collect())
+    M, ds = 8, 8
+    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+              for r in cent_rows] for m in range(M)]
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    base = S.pq_build_index(e.where(F.col("vec_id") % 2 == 0),
+                            codebooks=books)
+    merged = S.pq_merge_index(base, e.where(F.col("vec_id") % 2 != 0))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_pq_inc_{os.getpid()}_{tag}")
+    S.write_pq_index(merged, path)
+    return S.pq_topk_from_index(S.read_pq_index(spark, path),
+                                queries, k=5)

@@ -520,3 +520,78 @@ class TestPqIndexRegistry:
         assert len(rows) == emb_df.count()
         assert all(len(r["pq_code"]) == 4 for r in rows)
         assert all(0 <= c < 8 for r in rows for c in r["pq_code"])
+
+
+class TestAnnIndexMerge:
+    def test_ivf_merge_equals_rebuild(self, spark, emb_df, tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_build_index, ivf_merge_index, ivf_topk_from_index,
+        )
+
+        cents = train_ivf_centroids(emb_df, n_centroids=16,
+                                    id_col="vec_id")
+        half_a = emb_df.where("vec_id % 2 = 0")
+        half_b = emb_df.where("vec_id % 2 = 1")
+        merged = ivf_merge_index(ivf_build_index(half_a,
+                                                 centroids=cents),
+                                 half_b)
+        rebuilt = ivf_build_index(emb_df, centroids=cents)
+        ml = sorted((r["centroid_id"], r["nn_id"])
+                    for r in merged.lists.collect())
+        rl = sorted((r["centroid_id"], r["nn_id"])
+                    for r in rebuilt.lists.collect())
+        assert ml == rl
+        qs = _queries(emb_df, n=4)
+        a = ivf_topk_from_index(merged, qs, k=3, nprobe=4)
+        b = ivf_topk_from_index(rebuilt, qs, k=3, nprobe=4)
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+
+    def test_ivf_merge_rejects_duplicate_ids(self, spark, emb_df):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_build_index, ivf_merge_index,
+        )
+
+        cents = train_ivf_centroids(emb_df, n_centroids=16,
+                                    id_col="vec_id")
+        idx = ivf_build_index(emb_df, centroids=cents)
+        with pytest.raises(ValueError, match="already indexed"):
+            ivf_merge_index(idx, emb_df.where("vec_id = 3"))
+
+    def test_pq_merge_equals_rebuild(self, spark, emb_df):
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_build_index, pq_merge_index, pq_topk_from_index,
+        )
+
+        rows = (emb_df.where(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect())
+        books = [[[float(x) for x in r.embedding[m * 4:(m + 1) * 4]]
+                  for r in rows] for m in range(4)]
+        merged = pq_merge_index(
+            pq_build_index(emb_df.where("vec_id % 2 = 0"),
+                           codebooks=books),
+            emb_df.where("vec_id % 2 = 1"))
+        rebuilt = pq_build_index(emb_df, codebooks=books)
+        mc = sorted((r["nn_id"], tuple(r["pq_code"]))
+                    for r in merged.codes.collect())
+        rc = sorted((r["nn_id"], tuple(r["pq_code"]))
+                    for r in rebuilt.codes.collect())
+        assert mc == rc
+        qs = _queries(emb_df, n=4)
+        a = pq_topk_from_index(merged, qs, k=3)
+        b = pq_topk_from_index(rebuilt, qs, k=3)
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+
+    def test_pq_merge_rejects_duplicate_ids(self, spark, emb_df):
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_build_index, pq_merge_index,
+        )
+
+        rows = (emb_df.where(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect())
+        books = [[[float(x) for x in r.embedding[m * 4:(m + 1) * 4]]
+                  for r in rows] for m in range(4)]
+        idx = pq_build_index(emb_df, codebooks=books)
+        with pytest.raises(ValueError, match="already indexed"):
+            pq_merge_index(idx, emb_df.where("vec_id = 3"))
