@@ -120,3 +120,26 @@ def coverage_audit(left: DataFrame, right: DataFrame,
                 side(labels[0], "lr", "lnull", "lk", "lmr", "lmk"),
                 side(labels[1], "rr", "rnull", "rk", "rmr", "rmk")))
             .alias("__s__")).select("__s__.*"))
+
+
+def check_disjoint_ids(indexed_ids: DataFrame, new_rows: DataFrame,
+                       id_col: str, fn: str, consequence: str) -> None:
+    """The shared fail-loud guard every persisted-index merge uses
+    (BM25 / LSH / IVF / PQ): one early-exit semi-join of the ingest ids
+    into the indexed ids; raises ``ValueError`` naming the colliding id
+    and the merge-specific consequence.  ``indexed_ids`` may carry the
+    id under any column name — pass ``.select(F.col(...).alias(id_col))``
+    if needed."""
+    dup = (indexed_ids.select(id_col)
+           .join(new_rows.select(id_col).distinct(), id_col,
+                 "left_semi")
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"{fn}: {id_col}={dup[0][0]!r} is already indexed — "
+            f"merging would {consequence}. Dedup the ingest (or pass "
+            "check_disjoint=False if disjointness is proven "
+            "upstream).")
+
+
+__all__.append("check_disjoint_ids")

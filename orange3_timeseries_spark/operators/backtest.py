@@ -279,6 +279,12 @@ def naive_mase(df: DataFrame, time_col: str, key_col: str,
     """
     from pyspark.sql import Window
 
+    if min_obs < test_len + 2:
+        raise ValueError(
+            f"min_obs ({min_obs}) must be >= test_len + 2 "
+            f"({test_len + 2}): a qualifying series needs an anchor "
+            "row AND at least one train diff, else the metrics are "
+            "silently NULL")
     scale = 10 ** value_dp
     day = F.date_trunc("day", F.col(time_col))
     daily = (df.where(F.col(value_col).isNotNull())

@@ -976,13 +976,13 @@ def lsh_probe_index(index: LshIndex, new_docs: DataFrame, *,
     Jaccard >= threshold — identical semantics to
     :func:`minhash_lsh_pairs_between`).
 
-    Plan: the delta's band entries are computed live (one signature
-    pass over the DELTA only); with ``prune_buckets`` their distinct
-    buckets — a bounded collect of <= |delta| * bands ints, small by
-    the same ingest-batch contract that lets the delta broadcast —
-    filter the entries scan down to the touched parquet partitions
-    (a second signature pass over the delta; deltas are small by
-    contract, the corpus-side saving dominates).  The candidate join
+    Plan: the delta's band entries are computed live (ONE signature
+    pass over the DELTA only — with ``prune_buckets`` they are pinned
+    with an eager localCheckpoint so the bucket collect and the
+    candidate join share the pass); the distinct buckets — a bounded
+    collect of <= |delta| * bands ints, small by the same ingest-batch
+    contract that lets the delta broadcast — filter the entries scan
+    down to the touched parquet partitions.  The candidate join
     broadcasts the delta entries; texts are re-attached only for
     colliding candidates, so the verify cost is candidates, not
     corpus.  Caller contract: ``new_docs`` ids are disjoint from the
@@ -994,6 +994,7 @@ def lsh_probe_index(index: LshIndex, new_docs: DataFrame, *,
                        index.n, index.hash_family)
     entries = index.entries
     if prune_buckets:
+        eb = eb.localCheckpoint()  # skinny: |delta| * bands int rows
         bks = [r[0] for r in
                eb.select(F.pmod(F.col("band_key"),
                                 F.lit(index.n_buckets)).cast("int")
@@ -1035,19 +1036,16 @@ def lsh_merge_index(base: LshIndex, new_docs: DataFrame, *,
     semi-join of the new ids into the indexed docs (one early-exit
     scan at merge time, the same fail-loud rule as
     ``bm25_merge_index``)."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+
     id_col, text_col = base.id_col, base.text_col
     if check_disjoint:
-        dup = (base.docs.select(id_col)
-               .join(new_docs.select(id_col).distinct(), id_col,
-                     "left_semi")
-               .limit(1).collect())
-        if dup:
-            raise ValueError(
-                f"lsh_merge_index: {id_col}={dup[0][0]!r} is already "
-                "indexed — merging would duplicate its band entries "
-                "and self-pair on every later probe. Dedup the ingest "
-                "(or pass check_disjoint=False if disjointness is "
-                "proven upstream).")
+        check_disjoint_ids(
+            base.docs, new_docs, id_col, "lsh_merge_index",
+            "duplicate its band entries and self-pair on every later "
+            "probe")
     delta = lsh_build_index(new_docs, text_col=text_col, id_col=id_col,
                             k=base.k, bands=base.bands, n=base.n,
                             n_buckets=base.n_buckets,

@@ -363,18 +363,15 @@ def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
     tf aggregation) plus the optional disjointness scan; the df merge
     shuffles at most |vocab| skinny rows and the stats merge is two
     one-row tables."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+
     id_col = base.id_col
     if check_disjoint:
-        dup = (base.postings.select(id_col)
-               .join(new_docs.select(id_col).distinct(), id_col,
-                     "left_semi")
-               .limit(1).collect())
-        if dup:
-            raise ValueError(
-                f"bm25_merge_index: {id_col}={dup[0][0]!r} is already "
-                "indexed — merging would double-count its postings. "
-                "Dedup the ingest (or pass check_disjoint=False if "
-                "disjointness is proven upstream).")
+        check_disjoint_ids(base.postings, new_docs, id_col,
+                           "bm25_merge_index",
+                           "double-count its postings")
     n_buckets = int(base.stats.select("n_buckets").first()[0])
     delta = bm25_build_index(new_docs, text_col=text_col,
                              id_col=id_col, n_buckets=n_buckets)

@@ -877,10 +877,15 @@ class IvfIndex:
     both route through :func:`_ivf_probe_score_topk`."""
 
     def __init__(self, centroids: DataFrame, lists: DataFrame,
-                 id_col: str = "vec_id"):
+                 id_col: str = "vec_id", two_level: bool = False):
         self.centroids = centroids
         self.lists = lists
         self.id_col = id_col
+        # the assignment rule the lists were built with — persisted
+        # (write_ivf_index params table) so an incremental merge can
+        # never silently assign its delta under a DIFFERENT rule than
+        # the base lists (flat vs two-level differ on boundary vectors)
+        self.two_level = two_level
 
 
 def ivf_build_index(corpus: DataFrame, vec_col: str = "embedding",
@@ -905,28 +910,41 @@ def ivf_build_index(corpus: DataFrame, vec_col: str = "embedding",
                       _as_double(F.col(vec_col)).alias("cvec")),
         "cvec", centroids, two_level=two_level_assign
     ).select("centroid_id", "nn_id", "cvec")
-    return IvfIndex(cent_df, lists, id_col)
+    return IvfIndex(cent_df, lists, id_col, two_level=two_level_assign)
 
 
 def write_ivf_index(index: IvfIndex, path: str) -> None:
     """Persist the index (overwrite); inverted lists partitioned by
     ``centroid_id`` so serve-time probe filters become parquet
-    PartitionFilters."""
+    PartitionFilters; a one-row params table records the assignment
+    rule so merges after a read cannot desynchronize from it."""
     import os
 
     index.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids"))
     (index.lists.repartition("centroid_id").write.mode("overwrite")
      .partitionBy("centroid_id").parquet(os.path.join(path, "lists")))
+    spark = index.lists.sparkSession
+    spark.createDataFrame([(bool(index.two_level),)],
+                          "two_level boolean").write.mode(
+        "overwrite").parquet(os.path.join(path, "params"))
 
 
 def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
-    """Load a persisted IVF index; nothing is scanned until a serve."""
+    """Load a persisted IVF index; only the one-row params table is
+    read eagerly (pre-params indexes default to flat assignment, the
+    only rule that existed when they were written)."""
     import os
 
+    params_path = os.path.join(path, "params")
+    two_level = False
+    if os.path.isdir(params_path):
+        two_level = bool(
+            spark.read.parquet(params_path).first()["two_level"])
     return IvfIndex(
         spark.read.parquet(os.path.join(path, "centroids")),
-        spark.read.parquet(os.path.join(path, "lists")), id_col)
+        spark.read.parquet(os.path.join(path, "lists")), id_col,
+        two_level=two_level)
 
 
 def ivf_topk_from_index(index: IvfIndex, queries: DataFrame,
@@ -1514,40 +1532,42 @@ def pq_topk_from_index(index: PqIndex, queries: DataFrame, k: int = 5,
 
 def ivf_merge_index(base: IvfIndex, new_vectors: DataFrame,
                     vec_col: str = "embedding", *,
-                    check_disjoint: bool = True,
-                    two_level_assign: bool = False) -> IvfIndex:
+                    check_disjoint: bool = True) -> IvfIndex:
     """Fold newly ingested vectors INTO an IVF index without
     re-assigning the existing lists: assignment depends only on the
     (frozen) centroids, so the merge is exactly one delta assignment
     pass + append — merged state == rebuilt state row-for-row, and a
     serve from the merged index is bit-identical to a rebuild over the
-    union.  Caller contract: ``new_vectors`` ids are disjoint from the
-    indexed ones (``check_disjoint`` enforces it LOUDLY, same rule as
+    union.  The delta is assigned under the SAME rule the base lists
+    were built with (``base.two_level``, persisted through
+    write/read — a flag mismatch would silently put boundary vectors
+    in different cells than a rebuild).  Caller contract:
+    ``new_vectors`` ids are disjoint from the indexed ones
+    (``check_disjoint`` enforces it LOUDLY, same rule as
     ``bm25_merge_index`` / ``lsh_merge_index``).  Note the centroids
     are NOT retrained — the standard serving trade-off; retrain +
     rebuild when drift accumulates."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+
     id_col = base.id_col
     if check_disjoint:
-        dup = (base.lists.select(F.col("nn_id").alias(id_col))
-               .join(new_vectors.select(id_col).distinct(), id_col,
-                     "left_semi")
-               .limit(1).collect())
-        if dup:
-            raise ValueError(
-                f"ivf_merge_index: {id_col}={dup[0][0]!r} is already "
-                "indexed — merging would duplicate its list entry. "
-                "Dedup the ingest (or pass check_disjoint=False if "
-                "disjointness is proven upstream).")
+        check_disjoint_ids(
+            base.lists.select(F.col("nn_id").alias(id_col)),
+            new_vectors, id_col, "ivf_merge_index",
+            "duplicate its list entry")
     cent_rows = base.centroids.orderBy("centroid_id").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     delta = _assign_centroid(
         new_vectors.select(F.col(id_col).alias("nn_id"),
                            _as_double(F.col(vec_col)).alias("cvec")),
-        "cvec", centroids, two_level=two_level_assign
+        "cvec", centroids, two_level=base.two_level
     ).select("centroid_id", "nn_id", "cvec")
     return IvfIndex(base.centroids,
                     base.lists.select("centroid_id", "nn_id", "cvec")
-                    .unionByName(delta), id_col)
+                    .unionByName(delta), id_col,
+                    two_level=base.two_level)
 
 
 def pq_merge_index(base: PqIndex, new_vectors: DataFrame,
@@ -1558,18 +1578,16 @@ def pq_merge_index(base: PqIndex, new_vectors: DataFrame,
     merge is one delta encode pass + append — merged state == rebuilt
     state row-for-row.  Same disjoint-ids contract and loud guard as
     the other index families; codebooks are NOT retrained."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+
     id_col = base.id_col
     if check_disjoint:
-        dup = (base.codes.select(F.col("nn_id").alias(id_col))
-               .join(new_vectors.select(id_col).distinct(), id_col,
-                     "left_semi")
-               .limit(1).collect())
-        if dup:
-            raise ValueError(
-                f"pq_merge_index: {id_col}={dup[0][0]!r} is already "
-                "indexed — merging would duplicate its code row. "
-                "Dedup the ingest (or pass check_disjoint=False if "
-                "disjointness is proven upstream).")
+        check_disjoint_ids(
+            base.codes.select(F.col("nn_id").alias(id_col)),
+            new_vectors, id_col, "pq_merge_index",
+            "duplicate its code row")
     delta = pq_encode(
         new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
         base.codebooks, vec_col=vec_col, id_col="nn_id")

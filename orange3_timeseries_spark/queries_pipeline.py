@@ -4461,6 +4461,42 @@ def q_bm25_incremental_topk(spark, sf_dir):
 from orange3_timeseries_spark.queries import ORACLE_SQL as _OS_R10  # noqa: E402
 
 
+def _ann_seed_centroids(e):
+    """The deterministic ANN model seed every registry/incremental
+    query shares with its live sibling: the first 16 corpus embeddings
+    (a bounded 16-row collect) as coarse centroids."""
+    rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect())
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _ann_seed_books(e, M=8, ds=8):
+    """PQ codebooks as subvector slices of the same 16 seed rows —
+    MUST stay in lockstep with ``ann_pq_topk``'s oracle, which replays
+    exactly this recipe."""
+    rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect())
+    return [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
+             for r in rows] for m in range(M)]
+
+
+def _ann_seed_queries(e):
+    return (e.where(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+
+def _state_path(prefix, sf_dir):
+    """Index state path keyed by (pid, sf): re-runs overwrite (no /tmp
+    growth per process) and a held lazy DataFrame from another SF keeps
+    reading ITS index instead of a silently swapped one."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{prefix}_{os.getpid()}_{tag}")
+
+
 @query("ann_ivf_registry_topk", _OS_R10["ann_ivf_served_topk"])
 def q_ann_ivf_registry_topk(spark, sf_dir):
     """The IVF PERSISTED-INDEX path under the SAME full value-hash
@@ -4474,22 +4510,12 @@ def q_ann_ivf_registry_topk(spark, sf_dir):
     bit-faithful to the live path (operators/similarity.py:
     _ivf_probe_score_topk shared kernel) — the ANN sibling of
     ``bm25_registry_topk``."""
-    import os
-    import tempfile
-
     e = read_table(spark, sf_dir, "embeddings")
-    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
-                 .select("embedding").collect())
-    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
-    queries = (e.where(F.col("vec_id") < 10)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
-    idx = S.ivf_build_index(e, centroids=centroids)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_ivf_{os.getpid()}_{tag}")
+    idx = S.ivf_build_index(e, centroids=_ann_seed_centroids(e))
+    path = _state_path("ivf", sf_dir)
     S.write_ivf_index(idx, path)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
-                                 queries, k=5, nprobe=4)
+                                 _ann_seed_queries(e), k=5, nprobe=4)
 
 
 def _lsh_probe_sql(k=16, bands=4, threshold=0.2):
@@ -4575,24 +4601,12 @@ def q_ann_pq_registry_topk(spark, sf_dir):
     path (operators/similarity.py:_pq_adc_topk shared kernel) —
     completing the ANN serving matrix alongside
     ``ann_ivf_registry_topk``."""
-    import os
-    import tempfile
-
     e = read_table(spark, sf_dir, "embeddings")
-    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
-                 .select("embedding").collect())
-    M, ds = 8, 8
-    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
-              for r in cent_rows] for m in range(M)]
-    queries = (e.where(F.col("vec_id") < 10)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
-    idx = S.pq_build_index(e, codebooks=books)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_pq_{os.getpid()}_{tag}")
+    idx = S.pq_build_index(e, codebooks=_ann_seed_books(e))
+    path = _state_path("pq", sf_dir)
     S.write_pq_index(idx, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
-                                queries, k=5)
+                                _ann_seed_queries(e), k=5)
 
 
 @query("ann_ivf_incremental_topk", _OS_R10["ann_ivf_served_topk"])
@@ -4605,24 +4619,14 @@ def q_ann_ivf_incremental_topk(spark, sf_dir):
     read back, and serve.  Hash-equal to the live one-shot query
     proves merged state == rebuilt state exactly — the
     vector-ingest sibling of ``bm25_incremental_topk``."""
-    import os
-    import tempfile
-
     e = read_table(spark, sf_dir, "embeddings")
-    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
-                 .select("embedding").collect())
-    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
-    queries = (e.where(F.col("vec_id") < 10)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
     base = S.ivf_build_index(e.where(F.col("vec_id") % 2 == 0),
-                             centroids=centroids)
+                             centroids=_ann_seed_centroids(e))
     merged = S.ivf_merge_index(base, e.where(F.col("vec_id") % 2 != 0))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_ivf_inc_{os.getpid()}_{tag}")
+    path = _state_path("ivf_inc", sf_dir)
     S.write_ivf_index(merged, path)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
-                                 queries, k=5, nprobe=4)
+                                 _ann_seed_queries(e), k=5, nprobe=4)
 
 
 @query("ann_pq_incremental_topk", _OS_R10["ann_pq_topk"])
@@ -4633,23 +4637,11 @@ def q_ann_pq_incremental_topk(spark, sf_dir):
     + append; operators/similarity.py:pq_merge_index), persist, read
     back, and serve ADC top-5.  Hash-equal to the live one-shot query
     proves merged state == rebuilt state exactly."""
-    import os
-    import tempfile
-
     e = read_table(spark, sf_dir, "embeddings")
-    cent_rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
-                 .select("embedding").collect())
-    M, ds = 8, 8
-    books = [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
-              for r in cent_rows] for m in range(M)]
-    queries = (e.where(F.col("vec_id") < 10)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
     base = S.pq_build_index(e.where(F.col("vec_id") % 2 == 0),
-                            codebooks=books)
+                            codebooks=_ann_seed_books(e))
     merged = S.pq_merge_index(base, e.where(F.col("vec_id") % 2 != 0))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_pq_inc_{os.getpid()}_{tag}")
+    path = _state_path("pq_inc", sf_dir)
     S.write_pq_index(merged, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
-                                queries, k=5)
+                                _ann_seed_queries(e), k=5)

@@ -44,9 +44,14 @@ DELTA = 5_000
 
 
 def _text(idc, ntok=30, salt=0):
+    # salt enters as a SEPARATE hash argument — an additive offset
+    # would alias into the shared input stream (id*30+k+31337 lands on
+    # doc id+1044's tokens 17..29 and id+1045's 0..16), making every
+    # "unrelated" delta doc an accidental above-threshold near-dup of
+    # two corpus docs
     return F.concat_ws(" ", *[
         F.concat(F.lit("w"),
-                 (F.pmod(F.xxhash64(idc * ntok + k + salt),
+                 (F.pmod(F.xxhash64(F.lit(salt), idc * ntok + k),
                          F.lit(VOCAB))).cast("string"))
         for k in range(ntok)])
 
