@@ -235,3 +235,99 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
 
 
 __all__.append("temperature_mix")
+
+
+def dsir_weights(df: DataFrame, text_col: str, id_col: str,
+                 target: Column, *, n_buckets: int = 4096,
+                 k_smooth: float = 0.5, unit_scale: int = 10 ** 6,
+                 pin_features: bool = True) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every document
+    by how much more likely its hashed-bigram bag is under the TARGET
+    domain's unigram-over-buckets model than under the raw model —
+    ``log w(doc) = Σ_occurrences [ln p̂_t(b) − ln p̂_r(b)]`` with add-k
+    smoothing over ``n_buckets`` hashed features.  ``target`` is a
+    boolean Column marking the in-domain rows (they receive weights
+    too, scored against the model they induced).
+
+    Returns ``(id, n_bigrams, is_target, logw, avg_lr)`` for every
+    document; ``logw`` is the DSIR log-importance-weight (resample by
+    it with the existing ``sample_weighted_topn`` / ``mix_corpus``
+    machinery — no global sort is forced here).
+
+    Exactness: the per-bucket log-ratio is computed ONCE from exact
+    BIGINT counts (one fixed expression tree — any engine produces the
+    identical double), quantized to ``unit_scale`` micro-units as
+    BIGINT, and per-document weights are INTEGER sums of those units —
+    aggregation-order-free, so the DuckDB oracle replays them
+    bit-for-bit.  One float division (units → logw) at the end.
+
+    Plan: one corpus-sized tokenize pass emits the skinny per-doc
+    bucket arrays (``pin_features`` localCheckpoints them — ints, ~an
+    order smaller than the text — so the count pass and the scoring
+    pass share ONE tokenize; pass False to trade a second tokenize for
+    zero pinned state at extreme scale); bucket counts are a
+    ``n_buckets``-row broadcast; scoring is explode → broadcast join →
+    map-side-combining BIGINT sum."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)),
+                             r"[^a-z0-9\s]", " "),
+            r"\s+", " ")), " "),
+        lambda t: t != "")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.pmod(phash(F.concat(a, F.lit(" "), b)),
+                            F.lit(n_buckets)))
+    feats = df.select(F.col(id_col), target.alias("is_target"),
+                      grams.alias("__bk__"))
+    if pin_features:
+        feats = feats.localCheckpoint()
+    occ = feats.select(id_col, "is_target",
+                       F.explode("__bk__").alias("__b__"))
+    counts = (occ.groupBy("__b__")
+              .agg(F.sum(F.col("is_target").cast("long"))
+                   .cast("long").alias("__ct__"),
+                   F.sum((~F.col("is_target")).cast("long"))
+                   .cast("long").alias("__cr__")))
+    tot = counts.agg(F.sum("__ct__").cast("long").alias("__nt__"),
+                     F.sum("__cr__").cast("long").alias("__nr__"))
+    kb = float(k_smooth) * n_buckets
+    w = counts.join(F.broadcast(tot)).select(
+        "__b__",
+        F.round((F.log((F.col("__ct__").cast("double") + F.lit(k_smooth))
+                       / (F.col("__nt__").cast("double") + F.lit(kb)))
+                 - F.log((F.col("__cr__").cast("double")
+                          + F.lit(k_smooth))
+                         / (F.col("__nr__").cast("double") + F.lit(kb))))
+                * F.lit(float(unit_scale))).cast("long")
+        .alias("__wu__"))
+    scored = (occ.join(F.broadcast(w), "__b__")
+              .groupBy(id_col, "is_target")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                   F.sum("__wu__").cast("long").alias("__su__")))
+    base = feats.select(id_col, "is_target")
+    return (base.join(scored.select(id_col, "n_bigrams", "__su__"),
+                      id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+                    .alias("n_bigrams"),
+                    "is_target",
+                    (F.coalesce(F.col("__su__"), F.lit(0)).cast("double")
+                     / F.lit(float(unit_scale))).alias("logw"),
+                    # UNROUNDED on purpose: su/n/scale is one fixed
+                    # IEEE expression tree (identical double on any
+                    # engine), while round(·, 6) of a value this close
+                    # to a half-boundary is exactly the cross-engine
+                    # rounding-kernel divergence the integer-unit
+                    # design exists to avoid (hit once at sf0.1)
+                    (F.coalesce(F.col("__su__"), F.lit(0))
+                     .cast("double")
+                     / F.nullif(F.col("n_bigrams"), F.lit(0))
+                     .cast("double")
+                     / F.lit(float(unit_scale))).alias("avg_lr")))
+
+
+__all__.append("dsir_weights")

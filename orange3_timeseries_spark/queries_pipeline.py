@@ -4645,3 +4645,50 @@ def q_ann_pq_incremental_topk(spark, sf_dir):
     S.write_pq_index(merged, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
                                 _ann_seed_queries(e), k=5)
+
+
+@query("dsir_weights_by_doc", f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS is_target, {_LM_TOKS} AS ts
+  FROM documents),
+occ AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         {_PH.format(e="(ts[i] || ' ' || ts[i + 1])")} % 4096 AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1))
+                      AS i) g),
+counts AS (
+  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+  FROM occ GROUP BY 1),
+tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr
+        FROM counts),
+w AS (SELECT b,
+             round((ln((ct::DOUBLE + 0.5) / (nt::DOUBLE + 2048.0))
+                    - ln((cr::DOUBLE + 0.5) / (nr::DOUBLE + 2048.0)))
+                   * 1000000.0)::BIGINT AS wu
+      FROM counts, tot),
+sc AS (SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+              sum(w.wu)::BIGINT AS su
+       FROM occ o JOIN w USING (b) GROUP BY 1)
+SELECT t.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       t.is_target,
+       coalesce(s.su, 0)::DOUBLE / 1000000.0 AS logw,
+       coalesce(s.su, 0)::DOUBLE
+           / nullif(s.n_bigrams, 0)::DOUBLE / 1000000.0 AS avg_lr
+FROM toks t LEFT JOIN sc s USING (doc_id)
+""")
+def q_dsir_weights_by_doc(spark, sf_dir):
+    """DSIR importance weights over the corpus with English as the
+    target domain (operators/sampling.py:dsir_weights; Xie et al.
+    2023): each document's log importance weight under the
+    hashed-bigram (4096 buckets, add-0.5) target-vs-raw contrast —
+    the data-selection score that upweights in-domain-LIKE documents
+    from the raw pool.  Per-bucket log-ratios quantize to BIGINT
+    micro-units once; per-doc weights are integer sums (order-free),
+    so the oracle replays them bit-for-bit."""
+    from orange3_timeseries_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_weights(d, "text", "doc_id", F.col("lang") == "en")
