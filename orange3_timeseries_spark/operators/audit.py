@@ -1,4 +1,9 @@
-"""Join-coverage audit — the reusable check for the silent-row-drop bug
+"""Pipeline contract audits: the join-coverage report and the shared
+disjoint-id merge guard (:func:`check_disjoint_ids`) every
+persisted-index family (BM25 / LSH / IVF / PQ) enforces its append
+contract with.
+
+Join coverage is the reusable check for the silent-row-drop bug
 class found in round 9: the sf0.1 ``embeddings`` table covers only
 2000/5000 documents, so ANY ``documents ⋈ embeddings`` inner join
 silently discarded 60% of the corpus while every downstream number kept

@@ -281,7 +281,13 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.pmod(phash(F.concat(a, F.lit(" "), b)),
                             F.lit(n_buckets)))
-    feats = df.select(F.col(id_col), target.alias("is_target"),
+    # NULL target verdicts route to the RAW side (coalesce once here):
+    # conditional sums over a nullable boolean would skip those rows'
+    # occurrences from BOTH models — and the registered oracle's
+    # CASE WHEN ... ELSE puts NULL in the raw counts
+    feats = df.select(F.col(id_col),
+                      F.coalesce(target, F.lit(False))
+                      .alias("is_target"),
                       grams.alias("__bk__"))
     if pin_features:
         feats = feats.localCheckpoint()

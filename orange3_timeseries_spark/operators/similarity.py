@@ -932,15 +932,26 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
 
 def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
     """Load a persisted IVF index; only the one-row params table is
-    read eagerly (pre-params indexes default to flat assignment, the
-    only rule that existed when they were written)."""
+    read eagerly.  An index WITHOUT a params table is rejected LOUDLY:
+    the assignment rule (flat vs two-level) is unknowable from the
+    lists alone, and guessing wrong reproduces exactly the silent
+    merge desync the params table exists to prevent — rebuild the
+    index (or write the missing params table if the rule is known)."""
     import os
 
-    params_path = os.path.join(path, "params")
-    two_level = False
-    if os.path.isdir(params_path):
+    try:
         two_level = bool(
-            spark.read.parquet(params_path).first()["two_level"])
+            spark.read.parquet(os.path.join(path, "params"))
+            .first()["two_level"])
+    except Exception as exc:
+        raise ValueError(
+            f"read_ivf_index: no readable params table under {path!r} "
+            "— cannot recover the assignment rule this index was "
+            "built with (flat vs two-level assign differ on boundary "
+            "vectors, so a merge under a guessed rule would silently "
+            "desynchronize from the lists). Rebuild the index with "
+            "the current write_ivf_index, or write the one-row params "
+            "parquet yourself if the rule is known.") from exc
     return IvfIndex(
         spark.read.parquet(os.path.join(path, "centroids")),
         spark.read.parquet(os.path.join(path, "lists")), id_col,

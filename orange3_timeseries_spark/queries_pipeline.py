@@ -4471,13 +4471,11 @@ def _ann_seed_centroids(e):
 
 
 def _ann_seed_books(e, M=8, ds=8):
-    """PQ codebooks as subvector slices of the same 16 seed rows —
-    MUST stay in lockstep with ``ann_pq_topk``'s oracle, which replays
-    exactly this recipe."""
-    rows = (e.where(F.col("vec_id") < 16).orderBy("vec_id")
-            .select("embedding").collect())
-    return [[[float(x) for x in r.embedding[m * ds:(m + 1) * ds]]
-             for r in rows] for m in range(M)]
+    """PQ codebooks as subvector slices of the SAME seed rows the IVF
+    centroids use (one recipe, sliced) — ``ann_pq_topk``'s oracle
+    replays exactly this."""
+    rows = _ann_seed_centroids(e)
+    return [[r[m * ds:(m + 1) * ds] for r in rows] for m in range(M)]
 
 
 def _ann_seed_queries(e):
@@ -4649,7 +4647,8 @@ def q_ann_pq_incremental_topk(spark, sf_dir):
 
 @query("dsir_weights_by_doc", f"""
 WITH toks AS MATERIALIZED (
-  SELECT doc_id, lang = 'en' AS is_target, {_LM_TOKS} AS ts
+  SELECT doc_id, coalesce(lang = 'en', false) AS is_target,
+         {_LM_TOKS} AS ts
   FROM documents),
 occ AS MATERIALIZED (
   SELECT doc_id, is_target,
