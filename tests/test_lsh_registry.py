@@ -119,3 +119,40 @@ class TestLshIndexRegistry:
         probe = _docs(spark, [(201, "zxqv wrtp lkjh mnbv poiu ytre")])
         out = lsh_probe_index(self._index(spark, tmp_path), probe)
         assert out.count() == 0
+
+
+class TestLshIndexEdges:
+    def test_xxhash_family_round_trip_probe(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.dedup import (
+            lsh_build_index, lsh_probe_index,
+            minhash_lsh_pairs_between, read_lsh_index,
+            write_lsh_index,
+        )
+
+        idx = lsh_build_index(_docs(spark, CORPUS),
+                              hash_family="xxhash64", n_buckets=8)
+        path = str(tmp_path / "lsh_xx")
+        write_lsh_index(idx, path)
+        loaded = read_lsh_index(spark, path)
+        assert loaded.hash_family == "xxhash64"
+        probe = _docs(spark, PROBE)
+        served = sorted(map(tuple,
+                            lsh_probe_index(loaded, probe).collect()))
+        # full live parity is covered for md5; here assert the loaded
+        # index probes under its PERSISTED family and finds the
+        # planted near-dup (a family mismatch would find nothing:
+        # xxhash64 and md5 band keys never collide)
+        assert (101, 1) in {(a, b) for a, b, _ in served}
+
+    def test_probe_empty_delta(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.dedup import (
+            lsh_build_index, lsh_probe_index, read_lsh_index,
+            write_lsh_index,
+        )
+
+        idx = lsh_build_index(_docs(spark, CORPUS), n_buckets=8)
+        path = str(tmp_path / "lsh_empty")
+        write_lsh_index(idx, path)
+        out = lsh_probe_index(read_lsh_index(spark, path),
+                              _docs(spark, []))
+        assert out.count() == 0
