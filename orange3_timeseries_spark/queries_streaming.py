@@ -649,3 +649,43 @@ def q_streaming_dedup(spark, sf_dir):
     run_to_memory_isolated(spark, build, name, output_mode="append",
                            state_partitions=_state_width(spark, sf_dir))
     return spark.table(name)
+
+
+from orange3_timeseries_spark.queries import ORACLE_SQL as _OS_STREAM  # noqa: E402
+
+
+@query("streaming_lsh_gate", _OS_STREAM["dedup_lsh_registry_probe"])
+def q_streaming_lsh_gate(spark, sf_dir):
+    """The dedup-at-ingest gate as a STREAM, under the SAME full
+    replay oracle as the batch ``dedup_lsh_registry_probe``: the LSH
+    index persists over deciles 0-8 of the corpus (build + two
+    incremental merges, exactly the batch query's state), and decile 9
+    arrives as a document stream whose band entries stream-static-join
+    the loaded index (streaming/ops.py:stream_lsh_probe — stateless
+    joins, one bounded candidate-pair dedup).  Hash-equal to the batch
+    replay proves the streaming gate admits and scores EXACTLY the
+    pairs the batch probe finds."""
+    import os
+    import tempfile
+
+    from orange3_timeseries_spark.operators import dedup as D
+    from orange3_timeseries_spark.streaming.ops import stream_lsh_probe
+
+    d = read_table(spark, sf_dir, "documents")
+    dec = F.col("doc_id") % 10
+    idx = D.lsh_build_index(d.where(dec <= 6))
+    idx = D.lsh_merge_index(idx, d.where(dec == 7))
+    idx = D.lsh_merge_index(idx, d.where(dec == 8))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_lshs_{os.getpid()}_{tag}")
+    D.write_lsh_index(idx, path)
+    loaded = D.read_lsh_index(spark, path)
+    sdocs = read_table_stream(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 10 == 9)
+    out = stream_lsh_probe(sdocs, loaded, threshold=0.2)
+    out = out.select("id_new", "id_index", r6(F.col("jaccard"),
+                                              "jaccard"))
+    name = "stream_lshgate_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

@@ -490,3 +490,69 @@ def stream_dedup(sdf: DataFrame, time_col: str, key_cols: Sequence[str],
     memory is bounded by keys-per-horizon, not stream length."""
     return (sdf.withWatermark(time_col, watermark)
             .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
+def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2
+                     ) -> DataFrame:
+    """Near-duplicate gate at STREAM ingest against a persisted LSH
+    index (operators/dedup.py:LshIndex) — the production shape of
+    dedup-at-ingest: every arriving document is signed (stateless
+    expressions), its band entries stream-static-join the LOADED
+    entries table, and colliding candidates verify with exact Jaccard
+    against the LOADED indexed text.  Emits ``(id_new, id_index,
+    jaccard)`` — the same contract as the batch
+    ``lsh_probe_index``.
+
+    Streaming semantics: the band join and the verify join are
+    stream-STATIC inner joins (stateless, append-safe); the only
+    stateful operator is the candidate-pair ``dropDuplicates`` (a pair
+    colliding in two bands must score once), whose state is bounded by
+    the number of DISTINCT near-duplicate candidate pairs seen — the
+    quantity a dedup gate exists to keep small.  The stream's text
+    rides the band entries to the verify (a stream cannot re-join
+    itself without watermarked state; bytes-per-band is the price of
+    statelessness).  No bucket prune: a stream cannot collect its
+    bucket set up front — the static entries scan is pruned by the
+    join itself instead."""
+    from orange3_timeseries_spark.operators.dedup import (
+        jaccard_expr,
+        minhash_signature_expr,
+        shingles_expr,
+    )
+
+    id_col, text_col = index.id_col, index.text_col
+    k, bands = index.k, index.bands
+    rpb = k // bands
+    sh = shingles_expr(F.col(text_col), index.n)
+    # two-step select: the signature materializes ONCE per row behind
+    # a named alias; inlining it into the band array would re-evaluate
+    # the whole shingle+minhash tree per band (the batch path's
+    # measured 70x trap, operators/dedup.py:_band_entries)
+    base = sdf.select(F.col(id_col),
+                      F.col(text_col).alias("__t_n__"),
+                      minhash_signature_expr(sh, k, index.hash_family)
+                      .alias("sig"))
+    ent = base.select(
+        id_col, "__t_n__",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * rpb + r]
+                         for r in range(rpb)])
+            for b in range(bands)])).alias("band", "band_key"))
+    a = index.entries.alias("a")
+    cand = (ent.alias("b")
+            .join(a, [F.col("a.band") == F.col("b.band"),
+                      F.col("a.band_key") == F.col("b.band_key")])
+            .select(F.col(f"b.{id_col}").alias("id_new"),
+                    F.col("__t_n__"),
+                    F.col(f"a.{id_col}").alias("id_index"))
+            .dropDuplicates(["id_new", "id_index"]))
+    ti = index.docs.select(F.col(id_col).alias("id_index"),
+                           F.col(text_col).alias("__t_i__"))
+    ver = (cand.join(ti, "id_index")
+           .withColumn("__j__",
+                       jaccard_expr(shingles_expr(F.col("__t_n__"),
+                                                  index.n),
+                                    shingles_expr(F.col("__t_i__"),
+                                                  index.n))))
+    return (ver.where(F.col("__j__") >= threshold)
+            .select("id_new", "id_index", F.col("__j__").alias("jaccard")))

@@ -717,3 +717,46 @@ class TestCheckpointRestart:
         assert sorted(got.user_id) == [0, 1, 2, 3, 4, 5, 6]
         # the survivors are the FIRST arrivals (payload 1.0, never 9.9)
         assert (got.value == 1.0).all()
+
+
+class TestStreamLshProbe:
+    def test_stream_gate_matches_batch_probe(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.dedup import (
+            lsh_build_index,
+            lsh_probe_index,
+            read_lsh_index,
+            write_lsh_index,
+        )
+        from orange3_timeseries_spark.streaming.ops import (
+            stream_lsh_probe,
+        )
+
+        base_txt = ("the quick brown fox jumps over the lazy dog "
+                    "while the cat watches from the warm windowsill "
+                    "nearby every single day")
+        corpus = [(1, base_txt),
+                  (2, base_txt.replace("lazy", "sleepy")),
+                  (3, "unrelated words about columnar shuffle plans")]
+        probe = [(101, base_txt.replace("warm", "cold")),
+                 (102, "nothing indexed resembles this text at all"),
+                 (103, base_txt.replace("warm", "cold"))]  # dup probe
+        idx_path = str(tmp_path / "lsh_idx")
+        write_lsh_index(
+            lsh_build_index(spark.createDataFrame(
+                corpus, "doc_id long, text string"), n_buckets=8),
+            idx_path)
+        loaded = read_lsh_index(spark, idx_path)
+        # batch reference
+        pdf = spark.createDataFrame(probe, "doc_id long, text string")
+        batch = sorted(map(tuple,
+                           lsh_probe_index(loaded, pdf).collect()))
+        # stream the same probe docs (2 files -> 2 micro-batches)
+        d = str(tmp_path / "probe_stream")
+        pdf.repartition(2).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema("doc_id long, text string") \
+            .parquet(d)
+        out = stream_lsh_probe(sdf, loaded, threshold=0.2)
+        run_to_memory(out, "t_lsh_gate")
+        got = sorted(map(tuple, spark.table("t_lsh_gate").collect()))
+        assert got == batch
+        assert {(n, i) for n, i, _ in got} >= {(101, 1), (103, 1)}
