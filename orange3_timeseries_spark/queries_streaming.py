@@ -651,6 +651,11 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+# the gate reuses the batch probe's oracle — registered by
+# queries_pipeline's decorators, so that module MUST be imported
+# before the ORACLE_SQL lookup (a bare lookup worked only through
+# __spark_entry__'s lucky import order)
+from orange3_timeseries_spark import queries_pipeline as _QP  # noqa: E402
 from orange3_timeseries_spark.queries import ORACLE_SQL as _OS_STREAM  # noqa: E402
 
 
@@ -665,9 +670,6 @@ def q_streaming_lsh_gate(spark, sf_dir):
     joins, one bounded candidate-pair dedup).  Hash-equal to the batch
     replay proves the streaming gate admits and scores EXACTLY the
     pairs the batch probe finds."""
-    import os
-    import tempfile
-
     from orange3_timeseries_spark.operators import dedup as D
     from orange3_timeseries_spark.streaming.ops import stream_lsh_probe
 
@@ -676,16 +678,23 @@ def q_streaming_lsh_gate(spark, sf_dir):
     idx = D.lsh_build_index(d.where(dec <= 6))
     idx = D.lsh_merge_index(idx, d.where(dec == 7))
     idx = D.lsh_merge_index(idx, d.where(dec == 8))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_lshs_{os.getpid()}_{tag}")
+    path = _QP._state_path("lshs", sf_dir)
     D.write_lsh_index(idx, path)
-    loaded = D.read_lsh_index(spark, path)
-    sdocs = read_table_stream(spark, sf_dir, "documents") \
-        .where(F.col("doc_id") % 10 == 9)
-    out = stream_lsh_probe(sdocs, loaded, threshold=0.2)
-    out = out.select("id_new", "id_index", r6(F.col("jaccard"),
-                                              "jaccard"))
+
+    def build(s):
+        loaded = D.read_lsh_index(s, path)
+        sdocs = read_table_stream(s, sf_dir, "documents") \
+            .where(F.col("doc_id") % 10 == 9)
+        out = stream_lsh_probe(sdocs, loaded, threshold=0.2)
+        return out.select("id_new", "id_index", r6(F.col("jaccard"),
+                                                   "jaccard"))
+
+    # the candidate-pair dedup is stateful: size its state stores to
+    # the data (the 32-store default costs ~4x on kilobytes of state;
+    # run_to_memory's measured 8.8s -> 2.2s) — same rule as every
+    # other stateful query in this file
     name = "stream_lshgate_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name, output_mode="append")
+    run_to_memory_isolated(
+        spark, build, name, output_mode="append",
+        state_partitions=_state_width(spark, sf_dir, name="documents"))
     return spark.table(name)

@@ -548,11 +548,16 @@ def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2
             .dropDuplicates(["id_new", "id_index"]))
     ti = index.docs.select(F.col(id_col).alias("id_index"),
                            F.col(text_col).alias("__t_i__"))
+    # bind the shingle arrays behind aliases BEFORE jaccard references
+    # them (intersection + union + two sizes = ~3 references each;
+    # inlined, the interpreted HOF tokenizer would re-run per
+    # reference — the batch path's measured 70-100x trap)
     ver = (cand.join(ti, "id_index")
-           .withColumn("__j__",
-                       jaccard_expr(shingles_expr(F.col("__t_n__"),
-                                                  index.n),
-                                    shingles_expr(F.col("__t_i__"),
-                                                  index.n))))
+           .withColumn("__sh_n__", shingles_expr(F.col("__t_n__"),
+                                                 index.n))
+           .withColumn("__sh_i__", shingles_expr(F.col("__t_i__"),
+                                                 index.n))
+           .withColumn("__j__", jaccard_expr(F.col("__sh_n__"),
+                                             F.col("__sh_i__"))))
     return (ver.where(F.col("__j__") >= threshold)
             .select("id_new", "id_index", F.col("__j__").alias("jaccard")))

@@ -750,11 +750,14 @@ class TestStreamLshProbe:
         pdf = spark.createDataFrame(probe, "doc_id long, text string")
         batch = sorted(map(tuple,
                            lsh_probe_index(loaded, pdf).collect()))
-        # stream the same probe docs (2 files -> 2 micro-batches)
+        # stream the same probe docs — maxFilesPerTrigger=1 forces one
+        # micro-batch per file, so the stateful candidate-pair dedup
+        # genuinely carries state ACROSS batches (without the option
+        # availableNow drains all files in ONE batch)
         d = str(tmp_path / "probe_stream")
         pdf.repartition(2).write.mode("overwrite").parquet(d)
-        sdf = spark.readStream.schema("doc_id long, text string") \
-            .parquet(d)
+        sdf = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1).parquet(d))
         out = stream_lsh_probe(sdf, loaded, threshold=0.2)
         run_to_memory(out, "t_lsh_gate")
         got = sorted(map(tuple, spark.table("t_lsh_gate").collect()))
