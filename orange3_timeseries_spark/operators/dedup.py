@@ -938,13 +938,24 @@ def lsh_build_index(docs: DataFrame, *, text_col: str = "text",
 def write_lsh_index(index: LshIndex, path: str) -> None:
     """Persist the index as three parquet state tables (overwrite):
     ``entries`` partitioned by ``bucket`` (probe-time bucket filters
-    become parquet PartitionFilters), ``docs`` plain, ``params`` one
-    row recording the banding scheme so a reader probes with the SAME
-    (k, bands, n, hash family) the index was built with."""
+    become parquet PartitionFilters), ``docs`` partitioned by an
+    id-hash bucket ``dbucket`` (the VERIFY join prunes to the
+    colliding candidates' buckets instead of rescanning the whole
+    indexed text — the dominant bytes at scale), ``params`` one row
+    recording the banding scheme so a reader probes with the SAME
+    (k, bands, n, hash family) the index was built with.
+
+    Write the state of a merged index to a NEW (versioned) path and
+    swap a pointer — overwriting the path an index was read from is
+    unsupported (Spark refuses to overwrite a path it is reading, and
+    a mid-write failure would leave mixed-generation tables)."""
     (index.entries.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "entries")))
-    index.docs.write.mode("overwrite").parquet(
-        os.path.join(path, "docs"))
+    dbucket = F.pmod(F.xxhash64(F.col(index.id_col)),
+                     F.lit(index.n_buckets)).cast("int")
+    (index.docs.withColumn("dbucket", dbucket).repartition("dbucket")
+     .write.mode("overwrite").partitionBy("dbucket")
+     .parquet(os.path.join(path, "docs")))
     spark = index.entries.sparkSession
     params = spark.createDataFrame(
         [(index.k, index.bands, index.n, index.n_buckets,
@@ -1008,10 +1019,25 @@ def lsh_probe_index(index: LshIndex, new_docs: DataFrame, *,
             .select(F.col(f"b.{id_col}").alias("id_new"),
                     F.col(f"a.{id_col}").alias("id_index"))
             .dropDuplicates(["id_new", "id_index"]))
+    docs = index.docs
+    if prune_buckets and "dbucket" in docs.columns:
+        # prune the VERIFY scan too: without this, every probe
+        # re-reads the ENTIRE indexed text table (the dominant bytes)
+        # just to attach text for a handful of candidates.  The
+        # candidate set is pinned (it is bounded by near-dup density —
+        # the quantity a dedup gate exists to keep small), its ids'
+        # buckets collect, and the docs scan prunes to those parquet
+        # partitions.
+        cand = cand.localCheckpoint()
+        dbks = [r[0] for r in
+                cand.select(F.pmod(F.xxhash64(F.col("id_index")),
+                                   F.lit(index.n_buckets)).cast("int")
+                            .alias("b")).distinct().collect()]
+        docs = docs.where(F.col("dbucket").isin(dbks))
     tn = delta.select(F.col(id_col).alias("id_new"),
                       F.col(text_col).alias("__t_n__"))
-    ti = index.docs.select(F.col(id_col).alias("id_index"),
-                           F.col(text_col).alias("__t_i__"))
+    ti = docs.select(F.col(id_col).alias("id_index"),
+                     F.col(text_col).alias("__t_i__"))
     verified = (cand.join(F.broadcast(tn), "id_new").join(ti, "id_index")
                 .withColumn("sh_n", shingles_expr(F.col("__t_n__"),
                                                   index.n))
@@ -1054,6 +1080,9 @@ def lsh_merge_index(base: LshIndex, new_docs: DataFrame, *,
         base.entries.select(id_col, "band", "band_key", "bucket")
         .unionByName(delta.entries.select(id_col, "band", "band_key",
                                           "bucket")),
-        base.docs.unionByName(delta.docs),
+        # explicit projection: docs READ from a persisted index carry
+        # the dbucket partition column, fresh deltas do not
+        base.docs.select(id_col, text_col)
+        .unionByName(delta.docs.select(id_col, text_col)),
         base.k, base.bands, base.n, base.n_buckets, base.hash_family,
         id_col, text_col)

@@ -38,7 +38,7 @@ Scoring formula (the Lucene/"BM25+1" robust-idf form, always >= 0)::
 from __future__ import annotations
 
 import os
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -261,18 +261,37 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     """Persist the index as three parquet state tables (overwrite).
     ``postings`` and ``token_df`` are partitioned by ``bucket`` so a
     serve-time bucket filter becomes parquet PartitionFilters — the
-    scan never opens the other buckets' files."""
+    scan never opens the other buckets' files.  Write MERGED state to a NEW
+    (versioned) path and swap a pointer — overwriting the path an
+    index was read from is unsupported (Spark refuses to overwrite
+    a path it is reading, and a mid-write failure would leave
+    mixed-generation tables)."""
     (index.postings.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "postings")))
     (index.token_df.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "token_df")))
     index.stats.write.mode("overwrite").parquet(
         os.path.join(path, "stats"))
+    # one-row params table so the index reconstructs itself from disk
+    # (the LSH/IVF families' contract): without it a reader had to
+    # rediscover the build-time id column out-of-band
+    spark = index.postings.sparkSession
+    spark.createDataFrame([(index.id_col,)], "id_col string") \
+        .write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
 def read_bm25_index(spark: SparkSession, path: str,
-                    id_col: str = "doc_id") -> Bm25Index:
-    """Load a persisted index; no data is scanned until a serve runs."""
+                    id_col: Optional[str] = None) -> Bm25Index:
+    """Load a persisted index; no data is scanned until a serve runs
+    except the one-row params table (recovers the build-time id
+    column).  ``id_col`` overrides it; pre-params indexes fall back to
+    ``'doc_id'``."""
+    if id_col is None:
+        try:
+            id_col = spark.read.parquet(
+                os.path.join(path, "params")).first()["id_col"]
+        except Exception:
+            id_col = "doc_id"
     return Bm25Index(
         spark.read.parquet(os.path.join(path, "postings")),
         spark.read.parquet(os.path.join(path, "token_df")),

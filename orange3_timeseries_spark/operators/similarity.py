@@ -369,6 +369,10 @@ def _ivf_probe_order(X, C, nprobe: int):
     DESC, cid."""
     import numpy as np
 
+    # clamp: an oversized probe request against a small index would
+    # slice fewer columns than the caller repeats rows for, crashing
+    # the Python worker with an opaque pandas length mismatch
+    nprobe = min(int(nprobe), C.shape[0])
     scores = X @ C.T - 0.5 * (C * C).sum(1)
     return np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
 
@@ -398,7 +402,9 @@ def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
             if not len(X):
                 continue
             order = _ivf_probe_order(X, C, nprobe)
-            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            # repeat by the CLAMPED probe width the order actually has
+            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
+                .reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep
 
@@ -759,7 +765,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
             if not len(X):
                 continue
             order = _ivf_probe_order(X, C, nprobe)
-            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            # repeat by the CLAMPED probe width the order actually has
+            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
+                .reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep
 
@@ -917,7 +925,11 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     """Persist the index (overwrite); inverted lists partitioned by
     ``centroid_id`` so serve-time probe filters become parquet
     PartitionFilters; a one-row params table records the assignment
-    rule so merges after a read cannot desynchronize from it."""
+    rule so merges after a read cannot desynchronize from it.  Write MERGED state to a NEW
+    (versioned) path and swap a pointer — overwriting the path an
+    index was read from is unsupported (Spark refuses to overwrite
+    a path it is reading, and a mid-write failure would leave
+    mixed-generation tables)."""
     import os
 
     index.centroids.write.mode("overwrite").parquet(
@@ -974,6 +986,18 @@ def ivf_topk_from_index(index: IvfIndex, queries: DataFrame,
     import numpy as np
 
     cent_rows = index.centroids.orderBy("centroid_id").collect()
+    # the probe emits ARGSORT POSITIONS into C as join keys against
+    # lists.centroid_id — valid only when ids are exactly 0..k-1; a
+    # gapped hand-edited centroid table would silently probe the
+    # WRONG cells, so fail loudly instead
+    ids = [int(r["centroid_id"]) for r in cent_rows]
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            "ivf_topk_from_index: persisted centroid_ids are not the "
+            f"contiguous range 0..{len(ids) - 1} (got {ids[:8]}…) — "
+            "probe positions would desynchronize from the inverted "
+            "lists. Rebuild the index (ivf_build_index numbers cells "
+            "contiguously).")
     C = np.array([r["centroid"] for r in cent_rows], dtype=float)
 
     lists = index.lists
@@ -1036,8 +1060,9 @@ def ivf_range_search(corpus: DataFrame, queries: DataFrame,
                 continue
             scores = X @ C.T - 0.5 * (C * C).sum(1)
             order = np.argsort(-scores, axis=1,
-                               kind="stable")[:, :nprobe]
-            rep = pdf.loc[pdf.index.repeat(nprobe)] \
+                               kind="stable")[:, :min(int(nprobe),
+                                                      C.shape[0])]
+            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
                 .reset_index(drop=True)
             rep["centroid_id"] = order.ravel().astype("int32")
             yield rep
@@ -1499,7 +1524,11 @@ def pq_build_index(corpus: DataFrame, codebooks=None,
 
 def write_pq_index(index: PqIndex, path: str) -> None:
     """Persist the index (overwrite): codes as skinny parquet, the
-    codebooks exploded to (m, j, centroid) rows."""
+    codebooks exploded to (m, j, centroid) rows.  Write MERGED state to a NEW
+    (versioned) path and swap a pointer — overwriting the path an
+    index was read from is unsupported (Spark refuses to overwrite
+    a path it is reading, and a mid-write failure would leave
+    mixed-generation tables)."""
     import os
 
     index.codes.write.mode("overwrite").parquet(
@@ -1524,8 +1553,31 @@ def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
     for r in rows:
         by_m.setdefault(int(r["m"]), {})[int(r["j"])] = \
             [float(x) for x in r["centroid"]]
-    codebooks = [[by_m[m][j] for j in sorted(by_m[m])]
-                 for m in sorted(by_m)]
+    # validate the (m, j) grid is complete and rectangular before
+    # positional reconstruction: a gapped table (partial write) would
+    # silently SHIFT later centroids into earlier code slots and every
+    # serve would return plausible-but-wrong distances
+    M = len(by_m)
+    if sorted(by_m) != list(range(M)):
+        raise ValueError(
+            f"read_pq_index: codebook subspaces are gapped "
+            f"({sorted(by_m)[:8]}…) — the state table under {path!r} "
+            "is incomplete. Rebuild/rewrite the index.")
+    K = len(by_m[0])
+    ds = len(next(iter(by_m[0].values())))
+    for m in range(M):
+        if sorted(by_m[m]) != list(range(K)):
+            raise ValueError(
+                f"read_pq_index: codebook m={m} has centroid ids "
+                f"{sorted(by_m[m])[:8]}… (expected 0..{K - 1}) — a "
+                "gapped table would shift centroids into wrong code "
+                "slots. Rebuild/rewrite the index.")
+        if any(len(c) != ds for c in by_m[m].values()):
+            raise ValueError(
+                f"read_pq_index: codebook m={m} has ragged centroid "
+                f"widths (expected {ds}) — subspace offsets would "
+                "desynchronize. Rebuild/rewrite the index.")
+    codebooks = [[by_m[m][j] for j in range(K)] for m in range(M)]
     return PqIndex(spark.read.parquet(os.path.join(path, "codes")),
                    codebooks, id_col)
 

@@ -306,3 +306,20 @@ class TestBm25MergeIndex:
         # or accepts the corruption)
         merged = bm25_merge_index(base, again, check_disjoint=False)
         assert merged.stats.first().n_docs == 4
+
+
+class TestBm25Params:
+    def test_id_col_round_trips_through_params(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index, read_bm25_index, write_bm25_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana"), (2, "banana cherry")],
+            "url long, text string")
+        idx = bm25_build_index(docs, id_col="url", n_buckets=4)
+        path = str(tmp_path / "bm25_url")
+        write_bm25_index(idx, path)
+        got = read_bm25_index(spark, path)   # no id_col passed
+        assert got.id_col == "url"
+        assert {r.url for r in got.postings.collect()} == {1, 2}

@@ -82,15 +82,35 @@ class TestLshIndexRegistry:
 
     def test_probe_plan_prunes_partitions_no_resignature(
             self, spark, tmp_path):
-        served = lsh_probe_index(self._index(spark, tmp_path),
-                                 _docs(spark, PROBE))
-        plan = served._jdf.queryExecution().executedPlan().toString()
         import re
+
+        idx = self._index(spark, tmp_path)
+        # the candidate stage (pinned eagerly at probe time) prunes the
+        # ENTRIES scan by band-key bucket — assert on its own plan
+        probe = _docs(spark, PROBE)
+        from orange3_timeseries_spark.operators.dedup import (
+            _band_entries,
+        )
+        eb = _band_entries(probe, "text", "doc_id", idx.k, idx.bands,
+                           idx.n, idx.hash_family)
+        bks = [r[0] for r in
+               eb.select(F.pmod(F.col("band_key"),
+                                F.lit(idx.n_buckets)).cast("int")
+                         .alias("b")).distinct().collect()]
+        cand_plan = (idx.entries.where(F.col("bucket").isin(bks))
+                     ._jdf.queryExecution().executedPlan().toString())
         assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+ (=|IN)",
-                         plan), plan[:2000]
-        # only the two persisted state tables are parquet scans — the
-        # indexed corpus is never re-shingled or re-signed at probe time
-        assert plan.count("FileScan parquet") == 2, plan[:2000]
+                         cand_plan), cand_plan[:2000]
+        # the VERIFY stage (the final plan, after the eager candidate
+        # checkpoint) scans ONLY the docs state table, pruned to the
+        # candidates' id-hash buckets — the indexed corpus text is
+        # never fully re-read, and nothing is re-shingled corpus-side
+        served = lsh_probe_index(idx, probe)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*dbucket#\d+ (=|IN)",
+            plan), plan[:2000]
+        assert plan.count("FileScan parquet") == 1, plan[:2000]
 
     def test_merge_equals_rebuild(self, spark, tmp_path):
         half_a = [r for r in CORPUS if r[0] % 2 == 0]

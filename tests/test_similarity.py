@@ -595,3 +595,69 @@ class TestAnnIndexMerge:
         idx = pq_build_index(emb_df, codebooks=books)
         with pytest.raises(ValueError, match="already indexed"):
             pq_merge_index(idx, emb_df.where("vec_id = 3"))
+
+
+class TestIndexStateValidation:
+    def test_nprobe_clamps_to_centroid_count(self, spark, emb_df,
+                                             tmp_path):
+        from orange3_timeseries_spark.operators.similarity import (
+            ivf_build_index, ivf_topk_from_index, read_ivf_index,
+            write_ivf_index,
+        )
+
+        cents = train_ivf_centroids(emb_df, n_centroids=4,
+                                    id_col="vec_id")
+        path = str(tmp_path / "ivf_small")
+        write_ivf_index(ivf_build_index(emb_df, centroids=cents), path)
+        idx = read_ivf_index(spark, path)
+        qs = _queries(emb_df, n=2)
+        # previously crashed the Python worker with a pandas length
+        # mismatch; now clamps to the 4 cells that exist
+        big = ivf_topk_from_index(idx, qs, k=3, nprobe=16)
+        eq = ivf_topk_from_index(idx, qs, k=3, nprobe=4)
+        assert sorted(map(tuple, big.collect())) \
+            == sorted(map(tuple, eq.collect()))
+
+    def test_ivf_rejects_gapped_centroid_ids(self, spark, emb_df,
+                                             tmp_path):
+        import pytest as _pt
+
+        from orange3_timeseries_spark.operators.similarity import (
+            IvfIndex, ivf_build_index, ivf_topk_from_index,
+        )
+
+        cents = train_ivf_centroids(emb_df, n_centroids=4,
+                                    id_col="vec_id")
+        idx = ivf_build_index(emb_df, centroids=cents)
+        gapped = IvfIndex(
+            idx.centroids.where("centroid_id != 1"), idx.lists,
+            idx.id_col)
+        with _pt.raises(ValueError, match="contiguous"):
+            ivf_topk_from_index(gapped, _queries(emb_df, n=1),
+                                k=2, nprobe=2).collect()
+
+    def test_pq_read_rejects_gapped_codebooks(self, spark, emb_df,
+                                              tmp_path):
+        import os
+
+        import pytest as _pt
+
+        from orange3_timeseries_spark.operators.similarity import (
+            pq_build_index, read_pq_index, write_pq_index,
+        )
+
+        rows = (emb_df.where(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect())
+        books = [[[float(x) for x in r.embedding[m * 4:(m + 1) * 4]]
+                  for r in rows] for m in range(4)]
+        path = str(tmp_path / "pq_gap")
+        write_pq_index(pq_build_index(emb_df, codebooks=books), path)
+        # simulate a partial write: drop one (m, j) codebook row
+        cb_path = os.path.join(path, "codebooks")
+        kept = spark.read.parquet(cb_path).where(
+            "NOT (m = 2 AND j = 5)")
+        kept.write.mode("overwrite").parquet(str(tmp_path / "cb2"))
+        spark.read.parquet(str(tmp_path / "cb2")).write \
+            .mode("overwrite").parquet(cb_path)
+        with _pt.raises(ValueError, match="centroid ids"):
+            read_pq_index(spark, path)
