@@ -204,7 +204,10 @@ class Bm25Index(NamedTuple):
     - ``postings``: one row per (doc, token) — ``(token, <id_col>, tf,
       dl, bucket)``.  ``bucket = pmod(xxhash64(token), n_buckets)`` is
       the partition key: serving prunes whole parquet partitions by the
-      query tokens' buckets before any join runs.
+      query tokens' buckets before any join runs.  A token-less
+      document keeps one NULL-token sentinel row (never scored, never
+      in ``token_df``) so postings cover EVERY indexed id — the merge
+      guard and the stats derivation depend on that completeness.
     - ``token_df``: the dictionary — ``(token, df, bucket)``.
     - ``stats``: ONE row — ``(n_docs, sum_dl, n_buckets)``.
 
@@ -217,6 +220,10 @@ class Bm25Index(NamedTuple):
     token_df: DataFrame
     stats: DataFrame
     id_col: str = "doc_id"
+    #: bucket count as a plain int (also in stats/params) — lets the
+    #: merge and write paths avoid executing a one-row aggregate whose
+    #: plan may be a full corpus pass on a freshly built index
+    n_buckets: int = 64
 
 
 def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
@@ -236,9 +243,16 @@ def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
 
     d = widen_partitions(docs.select(id_col, text_col))
     toks = tokens_expr(F.col(text_col))
+    # explode_OUTER: a token-less document keeps ONE sentinel row
+    # (token NULL, tf 1) — it can never score (query tokens join on
+    # equality, so NULL never matches; token_df excludes it), but it
+    # makes postings a COMPLETE per-doc record, so the merge guard
+    # sees every indexed id (a re-ingested token-less doc previously
+    # slipped past the guard and double-counted into N/Σdl) and the
+    # persisted stats are derivable from postings alone
     posting = d.select(F.col(id_col),
                        F.size(toks).alias("dl"),
-                       F.explode(toks).alias("token"))
+                       F.explode_outer(toks).alias("token"))
     tf = (posting.groupBy(id_col, "token", "dl")
           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     bucket = F.pmod(F.xxhash64(F.col("token")),
@@ -246,7 +260,8 @@ def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
     postings = tf.select("token", id_col, "tf",
                          F.col("dl").cast("bigint").alias("dl"),
                          bucket.alias("bucket"))
-    token_df = (tf.groupBy("token")
+    token_df = (tf.where(F.col("token").isNotNull())
+                .groupBy("token")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
                 .select("token", "df", bucket.alias("bucket")))
     # stats use the SAME expressions as the live path (count every doc,
@@ -254,7 +269,7 @@ def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
     stats = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                   F.sum(F.size(toks)).cast("bigint").alias("sum_dl"),
                   F.lit(int(n_buckets)).alias("n_buckets"))
-    return Bm25Index(postings, token_df, stats, id_col)
+    return Bm25Index(postings, token_df, stats, id_col, n_buckets)
 
 
 def write_bm25_index(index: Bm25Index, path: str) -> None:
@@ -265,18 +280,34 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     (versioned) path and swap a pointer — overwriting the path an
     index was read from is unsupported (Spark refuses to overwrite
     a path it is reading, and a mid-write failure would leave
-    mixed-generation tables)."""
+    mixed-generation tables).
+
+    ONE corpus pass: only the postings write executes the corpus
+    tokenize; ``token_df`` and ``stats`` are then DERIVED from the
+    written postings (df = postings rows per non-sentinel token; N =
+    distinct ids — sentinel rows make that complete; Σdl = per-doc dl
+    summed), which is exact by construction and saves the two extra
+    corpus passes the naive three-table write paid."""
+    spark = index.postings.sparkSession
     (index.postings.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "postings")))
-    (index.token_df.repartition("bucket").write.mode("overwrite")
+    pr = spark.read.parquet(os.path.join(path, "postings"))
+    (pr.where(F.col("token").isNotNull())
+     .groupBy("token", "bucket")
+     .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+     .select("token", "df", "bucket")
+     .repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "token_df")))
-    index.stats.write.mode("overwrite").parquet(
-        os.path.join(path, "stats"))
+    (pr.groupBy(index.id_col).agg(F.max("dl").alias("__dl__"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+          F.sum("__dl__").cast("bigint").alias("sum_dl"),
+          F.lit(int(index.n_buckets)).alias("n_buckets"))
+     .write.mode("overwrite").parquet(os.path.join(path, "stats")))
     # one-row params table so the index reconstructs itself from disk
     # (the LSH/IVF families' contract): without it a reader had to
     # rediscover the build-time id column out-of-band
-    spark = index.postings.sparkSession
-    spark.createDataFrame([(index.id_col,)], "id_col string") \
+    spark.createDataFrame([(index.id_col, int(index.n_buckets))],
+                          "id_col string, n_buckets int") \
         .write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
@@ -286,17 +317,20 @@ def read_bm25_index(spark: SparkSession, path: str,
     except the one-row params table (recovers the build-time id
     column).  ``id_col`` overrides it; pre-params indexes fall back to
     ``'doc_id'``."""
-    if id_col is None:
-        try:
-            id_col = spark.read.parquet(
-                os.path.join(path, "params")).first()["id_col"]
-        except Exception:
+    n_buckets = 64
+    try:
+        p = spark.read.parquet(os.path.join(path, "params")).first()
+        if id_col is None:
+            id_col = p["id_col"]
+        n_buckets = int(p["n_buckets"])
+    except Exception:
+        if id_col is None:
             id_col = "doc_id"
     return Bm25Index(
         spark.read.parquet(os.path.join(path, "postings")),
         spark.read.parquet(os.path.join(path, "token_df")),
         spark.read.parquet(os.path.join(path, "stats")),
-        id_col)
+        id_col, n_buckets)
 
 
 def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
@@ -391,7 +425,10 @@ def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
         check_disjoint_ids(base.postings, new_docs, id_col,
                            "bm25_merge_index",
                            "double-count its postings")
-    n_buckets = int(base.stats.select("n_buckets").first()[0])
+    # the attr is authoritative (build/read both set it) — executing
+    # base.stats here would re-run a corpus-sized aggregate on a
+    # freshly built, not-yet-persisted base
+    n_buckets = int(base.n_buckets)
     delta = bm25_build_index(new_docs, text_col=text_col,
                              id_col=id_col, n_buckets=n_buckets)
     postings = base.postings.select(
@@ -409,7 +446,7 @@ def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
              .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
                   F.sum("sum_dl").cast("bigint").alias("sum_dl"),
                   F.max("n_buckets").alias("n_buckets")))
-    return Bm25Index(postings, token_df, stats, id_col)
+    return Bm25Index(postings, token_df, stats, id_col, n_buckets)
 
 
 __all__.append("bm25_merge_index")

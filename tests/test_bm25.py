@@ -323,3 +323,41 @@ class TestBm25Params:
         got = read_bm25_index(spark, path)   # no id_col passed
         assert got.id_col == "url"
         assert {r.url for r in got.postings.collect()} == {1, 2}
+
+
+class TestTokenlessDocs:
+    def test_tokenless_doc_counted_and_guarded(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index, bm25_merge_index, bm25_topk_from_index,
+            read_bm25_index, write_bm25_index,
+        )
+
+        # NULL text is the genuinely token-LESS case (whitespace-only
+        # text tokenizes to [""], which always had a posting): before
+        # the sentinel, a NULL-text doc had NO postings row, so the
+        # merge guard could not see it
+        docs = spark.createDataFrame(
+            [(1, "apple banana"), (2, None), (3, "banana cherry")],
+            "doc_id long, text string")
+        idx = bm25_build_index(docs, n_buckets=4)
+        # the sentinel makes postings cover EVERY id
+        assert {r.doc_id for r in idx.postings.collect()} == {1, 2, 3}
+        [st] = idx.stats.collect()
+        # sum_dl keeps the live path's exact semantics (size(NULL) is
+        # -1 under this session's legacy sizeOfNull): 2 - 1 + 2
+        assert st.n_docs == 3 and st.sum_dl == 3
+        # re-ingesting the token-less id is now caught by the guard
+        with pytest.raises(ValueError, match="already indexed"):
+            bm25_merge_index(idx, spark.createDataFrame(
+                [(2, "sneaky reingest")], "doc_id long, text string"))
+        # persisted stats derive from postings and round-trip exactly;
+        # the sentinel never scores
+        path = str(tmp_path / "bm25_tokenless")
+        write_bm25_index(idx, path)
+        got = read_bm25_index(spark, path)
+        [pst] = got.stats.collect()
+        assert (pst.n_docs, pst.sum_dl, pst.n_buckets) == (3, 3, 4)
+        assert got.n_buckets == 4
+        qs = _queries(spark, [(9, "banana")])
+        served = bm25_topk_from_index(got, qs, top_k=5).collect()
+        assert {r.doc_id for r in served} == {1, 3}
