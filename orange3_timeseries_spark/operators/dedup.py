@@ -945,10 +945,18 @@ def write_lsh_index(index: LshIndex, path: str) -> None:
     recording the banding scheme so a reader probes with the SAME
     (k, bands, n, hash family) the index was built with.
 
-    Write the state of a merged index to a NEW (versioned) path and
-    swap a pointer — overwriting the path an index was read from is
-    unsupported (Spark refuses to overwrite a path it is reading, and
-    a mid-write failure would leave mixed-generation tables)."""
+    The write lands in a FRESH generation directory ``path/v=<n>`` and
+    atomically swaps the ``path/_CURRENT`` pointer
+    (operators/index_store.py) — read→merge→write on the same logical
+    path is supported, and a crash mid-write leaves readers on the
+    last complete generation."""
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_version,
+        commit_version,
+    )
+
+    root = path
+    path = begin_version(root)
     (index.entries.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "entries")))
     dbucket = F.pmod(F.xxhash64(F.col(index.id_col)),
@@ -963,11 +971,19 @@ def write_lsh_index(index: LshIndex, path: str) -> None:
         "k int, bands int, n int, n_buckets int, hash_family string,"
         " id_col string, text_col string")
     params.write.mode("overwrite").parquet(os.path.join(path, "params"))
+    commit_version(root, path)
 
 
 def read_lsh_index(spark, path: str) -> LshIndex:
     """Load a persisted index.  Only the one-row params table is read
-    eagerly; entries/docs stay lazy until a probe runs."""
+    eagerly; entries/docs stay lazy until a probe runs.  ``path`` is
+    the logical root — the ``_CURRENT`` generation pointer resolves
+    first (operators/index_store.py), bare layout fallback."""
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    path = resolve_index_path(path)
     p = spark.read.parquet(os.path.join(path, "params")).first()
     return LshIndex(
         spark.read.parquet(os.path.join(path, "entries")),
@@ -1086,3 +1102,261 @@ def lsh_merge_index(base: LshIndex, new_docs: DataFrame, *,
         .unionByName(delta.docs.select(id_col, text_col)),
         base.k, base.bands, base.n, base.n_buckets, base.hash_family,
         id_col, text_col)
+
+
+def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
+                     check_disjoint: bool = True) -> None:
+    """FAST-INGEST append for a persisted LSH index: sign the delta
+    under the persisted banding scheme and append its band entries and
+    docs into the CURRENT generation's partitions — ingest IO
+    proportional to the batch, never the corpus (``lsh_merge_index`` +
+    ``write_lsh_index`` computes the same delta but rewrites the full
+    entries/docs state into a new generation).  Band entries and docs
+    are pure per-doc rows, so an appended index probes identically to
+    a rebuild.  Same trade-offs as ``bm25_append_index`` (not
+    crash-atomic; ~1 delta file per touched bucket partition per
+    ingest — ``compact_lsh_index`` resets the count).  The expected
+    cadence of a dedup-at-ingest service: probe → append survivors →
+    compact on a schedule."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    vpath = resolve_index_path(path)
+    base = read_lsh_index(spark, path)
+    id_col, text_col = base.id_col, base.text_col
+    if check_disjoint:
+        check_disjoint_ids(
+            base.docs, new_docs, id_col, "lsh_append_index",
+            "duplicate its band entries and self-pair on every later "
+            "probe")
+    delta = lsh_build_index(new_docs, text_col=text_col, id_col=id_col,
+                            k=base.k, bands=base.bands, n=base.n,
+                            n_buckets=base.n_buckets,
+                            hash_family=base.hash_family)
+    (delta.entries.repartition("bucket").write.mode("append")
+     .partitionBy("bucket").parquet(os.path.join(vpath, "entries")))
+    dbucket = F.pmod(F.xxhash64(F.col(id_col)),
+                     F.lit(base.n_buckets)).cast("int")
+    (delta.docs.select(id_col, text_col).withColumn("dbucket", dbucket)
+     .repartition("dbucket").write.mode("append")
+     .partitionBy("dbucket").parquet(os.path.join(vpath, "docs")))
+
+
+def compact_lsh_index(spark, path: str) -> None:
+    """Rewrite the current LSH generation into a fresh one and swap the
+    pointer: the versioned write repartitions entries by ``bucket`` and
+    docs by ``dbucket``, collapsing the per-ingest delta files back to
+    ~1 per partition.  Probes are row-identical before/after."""
+    write_lsh_index(read_lsh_index(spark, path), path)
+
+
+# ---------------------------------------------- persisted SimHash dedup index
+class SimHashIndex(NamedTuple):
+    """A persisted-or-persistable SimHash near-duplicate index — the
+    Hamming-distance sibling of :class:`LshIndex` under the same
+    build-once/serve-refit-free contract (plain parquet columns, no
+    pickle).  ONE state table suffices: unlike MinHash-LSH, whose
+    verification needs the indexed TEXT (exact Jaccard), SimHash
+    verifies on the signatures themselves (exact Hamming ``bit_count``)
+    — so each band-entry row carries its doc's signature and the index
+    never stores the corpus content.
+
+    - ``entries``: one row per (doc, band) — ``(<id_col>, sig, band,
+      band_key, bucket)`` with ``band_key = (sig >> band*band_bits) &
+      (2^band_bits - 1)`` and ``bucket = pmod(band_key, n_buckets)``
+      as the parquet partition key (probe-time bucket filters become
+      PartitionFilters).
+    - ``params`` (on disk): one row recording (bits, band_bits,
+      n_buckets, id_col, text_col) so a reader probes with the SAME
+      banding scheme the index was built with.
+
+    Signatures are per-doc (token bit votes over that doc only), so
+    band entries are per-doc independent: merge/append are pure delta
+    passes and merged state == rebuilt state row-for-row, exactly like
+    the LSH family.
+    """
+
+    entries: DataFrame
+    bits: int = 48
+    band_bits: int = 12
+    n_buckets: int = 64
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def _simhash_entries(docs: DataFrame, text_col: str, id_col: str,
+                     bits: int, band_bits: int,
+                     n_buckets: int) -> DataFrame:
+    """(id, sig, band, band_key, bucket) rows via the grouped vote-sum
+    signature (the scale form — the shuffle carries ``bits`` ints per
+    doc) and the same band decomposition as :func:`simhash_pairs`."""
+    sigs = simhash_signatures(docs, text_col, id_col, bits=bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return (sigs.select(
+        id_col, "sig",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sig"), b * band_bits)
+             .bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(n_bands)])).alias("band", "band_key"))
+        .withColumn("bucket",
+                    F.pmod(F.col("band_key"),
+                           F.lit(n_buckets)).cast("int")))
+
+
+def simhash_build_index(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", bits: int = 48,
+                        band_bits: int = 12,
+                        n_buckets: int = 64) -> SimHashIndex:
+    """Build the corpus-side SimHash index ONCE: one signature pass
+    over the corpus (explode tokens, ``bits`` map-side-combining vote
+    sums — the only corpus-sized work), emitting skinny
+    (id, sig, band, band_key, bucket) rows.  Every later probe touches
+    only the delta's buckets."""
+    return SimHashIndex(
+        _simhash_entries(docs, text_col, id_col, bits, band_bits,
+                         n_buckets),
+        bits, band_bits, n_buckets, id_col, text_col)
+
+
+def write_simhash_index(index: SimHashIndex, path: str) -> None:
+    """Persist the index into a FRESH generation directory
+    ``path/v=<n>`` and atomically swap the ``path/_CURRENT`` pointer
+    (operators/index_store.py): entries partitioned by ``bucket``, one
+    params row recording the banding scheme."""
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_version,
+        commit_version,
+    )
+
+    root = path
+    path = begin_version(root)
+    (index.entries.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(path, "entries")))
+    spark = index.entries.sparkSession
+    spark.createDataFrame(
+        [(index.bits, index.band_bits, index.n_buckets, index.id_col,
+          index.text_col)],
+        "bits int, band_bits int, n_buckets int, id_col string,"
+        " text_col string"
+    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    commit_version(root, path)
+
+
+def read_simhash_index(spark, path: str) -> SimHashIndex:
+    """Load a persisted index; only the one-row params table is read
+    eagerly.  ``path`` is the logical root — the ``_CURRENT``
+    generation pointer resolves first, bare layout fallback."""
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    path = resolve_index_path(path)
+    p = spark.read.parquet(os.path.join(path, "params")).first()
+    return SimHashIndex(
+        spark.read.parquet(os.path.join(path, "entries")),
+        int(p.bits), int(p.band_bits), int(p.n_buckets), p.id_col,
+        p.text_col)
+
+
+def simhash_probe_index(index: SimHashIndex, new_docs: DataFrame, *,
+                        max_distance: int = 3,
+                        prune_buckets: bool = True) -> DataFrame:
+    """Probe an ingest batch against a LOADED index — dedup-at-ingest:
+    returns ``(id_new, id_index, hamming)`` for every (delta doc,
+    indexed doc) pair within ``max_distance`` (identical semantics to
+    a cross-corpus :func:`simhash_pairs` run; pigeonhole guarantees
+    recall for ``max_distance < bits/band_bits``).
+
+    Plan: ONE signature pass over the DELTA only (pinned with an eager
+    localCheckpoint so the bucket collect and the candidate join share
+    it); the distinct buckets — a bounded collect of <= |delta| × bands
+    ints — prune the entries scan to the touched parquet partitions;
+    the candidate join broadcasts the delta entries; the Hamming
+    verify is an inline ``bit_count`` on the carried signatures (runs
+    BEFORE the pair-dedup, so the distinct shuffles only true
+    near-dups).  No second table, no text re-attach — the signature IS
+    the verification state.  Caller contract: ``new_docs`` ids are
+    disjoint from the indexed ones."""
+    id_col = index.id_col
+    eb = _simhash_entries(new_docs, index.text_col, id_col, index.bits,
+                          index.band_bits, index.n_buckets)
+    entries = index.entries
+    if prune_buckets:
+        eb = eb.localCheckpoint()   # skinny: |delta| × bands rows
+        bks = [r[0] for r in eb.select("bucket").distinct().collect()]
+        entries = entries.where(F.col("bucket").isin(bks))
+    a = entries.alias("a")
+    b = eb.alias("b")
+    return (a.join(F.broadcast(b),
+                   [F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_key") == F.col("b.band_key")])
+            .select(F.col(f"b.{id_col}").alias("id_new"),
+                    F.col(f"a.{id_col}").alias("id_index"),
+                    hamming_expr(F.col("a.sig"), F.col("b.sig"))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_distance)
+            .dropDuplicates(["id_new", "id_index"]))
+
+
+def simhash_merge_index(base: SimHashIndex, new_docs: DataFrame, *,
+                        check_disjoint: bool = True) -> SimHashIndex:
+    """Fold an ingested batch INTO the index without rebuilding it:
+    signatures are per-doc, so the merge is one delta signature pass +
+    append — merged state == rebuilt state row-for-row.  Same loud
+    disjoint-ids guard as every index family."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+
+    id_col = base.id_col
+    if check_disjoint:
+        check_disjoint_ids(
+            base.entries, new_docs, id_col, "simhash_merge_index",
+            "duplicate its band entries and self-pair on every later "
+            "probe")
+    delta = _simhash_entries(new_docs, base.text_col, id_col,
+                             base.bits, base.band_bits, base.n_buckets)
+    cols = [id_col, "sig", "band", "band_key", "bucket"]
+    return SimHashIndex(
+        base.entries.select(*cols).unionByName(delta.select(*cols)),
+        base.bits, base.band_bits, base.n_buckets, id_col,
+        base.text_col)
+
+
+def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
+                         check_disjoint: bool = True) -> None:
+    """FAST-INGEST append for a persisted SimHash index: sign the
+    delta under the persisted scheme and append its entry rows into
+    the CURRENT generation's bucket partitions — same contract and
+    trade-offs as ``lsh_append_index`` (delta-proportional IO, not
+    crash-atomic, fragments until ``compact_simhash_index``)."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    vpath = resolve_index_path(path)
+    base = read_simhash_index(spark, path)
+    if check_disjoint:
+        check_disjoint_ids(
+            base.entries, new_docs, base.id_col, "simhash_append_index",
+            "duplicate its band entries and self-pair on every later "
+            "probe")
+    delta = _simhash_entries(new_docs, base.text_col, base.id_col,
+                             base.bits, base.band_bits, base.n_buckets)
+    (delta.repartition("bucket").write.mode("append")
+     .partitionBy("bucket").parquet(os.path.join(vpath, "entries")))
+
+
+def compact_simhash_index(spark, path: str) -> None:
+    """Rewrite the current SimHash generation into a fresh one and
+    swap the pointer, collapsing per-ingest delta files back to ~1 per
+    bucket partition.  Probes are row-identical before/after."""
+    write_simhash_index(read_simhash_index(spark, path), path)

@@ -224,6 +224,15 @@ class Bm25Index(NamedTuple):
     #: merge and write paths avoid executing a one-row aggregate whose
     #: plan may be a full corpus pass on a freshly built index
     n_buckets: int = 64
+    #: True only when the postings are sentinel-complete BY CONSTRUCTION
+    #: (fresh ``bm25_build_index`` output), i.e. deriving (N, Σdl) from
+    #: the postings is provably identical to the carried ``stats``.
+    #: Indexes READ from disk (or merged from one) carry False, so
+    #: :func:`write_bm25_index` cross-checks derived vs carried stats
+    #: and fails LOUDLY on a legacy pre-sentinel base whose token-less
+    #: docs have no postings row (deriving stats from those postings
+    #: would silently undercount N/Σdl in every subsequent serve)
+    stats_trusted: bool = True
 
 
 def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
@@ -269,18 +278,21 @@ def bm25_build_index(docs: DataFrame, *, text_col: str = "text",
     stats = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                   F.sum(F.size(toks)).cast("bigint").alias("sum_dl"),
                   F.lit(int(n_buckets)).alias("n_buckets"))
-    return Bm25Index(postings, token_df, stats, id_col, n_buckets)
+    return Bm25Index(postings, token_df, stats, id_col, n_buckets,
+                     stats_trusted=True)
 
 
 def write_bm25_index(index: Bm25Index, path: str) -> None:
-    """Persist the index as three parquet state tables (overwrite).
+    """Persist the index as three parquet state tables in a FRESH
+    generation directory ``path/v=<n>``, then atomically swap the
+    ``path/_CURRENT`` pointer (operators/index_store.py) — so
+    read→merge→write on the SAME logical path is supported (the merged
+    write streams from the old generation into the new one), a crash
+    mid-write leaves the pointer on the last complete generation, and
+    concurrent serves keep reading the old generation until the swap.
     ``postings`` and ``token_df`` are partitioned by ``bucket`` so a
     serve-time bucket filter becomes parquet PartitionFilters — the
-    scan never opens the other buckets' files.  Write MERGED state to a NEW
-    (versioned) path and swap a pointer — overwriting the path an
-    index was read from is unsupported (Spark refuses to overwrite
-    a path it is reading, and a mid-write failure would leave
-    mixed-generation tables).
+    scan never opens the other buckets' files.
 
     ONE corpus pass: only the postings write executes the corpus
     tokenize; ``token_df`` and ``stats`` are then DERIVED from the
@@ -288,6 +300,13 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     distinct ids — sentinel rows make that complete; Σdl = per-doc dl
     summed), which is exact by construction and saves the two extra
     corpus passes the naive three-table write paid."""
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_version,
+        commit_version,
+    )
+
+    root = path
+    path = begin_version(root)
     spark = index.postings.sparkSession
     (index.postings.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "postings")))
@@ -298,39 +317,84 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
      .select("token", "df", "bucket")
      .repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(os.path.join(path, "token_df")))
-    (pr.groupBy(index.id_col).agg(F.max("dl").alias("__dl__"))
-     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-          F.sum("__dl__").cast("bigint").alias("sum_dl"),
-          F.lit(int(index.n_buckets)).alias("n_buckets"))
-     .write.mode("overwrite").parquet(os.path.join(path, "stats")))
+    derived = (pr.groupBy(index.id_col).agg(F.max("dl").alias("__dl__"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("__dl__").cast("bigint").alias("sum_dl"))
+               .first())
+    if not index.stats_trusted:
+        # the derivation assumes postings are sentinel-complete (every
+        # indexed id has >= 1 row).  An index whose base came from a
+        # legacy pre-sentinel write has NO rows for token-less docs —
+        # deriving N/Σdl from it silently undercounts the stats the
+        # in-memory index carried.  Cross-check against the carried
+        # stats (SUM-aggregated: merged/fragmented stats may be
+        # multi-row) and fail LOUDLY on mismatch.
+        carried = index.stats.agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl")).first()
+        if (carried["n_docs"], carried["sum_dl"]) != \
+                (derived["n_docs"], derived["sum_dl"]):
+            raise ValueError(
+                "write_bm25_index: stats derived from postings "
+                f"(n_docs={derived['n_docs']}, sum_dl={derived['sum_dl']}) "
+                "disagree with the stats this index carries "
+                f"(n_docs={carried['n_docs']}, sum_dl={carried['sum_dl']})"
+                " — the postings are not a complete per-doc record "
+                "(legacy pre-sentinel base index, or externally edited "
+                "state). Rebuild the index from the source corpus.")
+    spark.createDataFrame(
+        [(derived["n_docs"], derived["sum_dl"], int(index.n_buckets))],
+        "n_docs bigint, sum_dl bigint, n_buckets int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     # one-row params table so the index reconstructs itself from disk
     # (the LSH/IVF families' contract): without it a reader had to
     # rediscover the build-time id column out-of-band
     spark.createDataFrame([(index.id_col, int(index.n_buckets))],
                           "id_col string, n_buckets int") \
         .write.mode("overwrite").parquet(os.path.join(path, "params"))
+    # every table of the generation is on disk — publish it
+    commit_version(root, path)
 
 
 def read_bm25_index(spark: SparkSession, path: str,
                     id_col: Optional[str] = None) -> Bm25Index:
     """Load a persisted index; no data is scanned until a serve runs
-    except the one-row params table (recovers the build-time id
-    column).  ``id_col`` overrides it; pre-params indexes fall back to
-    ``'doc_id'``."""
-    n_buckets = 64
+    except the one-row params table (recovers the build-time id column
+    and bucket modulus).  ``id_col`` overrides it.  A PRE-PARAMS index
+    (written before the params table existed) falls back to
+    ``'doc_id'`` and recovers ``n_buckets`` from the persisted stats
+    row — ONLY the params-path-missing case falls back; a corrupt or
+    unreadable params table raises (swallowing a real I/O error here
+    would mis-bucket every later merge: ``bm25_merge_index`` trusts the
+    attr, so a wrong modulus silently routes delta postings to buckets
+    the serve-time partition prune never reads).
+
+    ``path`` is the LOGICAL index root: the read resolves the
+    ``_CURRENT`` generation pointer first (operators/index_store.py),
+    falling back to the bare legacy layout when no pointer exists."""
+    from pyspark.errors import AnalysisException
+
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    path = resolve_index_path(path)
+    stats = spark.read.parquet(os.path.join(path, "stats"))
     try:
         p = spark.read.parquet(os.path.join(path, "params")).first()
         if id_col is None:
             id_col = p["id_col"]
         n_buckets = int(p["n_buckets"])
-    except Exception:
+    except AnalysisException:
+        # missing params table = legacy layout; the stats table (whose
+        # read above already succeeded) carries the true modulus
         if id_col is None:
             id_col = "doc_id"
+        n_buckets = int(stats.select("n_buckets").first()[0])
     return Bm25Index(
         spark.read.parquet(os.path.join(path, "postings")),
         spark.read.parquet(os.path.join(path, "token_df")),
-        spark.read.parquet(os.path.join(path, "stats")),
-        id_col, n_buckets)
+        stats, id_col, n_buckets, stats_trusted=False)
 
 
 def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
@@ -364,7 +428,7 @@ def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
     post = index.postings
     tdf = index.token_df
     if prune_buckets:
-        n_buckets = int(index.stats.select("n_buckets").first()[0])
+        n_buckets = int(index.n_buckets)
         bks = sorted(r[0] for r in qtok.select(
             F.pmod(F.xxhash64(F.col("__tok__")), F.lit(n_buckets))
             .cast("int").alias("b")).distinct().collect())
@@ -377,12 +441,21 @@ def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
            .select(id_col, "__tok__",
                    F.col("dl").alias("__dl__"),
                    F.col("tf").alias("__tf__")))
+    # SUM-aggregate df and stats instead of reading them raw: an index
+    # fragmented by append-mode ingests (``bm25_append_index``) holds
+    # one df row per (token, generation) and one stats row per ingest —
+    # exact BIGINT addition recovers the canonical values, and on a
+    # compact single-generation index the aggregation is the identity.
+    # Both aggregates run AFTER the query-token prune, so they are
+    # bounded by |query tokens| / |ingests|, never corpus-sized.
     df_tbl = (tdf.withColumnRenamed("token", "__tok__")
               .join(qtok_b, "__tok__")
-              .select("__tok__", F.col("df").alias("__df__")))
+              .groupBy("__tok__")
+              .agg(F.sum("df").cast("bigint").alias("__df__")))
     hit = hit.join(F.broadcast(df_tbl), "__tok__")
-    stats = index.stats.select(F.col("n_docs").alias("__n__"),
-                               F.col("sum_dl").alias("__sdl__"))
+    stats = index.stats.agg(
+        F.sum("n_docs").cast("bigint").alias("__n__"),
+        F.sum("sum_dl").cast("bigint").alias("__sdl__"))
     return _bm25_score_topk(hit, stats, q_terms, id_col=id_col,
                             query_id_col=query_id_col, k1=k1, b=b,
                             top_k=top_k, unit_scale=unit_scale)
@@ -446,7 +519,83 @@ def bm25_merge_index(base: Bm25Index, new_docs: DataFrame, *,
              .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
                   F.sum("sum_dl").cast("bigint").alias("sum_dl"),
                   F.max("n_buckets").alias("n_buckets")))
-    return Bm25Index(postings, token_df, stats, id_col, n_buckets)
+    # the delta is sentinel-complete by construction; trust follows the
+    # base (a read-from-disk base keeps the write-time cross-check on)
+    return Bm25Index(postings, token_df, stats, id_col, n_buckets,
+                     stats_trusted=base.stats_trusted)
 
 
-__all__.append("bm25_merge_index")
+def bm25_append_index(spark: SparkSession, path: str,
+                      new_docs: DataFrame, *, text_col: str = "text",
+                      check_disjoint: bool = True) -> None:
+    """FAST-INGEST append: fold a delta batch into the CURRENT
+    generation of a persisted index by appending delta files in place —
+    the only writes are the DELTA's postings / per-token df rows / one
+    stats row, so ingest cost is proportional to the batch, never the
+    corpus (``bm25_merge_index`` + ``write_bm25_index`` computes the
+    same delta but re-WRITES the full corpus state into a new
+    generation — IO-bound at 100 TB even though its compute is
+    delta-only).
+
+    Serve-exactness: the serve path SUM-aggregates df and stats after
+    its query-token prune (``bm25_topk_from_index``), so appended
+    delta rows score bit-identically to a rebuilt index; asserted by
+    ``tests/test_index_lifecycle.py`` and the ``bm25_lifecycle_topk``
+    driver oracle.
+
+    Trade-offs (the reason write/append BOTH exist):
+
+    - **not crash-atomic**: a failure mid-append leaves a partially
+      ingested batch inside the serving generation (unlike the
+      versioned write, whose half-written generation is unreferenced).
+      Recovery: re-point ``_CURRENT`` at the previous generation (keep
+      one with ``vacuum_index(keep_last=2)``) or rebuild.  Use the
+      versioned write when the ingest pipeline cannot tolerate that.
+    - **fragmentation**: each append adds ~1 file per touched bucket
+      partition plus a stats row; after K ingests every serve pays
+      K-file open overhead per probed bucket.  ``compact_bm25_index``
+      rewrites the state into a fresh generation (hash-identical
+      serves) and resets the file count."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    vpath = resolve_index_path(path)
+    base = read_bm25_index(spark, path)
+    if check_disjoint:
+        check_disjoint_ids(base.postings, new_docs, base.id_col,
+                           "bm25_append_index",
+                           "double-count its postings")
+    delta = bm25_build_index(new_docs, text_col=text_col,
+                             id_col=base.id_col,
+                             n_buckets=base.n_buckets)
+    (delta.postings.repartition("bucket").write.mode("append")
+     .partitionBy("bucket").parquet(os.path.join(vpath, "postings")))
+    (delta.token_df.repartition("bucket").write.mode("append")
+     .partitionBy("bucket").parquet(os.path.join(vpath, "token_df")))
+    # stats row LAST: the serve aggregates stats with the postings it
+    # can see, so on the happy path the generation is consistent the
+    # moment this lands (mid-append reads are a single-writer no-no
+    # anyway — see the crash-atomicity note above)
+    delta.stats.write.mode("append").parquet(
+        os.path.join(vpath, "stats"))
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the current generation into a fresh one and swap the
+    pointer: after K ``bm25_append_index`` ingests each bucket
+    partition holds ~K delta files and the stats table K rows — the
+    rewrite re-derives canonical single-generation state (token_df and
+    stats from the postings, exactly like any versioned write) and
+    resets the per-bucket file count to ~1.  Serves are hash-identical
+    before/after (the write-time stats cross-check verifies the
+    derived counts against the carried ones, and
+    tests/test_index_lifecycle.py asserts result equality)."""
+    write_bm25_index(read_bm25_index(spark, path), path)
+
+
+__all__ += ["bm25_merge_index", "bm25_append_index",
+            "compact_bm25_index"]

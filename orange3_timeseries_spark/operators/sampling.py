@@ -269,12 +269,16 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
     zero pinned state at extreme scale); bucket counts are a
     ``n_buckets``-row broadcast; scoring is explode → broadcast join →
     map-side-combining BIGINT sum."""
-    toks = F.filter(
-        F.split(F.trim(F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)),
-                             r"[^a-z0-9\s]", " "),
-            r"\s+", " ")), " "),
-        lambda t: t != "")
+    from orange3_timeseries_spark.operators.text import (
+        normalize_text_expr,
+    )
+
+    # ONE definition of the normalization (lowercase, strip punct,
+    # collapse whitespace) shared with the dedup tier — the expression
+    # must stay bit-identical to the registered _LM_TOKS oracle, and a
+    # second inline copy invites silent divergence if one is edited
+    toks = F.filter(F.split(normalize_text_expr(F.col(text_col)), " "),
+                    lambda t: t != "")
     n = F.size(toks)
     grams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),

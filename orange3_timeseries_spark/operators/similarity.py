@@ -922,16 +922,23 @@ def ivf_build_index(corpus: DataFrame, vec_col: str = "embedding",
 
 
 def write_ivf_index(index: IvfIndex, path: str) -> None:
-    """Persist the index (overwrite); inverted lists partitioned by
+    """Persist the index into a FRESH generation directory
+    ``path/v=<n>`` and atomically swap the ``path/_CURRENT`` pointer
+    (operators/index_store.py) — read→merge→write on the same logical
+    path is supported, and a crash mid-write leaves readers on the
+    last complete generation.  Inverted lists partitioned by
     ``centroid_id`` so serve-time probe filters become parquet
     PartitionFilters; a one-row params table records the assignment
-    rule so merges after a read cannot desynchronize from it.  Write MERGED state to a NEW
-    (versioned) path and swap a pointer — overwriting the path an
-    index was read from is unsupported (Spark refuses to overwrite
-    a path it is reading, and a mid-write failure would leave
-    mixed-generation tables)."""
+    rule so merges after a read cannot desynchronize from it."""
     import os
 
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_version,
+        commit_version,
+    )
+
+    root = path
+    path = begin_version(root)
     index.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids"))
     (index.lists.repartition("centroid_id").write.mode("overwrite")
@@ -940,6 +947,7 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     spark.createDataFrame([(bool(index.two_level),)],
                           "two_level boolean").write.mode(
         "overwrite").parquet(os.path.join(path, "params"))
+    commit_version(root, path)
 
 
 def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
@@ -948,9 +956,18 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
     the assignment rule (flat vs two-level) is unknowable from the
     lists alone, and guessing wrong reproduces exactly the silent
     merge desync the params table exists to prevent — rebuild the
-    index (or write the missing params table if the rule is known)."""
+    index (or write the missing params table if the rule is known).
+
+    ``path`` is the LOGICAL index root: the ``_CURRENT`` generation
+    pointer resolves first (operators/index_store.py), falling back to
+    the bare legacy layout when no pointer exists."""
     import os
 
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    path = resolve_index_path(path)
     try:
         two_level = bool(
             spark.read.parquet(os.path.join(path, "params"))
@@ -1523,14 +1540,21 @@ def pq_build_index(corpus: DataFrame, codebooks=None,
 
 
 def write_pq_index(index: PqIndex, path: str) -> None:
-    """Persist the index (overwrite): codes as skinny parquet, the
-    codebooks exploded to (m, j, centroid) rows.  Write MERGED state to a NEW
-    (versioned) path and swap a pointer — overwriting the path an
-    index was read from is unsupported (Spark refuses to overwrite
-    a path it is reading, and a mid-write failure would leave
-    mixed-generation tables)."""
+    """Persist the index into a FRESH generation directory
+    ``path/v=<n>`` and atomically swap the ``path/_CURRENT`` pointer
+    (operators/index_store.py) — read→merge→write on the same logical
+    path is supported, and a crash mid-write leaves readers on the
+    last complete generation.  Codes as skinny parquet, the codebooks
+    exploded to (m, j, centroid) rows."""
     import os
 
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_version,
+        commit_version,
+    )
+
+    root = path
+    path = begin_version(root)
     index.codes.write.mode("overwrite").parquet(
         os.path.join(path, "codes"))
     spark = index.codes.sparkSession
@@ -1540,14 +1564,22 @@ def write_pq_index(index: PqIndex, path: str) -> None:
     spark.createDataFrame(
         rows, "m int, j int, centroid array<double>"
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    commit_version(root, path)
 
 
 def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
     """Load a persisted PQ index.  Only the O(M·K) codebook table is
     collected eagerly (the serve-time LUTs need it driver-side, the
-    same bounded footprint the live path carries); codes stay lazy."""
+    same bounded footprint the live path carries); codes stay lazy.
+    ``path`` is the logical root — the ``_CURRENT`` generation pointer
+    resolves first (operators/index_store.py), bare layout fallback."""
     import os
 
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    path = resolve_index_path(path)
     rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
     by_m: dict = {}
     for r in rows:
@@ -1657,3 +1689,103 @@ def pq_merge_index(base: PqIndex, new_vectors: DataFrame,
     return PqIndex(base.codes.select("nn_id", "pq_code")
                    .unionByName(delta.select("nn_id", "pq_code")),
                    base.codebooks, id_col)
+
+
+def ivf_append_index(spark, path: str, new_vectors: DataFrame,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id", *,
+                     check_disjoint: bool = True) -> None:
+    """FAST-INGEST append for a persisted IVF index: assign the delta
+    under the persisted rule (frozen centroids + the params table's
+    flat/two-level flag) and append its list rows into the CURRENT
+    generation's ``lists`` partitions — ingest IO proportional to the
+    batch, never the corpus (``write_ivf_index`` after a merge rewrites
+    every list).  Serve-exactness is structural: lists are pure per-id
+    appends, so an appended index serves row-identically to a rebuild.
+    Same trade-offs as ``bm25_append_index`` (not crash-atomic; ~1
+    delta file per touched centroid partition per ingest —
+    ``compact_ivf_index`` resets the count)."""
+    import os
+
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    vpath = resolve_index_path(path)
+    base = read_ivf_index(spark, path, id_col)
+    if check_disjoint:
+        check_disjoint_ids(
+            base.lists.select(F.col("nn_id").alias(id_col)),
+            new_vectors, id_col, "ivf_append_index",
+            "duplicate its list entry")
+    cent_rows = base.centroids.orderBy("centroid_id").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    delta = _assign_centroid(
+        new_vectors.select(F.col(id_col).alias("nn_id"),
+                           _as_double(F.col(vec_col)).alias("cvec")),
+        "cvec", centroids, two_level=base.two_level
+    ).select("centroid_id", "nn_id", "cvec")
+    (delta.repartition("centroid_id").write.mode("append")
+     .partitionBy("centroid_id").parquet(os.path.join(vpath, "lists")))
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Rewrite the current IVF generation into a fresh one and swap the
+    pointer: the versioned write's ``repartition('centroid_id')``
+    collapses the per-ingest delta files back to ~1 per centroid
+    partition; centroids/params are tiny and rewrite as-is.  Serves are
+    row-identical before/after."""
+    write_ivf_index(read_ivf_index(spark, path, id_col), path)
+
+
+def pq_append_index(spark, path: str, new_vectors: DataFrame,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id", *,
+                    check_disjoint: bool = True) -> None:
+    """FAST-INGEST append for a persisted PQ index: Arrow-encode the
+    delta against the persisted (frozen) codebooks and append its code
+    rows to the CURRENT generation's ``codes`` table — ingest IO
+    proportional to the batch.  Codes are pure per-id rows, so an
+    appended index serves row-identically to a rebuild.  Same
+    trade-offs as the other families (not crash-atomic; one delta file
+    set per ingest — ``compact_pq_index`` resets the count)."""
+    import os
+
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+    from orange3_timeseries_spark.operators.index_store import (
+        resolve_index_path,
+    )
+
+    vpath = resolve_index_path(path)
+    base = read_pq_index(spark, path, id_col)
+    if check_disjoint:
+        check_disjoint_ids(
+            base.codes.select(F.col("nn_id").alias(id_col)),
+            new_vectors, id_col, "pq_append_index",
+            "duplicate its code row")
+    delta = pq_encode(
+        new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
+        base.codebooks, vec_col=vec_col, id_col="nn_id")
+    delta.select("nn_id", "pq_code").write.mode("append").parquet(
+        os.path.join(vpath, "codes"))
+
+
+def compact_pq_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Rewrite the current PQ generation into a fresh one and swap the
+    pointer, coalescing the per-ingest delta files: codes are
+    repartitioned to a byte-proportional width
+    (operators/partitioning.scaled_width — codes are 8 ints per vector,
+    so even a billion-vector table compacts to modest file counts).
+    Serves are row-identical before/after."""
+    from orange3_timeseries_spark.operators.partitioning import (
+        scaled_width,
+    )
+
+    idx = read_pq_index(spark, path, id_col)
+    codes = idx.codes.repartition(scaled_width(idx.codes))
+    write_pq_index(PqIndex(codes, idx.codebooks, idx.id_col), path)

@@ -4568,17 +4568,12 @@ def q_dedup_lsh_registry_probe(spark, sf_dir):
     probe collides on exactly the pairs the live
     ``minhash_lsh_pairs_between`` run finds — the dedup sibling of
     ``bm25_registry_topk`` / ``ann_ivf_registry_topk``."""
-    import os
-    import tempfile
-
     d = read_table(spark, sf_dir, "documents")
     dec = F.col("doc_id") % 10
     idx = D.lsh_build_index(d.where(dec <= 6))
     idx = D.lsh_merge_index(idx, d.where(dec == 7))
     idx = D.lsh_merge_index(idx, d.where(dec == 8))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_lsh_{os.getpid()}_{tag}")
+    path = _state_path("lsh", sf_dir)
     D.write_lsh_index(idx, path)
     out = D.lsh_probe_index(D.read_lsh_index(spark, path),
                             d.where(dec == 9), threshold=0.2)
@@ -4643,6 +4638,188 @@ def q_ann_pq_incremental_topk(spark, sf_dir):
     S.write_pq_index(merged, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
                                 _ann_seed_queries(e), k=5)
+
+
+# ------------------------------------------ versioned index lifecycles
+def _fresh_state_path(prefix, sf_dir):
+    """A (pid, sf)-keyed state path CLEARED before use: the versioned
+    store accumulates generations by design, so lifecycle queries that
+    walk build→write→merge→write→append→compact start from an empty
+    root to keep re-runs deterministic and /tmp bounded."""
+    import shutil
+
+    path = _state_path(prefix, sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@query("bm25_lifecycle_topk", _BM25_SQL.format(
+    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5, qwhere=""))
+def q_bm25_lifecycle_topk(spark, sf_dir):
+    """The COMPLETE versioned-index lifecycle on ONE logical path,
+    under the same full replay oracle as ``bm25_registry_topk``:
+    build the index over a third of the training corpus and WRITE
+    (generation v=1 + atomic ``_CURRENT`` pointer swap,
+    operators/index_store.py); READ it back and MERGE the second third
+    in, writing the merged state to the SAME logical path (v=2 — the
+    read→merge→write cycle the pointer scheme exists to support:
+    the merged write streams from v=1's parquet into v=2);
+    fast-ingest APPEND the final third in place (delta-only IO,
+    ``bm25_append_index``); COMPACT (v=3 — canonical single-generation
+    state re-derived from postings, per-bucket file count reset); and
+    serve the 6-token queries from the result.  Hash-equal to the
+    live full-corpus query proves every lifecycle step is exact:
+    merged == appended == compacted == rebuilt."""
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_merge_index,
+        bm25_topk_from_index,
+        compact_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from orange3_timeseries_spark.operators.text import tokens_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    qs = (d.where(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
+                               " ").alias("text")))
+    corpus = d.where(F.col("source") != "src0")
+    third = F.col("doc_id") % 3
+    path = _fresh_state_path("bm25_lc", sf_dir)
+    write_bm25_index(bm25_build_index(corpus.where(third == 0)), path)
+    merged = bm25_merge_index(read_bm25_index(spark, path),
+                              corpus.where(third == 1))
+    write_bm25_index(merged, path)              # same logical path: v=2
+    bm25_append_index(spark, path, corpus.where(third == 2))
+    compact_bm25_index(spark, path)             # v=3
+    return bm25_topk_from_index(read_bm25_index(spark, path), qs,
+                                top_k=5)
+
+
+@query("ann_ivf_lifecycle_topk", _OS_R10["ann_ivf_served_topk"])
+def q_ann_ivf_lifecycle_topk(spark, sf_dir):
+    """The IVF versioned lifecycle on one logical path under the live
+    query's full value-hash oracle: build over a third of the corpus →
+    versioned WRITE (v=1) → READ + MERGE the second third → WRITE to
+    the SAME path (v=2) → fast-ingest APPEND the final third
+    (delta-only assignment under the persisted rule) → COMPACT (v=3) →
+    serve.  Hash-equal to the live one-shot query proves
+    merged == appended == compacted == rebuilt for the vector-ingest
+    path."""
+    e = read_table(spark, sf_dir, "embeddings")
+    third = F.col("vec_id") % 3
+    path = _fresh_state_path("ivf_lc", sf_dir)
+    S.write_ivf_index(
+        S.ivf_build_index(e.where(third == 0),
+                          centroids=_ann_seed_centroids(e)), path)
+    merged = S.ivf_merge_index(S.read_ivf_index(spark, path),
+                               e.where(third == 1))
+    S.write_ivf_index(merged, path)
+    S.ivf_append_index(spark, path, e.where(third == 2))
+    S.compact_ivf_index(spark, path)
+    return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
+                                 _ann_seed_queries(e), k=5, nprobe=4)
+
+
+@query("ann_pq_lifecycle_topk", _OS_R10["ann_pq_topk"])
+def q_ann_pq_lifecycle_topk(spark, sf_dir):
+    """The PQ versioned lifecycle on one logical path under the live
+    query's full value-hash oracle: encode a third → versioned WRITE
+    (v=1) → READ + MERGE the second third → WRITE to the SAME path
+    (v=2) → fast-ingest APPEND the final third (delta-only encode
+    against the persisted frozen codebooks) → COMPACT (v=3) → serve
+    ADC top-5.  Hash-equal to the live query proves
+    merged == appended == compacted == rebuilt."""
+    e = read_table(spark, sf_dir, "embeddings")
+    third = F.col("vec_id") % 3
+    path = _fresh_state_path("pq_lc", sf_dir)
+    S.write_pq_index(
+        S.pq_build_index(e.where(third == 0),
+                         codebooks=_ann_seed_books(e)), path)
+    merged = S.pq_merge_index(S.read_pq_index(spark, path),
+                              e.where(third == 1))
+    S.write_pq_index(merged, path)
+    S.pq_append_index(spark, path, e.where(third == 2))
+    S.compact_pq_index(spark, path)
+    return S.pq_topk_from_index(S.read_pq_index(spark, path),
+                                _ann_seed_queries(e), k=5)
+
+
+@query("dedup_lsh_lifecycle_probe", _lsh_probe_sql())
+def q_dedup_lsh_lifecycle_probe(spark, sf_dir):
+    """The LSH versioned lifecycle on one logical path under the same
+    replay oracle as ``dedup_lsh_registry_probe`` (index = deciles
+    0-8, probe = decile 9): build over deciles 0-5 → versioned WRITE
+    (v=1) → READ + MERGE decile 6 → WRITE to the SAME path (v=2) →
+    fast-ingest APPEND deciles 7 and 8 (two in-place delta ingests —
+    the probe-then-append cadence of a dedup-at-ingest service) →
+    COMPACT (v=3) → probe decile 9 from the loaded index.  Hash-equal
+    to the registry query's oracle proves every lifecycle step
+    preserves exactly the persisted band-entry + doc state a rebuild
+    produces."""
+    d = read_table(spark, sf_dir, "documents")
+    dec = F.col("doc_id") % 10
+    path = _fresh_state_path("lsh_lc", sf_dir)
+    D.write_lsh_index(D.lsh_build_index(d.where(dec <= 5)), path)
+    merged = D.lsh_merge_index(D.read_lsh_index(spark, path),
+                               d.where(dec == 6))
+    D.write_lsh_index(merged, path)
+    D.lsh_append_index(spark, path, d.where(dec == 7))
+    D.lsh_append_index(spark, path, d.where(dec == 8))
+    D.compact_lsh_index(spark, path)
+    out = D.lsh_probe_index(D.read_lsh_index(spark, path),
+                            d.where(dec == 9), threshold=0.2)
+    return out.select("id_new", "id_index", r6(F.col("jaccard"),
+                                               "jaccard"))
+
+
+@query("dedup_simhash_registry_probe", _SIMHASH48_SIG + """,
+entries AS (
+  SELECT doc_id, sig, u.band, u.key FROM sig,
+  LATERAL (SELECT * FROM (VALUES (0, (sig >> 0) & 4095),
+                                 (1, (sig >> 12) & 4095),
+                                 (2, (sig >> 24) & 4095),
+                                 (3, (sig >> 36) & 4095)) AS v(band, key)) u)
+SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_index,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM entries a JOIN entries b
+  ON a.band = b.band AND a.key = b.key
+WHERE b.doc_id % 10 = 9 AND a.doc_id % 10 <= 8
+  AND bit_count(xor(a.sig, b.sig)) <= 3
+""")
+def q_dedup_simhash_registry_probe(spark, sf_dir):
+    """The PERSISTED SimHash dedup index under a full replay oracle —
+    the Hamming sibling of ``dedup_lsh_registry_probe``, closing the
+    last registry gap (every near-dup family now has a persisted
+    build→write→read→probe→merge→append→compact path).  Lifecycle:
+    build 48-bit signatures over deciles 0-5, versioned WRITE, READ +
+    MERGE decile 6, WRITE to the SAME path, APPEND deciles 7-8 in
+    place, COMPACT, then probe decile 9 against the loaded index —
+    delta-only signing, entries scan pruned to the probe's band-key
+    buckets, inline ``bit_count`` Hamming verify on the carried
+    signatures (no second state table: the signature IS the
+    verification state, unlike LSH whose exact-Jaccard verify needs
+    the indexed text).  The oracle replays signatures, banding,
+    blocking AND verification over the same split
+    (operators/dedup.py:SimHashIndex)."""
+    d = read_table(spark, sf_dir, "documents")
+    dec = F.col("doc_id") % 10
+    path = _fresh_state_path("simhash_lc", sf_dir)
+    D.write_simhash_index(D.simhash_build_index(d.where(dec <= 5)),
+                          path)
+    merged = D.simhash_merge_index(D.read_simhash_index(spark, path),
+                                   d.where(dec == 6))
+    D.write_simhash_index(merged, path)
+    D.simhash_append_index(spark, path, d.where(dec == 7))
+    D.simhash_append_index(spark, path, d.where(dec == 8))
+    D.compact_simhash_index(spark, path)
+    out = D.simhash_probe_index(D.read_simhash_index(spark, path),
+                                d.where(dec == 9), max_distance=3)
+    return out.select("id_new", "id_index",
+                      F.col("hamming").cast("int").alias("hamming"))
 
 
 @query("dsir_weights_by_doc", f"""

@@ -698,3 +698,49 @@ def q_streaming_lsh_gate(spark, sf_dir):
         spark, build, name, output_mode="append",
         state_partitions=_state_width(spark, sf_dir, name="documents"))
     return spark.table(name)
+
+
+@query("streaming_bm25_gate", _OS_STREAM["bm25_decontam_retrieval"])
+def q_streaming_bm25_gate(spark, sf_dir):
+    """Decontamination-by-retrieval at STREAM ingest, under the SAME
+    full replay oracle as the batch ``bm25_decontam_retrieval``: the
+    BM25 inverted index persists over the training corpus (build →
+    versioned write → read — the ``bm25_registry_topk`` state), and
+    the 'src0' eval slice arrives as a document stream; every arriving
+    doc retrieves its top-3 training neighbors through the persisted
+    index's serve kernel (streaming/ops.py:stream_bm25_gate via
+    ``foreachBatch`` — per-query top-k needs a rank window, not
+    plannable on an unbounded stream, and a query doc's result depends
+    only on its own tokens + the static index, so per-micro-batch
+    evaluation is exact).  Hash-equal to the batch decontam query
+    proves the streaming gate flags EXACTLY the overlaps the batch
+    retrieval finds — the BM25 sibling of ``streaming_lsh_gate``."""
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_build_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from orange3_timeseries_spark.streaming.ops import (
+        run_foreachbatch_to_memory,
+        stream_bm25_gate,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    path = _QP._state_path("bm25s", sf_dir)
+    write_bm25_index(bm25_build_index(d.where(F.col("source") != "src0")),
+                     path)
+
+    def build(s):
+        sdocs = read_table_stream(s, sf_dir, "documents") \
+            .where(F.col("source") == "src0")
+        return sdocs.select(F.col("doc_id").alias("query_id"), "text")
+
+    def transform(batch):
+        loaded = read_bm25_index(batch.sparkSession, path)
+        return stream_bm25_gate(batch, loaded, top_k=3)
+
+    name = "stream_bm25gate_" + uuid.uuid4().hex[:8]
+    run_foreachbatch_to_memory(
+        spark, build, transform, name,
+        state_partitions=_state_width(spark, sf_dir, name="documents"))
+    return spark.table(name)

@@ -313,6 +313,98 @@ def run_to_memory_isolated(spark, build, name: str,
     return q
 
 
+def run_foreachbatch_to_memory(spark, build, transform, name: str,
+                               state_partitions: Optional[int] = None):
+    """Drain a stream through ``foreachBatch``, applying a BATCH
+    transform to every micro-batch and exposing the accumulated results
+    as temp view ``name`` — the harness for streaming gates whose
+    per-record logic needs batch-only operators (rank windows,
+    driver-bounded collects for partition pruning).
+
+    ``foreachBatch`` is Structured Streaming's canonical escape hatch
+    for exactly this: inside the sink callback the micro-batch is a
+    plain batch DataFrame, so e.g. a per-query top-k rank window (not
+    plannable on an unbounded stream) runs unchanged.  The composition
+    is EXACT whenever the transform is row-local over the stream side —
+    each arriving record's output depends only on that record plus
+    static state — so evaluating it per micro-batch equals evaluating
+    it over the union of batches regardless of how the input is split
+    (asserted by the ``streaming_bm25_gate`` oracle).
+
+    Same session-isolation contract as :func:`run_to_memory_isolated`
+    (the stream is built and run on a cloned session).  Results are
+    accumulated by appending each batch's transform output to a
+    process-temp parquet spool and re-read on the caller's session —
+    a production deployment points the sink at its real warehouse
+    table instead.  At-least-once on retry (a batch retried after a
+    sink failure re-appends) — acceptable for gate/audit outputs,
+    switch the body to an idempotent MERGE keyed on ``batch_id`` when
+    exactly-once matters."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    clone = spark.newSession()
+    if state_partitions is not None:
+        clone.conf.set("spark.sql.shuffle.partitions",
+                       str(int(state_partitions)))
+    sdf = build(clone)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_febatch_{os.getpid()}_"
+                        f"{_uuid.uuid4().hex[:8]}")
+    spool, ckpt = base + "_out", base + "_ckpt"
+
+    def sink(batch_df, batch_id):
+        transform(batch_df).write.mode("append").parquet(spool)
+
+    q = (sdf.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(spool):
+        raise ValueError(
+            f"run_foreachbatch_to_memory({name!r}): the stream drained "
+            "without producing a single micro-batch — no result schema "
+            "to expose. Check the source path/filter.")
+    out = spark.read.parquet(spool)
+    out.createOrReplaceTempView(name)
+    return q
+
+
+def stream_bm25_gate(batch_df: DataFrame, index, *,
+                     query_text_col: str = "text",
+                     query_id_col: str = "query_id",
+                     top_k: int = 3, k1: float = 1.2, b: float = 0.75
+                     ) -> DataFrame:
+    """Decontamination-by-retrieval at STREAM ingest: score one
+    micro-batch of arriving documents against a persisted BM25 index
+    (operators/retrieval.py:Bm25Index) and emit each arrival's top-k
+    training-corpus neighbors — the retrieval sibling of
+    :func:`stream_lsh_probe`, flagging incoming eval/benchmark docs
+    that overlap the indexed training data (paraphrase-level overlap
+    the exact n-gram gate misses).
+
+    This is the per-batch TRANSFORM for
+    :func:`run_foreachbatch_to_memory`: BM25 top-k needs a rank window
+    partitioned by query (not plannable on an unbounded stream), and
+    the serve path's bucket prune needs a driver-side collect of the
+    batch's query-token buckets — both batch-only constructs, both
+    EXACT per micro-batch because a query document's top-k depends
+    only on its own tokens plus the static index.  Routes through the
+    very same ``bm25_topk_from_index`` serve kernel as the batch
+    query, so stream and batch scores are bit-identical."""
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_topk_from_index,
+    )
+
+    return bm25_topk_from_index(index, batch_df,
+                                query_text_col=query_text_col,
+                                query_id_col=query_id_col,
+                                k1=k1, b=b, top_k=top_k)
+
+
 def stream_enrich(sdf: DataFrame, dim: DataFrame, on,
                   how: str = "left") -> DataFrame:
     """STREAM-STATIC dimension enrichment: every streaming row gains the
@@ -492,8 +584,9 @@ def stream_dedup(sdf: DataFrame, time_col: str, key_cols: Sequence[str],
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
-def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2
-                     ) -> DataFrame:
+def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2,
+                     event_time_col: Optional[str] = None,
+                     watermark: str = "1 hour") -> DataFrame:
     """Near-duplicate gate at STREAM ingest against a persisted LSH
     index (operators/dedup.py:LshIndex) — the production shape of
     dedup-at-ingest: every arriving document is signed (stateless
@@ -513,7 +606,23 @@ def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2
     itself without watermarked state; bytes-per-band is the price of
     statelessness).  No bucket prune: a stream cannot collect its
     bucket set up front — the static entries scan is pruned by the
-    join itself instead."""
+    join itself instead.
+
+    State lifetime: by default the pair-dedup state has NO TTL — it
+    grows with every distinct candidate pair ever seen, which is
+    bounded per corpus snapshot but unbounded over a long-lived ingest
+    stream.  Pass ``event_time_col`` (an event-time timestamp on
+    ``sdf``) to switch to ``dropDuplicatesWithinWatermark``: pair state
+    is then evicted once the watermark passes, so memory is bounded by
+    candidate pairs per ``watermark`` horizon.  The trade-off is the
+    standard watermark contract — a delta document colliding with the
+    SAME indexed doc again more than ``watermark`` after its first
+    arrival re-emits the pair (a document arrives once per ingest, so
+    in practice re-emission needs a source replay).  Without an
+    event-time column, plan an operational restart/compaction cadence
+    for the query (state is rebuilt empty on restart with a fresh
+    checkpoint; the persisted index itself carries no streaming
+    state)."""
     from orange3_timeseries_spark.operators.dedup import (
         jaccard_expr,
         minhash_signature_expr,
@@ -523,17 +632,20 @@ def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2
     id_col, text_col = index.id_col, index.text_col
     k, bands = index.k, index.bands
     rpb = k // bands
+    if event_time_col is not None:
+        sdf = sdf.withWatermark(event_time_col, watermark)
     sh = shingles_expr(F.col(text_col), index.n)
     # two-step select: the signature materializes ONCE per row behind
     # a named alias; inlining it into the band array would re-evaluate
     # the whole shingle+minhash tree per band (the batch path's
     # measured 70x trap, operators/dedup.py:_band_entries)
+    time_cols = [event_time_col] if event_time_col is not None else []
     base = sdf.select(F.col(id_col),
-                      F.col(text_col).alias("__t_n__"),
+                      F.col(text_col).alias("__t_n__"), *time_cols,
                       minhash_signature_expr(sh, k, index.hash_family)
                       .alias("sig"))
     ent = base.select(
-        id_col, "__t_n__",
+        id_col, "__t_n__", *time_cols,
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col("sig")[b * rpb + r]
                          for r in range(rpb)])
@@ -544,8 +656,13 @@ def stream_lsh_probe(sdf: DataFrame, index, threshold: float = 0.2
                       F.col("a.band_key") == F.col("b.band_key")])
             .select(F.col(f"b.{id_col}").alias("id_new"),
                     F.col("__t_n__"),
-                    F.col(f"a.{id_col}").alias("id_index"))
-            .dropDuplicates(["id_new", "id_index"]))
+                    *[F.col(f"b.{c}") for c in time_cols],
+                    F.col(f"a.{id_col}").alias("id_index")))
+    if event_time_col is not None:
+        cand = cand.dropDuplicatesWithinWatermark(["id_new", "id_index"]) \
+            .drop(event_time_col)
+    else:
+        cand = cand.dropDuplicates(["id_new", "id_index"])
     ti = index.docs.select(F.col(id_col).alias("id_index"),
                            F.col(text_col).alias("__t_i__"))
     # bind the shingle arrays behind aliases BEFORE jaccard references

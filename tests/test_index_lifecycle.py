@@ -1,0 +1,204 @@
+"""Append + compact lifecycle for the persisted index families
+(build → write → append* → compact → serve): appended state serves
+hash-identically to a rebuild, the disjoint-id guard stays loud on the
+append path, and compaction collapses the per-ingest delta files while
+leaving served results identical."""
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from orange3_timeseries_spark.operators.index_store import (
+    current_version,
+    resolve_index_path,
+)
+
+DOCS = [(i, f"token{i} alpha beta gamma delta common words here {i}")
+        for i in range(1, 16)]
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [r for r in DOCS if lo <= r[0] <= hi], "doc_id long, text string")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(1, "alpha beta token3"), (2, "gamma token11 delta")],
+        "query_id long, text string")
+
+
+def _nfiles(vpath, table):
+    return len(glob.glob(os.path.join(vpath, table, "**", "*.parquet"),
+                         recursive=True))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestBm25AppendCompact:
+    def test_append_serves_like_rebuild_then_compacts(self, spark,
+                                                      tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_append_index,
+            bm25_build_index,
+            bm25_topk,
+            bm25_topk_from_index,
+            compact_bm25_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        root = str(tmp_path / "bm25")
+        write_bm25_index(bm25_build_index(_docs(spark, 1, 5),
+                                          n_buckets=8), root)
+        bm25_append_index(spark, root, _docs(spark, 6, 10))
+        bm25_append_index(spark, root, _docs(spark, 11, 15))
+        assert current_version(root) == 1      # appends stay in-place
+
+        live = bm25_topk(_docs(spark, 1, 15), _queries(spark), top_k=3)
+        served = bm25_topk_from_index(read_bm25_index(spark, root),
+                                      _queries(spark), top_k=3)
+        assert _rows(served) == _rows(live)
+
+        v1 = resolve_index_path(root)
+        frag = _nfiles(v1, "postings")
+        assert len(spark.read.parquet(
+            os.path.join(v1, "stats")).collect()) == 3
+
+        compact_bm25_index(spark, root)
+        assert current_version(root) == 2
+        v2 = resolve_index_path(root)
+        assert _nfiles(v2, "postings") < frag
+        assert len(spark.read.parquet(
+            os.path.join(v2, "stats")).collect()) == 1
+        again = bm25_topk_from_index(read_bm25_index(spark, root),
+                                     _queries(spark), top_k=3)
+        assert _rows(again) == _rows(live)
+
+    def test_append_guard_rejects_reingested_id(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_append_index,
+            bm25_build_index,
+            write_bm25_index,
+        )
+
+        root = str(tmp_path / "bm25_guard")
+        write_bm25_index(bm25_build_index(_docs(spark, 1, 5),
+                                          n_buckets=8), root)
+        with pytest.raises(ValueError, match="bm25_append_index"):
+            bm25_append_index(spark, root, _docs(spark, 5, 8))
+
+
+class TestAnnAppendCompact:
+    def _vecs(self, spark, lo, hi):
+        rows = [(i, [float((i * 7 + j) % 5) for j in range(8)])
+                for i in range(lo, hi + 1)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_ivf_append_compact(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        e = self._vecs(spark, 0, 19)
+        cents = [r["embedding"] for r in
+                 e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+        root = str(tmp_path / "ivf")
+        S.write_ivf_index(
+            S.ivf_build_index(e.where(F.col("vec_id") < 10),
+                              centroids=cents), root)
+        S.ivf_append_index(spark, root,
+                           e.where(F.col("vec_id") >= 10))
+        q = spark.createDataFrame(
+            [(0, cents[1])], "query_id long, embedding array<double>")
+        served = S.ivf_topk_from_index(S.read_ivf_index(spark, root), q,
+                                       k=3, nprobe=2)
+        live = S.ivf_topk(e, q, k=3, nprobe=2, centroids=cents)
+        assert _rows(served) == _rows(live)
+
+        v1 = resolve_index_path(root)
+        frag = _nfiles(v1, "lists")
+        S.compact_ivf_index(spark, root)
+        assert current_version(root) == 2
+        assert _nfiles(resolve_index_path(root), "lists") < frag
+        again = S.ivf_topk_from_index(S.read_ivf_index(spark, root), q,
+                                      k=3, nprobe=2)
+        assert _rows(again) == _rows(live)
+
+    def test_pq_append_compact(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        e = self._vecs(spark, 0, 15)
+        seed = [r["embedding"] for r in
+                e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+        books = [[v[m * 2:(m + 1) * 2] for v in seed] for m in range(4)]
+        root = str(tmp_path / "pq")
+        S.write_pq_index(
+            S.pq_build_index(e.where(F.col("vec_id") < 8),
+                             codebooks=books, n_subspaces=4), root)
+        S.pq_append_index(spark, root, e.where(F.col("vec_id") >= 8))
+        q = spark.createDataFrame(
+            [(0, seed[2])], "query_id long, embedding array<double>")
+        served = S.pq_topk_from_index(S.read_pq_index(spark, root), q,
+                                      k=3)
+        live = S.pq_topk_from_index(
+            S.pq_build_index(e, codebooks=books, n_subspaces=4), q, k=3)
+        assert _rows(served) == _rows(live)
+
+        frag = _nfiles(resolve_index_path(root), "codes")
+        S.compact_pq_index(spark, root)
+        assert current_version(root) == 2
+        assert _nfiles(resolve_index_path(root), "codes") < frag
+        again = S.pq_topk_from_index(S.read_pq_index(spark, root), q,
+                                     k=3)
+        assert _rows(again) == _rows(live)
+
+
+class TestLshAppendCompact:
+    BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill nearby every single day")
+
+    def test_lsh_append_compact(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.dedup import (
+            compact_lsh_index,
+            lsh_append_index,
+            lsh_build_index,
+            lsh_probe_index,
+            read_lsh_index,
+            write_lsh_index,
+        )
+
+        corpus = [(1, self.BASE),
+                  (2, self.BASE.replace("lazy", "sleepy")),
+                  (3, "entirely different text about query engines"),
+                  (4, self.BASE.replace("dog", "wolf")),
+                  (5, self.BASE.replace("cat", "kitten"))]
+        d = spark.createDataFrame(corpus, "doc_id long, text string")
+        probe = spark.createDataFrame(
+            [(101, self.BASE.replace("warm", "cold"))],
+            "doc_id long, text string")
+
+        root = str(tmp_path / "lsh")
+        write_lsh_index(lsh_build_index(d.where(F.col("doc_id") <= 2),
+                                        n_buckets=8), root)
+        lsh_append_index(spark, root, d.where(F.col("doc_id") == 3))
+        lsh_append_index(spark, root, d.where(F.col("doc_id") >= 4))
+
+        full = lsh_probe_index(lsh_build_index(d, n_buckets=8), probe,
+                               threshold=0.2)
+        served = lsh_probe_index(read_lsh_index(spark, root), probe,
+                                 threshold=0.2)
+        assert _rows(served) == _rows(full)
+        assert len(_rows(served)) > 0
+
+        frag = _nfiles(resolve_index_path(root), "entries")
+        compact_lsh_index(spark, root)
+        assert current_version(root) == 2
+        assert _nfiles(resolve_index_path(root), "entries") < frag
+        again = lsh_probe_index(read_lsh_index(spark, root), probe,
+                                threshold=0.2)
+        assert _rows(again) == _rows(full)

@@ -652,8 +652,12 @@ class TestIndexStateValidation:
                   for r in rows] for m in range(4)]
         path = str(tmp_path / "pq_gap")
         write_pq_index(pq_build_index(emb_df, codebooks=books), path)
-        # simulate a partial write: drop one (m, j) codebook row
-        cb_path = os.path.join(path, "codebooks")
+        # simulate a partial write: drop one (m, j) codebook row from
+        # the CURRENT generation (writes land under path/v=<n> now)
+        from orange3_timeseries_spark.operators.index_store import (
+            resolve_index_path,
+        )
+        cb_path = os.path.join(resolve_index_path(path), "codebooks")
         kept = spark.read.parquet(cb_path).where(
             "NOT (m = 2 AND j = 5)")
         kept.write.mode("overwrite").parquet(str(tmp_path / "cb2"))
