@@ -195,6 +195,74 @@ def rrf_fuse(rankings, k: int = 60, top_k: int = 10, *,
                     F.col("__score__").alias("score"), "rrf_rank"))
 
 
+def retrieval_eval(ranking: DataFrame, qrels: DataFrame, *,
+                   k: int = 10, query_id_col: str = "query_id",
+                   id_col: str = "doc_id", rank_col: str = "rank",
+                   unit_scale: int = 6) -> DataFrame:
+    """Per-query retrieval-quality metrics of a ranking against binary
+    relevance judgments: ``(query_id, n_rel, n_hits, recall_at_k, mrr,
+    ndcg_at_k)`` — the standard eval triple (recall@k, MRR, binary
+    nDCG@k) a retrieval stack needs before its rankings gate anything
+    (decontamination audits, hybrid-fusion weight tuning, index-recall
+    monitoring).
+
+    ``ranking`` holds ``(query_id, doc_id, rank)`` rows (extra columns
+    ignored; rows with rank > k are filtered here); ``qrels`` holds
+    ``(query_id, doc_id)`` relevant pairs (deduplicated here).  Every
+    query WITH judgments gets a row — zero-hit queries score 0, not
+    absent (silent drops are how eval numbers lie).
+
+    Determinism: DCG is the classic ``Σ_hits 1/log2(rank+1)`` — each
+    per-rank gain is quantized ONCE to integer micro-units
+    (``round(10^unit_scale / log2(rank+1))`` — one fixed IEEE
+    expression of an integer argument, identical on any engine) and
+    summed as exact BIGINTs, so the sum is aggregation-order-free; the
+    ideal DCG is the same units summed over ranks ``1..min(k, n_rel)``.
+    ``ndcg_at_k``/``recall_at_k``/``mrr`` are single exact divisions,
+    emitted unrounded.
+
+    Scale: two skinny joins (ranking ⋈ qrels on (query, doc), then the
+    per-query aggregate joined back to the per-query judgment counts);
+    everything after the inputs is bounded by |queries| × k rows —
+    corpus size never appears."""
+    unit = float(10 ** unit_scale)
+    r = (ranking.select(F.col(query_id_col), F.col(id_col),
+                        F.col(rank_col).cast("int").alias("__rk__"))
+         .where(F.col("__rk__") <= k))
+    q = qrels.select(query_id_col, id_col).distinct()
+    n_rel = q.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    gain = F.round(F.lit(unit)
+                   / F.log2(F.col("__rk__") + F.lit(1))).cast("bigint")
+    hit_agg = (r.join(q, [query_id_col, id_col])
+               .groupBy(query_id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                    F.sum(gain).alias("__dcg__"),
+                    F.min("__rk__").alias("__minrk__")))
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))
+                   .cast("int")),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.round(F.lit(unit)
+                                     / F.log2(i + F.lit(1)))
+        .cast("bigint"))
+    return (n_rel.join(hit_agg, query_id_col, "left")
+            .select(
+                query_id_col, "n_rel",
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+                .alias("n_hits"),
+                (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                 / F.col("n_rel").cast("double")).alias("recall_at_k"),
+                F.coalesce(F.lit(1.0)
+                           / F.col("__minrk__").cast("double"),
+                           F.lit(0.0)).alias("mrr"),
+                (F.coalesce(F.col("__dcg__"), F.lit(0)).cast("double")
+                 / ideal.cast("double")).alias("ndcg_at_k")))
+
+
+__all__.append("retrieval_eval")
+
+
 class Bm25Index(NamedTuple):
     """A persisted-or-persistable BM25 inverted index: three skinny
     state tables under the same build-once/serve-refit-free contract as

@@ -4318,6 +4318,80 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
     return rrf_fuse([bm, ann], k=60, top_k=5)
 
 
+@query("retrieval_eval_bm25_vs_ann", "WITH qids AS (\n"
+       """  SELECT d.doc_id FROM documents d JOIN embeddings e
+    ON e.vec_id = d.doc_id
+  WHERE d.source = 'src0' AND d.doc_id < 500),\n"""
+       + _BM25_CORE.format(
+           t=_TOKS, q=_TOKS,
+           qwhere="\n        AND doc_id IN (SELECT doc_id FROM qids)")
+       + """,
+bmr AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY units DESC, doc_id) AS rk
+        FROM per_doc QUALIFY rk <= 10),
+c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN documents d2
+        ON d2.doc_id = e.vec_id AND d2.source <> 'src0'),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (SELECT doc_id FROM qids)),
+qr AS (SELECT query_id, nn_id FROM (
+  SELECT qv.query_id, c.vec_id AS nn_id,
+         row_number() OVER (PARTITION BY qv.query_id
+                            ORDER BY round(list_cosine_similarity(c.v,
+                                                                  qv.qv), 6)
+                                     DESC, c.vec_id) AS rb
+  FROM c, qv WHERE c.vec_id != qv.query_id) t WHERE rb <= 5),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY 1),
+hits AS (SELECT b.query_id, b.rk FROM bmr b
+         JOIN qr ON qr.query_id = b.query_id AND qr.nn_id = b.doc_id),
+agg AS (SELECT query_id, count(*)::BIGINT AS n_hits,
+               sum(CAST(round(1000000.0 / log2(rk + 1)) AS BIGINT))::BIGINT
+                   AS dcg,
+               min(rk) AS minrk
+        FROM hits GROUP BY 1)
+SELECT n.query_id, n.n_rel,
+       coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(a.n_hits, 0)::DOUBLE / n.n_rel::DOUBLE AS recall_at_k,
+       coalesce(1.0 / a.minrk, 0.0) AS mrr,
+       coalesce(a.dcg, 0)::DOUBLE /
+       list_sum(list_transform(range(1, least(n.n_rel, 10) + 1),
+                i -> CAST(round(1000000.0 / log2(i + 1)) AS BIGINT)))::DOUBLE
+           AS ndcg_at_k
+FROM nrel n LEFT JOIN agg a USING (query_id)
+""")
+def q_retrieval_eval_bm25_vs_ann(spark, sf_dir):
+    """Retrieval-quality evaluation (recall@10 / MRR / binary nDCG@10,
+    operators/retrieval.py:retrieval_eval): every embedded 'src0'
+    document queries the training corpus through BM25 (top-10), judged
+    against its exact-cosine top-5 semantic neighbors as the binary
+    relevance set — the lexical-vs-semantic agreement audit a hybrid
+    retrieval stack (``rrf_hybrid_retrieval``) reads before trusting
+    either ranker alone.  Per-rank DCG gains are quantized ONCE to
+    integer micro-units and summed exactly (order-free); recall / MRR
+    / nDCG are single exact divisions emitted unrounded.  Every judged
+    query gets a row — zero-hit queries score 0, never drop."""
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_topk,
+        retrieval_eval,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    qd = (d.where((F.col("source") == "src0") & (F.col("doc_id") < 500))
+          .join(e.select(F.col("vec_id").alias("doc_id")), "doc_id"))
+    corpus = d.where(F.col("source") != "src0")
+    bm = bm25_topk(corpus,
+                   qd.select(F.col("doc_id").alias("query_id"), "text"),
+                   top_k=10)
+    ec = e.join(corpus.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    eq = (e.join(qd.select(F.col("doc_id").alias("vec_id")), "vec_id")
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    qr = S.brute_force_topk(ec, eq, k=5).select(
+        "query_id", F.col("nn_id").alias("doc_id"))
+    return retrieval_eval(bm, qr, k=10)
+
+
 # ------------------------------------------------------- coverage audit
 @query("coverage_audit_embeddings", """
 WITH l AS (SELECT doc_id AS k, count(*) AS n FROM documents

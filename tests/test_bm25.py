@@ -361,3 +361,52 @@ class TestTokenlessDocs:
         qs = _queries(spark, [(9, "banana")])
         served = bm25_topk_from_index(got, qs, top_k=5).collect()
         assert {r.doc_id for r in served} == {1, 3}
+
+
+class TestRetrievalEval:
+    def test_known_values_zero_hit_rows_and_unjudged_drop(self, spark):
+        import math
+
+        from orange3_timeseries_spark.operators.retrieval import (
+            retrieval_eval,
+        )
+
+        ranking = spark.createDataFrame(
+            [("q1", 5, 1), ("q1", 1, 2), ("q1", 7, 3), ("q1", 2, 4),
+             ("q2", 9, 1), ("q2", 8, 2),
+             ("q3", 1, 1)],                     # q3 has NO judgments
+            "query_id string, doc_id long, rank int")
+        qrels = spark.createDataFrame(
+            [("q1", 1), ("q1", 2), ("q1", 3), ("q1", 2),  # dup judgment
+             ("q2", 42)],
+            "query_id string, doc_id long")
+        out = {r["query_id"]: r for r in
+               retrieval_eval(ranking, qrels, k=10).collect()}
+        assert set(out) == {"q1", "q2"}         # unjudged q3 dropped
+
+        u = lambda i: round(1e6 / math.log2(i + 1))  # noqa: E731
+        r1 = out["q1"]
+        assert (r1["n_rel"], r1["n_hits"]) == (3, 2)
+        assert r1["recall_at_k"] == 2.0 / 3.0
+        assert r1["mrr"] == 0.5                 # first hit at rank 2
+        assert r1["ndcg_at_k"] == (u(2) + u(4)) / float(u(1) + u(2)
+                                                        + u(3))
+        r2 = out["q2"]                          # judged, zero hits
+        assert (r2["n_rel"], r2["n_hits"]) == (1, 0)
+        assert (r2["recall_at_k"], r2["mrr"], r2["ndcg_at_k"]) == \
+            (0.0, 0.0, 0.0)
+
+    def test_rank_beyond_k_ignored(self, spark):
+        from orange3_timeseries_spark.operators.retrieval import (
+            retrieval_eval,
+        )
+
+        ranking = spark.createDataFrame(
+            [("q1", 1, 3)], "query_id string, doc_id long, rank int")
+        qrels = spark.createDataFrame(
+            [("q1", 1)], "query_id string, doc_id long")
+        row = retrieval_eval(ranking, qrels, k=2).collect()[0]
+        assert row["n_hits"] == 0 and row["mrr"] == 0.0
+        row = retrieval_eval(ranking, qrels, k=3).collect()[0]
+        assert row["n_hits"] == 1 and row["mrr"] == 1.0 / 3.0
+        assert row["recall_at_k"] == 1.0

@@ -763,3 +763,57 @@ class TestStreamLshProbe:
         got = sorted(map(tuple, spark.table("t_lsh_gate").collect()))
         assert got == batch
         assert {(n, i) for n, i, _ in got} >= {(101, 1), (103, 1)}
+
+
+class TestStreamBm25Gate:
+    def test_stream_gate_matches_batch_serve(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_topk_from_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+        from orange3_timeseries_spark.streaming.ops import (
+            run_foreachbatch_to_memory,
+            stream_bm25_gate,
+        )
+
+        corpus = [(i, f"token{i} alpha beta gamma delta shared words")
+                  for i in range(1, 9)]
+        queries = [(101, "alpha token2 gamma"),
+                   (102, "delta token5 beta"),
+                   (103, "token7 alpha shared"),
+                   (104, "nomatch zzz qqq")]
+        idx_path = str(tmp_path / "bm25_idx")
+        write_bm25_index(
+            bm25_build_index(spark.createDataFrame(
+                corpus, "doc_id long, text string"), n_buckets=8),
+            idx_path)
+        loaded = read_bm25_index(spark, idx_path)
+        qdf = spark.createDataFrame(queries,
+                                    "query_id long, text string")
+        batch = sorted(map(tuple, bm25_topk_from_index(
+            loaded, qdf, top_k=3).collect()))
+
+        # maxFilesPerTrigger=1 -> one micro-batch per file: the gate's
+        # per-query top-k must be exact regardless of how the stream
+        # splits (a query's result depends only on its own row + the
+        # static index)
+        d = str(tmp_path / "q_stream")
+        qdf.repartition(2).write.mode("overwrite").parquet(d)
+
+        def build(s):
+            return (s.readStream.schema("query_id long, text string")
+                    .option("maxFilesPerTrigger", 1).parquet(d))
+
+        def transform(b):
+            idx = read_bm25_index(b.sparkSession, idx_path)
+            return stream_bm25_gate(b, idx, top_k=3)
+
+        run_foreachbatch_to_memory(spark, build, transform,
+                                   "t_bm25_gate")
+        got = sorted(map(tuple, spark.table("t_bm25_gate").collect()))
+        assert got == batch
+        assert len(got) > 0
+        # the no-overlap query produces no rows
+        assert all(r[0] != 104 for r in got)
