@@ -61,6 +61,7 @@ __all__ = ["begin_version", "commit_version", "resolve_index_path",
            "current_version", "list_versions", "vacuum_index"]
 
 _POINTER = "_CURRENT"
+_COMMIT_MARK = "_COMMITTED"
 _VDIR_RE = re.compile(r"^v=(\d+)$")
 
 
@@ -146,21 +147,34 @@ def begin_version(path: str) -> str:
 def commit_version(path: str, version_path: str) -> None:
     """Atomically point ``path/_CURRENT`` at a fully-written generation
     directory.  Write-temp + ``os.replace`` so a crash during commit
-    leaves either the old pointer or the new one, never a torn file."""
+    leaves either the old pointer or the new one, never a torn file.
+    A ``_COMMITTED`` marker is dropped inside the generation FIRST —
+    it distinguishes once-complete generations from torn mid-write
+    leftovers, which :func:`vacuum_index` must treat differently (a
+    torn generation is garbage; a marked one is a valid rollback
+    target)."""
     root = _local(path)
     vname = os.path.basename(os.path.normpath(_local(version_path)))
     if not _VDIR_RE.match(vname):
         raise ValueError(
             f"index_store: commit_version expects a 'v=<n>' generation "
             f"directory, got {version_path!r}")
-    if not os.path.isdir(os.path.join(root, vname)):
+    vdir = os.path.join(root, vname)
+    if not os.path.isdir(vdir):
         raise ValueError(
             f"index_store: cannot commit {vname!r} under {path!r} — "
             "the generation directory does not exist (write it first)")
+    with open(os.path.join(vdir, _COMMIT_MARK), "w",
+              encoding="utf-8") as f:
+        f.write("committed\n")
     fd, tmp = tempfile.mkstemp(prefix="._CURRENT.", dir=root)
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(vname + "\n")
+        # mkstemp creates 0600; the pointer must be as readable as the
+        # state tables it names (a serve-only account could otherwise
+        # read every parquet file yet fail on the pointer)
+        os.chmod(tmp, 0o644)
         os.replace(tmp, os.path.join(root, _POINTER))
     except BaseException:
         try:
@@ -173,20 +187,27 @@ def commit_version(path: str, version_path: str) -> None:
 def vacuum_index(path: str, keep_last: int = 1) -> List[int]:
     """Delete unreferenced generations, returning the numbers removed.
     Keeps the CURRENT generation plus the newest ``keep_last - 1``
-    others at or below it, and never touches generations NEWER than the
-    pointer (an in-flight uncommitted write).  Retention is the
-    operator's call: a serve job that planned against the previous
-    generation keeps its file list until its query finishes — vacuum
-    only once no reader can still hold one."""
+    other COMMITTED generations at or below it; torn mid-write
+    leftovers below the pointer (no ``_COMMITTED`` marker — a crash
+    between table writes) are always garbage and always removed, so
+    they can never occupy a retention slot a rollback depends on.
+    Generations NEWER than the pointer are never touched (an in-flight
+    uncommitted write).  Retention is the operator's call: a serve job
+    that planned against the previous generation keeps its file list
+    until its query finishes — vacuum only once no reader can still
+    hold one."""
     cur = current_version(path)
     if cur is None:
         return []
     keep_last = max(1, int(keep_last))
-    committed = [v for v in list_versions(path) if v <= cur]
+    root = _local(path)
+    below = [v for v in list_versions(path) if v <= cur]
+    committed = [v for v in below
+                 if v == cur or os.path.isfile(
+                     os.path.join(root, f"v={v}", _COMMIT_MARK))]
     keep = set(committed[-keep_last:]) | {cur}
     removed = []
-    root = _local(path)
-    for v in committed:
+    for v in below:
         if v not in keep:
             shutil.rmtree(os.path.join(root, f"v={v}"))
             removed.append(v)

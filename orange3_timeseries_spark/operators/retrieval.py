@@ -207,10 +207,14 @@ def retrieval_eval(ranking: DataFrame, qrels: DataFrame, *,
     monitoring).
 
     ``ranking`` holds ``(query_id, doc_id, rank)`` rows (extra columns
-    ignored; rows with rank > k are filtered here); ``qrels`` holds
-    ``(query_id, doc_id)`` relevant pairs (deduplicated here).  Every
-    query WITH judgments gets a row — zero-hit queries score 0, not
-    absent (silent drops are how eval numbers lie).
+    ignored; rows with rank > k are filtered here, and a document
+    ranked more than once for the same query — e.g. the raw union of
+    two ranker outputs — counts ONCE at its best rank, the trec_eval
+    convention, so duplicates can never push recall or nDCG past 1).
+    ``qrels`` holds ``(query_id, doc_id)`` relevant pairs
+    (deduplicated here).  Every query WITH judgments gets a row —
+    zero-hit queries score 0, not absent (silent drops are how eval
+    numbers lie).
 
     Determinism: DCG is the classic ``Σ_hits 1/log2(rank+1)`` — each
     per-rank gain is quantized ONCE to integer micro-units
@@ -228,7 +232,9 @@ def retrieval_eval(ranking: DataFrame, qrels: DataFrame, *,
     unit = float(10 ** unit_scale)
     r = (ranking.select(F.col(query_id_col), F.col(id_col),
                         F.col(rank_col).cast("int").alias("__rk__"))
-         .where(F.col("__rk__") <= k))
+         .where(F.col("__rk__") <= k)
+         .groupBy(query_id_col, id_col)
+         .agg(F.min("__rk__").alias("__rk__")))
     q = qrels.select(query_id_col, id_col).distinct()
     n_rel = q.groupBy(query_id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rel"))
@@ -599,11 +605,17 @@ def bm25_append_index(spark: SparkSession, path: str,
     """FAST-INGEST append: fold a delta batch into the CURRENT
     generation of a persisted index by appending delta files in place —
     the only writes are the DELTA's postings / per-token df rows / one
-    stats row, so ingest cost is proportional to the batch, never the
-    corpus (``bm25_merge_index`` + ``write_bm25_index`` computes the
-    same delta but re-WRITES the full corpus state into a new
-    generation — IO-bound at 100 TB even though its compute is
-    delta-only).
+    stats row, so ingest COMPUTE and WRITE IO are proportional to the
+    batch, never the corpus (``bm25_merge_index`` + ``write_bm25_index``
+    computes the same delta but re-WRITES the full corpus state into a
+    new generation — IO-bound at 100 TB even though its compute is
+    delta-only).  The default-on disjoint guard is the one
+    corpus-sized read: an id semi-join against the base postings (no
+    partition prune applies — postings bucket by token hash, not id).
+    A pipeline that proves disjointness upstream (monotonic crawl ids,
+    ``operators/audit.py:coverage_audit``) passes
+    ``check_disjoint=False`` to make the whole ingest
+    delta-proportional; same rule as the merge path.
 
     Serve-exactness: the serve path SUM-aggregates df and stats after
     its query-token prune (``bm25_topk_from_index``), so appended
@@ -640,16 +652,32 @@ def bm25_append_index(spark: SparkSession, path: str,
     delta = bm25_build_index(new_docs, text_col=text_col,
                              id_col=base.id_col,
                              n_buckets=base.n_buckets)
-    (delta.postings.repartition("bucket").write.mode("append")
+    # pin the delta postings so the three table writes share ONE
+    # tokenize pass (same reason write_bm25_index derives token_df and
+    # stats from the WRITTEN postings): without the pin each .write
+    # re-executes the explode+tf aggregation over the batch
+    dp = delta.postings.localCheckpoint()
+    (dp.repartition("bucket").write.mode("append")
      .partitionBy("bucket").parquet(os.path.join(vpath, "postings")))
-    (delta.token_df.repartition("bucket").write.mode("append")
+    bucket = F.pmod(F.xxhash64(F.col("token")),
+                    F.lit(base.n_buckets)).cast("int")
+    (dp.where(F.col("token").isNotNull())
+     .groupBy("token")
+     .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+     .select("token", "df", bucket.alias("bucket"))
+     .repartition("bucket").write.mode("append")
      .partitionBy("bucket").parquet(os.path.join(vpath, "token_df")))
     # stats row LAST: the serve aggregates stats with the postings it
     # can see, so on the happy path the generation is consistent the
     # moment this lands (mid-append reads are a single-writer no-no
-    # anyway — see the crash-atomicity note above)
-    delta.stats.write.mode("append").parquet(
-        os.path.join(vpath, "stats"))
+    # anyway — see the crash-atomicity note above).  Derived from the
+    # pinned postings — sentinel rows make them a complete per-doc
+    # record, exactly the write path's derivation.
+    (dp.groupBy(base.id_col).agg(F.max("dl").alias("__dl__"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+          F.sum("__dl__").cast("bigint").alias("sum_dl"),
+          F.lit(int(base.n_buckets)).alias("n_buckets"))
+     .write.mode("append").parquet(os.path.join(vpath, "stats")))
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> None:

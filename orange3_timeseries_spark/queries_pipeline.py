@@ -4464,9 +4464,6 @@ def q_bm25_registry_topk(spark, sf_dir):
     route through the shared `_bm25_score_topk` kernel;
     operators/retrieval.py).  The retrieval analogue of
     ``arima_registry_forecast_by_user``."""
-    import os
-    import tempfile
-
     from orange3_timeseries_spark.operators.retrieval import (
         bm25_build_index,
         bm25_topk_from_index,
@@ -4481,12 +4478,7 @@ def q_bm25_registry_topk(spark, sf_dir):
                   F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
                                " ").alias("text")))
     idx = bm25_build_index(d.where(F.col("source") != "src0"))
-    # path keyed by (pid, sf): re-runs overwrite (no /tmp growth per
-    # process) and a held lazy DataFrame from another SF keeps reading
-    # ITS index instead of a silently swapped one
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_bm25_{os.getpid()}_{tag}")
+    path = _state_path("bm25", sf_dir)
     write_bm25_index(idx, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
@@ -4503,9 +4495,6 @@ def q_bm25_incremental_topk(spark, sf_dir):
     full-corpus query proves merged state == rebuilt state exactly
     (operators/retrieval.py:bm25_merge_index) — the daily-crawl-drop
     ingest path at 100 TB."""
-    import os
-    import tempfile
-
     from orange3_timeseries_spark.operators.retrieval import (
         bm25_build_index,
         bm25_merge_index,
@@ -4524,9 +4513,7 @@ def q_bm25_incremental_topk(spark, sf_dir):
     base = bm25_build_index(corpus.where(F.col("doc_id") % 2 == 0))
     merged = bm25_merge_index(base,
                               corpus.where(F.col("doc_id") % 2 != 0))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_bm25_inc_{os.getpid()}_{tag}")
+    path = _state_path("bm25_inc", sf_dir)
     write_bm25_index(merged, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
@@ -4558,15 +4545,23 @@ def _ann_seed_queries(e):
 
 
 def _state_path(prefix, sf_dir):
-    """Index state path keyed by (pid, sf): re-runs overwrite (no /tmp
-    growth per process) and a held lazy DataFrame from another SF keeps
-    reading ITS index instead of a silently swapped one."""
+    """Index state path keyed by (pid, sf), CLEARED before use: the
+    versioned store (operators/index_store.py) allocates a fresh
+    ``v=<n>`` per write instead of overwriting, so without the clear a
+    re-run in a long-lived process would accumulate one full index
+    generation per run.  The rmtree keeps the old invariants: re-runs
+    start empty (no /tmp growth per process) and a held lazy DataFrame
+    from another SF keeps reading ITS index (different tag, untouched)
+    — exactly the semantics the pre-versioning overwrite provided."""
     import os
+    import shutil
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(),
+    path = os.path.join(tempfile.gettempdir(),
                         f"spark_graft_{prefix}_{os.getpid()}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 @query("ann_ivf_registry_topk", _OS_R10["ann_ivf_served_topk"])
@@ -4715,18 +4710,6 @@ def q_ann_pq_incremental_topk(spark, sf_dir):
 
 
 # ------------------------------------------ versioned index lifecycles
-def _fresh_state_path(prefix, sf_dir):
-    """A (pid, sf)-keyed state path CLEARED before use: the versioned
-    store accumulates generations by design, so lifecycle queries that
-    walk build→write→merge→write→append→compact start from an empty
-    root to keep re-runs deterministic and /tmp bounded."""
-    import shutil
-
-    path = _state_path(prefix, sf_dir)
-    shutil.rmtree(path, ignore_errors=True)
-    return path
-
-
 @query("bm25_lifecycle_topk", _BM25_SQL.format(
     t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5, qwhere=""))
 def q_bm25_lifecycle_topk(spark, sf_dir):
@@ -4762,7 +4745,7 @@ def q_bm25_lifecycle_topk(spark, sf_dir):
                                " ").alias("text")))
     corpus = d.where(F.col("source") != "src0")
     third = F.col("doc_id") % 3
-    path = _fresh_state_path("bm25_lc", sf_dir)
+    path = _state_path("bm25_lc", sf_dir)
     write_bm25_index(bm25_build_index(corpus.where(third == 0)), path)
     merged = bm25_merge_index(read_bm25_index(spark, path),
                               corpus.where(third == 1))
@@ -4785,7 +4768,7 @@ def q_ann_ivf_lifecycle_topk(spark, sf_dir):
     path."""
     e = read_table(spark, sf_dir, "embeddings")
     third = F.col("vec_id") % 3
-    path = _fresh_state_path("ivf_lc", sf_dir)
+    path = _state_path("ivf_lc", sf_dir)
     S.write_ivf_index(
         S.ivf_build_index(e.where(third == 0),
                           centroids=_ann_seed_centroids(e)), path)
@@ -4809,7 +4792,7 @@ def q_ann_pq_lifecycle_topk(spark, sf_dir):
     merged == appended == compacted == rebuilt."""
     e = read_table(spark, sf_dir, "embeddings")
     third = F.col("vec_id") % 3
-    path = _fresh_state_path("pq_lc", sf_dir)
+    path = _state_path("pq_lc", sf_dir)
     S.write_pq_index(
         S.pq_build_index(e.where(third == 0),
                          codebooks=_ann_seed_books(e)), path)
@@ -4836,7 +4819,7 @@ def q_dedup_lsh_lifecycle_probe(spark, sf_dir):
     produces."""
     d = read_table(spark, sf_dir, "documents")
     dec = F.col("doc_id") % 10
-    path = _fresh_state_path("lsh_lc", sf_dir)
+    path = _state_path("lsh_lc", sf_dir)
     D.write_lsh_index(D.lsh_build_index(d.where(dec <= 5)), path)
     merged = D.lsh_merge_index(D.read_lsh_index(spark, path),
                                d.where(dec == 6))
@@ -4881,7 +4864,7 @@ def q_dedup_simhash_registry_probe(spark, sf_dir):
     (operators/dedup.py:SimHashIndex)."""
     d = read_table(spark, sf_dir, "documents")
     dec = F.col("doc_id") % 10
-    path = _fresh_state_path("simhash_lc", sf_dir)
+    path = _state_path("simhash_lc", sf_dir)
     D.write_simhash_index(D.simhash_build_index(d.where(dec <= 5)),
                           path)
     merged = D.simhash_merge_index(D.read_simhash_index(spark, path),

@@ -739,8 +739,11 @@ def q_streaming_bm25_gate(spark, sf_dir):
         loaded = read_bm25_index(batch.sparkSession, path)
         return stream_bm25_gate(batch, loaded, top_k=3)
 
+    # view name uuid-fresh per call (temp-view collision safety), but
+    # the SPOOL keys on (pid, sf) so process-lifetime re-runs overwrite
     name = "stream_bm25gate_" + uuid.uuid4().hex[:8]
     run_foreachbatch_to_memory(
         spark, build, transform, name,
-        state_partitions=_state_width(spark, sf_dir, name="documents"))
+        state_partitions=_state_width(spark, sf_dir, name="documents"),
+        spool_path=_QP._state_path("bm25s_spool", sf_dir))
     return spark.table(name)

@@ -314,7 +314,8 @@ def run_to_memory_isolated(spark, build, name: str,
 
 
 def run_foreachbatch_to_memory(spark, build, transform, name: str,
-                               state_partitions: Optional[int] = None):
+                               state_partitions: Optional[int] = None,
+                               spool_path: Optional[str] = None):
     """Drain a stream through ``foreachBatch``, applying a BATCH
     transform to every micro-batch and exposing the accumulated results
     as temp view ``name`` — the harness for streaming gates whose
@@ -334,26 +335,37 @@ def run_foreachbatch_to_memory(spark, build, transform, name: str,
     Same session-isolation contract as :func:`run_to_memory_isolated`
     (the stream is built and run on a cloned session).  Results are
     accumulated by appending each batch's transform output to a
-    process-temp parquet spool and re-read on the caller's session —
-    a production deployment points the sink at its real warehouse
-    table instead.  At-least-once on retry (a batch retried after a
-    sink failure re-appends) — acceptable for gate/audit outputs,
-    switch the body to an idempotent MERGE keyed on ``batch_id`` when
-    exactly-once matters."""
+    parquet spool and re-read on the caller's session — a production
+    deployment points the sink at its real warehouse table instead.
+    ``spool_path`` names the spool location explicitly (CLEARED before
+    the run — callers key it so re-runs overwrite, e.g. by (pid, sf));
+    the default is keyed by (pid, ``name``) and likewise cleared, plus
+    registered for best-effort removal at interpreter exit, so
+    repeated gates in one process do not grow /tmp unboundedly.
+    At-least-once on retry (a batch retried after a sink failure
+    re-appends) — acceptable for gate/audit outputs, switch the body
+    to an idempotent MERGE keyed on ``batch_id`` when exactly-once
+    matters."""
+    import atexit
     import os
     import shutil
     import tempfile
-    import uuid as _uuid
 
     clone = spark.newSession()
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions",
                        str(int(state_partitions)))
     sdf = build(clone)
-    base = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_febatch_{os.getpid()}_"
-                        f"{_uuid.uuid4().hex[:8]}")
+    base = spool_path or os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_febatch_{os.getpid()}_{name}")
     spool, ckpt = base + "_out", base + "_ckpt"
+    shutil.rmtree(spool, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if spool_path is None:
+        # the view reads the spool lazily, so removal must outlive the
+        # caller's use of it — interpreter exit is the safe point
+        atexit.register(shutil.rmtree, spool, ignore_errors=True)
 
     def sink(batch_df, batch_id):
         transform(batch_df).write.mode("append").parquet(spool)

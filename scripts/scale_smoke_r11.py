@@ -143,9 +143,10 @@ def main():
                 make_docs(DELTA, salt=done + 1,
                           start=N_CORPUS + done * DELTA))
         t = timed(serve)
+        # stats rows = 1 (v=2 rewrite) + `stop` appends
         print(f"serve K={stop} appends: {t:.2f}s "
               f"(files postings={nfiles(root, 'postings')}, "
-              f"stats rows={stop})")
+              f"stats rows={stop + 1})")
 
     t0 = time.time()
     compact_bm25_index(spark, root)

@@ -75,10 +75,12 @@ class TestPointerPrimitives:
             current_version(root)
 
     def test_pointer_to_missing_dir_raises(self, tmp_path):
+        import shutil
+
         root = str(tmp_path / "idx")
         v1 = begin_version(root)
         commit_version(root, v1)
-        os.rmdir(v1)
+        shutil.rmtree(v1)
         with pytest.raises(ValueError, match="damaged"):
             resolve_index_path(root)
 
@@ -98,6 +100,21 @@ class TestPointerPrimitives:
             commit_version(root, begin_version(root))
         assert vacuum_index(root, keep_last=2) == [1]
         assert list_versions(root) == [2, 3]
+
+    def test_vacuum_torn_generation_never_counts_as_rollback(
+            self, tmp_path):
+        # v=1 committed; v=2 TORN (write crashed before commit); v=3
+        # committed.  keep_last=2 must retain the COMPLETE rollback
+        # target v=1 and delete the torn v=2 — counting torn dirs
+        # toward retention would vacuum the only good generation while
+        # keeping garbage
+        root = str(tmp_path / "idx")
+        commit_version(root, begin_version(root))
+        begin_version(root)                     # v=2, never committed
+        commit_version(root, begin_version(root))  # v=3
+        assert vacuum_index(root, keep_last=2) == [2]
+        assert list_versions(root) == [1, 3]
+        assert resolve_index_path(root).endswith("v=3")
 
     def test_vacuum_noop_without_pointer(self, tmp_path):
         assert vacuum_index(str(tmp_path / "nothing")) == []
