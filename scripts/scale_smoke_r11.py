@@ -44,7 +44,7 @@ spark.range(10000).groupBy((F.col("id") % 8).alias("g")).count() \
 VOCAB = 100_000
 N_CORPUS = 500_000
 DELTA = 5_000
-N_APPENDS = 16
+N_APPENDS = int(os.environ.get("SMOKE_APPENDS", "16"))
 
 
 def make_docs(n, salt=0, start=0):
@@ -89,6 +89,7 @@ def timed(fn, reps=1):
 
 
 def main():
+    print(f"pre-run load: {os.getloadavg()}")
     from orange3_timeseries_spark.operators.retrieval import (
         bm25_append_index,
         bm25_build_index,
@@ -115,7 +116,7 @@ def main():
         bm25_topk_from_index(idx, qs, top_k=5).write \
             .format("noop").mode("overwrite").save()
 
-    t_serve0 = timed(serve)
+    t_serve0 = timed(serve, reps=3)
     print(f"serve K=0 appends: {t_serve0:.2f}s "
           f"(files postings={nfiles(root, 'postings')})")
 
@@ -135,14 +136,14 @@ def main():
 
     # fragment further, measuring serve at checkpoints
     done = 1
-    for stop in (8, N_APPENDS):
+    for stop in sorted({8, N_APPENDS}):
         while done < stop:
             done += 1
             bm25_append_index(
                 spark, root,
                 make_docs(DELTA, salt=done + 1,
                           start=N_CORPUS + done * DELTA))
-        t = timed(serve)
+        t = timed(serve, reps=3)
         # stats rows = 1 (v=2 rewrite) + `stop` appends
         print(f"serve K={stop} appends: {t:.2f}s "
               f"(files postings={nfiles(root, 'postings')}, "
@@ -151,7 +152,7 @@ def main():
     t0 = time.time()
     compact_bm25_index(spark, root)
     t_compact = time.time() - t0
-    t = timed(serve)
+    t = timed(serve, reps=3)
     print(f"compact: {t_compact:.1f}s; serve post-compact: {t:.2f}s "
           f"(files postings={nfiles(root, 'postings')})")
     shutil.rmtree(root, ignore_errors=True)
