@@ -81,6 +81,20 @@ def nfiles(root, table):
 
 
 def timed(fn, reps=1):
+    """Measured with the bench's hygiene: cache-clear + Python AND JVM
+    GC before the timer — py4j frees JVM plan handles only when Python
+    gc runs, and without the reset the garbage accumulated by the many
+    append jobs inflates LATE serve legs 30-100% (observed: the
+    post-compact serve read slower than the fragmented one until the
+    GC was added — session-state drift, not fragmentation)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     fn()                       # warm (codegen, file listing, broadcast)
     t0 = time.time()
     for _ in range(reps):
