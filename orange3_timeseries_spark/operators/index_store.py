@@ -65,13 +65,31 @@ _COMMIT_MARK = "_COMMITTED"
 _VDIR_RE = re.compile(r"^v=(\d+)$")
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 def _local(path: str) -> str:
     """Strip a ``file:`` scheme so os-level pointer ops work on the same
-    location Spark writes to."""
+    location Spark writes to.  Any OTHER scheme (hdfs://, s3a://, …)
+    fails LOUDLY: the pointer/generation metadata here is os-level, so
+    on a remote FS the ``os.makedirs`` would silently create a literal
+    ``./hdfs:/…`` directory relative to the driver's cwd while Spark
+    writes the state tables remotely — and a reader elsewhere, finding
+    no pointer, would fall back to the bare legacy layout and serve
+    stale tables with no error.  An object-store deployment swaps the
+    pointer with a conditional PUT instead (module docstring); wire
+    that in before accepting remote schemes."""
     if path.startswith("file://"):
         return path[len("file://"):]
     if path.startswith("file:"):
         return path[len("file:"):]
+    if _SCHEME_RE.match(path):
+        raise ValueError(
+            f"index_store: non-local path {path!r} — the versioned "
+            "store's pointer operations are os-level (local/NFS/fuse "
+            "paths only). A remote scheme would split metadata from "
+            "state and silently serve stale generations; see the "
+            "module docstring for the object-store design.")
     return path
 
 

@@ -4478,7 +4478,7 @@ def q_bm25_registry_topk(spark, sf_dir):
                   F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
                                " ").alias("text")))
     idx = bm25_build_index(d.where(F.col("source") != "src0"))
-    path = _state_path("bm25", sf_dir)
+    path = _fresh_state_path("bm25", sf_dir)
     write_bm25_index(idx, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
@@ -4513,7 +4513,7 @@ def q_bm25_incremental_topk(spark, sf_dir):
     base = bm25_build_index(corpus.where(F.col("doc_id") % 2 == 0))
     merged = bm25_merge_index(base,
                               corpus.where(F.col("doc_id") % 2 != 0))
-    path = _state_path("bm25_inc", sf_dir)
+    path = _fresh_state_path("bm25_inc", sf_dir)
     write_bm25_index(merged, path)
     return bm25_topk_from_index(read_bm25_index(spark, path), qs,
                                 top_k=5)
@@ -4544,7 +4544,7 @@ def _ann_seed_queries(e):
             .select(F.col("vec_id").alias("query_id"), "embedding"))
 
 
-def _state_path(prefix, sf_dir):
+def _fresh_state_path(prefix, sf_dir):
     """Index state path keyed by (pid, sf), CLEARED before use: the
     versioned store (operators/index_store.py) allocates a fresh
     ``v=<n>`` per write instead of overwriting, so without the clear a
@@ -4579,7 +4579,7 @@ def q_ann_ivf_registry_topk(spark, sf_dir):
     ``bm25_registry_topk``."""
     e = read_table(spark, sf_dir, "embeddings")
     idx = S.ivf_build_index(e, centroids=_ann_seed_centroids(e))
-    path = _state_path("ivf", sf_dir)
+    path = _fresh_state_path("ivf", sf_dir)
     S.write_ivf_index(idx, path)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
                                  _ann_seed_queries(e), k=5, nprobe=4)
@@ -4642,7 +4642,7 @@ def q_dedup_lsh_registry_probe(spark, sf_dir):
     idx = D.lsh_build_index(d.where(dec <= 6))
     idx = D.lsh_merge_index(idx, d.where(dec == 7))
     idx = D.lsh_merge_index(idx, d.where(dec == 8))
-    path = _state_path("lsh", sf_dir)
+    path = _fresh_state_path("lsh", sf_dir)
     D.write_lsh_index(idx, path)
     out = D.lsh_probe_index(D.read_lsh_index(spark, path),
                             d.where(dec == 9), threshold=0.2)
@@ -4665,7 +4665,7 @@ def q_ann_pq_registry_topk(spark, sf_dir):
     ``ann_ivf_registry_topk``."""
     e = read_table(spark, sf_dir, "embeddings")
     idx = S.pq_build_index(e, codebooks=_ann_seed_books(e))
-    path = _state_path("pq", sf_dir)
+    path = _fresh_state_path("pq", sf_dir)
     S.write_pq_index(idx, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
                                 _ann_seed_queries(e), k=5)
@@ -4685,7 +4685,7 @@ def q_ann_ivf_incremental_topk(spark, sf_dir):
     base = S.ivf_build_index(e.where(F.col("vec_id") % 2 == 0),
                              centroids=_ann_seed_centroids(e))
     merged = S.ivf_merge_index(base, e.where(F.col("vec_id") % 2 != 0))
-    path = _state_path("ivf_inc", sf_dir)
+    path = _fresh_state_path("ivf_inc", sf_dir)
     S.write_ivf_index(merged, path)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
                                  _ann_seed_queries(e), k=5, nprobe=4)
@@ -4703,7 +4703,7 @@ def q_ann_pq_incremental_topk(spark, sf_dir):
     base = S.pq_build_index(e.where(F.col("vec_id") % 2 == 0),
                             codebooks=_ann_seed_books(e))
     merged = S.pq_merge_index(base, e.where(F.col("vec_id") % 2 != 0))
-    path = _state_path("pq_inc", sf_dir)
+    path = _fresh_state_path("pq_inc", sf_dir)
     S.write_pq_index(merged, path)
     return S.pq_topk_from_index(S.read_pq_index(spark, path),
                                 _ann_seed_queries(e), k=5)
@@ -4745,7 +4745,7 @@ def q_bm25_lifecycle_topk(spark, sf_dir):
                                " ").alias("text")))
     corpus = d.where(F.col("source") != "src0")
     third = F.col("doc_id") % 3
-    path = _state_path("bm25_lc", sf_dir)
+    path = _fresh_state_path("bm25_lc", sf_dir)
     write_bm25_index(bm25_build_index(corpus.where(third == 0)), path)
     merged = bm25_merge_index(read_bm25_index(spark, path),
                               corpus.where(third == 1))
@@ -4768,7 +4768,7 @@ def q_ann_ivf_lifecycle_topk(spark, sf_dir):
     path."""
     e = read_table(spark, sf_dir, "embeddings")
     third = F.col("vec_id") % 3
-    path = _state_path("ivf_lc", sf_dir)
+    path = _fresh_state_path("ivf_lc", sf_dir)
     S.write_ivf_index(
         S.ivf_build_index(e.where(third == 0),
                           centroids=_ann_seed_centroids(e)), path)
@@ -4792,7 +4792,7 @@ def q_ann_pq_lifecycle_topk(spark, sf_dir):
     merged == appended == compacted == rebuilt."""
     e = read_table(spark, sf_dir, "embeddings")
     third = F.col("vec_id") % 3
-    path = _state_path("pq_lc", sf_dir)
+    path = _fresh_state_path("pq_lc", sf_dir)
     S.write_pq_index(
         S.pq_build_index(e.where(third == 0),
                          codebooks=_ann_seed_books(e)), path)
@@ -4819,7 +4819,7 @@ def q_dedup_lsh_lifecycle_probe(spark, sf_dir):
     produces."""
     d = read_table(spark, sf_dir, "documents")
     dec = F.col("doc_id") % 10
-    path = _state_path("lsh_lc", sf_dir)
+    path = _fresh_state_path("lsh_lc", sf_dir)
     D.write_lsh_index(D.lsh_build_index(d.where(dec <= 5)), path)
     merged = D.lsh_merge_index(D.read_lsh_index(spark, path),
                                d.where(dec == 6))
@@ -4864,7 +4864,7 @@ def q_dedup_simhash_registry_probe(spark, sf_dir):
     (operators/dedup.py:SimHashIndex)."""
     d = read_table(spark, sf_dir, "documents")
     dec = F.col("doc_id") % 10
-    path = _state_path("simhash_lc", sf_dir)
+    path = _fresh_state_path("simhash_lc", sf_dir)
     D.write_simhash_index(D.simhash_build_index(d.where(dec <= 5)),
                           path)
     merged = D.simhash_merge_index(D.read_simhash_index(spark, path),

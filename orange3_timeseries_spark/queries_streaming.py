@@ -678,7 +678,7 @@ def q_streaming_lsh_gate(spark, sf_dir):
     idx = D.lsh_build_index(d.where(dec <= 6))
     idx = D.lsh_merge_index(idx, d.where(dec == 7))
     idx = D.lsh_merge_index(idx, d.where(dec == 8))
-    path = _QP._state_path("lshs", sf_dir)
+    path = _QP._fresh_state_path("lshs", sf_dir)
     D.write_lsh_index(idx, path)
 
     def build(s):
@@ -726,7 +726,7 @@ def q_streaming_bm25_gate(spark, sf_dir):
     )
 
     d = read_table(spark, sf_dir, "documents")
-    path = _QP._state_path("bm25s", sf_dir)
+    path = _QP._fresh_state_path("bm25s", sf_dir)
     write_bm25_index(bm25_build_index(d.where(F.col("source") != "src0")),
                      path)
 
@@ -745,5 +745,5 @@ def q_streaming_bm25_gate(spark, sf_dir):
     run_foreachbatch_to_memory(
         spark, build, transform, name,
         state_partitions=_state_width(spark, sf_dir, name="documents"),
-        spool_path=_QP._state_path("bm25s_spool", sf_dir))
+        spool_path=_QP._fresh_state_path("bm25s_spool", sf_dir))
     return spark.table(name)

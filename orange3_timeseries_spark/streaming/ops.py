@@ -367,20 +367,36 @@ def run_foreachbatch_to_memory(spark, build, transform, name: str,
         # caller's use of it — interpreter exit is the safe point
         atexit.register(shutil.rmtree, spool, ignore_errors=True)
 
+    # the output schema is captured from the FIRST batch's transform:
+    # when every batch's output is empty, Spark writes no schema-bearing
+    # part files into the spool (only _SUCCESS), so the final read
+    # cannot infer a schema — an all-empty gate result is a legitimate
+    # outcome (nothing flagged) and must surface as an EMPTY view, not
+    # an opaque inference error
+    out_schema = []
+
     def sink(batch_df, batch_id):
-        transform(batch_df).write.mode("append").parquet(spool)
+        out = transform(batch_df)
+        if not out_schema:
+            out_schema.append(out.schema)
+        out.write.mode("append").parquet(spool)
 
     q = (sdf.writeStream.foreachBatch(sink)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    if not os.path.isdir(spool):
+    if not out_schema:
         raise ValueError(
             f"run_foreachbatch_to_memory({name!r}): the stream drained "
             "without producing a single micro-batch — no result schema "
             "to expose. Check the source path/filter.")
-    out = spark.read.parquet(spool)
+    import glob as _glob
+    if _glob.glob(os.path.join(spool, "**", "*.parquet"),
+                  recursive=True):
+        out = spark.read.parquet(spool)
+    else:
+        out = spark.createDataFrame([], out_schema[0])
     out.createOrReplaceTempView(name)
     return q
 

@@ -150,7 +150,7 @@ def main():
 
     # fragment further, measuring serve at checkpoints
     done = 1
-    for stop in sorted({8, N_APPENDS}):
+    for stop in sorted({x for x in (8, N_APPENDS) if x <= N_APPENDS}):
         while done < stop:
             done += 1
             bm25_append_index(

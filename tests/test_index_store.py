@@ -119,6 +119,19 @@ class TestPointerPrimitives:
     def test_vacuum_noop_without_pointer(self, tmp_path):
         assert vacuum_index(str(tmp_path / "nothing")) == []
 
+    def test_remote_schemes_rejected_loudly(self, tmp_path):
+        # os-level pointer ops on a remote scheme would create a literal
+        # ./hdfs:/... dir while Spark writes remotely — readers would
+        # silently fall back to stale bare tables; fail loud instead
+        for p in ("hdfs://nn/idx", "s3a://bucket/idx", "abfss://c@a/idx"):
+            with pytest.raises(ValueError, match="non-local"):
+                begin_version(p)
+            with pytest.raises(ValueError, match="non-local"):
+                resolve_index_path(p)
+        # file: scheme and plain paths still work
+        v1 = begin_version("file://" + str(tmp_path / "idx"))
+        assert v1.endswith("v=1")
+
 
 class TestBm25Lifecycle:
     def test_same_path_merge_rewrite_and_crash_safety(self, spark,

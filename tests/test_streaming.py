@@ -817,3 +817,45 @@ class TestStreamBm25Gate:
         assert len(got) > 0
         # the no-overlap query produces no rows
         assert all(r[0] != 104 for r in got)
+
+    def test_all_empty_output_yields_empty_view_with_schema(
+            self, spark, tmp_path):
+        # every arriving query matches nothing -> every micro-batch's
+        # transform output is empty -> the spool holds no schema-bearing
+        # part files; the harness must expose an EMPTY view with the
+        # transform's schema, not an opaque schema-inference error
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+        from orange3_timeseries_spark.streaming.ops import (
+            run_foreachbatch_to_memory,
+            stream_bm25_gate,
+        )
+
+        idx_path = str(tmp_path / "bm25_idx_e")
+        write_bm25_index(
+            bm25_build_index(spark.createDataFrame(
+                [(1, "alpha beta gamma")], "doc_id long, text string"),
+                n_buckets=8),
+            idx_path)
+        qdf = spark.createDataFrame([(101, "zzz qqq"), (102, "www")],
+                                    "query_id long, text string")
+        d = str(tmp_path / "q_stream_e")
+        qdf.repartition(2).write.mode("overwrite").parquet(d)
+
+        def build(s):
+            return (s.readStream.schema("query_id long, text string")
+                    .option("maxFilesPerTrigger", 1).parquet(d))
+
+        def transform(b):
+            return stream_bm25_gate(
+                b, read_bm25_index(b.sparkSession, idx_path), top_k=3)
+
+        run_foreachbatch_to_memory(spark, build, transform,
+                                   "t_bm25_gate_empty")
+        out = spark.table("t_bm25_gate_empty")
+        assert out.count() == 0
+        assert set(out.columns) == {"query_id", "doc_id", "rank",
+                                    "score", "n_terms"}
