@@ -1775,6 +1775,85 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
         os.path.join(vpath, "codes"))
 
 
+def ivf_drift_stats(index: IvfIndex, new_vectors: DataFrame,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    unit_scale: int = 6) -> DataFrame:
+    """Centroid-drift monitor for a frozen-centroid serving index — the
+    retrain signal the incremental-merge/append lifecycle needs: every
+    IVF ingest assigns new vectors under centroids trained on OLD data,
+    and as the distribution drifts the new vectors sit ever farther
+    from their assigned centers (recall decays silently).  This
+    compares the ingest batch against the INDEXED population, per cell:
+
+    ``(centroid_id, n_index, n_new, new_share, mean_cos_index,
+    mean_cos_new, cos_drift)`` — occupancy of the batch across cells
+    (``new_share`` = this cell's fraction of the batch; a skewed share
+    vs the indexed occupancy means the centroids no longer tile the
+    data) and mean vector→assigned-centroid cosine for both
+    populations, with ``cos_drift = mean_cos_new − mean_cos_index``
+    (negative = the batch fits its cells worse than the indexed
+    corpus did — retrain when it crosses the operator's threshold).
+    Cells the batch never touches keep a row (n_new = 0, NULL means) —
+    emptying cells are themselves a drift signal.
+
+    Determinism: each per-vector cosine rounds ONCE to 6 dp (the
+    ANN-tier firewall), quantizes to integer micro-units, and per-cell
+    sums are exact BIGINTs — order-free, so the DuckDB replay is exact;
+    means/shares/drift are fixed IEEE division trees emitted unrounded.
+
+    Scale: the batch pays one assignment GEMM map pass (the same
+    kernel every ingest already runs); the indexed side is ONE
+    map-side-combining aggregate over the stored lists (no
+    re-assignment — the lists ARE the assignment); everything after is
+    ≤ n_centroids rows."""
+    from pyspark.sql import Window
+
+    cent_rows = index.centroids.orderBy("centroid_id").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    delta = _assign_centroid(
+        new_vectors.select(F.col(id_col).alias("nn_id"),
+                           _as_double(F.col(vec_col)).alias("cvec")),
+        "cvec", centroids, two_level=index.two_level
+    ).select("centroid_id", "nn_id", "cvec")
+
+    unit = float(10 ** unit_scale)
+    cents = F.broadcast(index.centroids
+                        .select("centroid_id",
+                                F.col("centroid").alias("__cv__")))
+
+    def cell_stats(assigned, n_name, cu_name):
+        cu = F.round(F.round(cosine_expr(F.col("cvec"), F.col("__cv__")),
+                             6) * F.lit(unit)).cast("bigint")
+        return (assigned.join(cents, "centroid_id")
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(n_name),
+                     F.sum(cu).alias(cu_name)))
+
+    base = cell_stats(index.lists, "n_index", "__cui__")
+    new = cell_stats(delta, "n_new", "__cun__")
+    spine = index.centroids.select("centroid_id")
+    out = (spine.join(base, "centroid_id", "left")
+           .join(new, "centroid_id", "left"))
+    n_new = F.coalesce(F.col("n_new"), F.lit(0).cast("bigint"))
+    total_new = F.sum(n_new).over(
+        Window.partitionBy())          # ≤ n_centroids rows by now
+    mean_i = (F.col("__cui__").cast("double")
+              / F.col("n_index").cast("double")) / F.lit(unit)
+    mean_n = (F.col("__cun__").cast("double")
+              / F.col("n_new").cast("double")) / F.lit(unit)
+    return out.select(
+        "centroid_id",
+        F.coalesce(F.col("n_index"), F.lit(0).cast("bigint"))
+        .alias("n_index"),
+        n_new.alias("n_new"),
+        (n_new.cast("double") / total_new.cast("double"))
+        .alias("new_share"),
+        mean_i.alias("mean_cos_index"),
+        mean_n.alias("mean_cos_new"),
+        (mean_n - mean_i).alias("cos_drift"))
+
+
 def compact_pq_index(spark, path: str, id_col: str = "vec_id") -> None:
     """Rewrite the current PQ generation into a fresh one and swap the
     pointer, coalescing the per-ingest delta files: codes are

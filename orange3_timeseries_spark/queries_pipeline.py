@@ -4833,6 +4833,65 @@ def q_dedup_lsh_lifecycle_probe(spark, sf_dir):
                                                "jaccard"))
 
 
+@query("ann_ivf_drift_by_cell", """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv,
+                list_inner_product(v, v) / 2.0 AS half_cc
+         FROM c WHERE vec_id < 16),
+assign AS (  -- frozen-rule assignment: argmax(x.c - |c|^2/2), tie -> cid
+  SELECT vec_id, v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_inner_product(v, cv) - half_cc
+                                     DESC, centroid_id) AS rnk
+  FROM c CROSS JOIN cent QUALIFY rnk = 1),
+scored AS (
+  SELECT a.vec_id, a.centroid_id,
+         CAST(round(round(list_cosine_similarity(a.v, ct.cv), 6)
+                    * 1000000.0) AS BIGINT) AS cu
+  FROM assign a JOIN cent ct USING (centroid_id)),
+b AS (SELECT centroid_id, count(*)::BIGINT AS n_index,
+             sum(cu)::BIGINT AS cui
+      FROM scored WHERE vec_id % 2 = 0 GROUP BY 1),
+nw AS (SELECT centroid_id, count(*)::BIGINT AS n_new,
+              sum(cu)::BIGINT AS cun
+       FROM scored WHERE vec_id % 2 = 1 GROUP BY 1),
+j AS (SELECT ct.centroid_id, b.n_index, b.cui, nw.n_new, nw.cun
+      FROM cent ct LEFT JOIN b USING (centroid_id)
+      LEFT JOIN nw USING (centroid_id))
+SELECT centroid_id,
+       coalesce(n_index, 0)::BIGINT AS n_index,
+       coalesce(n_new, 0)::BIGINT AS n_new,
+       coalesce(n_new, 0)::DOUBLE
+         / (SELECT sum(coalesce(n_new, 0)) FROM j)::DOUBLE AS new_share,
+       (cui::DOUBLE / n_index::DOUBLE) / 1000000.0 AS mean_cos_index,
+       (cun::DOUBLE / n_new::DOUBLE) / 1000000.0 AS mean_cos_new,
+       (cun::DOUBLE / n_new::DOUBLE) / 1000000.0
+         - (cui::DOUBLE / n_index::DOUBLE) / 1000000.0 AS cos_drift
+FROM j
+""")
+def q_ann_ivf_drift_by_cell(spark, sf_dir):
+    """Centroid-drift monitor over the persisted IVF index
+    (operators/similarity.py:ivf_drift_stats) — the retrain signal the
+    frozen-centroid merge/append lifecycle needs: the index persists
+    over half the corpus (even vec_id, the deterministic seed
+    centroids), the other half arrives as the ingest batch, and each
+    cell reports batch occupancy share plus mean
+    vector→assigned-centroid cosine for the indexed vs arriving
+    population (``cos_drift`` negative = the batch fits its cells
+    worse — retrain when it crosses threshold; cells the batch
+    abandons keep a NULL-mean row).  Per-vector cosines round once to
+    6 dp and quantize to micro-units; per-cell sums are exact BIGINTs;
+    the oracle replays the frozen assignment rule, the quantization
+    AND the division trees exactly."""
+    e = read_table(spark, sf_dir, "embeddings")
+    idx = S.ivf_build_index(e.where(F.col("vec_id") % 2 == 0),
+                            centroids=_ann_seed_centroids(e))
+    path = _fresh_state_path("ivf_drift", sf_dir)
+    S.write_ivf_index(idx, path)
+    return S.ivf_drift_stats(S.read_ivf_index(spark, path),
+                             e.where(F.col("vec_id") % 2 != 0))
+
+
 @query("dedup_simhash_registry_probe", _SIMHASH48_SIG + """,
 entries AS (
   SELECT doc_id, sig, u.band, u.key FROM sig,

@@ -202,3 +202,38 @@ class TestLshAppendCompact:
         again = lsh_probe_index(read_lsh_index(spark, root), probe,
                                 threshold=0.2)
         assert _rows(again) == _rows(full)
+
+
+class TestIvfDriftStats:
+    def test_drift_detects_worse_fit_and_abandoned_cells(self, spark,
+                                                         tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        # two well-separated centroids; indexed vectors sit ON them,
+        # the ingest batch sits off-axis near centroid 0 only
+        c0 = [1.0, 0.0, 0.0, 0.0]
+        c1 = [0.0, 1.0, 0.0, 0.0]
+        idx_rows = [(0, c0), (1, c1), (2, c0), (3, c1)]
+        new_rows = [(10, [1.0, 0.0, 1.0, 0.0]),   # cos to c0 = 0.707107
+                    (11, [1.0, 0.0, 0.0, 1.0])]   # cos to c0 = 0.707107
+        e = spark.createDataFrame(idx_rows,
+                                  "vec_id long, embedding array<double>")
+        root = str(tmp_path / "ivf_drift")
+        S.write_ivf_index(S.ivf_build_index(e, centroids=[c0, c1]),
+                          root)
+        out = {r["centroid_id"]: r for r in S.ivf_drift_stats(
+            S.read_ivf_index(spark, root),
+            spark.createDataFrame(new_rows,
+                                  "vec_id long, embedding array<double>")
+        ).collect()}
+        assert set(out) == {0, 1}
+        r0 = out[0]
+        assert (r0["n_index"], r0["n_new"]) == (2, 2)
+        assert r0["new_share"] == 1.0
+        assert r0["mean_cos_index"] == 1.0
+        assert abs(r0["mean_cos_new"] - 0.707107) < 1e-9
+        assert r0["cos_drift"] < -0.29            # fits worse: retrain
+        r1 = out[1]                                # abandoned cell
+        assert (r1["n_index"], r1["n_new"]) == (2, 0)
+        assert r1["new_share"] == 0.0
+        assert r1["mean_cos_new"] is None and r1["cos_drift"] is None
