@@ -980,14 +980,17 @@ def read_lsh_index(spark, path: str) -> LshIndex:
     the logical root — the ``_CURRENT`` generation pointer resolves
     first (operators/index_store.py), bare layout fallback."""
     from orange3_timeseries_spark.operators.index_store import (
+        read_index_table,
         resolve_index_path,
     )
 
     path = resolve_index_path(path)
     p = spark.read.parquet(os.path.join(path, "params")).first()
+    # entries/docs union COMMITTED journaled append deltas — a torn
+    # append is invisible (index_store.read_index_table)
     return LshIndex(
-        spark.read.parquet(os.path.join(path, "entries")),
-        spark.read.parquet(os.path.join(path, "docs")),
+        read_index_table(spark, path, "entries"),
+        read_index_table(spark, path, "docs"),
         int(p.k), int(p.bands), int(p.n), int(p.n_buckets),
         p.hash_family, p.id_col, p.text_col)
 
@@ -1107,25 +1110,27 @@ def lsh_merge_index(base: LshIndex, new_docs: DataFrame, *,
 def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
                      check_disjoint: bool = True) -> None:
     """FAST-INGEST append for a persisted LSH index: sign the delta
-    under the persisted banding scheme and append its band entries and
-    docs into the CURRENT generation's partitions — ingest IO
-    proportional to the batch, never the corpus (``lsh_merge_index`` +
-    ``write_lsh_index`` computes the same delta but rewrites the full
-    entries/docs state into a new generation).  Band entries and docs
-    are pure per-doc rows, so an appended index probes identically to
-    a rebuild.  Same trade-offs as ``bm25_append_index`` (not
-    crash-atomic; ~1 delta file per touched bucket partition per
-    ingest — ``compact_lsh_index`` resets the count).  The expected
-    cadence of a dedup-at-ingest service: probe → append survivors →
-    compact on a schedule."""
+    under the persisted banding scheme and land its band entries and
+    docs as a JOURNALED DELTA (``v=<n>/delta=<k>`` + per-delta
+    ``_COMMITTED`` marker, same contract as ``bm25_append_index``) —
+    ingest IO proportional to the batch, never the corpus
+    (``lsh_merge_index`` + ``write_lsh_index`` computes the same delta
+    but rewrites the full entries/docs state into a new generation),
+    and crash-atomic: an unmarked delta is invisible, the pre-append
+    state keeps probing.  Band entries and docs are pure per-doc rows
+    and readers union committed deltas, so an appended index probes
+    identically to a rebuild.  One delta dir per ingest accumulates
+    until ``compact_lsh_index`` resets it.  The expected cadence of a
+    dedup-at-ingest service: probe → append survivors → compact on a
+    schedule."""
     from orange3_timeseries_spark.operators.audit import (
         check_disjoint_ids,
     )
     from orange3_timeseries_spark.operators.index_store import (
-        resolve_index_path,
+        begin_delta,
+        commit_delta,
     )
 
-    vpath = resolve_index_path(path)
     base = read_lsh_index(spark, path)
     id_col, text_col = base.id_col, base.text_col
     if check_disjoint:
@@ -1137,13 +1142,15 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
                             k=base.k, bands=base.bands, n=base.n,
                             n_buckets=base.n_buckets,
                             hash_family=base.hash_family)
-    (delta.entries.repartition("bucket").write.mode("append")
-     .partitionBy("bucket").parquet(os.path.join(vpath, "entries")))
+    dpath = begin_delta(path)
+    (delta.entries.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(dpath, "entries")))
     dbucket = F.pmod(F.xxhash64(F.col(id_col)),
                      F.lit(base.n_buckets)).cast("int")
     (delta.docs.select(id_col, text_col).withColumn("dbucket", dbucket)
-     .repartition("dbucket").write.mode("append")
-     .partitionBy("dbucket").parquet(os.path.join(vpath, "docs")))
+     .repartition("dbucket").write.mode("overwrite")
+     .partitionBy("dbucket").parquet(os.path.join(dpath, "docs")))
+    commit_delta(dpath)
 
 
 def compact_lsh_index(spark, path: str) -> None:
@@ -1257,8 +1264,13 @@ def read_simhash_index(spark, path: str) -> SimHashIndex:
 
     path = resolve_index_path(path)
     p = spark.read.parquet(os.path.join(path, "params")).first()
+    from orange3_timeseries_spark.operators.index_store import (
+        read_index_table,
+    )
+
+    # entries union COMMITTED journaled append deltas
     return SimHashIndex(
-        spark.read.parquet(os.path.join(path, "entries")),
+        read_index_table(spark, path, "entries"),
         int(p.bits), int(p.band_bits), int(p.n_buckets), p.id_col,
         p.text_col)
 
@@ -1331,18 +1343,19 @@ def simhash_merge_index(base: SimHashIndex, new_docs: DataFrame, *,
 def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
                          check_disjoint: bool = True) -> None:
     """FAST-INGEST append for a persisted SimHash index: sign the
-    delta under the persisted scheme and append its entry rows into
-    the CURRENT generation's bucket partitions — same contract and
-    trade-offs as ``lsh_append_index`` (delta-proportional IO, not
-    crash-atomic, fragments until ``compact_simhash_index``)."""
+    delta under the persisted scheme and land its entry rows as a
+    JOURNALED DELTA — same contract and trade-offs as
+    ``lsh_append_index`` (delta-proportional IO, crash-atomic via the
+    per-delta ``_COMMITTED`` marker, fragments until
+    ``compact_simhash_index``)."""
     from orange3_timeseries_spark.operators.audit import (
         check_disjoint_ids,
     )
     from orange3_timeseries_spark.operators.index_store import (
-        resolve_index_path,
+        begin_delta,
+        commit_delta,
     )
 
-    vpath = resolve_index_path(path)
     base = read_simhash_index(spark, path)
     if check_disjoint:
         check_disjoint_ids(
@@ -1351,8 +1364,10 @@ def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
             "probe")
     delta = _simhash_entries(new_docs, base.text_col, base.id_col,
                              base.bits, base.band_bits, base.n_buckets)
-    (delta.repartition("bucket").write.mode("append")
-     .partitionBy("bucket").parquet(os.path.join(vpath, "entries")))
+    dpath = begin_delta(path)
+    (delta.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(dpath, "entries")))
+    commit_delta(dpath)
 
 
 def compact_simhash_index(spark, path: str) -> None:

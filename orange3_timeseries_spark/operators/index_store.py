@@ -17,36 +17,75 @@ single-writer case this engine targets):
 - every logical index lives under one root ``path``;
 - each WRITE lands in a fresh generation directory ``path/v=<n>``
   (monotonically increasing ``n``), never touching earlier generations;
-- after ALL state tables of the generation are fully written, a tiny
-  ``path/_CURRENT`` pointer file is atomically replaced (write-temp +
-  ``os.replace``) to name the new generation.
+- after ALL state tables of the generation are fully written, a
+  ``_COMMITTED`` marker lands inside it and a tiny ``path/_CURRENT``
+  pointer file is atomically replaced to name the new generation.
 
-Readers resolve ``_CURRENT`` first, so:
+Readers resolve ``_CURRENT`` first (falling back to the NEWEST
+``_COMMITTED`` generation when the pointer is momentarily absent — see
+the commit-window note below — and to the bare legacy layout when the
+root has no committed generation at all), so:
 
 - **read -> merge -> write on the same logical path is SUPPORTED**: the
   merged write streams FROM the old generation's parquet INTO the new
   generation's directory — no self-overwrite, and concurrent serves
   keep reading the old generation until the pointer swaps;
 - **a crash mid-write is harmless**: the half-written ``v=<n+1>`` is
-  unreferenced garbage, ``_CURRENT`` still names the last complete
-  generation, and every read serves it (tests/test_index_store.py
-  asserts this for all index families);
+  unreferenced garbage (no ``_COMMITTED`` marker), readers keep serving
+  the last committed generation (tests/test_index_store.py asserts this
+  for all index families);
 - **compaction is just a rewrite**: read the current generation,
   rewrite its partitions into the next one, swap the pointer
   (``compact_*_index`` in each family module).
+
+**Fast-ingest appends are journaled deltas** (``begin_delta`` /
+``commit_delta``): each append lands its delta tables in a fresh
+``v=<n>/delta=<k>`` directory inside the CURRENT generation and
+publishes them with a per-delta ``_COMMITTED`` marker; readers
+(``read_index_table``) union the generation's base tables with the
+COMMITTED deltas only.  A crash mid-append leaves an unmarked delta
+that no reader ever sees — the pre-append state keeps serving — and a
+concurrent reader planning mid-append either includes the whole delta
+or none of it (the marker is the last file written), never a partially
+ingested batch.  Compaction folds committed deltas back into canonical
+single-generation state.
 
 Old generations accumulate until :func:`vacuum_index` removes them —
 retention is an explicit operator decision (a long-running serve job
 may still hold the previous generation's file list).
 
-Scope: single-writer, filesystem-backed paths (local/NFS/DBFS-fuse
-style, where ``os.replace`` is atomic).  An object-store deployment
-(S3/GCS) would swap the pointer with a conditional PUT instead; the
-layout is identical.  Bare-layout indexes written before this module
-existed (state tables directly under ``path``) keep reading: resolution
-falls back to ``path`` itself when no ``_CURRENT`` exists, and their
-first versioned write upgrades them in place (the bare tables become
-dead files alongside ``v=1``).
+**Storage backends.**  Pointer/marker/lease metadata goes through a
+small filesystem interface with two implementations:
+
+- *local* (no scheme, or ``file:``): plain os-level I/O.  The pointer
+  swap is write-temp + fsync + ``os.replace`` + directory fsync, so it
+  is atomic across process crashes AND power loss (the generation's
+  parquet data itself is only process-crash-safe: Spark's committers
+  do not fsync data blocks, so after a power loss verify the current
+  generation or re-point at the previous one).
+- *Hadoop FileSystem* (any other scheme — ``hdfs://``, ``abfss://``,
+  ``s3a://``, …): metadata ops go through the JVM's
+  ``org.apache.hadoop.fs.FileSystem`` for the path's scheme (reached
+  via the active SparkSession), so metadata and state tables always
+  live on the SAME filesystem.  The pointer swap is write-temp +
+  delete + rename; ``FileSystem.rename`` cannot atomically replace, so
+  there is a brief no-pointer window — covered by the reader fallback
+  to the newest ``_COMMITTED`` generation, which at that instant IS
+  the generation being published (markers land before the pointer
+  moves).  On HDFS/ABFS both delete and rename are atomic metadata
+  ops.  On S3 (``s3a://``) rename is copy+delete and "atomic" only
+  per-object: correctness still holds under the single-writer contract
+  because S3 reads are strongly consistent and the fallback bridges
+  the window, but a MULTI-writer deployment should replace the swap
+  with a conditional PUT (``If-Match`` on the pointer object) — the
+  layout is designed so only :meth:`publish_pointer` would change.
+
+Writer collisions fail loudly: every ``begin_version``/``begin_delta``
+drops a ``_WRITER`` lease (a random token) into the new directory and
+``commit_*`` verifies the lease is still ours — two misconfigured
+pipelines racing the same root cannot silently interleave one
+generation (the local backend additionally makes the second allocator
+of the same ``v=<n>`` fail at ``mkdir`` time).
 """
 
 from __future__ import annotations
@@ -55,69 +94,243 @@ import os
 import re
 import shutil
 import tempfile
-from typing import List, Optional
+import uuid
+from typing import List, Optional, Tuple
 
 __all__ = ["begin_version", "commit_version", "resolve_index_path",
-           "current_version", "list_versions", "vacuum_index"]
+           "current_version", "list_versions", "vacuum_index",
+           "begin_delta", "commit_delta", "committed_delta_dirs",
+           "read_index_table"]
 
 _POINTER = "_CURRENT"
 _COMMIT_MARK = "_COMMITTED"
+_WRITER_MARK = "_WRITER"
 _VDIR_RE = re.compile(r"^v=(\d+)$")
-
-
+_DDIR_RE = re.compile(r"^delta=(\d+)$")
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
+#: in-process writer leases: {normalized dir path: token}.  The lease
+#: FILE is the cross-process truth; this map is how commit knows which
+#: token this process wrote at begin time.
+_LEASES: dict = {}
 
-def _local(path: str) -> str:
-    """Strip a ``file:`` scheme so os-level pointer ops work on the same
-    location Spark writes to.  Any OTHER scheme (hdfs://, s3a://, …)
-    fails LOUDLY: the pointer/generation metadata here is os-level, so
-    on a remote FS the ``os.makedirs`` would silently create a literal
-    ``./hdfs:/…`` directory relative to the driver's cwd while Spark
-    writes the state tables remotely — and a reader elsewhere, finding
-    no pointer, would fall back to the bare legacy layout and serve
-    stale tables with no error.  An object-store deployment swaps the
-    pointer with a conditional PUT instead (module docstring); wire
-    that in before accepting remote schemes."""
+
+class _LocalFs:
+    """os-level metadata backend for local/NFS/fuse paths — every
+    mutation that publishes state (pointer, markers, leases) is
+    fsynced, so the pointer swap survives power loss, not just process
+    crashes (the ADVICE-r11 gap)."""
+
+    remote = False
+
+    def mkdirs(self, path: str, exist_ok: bool = True) -> None:
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def listdir(self, path: str) -> List[str]:
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path, "r", encoding="utf-8") as f:
+            return f.read()
+
+    def write_text(self, path: str, content: str) -> None:
+        # write-temp + fsync + replace + dir fsync: a marker/lease that
+        # "exists" must have its content durable — a torn marker after
+        # power loss would make a half-written delta look committed
+        d = os.path.dirname(path)
+        fd, tmp = tempfile.mkstemp(prefix="." + os.path.basename(path)
+                                   + ".", dir=d)
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(content)
+                f.flush()
+                os.fsync(f.fileno())
+            os.chmod(tmp, 0o644)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        self._fsync_dir(d)
+
+    publish_pointer = write_text
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        if recursive:
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.unlink(path)
+
+    @staticmethod
+    def _fsync_dir(d: str) -> None:
+        try:
+            fd = os.open(d, os.O_RDONLY)
+        except OSError:
+            return                      # FS without dir-open (some fuse)
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
+
+
+class _HadoopFs:
+    """Metadata backend for remote schemes, through the JVM's
+    ``org.apache.hadoop.fs.FileSystem`` for the path's scheme — the
+    SAME filesystem Spark writes the state tables to, so pointer and
+    data can never split across filesystems (the failure mode the
+    pre-r12 loud rejection existed to prevent).  Requires an active
+    SparkSession (the JVM gateway rides it)."""
+
+    remote = True
+
+    def __init__(self, path: str):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"index_store: remote path {path!r} needs an active "
+                "SparkSession (the Hadoop FileSystem for its scheme is "
+                "reached through the session's JVM) — create the "
+                "session before touching remote index roots.")
+        self._jvm = spark._jvm
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        try:
+            self._fs = jpath.getFileSystem(
+                spark._jsc.hadoopConfiguration())
+        except Exception as exc:
+            raise ValueError(
+                f"index_store: no Hadoop FileSystem is configured for "
+                f"{path!r} (missing fs.<scheme>.impl or its jar — e.g. "
+                "hadoop-aws for s3a). The store refuses to guess: "
+                "metadata must live on the same filesystem as the "
+                "state tables.") from exc
+
+    def _p(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def mkdirs(self, path: str, exist_ok: bool = True) -> None:
+        p = self._p(path)
+        if not exist_ok and self._fs.exists(p):
+            raise FileExistsError(path)
+        if not self._fs.mkdirs(p):
+            raise OSError(f"index_store: mkdirs failed for {path!r}")
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isDirectory())
+
+    def isfile(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isFile())
+
+    def listdir(self, path: str) -> List[str]:
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._p(path))]
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            bos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, bos, 4096, False)
+            return bytes(bos.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, content: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+            try:
+                out.hsync()             # durable where the FS supports it
+            except Exception:
+                pass
+        finally:
+            out.close()
+
+    def publish_pointer(self, path: str, content: str) -> None:
+        """Write-temp + delete + rename.  ``FileSystem.rename`` cannot
+        atomically replace an existing destination, so the pointer is
+        absent for one metadata-op window — readers bridge it via the
+        newest-``_COMMITTED`` fallback (module docstring; safe under
+        the single-writer contract, incl. S3's strong consistency).
+        A multi-writer S3 deployment should swap this for a
+        conditional PUT."""
+        d, name = path.rsplit("/", 1)
+        tmp = f"{d}/.{name}.{uuid.uuid4().hex}"
+        self.write_text(tmp, content)
+        dst = self._p(path)
+        self._fs.delete(dst, False)
+        if not self._fs.rename(self._p(tmp), dst):
+            self._fs.delete(self._p(tmp), False)
+            raise OSError(
+                f"index_store: pointer rename failed for {path!r} — "
+                "the previous pointer was removed; readers are serving "
+                "the newest committed generation. Retry the commit.")
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._p(path), recursive)
+
+
+def _fs_for(path: str) -> Tuple[object, str]:
+    """(backend, normalized path) for a logical index path.  ``file:``
+    URIs strip to plain os paths (Spark and the store must hit the
+    same location); any other scheme routes to the Hadoop backend with
+    the URI kept intact (Spark reads/writes through the same URI)."""
     if path.startswith("file://"):
-        return path[len("file://"):]
+        return _LocalFs(), path[len("file://"):]
     if path.startswith("file:"):
-        return path[len("file:"):]
+        return _LocalFs(), path[len("file:"):]
     if _SCHEME_RE.match(path):
-        raise ValueError(
-            f"index_store: non-local path {path!r} — the versioned "
-            "store's pointer operations are os-level (local/NFS/fuse "
-            "paths only). A remote scheme would split metadata from "
-            "state and silently serve stale generations; see the "
-            "module docstring for the object-store design.")
-    return path
+        return _HadoopFs(path), path.rstrip("/")
+    return _LocalFs(), path
+
+
+def _join(base: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (os.path.join on posix is
+    '/'-joining anyway; this keeps intent explicit for remote paths)."""
+    return "/".join([base.rstrip("/"), *parts])
 
 
 def list_versions(path: str) -> List[int]:
     """Generation numbers present under ``path`` (committed or not),
     ascending.  Empty for a missing root or a bare-layout index."""
-    root = _local(path)
-    if not os.path.isdir(root):
+    fs, root = _fs_for(path)
+    if not fs.isdir(root):
         return []
     out = []
-    for name in os.listdir(root):
+    for name in fs.listdir(root):
         m = _VDIR_RE.match(name)
-        if m and os.path.isdir(os.path.join(root, name)):
+        if m and fs.isdir(_join(root, name)):
             out.append(int(m.group(1)))
     return sorted(out)
 
 
 def current_version(path: str) -> Optional[int]:
     """The committed generation number, or None (bare layout / no index
-    yet).  Raises on a corrupt pointer — a pointer that exists but
-    cannot be parsed means the store is damaged, and guessing a
-    generation would serve arbitrary state."""
-    root = _local(path)
-    ptr = os.path.join(root, _POINTER)
-    if not os.path.isfile(ptr):
+    yet / pointer momentarily absent mid-swap on a remote FS — see
+    :func:`resolve_index_path` for the fallback).  Raises on a corrupt
+    pointer — a pointer that exists but cannot be parsed means the
+    store is damaged, and guessing a generation would serve arbitrary
+    state."""
+    fs, root = _fs_for(path)
+    ptr = _join(root, _POINTER)
+    if not fs.isfile(ptr):
         return None
-    with open(ptr, "r", encoding="utf-8") as f:
-        content = f.read().strip()
+    content = fs.read_text(ptr).strip()
     m = _VDIR_RE.match(content)
     if not m:
         raise ValueError(
@@ -129,15 +342,25 @@ def current_version(path: str) -> Optional[int]:
 
 def resolve_index_path(path: str) -> str:
     """The directory the CURRENT generation's state tables live in:
-    ``path/v=<n>`` when a pointer exists, else ``path`` itself
-    (bare/legacy layout).  A pointer naming a missing directory raises
-    (a vacuumed-too-aggressively or hand-damaged store must fail loud,
+    ``path/v=<n>`` named by the pointer when one exists; the NEWEST
+    ``_COMMITTED`` generation when the pointer is absent but committed
+    generations exist (the remote backend's delete+rename swap has a
+    one-op no-pointer window, and at that instant the newest committed
+    generation is exactly the one being published — markers land
+    before the pointer moves); else ``path`` itself (bare/legacy
+    layout).  A pointer naming a missing directory raises (a
+    vacuumed-too-aggressively or hand-damaged store must fail loud,
     not fall back to stale bare tables)."""
+    fs, root = _fs_for(path)
     n = current_version(path)
     if n is None:
-        return path
-    vdir = os.path.join(_local(path), f"v={n}")
-    if not os.path.isdir(vdir):
+        committed = [v for v in list_versions(path)
+                     if fs.isfile(_join(root, f"v={v}", _COMMIT_MARK))]
+        if committed:
+            return _join(root, f"v={committed[-1]}")
+        return root
+    vdir = _join(root, f"v={n}")
+    if not fs.isdir(vdir):
         raise ValueError(
             f"index_store: pointer at {path!r} names generation v={n} "
             "but that directory does not exist — the store is damaged "
@@ -146,60 +369,165 @@ def resolve_index_path(path: str) -> str:
     return vdir
 
 
+def _acquire(fs, newdir: str) -> None:
+    """Drop a writer lease into a freshly allocated directory and
+    register it in-process; :func:`_verify_lease` checks it back at
+    commit time so a raced double-writer fails LOUDLY instead of
+    interleaving one generation/delta."""
+    token = uuid.uuid4().hex
+    fs.write_text(_join(newdir, _WRITER_MARK), token + "\n")
+    _LEASES[newdir] = token
+
+
+def _verify_lease(fs, d: str, what: str) -> None:
+    ours = _LEASES.get(d)
+    lease = _join(d, _WRITER_MARK)
+    if fs.isfile(lease):
+        found = fs.read_text(lease).strip()
+        if ours is None:
+            # begun by another process (or a pre-lease caller wrote the
+            # file by hand) — committing someone else's in-flight write
+            # is exactly the collision the lease exists to catch
+            raise ValueError(
+                f"index_store: {what} {d!r} carries a writer lease "
+                "this process did not create — another writer began "
+                "it. The single-writer contract is violated; the "
+                "committed store is untouched and keeps serving.")
+        if found != ours:
+            raise ValueError(
+                f"index_store: writer-lease mismatch in {what} {d!r} — "
+                "a concurrent writer overwrote the lease after this "
+                "process allocated the directory. Refusing to commit "
+                "interleaved state; the committed store is untouched "
+                "and keeps serving. Re-run the ingest.")
+    elif ours is not None:
+        raise ValueError(
+            f"index_store: the writer lease this process dropped in "
+            f"{what} {d!r} has vanished — external interference "
+            "(manual cleanup or a colliding writer). Refusing to "
+            "commit; re-run the ingest.")
+    _LEASES.pop(d, None)
+
+
 def begin_version(path: str) -> str:
     """Allocate the NEXT generation directory for a write and return
     its path (``path/v=<max+1>``, ``v=1`` for a fresh root).  The
-    directory is created empty; nothing is visible to readers until
-    :func:`commit_version` swaps the pointer.  Single-writer contract:
-    two concurrent writers could allocate the same number — external
-    serialization (one ingest pipeline per index) is assumed."""
-    root = _local(path)
-    os.makedirs(root, exist_ok=True)
+    directory is created empty with a writer lease inside; nothing is
+    visible to readers until :func:`commit_version` verifies the lease
+    and swaps the pointer.  Two writers racing the same root fail
+    loudly: the second ``mkdir`` of one ``v=<n>`` raises outright on
+    the local backend, and the lease check at commit catches the
+    remote case (mkdirs there is mkdir-p)."""
+    fs, root = _fs_for(path)
+    fs.mkdirs(root, exist_ok=True)
     versions = list_versions(path)
     nxt = (versions[-1] + 1) if versions else 1
-    vdir = os.path.join(root, f"v={nxt}")
-    os.makedirs(vdir, exist_ok=True)
+    vdir = _join(root, f"v={nxt}")
+    fs.mkdirs(vdir, exist_ok=False)
+    _acquire(fs, vdir)
     return vdir
 
 
 def commit_version(path: str, version_path: str) -> None:
     """Atomically point ``path/_CURRENT`` at a fully-written generation
-    directory.  Write-temp + ``os.replace`` so a crash during commit
-    leaves either the old pointer or the new one, never a torn file.
-    A ``_COMMITTED`` marker is dropped inside the generation FIRST —
-    it distinguishes once-complete generations from torn mid-write
-    leftovers, which :func:`vacuum_index` must treat differently (a
-    torn generation is garbage; a marked one is a valid rollback
-    target)."""
-    root = _local(path)
-    vname = os.path.basename(os.path.normpath(_local(version_path)))
+    directory.  Order: verify the writer lease, drop the
+    ``_COMMITTED`` marker inside the generation (it distinguishes
+    once-complete generations from torn mid-write leftovers — vacuum
+    treats them differently, and the no-pointer reader fallback keys
+    on it), then publish the pointer (local: fsynced write-temp +
+    ``os.replace`` + dir fsync — power-loss-safe; remote: Hadoop
+    delete+rename, window bridged by the marker fallback).  A crash
+    anywhere leaves readers on a complete generation: before the
+    marker lands, the old one; after, the new one is already fully
+    written."""
+    fs, root = _fs_for(path)
+    _, vnorm = _fs_for(version_path)
+    vname = vnorm.rstrip("/").rsplit("/", 1)[-1]
     if not _VDIR_RE.match(vname):
         raise ValueError(
             f"index_store: commit_version expects a 'v=<n>' generation "
             f"directory, got {version_path!r}")
-    vdir = os.path.join(root, vname)
-    if not os.path.isdir(vdir):
+    vdir = _join(root, vname)
+    if not fs.isdir(vdir):
         raise ValueError(
             f"index_store: cannot commit {vname!r} under {path!r} — "
             "the generation directory does not exist (write it first)")
-    with open(os.path.join(vdir, _COMMIT_MARK), "w",
-              encoding="utf-8") as f:
-        f.write("committed\n")
-    fd, tmp = tempfile.mkstemp(prefix="._CURRENT.", dir=root)
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(vname + "\n")
-        # mkstemp creates 0600; the pointer must be as readable as the
-        # state tables it names (a serve-only account could otherwise
-        # read every parquet file yet fail on the pointer)
-        os.chmod(tmp, 0o644)
-        os.replace(tmp, os.path.join(root, _POINTER))
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    _verify_lease(fs, vdir, "generation")
+    fs.write_text(_join(vdir, _COMMIT_MARK), "committed\n")
+    fs.publish_pointer(_join(root, _POINTER), vname + "\n")
+
+
+def begin_delta(path: str) -> str:
+    """Allocate the next journaled-append delta directory inside the
+    CURRENT generation (``…/v=<n>/delta=<k>``) and return its path.
+    Invisible to readers until :func:`commit_delta` drops its
+    ``_COMMITTED`` marker — so a crash mid-append leaves the
+    pre-append state serving, and a concurrent reader never sees a
+    partially ingested batch.  Same writer-lease + loud-collision
+    rules as :func:`begin_version`."""
+    vpath = resolve_index_path(path)
+    fs, vroot = _fs_for(vpath)
+    ks = []
+    for name in fs.listdir(vroot):
+        m = _DDIR_RE.match(name)
+        if m and fs.isdir(_join(vroot, name)):
+            ks.append(int(m.group(1)))
+    dpath = _join(vroot, f"delta={max(ks) + 1 if ks else 1}")
+    fs.mkdirs(dpath, exist_ok=False)
+    _acquire(fs, dpath)
+    return dpath
+
+
+def commit_delta(delta_path: str) -> None:
+    """Publish a fully written append delta: verify the writer lease,
+    then drop the ``_COMMITTED`` marker (fsynced on the local
+    backend).  Marker creation is the atomic commit point —
+    :func:`read_index_table` unions committed deltas only."""
+    fs, d = _fs_for(delta_path)
+    if not _DDIR_RE.match(d.rstrip("/").rsplit("/", 1)[-1]):
+        raise ValueError(
+            f"index_store: commit_delta expects a 'delta=<k>' "
+            f"directory, got {delta_path!r}")
+    if not fs.isdir(d):
+        raise ValueError(
+            f"index_store: cannot commit delta {delta_path!r} — the "
+            "directory does not exist (write it first)")
+    _verify_lease(fs, d, "delta")
+    fs.write_text(_join(d, _COMMIT_MARK), "committed\n")
+
+
+def committed_delta_dirs(version_path: str) -> List[str]:
+    """The COMMITTED append-delta directories inside a resolved
+    generation directory, in ingest order.  Unmarked (torn or
+    in-flight) deltas are excluded — they are invisible to every
+    reader until their marker lands."""
+    fs, vroot = _fs_for(version_path)
+    if not fs.isdir(vroot):
+        return []
+    out = []
+    for name in fs.listdir(vroot):
+        m = _DDIR_RE.match(name)
+        if (m and fs.isdir(_join(vroot, name))
+                and fs.isfile(_join(vroot, name, _COMMIT_MARK))):
+            out.append((int(m.group(1)), _join(vroot, name)))
+    return [p for _, p in sorted(out)]
+
+
+def read_index_table(spark, version_path: str, table: str):
+    """One state table of a resolved generation as a DataFrame: the
+    base ``<version_path>/<table>`` unioned with every COMMITTED
+    append delta that carries that table.  Filters and partition
+    prunes push through the union into each scan (Catalyst pushes
+    predicates below Union), so serve-time bucket/cell pruning works
+    identically on fragmented and compact indexes; on a delta-free
+    generation this is exactly the single base scan."""
+    fs, vroot = _fs_for(version_path)
+    df = spark.read.parquet(_join(vroot, table))
+    for d in committed_delta_dirs(version_path):
+        t = _join(d, table)
+        if fs.isdir(t):
+            df = df.unionByName(spark.read.parquet(t))
+    return df
 
 
 def vacuum_index(path: str, keep_last: int = 1) -> List[int]:
@@ -209,24 +537,25 @@ def vacuum_index(path: str, keep_last: int = 1) -> List[int]:
     leftovers below the pointer (no ``_COMMITTED`` marker — a crash
     between table writes) are always garbage and always removed, so
     they can never occupy a retention slot a rollback depends on.
-    Generations NEWER than the pointer are never touched (an in-flight
-    uncommitted write).  Retention is the operator's call: a serve job
-    that planned against the previous generation keeps its file list
-    until its query finishes — vacuum only once no reader can still
-    hold one."""
+    Journaled append deltas live INSIDE their generation and share its
+    fate.  Generations NEWER than the pointer are never touched (an
+    in-flight uncommitted write).  Retention is the operator's call: a
+    serve job that planned against the previous generation keeps its
+    file list until its query finishes — vacuum only once no reader
+    can still hold one."""
     cur = current_version(path)
     if cur is None:
         return []
     keep_last = max(1, int(keep_last))
-    root = _local(path)
+    fs, root = _fs_for(path)
     below = [v for v in list_versions(path) if v <= cur]
     committed = [v for v in below
-                 if v == cur or os.path.isfile(
-                     os.path.join(root, f"v={v}", _COMMIT_MARK))]
+                 if v == cur or fs.isfile(
+                     _join(root, f"v={v}", _COMMIT_MARK))]
     keep = set(committed[-keep_last:]) | {cur}
     removed = []
     for v in below:
         if v not in keep:
-            shutil.rmtree(os.path.join(root, f"v={v}"))
+            fs.delete(_join(root, f"v={v}"), recursive=True)
             removed.append(v)
     return removed

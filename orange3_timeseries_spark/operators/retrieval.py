@@ -449,11 +449,14 @@ def read_bm25_index(spark: SparkSession, path: str,
     from pyspark.errors import AnalysisException
 
     from orange3_timeseries_spark.operators.index_store import (
+        read_index_table,
         resolve_index_path,
     )
 
     path = resolve_index_path(path)
-    stats = spark.read.parquet(os.path.join(path, "stats"))
+    # base tables union COMMITTED journaled append deltas
+    # (index_store.read_index_table) — a torn append is invisible
+    stats = read_index_table(spark, path, "stats")
     try:
         p = spark.read.parquet(os.path.join(path, "params")).first()
         if id_col is None:
@@ -466,8 +469,8 @@ def read_bm25_index(spark: SparkSession, path: str,
             id_col = "doc_id"
         n_buckets = int(stats.select("n_buckets").first()[0])
     return Bm25Index(
-        spark.read.parquet(os.path.join(path, "postings")),
-        spark.read.parquet(os.path.join(path, "token_df")),
+        read_index_table(spark, path, "postings"),
+        read_index_table(spark, path, "token_df"),
         stats, id_col, n_buckets, stats_trusted=False)
 
 
@@ -603,47 +606,48 @@ def bm25_append_index(spark: SparkSession, path: str,
                       new_docs: DataFrame, *, text_col: str = "text",
                       check_disjoint: bool = True) -> None:
     """FAST-INGEST append: fold a delta batch into the CURRENT
-    generation of a persisted index by appending delta files in place —
-    the only writes are the DELTA's postings / per-token df rows / one
-    stats row, so ingest COMPUTE and WRITE IO are proportional to the
-    batch, never the corpus (``bm25_merge_index`` + ``write_bm25_index``
-    computes the same delta but re-WRITES the full corpus state into a
-    new generation — IO-bound at 100 TB even though its compute is
-    delta-only).  The default-on disjoint guard is the one
-    corpus-sized read: an id semi-join against the base postings (no
-    partition prune applies — postings bucket by token hash, not id).
-    A pipeline that proves disjointness upstream (monotonic crawl ids,
-    ``operators/audit.py:coverage_audit``) passes
-    ``check_disjoint=False`` to make the whole ingest
+    generation of a persisted index as a JOURNALED DELTA — the delta's
+    postings / per-token df rows / one stats row land in a fresh
+    ``v=<n>/delta=<k>`` directory and publish atomically with a
+    per-delta ``_COMMITTED`` marker (index_store.begin_delta/
+    commit_delta), so ingest COMPUTE and WRITE IO are proportional to
+    the batch, never the corpus (``bm25_merge_index`` +
+    ``write_bm25_index`` computes the same delta but re-WRITES the
+    full corpus state into a new generation — IO-bound at 100 TB even
+    though its compute is delta-only).  The default-on disjoint guard
+    is the one corpus-sized read: an id semi-join against the base
+    postings (no partition prune applies — postings bucket by token
+    hash, not id).  A pipeline that proves disjointness upstream
+    (monotonic crawl ids, ``operators/audit.py:coverage_audit``)
+    passes ``check_disjoint=False`` to make the whole ingest
     delta-proportional; same rule as the merge path.
 
-    Serve-exactness: the serve path SUM-aggregates df and stats after
-    its query-token prune (``bm25_topk_from_index``), so appended
-    delta rows score bit-identically to a rebuilt index; asserted by
+    Serve-exactness: readers union the base tables with COMMITTED
+    deltas (``read_bm25_index`` via index_store.read_index_table) and
+    the serve path SUM-aggregates df and stats after its query-token
+    prune (``bm25_topk_from_index``), so appended delta rows score
+    bit-identically to a rebuilt index; asserted by
     ``tests/test_index_lifecycle.py`` and the ``bm25_lifecycle_topk``
     driver oracle.
 
-    Trade-offs (the reason write/append BOTH exist):
-
-    - **not crash-atomic**: a failure mid-append leaves a partially
-      ingested batch inside the serving generation (unlike the
-      versioned write, whose half-written generation is unreferenced).
-      Recovery: re-point ``_CURRENT`` at the previous generation (keep
-      one with ``vacuum_index(keep_last=2)``) or rebuild.  Use the
-      versioned write when the ingest pipeline cannot tolerate that.
-    - **fragmentation**: each append adds ~1 file per touched bucket
-      partition plus a stats row; after K ingests every serve pays
-      K-file open overhead per probed bucket.  ``compact_bm25_index``
-      rewrites the state into a fresh generation (hash-identical
-      serves) and resets the file count."""
+    Crash/concurrency contract: a failure mid-append leaves an
+    UNMARKED delta no reader ever sees — the pre-append state keeps
+    serving (tests/test_index_lifecycle.py torn-append test), and a
+    concurrent reader planning mid-append sees the whole batch or none
+    of it (the marker is the last file written).  The remaining
+    trade-off vs the versioned write is **fragmentation**: each append
+    adds one delta directory (~1 file per touched bucket) that every
+    serve must union; ``compact_bm25_index`` folds the deltas into a
+    fresh canonical generation (hash-identical serves) and resets the
+    count."""
     from orange3_timeseries_spark.operators.audit import (
         check_disjoint_ids,
     )
     from orange3_timeseries_spark.operators.index_store import (
-        resolve_index_path,
+        begin_delta,
+        commit_delta,
     )
 
-    vpath = resolve_index_path(path)
     base = read_bm25_index(spark, path)
     if check_disjoint:
         check_disjoint_ids(base.postings, new_docs, base.id_col,
@@ -657,36 +661,36 @@ def bm25_append_index(spark: SparkSession, path: str,
     # stats from the WRITTEN postings): without the pin each .write
     # re-executes the explode+tf aggregation over the batch
     dp = delta.postings.localCheckpoint()
-    (dp.repartition("bucket").write.mode("append")
-     .partitionBy("bucket").parquet(os.path.join(vpath, "postings")))
+    dpath = begin_delta(path)
+    (dp.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(dpath, "postings")))
     bucket = F.pmod(F.xxhash64(F.col("token")),
                     F.lit(base.n_buckets)).cast("int")
     (dp.where(F.col("token").isNotNull())
      .groupBy("token")
      .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
      .select("token", "df", bucket.alias("bucket"))
-     .repartition("bucket").write.mode("append")
-     .partitionBy("bucket").parquet(os.path.join(vpath, "token_df")))
-    # stats row LAST: the serve aggregates stats with the postings it
-    # can see, so on the happy path the generation is consistent the
-    # moment this lands (mid-append reads are a single-writer no-no
-    # anyway — see the crash-atomicity note above).  Derived from the
-    # pinned postings — sentinel rows make them a complete per-doc
-    # record, exactly the write path's derivation.
+     .repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(dpath, "token_df")))
+    # stats derived from the pinned postings — sentinel rows make them
+    # a complete per-doc record, exactly the write path's derivation
     (dp.groupBy(base.id_col).agg(F.max("dl").alias("__dl__"))
      .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
           F.sum("__dl__").cast("bigint").alias("sum_dl"),
           F.lit(int(base.n_buckets)).alias("n_buckets"))
-     .write.mode("append").parquet(os.path.join(vpath, "stats")))
+     .write.mode("overwrite").parquet(os.path.join(dpath, "stats")))
+    # marker LAST — the atomic commit point for the whole batch
+    commit_delta(dpath)
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> None:
     """Rewrite the current generation into a fresh one and swap the
-    pointer: after K ``bm25_append_index`` ingests each bucket
-    partition holds ~K delta files and the stats table K rows — the
-    rewrite re-derives canonical single-generation state (token_df and
-    stats from the postings, exactly like any versioned write) and
-    resets the per-bucket file count to ~1.  Serves are hash-identical
+    pointer: after K ``bm25_append_index`` ingests the serve unions K
+    journaled delta directories (~1 file per touched bucket each, plus
+    a stats row apiece) — the rewrite folds them into canonical
+    single-generation state (token_df and stats re-derived from the
+    postings, exactly like any versioned write) and resets the
+    per-bucket file count to ~1.  Serves are hash-identical
     before/after (the write-time stats cross-check verifies the
     derived counts against the carried ones, and
     tests/test_index_lifecycle.py asserts result equality)."""

@@ -964,6 +964,7 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
     import os
 
     from orange3_timeseries_spark.operators.index_store import (
+        read_index_table,
         resolve_index_path,
     )
 
@@ -983,7 +984,9 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
             "parquet yourself if the rule is known.") from exc
     return IvfIndex(
         spark.read.parquet(os.path.join(path, "centroids")),
-        spark.read.parquet(os.path.join(path, "lists")), id_col,
+        # lists union COMMITTED journaled append deltas — a torn
+        # append is invisible (index_store.read_index_table)
+        read_index_table(spark, path, "lists"), id_col,
         two_level=two_level)
 
 
@@ -1610,7 +1613,13 @@ def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
                 f"widths (expected {ds}) — subspace offsets would "
                 "desynchronize. Rebuild/rewrite the index.")
     codebooks = [[by_m[m][j] for j in range(K)] for m in range(M)]
-    return PqIndex(spark.read.parquet(os.path.join(path, "codes")),
+    from orange3_timeseries_spark.operators.index_store import (
+        read_index_table,
+    )
+
+    # codes union COMMITTED journaled append deltas — a torn append
+    # is invisible (index_store.read_index_table)
+    return PqIndex(read_index_table(spark, path, "codes"),
                    codebooks, id_col)
 
 
@@ -1697,24 +1706,26 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
                      check_disjoint: bool = True) -> None:
     """FAST-INGEST append for a persisted IVF index: assign the delta
     under the persisted rule (frozen centroids + the params table's
-    flat/two-level flag) and append its list rows into the CURRENT
-    generation's ``lists`` partitions — ingest IO proportional to the
-    batch, never the corpus (``write_ivf_index`` after a merge rewrites
-    every list).  Serve-exactness is structural: lists are pure per-id
-    appends, so an appended index serves row-identically to a rebuild.
-    Same trade-offs as ``bm25_append_index`` (not crash-atomic; ~1
-    delta file per touched centroid partition per ingest —
-    ``compact_ivf_index`` resets the count)."""
+    flat/two-level flag) and land its list rows as a JOURNALED DELTA
+    (``v=<n>/delta=<k>/lists`` + per-delta ``_COMMITTED`` marker,
+    index_store.begin_delta/commit_delta) — ingest IO proportional to
+    the batch, never the corpus (``write_ivf_index`` after a merge
+    rewrites every list), and crash-atomic: an unmarked delta is
+    invisible, the pre-append state keeps serving.  Serve-exactness is
+    structural: lists are pure per-id appends and readers union
+    committed deltas, so an appended index serves row-identically to a
+    rebuild.  Fragmentation (~1 delta dir per ingest) accumulates
+    until ``compact_ivf_index`` resets it."""
     import os
 
     from orange3_timeseries_spark.operators.audit import (
         check_disjoint_ids,
     )
     from orange3_timeseries_spark.operators.index_store import (
-        resolve_index_path,
+        begin_delta,
+        commit_delta,
     )
 
-    vpath = resolve_index_path(path)
     base = read_ivf_index(spark, path, id_col)
     if check_disjoint:
         check_disjoint_ids(
@@ -1728,8 +1739,10 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
                            _as_double(F.col(vec_col)).alias("cvec")),
         "cvec", centroids, two_level=base.two_level
     ).select("centroid_id", "nn_id", "cvec")
-    (delta.repartition("centroid_id").write.mode("append")
-     .partitionBy("centroid_id").parquet(os.path.join(vpath, "lists")))
+    dpath = begin_delta(path)
+    (delta.repartition("centroid_id").write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(os.path.join(dpath, "lists")))
+    commit_delta(dpath)
 
 
 def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
@@ -1746,22 +1759,24 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
                     id_col: str = "vec_id", *,
                     check_disjoint: bool = True) -> None:
     """FAST-INGEST append for a persisted PQ index: Arrow-encode the
-    delta against the persisted (frozen) codebooks and append its code
-    rows to the CURRENT generation's ``codes`` table — ingest IO
-    proportional to the batch.  Codes are pure per-id rows, so an
-    appended index serves row-identically to a rebuild.  Same
-    trade-offs as the other families (not crash-atomic; one delta file
-    set per ingest — ``compact_pq_index`` resets the count)."""
+    delta against the persisted (frozen) codebooks and land its code
+    rows as a JOURNALED DELTA (``v=<n>/delta=<k>/codes`` + per-delta
+    ``_COMMITTED`` marker) — ingest IO proportional to the batch, and
+    crash-atomic: an unmarked delta is invisible, the pre-append state
+    keeps serving.  Codes are pure per-id rows and readers union
+    committed deltas, so an appended index serves row-identically to a
+    rebuild.  One delta dir per ingest accumulates until
+    ``compact_pq_index`` resets it."""
     import os
 
     from orange3_timeseries_spark.operators.audit import (
         check_disjoint_ids,
     )
     from orange3_timeseries_spark.operators.index_store import (
-        resolve_index_path,
+        begin_delta,
+        commit_delta,
     )
 
-    vpath = resolve_index_path(path)
     base = read_pq_index(spark, path, id_col)
     if check_disjoint:
         check_disjoint_ids(
@@ -1771,8 +1786,10 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
     delta = pq_encode(
         new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
         base.codebooks, vec_col=vec_col, id_col="nn_id")
-    delta.select("nn_id", "pq_code").write.mode("append").parquet(
-        os.path.join(vpath, "codes"))
+    dpath = begin_delta(path)
+    delta.select("nn_id", "pq_code").write.mode("overwrite").parquet(
+        os.path.join(dpath, "codes"))
+    commit_delta(dpath)
 
 
 def ivf_drift_stats(index: IvfIndex, new_vectors: DataFrame,
@@ -1852,6 +1869,102 @@ def ivf_drift_stats(index: IvfIndex, new_vectors: DataFrame,
         mean_i.alias("mean_cos_index"),
         mean_n.alias("mean_cos_new"),
         (mean_n - mean_i).alias("cos_drift"))
+
+
+def ivf_retrain_cells(spark, path: str, cell_ids, *,
+                      id_col: str = "vec_id", sample: int = 2048,
+                      iters: int = 10) -> None:
+    """Close the drift loop :func:`ivf_drift_stats` opens: re-cluster
+    ONLY the flagged cells of a persisted IVF index and publish the
+    result as a new generation — the targeted remedy between "serve
+    degrading recall" and "full rebuild".  A frozen-centroid serving
+    index degrades exactly where the data drifted; cells the monitor
+    clears keep their centroids, their list rows, and therefore their
+    serve behavior bit-identically.
+
+    Procedure (all content-deterministic, so a DuckDB replay oracle
+    can verify it end to end — ``ann_ivf_retrain_cells``):
+
+    1. pull the flagged cells' vectors from the persisted lists (a
+       parquet partition-pruned scan — committed append deltas
+       included; the lists ARE the assignment, nothing re-assigns);
+    2. run the same content-deterministic Lloyd the initial training
+       used (:func:`train_ivf_centroids` with ``id_col``: ordered
+       sample, evenly spaced init, first-index argmax tie-break,
+       6-dp centroid rounding per round) with ``k = len(cell_ids)``
+       over ONLY those vectors;
+    3. replace the flagged centroids in place — retrained centroid
+       ``j`` takes the id ``sorted(cell_ids)[j]``, so centroid ids
+       stay the contiguous 0..k-1 range the serve kernel requires;
+    4. re-assign ONLY the flagged vectors among the k retrained
+       centroids (same argmax + first-index rule, mapped back through
+       the sorted id order);
+    5. write centroids + lists + params as a fresh generation and swap
+       the pointer (``write_ivf_index`` — crash mid-retrain leaves the
+       old generation serving).
+
+    Scale: COMPUTE is flagged-proportional — the Lloyd sample is
+    driver-side bounded, the one GEMM re-assignment pass touches only
+    flagged-cell vectors (everything the drift monitor said decayed),
+    cold cells are never re-scored.  WRITE IO is a generation rewrite
+    (cold partitions stream base→new unchanged), i.e. the same cost
+    class as the compaction a fragmented index periodically pays
+    anyway — and a retrain subsumes that compaction (append deltas
+    fold in).  A manifest/hard-link layout that re-references cold
+    partitions instead of streaming them is the known follow-up for
+    rewrite-averse object stores.
+
+    Splitting/merging cells (changing k) is deliberately out of scope:
+    it renumbers ids and forces a full lists rewrite with re-probing
+    semantics — at that point a full retrain-rebuild is the honest
+    operation."""
+    import numpy as np
+
+    flagged = sorted({int(c) for c in cell_ids})
+    if not flagged:
+        raise ValueError("ivf_retrain_cells: empty cell_ids — nothing "
+                         "to retrain (the drift monitor found no cell "
+                         "below threshold?)")
+    base = read_ivf_index(spark, path, id_col)
+    cent_rows = base.centroids.orderBy("centroid_id").collect()
+    known = {int(r["centroid_id"]) for r in cent_rows}
+    missing = [c for c in flagged if c not in known]
+    if missing:
+        raise ValueError(
+            f"ivf_retrain_cells: cell ids {missing} are not in the "
+            f"persisted centroid table (cells 0..{len(known) - 1}) — "
+            "the drift report and the index disagree; re-run the "
+            "monitor against this index.")
+    hot = base.lists.where(F.col("centroid_id").isin(flagged))
+    # the same content-deterministic Lloyd as initial training, over
+    # ONLY the flagged cells' vectors (train_ivf_centroids orders by
+    # id and bounds the sample driver-side)
+    new_cents = train_ivf_centroids(
+        hot.select(F.col("nn_id"), F.col("cvec")), "cvec",
+        n_centroids=len(flagged), sample=sample, iters=iters,
+        id_col="nn_id")
+    # local re-assignment among the retrained centroids only; local
+    # index j maps back to sorted(cell_ids)[j]
+    reassigned = _assign_centroid(
+        hot.select("nn_id", "cvec"), "cvec", new_cents,
+        two_level=False)
+    id_map = F.array(*[F.lit(int(c)) for c in flagged])
+    hot_lists = reassigned.select(
+        F.element_at(id_map, F.col("centroid_id") + 1)
+        .alias("centroid_id"), "nn_id", "cvec")
+    cold_lists = (base.lists.where(~F.col("centroid_id").isin(flagged))
+                  .select("centroid_id", "nn_id", "cvec"))
+    by_j = {flagged[j]: [float(x) for x in new_cents[j]]
+            for j in range(len(flagged))}
+    cent_df = spark.createDataFrame(
+        [(int(r["centroid_id"]),
+          by_j.get(int(r["centroid_id"]),
+                   [float(x) for x in r["centroid"]]))
+         for r in cent_rows],
+        "centroid_id int, centroid array<double>")
+    write_ivf_index(
+        IvfIndex(cent_df, cold_lists.unionByName(hot_lists), id_col,
+                 two_level=base.two_level), path)
 
 
 def compact_pq_index(spark, path: str, id_col: str = "vec_id") -> None:

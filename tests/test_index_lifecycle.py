@@ -32,8 +32,18 @@ def _queries(spark):
 
 
 def _nfiles(vpath, table):
-    return len(glob.glob(os.path.join(vpath, table, "**", "*.parquet"),
-                         recursive=True))
+    """Parquet file count for one state table across the generation's
+    base dir AND its journaled append deltas (``delta=<k>/<table>``) —
+    the fragmentation a serve actually pays."""
+    base = glob.glob(os.path.join(vpath, table, "**", "*.parquet"),
+                     recursive=True)
+    deltas = glob.glob(os.path.join(vpath, "delta=*", table, "**",
+                                    "*.parquet"), recursive=True)
+    return len(base) + len(deltas)
+
+
+def _ndeltas(vpath):
+    return len(glob.glob(os.path.join(vpath, "delta=*", "_COMMITTED")))
 
 
 def _rows(df):
@@ -67,15 +77,68 @@ class TestBm25AppendCompact:
 
         v1 = resolve_index_path(root)
         frag = _nfiles(v1, "postings")
-        assert len(spark.read.parquet(
-            os.path.join(v1, "stats")).collect()) == 3
+        # each append journals one committed delta with its own stats
+        # row; the reader unions base + deltas to 3 rows
+        assert _ndeltas(v1) == 2
+        from orange3_timeseries_spark.operators.index_store import (
+            read_index_table,
+        )
+        assert len(read_index_table(spark, v1, "stats").collect()) == 3
 
         compact_bm25_index(spark, root)
         assert current_version(root) == 2
         v2 = resolve_index_path(root)
         assert _nfiles(v2, "postings") < frag
+        assert _ndeltas(v2) == 0               # journal folded away
         assert len(spark.read.parquet(
             os.path.join(v2, "stats")).collect()) == 1
+        again = bm25_topk_from_index(read_bm25_index(spark, root),
+                                     _queries(spark), top_k=3)
+        assert _rows(again) == _rows(live)
+
+    def test_torn_append_serves_preappend_state_and_retries(
+            self, spark, tmp_path, monkeypatch):
+        """Crash between the delta table writes and the _COMMITTED
+        marker: the unmarked delta is invisible — serves return the
+        PRE-append state — and retrying the same batch succeeds (the
+        disjoint guard sees only committed ids)."""
+        import orange3_timeseries_spark.operators.index_store as ist
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_append_index,
+            bm25_build_index,
+            bm25_topk,
+            bm25_topk_from_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        root = str(tmp_path / "bm25_torn")
+        write_bm25_index(bm25_build_index(_docs(spark, 1, 5),
+                                          n_buckets=8), root)
+        live_pre = bm25_topk(_docs(spark, 1, 5), _queries(spark),
+                             top_k=3)
+
+        real_commit = ist.commit_delta
+
+        def crash(dpath):
+            raise RuntimeError("simulated crash before delta commit")
+
+        monkeypatch.setattr(ist, "commit_delta", crash)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            bm25_append_index(spark, root, _docs(spark, 6, 10))
+        # the torn delta's tables are on disk but unmarked — invisible
+        v1 = resolve_index_path(root)
+        assert glob.glob(os.path.join(v1, "delta=1", "postings", "*"))
+        assert _ndeltas(v1) == 0
+        served = bm25_topk_from_index(read_bm25_index(spark, root),
+                                      _queries(spark), top_k=3)
+        assert _rows(served) == _rows(live_pre)
+
+        # retry lands as delta=2 and the full corpus serves
+        monkeypatch.setattr(ist, "commit_delta", real_commit)
+        bm25_append_index(spark, root, _docs(spark, 6, 10))
+        assert _ndeltas(v1) == 1
+        live = bm25_topk(_docs(spark, 1, 10), _queries(spark), top_k=3)
         again = bm25_topk_from_index(read_bm25_index(spark, root),
                                      _queries(spark), top_k=3)
         assert _rows(again) == _rows(live)
@@ -237,3 +300,93 @@ class TestIvfDriftStats:
         assert (r1["n_index"], r1["n_new"]) == (2, 0)
         assert r1["new_share"] == 0.0
         assert r1["mean_cos_new"] is None and r1["cos_drift"] is None
+
+
+class TestIvfRetrainCells:
+    """ivf_retrain_cells: the remedy ivf_drift_stats signals — local
+    Lloyd over the flagged cells only, centroid ids stable, cold cells
+    bit-untouched, and recall over the drifted region RECOVERS."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_recall_recovers_and_cold_cells_untouched(self, spark,
+                                                      tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        # indexed population sits ON cells 0/1; cell 2 holds a small
+        # COLD population that must survive the retrain bit-identically
+        idx_rows = ([(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(5)]
+                    + [(10 + i, [0.01 * i, 1.0, 0.0, 0.0])
+                       for i in range(5)]
+                    + [(20 + i, [0.0, 0.0, 1.0, 0.02 * i])
+                       for i in range(3)])
+        # the drifted ingest: a NEW cluster between e1 and e2, split by
+        # the frozen centroids across cells 0 and 1 — single-probe
+        # serves miss half of it
+        drift_rows = ([(100 + i, [0.72, 0.68, 0.001 * i, 0.0])
+                       for i in range(5)]
+                      + [(110 + i, [0.68, 0.72, 0.001 * i, 0.0])
+                         for i in range(5)])
+        e = self._df(spark, idx_rows)
+        root = str(tmp_path / "ivf_rt")
+        S.write_ivf_index(S.ivf_build_index(e, centroids=cents), root)
+        S.ivf_append_index(spark, root, self._df(spark, drift_rows))
+
+        q = self._df(spark, [(0, [0.7, 0.7, 0.0, 0.0])]) \
+            .withColumnRenamed("vec_id", "query_id")
+        exact = {r.nn_id for r in S.brute_force_topk(
+            self._df(spark, idx_rows + drift_rows), q, k=5).collect()}
+
+        def recall():
+            got = {r.nn_id for r in S.ivf_topk_from_index(
+                S.read_ivf_index(spark, root), q, k=5,
+                nprobe=1).collect()}
+            return len(got & exact) / len(exact)
+
+        before = recall()
+        assert before <= 0.6          # frozen centroids split the drift
+
+        # the monitor flags exactly the cells the drift hit
+        drift = {r["centroid_id"]: r for r in S.ivf_drift_stats(
+            S.read_ivf_index(spark, root),
+            self._df(spark, drift_rows)).collect()}
+        flagged = [c for c, r in sorted(drift.items())
+                   if r["cos_drift"] is not None
+                   and r["cos_drift"] < -0.01]
+        assert flagged == [0, 1]
+
+        cold_before = _rows(S.read_ivf_index(spark, root).lists
+                            .where(F.col("centroid_id") >= 2)
+                            .select("centroid_id", "nn_id"))
+        S.ivf_retrain_cells(spark, root, flagged)
+        assert current_version(root) == 2
+
+        after = recall()
+        assert after > before
+        assert after == 1.0           # the drifted cluster got its cell
+        # cold cells: same rows, same ids, same count
+        cold_after = _rows(S.read_ivf_index(spark, root).lists
+                           .where(F.col("centroid_id") >= 2)
+                           .select("centroid_id", "nn_id"))
+        assert cold_after == cold_before
+        # centroid ids stay the contiguous range the serve requires
+        ids = [r["centroid_id"] for r in
+               S.read_ivf_index(spark, root).centroids
+               .orderBy("centroid_id").collect()]
+        assert ids == [0, 1, 2, 3]
+
+    def test_validates_cell_ids(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        e = self._df(spark, [(0, [1.0, 0.1]), (1, [0.1, 1.0])])
+        root = str(tmp_path / "ivf_rt_bad")
+        S.write_ivf_index(S.ivf_build_index(e, centroids=cents), root)
+        with pytest.raises(ValueError, match="not in the persisted"):
+            S.ivf_retrain_cells(spark, root, [7])
+        with pytest.raises(ValueError, match="empty cell_ids"):
+            S.ivf_retrain_cells(spark, root, [])
