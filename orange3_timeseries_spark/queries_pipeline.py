@@ -4984,3 +4984,170 @@ def q_dsir_weights_by_doc(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return dsir_weights(d, "text", "doc_id", F.col("lang") == "en")
+
+
+# ------------------------------------------ drift-driven IVF retrain
+def _ivf_retrain_sql(n_flag=4, k=5, nprobe=4, n_queries=10,
+                     sample=2048, iters=10):
+    """Full replay of the drift→retrain→serve loop: frozen-rule
+    assignment under the seed centroids, the per-cell drift report
+    (same quantization as ``ann_ivf_drift_by_cell``), flagging the
+    ``n_flag`` worst-drifting cells, an UNROLLED local Lloyd over only
+    those cells' vectors (ordered sample, evenly spaced init,
+    first-index tie-break, 6-dp rounding per round — the
+    ``train_ivf_centroids(id_col=...)`` recipe, exactly as
+    ``ann_ivf_topk``'s oracle replays global training), in-place
+    centroid replacement by sorted flag order, local re-assignment of
+    the flagged vectors, and the standard probe/serve replay over the
+    UPDATED centroid table."""
+    stages = [f"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv,
+                list_inner_product(v, v) / 2.0 AS half_cc
+         FROM c WHERE vec_id < 16),
+assignf AS MATERIALIZED (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY list_inner_product(c.v, cent.cv) - cent.half_cc
+                       DESC, cent.centroid_id) AS rnk
+    FROM c CROSS JOIN cent) t
+  WHERE rnk = 1),
+scored AS (
+  SELECT a.vec_id, a.centroid_id,
+         CAST(round(round(list_cosine_similarity(a.v, ct.cv), 6)
+                    * 1000000.0) AS BIGINT) AS cu
+  FROM assignf a JOIN cent ct USING (centroid_id)),
+bb AS (SELECT centroid_id, count(*)::BIGINT AS n_index,
+              sum(cu)::BIGINT AS cui
+       FROM scored WHERE vec_id % 2 = 0 GROUP BY 1),
+nw AS (SELECT centroid_id, count(*)::BIGINT AS n_new,
+              sum(cu)::BIGINT AS cun
+       FROM scored WHERE vec_id % 2 = 1 GROUP BY 1),
+dr AS (SELECT ct.centroid_id,
+              (cun::DOUBLE / n_new::DOUBLE) / 1000000.0
+                - (cui::DOUBLE / n_index::DOUBLE) / 1000000.0 AS cos_drift
+       FROM cent ct LEFT JOIN bb USING (centroid_id)
+       LEFT JOIN nw USING (centroid_id)),
+flagmap AS MATERIALIZED (
+  SELECT centroid_id AS fcid,
+         row_number() OVER (ORDER BY centroid_id) - 1 AS j
+  FROM (SELECT centroid_id FROM dr
+        ORDER BY (cos_drift IS NULL), cos_drift, centroid_id
+        LIMIT {n_flag})),
+samp AS MATERIALIZED (
+  SELECT v, rn FROM (
+    SELECT a.v, row_number() OVER (ORDER BY a.vec_id) - 1 AS rn
+    FROM assignf a JOIN flagmap f ON a.centroid_id = f.fcid) t
+  WHERE rn < {sample}),
+nn AS (SELECT count(*) AS cnt FROM samp),
+rcent0 AS MATERIALIZED (
+  SELECT g.j, s.v AS cv
+  FROM (SELECT unnest(generate_series(0, {n_flag - 1})) AS j) g
+  CROSS JOIN nn
+  JOIN samp s ON s.rn = (g.j * nn.cnt) // {n_flag})"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        stages.append(f"""rassign{t} AS MATERIALIZED (
+  SELECT s.rn, s.v, cc.j
+  FROM samp s CROSS JOIN rcent{p} cc
+  QUALIFY row_number() OVER (PARTITION BY s.rn
+      ORDER BY list_inner_product(s.v, cc.cv)
+               - list_inner_product(cc.cv, cc.cv) / 2.0 DESC, cc.j) = 1),
+rmeans{t} AS MATERIALIZED (
+  SELECT j, list(mv ORDER BY d) AS cv FROM (
+    SELECT j, d, round(avg(val), 6) AS mv
+    FROM (SELECT j, unnest(v) AS val, generate_subscripts(v, 1) AS d
+          FROM rassign{t}) u
+    GROUP BY j, d) m
+  GROUP BY j),
+rcent{t} AS MATERIALIZED (
+  SELECT p.j,
+         coalesce(m.cv, list_transform(p.cv, x -> round(x, 6))) AS cv
+  FROM rcent{p} p LEFT JOIN rmeans{t} m USING (j))""")
+    stages.append(f"""rjoined AS (
+  SELECT f.j, f.fcid, r.cv,
+         list_inner_product(r.cv, r.cv) / 2.0 AS half_cc
+  FROM flagmap f JOIN rcent{iters} r USING (j)),
+newcent AS (
+  SELECT ct.centroid_id,
+         coalesce(rj.cv, ct.cv) AS cv,
+         coalesce(rj.half_cc, ct.half_cc) AS half_cc
+  FROM cent ct LEFT JOIN rjoined rj ON ct.centroid_id = rj.fcid),
+reass AS (
+  SELECT vec_id, v, fcid AS centroid_id FROM (
+    SELECT a.vec_id, a.v, rj.fcid,
+           row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY list_inner_product(a.v, rj.cv) - rj.half_cc
+                       DESC, rj.j) AS rnk
+    FROM (SELECT a2.vec_id, a2.v, a2.centroid_id FROM assignf a2
+          JOIN flagmap fm ON a2.centroid_id = fm.fcid) a
+    CROSS JOIN rjoined rj) t
+  WHERE rnk = 1),
+lists AS (
+  SELECT vec_id AS nn_id, v AS cvec, centroid_id FROM assignf
+  WHERE centroid_id NOT IN (SELECT fcid FROM flagmap)
+  UNION ALL
+  SELECT vec_id, v, centroid_id FROM reass),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv, centroid_id
+  FROM q CROSS JOIN newcent
+  QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY list_inner_product(qv, cv) - half_cc DESC,
+               centroid_id) <= {nprobe}),
+cand AS (
+  SELECT p.query_id, l.nn_id,
+         round(list_cosine_similarity(l.cvec, p.qv), 6) AS cosine
+  FROM probes p JOIN lists l ON l.centroid_id = p.centroid_id
+  WHERE p.query_id != l.nn_id)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nn_id) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+
+
+@query("ann_ivf_retrain_cells", _ivf_retrain_sql())
+def q_ann_ivf_retrain_cells(spark, sf_dir):
+    """The COMPLETE drift loop closed, under a full value-hash replay
+    oracle — monitor → flag → targeted retrain → serve, all on one
+    persisted index path: build the IVF index over half the corpus
+    (even vec_id, deterministic seed centroids) and WRITE it; run the
+    per-cell drift monitor against the arriving odd-id batch
+    (operators/similarity.py:ivf_drift_stats — the
+    ``ann_ivf_drift_by_cell`` computation); FLAG the 4 worst-drifting
+    cells (lowest ``cos_drift``, NULLs last, centroid_id tie-break — a
+    bounded ≤ n_centroids collect); fast-ingest APPEND the batch (a
+    journaled delta under the frozen centroids); RETRAIN only the
+    flagged cells (operators/similarity.py:ivf_retrain_cells — local
+    content-deterministic Lloyd over just those cells' vectors,
+    centroid ids stable, cold cells bit-untouched) publishing a new
+    generation; and serve the standard probes from the retrained
+    index.  The oracle replays the frozen assignment, the drift
+    quantization, the flag ordering, the UNROLLED local Lloyd, the
+    in-place centroid replacement, the local re-assignment AND the
+    serve — hash-green proves the whole remediation loop is exact, not
+    just plausible.  Recall-recovery (the drifted region regains its
+    own cell) is asserted separately in
+    tests/test_index_lifecycle.py::TestIvfRetrainCells."""
+    e = read_table(spark, sf_dir, "embeddings")
+    odd = e.where(F.col("vec_id") % 2 != 0)
+    path = _fresh_state_path("ivf_rt", sf_dir)
+    S.write_ivf_index(
+        S.ivf_build_index(e.where(F.col("vec_id") % 2 == 0),
+                          centroids=_ann_seed_centroids(e)), path)
+    drift = S.ivf_drift_stats(S.read_ivf_index(spark, path), odd) \
+        .collect()                       # ≤ n_centroids rows
+    drift.sort(key=lambda r: ((r["cos_drift"] is None),
+                              r["cos_drift"] if r["cos_drift"]
+                              is not None else 0.0,
+                              r["centroid_id"]))
+    flagged = [int(r["centroid_id"]) for r in drift[:4]]
+    S.ivf_append_index(spark, path, odd)
+    S.ivf_retrain_cells(spark, path, flagged)
+    return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
+                                 _ann_seed_queries(e), k=5, nprobe=4)

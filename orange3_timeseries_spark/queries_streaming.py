@@ -747,3 +747,52 @@ def q_streaming_bm25_gate(spark, sf_dir):
         state_partitions=_state_width(spark, sf_dir, name="documents"),
         spool_path=_QP._fresh_state_path("bm25s_spool", sf_dir))
     return spark.table(name)
+
+
+@query("streaming_lsh_gate_watermarked",
+       _OS_STREAM["dedup_lsh_registry_probe"])
+def q_streaming_lsh_gate_watermarked(spark, sf_dir):
+    """The dedup-at-ingest stream gate in its BOUNDED-STATE mode — the
+    only mode a long-lived 100 TB ingest can run — under the SAME full
+    replay oracle as the batch ``dedup_lsh_registry_probe``: identical
+    index (deciles 0-8) and probe stream (decile 9) as
+    ``streaming_lsh_gate``, but the candidate-pair dedup runs
+    ``dropDuplicatesWithinWatermark`` keyed on a synthesized
+    event-time column (documents carry no native one: arrival_ts =
+    epoch + doc_id % 3600 s, a one-hour ingest spread), with a 2-hour
+    watermark horizon (streaming/ops.py:stream_lsh_probe
+    ``event_time_col=``).  Pair state is EVICTED once the watermark
+    passes — memory bounded by candidate pairs per horizon instead of
+    per corpus lifetime.  Within-horizon arrivals emit the identical
+    pair set to the unbounded mode (a pair's duplicates land within
+    the horizon of its first arrival here), so hash-equal to the batch
+    replay proves the bounded-state gate admits and scores EXACTLY the
+    pairs the batch probe finds."""
+    from orange3_timeseries_spark.operators import dedup as D
+    from orange3_timeseries_spark.streaming.ops import stream_lsh_probe
+
+    d = read_table(spark, sf_dir, "documents")
+    dec = F.col("doc_id") % 10
+    idx = D.lsh_build_index(d.where(dec <= 6))
+    idx = D.lsh_merge_index(idx, d.where(dec == 7))
+    idx = D.lsh_merge_index(idx, d.where(dec == 8))
+    path = _QP._fresh_state_path("lshsw", sf_dir)
+    D.write_lsh_index(idx, path)
+
+    def build(s):
+        loaded = D.read_lsh_index(s, path)
+        sdocs = (read_table_stream(s, sf_dir, "documents")
+                 .where(F.col("doc_id") % 10 == 9)
+                 .withColumn("arrival_ts", F.timestamp_seconds(
+                     F.lit(1700000000) + F.col("doc_id") % 3600)))
+        out = stream_lsh_probe(sdocs, loaded, threshold=0.2,
+                               event_time_col="arrival_ts",
+                               watermark="2 hours")
+        return out.select("id_new", "id_index", r6(F.col("jaccard"),
+                                                   "jaccard"))
+
+    name = "stream_lshgatew_" + uuid.uuid4().hex[:8]
+    run_to_memory_isolated(
+        spark, build, name, output_mode="append",
+        state_partitions=_state_width(spark, sf_dir, name="documents"))
+    return spark.table(name)

@@ -387,10 +387,14 @@ def run_foreachbatch_to_memory(spark, build, transform, name: str,
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     if not out_schema:
-        raise ValueError(
-            f"run_foreachbatch_to_memory({name!r}): the stream drained "
-            "without producing a single micro-batch — no result schema "
-            "to expose. Check the source path/filter.")
+        # an availableNow source with no input files fires ZERO
+        # micro-batches — a legitimate nothing-arrived run, not an
+        # error.  Recover the output schema by applying the batch
+        # transform to an empty static frame with the stream's schema
+        # (the transform is batch code by construction here) and
+        # expose an EMPTY view.
+        out_schema.append(
+            transform(spark.createDataFrame([], sdf.schema)).schema)
     import glob as _glob
     if _glob.glob(os.path.join(spool, "**", "*.parquet"),
                   recursive=True):

@@ -859,3 +859,103 @@ class TestStreamBm25Gate:
         assert out.count() == 0
         assert set(out.columns) == {"query_id", "doc_id", "rank",
                                     "score", "n_terms"}
+
+    def test_zero_microbatch_stream_yields_empty_view(self, spark,
+                                                      tmp_path):
+        # an availableNow source whose path filter admits NO files
+        # fires zero micro-batches — a legitimate nothing-arrived run:
+        # the harness derives the schema by applying the transform to
+        # an empty static frame and exposes an EMPTY view, not a hard
+        # failure
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+        from orange3_timeseries_spark.streaming.ops import (
+            run_foreachbatch_to_memory,
+            stream_bm25_gate,
+        )
+
+        idx_path = str(tmp_path / "bm25_idx_z")
+        write_bm25_index(
+            bm25_build_index(spark.createDataFrame(
+                [(1, "alpha beta gamma")], "doc_id long, text string"),
+                n_buckets=8),
+            idx_path)
+        d = str(tmp_path / "q_stream_z")
+        # valid empty parquet dir: zero-row frame writes only metadata
+        spark.createDataFrame([], "query_id long, text string") \
+            .write.mode("overwrite").parquet(d)
+
+        def build(s):
+            return (s.readStream.schema("query_id long, text string")
+                    .parquet(d))
+
+        def transform(b):
+            return stream_bm25_gate(
+                b, read_bm25_index(b.sparkSession, idx_path), top_k=3)
+
+        run_foreachbatch_to_memory(spark, build, transform,
+                                   "t_bm25_gate_zero")
+        out = spark.table("t_bm25_gate_zero")
+        assert out.count() == 0
+        assert set(out.columns) == {"query_id", "doc_id", "rank",
+                                    "score", "n_terms"}
+
+
+class TestStreamLshProbeWatermarked:
+    def test_watermarked_gate_matches_batch_within_horizon(
+            self, spark, tmp_path):
+        # the bounded-state mode (dropDuplicatesWithinWatermark):
+        # arrivals within the horizon emit the identical pair set to
+        # the unbounded gate / the batch probe
+        import datetime as dt
+
+        from orange3_timeseries_spark.operators.dedup import (
+            lsh_build_index,
+            lsh_probe_index,
+            read_lsh_index,
+            write_lsh_index,
+        )
+        from orange3_timeseries_spark.streaming.ops import (
+            run_to_memory,
+            stream_lsh_probe,
+        )
+
+        base_txt = ("the quick brown fox jumps over the lazy dog "
+                    "while the cat watches from the warm windowsill "
+                    "nearby every single day")
+        corpus = [(1, base_txt),
+                  (2, base_txt.replace("lazy", "sleepy")),
+                  (3, "unrelated words about columnar shuffle plans")]
+        probe = [(101, base_txt.replace("warm", "cold")),
+                 (102, "nothing indexed resembles this text at all"),
+                 (103, base_txt.replace("warm", "cold"))]
+        idx_path = str(tmp_path / "lsh_idx_w")
+        write_lsh_index(
+            lsh_build_index(spark.createDataFrame(
+                corpus, "doc_id long, text string"), n_buckets=8),
+            idx_path)
+        loaded = read_lsh_index(spark, idx_path)
+        pdf = spark.createDataFrame(probe, "doc_id long, text string")
+        batch = sorted(map(tuple,
+                           lsh_probe_index(loaded, pdf).collect()))
+
+        base = dt.datetime(2026, 1, 1, 12, 0, 0)
+        wdf = pdf.withColumn(
+            "arrival_ts",
+            F.to_timestamp(F.lit(base.isoformat()))
+            + F.make_interval(secs=F.col("doc_id") % 60))
+        d = str(tmp_path / "probe_stream_w")
+        wdf.repartition(2).write.mode("overwrite").parquet(d)
+        sdf = (spark.readStream
+               .schema("doc_id long, text string, arrival_ts timestamp")
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        out = stream_lsh_probe(sdf, loaded, threshold=0.2,
+                               event_time_col="arrival_ts",
+                               watermark="10 minutes")
+        run_to_memory(out, "t_lsh_gate_w")
+        got = sorted(map(tuple, spark.table("t_lsh_gate_w").collect()))
+        assert got == batch
+        assert {(n, i) for n, i, _ in got} >= {(101, 1), (103, 1)}
