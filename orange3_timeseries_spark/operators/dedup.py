@@ -951,19 +951,23 @@ def write_lsh_index(index: LshIndex, path: str) -> None:
     path is supported, and a crash mid-write leaves readers on the
     last complete generation."""
     from orange3_timeseries_spark.operators.index_store import (
+        base_table_path,
         begin_version,
         commit_version,
     )
 
     root = path
     path = begin_version(root)
+    # entries/docs are appendable: base data under <table>/delta=0
+    # (the journaled layout — appends become partition dirs of the
+    # SAME scan)
     (index.entries.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(path, "entries")))
+     .partitionBy("bucket").parquet(base_table_path(path, "entries")))
     dbucket = F.pmod(F.xxhash64(F.col(index.id_col)),
                      F.lit(index.n_buckets)).cast("int")
     (index.docs.withColumn("dbucket", dbucket).repartition("dbucket")
      .write.mode("overwrite").partitionBy("dbucket")
-     .parquet(os.path.join(path, "docs")))
+     .parquet(base_table_path(path, "docs")))
     spark = index.entries.sparkSession
     params = spark.createDataFrame(
         [(index.k, index.bands, index.n, index.n_buckets,
@@ -1129,6 +1133,7 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
     from orange3_timeseries_spark.operators.index_store import (
         begin_delta,
         commit_delta,
+        delta_table_path,
     )
 
     base = read_lsh_index(spark, path)
@@ -1144,12 +1149,13 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
                             hash_family=base.hash_family)
     dpath = begin_delta(path)
     (delta.entries.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(dpath, "entries")))
+     .partitionBy("bucket")
+     .parquet(delta_table_path(dpath, "entries")))
     dbucket = F.pmod(F.xxhash64(F.col(id_col)),
                      F.lit(base.n_buckets)).cast("int")
     (delta.docs.select(id_col, text_col).withColumn("dbucket", dbucket)
      .repartition("dbucket").write.mode("overwrite")
-     .partitionBy("dbucket").parquet(os.path.join(dpath, "docs")))
+     .partitionBy("dbucket").parquet(delta_table_path(dpath, "docs")))
     commit_delta(dpath)
 
 
@@ -1236,14 +1242,16 @@ def write_simhash_index(index: SimHashIndex, path: str) -> None:
     (operators/index_store.py): entries partitioned by ``bucket``, one
     params row recording the banding scheme."""
     from orange3_timeseries_spark.operators.index_store import (
+        base_table_path,
         begin_version,
         commit_version,
     )
 
     root = path
     path = begin_version(root)
+    # entries are appendable: base data under entries/delta=0
     (index.entries.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(path, "entries")))
+     .partitionBy("bucket").parquet(base_table_path(path, "entries")))
     spark = index.entries.sparkSession
     spark.createDataFrame(
         [(index.bits, index.band_bits, index.n_buckets, index.id_col,
@@ -1354,6 +1362,7 @@ def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
     from orange3_timeseries_spark.operators.index_store import (
         begin_delta,
         commit_delta,
+        delta_table_path,
     )
 
     base = read_simhash_index(spark, path)
@@ -1366,7 +1375,7 @@ def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
                              base.bits, base.band_bits, base.n_buckets)
     dpath = begin_delta(path)
     (delta.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(dpath, "entries")))
+     .partitionBy("bucket").parquet(delta_table_path(dpath, "entries")))
     commit_delta(dpath)
 
 

@@ -39,15 +39,19 @@ root has no committed generation at all), so:
   (``compact_*_index`` in each family module).
 
 **Fast-ingest appends are journaled deltas** (``begin_delta`` /
-``commit_delta``): each append lands its delta tables in a fresh
-``v=<n>/delta=<k>`` directory inside the CURRENT generation and
-publishes them with a per-delta ``_COMMITTED`` marker; readers
-(``read_index_table``) union the generation's base tables with the
-COMMITTED deltas only.  A crash mid-append leaves an unmarked delta
-that no reader ever sees — the pre-append state keeps serving — and a
-concurrent reader planning mid-append either includes the whole delta
-or none of it (the marker is the last file written), never a partially
-ingested batch.  Compaction folds committed deltas back into canonical
+``commit_delta``): every appendable state table carries ``delta`` as
+its LEADING partition level (base data at ``<table>/delta=0``, each
+append at ``<table>/delta=<k>`` — ``delta_table_path``), while the
+sibling ``v=<n>/delta=<k>`` directory holds only the journal metadata
+(writer lease + per-delta ``_COMMITTED`` marker).  Readers
+(``read_index_table``) run ONE scan of the table directory filtered to
+the committed delta set — the filter is a parquet PartitionFilter, so
+plan size stays constant regardless of ingest count and a torn
+append's files are pruned at the scan, never read.  A crash mid-append
+leaves an unmarked delta no reader ever sees — the pre-append state
+keeps serving — and a concurrent reader planning mid-append either
+includes the whole batch or none of it (the marker is the last file
+written).  Compaction folds committed deltas back into canonical
 single-generation state.
 
 Old generations accumulate until :func:`vacuum_index` removes them —
@@ -100,7 +104,8 @@ from typing import List, Optional, Tuple
 __all__ = ["begin_version", "commit_version", "resolve_index_path",
            "current_version", "list_versions", "vacuum_index",
            "begin_delta", "commit_delta", "committed_delta_dirs",
-           "read_index_table"]
+           "committed_delta_ids", "delta_table_path",
+           "base_table_path", "read_index_table"]
 
 _POINTER = "_CURRENT"
 _COMMIT_MARK = "_COMMITTED"
@@ -513,21 +518,79 @@ def committed_delta_dirs(version_path: str) -> List[str]:
     return [p for _, p in sorted(out)]
 
 
-def read_index_table(spark, version_path: str, table: str):
-    """One state table of a resolved generation as a DataFrame: the
-    base ``<version_path>/<table>`` unioned with every COMMITTED
-    append delta that carries that table.  Filters and partition
-    prunes push through the union into each scan (Catalyst pushes
-    predicates below Union), so serve-time bucket/cell pruning works
-    identically on fragmented and compact indexes; on a delta-free
-    generation this is exactly the single base scan."""
-    fs, vroot = _fs_for(version_path)
-    df = spark.read.parquet(_join(vroot, table))
+def committed_delta_ids(version_path: str) -> List[int]:
+    """The COMMITTED append-delta numbers of a resolved generation, in
+    ingest order (parsed from :func:`committed_delta_dirs`)."""
+    out = []
     for d in committed_delta_dirs(version_path):
-        t = _join(d, table)
-        if fs.isdir(t):
-            df = df.unionByName(spark.read.parquet(t))
-    return df
+        m = _DDIR_RE.match(d.rstrip("/").rsplit("/", 1)[-1])
+        out.append(int(m.group(1)))
+    return out
+
+
+def delta_table_path(delta_path: str, table: str) -> str:
+    """Where one state table of an append delta WRITES:
+    ``…/v=<n>/<table>/delta=<k>`` — the ``delta=<k>`` level lives
+    INSIDE the table directory so the whole table (base ``delta=0`` +
+    every append) reads as ONE parquet scan with ``delta`` as a
+    leading partition column, and committed-only filtering is a
+    partition PRUNE, not a plan-node union (a 64-delta union measured
+    8.6× the compact serve — plan size must not grow with ingest
+    count).  The sibling ``…/v=<n>/delta=<k>`` directory holds only
+    the journal metadata (writer lease + ``_COMMITTED`` marker).
+
+    Appending to a generation written before the journaled layout
+    (its base table has no ``delta=0`` level) fails LOUDLY — mixing
+    depths in one table directory would break partition discovery for
+    every subsequent read; compact/rewrite the index once to
+    upgrade."""
+    fs, d = _fs_for(delta_path)
+    head, dname = d.rstrip("/").rsplit("/", 1)
+    if not _DDIR_RE.match(dname):
+        raise ValueError(
+            f"index_store: delta_table_path expects a 'delta=<k>' "
+            f"directory, got {delta_path!r}")
+    if not fs.isdir(_join(head, table, "delta=0")):
+        raise ValueError(
+            f"index_store: table {table!r} under {head!r} has no "
+            "'delta=0' base level — this generation predates the "
+            "journaled-append layout, and mixing layouts in one table "
+            "directory breaks partition discovery for every reader. "
+            "Rewrite the index once (compact_*_index or a versioned "
+            "write) and retry the append.")
+    return _join(head, table, dname)
+
+
+def base_table_path(version_path: str, table: str) -> str:
+    """Where one APPENDABLE state table of a generation WRITES its
+    base data: ``<version_path>/<table>/delta=0`` (the journaled
+    layout :func:`delta_table_path` describes).  Non-appendable tables
+    (params, centroids, codebooks) write directly under
+    ``<version_path>/<table>`` and never go through here."""
+    return _join(_fs_for(version_path)[1], table, "delta=0")
+
+
+def read_index_table(spark, version_path: str, table: str):
+    """One state table of a resolved generation as a DataFrame: ONE
+    parquet scan of ``<version_path>/<table>`` (base ``delta=0`` plus
+    every append delta as partition directories), filtered to the
+    COMMITTED delta set and with the ``delta`` column dropped — so the
+    caller sees exactly the logical table.  One scan node regardless
+    of ingest count: partition discovery runs once, the committed-set
+    filter and any serve-time bucket/cell filter are parquet
+    PartitionFilters, and a torn append's files are pruned at the
+    scan, never read.  Generations written before the journaled
+    layout (no ``delta=0`` level) read as the plain single-root scan
+    they always were."""
+    from pyspark.sql import functions as F
+
+    fs, vroot = _fs_for(version_path)
+    tdir = _join(vroot, table)
+    if not fs.isdir(_join(tdir, "delta=0")):
+        return spark.read.parquet(tdir)          # pre-journal layout
+    keep = [0] + committed_delta_ids(version_path)
+    return (spark.read.parquet(tdir)
+            .where(F.col("delta").isin(keep)).drop("delta"))
 
 
 def vacuum_index(path: str, keep_last: int = 1) -> List[int]:

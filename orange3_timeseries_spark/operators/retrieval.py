@@ -375,6 +375,7 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     summed), which is exact by construction and saves the two extra
     corpus passes the naive three-table write paid."""
     from orange3_timeseries_spark.operators.index_store import (
+        base_table_path,
         begin_version,
         commit_version,
     )
@@ -382,15 +383,19 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     root = path
     path = begin_version(root)
     spark = index.postings.sparkSession
+    # appendable tables land under <table>/delta=0 — the journaled
+    # layout read_index_table / *_append_index share (delta is a
+    # leading partition level, so later appends are partition dirs of
+    # the SAME scan, never extra plan nodes)
     (index.postings.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(path, "postings")))
-    pr = spark.read.parquet(os.path.join(path, "postings"))
+     .partitionBy("bucket").parquet(base_table_path(path, "postings")))
+    pr = spark.read.parquet(base_table_path(path, "postings"))
     (pr.where(F.col("token").isNotNull())
      .groupBy("token", "bucket")
      .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
      .select("token", "df", "bucket")
      .repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(path, "token_df")))
+     .partitionBy("bucket").parquet(base_table_path(path, "token_df")))
     derived = (pr.groupBy(index.id_col).agg(F.max("dl").alias("__dl__"))
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                     F.sum("__dl__").cast("bigint").alias("sum_dl"))
@@ -419,7 +424,7 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     spark.createDataFrame(
         [(derived["n_docs"], derived["sum_dl"], int(index.n_buckets))],
         "n_docs bigint, sum_dl bigint, n_buckets int"
-    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    ).write.mode("overwrite").parquet(base_table_path(path, "stats"))
     # one-row params table so the index reconstructs itself from disk
     # (the LSH/IVF families' contract): without it a reader had to
     # rediscover the build-time id column out-of-band
@@ -607,10 +612,11 @@ def bm25_append_index(spark: SparkSession, path: str,
                       check_disjoint: bool = True) -> None:
     """FAST-INGEST append: fold a delta batch into the CURRENT
     generation of a persisted index as a JOURNALED DELTA — the delta's
-    postings / per-token df rows / one stats row land in a fresh
-    ``v=<n>/delta=<k>`` directory and publish atomically with a
-    per-delta ``_COMMITTED`` marker (index_store.begin_delta/
-    commit_delta), so ingest COMPUTE and WRITE IO are proportional to
+    postings / per-token df rows / one stats row land as
+    ``delta=<k>`` partition directories INSIDE each state table and
+    publish atomically with a per-delta ``_COMMITTED`` marker in the
+    sibling metadata dir (index_store.begin_delta/commit_delta/
+    delta_table_path), so ingest COMPUTE and WRITE IO are proportional to
     the batch, never the corpus (``bm25_merge_index`` +
     ``write_bm25_index`` computes the same delta but re-WRITES the
     full corpus state into a new generation — IO-bound at 100 TB even
@@ -634,18 +640,21 @@ def bm25_append_index(spark: SparkSession, path: str,
     UNMARKED delta no reader ever sees — the pre-append state keeps
     serving (tests/test_index_lifecycle.py torn-append test), and a
     concurrent reader planning mid-append sees the whole batch or none
-    of it (the marker is the last file written).  The remaining
-    trade-off vs the versioned write is **fragmentation**: each append
-    adds one delta directory (~1 file per touched bucket) that every
-    serve must union; ``compact_bm25_index`` folds the deltas into a
-    fresh canonical generation (hash-identical serves) and resets the
-    count."""
+    of it (the marker is the last file written).  Because ``delta`` is
+    a leading PARTITION level of each table, the serve keeps ONE scan
+    node regardless of ingest count (committed-set filtering is a
+    parquet PartitionFilter, never a plan-node union).  The remaining
+    trade-off vs the versioned write is **file fragmentation** (~1
+    file per touched bucket per append inside the same scan);
+    ``compact_bm25_index`` folds the deltas into a fresh canonical
+    generation (hash-identical serves) and resets the count."""
     from orange3_timeseries_spark.operators.audit import (
         check_disjoint_ids,
     )
     from orange3_timeseries_spark.operators.index_store import (
         begin_delta,
         commit_delta,
+        delta_table_path,
     )
 
     base = read_bm25_index(spark, path)
@@ -663,7 +672,7 @@ def bm25_append_index(spark: SparkSession, path: str,
     dp = delta.postings.localCheckpoint()
     dpath = begin_delta(path)
     (dp.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(dpath, "postings")))
+     .partitionBy("bucket").parquet(delta_table_path(dpath, "postings")))
     bucket = F.pmod(F.xxhash64(F.col("token")),
                     F.lit(base.n_buckets)).cast("int")
     (dp.where(F.col("token").isNotNull())
@@ -671,23 +680,23 @@ def bm25_append_index(spark: SparkSession, path: str,
      .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
      .select("token", "df", bucket.alias("bucket"))
      .repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(dpath, "token_df")))
+     .partitionBy("bucket").parquet(delta_table_path(dpath, "token_df")))
     # stats derived from the pinned postings — sentinel rows make them
     # a complete per-doc record, exactly the write path's derivation
     (dp.groupBy(base.id_col).agg(F.max("dl").alias("__dl__"))
      .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
           F.sum("__dl__").cast("bigint").alias("sum_dl"),
           F.lit(int(base.n_buckets)).alias("n_buckets"))
-     .write.mode("overwrite").parquet(os.path.join(dpath, "stats")))
+     .write.mode("overwrite").parquet(delta_table_path(dpath, "stats")))
     # marker LAST — the atomic commit point for the whole batch
     commit_delta(dpath)
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> None:
     """Rewrite the current generation into a fresh one and swap the
-    pointer: after K ``bm25_append_index`` ingests the serve unions K
-    journaled delta directories (~1 file per touched bucket each, plus
-    a stats row apiece) — the rewrite folds them into canonical
+    pointer: after K ``bm25_append_index`` ingests the serve scan
+    lists K journaled delta partitions (~1 file per touched bucket
+    each, plus a stats row apiece) — the rewrite folds them into canonical
     single-generation state (token_df and stats re-derived from the
     postings, exactly like any versioned write) and resets the
     per-bucket file count to ~1.  Serves are hash-identical

@@ -933,6 +933,7 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     import os
 
     from orange3_timeseries_spark.operators.index_store import (
+        base_table_path,
         begin_version,
         commit_version,
     )
@@ -941,8 +942,11 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     path = begin_version(root)
     index.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids"))
+    # lists are appendable: base data under lists/delta=0 (the
+    # journaled layout — appends become partition dirs of ONE scan)
     (index.lists.repartition("centroid_id").write.mode("overwrite")
-     .partitionBy("centroid_id").parquet(os.path.join(path, "lists")))
+     .partitionBy("centroid_id")
+     .parquet(base_table_path(path, "lists")))
     spark = index.lists.sparkSession
     spark.createDataFrame([(bool(index.two_level),)],
                           "two_level boolean").write.mode(
@@ -1552,14 +1556,16 @@ def write_pq_index(index: PqIndex, path: str) -> None:
     import os
 
     from orange3_timeseries_spark.operators.index_store import (
+        base_table_path,
         begin_version,
         commit_version,
     )
 
     root = path
     path = begin_version(root)
+    # codes are appendable: base data under codes/delta=0
     index.codes.write.mode("overwrite").parquet(
-        os.path.join(path, "codes"))
+        base_table_path(path, "codes"))
     spark = index.codes.sparkSession
     rows = [(int(m), int(j), [float(x) for x in c])
             for m, cb in enumerate(index.codebooks)
@@ -1707,8 +1713,9 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
     """FAST-INGEST append for a persisted IVF index: assign the delta
     under the persisted rule (frozen centroids + the params table's
     flat/two-level flag) and land its list rows as a JOURNALED DELTA
-    (``v=<n>/delta=<k>/lists`` + per-delta ``_COMMITTED`` marker,
-    index_store.begin_delta/commit_delta) — ingest IO proportional to
+    (``lists/delta=<k>`` partition dirs + per-delta ``_COMMITTED``
+    marker, index_store.begin_delta/commit_delta/delta_table_path) —
+    ingest IO proportional to
     the batch, never the corpus (``write_ivf_index`` after a merge
     rewrites every list), and crash-atomic: an unmarked delta is
     invisible, the pre-append state keeps serving.  Serve-exactness is
@@ -1724,6 +1731,7 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
     from orange3_timeseries_spark.operators.index_store import (
         begin_delta,
         commit_delta,
+        delta_table_path,
     )
 
     base = read_ivf_index(spark, path, id_col)
@@ -1741,7 +1749,8 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
     ).select("centroid_id", "nn_id", "cvec")
     dpath = begin_delta(path)
     (delta.repartition("centroid_id").write.mode("overwrite")
-     .partitionBy("centroid_id").parquet(os.path.join(dpath, "lists")))
+     .partitionBy("centroid_id")
+     .parquet(delta_table_path(dpath, "lists")))
     commit_delta(dpath)
 
 
@@ -1760,8 +1769,9 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
                     check_disjoint: bool = True) -> None:
     """FAST-INGEST append for a persisted PQ index: Arrow-encode the
     delta against the persisted (frozen) codebooks and land its code
-    rows as a JOURNALED DELTA (``v=<n>/delta=<k>/codes`` + per-delta
-    ``_COMMITTED`` marker) — ingest IO proportional to the batch, and
+    rows as a JOURNALED DELTA (``codes/delta=<k>`` partition dirs +
+    per-delta ``_COMMITTED`` marker) — ingest IO proportional to the
+    batch, and
     crash-atomic: an unmarked delta is invisible, the pre-append state
     keeps serving.  Codes are pure per-id rows and readers union
     committed deltas, so an appended index serves row-identically to a
@@ -1775,6 +1785,7 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
     from orange3_timeseries_spark.operators.index_store import (
         begin_delta,
         commit_delta,
+        delta_table_path,
     )
 
     base = read_pq_index(spark, path, id_col)
@@ -1788,7 +1799,7 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
         base.codebooks, vec_col=vec_col, id_col="nn_id")
     dpath = begin_delta(path)
     delta.select("nn_id", "pq_code").write.mode("overwrite").parquet(
-        os.path.join(dpath, "codes"))
+        delta_table_path(dpath, "codes"))
     commit_delta(dpath)
 
 
@@ -1939,10 +1950,20 @@ def ivf_retrain_cells(spark, path: str, cell_ids, *,
     # the same content-deterministic Lloyd as initial training, over
     # ONLY the flagged cells' vectors (train_ivf_centroids orders by
     # id and bounds the sample driver-side)
-    new_cents = train_ivf_centroids(
-        hot.select(F.col("nn_id"), F.col("cvec")), "cvec",
-        n_centroids=len(flagged), sample=sample, iters=iters,
-        id_col="nn_id")
+    try:
+        new_cents = train_ivf_centroids(
+            hot.select(F.col("nn_id"), F.col("cvec")), "cvec",
+            n_centroids=len(flagged), sample=sample, iters=iters,
+            id_col="nn_id")
+    except ValueError as exc:
+        if "non-empty" not in str(exc):
+            raise
+        raise ValueError(
+            f"ivf_retrain_cells: the flagged cells {flagged} hold no "
+            "vectors — an all-empty flag set usually means the drift "
+            "report was computed against a different index state, or "
+            "the flag rule selected abandoned cells only. Re-run the "
+            "monitor; retraining empty cells is a no-op.") from exc
     # local re-assignment among the retrained centroids only; local
     # index j maps back to sorted(cell_ids)[j]
     reassigned = _assign_centroid(

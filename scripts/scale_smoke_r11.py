@@ -75,9 +75,14 @@ def nfiles(root, table):
     from orange3_timeseries_spark.operators.index_store import (
         resolve_index_path,
     )
-    return len(glob.glob(os.path.join(resolve_index_path(root), table,
-                                      "**", "*.parquet"),
-                         recursive=True))
+    vpath = resolve_index_path(root)
+    base = glob.glob(os.path.join(vpath, table, "**", "*.parquet"),
+                     recursive=True)
+    # r12: appends journal into v=<n>/delta=<k>/<table> — count those
+    # too, they are the files a serve unions
+    deltas = glob.glob(os.path.join(vpath, "delta=*", table, "**",
+                                    "*.parquet"), recursive=True)
+    return len(base) + len(deltas)
 
 
 def timed(fn, reps=1):

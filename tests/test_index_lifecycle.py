@@ -127,8 +127,10 @@ class TestBm25AppendCompact:
         with pytest.raises(RuntimeError, match="simulated crash"):
             bm25_append_index(spark, root, _docs(spark, 6, 10))
         # the torn delta's tables are on disk but unmarked — invisible
+        # (data lives under <table>/delta=<k>; the sibling delta=<k>
+        # dir holds only journal metadata and has no marker)
         v1 = resolve_index_path(root)
-        assert glob.glob(os.path.join(v1, "delta=1", "postings", "*"))
+        assert glob.glob(os.path.join(v1, "postings", "delta=1", "*"))
         assert _ndeltas(v1) == 0
         served = bm25_topk_from_index(read_bm25_index(spark, root),
                                       _queries(spark), top_k=3)
@@ -390,3 +392,15 @@ class TestIvfRetrainCells:
             S.ivf_retrain_cells(spark, root, [7])
         with pytest.raises(ValueError, match="empty cell_ids"):
             S.ivf_retrain_cells(spark, root, [])
+
+    def test_all_empty_flag_set_raises_informatively(self, spark,
+                                                     tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        cents = [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]
+        # cell 2 never receives a vector
+        e = self._df(spark, [(0, [1.0, 0.1]), (1, [0.1, 1.0])])
+        root = str(tmp_path / "ivf_rt_empty")
+        S.write_ivf_index(S.ivf_build_index(e, centroids=cents), root)
+        with pytest.raises(ValueError, match="hold no vectors"):
+            S.ivf_retrain_cells(spark, root, [2])

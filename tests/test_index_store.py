@@ -378,9 +378,11 @@ class TestJournaledDeltas:
     def test_torn_delta_is_invisible_until_committed(self, spark,
                                                      tmp_path):
         from orange3_timeseries_spark.operators.index_store import (
+            base_table_path,
             begin_delta,
             commit_delta,
             committed_delta_dirs,
+            delta_table_path,
             read_index_table,
         )
 
@@ -388,14 +390,19 @@ class TestJournaledDeltas:
         v1 = begin_version(root)
         spark.range(5).selectExpr(
             "id", "cast(id % 2 as int) as bucket") \
-            .write.partitionBy("bucket").parquet(os.path.join(v1, "t"))
+            .write.partitionBy("bucket") \
+            .parquet(base_table_path(v1, "t"))
         commit_version(root, v1)
 
         d1 = begin_delta(root)
         assert d1 == os.path.join(v1, "delta=1")
+        # data lands INSIDE the table dir as a delta partition
+        assert delta_table_path(d1, "t") == \
+            os.path.join(v1, "t", "delta=1")
         spark.range(5, 8).selectExpr(
             "id", "cast(id % 2 as int) as bucket") \
-            .write.partitionBy("bucket").parquet(os.path.join(d1, "t"))
+            .write.partitionBy("bucket") \
+            .parquet(delta_table_path(d1, "t"))
         # NOT committed: the torn append must be invisible
         vp = resolve_index_path(root)
         assert committed_delta_dirs(vp) == []
@@ -405,41 +412,70 @@ class TestJournaledDeltas:
 
         commit_delta(d1)
         assert committed_delta_dirs(vp) == [d1]
-        got = sorted(r.id for r in
-                     read_index_table(spark, vp, "t").collect())
-        assert got == list(range(8))
+        out = read_index_table(spark, vp, "t")
+        # the delta partition column never leaks to the caller
+        assert set(out.columns) == {"id", "bucket"}
+        assert sorted(r.id for r in out.collect()) == list(range(8))
 
-    def test_deltas_union_in_ingest_order_and_die_with_generation(
+    def test_deltas_read_in_one_scan_and_die_with_generation(
             self, spark, tmp_path):
         from orange3_timeseries_spark.operators.index_store import (
+            base_table_path,
             begin_delta,
             commit_delta,
             committed_delta_dirs,
+            delta_table_path,
+            read_index_table,
         )
 
         root = str(tmp_path / "idx")
         v1 = begin_version(root)
         spark.range(2).selectExpr("id").write.parquet(
-            os.path.join(v1, "t"))
+            base_table_path(v1, "t"))
         commit_version(root, v1)
         dirs = []
         for lo in (2, 4, 6):
             d = begin_delta(root)
             spark.range(lo, lo + 2).selectExpr("id").write.parquet(
-                os.path.join(d, "t"))
+                delta_table_path(d, "t"))
             commit_delta(d)
             dirs.append(d)
         vp = resolve_index_path(root)
         assert committed_delta_dirs(vp) == dirs
+        df = read_index_table(spark, vp, "t")
+        assert sorted(r.id for r in df.collect()) == list(range(8))
+        # ONE scan node regardless of delta count — plan size must not
+        # grow with ingest count (the whole point of the partition
+        # layout over a per-delta union)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
         # a fresh generation starts with zero deltas; vacuum removes
         # the old generation WITH its journal
         v2 = begin_version(root)
         spark.range(9).selectExpr("id").write.parquet(
-            os.path.join(v2, "t"))
+            base_table_path(v2, "t"))
         commit_version(root, v2)
         assert committed_delta_dirs(resolve_index_path(root)) == []
         assert vacuum_index(root) == [1]
         assert not os.path.exists(dirs[0])
+
+    def test_append_on_prejournal_generation_fails_loudly(
+            self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.index_store import (
+            begin_delta,
+            delta_table_path,
+        )
+
+        root = str(tmp_path / "idx_legacy")
+        v1 = begin_version(root)
+        # r11-style base: table directly under the generation, no
+        # delta=0 level
+        spark.range(3).selectExpr("id").write.parquet(
+            os.path.join(v1, "t"))
+        commit_version(root, v1)
+        d = begin_delta(root)
+        with pytest.raises(ValueError, match="predates the journaled"):
+            delta_table_path(d, "t")
 
     def test_commit_delta_validates_directory(self, tmp_path):
         from orange3_timeseries_spark.operators.index_store import (
@@ -523,28 +559,33 @@ class TestRemoteSchemeLifecycle:
 
     def test_pointer_lifecycle_on_viewfs(self, spark, viewfs_root):
         from orange3_timeseries_spark.operators.index_store import (
+            base_table_path,
             begin_delta,
             commit_delta,
+            delta_table_path,
             read_index_table,
         )
 
         root = viewfs_root + "/plain"
         v1 = begin_version(root)
         assert v1.startswith("viewfs://")
-        spark.range(4).selectExpr("id").write.parquet(v1 + "/t")
+        spark.range(4).selectExpr("id").write.parquet(
+            base_table_path(v1, "t"))
         commit_version(root, v1)
         assert current_version(root) == 1
         assert resolve_index_path(root) == root + "/v=1"
         # journaled delta over viewfs
         d1 = begin_delta(root)
-        spark.range(4, 6).selectExpr("id").write.parquet(d1 + "/t")
+        spark.range(4, 6).selectExpr("id").write.parquet(
+            delta_table_path(d1, "t"))
         commit_delta(d1)
         got = sorted(r.id for r in read_index_table(
             spark, resolve_index_path(root), "t").collect())
         assert got == list(range(6))
         # second generation + vacuum through the remote backend
         v2 = begin_version(root)
-        spark.range(9).selectExpr("id").write.parquet(v2 + "/t")
+        spark.range(9).selectExpr("id").write.parquet(
+            base_table_path(v2, "t"))
         commit_version(root, v2)
         assert vacuum_index(root) == [1]
         assert resolve_index_path(root) == root + "/v=2"
