@@ -134,13 +134,27 @@ def main():
         for pname in PROBES:
             fn = qs.get(pname)
             if fn is None:
+                # record the hole LOUDLY: a silently shrunk probe set
+                # would shift probe_median_s for non-environmental
+                # reasons and corrupt the cross-round drift comparison
+                print(f"bench: probe {pname!r} missing from the query "
+                      "registry — probe set incomplete", file=sys.stderr)
+                meds[pname] = None
                 continue
             ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop") \
-                    .mode("overwrite").save()
-                ts.append(time.perf_counter() - t0)
+            try:
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop") \
+                        .mode("overwrite").save()
+                    ts.append(time.perf_counter() - t0)
+            except Exception as e:
+                # a failing probe must not abort the whole bench — the
+                # main loop null-tolerates failures, probes do too
+                print(f"bench: probe {pname} failed: {e}",
+                      file=sys.stderr)
+                meds[pname] = None
+                continue
             meds[pname] = round(statistics.median(ts), 4)
         return meds
 
@@ -214,9 +228,16 @@ def main():
         sf = None
 
     import statistics
-    probe_vals = list(probe_pre.values()) + list(probe_post.values())
+    probe_vals = [v for v in (list(probe_pre.values())
+                              + list(probe_post.values()))
+                  if v is not None]
+    # the scalar is comparable across rounds only over the FULL probe
+    # set — with any probe missing/failed, null it and adjudicate from
+    # the per-probe medians instead
+    complete = all(v is not None for v in probe_pre.values()) and \
+        all(v is not None for v in probe_post.values()) and probe_vals
     probe_median_s = (round(statistics.median(probe_vals), 4)
-                      if probe_vals else None)
+                      if complete else None)
 
     result = {
         "metric": "total_query_wall_seconds",

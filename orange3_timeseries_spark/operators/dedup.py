@@ -1134,8 +1134,12 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
         begin_delta,
         commit_delta,
         delta_table_path,
+        require_journaled_layout,
+        resolve_index_path,
     )
 
+    require_journaled_layout(resolve_index_path(path),
+                             ("entries", "docs"))
     base = read_lsh_index(spark, path)
     id_col, text_col = base.id_col, base.text_col
     if check_disjoint:
@@ -1363,8 +1367,11 @@ def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
         begin_delta,
         commit_delta,
         delta_table_path,
+        require_journaled_layout,
+        resolve_index_path,
     )
 
+    require_journaled_layout(resolve_index_path(path), ("entries",))
     base = read_simhash_index(spark, path)
     if check_disjoint:
         check_disjoint_ids(

@@ -501,11 +501,11 @@ def commit_delta(delta_path: str) -> None:
     fs.write_text(_join(d, _COMMIT_MARK), "committed\n")
 
 
-def committed_delta_dirs(version_path: str) -> List[str]:
-    """The COMMITTED append-delta directories inside a resolved
-    generation directory, in ingest order.  Unmarked (torn or
-    in-flight) deltas are excluded — they are invisible to every
-    reader until their marker lands."""
+def _committed_deltas(version_path: str) -> List[Tuple[int, str]]:
+    """(k, metadata-dir path) for every COMMITTED append delta of a
+    resolved generation, in ingest order.  Unmarked (torn or
+    in-flight) deltas are excluded — invisible to every reader until
+    their marker lands."""
     fs, vroot = _fs_for(version_path)
     if not fs.isdir(vroot):
         return []
@@ -515,17 +515,39 @@ def committed_delta_dirs(version_path: str) -> List[str]:
         if (m and fs.isdir(_join(vroot, name))
                 and fs.isfile(_join(vroot, name, _COMMIT_MARK))):
             out.append((int(m.group(1)), _join(vroot, name)))
-    return [p for _, p in sorted(out)]
+    return sorted(out)
+
+
+def committed_delta_dirs(version_path: str) -> List[str]:
+    """The COMMITTED append-delta metadata directories of a resolved
+    generation, in ingest order (see :func:`_committed_deltas`)."""
+    return [p for _, p in _committed_deltas(version_path)]
 
 
 def committed_delta_ids(version_path: str) -> List[int]:
     """The COMMITTED append-delta numbers of a resolved generation, in
-    ingest order (parsed from :func:`committed_delta_dirs`)."""
-    out = []
-    for d in committed_delta_dirs(version_path):
-        m = _DDIR_RE.match(d.rstrip("/").rsplit("/", 1)[-1])
-        out.append(int(m.group(1)))
-    return out
+    ingest order (see :func:`_committed_deltas`)."""
+    return [k for k, _ in _committed_deltas(version_path)]
+
+
+def require_journaled_layout(version_path: str, tables) -> None:
+    """Raise BEFORE an append allocates anything when a generation
+    predates the journaled layout (a table without the ``delta=0``
+    base level).  Appends call this ahead of :func:`begin_delta` —
+    failing after the allocation would strand an orphan leased delta
+    metadata dir in the CURRENT generation on every retry (vacuum only
+    removes whole generations)."""
+    fs, vroot = _fs_for(version_path)
+    for t in tables:
+        if fs.isdir(_join(vroot, t)) and \
+                not fs.isdir(_join(vroot, t, "delta=0")):
+            raise ValueError(
+                f"index_store: table {t!r} under {vroot!r} has no "
+                "'delta=0' base level — this generation predates the "
+                "journaled-append layout, and mixing layouts in one "
+                "table directory breaks partition discovery for every "
+                "reader. Rewrite the index once (compact_*_index or a "
+                "versioned write) and retry the append.")
 
 
 def delta_table_path(delta_path: str, table: str) -> str:
@@ -587,7 +609,18 @@ def read_index_table(spark, version_path: str, table: str):
     fs, vroot = _fs_for(version_path)
     tdir = _join(vroot, table)
     if not fs.isdir(_join(tdir, "delta=0")):
-        return spark.read.parquet(tdir)          # pre-journal layout
+        # pre-journal layout (base data directly under <table>).  A
+        # TRANSITIONAL generation may still carry committed deltas in
+        # the sibling-dir shape (<vroot>/delta=<k>/<table> — the first
+        # journaled design): union them rather than silently dropping
+        # appended rows; the next versioned write/compaction folds
+        # everything into the partition-level layout.
+        df = spark.read.parquet(tdir)
+        for d in committed_delta_dirs(version_path):
+            t = _join(d, table)
+            if fs.isdir(t):
+                df = df.unionByName(spark.read.parquet(t))
+        return df
     keep = [0] + committed_delta_ids(version_path)
     return (spark.read.parquet(tdir)
             .where(F.col("delta").isin(keep)).drop("delta"))

@@ -655,8 +655,13 @@ def bm25_append_index(spark: SparkSession, path: str,
         begin_delta,
         commit_delta,
         delta_table_path,
+        require_journaled_layout,
+        resolve_index_path,
     )
 
+    # fail BEFORE allocating the delta dir on a pre-journal generation
+    require_journaled_layout(resolve_index_path(path),
+                             ("postings", "token_df", "stats"))
     base = read_bm25_index(spark, path)
     if check_disjoint:
         check_disjoint_ids(base.postings, new_docs, base.id_col,

@@ -1732,8 +1732,11 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
         begin_delta,
         commit_delta,
         delta_table_path,
+        require_journaled_layout,
+        resolve_index_path,
     )
 
+    require_journaled_layout(resolve_index_path(path), ("lists",))
     base = read_ivf_index(spark, path, id_col)
     if check_disjoint:
         check_disjoint_ids(
@@ -1786,8 +1789,11 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
         begin_delta,
         commit_delta,
         delta_table_path,
+        require_journaled_layout,
+        resolve_index_path,
     )
 
+    require_journaled_layout(resolve_index_path(path), ("codes",))
     base = read_pq_index(spark, path, id_col)
     if check_disjoint:
         check_disjoint_ids(

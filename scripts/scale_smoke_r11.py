@@ -76,13 +76,11 @@ def nfiles(root, table):
         resolve_index_path,
     )
     vpath = resolve_index_path(root)
-    base = glob.glob(os.path.join(vpath, table, "**", "*.parquet"),
-                     recursive=True)
-    # r12: appends journal into v=<n>/delta=<k>/<table> — count those
-    # too, they are the files a serve unions
-    deltas = glob.glob(os.path.join(vpath, "delta=*", table, "**",
-                                    "*.parquet"), recursive=True)
-    return len(base) + len(deltas)
+    # r12: appends land as delta=<k> PARTITION dirs inside the table
+    # (base at <table>/delta=0) — the recursive glob under the table
+    # dir counts base + every delta file in one pass
+    return len(glob.glob(os.path.join(vpath, table, "**", "*.parquet"),
+                         recursive=True))
 
 
 def timed(fn, reps=1):

@@ -464,6 +464,7 @@ class TestJournaledDeltas:
         from orange3_timeseries_spark.operators.index_store import (
             begin_delta,
             delta_table_path,
+            require_journaled_layout,
         )
 
         root = str(tmp_path / "idx_legacy")
@@ -473,9 +474,50 @@ class TestJournaledDeltas:
         spark.range(3).selectExpr("id").write.parquet(
             os.path.join(v1, "t"))
         commit_version(root, v1)
+        # the PRECHECK appends run before begin_delta — nothing is
+        # allocated, so no orphan leased delta dir accumulates
+        with pytest.raises(ValueError, match="predates the journaled"):
+            require_journaled_layout(resolve_index_path(root), ("t",))
+        assert not os.path.exists(os.path.join(v1, "delta=1"))
+        # the path helper keeps the same guard as a backstop
         d = begin_delta(root)
         with pytest.raises(ValueError, match="predates the journaled"):
             delta_table_path(d, "t")
+
+    def test_family_append_on_r11_layout_fails_before_allocating(
+            self, spark, tmp_path):
+        # a REAL r11-written bm25 generation (tables directly under
+        # v=1): the append must raise the compact-first recipe without
+        # leaving an orphan delta dir, and the index must still read
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_append_index,
+            bm25_build_index,
+            bm25_topk_from_index,
+            read_bm25_index,
+        )
+
+        root = str(tmp_path / "bm25_r11")
+        v1 = begin_version(root)
+        idx = bm25_build_index(_docs(spark), n_buckets=8)
+        idx.postings.write.partitionBy("bucket").parquet(
+            os.path.join(v1, "postings"))
+        idx.token_df.write.partitionBy("bucket").parquet(
+            os.path.join(v1, "token_df"))
+        idx.stats.write.parquet(os.path.join(v1, "stats"))
+        spark.createDataFrame([("doc_id", 8)],
+                              "id_col string, n_buckets int") \
+            .write.parquet(os.path.join(v1, "params"))
+        commit_version(root, v1)
+        with pytest.raises(ValueError, match="predates the journaled"):
+            bm25_append_index(
+                spark, root,
+                spark.createDataFrame([(99, "alpha beta")],
+                                      "doc_id long, text string"))
+        assert not os.path.exists(os.path.join(v1, "delta=1"))
+        # pre-journal generations keep serving
+        assert bm25_topk_from_index(read_bm25_index(spark, root),
+                                    _queries(spark),
+                                    top_k=3).count() > 0
 
     def test_commit_delta_validates_directory(self, tmp_path):
         from orange3_timeseries_spark.operators.index_store import (
