@@ -66,6 +66,52 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
+                       positives: DataFrame,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       query_id_col: str = "query_id",
+                       k: int = 5) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive/embedding training: per
+    query, the top-``k`` most-similar corpus vectors that are NOT in
+    that query's positive set — the highest-value negatives precisely
+    because the model currently confuses them with positives (the
+    standard retrieval-training recipe: positives from supervision,
+    hard negatives from the current index).
+
+    ``positives``: (query_id, vec_id) pairs to EXCLUDE.  Exclusion
+    runs BEFORE the rank window — an excluded positive frees its rank
+    for the next-nearest candidate, which is what training wants
+    (top-k *negatives*, not top-k-minus-positives).
+
+    Plan: the same broadcast-queries cosine kernel as
+    :func:`brute_force_topk` (corpus never shuffles; one rank-window
+    exchange bounded by |queries| × corpus-partition top-k), with the
+    positive set broadcast into a left-anti join — positives are
+    supervision-sized (pairs per query), tiny by construction.  For
+    billion-vector corpora swap the scoring side for the IVF/PQ serve
+    kernels; the anti-join stage is unchanged."""
+    c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
+                                       _as_double(F.col(vec_col))
+                                       .alias("cvec")))
+    q = queries.select(F.col(query_id_col),
+                       _as_double(F.col(vec_col)).alias("qvec"))
+    pos = positives.select(F.col(query_id_col),
+                           F.col(id_col).alias("nn_id")).distinct()
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col(query_id_col) != F.col("nn_id"))
+              .join(F.broadcast(pos), [query_id_col, "nn_id"],
+                    "left_anti")
+              .select(query_id_col, "nn_id",
+                      F.round(cosine_expr(F.col("cvec"),
+                                          F.col("qvec")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def lsh_signature_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec . plane_i).  Planes are
     deterministic (seeded) and broadcast as literals."""
@@ -1992,6 +2038,120 @@ def ivf_retrain_cells(spark, path: str, cell_ids, *,
     write_ivf_index(
         IvfIndex(cent_df, cold_lists.unionByName(hot_lists), id_col,
                  two_level=base.two_level), path)
+
+
+def pq_drift_by_subspace(index: PqIndex, new_vectors: DataFrame,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         unit_scale: int = 6) -> DataFrame:
+    """Codebook-drift monitor for frozen-codebook PQ serving — the PQ
+    sibling of :func:`ivf_drift_stats`: every PQ ingest encodes new
+    vectors under codebooks trained on OLD data, and as the
+    distribution drifts the codes stop tiling the data (ADC error
+    grows, recall decays silently).  Per subspace ``m``:
+
+    ``(m, n_index, n_new, usage_l1, mean_qerr_new)`` —
+
+    - ``usage_l1``: Σ_j |share_index(j) − share_new(j)| over the
+      codewords, comparing how the INDEXED codes use the codebook vs
+      how the arriving batch's encoding does (0 = identical usage,
+      2 = disjoint).  A shifted usage histogram means the data moved
+      relative to the frozen codewords even when absolute error looks
+      stable.
+    - ``mean_qerr_new``: the batch's mean squared quantization error
+      in subspace ``m`` (distance to its nearest codeword — the exact
+      quantity ADC error is made of).  Retrain the codebooks (or
+      rebuild) when either crosses the operator's threshold.
+
+    Determinism: per-vector subspace errors compute with the SAME
+    dimension-sequential IEEE chain as :func:`pq_encode`, round once
+    to 6 dp, quantize to integer micro-units, and sum exactly; usage
+    shares are single divisions whose micro-unit-quantized differences
+    sum exactly — order-free, so the DuckDB replay is exact.
+
+    Scale: the indexed side is ONE pass over the stored codes (M
+    small ints per vector — the codes ARE the encoding, nothing
+    re-encodes); the batch pays the same Arrow encode GEMM every
+    ingest already runs; everything after is ≤ M·K rows."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    M = len(index.codebooks)
+    K = len(index.codebooks[0])
+    C = [np.array(cb, dtype=np.float64) for cb in index.codebooks]
+    ds = C[0].shape[1]
+    unit = float(10 ** unit_scale)
+
+    schema = T.StructType([
+        T.StructField("m", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("qe", T.LongType()),
+    ])
+
+    def encode_err(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out_m, out_j, out_q = [], [], []
+            for m in range(M):
+                acc = np.zeros((len(X), K))
+                for i in range(ds):
+                    d = X[:, m * ds + i][:, None] - C[m][None, :, i]
+                    acc = acc + d * d
+                j = np.argmin(acc, axis=1)
+                qe = np.round(np.round(acc[np.arange(len(X)), j], 6)
+                              * unit).astype("int64")
+                out_m.append(np.full(len(X), m, dtype="int32"))
+                out_j.append(j.astype("int32"))
+                out_q.append(qe)
+            yield pd.DataFrame({
+                "m": np.concatenate(out_m),
+                "j": np.concatenate(out_j),
+                "qe": np.concatenate(out_q)})
+
+    new_enc = (widen_partitions(new_vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)))
+        .mapInPandas(encode_err, schema))
+    new_agg = (new_enc.groupBy("m", "j")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_j"),
+                    F.sum("qe").alias("qe_sum")))
+    idx_agg = (index.codes
+               .select(F.posexplode("pq_code").alias("m", "j"))
+               .groupBy("m", "j")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_idx_j")))
+    spark = index.codes.sparkSession
+    spine = spark.createDataFrame(
+        [(m, j) for m in range(M) for j in range(K)], "m int, j int")
+    cell = (spine.join(idx_agg, ["m", "j"], "left")
+            .join(new_agg, ["m", "j"], "left")
+            .select("m", "j",
+                    F.coalesce("n_idx_j", F.lit(0)).cast("bigint")
+                    .alias("n_idx_j"),
+                    F.coalesce("n_new_j", F.lit(0)).cast("bigint")
+                    .alias("n_new_j"),
+                    F.coalesce("qe_sum", F.lit(0)).cast("bigint")
+                    .alias("qe_sum")))
+    totals = (cell.groupBy("m")
+              .agg(F.sum("n_idx_j").alias("n_index"),
+                   F.sum("n_new_j").alias("n_new"),
+                   F.sum("qe_sum").alias("qe_tot")))
+    share_diff_u = F.round(
+        (F.col("n_idx_j").cast("double") / F.col("n_index").cast("double")
+         - F.col("n_new_j").cast("double") / F.col("n_new").cast("double"))
+        * F.lit(unit)).cast("bigint")
+    l1 = (cell.join(totals, "m")
+          .groupBy("m")
+          .agg(F.sum(F.abs(share_diff_u)).alias("l1_u")))
+    return (totals.join(l1, "m")
+            .select("m",
+                    F.col("n_index"), F.col("n_new"),
+                    (F.col("l1_u").cast("double") / F.lit(unit))
+                    .alias("usage_l1"),
+                    ((F.col("qe_tot").cast("double")
+                      / F.col("n_new").cast("double")) / F.lit(unit))
+                    .alias("mean_qerr_new")))
 
 
 def compact_pq_index(spark, path: str, id_col: str = "vec_id") -> None:

@@ -5151,3 +5151,166 @@ def q_ann_ivf_retrain_cells(spark, sf_dir):
     S.ivf_retrain_cells(spark, path, flagged)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
                                  _ann_seed_queries(e), k=5, nprobe=4)
+
+
+@query("bm25_torn_append_topk", _BM25_SQL.format(
+    t=_TOKS, q=f"list_slice({_TOKS}, 1, 6)", k=5, qwhere="").replace(
+    "WHERE source <> 'src0'",
+    "WHERE source <> 'src0' AND doc_id % 3 <> 2"))
+def q_bm25_torn_append_topk(spark, sf_dir):
+    """CRASH SEMANTICS under the full value-hash oracle: the journaled
+    append's core safety claim — a torn ingest is invisible — verified
+    end to end, not just unit-tested.  Build the index over two thirds
+    of the training corpus and WRITE it; then a fast-ingest append of
+    the final third TEARS mid-flight: the delta's postings land on
+    disk through the public journal API (index_store.begin_delta +
+    delta_table_path) but the ``_COMMITTED`` marker never does —
+    exactly the on-disk state a crash between the table writes and the
+    commit leaves behind.  Serve.  Hash-equal to the TWO-THIRDS corpus
+    replay proves the unmarked delta's files are pruned at the scan
+    (never read, never scored) and the committed state keeps serving
+    bit-exactly — the driver-level form of
+    tests/test_index_lifecycle.py's torn-append test."""
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_delta,
+        delta_table_path,
+    )
+    from orange3_timeseries_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_topk_from_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from orange3_timeseries_spark.operators.text import tokens_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    qs = (d.where(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6),
+                               " ").alias("text")))
+    corpus = d.where(F.col("source") != "src0")
+    third = F.col("doc_id") % 3
+    path = _fresh_state_path("bm25_torn", sf_dir)
+    write_bm25_index(bm25_build_index(corpus.where(third != 2)), path)
+    # the torn append: delta postings fully written, marker never lands
+    torn = bm25_build_index(corpus.where(third == 2))
+    dpath = begin_delta(path)
+    (torn.postings.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket")
+     .parquet(delta_table_path(dpath, "postings")))
+    return bm25_topk_from_index(read_bm25_index(spark, path), qs,
+                                top_k=5)
+
+
+@query("ann_hard_negatives", """
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM c WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS nn_id,
+         round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.query_id AND c.label != q.qlabel)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT query_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nn_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""")
+def q_ann_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE mining for contrastive training
+    (operators/similarity.py:hard_negative_topk): per seed query, the
+    top-5 most-similar corpus vectors whose ``label`` DIFFERS from the
+    query's — the highest-value negatives exactly because the
+    embedding currently confuses them with positives.  Positives
+    (same-label pairs) are excluded BEFORE the rank window, so an
+    excluded positive frees its rank for the next-nearest true
+    negative.  Plan: the broadcast-queries cosine kernel (corpus never
+    shuffles) + a broadcast left-anti join on the supervision-sized
+    positive set + one rank-window exchange.  Oracle replays the
+    cosine rounding, the exclusion AND the ranking."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding",
+                       F.col("label").alias("__ql__")))
+    positives = (queries.select("query_id", "__ql__")
+                 .join(e.select("vec_id", "label"),
+                       F.col("label") == F.col("__ql__"))
+                 .select("query_id", "vec_id"))
+    return S.hard_negative_topk(e, queries.drop("__ql__"), positives,
+                                k=5)
+
+
+@query("ann_pq_drift_by_subspace", f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (SELECT x.vec_id AS j, ms.m,
+              list_slice(x.v, ms.m*8+1, ms.m*8+8) AS cv
+       FROM c x, ms WHERE x.vec_id < 16),
+sl AS (SELECT x.vec_id, ms.m,
+              list_slice(x.v, ms.m*8+1, ms.m*8+8) AS sv
+       FROM c x, ms),
+enc AS (SELECT s.vec_id, s.m, b.j,
+               ({" + ".join(f"((s.sv[{i+1}]) - (b.cv[{i+1}])) * ((s.sv[{i+1}]) - (b.cv[{i+1}]))" for i in range(8))}) AS dist
+        FROM sl s JOIN cb b ON s.m = b.m),
+codes AS (SELECT vec_id, m, j AS code,
+                 CAST(round(round(dist, 6) * 1000000.0) AS BIGINT) AS qe
+          FROM (SELECT vec_id, m, j, dist,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, j) AS rn
+                FROM enc) t
+          WHERE rn = 1),
+idx AS (SELECT m, code AS j, count(*)::BIGINT AS n_idx_j
+        FROM codes WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+nw AS (SELECT m, code AS j, count(*)::BIGINT AS n_new_j,
+              sum(qe)::BIGINT AS qe_sum
+       FROM codes WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+spine AS (SELECT ms.m, g.j
+          FROM ms, (SELECT unnest(generate_series(0, 15)) AS j) g),
+cell AS (SELECT s.m, s.j,
+                coalesce(i.n_idx_j, 0)::BIGINT AS n_idx_j,
+                coalesce(w.n_new_j, 0)::BIGINT AS n_new_j,
+                coalesce(w.qe_sum, 0)::BIGINT AS qe_sum
+         FROM spine s LEFT JOIN idx i ON s.m = i.m AND s.j = i.j
+         LEFT JOIN nw w ON s.m = w.m AND s.j = w.j),
+tot AS (SELECT m, sum(n_idx_j)::BIGINT AS n_index,
+               sum(n_new_j)::BIGINT AS n_new,
+               sum(qe_sum)::BIGINT AS qe_tot
+        FROM cell GROUP BY 1),
+l1 AS (SELECT c.m,
+              sum(abs(CAST(round(
+                  (c.n_idx_j::DOUBLE / t.n_index::DOUBLE
+                   - c.n_new_j::DOUBLE / t.n_new::DOUBLE)
+                  * 1000000.0) AS BIGINT)))::BIGINT AS l1_u
+       FROM cell c JOIN tot t USING (m) GROUP BY 1)
+SELECT t.m, t.n_index, t.n_new,
+       l1.l1_u::DOUBLE / 1000000.0 AS usage_l1,
+       (t.qe_tot::DOUBLE / t.n_new::DOUBLE) / 1000000.0
+         AS mean_qerr_new
+FROM tot t JOIN l1 USING (m)
+""")
+def q_ann_pq_drift_by_subspace(spark, sf_dir):
+    """Codebook-drift monitor for frozen-codebook PQ serving
+    (operators/similarity.py:pq_drift_by_subspace) — the PQ sibling of
+    ``ann_ivf_drift_by_cell``, closing the retrain-signal matrix for
+    both ANN families: the index persists the even-id half of the
+    corpus encoded under the deterministic seed codebooks, the odd-id
+    half arrives as the ingest batch, and each subspace reports (a)
+    ``usage_l1`` — how differently the batch's encoding uses the
+    codewords vs the indexed population (a shifted histogram = the
+    data moved relative to the frozen codewords), and (b)
+    ``mean_qerr_new`` — the batch's mean squared quantization error,
+    the quantity ADC error is made of.  Per-vector subspace errors
+    use the SAME dimension-sequential IEEE chain as ``pq_encode``,
+    round once, quantize to micro-units; all sums exact BIGINTs; the
+    oracle replays encode, error, usage shares AND the division
+    trees."""
+    e = read_table(spark, sf_dir, "embeddings")
+    idx = S.pq_build_index(e.where(F.col("vec_id") % 2 == 0),
+                           codebooks=_ann_seed_books(e))
+    path = _fresh_state_path("pq_drift", sf_dir)
+    S.write_pq_index(idx, path)
+    return S.pq_drift_by_subspace(S.read_pq_index(spark, path),
+                                  e.where(F.col("vec_id") % 2 != 0))

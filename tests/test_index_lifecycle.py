@@ -404,3 +404,61 @@ class TestIvfRetrainCells:
         S.write_ivf_index(S.ivf_build_index(e, centroids=cents), root)
         with pytest.raises(ValueError, match="hold no vectors"):
             S.ivf_retrain_cells(spark, root, [2])
+
+
+class TestPqDriftBySubspace:
+    def test_usage_shift_and_qerr(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        # 4-dim vectors, M=2 subspaces of ds=2, K=2 codewords each.
+        # Codebook m: codewords [0,0] (j=0) and [1,1] (j=1).
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+        # indexed: every vector encodes to j=0 in both subspaces
+        idx_rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(4)]
+        # batch: subspace 0 flips to j=1 EXACTLY on the codeword (zero
+        # error); subspace 1 stays j=0 but sits 0.1 away per dim
+        new_rows = [(10 + i, [1.0, 1.0, 0.1, 0.1]) for i in range(2)]
+        e = spark.createDataFrame(idx_rows,
+                                  "vec_id long, embedding array<double>")
+        root = str(tmp_path / "pq_drift")
+        S.write_pq_index(S.pq_build_index(e, codebooks=books,
+                                          n_subspaces=2), root)
+        out = {r["m"]: r for r in S.pq_drift_by_subspace(
+            S.read_pq_index(spark, root),
+            spark.createDataFrame(new_rows,
+                                  "vec_id long, embedding array<double>")
+        ).collect()}
+        assert set(out) == {0, 1}
+        r0 = out[0]
+        assert (r0["n_index"], r0["n_new"]) == (4, 2)
+        # total usage flip: index all on j=0, batch all on j=1 -> L1=2
+        assert abs(r0["usage_l1"] - 2.0) < 1e-9
+        assert r0["mean_qerr_new"] == 0.0     # lands ON the codeword
+        r1 = out[1]
+        assert abs(r1["usage_l1"] - 0.0) < 1e-9   # same codeword usage
+        # qerr = 0.1^2 + 0.1^2 = 0.02 per vector
+        assert abs(r1["mean_qerr_new"] - 0.02) < 1e-9
+
+
+class TestHardNegativeTopk:
+    def test_positives_excluded_before_ranking(self, spark):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        # corpus along two directions; query points at e1.  Nearest is
+        # a POSITIVE (same label) — excluding it must promote the next
+        # e1-ish vector into rank 1, not truncate the list.
+        rows = [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "b"),
+                (3, [0.8, 0.2], "b"), (4, [0.0, 1.0], "b")]
+        e = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+        q = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "query_id long, embedding array<double>")
+        pos = spark.createDataFrame([(0, 1)], "query_id long, vec_id long")
+        got = [(r.nn_id, r.rank) for r in
+               S.hard_negative_topk(e, q, pos, k=2)
+               .orderBy("rank").collect()]
+        assert got == [(2, 1), (3, 2)]
+        # without exclusion the positive tops the list
+        base = [(r.nn_id, r.rank) for r in
+                S.brute_force_topk(e, q, k=2).orderBy("rank").collect()]
+        assert base[0][0] == 1
