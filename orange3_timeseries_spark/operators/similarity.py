@@ -1622,6 +1622,39 @@ def write_pq_index(index: PqIndex, path: str) -> None:
     commit_version(root, path)
 
 
+def _codebooks_from_rows(rows, path, who):
+    """Reconstruct + validate persisted PQ codebooks from (m, j,
+    centroid) rows.  The (m, j) grid must be complete and rectangular
+    before positional reconstruction: a gapped table (partial write)
+    would silently SHIFT later centroids into earlier code slots and
+    every serve would return plausible-but-wrong distances."""
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), {})[int(r["j"])] = \
+            [float(x) for x in r["centroid"]]
+    M = len(by_m)
+    if sorted(by_m) != list(range(M)):
+        raise ValueError(
+            f"{who}: codebook subspaces are gapped "
+            f"({sorted(by_m)[:8]}…) — the state table under {path!r} "
+            "is incomplete. Rebuild/rewrite the index.")
+    K = len(by_m[0])
+    ds = len(next(iter(by_m[0].values())))
+    for m in range(M):
+        if sorted(by_m[m]) != list(range(K)):
+            raise ValueError(
+                f"{who}: codebook m={m} has centroid ids "
+                f"{sorted(by_m[m])[:8]}… (expected 0..{K - 1}) — a "
+                "gapped table would shift centroids into wrong code "
+                "slots. Rebuild/rewrite the index.")
+        if any(len(c) != ds for c in by_m[m].values()):
+            raise ValueError(
+                f"{who}: codebook m={m} has ragged centroid "
+                f"widths (expected {ds}) — subspace offsets would "
+                "desynchronize. Rebuild/rewrite the index.")
+    return [[by_m[m][j] for j in range(K)] for m in range(M)]
+
+
 def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
     """Load a persisted PQ index.  Only the O(M·K) codebook table is
     collected eagerly (the serve-time LUTs need it driver-side, the
@@ -1636,35 +1669,7 @@ def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
 
     path = resolve_index_path(path)
     rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
-    by_m: dict = {}
-    for r in rows:
-        by_m.setdefault(int(r["m"]), {})[int(r["j"])] = \
-            [float(x) for x in r["centroid"]]
-    # validate the (m, j) grid is complete and rectangular before
-    # positional reconstruction: a gapped table (partial write) would
-    # silently SHIFT later centroids into earlier code slots and every
-    # serve would return plausible-but-wrong distances
-    M = len(by_m)
-    if sorted(by_m) != list(range(M)):
-        raise ValueError(
-            f"read_pq_index: codebook subspaces are gapped "
-            f"({sorted(by_m)[:8]}…) — the state table under {path!r} "
-            "is incomplete. Rebuild/rewrite the index.")
-    K = len(by_m[0])
-    ds = len(next(iter(by_m[0].values())))
-    for m in range(M):
-        if sorted(by_m[m]) != list(range(K)):
-            raise ValueError(
-                f"read_pq_index: codebook m={m} has centroid ids "
-                f"{sorted(by_m[m])[:8]}… (expected 0..{K - 1}) — a "
-                "gapped table would shift centroids into wrong code "
-                "slots. Rebuild/rewrite the index.")
-        if any(len(c) != ds for c in by_m[m].values()):
-            raise ValueError(
-                f"read_pq_index: codebook m={m} has ragged centroid "
-                f"widths (expected {ds}) — subspace offsets would "
-                "desynchronize. Rebuild/rewrite the index.")
-    codebooks = [[by_m[m][j] for j in range(K)] for m in range(M)]
+    codebooks = _codebooks_from_rows(rows, path, "read_pq_index")
     from orange3_timeseries_spark.operators.index_store import (
         read_index_table,
     )
@@ -2168,3 +2173,270 @@ def compact_pq_index(spark, path: str, id_col: str = "vec_id") -> None:
     idx = read_pq_index(spark, path, id_col)
     codes = idx.codes.repartition(scaled_width(idx.codes))
     write_pq_index(PqIndex(codes, idx.codebooks, idx.id_col), path)
+
+
+# ------------------------------------------------- persisted IVF-PQ index
+class IvfPqIndex:
+    """The persisted COMPOSITE index — coarse inverted lists bounding
+    the scan + PQ codes bounding the memory traffic (the FAISS-IVFPQ
+    production layout for billion-vector serving) — under the same
+    build-once/serve-refit-free contract as the other four families:
+    plain parquet state tables, no pickle.
+
+    - ``centroids``: ``(centroid_id INT, centroid ARRAY<DOUBLE>)`` —
+      the coarse quantizer, O(k·d), collected at serve time.
+    - ``codebooks`` (driver-side list, persisted as (m, j, centroid)
+      rows): the PQ model, O(M·K·ds).
+    - ``entries``: one row per corpus vector — ``(centroid_id INT,
+      nn_id, pq_code ARRAY<INT>)``, PARTITIONED by ``centroid_id`` so
+      a serve's probe set prunes whole parquet partitions, and only
+      M+4 bytes of payload per vector ever moves.
+
+    Codes and ids round-trip exactly (ints), the models are persisted
+    verbatim, and the serve routes through the same probe/LUT/ADC
+    expressions as the live :func:`ivfpq_topk` — a serve from the
+    loaded index is bit-identical to the live path."""
+
+    def __init__(self, centroids: DataFrame, codebooks,
+                 entries: DataFrame, id_col: str = "vec_id"):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.entries = entries
+        self.id_col = id_col
+
+
+def ivfpq_build_index(corpus: DataFrame, centroids, codebooks,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> IvfPqIndex:
+    """Build the composite index ONCE: one Arrow pass assigns every
+    vector to its coarse cell AND PQ-encodes it (:func:`ivfpq_index`);
+    the corpus never shuffles.  The expensive pass is exactly what
+    persisting avoids recomputing per query batch."""
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>")
+    entries = ivfpq_index(
+        corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col)),
+        centroids, codebooks, vec_col=vec_col, id_col="nn_id"
+    ).select("centroid_id", "nn_id", "pq_code")
+    return IvfPqIndex(cent_df, codebooks, entries, id_col)
+
+
+def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist into a fresh generation + atomic pointer swap
+    (operators/index_store.py), entries partitioned by
+    ``centroid_id`` (probe filters become parquet PartitionFilters)
+    under the journaled layout (``entries/delta=0``) so fast-ingest
+    appends stay one-scan partition dirs."""
+    import os
+
+    from orange3_timeseries_spark.operators.index_store import (
+        base_table_path,
+        begin_version,
+        commit_version,
+    )
+
+    root = path
+    path = begin_version(root)
+    index.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids"))
+    (index.entries.repartition("centroid_id").write.mode("overwrite")
+     .partitionBy("centroid_id")
+     .parquet(base_table_path(path, "entries")))
+    spark = index.entries.sparkSession
+    rows = [(int(m), int(j), [float(x) for x in c])
+            for m, cb in enumerate(index.codebooks)
+            for j, c in enumerate(cb)]
+    spark.createDataFrame(
+        rows, "m int, j int, centroid array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    spark.createDataFrame([(index.id_col,)], "id_col string") \
+        .write.mode("overwrite").parquet(os.path.join(path, "params"))
+    commit_version(root, path)
+
+
+def read_ivfpq_index(spark, path: str,
+                     id_col: str = None) -> IvfPqIndex:
+    """Load a persisted IVF-PQ index; only the O(k·d)+O(M·K·ds) model
+    tables are touched eagerly.  Entries union COMMITTED journaled
+    append deltas (index_store.read_index_table) — a torn append is
+    invisible."""
+    import os
+
+    from orange3_timeseries_spark.operators.index_store import (
+        read_index_table,
+        resolve_index_path,
+    )
+
+    vpath = resolve_index_path(path)
+    rows = spark.read.parquet(
+        os.path.join(vpath, "codebooks")).collect()
+    codebooks = _codebooks_from_rows(rows, vpath, "read_ivfpq_index")
+    if id_col is None:
+        id_col = spark.read.parquet(
+            os.path.join(vpath, "params")).first()["id_col"]
+    return IvfPqIndex(
+        spark.read.parquet(os.path.join(vpath, "centroids")),
+        codebooks, read_index_table(spark, vpath, "entries"), id_col)
+
+
+def ivfpq_topk_from_index(index: IvfPqIndex, queries: DataFrame,
+                          k: int = 5, nprobe: int = 4,
+                          vec_col: str = "embedding",
+                          query_id_col: str = "query_id",
+                          prune_partitions: bool = True) -> DataFrame:
+    """Serve IVF-PQ top-k from a LOADED index — no corpus rescan, no
+    re-assignment, no re-encode: queries probe their ``nprobe``
+    nearest cells (the SAME ``_ivf_probe_order`` GEMM the live path
+    runs), optionally prune the entries scan to the union of probed
+    cells (parquet partition pruning), broadcast their M×K ADC lookup
+    tables, and score candidates with M ``element_at`` lookups — the
+    corpus side moves only (id, cell, M codes).  Bit-identical to the
+    live :func:`ivfpq_topk` on the same models (shared probe/LUT/ADC
+    expressions; codes round-trip as ints)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    cent_rows = index.centroids.orderBy("centroid_id").collect()
+    ids = [int(r["centroid_id"]) for r in cent_rows]
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            "ivfpq_topk_from_index: persisted centroid_ids are not "
+            f"the contiguous range 0..{len(ids) - 1} (got {ids[:8]}…) "
+            "— probe positions would desynchronize from the entries. "
+            "Rebuild the index.")
+    C = np.array([r["centroid"] for r in cent_rows], dtype=float)
+    M = len(index.codebooks)
+    ds = len(index.codebooks[0][0])
+
+    entries = index.entries
+    qbase = queries.select(F.col(query_id_col),
+                           _as_double(F.col(vec_col)).alias("qvec"))
+    if prune_partitions:
+        qpd = qbase.select("qvec").toPandas()
+        if len(qpd):
+            X = np.array([list(v) for v in qpd["qvec"]],
+                         dtype=np.float64)
+            order = _ivf_probe_order(X, C, nprobe)
+            probed = sorted({int(c) for c in order.ravel()})
+            entries = entries.where(F.col("centroid_id").isin(probed))
+
+    qschema = T.StructType(list(qbase.schema.fields)
+                           + [T.StructField("centroid_id",
+                                            T.IntegerType())])
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            order = _ivf_probe_order(X, C, nprobe)
+            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
+                .reset_index(drop=True)
+            rep["centroid_id"] = order.ravel().astype("int32")
+            yield rep
+
+    import functools
+    import operator
+
+    q = qbase.mapInPandas(probe, schema=qschema)
+    luts = q.select(
+        query_id_col, "centroid_id",
+        *[_dists_to_codebook(F.col("qvec"), m * ds, ds, cb)
+          .alias(f"__lut{m}__")
+          for m, cb in enumerate(index.codebooks)])
+    joined = (entries.join(F.broadcast(luts), "centroid_id")
+              .where(F.col("nn_id") != F.col(query_id_col)))
+    approx = functools.reduce(operator.add, [
+        F.element_at(F.col(f"__lut{m}__"),
+                     F.element_at(F.col("pq_code"), m + 1) + 1)
+        for m in range(M)])
+    scored = joined.select(query_id_col, "nn_id",
+                           F.round(approx, 6).alias("approx_l2"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_l2").asc(), F.col("nn_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def ivfpq_merge_index(base: IvfPqIndex, new_vectors: DataFrame,
+                      vec_col: str = "embedding", *,
+                      check_disjoint: bool = True) -> IvfPqIndex:
+    """Fold newly ingested vectors INTO an IVF-PQ index without
+    touching the existing entries: assignment and codes depend only on
+    the (frozen) models, so the merge is one delta Arrow pass + append
+    — merged state == rebuilt state row-for-row.  Same disjoint-ids
+    contract and loud guard as every other family; models are NOT
+    retrained (the drift monitors signal when to)."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+
+    id_col = base.id_col
+    if check_disjoint:
+        check_disjoint_ids(
+            base.entries.select(F.col("nn_id").alias(id_col)),
+            new_vectors, id_col, "ivfpq_merge_index",
+            "duplicate its entry")
+    cent_rows = base.centroids.orderBy("centroid_id").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    delta = ivfpq_index(
+        new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
+        centroids, base.codebooks, vec_col=vec_col, id_col="nn_id"
+    ).select("centroid_id", "nn_id", "pq_code")
+    return IvfPqIndex(base.centroids, base.codebooks,
+                      base.entries.select("centroid_id", "nn_id",
+                                          "pq_code")
+                      .unionByName(delta), id_col)
+
+
+def ivfpq_append_index(spark, path: str, new_vectors: DataFrame,
+                       vec_col: str = "embedding",
+                       id_col: str = None, *,
+                       check_disjoint: bool = True) -> None:
+    """FAST-INGEST append for a persisted IVF-PQ index: one delta
+    Arrow pass (assign + encode under the frozen models), landed as a
+    JOURNALED DELTA (``entries/delta=<k>`` partition dirs + per-delta
+    ``_COMMITTED`` marker) — ingest IO proportional to the batch,
+    crash-atomic, one-scan serves.  Fragmentation accumulates until
+    ``compact_ivfpq_index`` resets it."""
+    from orange3_timeseries_spark.operators.audit import (
+        check_disjoint_ids,
+    )
+    from orange3_timeseries_spark.operators.index_store import (
+        begin_delta,
+        commit_delta,
+        delta_table_path,
+        require_journaled_layout,
+        resolve_index_path,
+    )
+
+    require_journaled_layout(resolve_index_path(path), ("entries",))
+    base = read_ivfpq_index(spark, path, id_col)
+    if check_disjoint:
+        check_disjoint_ids(
+            base.entries.select(F.col("nn_id").alias(base.id_col)),
+            new_vectors, base.id_col, "ivfpq_append_index",
+            "duplicate its entry")
+    cent_rows = base.centroids.orderBy("centroid_id").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    delta = ivfpq_index(
+        new_vectors.select(F.col(base.id_col).alias("nn_id"), vec_col),
+        centroids, base.codebooks, vec_col=vec_col, id_col="nn_id"
+    ).select("centroid_id", "nn_id", "pq_code")
+    dpath = begin_delta(path)
+    (delta.repartition("centroid_id").write.mode("overwrite")
+     .partitionBy("centroid_id")
+     .parquet(delta_table_path(dpath, "entries")))
+    commit_delta(dpath)
+
+
+def compact_ivfpq_index(spark, path: str,
+                        id_col: str = None) -> None:
+    """Rewrite the current IVF-PQ generation into a fresh one and swap
+    the pointer, folding append deltas back to ~1 file per centroid
+    partition.  Serves are row-identical before/after."""
+    write_ivfpq_index(read_ivfpq_index(spark, path, id_col), path)

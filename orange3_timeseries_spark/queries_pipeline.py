@@ -5314,3 +5314,34 @@ def q_ann_pq_drift_by_subspace(spark, sf_dir):
     S.write_pq_index(idx, path)
     return S.pq_drift_by_subspace(S.read_pq_index(spark, path),
                                   e.where(F.col("vec_id") % 2 != 0))
+
+
+@query("ann_ivfpq_lifecycle_topk", _OS_R10["ann_ivfpq_topk"])
+def q_ann_ivfpq_lifecycle_topk(spark, sf_dir):
+    """The COMPOSITE index family persisted — the fifth registry
+    family, completing the serving matrix with the production
+    billion-vector layout (coarse lists bound the scan, PQ codes bound
+    the memory traffic): build the IVF-PQ index over a third of the
+    corpus under the deterministic seed models → versioned WRITE
+    (v=1) → READ + MERGE the second third (one delta Arrow pass under
+    the frozen models) → WRITE to the SAME path (v=2) → journaled
+    fast-ingest APPEND of the final third → COMPACT (v=3) → serve the
+    standard probes from the loaded entries (probe partition prune +
+    broadcast ADC LUTs; per-vector payload = M+4 bytes).  Hash-equal
+    to the live one-shot ``ann_ivfpq_topk`` oracle proves
+    merged == appended == compacted == rebuilt for the composite
+    family too (operators/similarity.py:IvfPqIndex)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    third = F.col("vec_id") % 3
+    books = _ann_seed_books(e)
+    cents = _ann_seed_centroids(e)
+    path = _fresh_state_path("ivfpq_lc", sf_dir)
+    S.write_ivfpq_index(
+        S.ivfpq_build_index(e.where(third == 0), cents, books), path)
+    merged = S.ivfpq_merge_index(S.read_ivfpq_index(spark, path),
+                                 e.where(third == 1))
+    S.write_ivfpq_index(merged, path)
+    S.ivfpq_append_index(spark, path, e.where(third == 2))
+    S.compact_ivfpq_index(spark, path)
+    return S.ivfpq_topk_from_index(S.read_ivfpq_index(spark, path),
+                                   _ann_seed_queries(e), k=5, nprobe=4)

@@ -462,3 +462,54 @@ class TestHardNegativeTopk:
         base = [(r.nn_id, r.rank) for r in
                 S.brute_force_topk(e, q, k=2).orderBy("rank").collect()]
         assert base[0][0] == 1
+
+
+class TestIvfPqLifecycle:
+    def test_full_lifecycle_matches_live(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        rows = [(i, [float((i * 7 + j) % 5) for j in range(8)])
+                for i in range(24)]
+        e = spark.createDataFrame(rows,
+                                  "vec_id long, embedding array<double>")
+        cents = [r[1] for r in rows[:4]]
+        books = [[[r[1][m * 2], r[1][m * 2 + 1]] for r in rows[:4]]
+                 for m in range(4)]
+        q = spark.createDataFrame([(0, rows[5][1])],
+                                  "query_id long, embedding array<double>")
+        third = F.col("vec_id") % 3
+
+        root = str(tmp_path / "ivfpq")
+        S.write_ivfpq_index(
+            S.ivfpq_build_index(e.where(third == 0), cents, books),
+            root)
+        merged = S.ivfpq_merge_index(S.read_ivfpq_index(spark, root),
+                                     e.where(third == 1))
+        S.write_ivfpq_index(merged, root)
+        S.ivfpq_append_index(spark, root, e.where(third == 2))
+        assert current_version(root) == 2
+        assert _ndeltas(resolve_index_path(root)) == 1
+        S.compact_ivfpq_index(spark, root)
+        assert current_version(root) == 3
+
+        served = S.ivfpq_topk_from_index(
+            S.read_ivfpq_index(spark, root), q, k=3, nprobe=2)
+        live = S.ivfpq_topk(e, q, books, k=3, n_centroids=4, nprobe=2,
+                            centroids=cents)
+        assert _rows(served) == _rows(live)
+        # id_col recovered from the params table
+        assert S.read_ivfpq_index(spark, root).id_col == "vec_id"
+
+    def test_merge_guard_rejects_reingested_id(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        rows = [(i, [float(i + j) for j in range(4)]) for i in range(8)]
+        e = spark.createDataFrame(rows,
+                                  "vec_id long, embedding array<double>")
+        cents = [r[1] for r in rows[:2]]
+        books = [[[r[1][m * 2], r[1][m * 2 + 1]] for r in rows[:2]]
+                 for m in range(2)]
+        idx = S.ivfpq_build_index(e.where(F.col("vec_id") < 5), cents,
+                                  books)
+        with pytest.raises(ValueError, match="ivfpq_merge_index"):
+            S.ivfpq_merge_index(idx, e.where(F.col("vec_id") >= 4))
