@@ -105,7 +105,7 @@ __all__ = ["begin_version", "commit_version", "resolve_index_path",
            "current_version", "list_versions", "vacuum_index",
            "begin_delta", "commit_delta", "committed_delta_dirs",
            "committed_delta_ids", "delta_table_path",
-           "base_table_path", "read_index_table"]
+           "base_table_path", "read_index_table", "index_info"]
 
 _POINTER = "_CURRENT"
 _COMMIT_MARK = "_COMMITTED"
@@ -624,6 +624,52 @@ def read_index_table(spark, version_path: str, table: str):
     keep = [0] + committed_delta_ids(version_path)
     return (spark.read.parquet(tdir)
             .where(F.col("delta").isin(keep)).drop("delta"))
+
+
+def index_info(path: str) -> dict:
+    """Operational snapshot of a logical index root — the numbers an
+    ingest pipeline's compaction/vacuum cadence keys on, without
+    touching any data file:
+
+    ``{"current": n|None, "versions": [(n, committed?), …],
+    "committed_deltas": [k, …], "uncommitted_deltas": [k, …],
+    "layout": "journaled"|"pre-journal"|"bare"}``
+
+    ``committed_deltas`` counts the CURRENT generation's journal —
+    when it reaches the operator's files-per-partition budget
+    (SCALE.md r12 table: single digits free, tens ≈ 1.7×), compact;
+    ``uncommitted_deltas`` > 0 means torn/in-flight appends (invisible
+    to readers; a persistent one is a crashed ingest to clean up).
+    ``versions`` beyond ``keep_last`` are vacuum candidates."""
+    fs, root = _fs_for(path)
+    cur = current_version(path)
+    versions = [(v, fs.isfile(_join(root, f"v={v}", _COMMIT_MARK)))
+                for v in list_versions(path)]
+    vpath = resolve_index_path(path) if (cur is not None or versions) \
+        else root
+    committed = set(committed_delta_ids(vpath))
+    all_deltas = set()
+    if fs.isdir(vpath):
+        for name in fs.listdir(vpath):
+            m = _DDIR_RE.match(name)
+            if m and fs.isdir(_join(vpath, name)):
+                all_deltas.add(int(m.group(1)))
+    if not fs.isdir(root):
+        layout = "bare"
+    elif versions:
+        has_journal = any(
+            fs.isdir(_join(vpath, name, "delta=0"))
+            for name in (fs.listdir(vpath) if fs.isdir(vpath) else [])
+            if not _DDIR_RE.match(name) and not name.startswith("_")
+            and fs.isdir(_join(vpath, name)))
+        layout = "journaled" if has_journal else "pre-journal"
+    else:
+        layout = "bare"
+    return {"current": cur,
+            "versions": versions,
+            "committed_deltas": sorted(committed),
+            "uncommitted_deltas": sorted(all_deltas - committed),
+            "layout": layout}
 
 
 def vacuum_index(path: str, keep_last: int = 1) -> List[int]:

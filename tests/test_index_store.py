@@ -740,3 +740,46 @@ class TestRemoteSchemeLifecycle:
                                threshold=0.2)
         assert sorted(map(tuple, out.collect())) == \
             sorted(map(tuple, full.collect()))
+
+
+class TestIndexInfo:
+    def test_snapshot_reflects_journal_state(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.index_store import (
+            base_table_path,
+            begin_delta,
+            commit_delta,
+            delta_table_path,
+            index_info,
+        )
+
+        root = str(tmp_path / "idx")
+        assert index_info(root)["layout"] == "bare"
+        v1 = begin_version(root)
+        spark.range(3).selectExpr("id").write.parquet(
+            base_table_path(v1, "t"))
+        commit_version(root, v1)
+        d1 = begin_delta(root)
+        spark.range(3, 5).selectExpr("id").write.parquet(
+            delta_table_path(d1, "t"))
+        commit_delta(d1)
+        begin_delta(root)                       # torn, never committed
+        info = index_info(root)
+        assert info["current"] == 1
+        assert info["versions"] == [(1, True)]
+        assert info["committed_deltas"] == [1]
+        assert info["uncommitted_deltas"] == [2]
+        assert info["layout"] == "journaled"
+
+    def test_pre_journal_layout_reported(self, spark, tmp_path):
+        from orange3_timeseries_spark.operators.index_store import (
+            index_info,
+        )
+
+        root = str(tmp_path / "idx_legacy")
+        v1 = begin_version(root)
+        spark.range(3).selectExpr("id").write.parquet(
+            os.path.join(v1, "t"))
+        commit_version(root, v1)
+        info = index_info(root)
+        assert info["layout"] == "pre-journal"
+        assert info["versions"] == [(1, True)]
