@@ -645,31 +645,35 @@ def index_info(path: str) -> dict:
     cur = current_version(path)
     versions = [(v, fs.isfile(_join(root, f"v={v}", _COMMIT_MARK)))
                 for v in list_versions(path)]
-    vpath = resolve_index_path(path) if (cur is not None or versions) \
-        else root
+    has_committed = cur is not None or any(c for _, c in versions)
+    if not has_committed:
+        # nothing a reader can serve from a generation: a fresh root,
+        # a bare-layout index, or only IN-FLIGHT (uncommitted)
+        # generations — there is no serving vpath to inspect, so the
+        # snapshot reports 'bare' rather than mislabeling the root's
+        # (empty) journal as the index's
+        return {"current": None,
+                "versions": versions,
+                "committed_deltas": [],
+                "uncommitted_deltas": [],
+                "layout": "bare"}
+    vpath = resolve_index_path(path)
     committed = set(committed_delta_ids(vpath))
     all_deltas = set()
-    if fs.isdir(vpath):
-        for name in fs.listdir(vpath):
-            m = _DDIR_RE.match(name)
-            if m and fs.isdir(_join(vpath, name)):
-                all_deltas.add(int(m.group(1)))
-    if not fs.isdir(root):
-        layout = "bare"
-    elif versions:
-        has_journal = any(
-            fs.isdir(_join(vpath, name, "delta=0"))
-            for name in (fs.listdir(vpath) if fs.isdir(vpath) else [])
-            if not _DDIR_RE.match(name) and not name.startswith("_")
-            and fs.isdir(_join(vpath, name)))
-        layout = "journaled" if has_journal else "pre-journal"
-    else:
-        layout = "bare"
+    for name in fs.listdir(vpath):
+        m = _DDIR_RE.match(name)
+        if m and fs.isdir(_join(vpath, name)):
+            all_deltas.add(int(m.group(1)))
+    has_journal = any(
+        fs.isdir(_join(vpath, name, "delta=0"))
+        for name in fs.listdir(vpath)
+        if not _DDIR_RE.match(name) and not _VDIR_RE.match(name)
+        and not name.startswith("_") and fs.isdir(_join(vpath, name)))
     return {"current": cur,
             "versions": versions,
             "committed_deltas": sorted(committed),
             "uncommitted_deltas": sorted(all_deltas - committed),
-            "layout": layout}
+            "layout": "journaled" if has_journal else "pre-journal"}
 
 
 def vacuum_index(path: str, keep_last: int = 1) -> List[int]:

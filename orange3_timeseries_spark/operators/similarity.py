@@ -44,26 +44,45 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def brute_force_topk(corpus: DataFrame, queries: DataFrame,
-                     vec_col: str = "embedding", id_col: str = "vec_id",
-                     query_id_col: str = "query_id", k: int = 5,
-                     ) -> DataFrame:
-    """Exact top-k by cosine: broadcast the query set, rank per query.
-    Ties break on the corpus id for determinism."""
+def _cosine_rank_topk(corpus: DataFrame, queries: DataFrame,
+                      vec_col: str, id_col: str, query_id_col: str,
+                      k: int, exclude: "DataFrame | None" = None
+                      ) -> DataFrame:
+    """The shared exact-cosine scoring kernel: broadcast the query
+    set, score every (query, corpus) pair with the 6-dp-rounded
+    cosine, optionally EXCLUDE a broadcast (query_id, nn_id) pair set
+    BEFORE the rank window, rank per query with corpus-id tie-break.
+    Both :func:`brute_force_topk` and :func:`hard_negative_topk` route
+    here — their cosine/tie-break contract stays identical
+    structurally, not by copy-paste sync."""
     c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
                                        _as_double(F.col(vec_col))
                                        .alias("cvec")))
     q = queries.select(F.col(query_id_col),
                        _as_double(F.col(vec_col)).alias("qvec"))
     scored = (c.crossJoin(F.broadcast(q))
-              .where(F.col(query_id_col) != F.col("nn_id"))
-              .select(query_id_col, "nn_id",
-                      F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
-                       .alias("cosine")))
+              .where(F.col(query_id_col) != F.col("nn_id")))
+    if exclude is not None:
+        scored = scored.join(F.broadcast(exclude),
+                             [query_id_col, "nn_id"], "left_anti")
+    scored = scored.select(
+        query_id_col, "nn_id",
+        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
+        .alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str = "query_id", k: int = 5,
+                     ) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set, rank per query.
+    Ties break on the corpus id for determinism."""
+    return _cosine_rank_topk(corpus, queries, vec_col, id_col,
+                             query_id_col, k)
 
 
 def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
@@ -91,25 +110,10 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
     supervision-sized (pairs per query), tiny by construction.  For
     billion-vector corpora swap the scoring side for the IVF/PQ serve
     kernels; the anti-join stage is unchanged."""
-    c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
-                                       _as_double(F.col(vec_col))
-                                       .alias("cvec")))
-    q = queries.select(F.col(query_id_col),
-                       _as_double(F.col(vec_col)).alias("qvec"))
     pos = positives.select(F.col(query_id_col),
                            F.col(id_col).alias("nn_id")).distinct()
-    scored = (c.crossJoin(F.broadcast(q))
-              .where(F.col(query_id_col) != F.col("nn_id"))
-              .join(F.broadcast(pos), [query_id_col, "nn_id"],
-                    "left_anti")
-              .select(query_id_col, "nn_id",
-                      F.round(cosine_expr(F.col("cvec"),
-                                          F.col("qvec")), 6)
-                      .alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
-                                                 F.col("nn_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _cosine_rank_topk(corpus, queries, vec_col, id_col,
+                             query_id_col, k, exclude=pos)
 
 
 def lsh_signature_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
@@ -764,43 +768,29 @@ def ivfpq_index(corpus: DataFrame, centroids, codebooks,
     return base.mapInPandas(build, schema)
 
 
-def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
-               k: int = 5, vec_col: str = "embedding",
-               id_col: str = "vec_id", query_id_col: str = "query_id",
-               n_centroids: int = 16, nprobe: int = 4,
-               centroids=None, seed: int = 7) -> DataFrame:
-    """IVF-PQ composite ANN top-k — probe lists bound the candidates,
-    asymmetric-distance (ADC) code lookups bound the arithmetic: the
-    production serving shape for 100 TB embedding corpora (both halves
-    individually verified as ``ivf_topk`` / ``pq_topk``).
-
-    Plan: the index (:func:`ivfpq_index`) is one Arrow pass over the
-    corpus; queries explode to their ``nprobe`` nearest lists and carry
-    their M×K ADC lookup tables as Catalyst array columns; candidates
-    come from an equi-join on ``centroid_id`` with the (tiny) query side
-    broadcast — the corpus side moves only (id, centroid_id, M codes),
-    never vectors; scoring is M ``element_at`` lookups.  Ranks order by
-    the ROUNDED distance (6 dp) then id, ties deterministic."""
+def _ivfpq_probe_adc_topk(entries: DataFrame, qbase: DataFrame, C,
+                          codebooks, *, nprobe: int, k: int,
+                          query_id_col: str) -> DataFrame:
+    """The shared IVF-PQ serving kernel: probe each query's ``nprobe``
+    nearest coarse cells (``_ivf_probe_order`` GEMM per Arrow batch),
+    broadcast the per-query M×K ADC lookup tables as array columns,
+    equi-join candidates on ``centroid_id`` (the corpus side moves
+    only (id, cell, M codes)), score with M ``element_at`` lookups,
+    rank by the 6-dp-rounded distance then id.  Both the live
+    :func:`ivfpq_topk` and the persisted serve
+    :func:`ivfpq_topk_from_index` route here — bit-identity between
+    live and loaded serving is structural, the same shared-kernel
+    contract as ``_ivf_probe_score_topk`` / ``_bm25_score_topk``.
+    ``qbase`` must carry (query_id_col, qvec ARRAY<DOUBLE>)."""
     import functools
     import operator
 
     import numpy as np
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql import types as T
 
-    if centroids is None:
-        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
-                                        seed=seed, id_col=id_col)
-    C = np.array(centroids, dtype=np.float64)
     M = len(codebooks)
     ds = len(codebooks[0][0])
-
-    index = ivfpq_index(
-        corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col)),
-        centroids, codebooks, vec_col=vec_col, id_col="nn_id")
-
-    qbase = queries.select(F.col(query_id_col),
-                           _as_double(F.col(vec_col)).alias("qvec"))
     qschema = T.StructType(list(qbase.schema.fields)
                            + [T.StructField("centroid_id",
                                             T.IntegerType())])
@@ -822,7 +812,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
         query_id_col, "centroid_id",
         *[_dists_to_codebook(F.col("qvec"), m * ds, ds, cb)
           .alias(f"__lut{m}__") for m, cb in enumerate(codebooks)])
-    joined = (index.join(F.broadcast(luts), "centroid_id")
+    joined = (entries.join(F.broadcast(luts), "centroid_id")
               .where(F.col("nn_id") != F.col(query_id_col)))
     approx = functools.reduce(operator.add, [
         F.element_at(F.col(f"__lut{m}__"),
@@ -834,6 +824,40 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
         F.col("approx_l2").asc(), F.col("nn_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
+               k: int = 5, vec_col: str = "embedding",
+               id_col: str = "vec_id", query_id_col: str = "query_id",
+               n_centroids: int = 16, nprobe: int = 4,
+               centroids=None, seed: int = 7) -> DataFrame:
+    """IVF-PQ composite ANN top-k — probe lists bound the candidates,
+    asymmetric-distance (ADC) code lookups bound the arithmetic: the
+    production serving shape for 100 TB embedding corpora (both halves
+    individually verified as ``ivf_topk`` / ``pq_topk``).
+
+    Plan: the index (:func:`ivfpq_index`) is one Arrow pass over the
+    corpus; queries explode to their ``nprobe`` nearest lists and carry
+    their M×K ADC lookup tables as Catalyst array columns; candidates
+    come from an equi-join on ``centroid_id`` with the (tiny) query side
+    broadcast — the corpus side moves only (id, centroid_id, M codes),
+    never vectors; scoring is M ``element_at`` lookups.  Ranks order by
+    the ROUNDED distance (6 dp) then id, ties deterministic."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        seed=seed, id_col=id_col)
+    C = np.array(centroids, dtype=np.float64)
+
+    index = ivfpq_index(
+        corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col)),
+        centroids, codebooks, vec_col=vec_col, id_col="nn_id")
+    qbase = queries.select(F.col(query_id_col),
+                           _as_double(F.col(vec_col)).alias("qvec"))
+    return _ivfpq_probe_adc_topk(index, qbase, C, codebooks,
+                                 nprobe=nprobe, k=k,
+                                 query_id_col=query_id_col)
 
 
 def semantic_dedup_flags(corpus: DataFrame, vec_col: str = "embedding",
@@ -1632,6 +1656,11 @@ def _codebooks_from_rows(rows, path, who):
     for r in rows:
         by_m.setdefault(int(r["m"]), {})[int(r["j"])] = \
             [float(x) for x in r["centroid"]]
+    if not by_m:
+        raise ValueError(
+            f"{who}: the codebooks table under {path!r} is EMPTY — "
+            "no subspace centroids to serve with. Rebuild/rewrite "
+            "the index.")
     M = len(by_m)
     if sorted(by_m) != list(range(M)):
         raise ValueError(
@@ -2116,8 +2145,9 @@ def pq_drift_by_subspace(index: PqIndex, new_vectors: DataFrame,
                 "j": np.concatenate(out_j),
                 "qe": np.concatenate(out_q)})
 
+    # only the vector column rides the Arrow encode — ids are not used
     new_enc = (widen_partitions(new_vectors.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)))
+        _as_double(F.col(vec_col)).alias(vec_col)))
         .mapInPandas(encode_err, schema))
     new_agg = (new_enc.groupBy("m", "j")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_j"),
@@ -2142,20 +2172,32 @@ def pq_drift_by_subspace(index: PqIndex, new_vectors: DataFrame,
               .agg(F.sum("n_idx_j").alias("n_index"),
                    F.sum("n_new_j").alias("n_new"),
                    F.sum("qe_sum").alias("qe_tot")))
+    # guard the degenerate sides with NULL, never NaN: an empty ingest
+    # batch (or an empty indexed side) must surface as NULL metrics a
+    # threshold check notices — NaN compares False everywhere and
+    # silently disarms the retrain signal.  On non-empty data the
+    # expressions are unchanged (hash-identical to the oracle replay).
+    n_idx_nz = F.when(F.col("n_index") > 0, F.col("n_index"))
+    n_new_nz = F.when(F.col("n_new") > 0, F.col("n_new"))
     share_diff_u = F.round(
-        (F.col("n_idx_j").cast("double") / F.col("n_index").cast("double")
-         - F.col("n_new_j").cast("double") / F.col("n_new").cast("double"))
+        (F.col("n_idx_j").cast("double") / n_idx_nz.cast("double")
+         - F.col("n_new_j").cast("double") / n_new_nz.cast("double"))
         * F.lit(unit)).cast("bigint")
     l1 = (cell.join(totals, "m")
           .groupBy("m")
-          .agg(F.sum(F.abs(share_diff_u)).alias("l1_u")))
+          .agg(F.sum(F.abs(share_diff_u)).alias("l1_u"),
+               F.count(share_diff_u).alias("__nn__")))
+    # an empty side nulls every per-codeword diff -> usage_l1 NULL
+    l1 = l1.select("m", F.when(F.col("__nn__") > 0, F.col("l1_u"))
+                   .alias("l1_u"))
     return (totals.join(l1, "m")
             .select("m",
                     F.col("n_index"), F.col("n_new"),
                     (F.col("l1_u").cast("double") / F.lit(unit))
                     .alias("usage_l1"),
                     ((F.col("qe_tot").cast("double")
-                      / F.col("n_new").cast("double")) / F.lit(unit))
+                      / F.when(F.col("n_new") > 0, F.col("n_new"))
+                      .cast("double")) / F.lit(unit))
                     .alias("mean_qerr_new")))
 
 
@@ -2297,8 +2339,6 @@ def ivfpq_topk_from_index(index: IvfPqIndex, queries: DataFrame,
     live :func:`ivfpq_topk` on the same models (shared probe/LUT/ADC
     expressions; codes round-trip as ints)."""
     import numpy as np
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import types as T
 
     cent_rows = index.centroids.orderBy("centroid_id").collect()
     ids = [int(r["centroid_id"]) for r in cent_rows]
@@ -2309,13 +2349,13 @@ def ivfpq_topk_from_index(index: IvfPqIndex, queries: DataFrame,
             "— probe positions would desynchronize from the entries. "
             "Rebuild the index.")
     C = np.array([r["centroid"] for r in cent_rows], dtype=float)
-    M = len(index.codebooks)
-    ds = len(index.codebooks[0][0])
 
     entries = index.entries
     qbase = queries.select(F.col(query_id_col),
                            _as_double(F.col(vec_col)).alias("qvec"))
     if prune_partitions:
+        # the SAME probe computation the kernel runs (_ivf_probe_order)
+        # — the partition filter cannot desynchronize from the probes
         qpd = qbase.select("qvec").toPandas()
         if len(qpd):
             X = np.array([list(v) for v in qpd["qvec"]],
@@ -2323,43 +2363,23 @@ def ivfpq_topk_from_index(index: IvfPqIndex, queries: DataFrame,
             order = _ivf_probe_order(X, C, nprobe)
             probed = sorted({int(c) for c in order.ravel()})
             entries = entries.where(F.col("centroid_id").isin(probed))
+    return _ivfpq_probe_adc_topk(entries, qbase, C, index.codebooks,
+                                 nprobe=nprobe, k=k,
+                                 query_id_col=query_id_col)
 
-    qschema = T.StructType(list(qbase.schema.fields)
-                           + [T.StructField("centroid_id",
-                                            T.IntegerType())])
 
-    def probe(batches):
-        for pdf in batches:
-            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-            if not len(X):
-                continue
-            order = _ivf_probe_order(X, C, nprobe)
-            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
-                .reset_index(drop=True)
-            rep["centroid_id"] = order.ravel().astype("int32")
-            yield rep
-
-    import functools
-    import operator
-
-    q = qbase.mapInPandas(probe, schema=qschema)
-    luts = q.select(
-        query_id_col, "centroid_id",
-        *[_dists_to_codebook(F.col("qvec"), m * ds, ds, cb)
-          .alias(f"__lut{m}__")
-          for m, cb in enumerate(index.codebooks)])
-    joined = (entries.join(F.broadcast(luts), "centroid_id")
-              .where(F.col("nn_id") != F.col(query_id_col)))
-    approx = functools.reduce(operator.add, [
-        F.element_at(F.col(f"__lut{m}__"),
-                     F.element_at(F.col("pq_code"), m + 1) + 1)
-        for m in range(M)])
-    scored = joined.select(query_id_col, "nn_id",
-                           F.round(approx, 6).alias("approx_l2"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("approx_l2").asc(), F.col("nn_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+def _ivfpq_delta_entries(base: IvfPqIndex, new_vectors: DataFrame,
+                         vec_col: str) -> DataFrame:
+    """One delta Arrow pass under the base's FROZEN models (collect
+    the O(k·d) centroid table, assign + encode the batch) — the shared
+    ingest step of :func:`ivfpq_merge_index` and
+    :func:`ivfpq_append_index`, so the two paths cannot diverge."""
+    cent_rows = base.centroids.orderBy("centroid_id").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    return ivfpq_index(
+        new_vectors.select(F.col(base.id_col).alias("nn_id"), vec_col),
+        centroids, base.codebooks, vec_col=vec_col, id_col="nn_id"
+    ).select("centroid_id", "nn_id", "pq_code")
 
 
 def ivfpq_merge_index(base: IvfPqIndex, new_vectors: DataFrame,
@@ -2381,12 +2401,7 @@ def ivfpq_merge_index(base: IvfPqIndex, new_vectors: DataFrame,
             base.entries.select(F.col("nn_id").alias(id_col)),
             new_vectors, id_col, "ivfpq_merge_index",
             "duplicate its entry")
-    cent_rows = base.centroids.orderBy("centroid_id").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
-    delta = ivfpq_index(
-        new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
-        centroids, base.codebooks, vec_col=vec_col, id_col="nn_id"
-    ).select("centroid_id", "nn_id", "pq_code")
+    delta = _ivfpq_delta_entries(base, new_vectors, vec_col)
     return IvfPqIndex(base.centroids, base.codebooks,
                       base.entries.select("centroid_id", "nn_id",
                                           "pq_code")
@@ -2421,12 +2436,7 @@ def ivfpq_append_index(spark, path: str, new_vectors: DataFrame,
             base.entries.select(F.col("nn_id").alias(base.id_col)),
             new_vectors, base.id_col, "ivfpq_append_index",
             "duplicate its entry")
-    cent_rows = base.centroids.orderBy("centroid_id").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
-    delta = ivfpq_index(
-        new_vectors.select(F.col(base.id_col).alias("nn_id"), vec_col),
-        centroids, base.codebooks, vec_col=vec_col, id_col="nn_id"
-    ).select("centroid_id", "nn_id", "pq_code")
+    delta = _ivfpq_delta_entries(base, new_vectors, vec_col)
     dpath = begin_delta(path)
     (delta.repartition("centroid_id").write.mode("overwrite")
      .partitionBy("centroid_id")

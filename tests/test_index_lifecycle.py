@@ -513,3 +513,28 @@ class TestIvfPqLifecycle:
                                   books)
         with pytest.raises(ValueError, match="ivfpq_merge_index"):
             S.ivfpq_merge_index(idx, e.where(F.col("vec_id") >= 4))
+
+    def test_empty_batch_yields_null_metrics_not_nan(self, spark,
+                                                     tmp_path):
+        import math
+
+        import orange3_timeseries_spark.operators.similarity as S
+
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+        e = spark.createDataFrame([(0, [0.0, 0.0, 0.0, 0.0])],
+                                  "vec_id long, embedding array<double>")
+        root = str(tmp_path / "pq_drift_empty")
+        S.write_pq_index(S.pq_build_index(e, codebooks=books,
+                                          n_subspaces=2), root)
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+        rows = S.pq_drift_by_subspace(S.read_pq_index(spark, root),
+                                      empty).collect()
+        assert len(rows) == 2
+        for r in rows:
+            # NULL, never NaN — NaN compares False and silently
+            # disarms a threshold-based retrain signal
+            assert r["n_new"] == 0
+            assert r["usage_l1"] is None or \
+                not math.isnan(r["usage_l1"])
+            assert r["mean_qerr_new"] is None

@@ -783,3 +783,23 @@ class TestIndexInfo:
         info = index_info(root)
         assert info["layout"] == "pre-journal"
         assert info["versions"] == [(1, True)]
+
+    def test_inflight_only_root_reports_bare(self, spark, tmp_path):
+        # a crash between begin_version and commit leaves only an
+        # in-flight generation: readers serve nothing versioned, so
+        # the snapshot must say 'bare', not mislabel the root's empty
+        # journal as a pre-journal index
+        from orange3_timeseries_spark.operators.index_store import (
+            base_table_path,
+            index_info,
+        )
+
+        root = str(tmp_path / "idx_inflight")
+        v1 = begin_version(root)
+        spark.range(3).selectExpr("id").write.parquet(
+            base_table_path(v1, "t"))            # written, never committed
+        info = index_info(root)
+        assert info["current"] is None
+        assert info["versions"] == [(1, False)]
+        assert info["layout"] == "bare"
+        assert info["committed_deltas"] == []
