@@ -85,11 +85,32 @@ small filesystem interface with two implementations:
   layout is designed so only :meth:`publish_pointer` would change.
 
 Writer collisions fail loudly: every ``begin_version``/``begin_delta``
-drops a ``_WRITER`` lease (a random token) into the new directory and
-``commit_*`` verifies the lease is still ours — two misconfigured
-pipelines racing the same root cannot silently interleave one
-generation (the local backend additionally makes the second allocator
-of the same ``v=<n>`` fail at ``mkdir`` time).
+creates its ``_WRITER`` lease file EXCLUSIVELY (create-if-absent — the
+allocation token), so the second allocator of one ``v=<n>``/``delta=<k>``
+fails at BEGIN time, and ``commit_*`` re-verifies the lease is still
+ours.  How strong "exclusively" is depends on the filesystem: local
+(``O_EXCL``) and HDFS/ABFS (``FileSystem.create(overwrite=false)`` is
+an atomic namespace op) cannot interleave one generation; on S3A the
+exclusive create is itself exists-then-put (not atomic without the
+conditional-write support of recent Hadoop), so two S3 writers racing
+the SAME allocation within that window could still collide — the
+commit-time lease check catches last-writer-wins overwrites, but true
+multi-writer S3 needs the conditional-PUT commit below.
+
+**Multi-writer pointer commits (optimistic CAS).**  ``begin_version``
+records the pointer content it observed; ``commit_version`` publishes
+with compare-and-set where the backend supports it — the swap succeeds
+only if the pointer still names the generation the writer started
+from, so of two racing publishers exactly one wins and the loser fails
+LOUDLY (its generation reverts to uncommitted garbage; the winner's
+state keeps serving).  The local backend implements CAS natively
+(pointer mutations serialize through an ``flock`` on
+``._PTRLOCK``); remote schemes opt in via
+:func:`register_pointer_cas` (e.g. an S3 conditional PUT —
+``If-Match``/``If-None-Match`` on the pointer object — through boto3
+or Hadoop's conditional-write createFile).  Without a hook, remote
+commits keep the legacy delete+rename swap and the single-writer
+contract documented above.
 """
 
 from __future__ import annotations
@@ -101,11 +122,14 @@ import tempfile
 import uuid
 from typing import List, Optional, Tuple
 
-__all__ = ["begin_version", "commit_version", "resolve_index_path",
+__all__ = ["begin_version", "commit_version", "abort_version",
+           "resolve_index_path",
            "current_version", "list_versions", "vacuum_index",
-           "begin_delta", "commit_delta", "committed_delta_dirs",
+           "begin_delta", "commit_delta", "abort_delta",
+           "committed_delta_dirs",
            "committed_delta_ids", "delta_table_path",
-           "base_table_path", "read_index_table", "index_info"]
+           "base_table_path", "read_index_table", "index_info",
+           "register_pointer_cas", "unregister_pointer_cas"]
 
 _POINTER = "_CURRENT"
 _COMMIT_MARK = "_COMMITTED"
@@ -116,8 +140,41 @@ _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 #: in-process writer leases: {normalized dir path: token}.  The lease
 #: FILE is the cross-process truth; this map is how commit knows which
-#: token this process wrote at begin time.
+#: token this process wrote at begin time.  Entries drop at commit
+#: (success OR failure — a failed commit means the ingest re-runs
+#: through a fresh begin) and at :func:`abort_version`/:func:`abort_delta`.
 _LEASES: dict = {}
+
+#: pointer content observed by begin_version, keyed like _LEASES:
+#: {generation dir: "v=<n>" | None}.  commit_version's CAS publish
+#: compares against this — the optimistic-concurrency read timestamp.
+_BEGIN_PTR: dict = {}
+_NO_PTR = object()
+
+#: remote CAS hooks: {scheme: fn(pointer_path, content, expected) -> bool}.
+#: ``expected`` is the pointer content the writer observed at begin
+#: (``"v=<n>"`` without trailing newline) or None for "pointer must
+#: not exist"; the hook returns True iff it atomically published
+#: ``content`` while that condition held (e.g. an S3 conditional PUT
+#: with If-Match on the pointer object's known state / If-None-Match:*
+#: for None).
+_CAS_HOOKS: dict = {}
+
+
+def register_pointer_cas(scheme: str, fn) -> None:
+    """Install a compare-and-set pointer publisher for a remote scheme
+    (``"s3a"``, ``"abfss"``, …).  ``fn(pointer_path, content,
+    expected)`` must atomically write ``content`` to ``pointer_path``
+    iff the pointer's current content equals ``expected`` (None =
+    pointer absent), returning True on success and False on a lost
+    race — with a hook installed, ``commit_version`` upgrades from the
+    single-writer delete+rename swap to loser-fails-loudly
+    multi-writer commits."""
+    _CAS_HOOKS[scheme.lower()] = fn
+
+
+def unregister_pointer_cas(scheme: str) -> None:
+    _CAS_HOOKS.pop(scheme.lower(), None)
 
 
 class _LocalFs:
@@ -168,6 +225,51 @@ class _LocalFs:
 
     publish_pointer = write_text
 
+    def create_exclusive(self, path: str, content: str) -> None:
+        """Create-if-absent (``O_EXCL``) — the atomic allocation token
+        begin_version/begin_delta key on.  FileExistsError = another
+        writer already allocated this directory."""
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(content)
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            raise
+        self._fsync_dir(os.path.dirname(path))
+
+    def pointer_cas(self, path: str, content: str,
+                    expected: Optional[str]) -> bool:
+        """Compare-and-set pointer publish: under an exclusive
+        ``flock`` on a sibling ``._PTRLOCK`` file, re-read the pointer,
+        compare to ``expected`` (None = must be absent), and only then
+        replace it.  Every CAS commit on this root serializes through
+        the same lock file, so of two racing publishers exactly one
+        sees its expected content — classic optimistic concurrency.
+        (flock is advisory and not reliable on every NFS mount; the
+        legacy swap + single-writer contract remains the fallback for
+        filesystems where that matters — pass ``cas=False``.)"""
+        import fcntl
+
+        d = os.path.dirname(path)
+        fd = os.open(os.path.join(d, "._PTRLOCK"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            current = (self.read_text(path).strip()
+                       if os.path.isfile(path) else None)
+            if current != expected:
+                return False
+            self.write_text(path, content)
+            return True
+        finally:
+            os.close(fd)               # drops the flock
+
     def delete(self, path: str, recursive: bool = False) -> None:
         if recursive:
             shutil.rmtree(path)
@@ -209,6 +311,8 @@ class _HadoopFs:
                 "reached through the session's JVM) — create the "
                 "session before touching remote index roots.")
         self._jvm = spark._jvm
+        m = _SCHEME_RE.match(path)
+        self.scheme = path[:m.end() - 3].lower() if m else ""
         jpath = self._jvm.org.apache.hadoop.fs.Path(path)
         try:
             self._fs = jpath.getFileSystem(
@@ -266,14 +370,49 @@ class _HadoopFs:
         finally:
             out.close()
 
+    def create_exclusive(self, path: str, content: str) -> None:
+        """Create-if-absent through ``FileSystem.create(path,
+        overwrite=false)`` — an atomic namespace op on HDFS/ABFS/
+        viewfs, so a raced double-allocation of one generation/delta
+        fails at begin time there.  On S3A (without Hadoop's
+        conditional-write support) create(overwrite=false) is itself
+        exists-then-put, so this is best-effort only — see the module
+        docstring's multi-writer notes."""
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception as exc:
+            raise FileExistsError(path) from exc
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+            try:
+                out.hsync()
+            except Exception:
+                pass
+        finally:
+            out.close()
+
+    def pointer_cas(self, path: str, content: str,
+                    expected: Optional[str]) -> bool:
+        """Conditional pointer publish through the registered hook for
+        this scheme (:func:`register_pointer_cas` — e.g. an S3
+        conditional PUT).  Raises if no hook is installed; callers
+        check :attr:`scheme` in ``_CAS_HOOKS`` first."""
+        fn = _CAS_HOOKS.get(self.scheme)
+        if fn is None:
+            raise NotImplementedError(
+                f"index_store: no CAS hook registered for scheme "
+                f"{self.scheme!r}")
+        return bool(fn(path, content, expected))
+
     def publish_pointer(self, path: str, content: str) -> None:
         """Write-temp + delete + rename.  ``FileSystem.rename`` cannot
         atomically replace an existing destination, so the pointer is
         absent for one metadata-op window — readers bridge it via the
         newest-``_COMMITTED`` fallback (module docstring; safe under
         the single-writer contract, incl. S3's strong consistency).
-        A multi-writer S3 deployment should swap this for a
-        conditional PUT."""
+        A multi-writer S3 deployment should register a conditional-PUT
+        hook (:func:`register_pointer_cas`) so commits upgrade to
+        CAS."""
         d, name = path.rsplit("/", 1)
         tmp = f"{d}/.{name}.{uuid.uuid4().hex}"
         self.write_text(tmp, content)
@@ -375,17 +514,32 @@ def resolve_index_path(path: str) -> str:
 
 
 def _acquire(fs, newdir: str) -> None:
-    """Drop a writer lease into a freshly allocated directory and
+    """EXCLUSIVELY create the writer lease in a freshly allocated
+    directory (the allocation token — a second allocator of the same
+    directory fails right here, atomically on local/HDFS/ABFS) and
     register it in-process; :func:`_verify_lease` checks it back at
-    commit time so a raced double-writer fails LOUDLY instead of
+    commit time so any collision that slips past the exclusive create
+    (S3A's non-atomic create-if-absent) still fails LOUDLY instead of
     interleaving one generation/delta."""
     token = uuid.uuid4().hex
-    fs.write_text(_join(newdir, _WRITER_MARK), token + "\n")
+    try:
+        fs.create_exclusive(_join(newdir, _WRITER_MARK), token + "\n")
+    except FileExistsError:
+        raise ValueError(
+            f"index_store: directory {newdir!r} already carries a "
+            "writer lease — another writer allocated it first. Two "
+            "pipelines are racing this index root; re-run this ingest "
+            "(it will allocate the next number).") from None
     _LEASES[newdir] = token
 
 
 def _verify_lease(fs, d: str, what: str) -> None:
-    ours = _LEASES.get(d)
+    # the in-process record drops whether the check passes or fails:
+    # a failed commit means this allocation is dead — the ingest
+    # re-runs through a fresh begin (keeping the entry would leak it
+    # for the driver's lifetime, and a later out-of-band recreation of
+    # the same path would trip a spurious 'lease has vanished')
+    ours = _LEASES.pop(d, None)
     lease = _join(d, _WRITER_MARK)
     if fs.isfile(lease):
         found = fs.read_text(lease).strip()
@@ -411,7 +565,6 @@ def _verify_lease(fs, d: str, what: str) -> None:
             f"{what} {d!r} has vanished — external interference "
             "(manual cleanup or a colliding writer). Refusing to "
             "commit; re-run the ingest.")
-    _LEASES.pop(d, None)
 
 
 def begin_version(path: str) -> str:
@@ -420,31 +573,56 @@ def begin_version(path: str) -> str:
     directory is created empty with a writer lease inside; nothing is
     visible to readers until :func:`commit_version` verifies the lease
     and swaps the pointer.  Two writers racing the same root fail
-    loudly: the second ``mkdir`` of one ``v=<n>`` raises outright on
-    the local backend, and the lease check at commit catches the
-    remote case (mkdirs there is mkdir-p)."""
+    loudly AT BEGIN: the lease file is created exclusively
+    (create-if-absent — atomic on local/HDFS/ABFS; best-effort on
+    S3A), so the second allocator of one ``v=<n>`` raises; the lease
+    re-check at commit backstops anything that slips the window.  The
+    pointer content observed here is recorded so ``commit_version``
+    can publish with compare-and-set where supported."""
     fs, root = _fs_for(path)
     fs.mkdirs(root, exist_ok=True)
     versions = list_versions(path)
     nxt = (versions[-1] + 1) if versions else 1
     vdir = _join(root, f"v={nxt}")
-    fs.mkdirs(vdir, exist_ok=False)
+    try:
+        fs.mkdirs(vdir, exist_ok=False)
+    except FileExistsError:
+        raise ValueError(
+            f"index_store: generation directory {vdir!r} already "
+            "exists — another writer allocated it first. Two pipelines "
+            "are racing this index root; re-run this ingest.") from None
     _acquire(fs, vdir)
+    ptr = _join(root, _POINTER)
+    _BEGIN_PTR[vdir] = (fs.read_text(ptr).strip()
+                        if fs.isfile(ptr) else None)
     return vdir
 
 
-def commit_version(path: str, version_path: str) -> None:
+def commit_version(path: str, version_path: str, *,
+                   cas: Optional[bool] = None) -> None:
     """Atomically point ``path/_CURRENT`` at a fully-written generation
     directory.  Order: verify the writer lease, drop the
     ``_COMMITTED`` marker inside the generation (it distinguishes
     once-complete generations from torn mid-write leftovers — vacuum
     treats them differently, and the no-pointer reader fallback keys
-    on it), then publish the pointer (local: fsynced write-temp +
-    ``os.replace`` + dir fsync — power-loss-safe; remote: Hadoop
-    delete+rename, window bridged by the marker fallback).  A crash
-    anywhere leaves readers on a complete generation: before the
-    marker lands, the old one; after, the new one is already fully
-    written."""
+    on it), then publish the pointer.  A crash anywhere leaves readers
+    on a complete generation: before the marker lands, the old one;
+    after, the new one is already fully written.
+
+    **Publish mode** (``cas``): ``None`` (default) uses compare-and-set
+    when available — the local backend always, a remote scheme when a
+    :func:`register_pointer_cas` hook is installed — and otherwise the
+    legacy single-writer swap (local: fsynced write-temp +
+    ``os.replace`` + dir fsync, power-loss-safe; remote: Hadoop
+    delete+rename, window bridged by the marker fallback).  ``True``
+    REQUIRES CAS (raises if the backend can't).  ``False`` forces the
+    legacy swap (e.g. an NFS mount with unreliable flock).
+
+    A CAS publish succeeds only if the pointer still names the
+    generation this writer observed at ``begin_version`` — of two
+    racing publishers exactly one wins; the loser's commit raises, its
+    ``_COMMITTED`` marker is rolled back (the generation reverts to
+    vacuum-able garbage) and the winner's state keeps serving."""
     fs, root = _fs_for(path)
     _, vnorm = _fs_for(version_path)
     vname = vnorm.rstrip("/").rsplit("/", 1)[-1]
@@ -457,9 +635,40 @@ def commit_version(path: str, version_path: str) -> None:
         raise ValueError(
             f"index_store: cannot commit {vname!r} under {path!r} — "
             "the generation directory does not exist (write it first)")
+    # the observation drops whether the commit succeeds or fails —
+    # a failed commit means this allocation is dead either way
+    expected = _BEGIN_PTR.pop(vdir, _NO_PTR)
     _verify_lease(fs, vdir, "generation")
-    fs.write_text(_join(vdir, _COMMIT_MARK), "committed\n")
-    fs.publish_pointer(_join(root, _POINTER), vname + "\n")
+    can_cas = (expected is not _NO_PTR
+               and (not fs.remote or fs.scheme in _CAS_HOOKS))
+    if cas is True and not can_cas:
+        raise ValueError(
+            f"index_store: commit_version(cas=True) for {path!r} — "
+            + ("no pointer observation was recorded for this "
+               "generation (it was not allocated through begin_version "
+               "in this process), so there is nothing to compare "
+               "against." if expected is _NO_PTR else
+               f"no CAS hook is registered for scheme {fs.scheme!r} "
+               "(register_pointer_cas)."))
+    use_cas = can_cas and cas is not False
+    marker = _join(vdir, _COMMIT_MARK)
+    fs.write_text(marker, "committed\n")
+    if not use_cas:
+        fs.publish_pointer(_join(root, _POINTER), vname + "\n")
+        return
+    if not fs.pointer_cas(_join(root, _POINTER), vname + "\n",
+                          expected):
+        # lost the race: another writer published after this one began.
+        # Roll the marker back so this generation cannot win the
+        # no-pointer reader fallback or occupy a vacuum retention slot.
+        fs.delete(marker)
+        raise ValueError(
+            f"index_store: pointer CAS failed committing {vname!r} "
+            f"under {path!r} — another writer published a generation "
+            f"after this write began (expected pointer "
+            f"{expected!r}). This generation is left uncommitted; the "
+            "winning writer's state keeps serving. Re-read the "
+            "current index and re-run this ingest.")
 
 
 def begin_delta(path: str) -> str:
@@ -478,7 +687,13 @@ def begin_delta(path: str) -> str:
         if m and fs.isdir(_join(vroot, name)):
             ks.append(int(m.group(1)))
     dpath = _join(vroot, f"delta={max(ks) + 1 if ks else 1}")
-    fs.mkdirs(dpath, exist_ok=False)
+    try:
+        fs.mkdirs(dpath, exist_ok=False)
+    except FileExistsError:
+        raise ValueError(
+            f"index_store: delta directory {dpath!r} already exists — "
+            "another writer allocated it first. Two pipelines are "
+            "racing this index root; re-run this ingest.") from None
     _acquire(fs, dpath)
     return dpath
 
@@ -499,6 +714,66 @@ def commit_delta(delta_path: str) -> None:
             "directory does not exist (write it first)")
     _verify_lease(fs, d, "delta")
     fs.write_text(_join(d, _COMMIT_MARK), "committed\n")
+
+
+def abort_version(path: str, version_path: str) -> None:
+    """Explicitly abandon a begun-but-uncommitted generation: drop the
+    in-process lease/pointer records and delete the directory.
+    Readers never saw it (no ``_COMMITTED`` marker, pointer untouched).
+    Refuses to touch a COMMITTED generation — that is :func:`vacuum_index`'s
+    job, with retention rules.  Use this in failure paths so a retried
+    ingest doesn't strand leased directories (and in-process lease
+    entries) for the driver's lifetime."""
+    fs, root = _fs_for(path)
+    _, vnorm = _fs_for(version_path)
+    vname = vnorm.rstrip("/").rsplit("/", 1)[-1]
+    if not _VDIR_RE.match(vname):
+        raise ValueError(
+            f"index_store: abort_version expects a 'v=<n>' generation "
+            f"directory, got {version_path!r}")
+    vdir = _join(root, vname)
+    if fs.isfile(_join(vdir, _COMMIT_MARK)):
+        raise ValueError(
+            f"index_store: refusing to abort {vname!r} under {path!r} "
+            "— it is COMMITTED (readers may be serving it). Use "
+            "vacuum_index to retire old generations.")
+    _LEASES.pop(vdir, None)
+    _BEGIN_PTR.pop(vdir, None)
+    if fs.isdir(vdir):
+        fs.delete(vdir, recursive=True)
+
+
+def abort_delta(delta_path: str) -> None:
+    """Explicitly abandon a begun-but-uncommitted append delta: drop
+    the in-process lease record and delete BOTH the journal metadata
+    directory (``…/v=<n>/delta=<k>``) and every state table's data for
+    that delta (``…/v=<n>/<table>/delta=<k>``).  Readers never saw any
+    of it (no ``_COMMITTED`` marker ⇒ the partition filter prunes the
+    data files).  Refuses to touch a committed delta — compaction is
+    how committed journal entries retire."""
+    fs, d = _fs_for(delta_path)
+    d = d.rstrip("/")
+    vroot, dname = d.rsplit("/", 1)
+    if not _DDIR_RE.match(dname):
+        raise ValueError(
+            f"index_store: abort_delta expects a 'delta=<k>' "
+            f"directory, got {delta_path!r}")
+    if fs.isfile(_join(d, _COMMIT_MARK)):
+        raise ValueError(
+            f"index_store: refusing to abort committed delta "
+            f"{delta_path!r} — readers already serve it; compaction "
+            "is how committed journal entries retire.")
+    _LEASES.pop(d, None)
+    if fs.isdir(vroot):
+        for name in fs.listdir(vroot):
+            if (name.startswith("_") or _DDIR_RE.match(name)
+                    or not fs.isdir(_join(vroot, name))):
+                continue
+            tdelta = _join(vroot, name, dname)
+            if fs.isdir(tdelta):
+                fs.delete(tdelta, recursive=True)
+    if fs.isdir(d):
+        fs.delete(d, recursive=True)
 
 
 def _committed_deltas(version_path: str) -> List[Tuple[int, str]]:
@@ -603,7 +878,13 @@ def read_index_table(spark, version_path: str, table: str):
     PartitionFilters, and a torn append's files are pruned at the
     scan, never read.  Generations written before the journaled
     layout (no ``delta=0`` level) read as the plain single-root scan
-    they always were."""
+    they always were — EXCEPT a transitional generation that also
+    carries sibling-shape deltas (``<vroot>/delta=<k>/<table>``, the
+    first journaled design): those union one plan node PER delta, the
+    exact plan-grows-with-ingest-count behavior the partition-level
+    layout eliminated (measured 8.6× at K=64).  Compact such an index
+    promptly — ``index_info`` reports ``layout: "pre-journal"`` with a
+    non-empty ``committed_deltas`` list when one is serving."""
     from pyspark.sql import functions as F
 
     fs, vroot = _fs_for(version_path)
@@ -639,8 +920,14 @@ def index_info(path: str) -> dict:
     when it reaches the operator's files-per-partition budget
     (SCALE.md r12 table: single digits free, tens ≈ 1.7×), compact;
     ``uncommitted_deltas`` > 0 means torn/in-flight appends (invisible
-    to readers; a persistent one is a crashed ingest to clean up).
-    ``versions`` beyond ``keep_last`` are vacuum candidates."""
+    to readers; a persistent one is a crashed ingest —
+    :func:`abort_delta` cleans it up).
+    ``versions`` beyond ``keep_last`` are vacuum candidates.
+
+    Layout ``"pre-journal"`` with non-empty ``committed_deltas``
+    flags a TRANSITIONAL generation serving sibling-shape deltas —
+    its serve plan grows one scan node per delta
+    (:func:`read_index_table`); compact it promptly."""
     fs, root = _fs_for(path)
     cur = current_version(path)
     versions = [(v, fs.isfile(_join(root, f"v={v}", _COMMIT_MARK)))

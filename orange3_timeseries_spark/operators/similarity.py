@@ -2051,10 +2051,15 @@ def ivf_retrain_cells(spark, path: str, cell_ids, *,
             "the flag rule selected abandoned cells only. Re-run the "
             "monitor; retraining empty cells is a no-op.") from exc
     # local re-assignment among the retrained centroids only; local
-    # index j maps back to sorted(cell_ids)[j]
+    # index j maps back to sorted(cell_ids)[j].  The family's frozen
+    # assignment rule (base.two_level) carries through so a two-level
+    # index with >=16 flagged cells re-assigns under the SAME rule its
+    # appends/merges use — for smaller flag sets the two-level branch
+    # is inert (it needs len(centroids) >= 16) and this is exactly the
+    # flat argmax the replay oracle unrolls
     reassigned = _assign_centroid(
         hot.select("nn_id", "cvec"), "cvec", new_cents,
-        two_level=False)
+        two_level=base.two_level)
     id_map = F.array(*[F.lit(int(c)) for c in flagged])
     hot_lists = reassigned.select(
         F.element_at(id_map, F.col("centroid_id") + 1)

@@ -803,3 +803,279 @@ class TestIndexInfo:
         assert info["versions"] == [(1, False)]
         assert info["layout"] == "bare"
         assert info["committed_deltas"] == []
+
+
+class TestCasCommit:
+    """Optimistic-concurrency pointer commits: commit_version publishes
+    with compare-and-set against the pointer content observed at
+    begin_version — of two racing publishers exactly one wins, and the
+    loser fails LOUDLY with its generation rolled back to uncommitted
+    garbage (the winner's state keeps serving)."""
+
+    def test_racing_publishers_loser_fails_loudly(self, tmp_path):
+        from orange3_timeseries_spark.operators.index_store import (
+            index_info,
+        )
+
+        root = str(tmp_path / "idx")
+        commit_version(root, begin_version(root))        # v=1 serving
+        va = begin_version(root)                         # writer A: v=2
+        vb = begin_version(root)                         # writer B: v=3
+        commit_version(root, va)                         # A wins
+        assert current_version(root) == 2
+        with pytest.raises(ValueError, match="CAS failed"):
+            commit_version(root, vb)                     # B must lose
+        # the loser's generation is NOT committed (no marker), the
+        # winner keeps serving, and no in-process records leak
+        import orange3_timeseries_spark.operators.index_store as ist
+
+        assert current_version(root) == 2
+        assert resolve_index_path(root).endswith("v=2")
+        assert not os.path.isfile(os.path.join(root, "v=3",
+                                               "_COMMITTED"))
+        assert (3, False) in index_info(root)["versions"]
+        assert vb not in ist._LEASES and vb not in ist._BEGIN_PTR
+
+    def test_fresh_root_cas_expects_absent_pointer(self, tmp_path):
+        # expected=None (no pointer at begin) must publish fine on a
+        # fresh root — and fail if someone else published first
+        root = str(tmp_path / "idx")
+        va = begin_version(root)                         # observed: None
+        vb = begin_version(root)                         # observed: None
+        commit_version(root, vb)                         # B wins v=2
+        with pytest.raises(ValueError, match="CAS failed"):
+            commit_version(root, va)
+        assert current_version(root) == 2
+
+    def test_cas_false_forces_legacy_swap(self, tmp_path):
+        # an operator on a filesystem with unreliable flock can force
+        # the single-writer swap: last writer wins, nobody raises
+        root = str(tmp_path / "idx")
+        commit_version(root, begin_version(root))
+        va = begin_version(root)
+        vb = begin_version(root)
+        commit_version(root, va, cas=False)
+        commit_version(root, vb, cas=False)              # overwrites, no CAS
+        assert current_version(root) == 3
+
+    def test_cas_true_requires_begin_observation(self, tmp_path):
+        # a handmade generation (not allocated through begin_version in
+        # this process) has no observation to compare against
+        root = str(tmp_path / "idx")
+        os.makedirs(os.path.join(root, "v=1"))
+        with pytest.raises(ValueError, match="begin_version"):
+            commit_version(root, os.path.join(root, "v=1"), cas=True)
+        # default mode degrades to the legacy swap instead
+        commit_version(root, os.path.join(root, "v=1"))
+        assert current_version(root) == 1
+
+    def test_lifecycle_still_green_under_default_cas(self, spark,
+                                                     tmp_path):
+        # the ordinary single-writer lifecycle (write -> merge-write ->
+        # append -> compact) runs every commit through the CAS path now
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_merge_index,
+            bm25_topk_from_index,
+            compact_bm25_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        root = str(tmp_path / "bm25")
+        docs = _docs(spark)
+        write_bm25_index(
+            bm25_build_index(docs.where(F.col("doc_id") <= 8)), root)
+        merged = bm25_merge_index(
+            read_bm25_index(spark, root),
+            docs.where(F.col("doc_id").isin(9, 10)))
+        write_bm25_index(merged, root)
+        compact_bm25_index(spark, root)
+        assert current_version(root) == 3
+        out = bm25_topk_from_index(read_bm25_index(spark, root),
+                                   _queries(spark), top_k=3)
+        assert out.count() > 0
+
+
+class TestCasHookRemote:
+    """Remote CAS via register_pointer_cas: a hook-injected backend
+    (the S3 conditional-PUT shape) upgrades viewfs commits from the
+    delete+rename swap to loser-fails-loudly CAS."""
+
+    @pytest.fixture()
+    def viewfs_root(self, spark, tmp_path):
+        auth = "c" + os.path.basename(str(tmp_path)).replace("_", "")
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            f"fs.viewfs.mounttable.{auth}.link./idx",
+            "file://" + str(tmp_path))
+        return f"viewfs://{auth}/idx"
+
+    @pytest.fixture()
+    def cas_hook(self):
+        # a conditional-PUT stand-in: atomically (single-process here)
+        # read-compare-publish through the store's own backend — the
+        # contract a real S3 If-Match/If-None-Match PUT provides
+        import threading
+
+        import orange3_timeseries_spark.operators.index_store as ist
+
+        calls = []
+        lock = threading.Lock()
+
+        def hook(pointer_path, content, expected):
+            with lock:
+                fs, p = ist._fs_for(pointer_path)
+                current = (fs.read_text(p).strip()
+                           if fs.isfile(p) else None)
+                calls.append((expected, current))
+                if current != expected:
+                    return False
+                fs.publish_pointer(p, content)
+                return True
+
+        ist.register_pointer_cas("viewfs", hook)
+        try:
+            yield calls
+        finally:
+            ist.unregister_pointer_cas("viewfs")
+
+    def test_hooked_commits_and_losing_race(self, spark, viewfs_root,
+                                            cas_hook):
+        root = viewfs_root + "/casidx"
+        v1 = begin_version(root)
+        commit_version(root, v1)                 # CAS None -> v=1
+        assert len(cas_hook) == 1 and current_version(root) == 1
+        va = begin_version(root)
+        vb = begin_version(root)
+        commit_version(root, va)                 # CAS v=1 -> v=2
+        with pytest.raises(ValueError, match="CAS failed"):
+            commit_version(root, vb)             # expected v=1, sees v=2
+        assert current_version(root) == 2
+        assert resolve_index_path(root).endswith("v=2")
+        assert len(cas_hook) == 3
+
+    def test_without_hook_viewfs_keeps_legacy_swap(self, spark,
+                                                   viewfs_root):
+        root = viewfs_root + "/legacyidx"
+        v1 = begin_version(root)
+        commit_version(root, v1)                 # no hook: legacy swap
+        assert current_version(root) == 1
+        with pytest.raises(ValueError, match="register_pointer_cas"):
+            commit_version(root, begin_version(root), cas=True)
+
+
+class TestExclusiveLeaseAllocation:
+    """begin_* allocates via EXCLUSIVE lease-file creation — the
+    second allocator of one generation/delta fails at begin time on
+    both backends (ADVICE r12: mkdirs exist_ok=False was a non-atomic
+    exists-then-mkdirs on the remote backend)."""
+
+    def test_local_create_exclusive_raises_on_existing(self, tmp_path):
+        import orange3_timeseries_spark.operators.index_store as ist
+
+        fs = ist._LocalFs()
+        p = str(tmp_path / "_WRITER")
+        fs.create_exclusive(p, "tok1\n")
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive(p, "tok2\n")
+        with open(p) as f:                       # loser never overwrote
+            assert f.read() == "tok1\n"
+
+    def test_second_allocator_of_same_dir_fails_at_begin(self,
+                                                         tmp_path):
+        # simulate losing the mkdirs race (remote mkdir-p shape): the
+        # directory exists with another writer's lease — _acquire must
+        # fail loudly instead of overwriting the token
+        import orange3_timeseries_spark.operators.index_store as ist
+
+        root = str(tmp_path / "idx")
+        v1 = begin_version(root)
+        ist._LEASES.clear()                      # "another process"
+        with pytest.raises(ValueError, match="another writer"):
+            ist._acquire(ist._LocalFs(), v1)
+
+    def test_viewfs_create_exclusive(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.index_store as ist
+
+        auth = "x" + os.path.basename(str(tmp_path)).replace("_", "")
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            f"fs.viewfs.mounttable.{auth}.link./idx",
+            "file://" + str(tmp_path))
+        fs, root = ist._fs_for(f"viewfs://{auth}/idx")
+        fs.mkdirs(root + "/d")
+        fs.create_exclusive(root + "/d/_WRITER", "tok1\n")
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive(root + "/d/_WRITER", "tok2\n")
+        assert fs.read_text(root + "/d/_WRITER") == "tok1\n"
+
+
+class TestAborts:
+    """abort_version / abort_delta: explicit cleanup for
+    begun-but-never-committed allocations — drops the in-process
+    records (the ADVICE r12 _LEASES leak) and the on-disk garbage,
+    refuses to touch committed state."""
+
+    def test_abort_version_cleans_up(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.index_store as ist
+        from orange3_timeseries_spark.operators.index_store import (
+            abort_version,
+            base_table_path,
+        )
+
+        root = str(tmp_path / "idx")
+        commit_version(root, begin_version(root))        # v=1 serving
+        v2 = begin_version(root)
+        spark.range(5).write.parquet(base_table_path(v2, "t"))
+        assert v2 in ist._LEASES and v2 in ist._BEGIN_PTR
+        abort_version(root, v2)
+        assert not os.path.isdir(v2)
+        assert v2 not in ist._LEASES and v2 not in ist._BEGIN_PTR
+        assert current_version(root) == 1                # untouched
+        # the next begin reuses the freed number
+        assert begin_version(root).endswith("v=2")
+
+    def test_abort_version_refuses_committed(self, tmp_path):
+        from orange3_timeseries_spark.operators.index_store import (
+            abort_version,
+        )
+
+        root = str(tmp_path / "idx")
+        v1 = begin_version(root)
+        commit_version(root, v1)
+        with pytest.raises(ValueError, match="COMMITTED"):
+            abort_version(root, v1)
+
+    def test_abort_delta_removes_metadata_and_table_data(self, spark,
+                                                         tmp_path):
+        import orange3_timeseries_spark.operators.index_store as ist
+        from orange3_timeseries_spark.operators.index_store import (
+            abort_delta,
+            base_table_path,
+            begin_delta,
+            commit_delta,
+            delta_table_path,
+            index_info,
+            read_index_table,
+        )
+
+        root = str(tmp_path / "idx")
+        v1 = begin_version(root)
+        spark.range(3).write.parquet(base_table_path(v1, "t"))
+        commit_version(root, v1)
+        d1 = begin_delta(root)
+        spark.range(3, 5).write.parquet(delta_table_path(d1, "t"))
+        commit_delta(d1)
+        d2 = begin_delta(root)                   # torn append
+        spark.range(5, 9).write.parquet(delta_table_path(d2, "t"))
+        assert index_info(root)["uncommitted_deltas"] == [2]
+        abort_delta(d2)
+        assert d2 not in ist._LEASES
+        assert index_info(root)["uncommitted_deltas"] == []
+        assert not os.path.isdir(d2)
+        assert not os.path.isdir(
+            os.path.join(os.path.dirname(d2), "t", "delta=2"))
+        # committed state intact: base + delta 1 read as before
+        assert read_index_table(spark, resolve_index_path(root),
+                                "t").count() == 5
+        with pytest.raises(ValueError, match="committed delta"):
+            abort_delta(d1)
