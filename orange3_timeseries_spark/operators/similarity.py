@@ -2455,3 +2455,249 @@ def compact_ivfpq_index(spark, path: str,
     the pointer, folding append deltas back to ~1 file per centroid
     partition.  Serves are row-identical before/after."""
     write_ivfpq_index(read_ivfpq_index(spark, path, id_col), path)
+
+
+def _train_subspace_codebooks(X, flagged, K: int, ds: int, iters: int):
+    """Content-deterministic per-subspace Lloyd — the
+    :func:`train_ivf_centroids` ``id_col`` recipe applied to subvector
+    slices: evenly spaced init through the (already id-ordered)
+    sample, argmax(x·c − |c|²/2) with first-index tie-break, empty
+    clusters keep their centroid, 6-dp rounding per round — so a SQL
+    replay (unrolled per-(m, j) Lloyd in DuckDB,
+    ``ann_pq_retrain_subspaces``'s oracle) reproduces the codebooks
+    exactly.  Returns {m: K×ds list} for the flagged subspaces only."""
+    import numpy as np
+
+    n = len(X)
+    out = {}
+    for m in flagged:
+        S = X[:, m * ds:(m + 1) * ds]
+        cent = S[[(i * n) // K for i in range(K)]].copy()
+        for _ in range(iters):
+            scores = S @ cent.T - 0.5 * (cent * cent).sum(1)
+            assign = scores.argmax(1)
+            for j in range(K):
+                msk = assign == j
+                if msk.any():
+                    cent[j] = S[msk].mean(0)
+            cent = np.round(cent, 6)
+        out[m] = cent.tolist()
+    return out
+
+
+def _check_vectors_cover_index(indexed_ids: DataFrame,
+                               vectors: DataFrame, id_col: str,
+                               who: str) -> None:
+    """Loud guard: a subspace retrain re-encodes the flagged code
+    slots of EVERY indexed vector, so ``vectors`` must cover every
+    indexed id — the inner join would otherwise silently DROP the
+    uncovered rows from the new generation (an index that shrinks on
+    retrain is the silent-corruption failure mode).  One anti-join
+    aggregate, the same cost class as ``check_disjoint_ids``."""
+    missing = (indexed_ids
+               .join(vectors.select(id_col).distinct(), id_col,
+                     "left_anti")
+               .limit(5).collect())
+    if missing:
+        ids = [r[id_col] for r in missing]
+        raise ValueError(
+            f"{who}: the vectors argument does not cover every indexed "
+            f"id (first missing: {ids}) — re-encoding would silently "
+            "drop those rows from the new generation. Pass the full "
+            "current corpus (indexed base + every appended batch), or "
+            "rebuild the index from scratch.")
+
+
+def _splice_flagged_codes(joined: DataFrame, flagged, new_books,
+                          K: int, ds: int, vec_col: str,
+                          keep_cols) -> DataFrame:
+    """One Arrow pass re-encoding ONLY the flagged subspaces' code
+    slots (same dimension-sequential IEEE accumulation and first-min
+    tie as :func:`pq_encode`) and splicing them into the stored codes
+    — cold slots pass through as the exact ints parquet stored.
+    ``joined`` carries (keep_cols…, pq_code, vec_col); arithmetic per
+    vector is |flagged|·K·ds, not M·K·ds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Cf = {m: np.array(new_books[m], dtype=np.float64) for m in flagged}
+    schema = T.StructType(
+        [joined.schema[c] for c in keep_cols]
+        + [T.StructField("pq_code", T.ArrayType(T.IntegerType()))])
+
+    def splice(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.array(pdf["pq_code"].tolist(), dtype="int32")
+            for m in flagged:
+                acc = np.zeros((len(X), K))
+                for i in range(ds):
+                    d = X[:, m * ds + i][:, None] - Cf[m][None, :, i]
+                    acc = acc + d * d
+                codes[:, m] = np.argmin(acc, axis=1)
+            out = {c: pdf[c] for c in keep_cols}
+            out["pq_code"] = [list(r) for r in codes]
+            yield pd.DataFrame(out)
+
+    return widen_partitions(joined).mapInPandas(splice, schema)
+
+
+def pq_retrain_subspaces(spark, path: str, subspaces, vectors,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", *,
+                         sample: int = 2048, iters: int = 10,
+                         check_coverage: bool = True) -> None:
+    """Close the drift loop :func:`pq_drift_by_subspace` opens — the
+    PQ sibling of :func:`ivf_retrain_cells`: re-fit ONLY the flagged
+    subspaces' codebooks, re-encode ONLY those subspaces' code slots,
+    and publish the result as a new generation.  A frozen-codebook
+    serving index degrades exactly in the subspaces where the data
+    drifted; subspaces the monitor clears keep their codebooks AND
+    their code slots bit-identically (cold ints stream through the
+    splice untouched), so serve behavior changes only where the
+    monitor said it had already decayed.
+
+    ``vectors`` must cover every indexed id (codes store M small ints,
+    not the vectors, so re-encoding needs the originals — pass the
+    full current corpus; the coverage guard fails LOUDLY on gaps
+    because an inner join would otherwise silently shrink the index).
+
+    Procedure (all content-deterministic, so a DuckDB replay oracle
+    verifies it end to end — ``ann_pq_retrain_subspaces``):
+
+    1. bounded ordered sample of ``vectors`` (``sample`` smallest ids
+       — a distributed TakeOrdered, never a full collect);
+    2. per flagged subspace, the same content-deterministic Lloyd
+       initial training uses (:func:`_train_subspace_codebooks`:
+       evenly spaced init, first-index argmax tie-break, 6-dp
+       rounding per round) over that subspace's sample slices;
+    3. one scan: codes ⋈ vectors, one Arrow pass re-encoding the
+       flagged slots under the new codebooks (|flagged|·K·ds
+       arithmetic per vector) and splicing them into the stored
+       codes — cold slots bit-untouched;
+    4. write codes + codebooks as a fresh generation and swap the
+       pointer (``write_pq_index`` — a crash mid-retrain leaves the
+       old generation serving; committed append deltas fold in, so a
+       retrain subsumes the compaction a fragmented index owes).
+
+    Scale: the Lloyd sample is driver-side bounded; the corpus pays
+    ONE equi-join shuffle (codes ⋈ vectors on id — unavoidable: the
+    index does not store vectors) plus flagged-proportional encode
+    arithmetic; the write is a generation rewrite, the same IO class
+    as compaction.  Changing K or M is deliberately out of scope —
+    that renumbers code slots and is an honest full rebuild."""
+    import numpy as np
+
+    flagged = sorted({int(m) for m in subspaces})
+    if not flagged:
+        raise ValueError(
+            "pq_retrain_subspaces: empty subspaces — nothing to "
+            "retrain (the drift monitor found no subspace over "
+            "threshold?)")
+    base = read_pq_index(spark, path, id_col)
+    M = len(base.codebooks)
+    K = len(base.codebooks[0])
+    ds = len(base.codebooks[0][0])
+    bad = [m for m in flagged if m < 0 or m >= M]
+    if bad:
+        raise ValueError(
+            f"pq_retrain_subspaces: subspace ids {bad} are outside the "
+            f"persisted codebooks (subspaces 0..{M - 1}) — the drift "
+            "report and the index disagree; re-run the monitor against "
+            "this index.")
+    pdf = (vectors.select(id_col, vec_col).orderBy(id_col)
+           .limit(sample).toPandas().sort_values(id_col))
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            "pq_retrain_subspaces: vectors is empty — nothing to "
+            "re-fit the codebooks on.")
+    if X.shape[1] != M * ds:
+        raise ValueError(
+            f"pq_retrain_subspaces: vectors have {X.shape[1]} dims but "
+            f"the persisted codebooks tile {M}×{ds} — wrong corpus for "
+            "this index.")
+    retrained = _train_subspace_codebooks(X, flagged, K, ds, iters)
+    new_books = [retrained.get(m, base.codebooks[m])
+                 for m in range(M)]
+    if check_coverage:
+        _check_vectors_cover_index(
+            base.codes.select(F.col("nn_id").alias(id_col)).distinct(),
+            vectors, id_col, "pq_retrain_subspaces")
+    joined = base.codes.select("nn_id", "pq_code").join(
+        vectors.select(F.col(id_col).alias("nn_id"),
+                       _as_double(F.col(vec_col)).alias(vec_col)),
+        "nn_id")
+    new_codes = _splice_flagged_codes(joined, flagged, retrained,
+                                      K, ds, vec_col, ["nn_id"])
+    write_pq_index(PqIndex(new_codes, new_books, id_col), path)
+
+
+def ivfpq_retrain_subspaces(spark, path: str, subspaces, vectors,
+                            vec_col: str = "embedding",
+                            id_col: str = None, *,
+                            sample: int = 2048, iters: int = 10,
+                            check_coverage: bool = True) -> None:
+    """The composite family's fine-codebook retrain — identical
+    contract to :func:`pq_retrain_subspaces` (IVF-PQ encodes raw
+    vectors under the same kernel, cf. :func:`ivfpq_index`), with the
+    coarse side untouched: every entry keeps its ``centroid_id``
+    bit-identically (coarse drift is :func:`ivf_drift_stats` /
+    :func:`ivf_retrain_cells` territory), flagged PQ code slots
+    re-encode under the re-fitted codebooks, cold slots and cold
+    codebooks stream through unchanged.  The generation write
+    repartitions by ``centroid_id`` (``write_ivfpq_index``), so probe
+    partition pruning survives the retrain."""
+    import numpy as np
+
+    flagged = sorted({int(m) for m in subspaces})
+    if not flagged:
+        raise ValueError(
+            "ivfpq_retrain_subspaces: empty subspaces — nothing to "
+            "retrain (the drift monitor found no subspace over "
+            "threshold?)")
+    base = read_ivfpq_index(spark, path, id_col)
+    M = len(base.codebooks)
+    K = len(base.codebooks[0])
+    ds = len(base.codebooks[0][0])
+    bad = [m for m in flagged if m < 0 or m >= M]
+    if bad:
+        raise ValueError(
+            f"ivfpq_retrain_subspaces: subspace ids {bad} are outside "
+            f"the persisted codebooks (subspaces 0..{M - 1}) — the "
+            "drift report and the index disagree; re-run the monitor "
+            "against this index.")
+    pdf = (vectors.select(base.id_col, vec_col).orderBy(base.id_col)
+           .limit(sample).toPandas().sort_values(base.id_col))
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            "ivfpq_retrain_subspaces: vectors is empty — nothing to "
+            "re-fit the codebooks on.")
+    if X.shape[1] != M * ds:
+        raise ValueError(
+            f"ivfpq_retrain_subspaces: vectors have {X.shape[1]} dims "
+            f"but the persisted codebooks tile {M}×{ds} — wrong corpus "
+            "for this index.")
+    retrained = _train_subspace_codebooks(X, flagged, K, ds, iters)
+    new_books = [retrained.get(m, base.codebooks[m])
+                 for m in range(M)]
+    if check_coverage:
+        _check_vectors_cover_index(
+            base.entries.select(F.col("nn_id").alias(base.id_col))
+            .distinct(),
+            vectors, base.id_col, "ivfpq_retrain_subspaces")
+    joined = base.entries.select("centroid_id", "nn_id",
+                                 "pq_code").join(
+        vectors.select(F.col(base.id_col).alias("nn_id"),
+                       _as_double(F.col(vec_col)).alias(vec_col)),
+        "nn_id")
+    new_entries = _splice_flagged_codes(
+        joined, flagged, retrained, K, ds, vec_col,
+        ["centroid_id", "nn_id"])
+    write_ivfpq_index(
+        IvfPqIndex(base.centroids, new_books, new_entries,
+                   base.id_col), path)

@@ -4988,7 +4988,11 @@ def q_dsir_weights_by_doc(spark, sf_dir):
 
 # ------------------------------------------ drift-driven IVF retrain
 def _ivf_retrain_sql(n_flag=4, k=5, nprobe=4, n_queries=10,
-                     sample=2048, iters=10):
+                     sample=2048, iters=10,
+                     new_pred="vec_id % 2 = 1",
+                     lists_pred="TRUE",
+                     flag_order="(cos_drift IS NULL), cos_drift, "
+                                "centroid_id"):
     """Full replay of the drift→retrain→serve loop: frozen-rule
     assignment under the seed centroids, the per-cell drift report
     (same quantization as ``ann_ivf_drift_by_cell``), flagging the
@@ -5022,8 +5026,9 @@ bb AS (SELECT centroid_id, count(*)::BIGINT AS n_index,
        FROM scored WHERE vec_id % 2 = 0 GROUP BY 1),
 nw AS (SELECT centroid_id, count(*)::BIGINT AS n_new,
               sum(cu)::BIGINT AS cun
-       FROM scored WHERE vec_id % 2 = 1 GROUP BY 1),
+       FROM scored WHERE {new_pred} GROUP BY 1),
 dr AS (SELECT ct.centroid_id,
+              coalesce(n_index, 0)::BIGINT AS n_index,
               (cun::DOUBLE / n_new::DOUBLE) / 1000000.0
                 - (cui::DOUBLE / n_index::DOUBLE) / 1000000.0 AS cos_drift
        FROM cent ct LEFT JOIN bb USING (centroid_id)
@@ -5032,12 +5037,13 @@ flagmap AS MATERIALIZED (
   SELECT centroid_id AS fcid,
          row_number() OVER (ORDER BY centroid_id) - 1 AS j
   FROM (SELECT centroid_id FROM dr
-        ORDER BY (cos_drift IS NULL), cos_drift, centroid_id
+        ORDER BY {flag_order}
         LIMIT {n_flag})),
 samp AS MATERIALIZED (
   SELECT v, rn FROM (
     SELECT a.v, row_number() OVER (ORDER BY a.vec_id) - 1 AS rn
-    FROM assignf a JOIN flagmap f ON a.centroid_id = f.fcid) t
+    FROM assignf a JOIN flagmap f ON a.centroid_id = f.fcid
+    WHERE {lists_pred}) t
   WHERE rn < {sample}),
 nn AS (SELECT count(*) AS cnt FROM samp),
 rcent0 AS MATERIALIZED (
@@ -5080,12 +5086,14 @@ reass AS (
               ORDER BY list_inner_product(a.v, rj.cv) - rj.half_cc
                        DESC, rj.j) AS rnk
     FROM (SELECT a2.vec_id, a2.v, a2.centroid_id FROM assignf a2
-          JOIN flagmap fm ON a2.centroid_id = fm.fcid) a
+          JOIN flagmap fm ON a2.centroid_id = fm.fcid
+          WHERE {lists_pred}) a
     CROSS JOIN rjoined rj) t
   WHERE rnk = 1),
 lists AS (
   SELECT vec_id AS nn_id, v AS cvec, centroid_id FROM assignf
   WHERE centroid_id NOT IN (SELECT fcid FROM flagmap)
+    AND ({lists_pred})
   UNION ALL
   SELECT vec_id, v, centroid_id FROM reass),
 q AS (SELECT vec_id AS query_id, v AS qv FROM c
@@ -5345,3 +5353,193 @@ def q_ann_ivfpq_lifecycle_topk(spark, sf_dir):
     S.compact_ivfpq_index(spark, path)
     return S.ivfpq_topk_from_index(S.read_ivfpq_index(spark, path),
                                    _ann_seed_queries(e), k=5, nprobe=4)
+
+
+# ----------------------------------------- PQ subspace retrain loop
+def _pq_retrain_sql(M=8, ds=8, K=16, k=5, n_queries=10, n_flag=2,
+                    sample=2048, iters=10):
+    """Full replay of the PQ drift→retrain→serve loop
+    (``ann_pq_retrain_subspaces``): seed-codebook encode over the
+    whole corpus (the ``ann_pq_topk`` chain), the per-subspace drift
+    report (same micro-unit quantization as
+    ``ann_pq_drift_by_subspace``), flagging the ``n_flag``
+    worst-error subspaces, an UNROLLED per-(m, j) local Lloyd over the
+    ordered sample's subvector slices (evenly spaced init, first-index
+    tie-break, 6-dp rounding per round — the
+    ``_train_subspace_codebooks`` recipe), flagged-slot re-encode
+    spliced over the frozen cold codes, and the standard ADC serve
+    over the UPDATED codebook table."""
+    chain = " + ".join(
+        f"((s.sv[{i+1}]) - (b.cv[{i+1}])) * ((s.sv[{i+1}]) - (b.cv[{i+1}]))"
+        for i in range(ds))
+    stages = [f"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, {M-1})) AS m),
+cb AS (SELECT x.vec_id AS j, ms.m,
+              list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS cv
+       FROM c x, ms WHERE x.vec_id < {K}),
+sl AS MATERIALIZED (
+  SELECT x.vec_id, ms.m,
+         list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS sv
+  FROM c x, ms),
+enc AS MATERIALIZED (
+  SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+  FROM sl s JOIN cb b ON s.m = b.m),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, j AS code,
+         CAST(round(round(dist, 6) * 1000000.0) AS BIGINT) AS qe
+  FROM (SELECT vec_id, m, j, dist,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, j) AS rn
+        FROM enc) t
+  WHERE rn = 1),
+nwq AS (SELECT m, count(*)::BIGINT AS n_new, sum(qe)::BIGINT AS qe_tot
+        FROM codes WHERE vec_id % 2 = 1 GROUP BY 1),
+fl AS MATERIALIZED (
+  SELECT m FROM (
+    SELECT m, (qe_tot::DOUBLE / n_new::DOUBLE) / 1000000.0 AS mq
+    FROM nwq)
+  ORDER BY mq DESC NULLS LAST, m LIMIT {n_flag}),
+samp AS MATERIALIZED (
+  SELECT v, rn FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM c) t
+  WHERE rn < {sample}),
+nn AS (SELECT count(*) AS cnt FROM samp),
+sm AS MATERIALIZED (
+  SELECT f.m, s.rn,
+         list_slice(s.v, f.m*{ds}+1, f.m*{ds}+{ds}) AS sv
+  FROM samp s CROSS JOIN fl f),
+rc0 AS MATERIALIZED (
+  SELECT sm.m, g.j, sm.sv AS cv
+  FROM (SELECT unnest(generate_series(0, {K - 1})) AS j) g
+  CROSS JOIN nn
+  JOIN sm ON sm.rn = (g.j * nn.cnt) // {K})"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        stages.append(f"""ra{t} AS MATERIALIZED (
+  SELECT s.m, s.rn, s.sv, cc.j
+  FROM sm s JOIN rc{p} cc ON s.m = cc.m
+  QUALIFY row_number() OVER (PARTITION BY s.m, s.rn
+      ORDER BY list_inner_product(s.sv, cc.cv)
+               - list_inner_product(cc.cv, cc.cv) / 2.0 DESC, cc.j) = 1),
+rm{t} AS (
+  SELECT m, j, list(mv ORDER BY d) AS cv FROM (
+    SELECT m, j, d, round(avg(val), 6) AS mv
+    FROM (SELECT m, j, unnest(sv) AS val, generate_subscripts(sv, 1) AS d
+          FROM ra{t}) u
+    GROUP BY m, j, d) g
+  GROUP BY m, j),
+rc{t} AS MATERIALIZED (
+  SELECT p.m, p.j,
+         coalesce(q.cv, list_transform(p.cv, x -> round(x, 6))) AS cv
+  FROM rc{p} p LEFT JOIN rm{t} q ON p.m = q.m AND p.j = q.j)""")
+    stages.append(f"""cb2 AS MATERIALIZED (
+  SELECT m, j, cv FROM rc{iters}
+  UNION ALL
+  SELECT b.m, b.j, b.cv FROM cb b
+  WHERE b.m NOT IN (SELECT m FROM fl)),
+enc2 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+  FROM sl s JOIN cb2 b ON s.m = b.m),
+codes2 AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT e2.vec_id, e2.m, e2.j, e2.dist,
+           row_number() OVER (PARTITION BY e2.vec_id, e2.m
+                              ORDER BY e2.dist, e2.j) AS rn
+    FROM enc2 e2 JOIN fl ON e2.m = fl.m) t
+  WHERE rn = 1
+  UNION ALL
+  SELECT cx.vec_id, cx.m, cx.code FROM codes cx
+  WHERE cx.m NOT IN (SELECT m FROM fl)),
+adc AS (
+  SELECT q.vec_id AS query_id, cx.vec_id AS nn_id,
+         sum(q.dist) AS approx
+  FROM codes2 cx JOIN enc2 q ON q.m = cx.m AND q.j = cx.code
+  WHERE q.vec_id < {n_queries} AND cx.vec_id != q.vec_id
+  GROUP BY 1, 2)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT query_id, nn_id, approx_l2, rank FROM (
+  SELECT query_id, nn_id, round(approx, 6) AS approx_l2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(approx, 6), nn_id) AS rank
+  FROM adc) t
+WHERE rank <= {k}"""
+
+
+@query("ann_pq_retrain_subspaces", _pq_retrain_sql())
+def q_ann_pq_retrain_subspaces(spark, sf_dir):
+    """The SECOND drift loop closed, under a full value-hash replay
+    oracle — the PQ-codebook sibling of ``ann_ivf_retrain_cells``,
+    completing the monitor→remedy matrix for both frozen-model
+    degradation modes (coarse centroids r12, fine codebooks here):
+    build the PQ index over the even-id half under the deterministic
+    seed codebooks and WRITE it; run the per-subspace drift monitor
+    against the arriving odd-id batch
+    (operators/similarity.py:pq_drift_by_subspace); FLAG the 2
+    worst-error subspaces (highest ``mean_qerr_new``, NULLs last,
+    subspace tie-break — a bounded ≤ M collect); fast-ingest APPEND
+    the batch (a journaled delta encoded under the frozen codebooks);
+    RETRAIN only the flagged subspaces
+    (operators/similarity.py:pq_retrain_subspaces — per-subspace
+    content-deterministic Lloyd over the ordered sample, flagged code
+    slots re-encoded in one codes ⋈ vectors pass, cold subspaces'
+    codebooks AND code slots bit-untouched) publishing a new
+    generation; and serve the standard ADC probes from the retrained
+    index.  The oracle replays the seed encode, the drift
+    quantization, the flag ordering, the UNROLLED per-subspace Lloyd,
+    the spliced re-encode AND the serve — hash-green proves the whole
+    remediation loop exact.  Quantization-error recovery is asserted
+    separately in
+    tests/test_index_lifecycle.py::TestPqRetrainSubspaces."""
+    e = read_table(spark, sf_dir, "embeddings")
+    odd = e.where(F.col("vec_id") % 2 != 0)
+    path = _fresh_state_path("pq_rt", sf_dir)
+    S.write_pq_index(
+        S.pq_build_index(e.where(F.col("vec_id") % 2 == 0),
+                         codebooks=_ann_seed_books(e)), path)
+    drift = S.pq_drift_by_subspace(S.read_pq_index(spark, path),
+                                   odd).collect()   # ≤ M rows
+    drift.sort(key=lambda r: (
+        (r["mean_qerr_new"] is None),
+        -(r["mean_qerr_new"] or 0.0), r["m"]))
+    flagged = [int(r["m"]) for r in drift[:2]]
+    S.pq_append_index(spark, path, odd)
+    S.pq_retrain_subspaces(spark, path, flagged, e)
+    return S.pq_topk_from_index(S.read_pq_index(spark, path),
+                                _ann_seed_queries(e), k=5)
+
+
+@query("ann_ivf_retrain_null_drift", _ivf_retrain_sql(
+    new_pred="vec_id IN (1, 3, 5)",
+    lists_pred="(vec_id % 2 = 0 OR vec_id IN (1, 3, 5))",
+    flag_order="(cos_drift IS NOT NULL), (n_index = 0), centroid_id"))
+def q_ann_ivf_retrain_null_drift(spark, sf_dir):
+    """The drift loop's ABANDONED-CELL path end-to-end (the r12
+    verdict's remaining oracle gap): a tiny 3-vector ingest batch
+    (odd ids 1/3/5) leaves ≥13 of the 16 cells with ``n_new = 0`` —
+    ``cos_drift`` NULL, the emptying-cells signal — and the flag rule
+    TARGETS those NULL-drift cells (NULL first, populated cells
+    before index-empty ones, centroid_id tie-break), so the retrain
+    re-clusters cells the batch abandoned rather than cells it
+    degraded.  Same lifecycle as ``ann_ivf_retrain_cells`` otherwise:
+    build over the even half, monitor, flag 4, journaled append,
+    targeted retrain (cold cells bit-untouched), serve the standard
+    probes from the new generation.  The oracle replays the NULL
+    ordering, the n_index guard AND the whole remediation under the
+    restricted lists membership (even ∪ {1, 3, 5})."""
+    e = read_table(spark, sf_dir, "embeddings")
+    batch = e.where(F.col("vec_id").isin(1, 3, 5))
+    path = _fresh_state_path("ivf_rtn", sf_dir)
+    S.write_ivf_index(
+        S.ivf_build_index(e.where(F.col("vec_id") % 2 == 0),
+                          centroids=_ann_seed_centroids(e)), path)
+    drift = S.ivf_drift_stats(S.read_ivf_index(spark, path), batch) \
+        .collect()                       # ≤ n_centroids rows
+    drift.sort(key=lambda r: ((r["cos_drift"] is not None),
+                              r["n_index"] == 0,
+                              r["centroid_id"]))
+    flagged = [int(r["centroid_id"]) for r in drift[:4]]
+    S.ivf_append_index(spark, path, batch)
+    S.ivf_retrain_cells(spark, path, flagged)
+    return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
+                                 _ann_seed_queries(e), k=5, nprobe=4)

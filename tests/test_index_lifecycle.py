@@ -538,3 +538,155 @@ class TestIvfPqLifecycle:
             assert r["usage_l1"] is None or \
                 not math.isnan(r["usage_l1"])
             assert r["mean_qerr_new"] is None
+
+
+class TestPqRetrainSubspaces:
+    """pq_retrain_subspaces: the remedy pq_drift_by_subspace signals —
+    per-subspace Lloyd re-fit + flagged-slot re-encode, cold subspaces
+    (codebooks AND code slots) bit-untouched, and the batch's
+    quantization error RECOVERS."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def _setup(self, spark, tmp_path, name="pq_rt"):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        # M=2 subspaces of ds=2, K=2 codewords each; indexed data sits
+        # ON the codewords (zero error), the batch drifts subspace 0 to
+        # [0.5, 0.5] — equidistant from both codewords (qerr 0.5)
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+        idx_rows = ([(i, [0.0, 0.0, 0.0, 0.0]) for i in range(4)]
+                    + [(4 + i, [1.0, 1.0, 1.0, 1.0]) for i in range(4)])
+        new_rows = [(10 + i, [0.5, 0.5, 0.0, 0.0]) for i in range(6)]
+        root = str(tmp_path / name)
+        S.write_pq_index(
+            S.pq_build_index(self._df(spark, idx_rows), codebooks=books,
+                             n_subspaces=2), root)
+        return S, root, idx_rows, new_rows
+
+    def test_qerr_recovers_and_cold_subspace_untouched(self, spark,
+                                                       tmp_path):
+        S, root, idx_rows, new_rows = self._setup(spark, tmp_path)
+        batch = self._df(spark, new_rows)
+
+        def drift():
+            return {r["m"]: r for r in S.pq_drift_by_subspace(
+                S.read_pq_index(spark, root), batch).collect()}
+
+        before = drift()
+        assert abs(before[0]["mean_qerr_new"] - 0.5) < 1e-9
+        assert before[1]["mean_qerr_new"] == 0.0
+        flagged = [m for m, r in sorted(before.items())
+                   if r["mean_qerr_new"] > 0.1]
+        assert flagged == [0]
+
+        S.pq_append_index(spark, root, batch)
+        base = S.read_pq_index(spark, root)
+        cold_books = base.codebooks[1]
+        cold_codes = sorted(
+            (r["nn_id"], r["pq_code"][1])
+            for r in base.codes.collect())
+
+        all_vecs = self._df(spark, idx_rows + new_rows)
+        S.pq_retrain_subspaces(spark, root, flagged, all_vecs)
+        assert current_version(root) == 2
+
+        after = drift()
+        # the retrained codebook has a codeword near the drifted
+        # cluster: qerr drops from 0.5 to well under it
+        assert after[0]["mean_qerr_new"] < 0.1
+        # cold subspace: codebook AND every code slot bit-identical
+        new_index = S.read_pq_index(spark, root)
+        assert new_index.codebooks[1] == cold_books
+        assert sorted((r["nn_id"], r["pq_code"][1])
+                      for r in new_index.codes.collect()) == cold_codes
+        # retrain subsumed compaction: deltas folded into delta=0
+        assert _ndeltas(resolve_index_path(root)) == 0
+        # serve still runs from the new generation
+        q = spark.createDataFrame([(0, [0.5, 0.5, 0.0, 0.0])],
+                                  "query_id long, embedding array<double>")
+        assert S.pq_topk_from_index(new_index, q, k=3).count() == 3
+
+    def test_coverage_guard_fails_loudly(self, spark, tmp_path):
+        S, root, idx_rows, new_rows = self._setup(spark, tmp_path,
+                                                  "pq_rt_cov")
+        S.pq_append_index(spark, root, self._df(spark, new_rows))
+        # vectors missing the appended batch: refuse, never shrink
+        with pytest.raises(ValueError, match="does not cover"):
+            S.pq_retrain_subspaces(spark, root, [0],
+                                   self._df(spark, idx_rows))
+
+    def test_validates_subspaces(self, spark, tmp_path):
+        S, root, idx_rows, _ = self._setup(spark, tmp_path, "pq_rt_bad")
+        vecs = self._df(spark, idx_rows)
+        with pytest.raises(ValueError, match="outside the persisted"):
+            S.pq_retrain_subspaces(spark, root, [9], vecs)
+        with pytest.raises(ValueError, match="empty subspaces"):
+            S.pq_retrain_subspaces(spark, root, [], vecs)
+        with pytest.raises(ValueError, match="wrong corpus"):
+            S.pq_retrain_subspaces(
+                spark, root, [0],
+                self._df(spark, [(0, [1.0, 2.0])]))
+
+
+class TestIvfPqRetrainSubspaces:
+    def test_fine_retrain_keeps_coarse_side_bit_identical(self, spark,
+                                                          tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        cents = [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]]
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+        idx_rows = ([(i, [0.0, 0.0, 0.0, 0.0]) for i in range(4)]
+                    + [(4 + i, [1.0, 1.0, 1.0, 1.0]) for i in range(4)])
+        new_rows = [(10 + i, [0.5, 0.5, 0.0, 0.0]) for i in range(6)]
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>")
+
+        root = str(tmp_path / "ivfpq_rt")
+        S.write_ivfpq_index(
+            S.ivfpq_build_index(df(idx_rows), cents, books), root)
+        S.ivfpq_append_index(spark, root, df(new_rows))
+        base = S.read_ivfpq_index(spark, root)
+        coarse_before = sorted(
+            (r["nn_id"], r["centroid_id"])
+            for r in base.entries.collect())
+        cold_codes = sorted((r["nn_id"], r["pq_code"][1])
+                            for r in base.entries.collect())
+
+        S.ivfpq_retrain_subspaces(spark, root, [0],
+                                  df(idx_rows + new_rows))
+        after = S.read_ivfpq_index(spark, root)
+        # the coarse side is NOT this operator's territory: every
+        # entry keeps its cell, and the centroid table is unchanged
+        assert sorted((r["nn_id"], r["centroid_id"])
+                      for r in after.entries.collect()) == coarse_before
+        assert ([r["centroid"] for r in
+                 after.centroids.orderBy("centroid_id").collect()]
+                == cents)
+        # cold code slots bit-identical; flagged subspace recovered
+        assert sorted((r["nn_id"], r["pq_code"][1])
+                      for r in after.entries.collect()) == cold_codes
+        assert any(abs(c[0] - 0.3) < 1e-6
+                   for c in after.codebooks[0])   # Lloyd found ~[0.3,0.3]
+        q = spark.createDataFrame([(0, [0.5, 0.5, 0.0, 0.0])],
+                                  "query_id long, embedding array<double>")
+        assert S.ivfpq_topk_from_index(after, q, k=3,
+                                       nprobe=2).count() == 3
+
+    def test_coverage_guard(self, spark, tmp_path):
+        import orange3_timeseries_spark.operators.similarity as S
+
+        cents = [[0.0, 0.0], [1.0, 1.0]]
+        books = [[[0.0], [1.0]], [[0.0], [1.0]]]
+        rows = [(i, [float(i % 2), float(i % 2)]) for i in range(6)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        root = str(tmp_path / "ivfpq_rt_cov")
+        S.write_ivfpq_index(S.ivfpq_build_index(df, cents, books), root)
+        with pytest.raises(ValueError, match="does not cover"):
+            S.ivfpq_retrain_subspaces(
+                spark, root, [0], df.where(F.col("vec_id") < 3))
