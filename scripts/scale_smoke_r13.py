@@ -218,6 +218,18 @@ def main():
              else ""))
     base = tempfile.mkdtemp(prefix="scale_r13_")
     try:
+        # warm every code path (codegen, Arrow, parquet committers,
+        # the journal metadata ops) at a size too small to matter —
+        # otherwise the FIRST measured size pays one-time JVM warmup
+        # and every exponent biases low
+        print("--- warmup (N = 10,000, unrecorded)")
+        for fam, fn in [("bm25", run_bm25), ("lsh", run_lsh),
+                        ("ivfpq", run_ivfpq)]:
+            root = os.path.join(base, f"{fam}_warm")
+            fn(10_000, root)
+            shutil.rmtree(root, ignore_errors=True)
+        RESULTS.clear()
+        hygiene()
         for n in SIZES:
             print(f"--- N = {n:,}")
             for fam, fn in [("bm25", run_bm25), ("lsh", run_lsh),
