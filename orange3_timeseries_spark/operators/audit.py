@@ -148,3 +148,50 @@ def check_disjoint_ids(indexed_ids: DataFrame, new_rows: DataFrame,
 
 
 __all__.append("check_disjoint_ids")
+
+
+def check_covers_ids(indexed_ids: DataFrame, vectors: DataFrame,
+                     id_col: str, fn: str) -> None:
+    """The fail-loud guard for retrain-style operators that RE-DERIVE
+    per-id state by joining indexed rows back to a caller-supplied
+    source table (`pq_retrain_subspaces` / `ivfpq_retrain_subspaces`):
+    the source must cover every indexed id EXACTLY ONCE.
+
+    - a MISSING id means the inner join silently drops that row from
+      the new generation (an index that shrinks on retrain);
+    - a DUPLICATED id means the join fans out and the row appears
+      twice (an index that grows, serves duplicate neighbors, and
+      inflates every count the monitors report).
+
+    Both are the silent-corruption class; both raise naming offending
+    ids.  Cost: one anti-join + one grouped dup scan over the source
+    ids — the same bounded-collect early-exit shape as
+    :func:`check_disjoint_ids`."""
+    ids = vectors.select(id_col)
+    missing = (indexed_ids
+               .join(ids.distinct(), id_col, "left_anti")
+               .limit(5).collect())
+    if missing:
+        vals = [r[id_col] for r in missing]
+        raise ValueError(
+            f"{fn}: the vectors argument does not cover every indexed "
+            f"id (first missing: {vals}) — re-encoding would silently "
+            "drop those rows from the new generation. Pass the full "
+            "current corpus (indexed base + every appended batch), or "
+            "rebuild the index from scratch.")
+    dups = (ids.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") > 1)
+            .limit(5).collect())
+    if dups:
+        vals = [r[id_col] for r in dups]
+        raise ValueError(
+            f"{fn}: the vectors argument carries duplicate ids "
+            f"(first: {vals}) — the re-encode join would fan out and "
+            "the new generation would hold those rows TWICE (duplicate "
+            "neighbors at serve time, inflated monitor counts). "
+            "Deduplicate the source (e.g. dropDuplicates on the id) "
+            "and re-run.")
+
+
+__all__.append("check_covers_ids")

@@ -381,7 +381,13 @@ class _HadoopFs:
         try:
             out = self._fs.create(self._p(path), False)
         except Exception as exc:
-            raise FileExistsError(path) from exc
+            # only an actual already-exists is a collision; anything
+            # else (permissions, transient FS outage, missing parent)
+            # must surface as itself, not masquerade as a racing
+            # writer the operator would uselessly retry against
+            if self._fs.exists(self._p(path)):
+                raise FileExistsError(path) from exc
+            raise
         try:
             out.write(bytearray(content.encode("utf-8")))
             try:
@@ -422,8 +428,14 @@ class _HadoopFs:
             self._fs.delete(self._p(tmp), False)
             raise OSError(
                 f"index_store: pointer rename failed for {path!r} — "
-                "the previous pointer was removed; readers are serving "
-                "the newest committed generation. Retry the commit.")
+                "the previous pointer was removed; readers keep "
+                "serving via the newest-committed-generation fallback "
+                "(this generation's marker is already down, so it IS "
+                "the one served). Re-point by hand (write 'v=<n>' to "
+                "_CURRENT) or re-run the ingest through a fresh "
+                "begin_version — re-calling commit_version on this "
+                "directory will refuse (its writer lease was already "
+                "consumed).")
 
     def delete(self, path: str, recursive: bool = False) -> None:
         self._fs.delete(self._p(path), recursive)
@@ -656,8 +668,18 @@ def commit_version(path: str, version_path: str, *,
     if not use_cas:
         fs.publish_pointer(_join(root, _POINTER), vname + "\n")
         return
-    if not fs.pointer_cas(_join(root, _POINTER), vname + "\n",
-                          expected):
+    try:
+        won = fs.pointer_cas(_join(root, _POINTER), vname + "\n",
+                             expected)
+    except BaseException:
+        # the CAS attempt ERRORED (hook transport failure, flock
+        # OSError, …) — the pointer state is unknown but this
+        # generation was certainly not published; roll the marker back
+        # so it cannot win the no-pointer reader fallback or occupy a
+        # vacuum retention slot, then surface the real cause
+        fs.delete(marker)
+        raise
+    if not won:
         # lost the race: another writer published after this one began.
         # Roll the marker back so this generation cannot win the
         # no-pointer reader fallback or occupy a vacuum retention slot.

@@ -1994,8 +1994,18 @@ def ivf_retrain_cells(spark, path: str, cell_ids, *,
        ``j`` takes the id ``sorted(cell_ids)[j]``, so centroid ids
        stay the contiguous 0..k-1 range the serve kernel requires;
     4. re-assign ONLY the flagged vectors among the k retrained
-       centroids (same argmax + first-index rule, mapped back through
-       the sorted id order);
+       centroids, mapped back through the sorted id order.  The
+       assignment follows the family's frozen rule
+       (``base.two_level``): for fewer than 16 flagged cells — every
+       oracled/tested configuration — this is exactly the flat argmax
+       + first-index rule the replay oracle unrolls; with >=16 flagged
+       cells on a two-level index, the deterministic two-level routing
+       is REBUILT over the flagged subset, which approximates but is
+       not bit-identical to the full-set grouping appends route
+       through (a boundary vector can land in a different flagged
+       cell) — acceptable for the bucketing consumers two-level
+       serves, but do not expect appended-equals-retrained at that
+       scale;
     5. write centroids + lists + params as a fresh generation and swap
        the pointer (``write_ivf_index`` — crash mid-retrain leaves the
        old generation serving).
@@ -2485,29 +2495,6 @@ def _train_subspace_codebooks(X, flagged, K: int, ds: int, iters: int):
     return out
 
 
-def _check_vectors_cover_index(indexed_ids: DataFrame,
-                               vectors: DataFrame, id_col: str,
-                               who: str) -> None:
-    """Loud guard: a subspace retrain re-encodes the flagged code
-    slots of EVERY indexed vector, so ``vectors`` must cover every
-    indexed id — the inner join would otherwise silently DROP the
-    uncovered rows from the new generation (an index that shrinks on
-    retrain is the silent-corruption failure mode).  One anti-join
-    aggregate, the same cost class as ``check_disjoint_ids``."""
-    missing = (indexed_ids
-               .join(vectors.select(id_col).distinct(), id_col,
-                     "left_anti")
-               .limit(5).collect())
-    if missing:
-        ids = [r[id_col] for r in missing]
-        raise ValueError(
-            f"{who}: the vectors argument does not cover every indexed "
-            f"id (first missing: {ids}) — re-encoding would silently "
-            "drop those rows from the new generation. Pass the full "
-            "current corpus (indexed base + every appended batch), or "
-            "rebuild the index from scratch.")
-
-
 def _splice_flagged_codes(joined: DataFrame, flagged, new_books,
                           K: int, ds: int, vec_col: str,
                           keep_cols) -> DataFrame:
@@ -2545,6 +2532,67 @@ def _splice_flagged_codes(joined: DataFrame, flagged, new_books,
     return widen_partitions(joined).mapInPandas(splice, schema)
 
 
+def _retrain_subspaces_impl(who: str, subspaces, vectors,
+                            vec_col: str, id_col: str,
+                            sample: int, iters: int,
+                            check_coverage: bool,
+                            base_codebooks, rows: DataFrame,
+                            keep_cols):
+    """The shared kernel of :func:`pq_retrain_subspaces` and
+    :func:`ivfpq_retrain_subspaces` (one implementation — the two
+    families differ only in state-table shape and write call): flag
+    validation, the bounded ordered Lloyd sample, per-subspace re-fit,
+    the exactly-once coverage guard, and the codes ⋈ vectors
+    flagged-slot splice.  Returns ``(new_codebooks, new_rows)`` for
+    the caller's family-specific generation write."""
+    import numpy as np
+
+    from orange3_timeseries_spark.operators.audit import (
+        check_covers_ids,
+    )
+
+    flagged = sorted({int(m) for m in subspaces})
+    if not flagged:
+        raise ValueError(
+            f"{who}: empty subspaces — nothing to retrain (the drift "
+            "monitor found no subspace over threshold?)")
+    M = len(base_codebooks)
+    K = len(base_codebooks[0])
+    ds = len(base_codebooks[0][0])
+    bad = [m for m in flagged if m < 0 or m >= M]
+    if bad:
+        raise ValueError(
+            f"{who}: subspace ids {bad} are outside the persisted "
+            f"codebooks (subspaces 0..{M - 1}) — the drift report and "
+            "the index disagree; re-run the monitor against this "
+            "index.")
+    pdf = (vectors.select(id_col, vec_col).orderBy(id_col)
+           .limit(sample).toPandas().sort_values(id_col))
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            f"{who}: vectors is empty — nothing to re-fit the "
+            "codebooks on.")
+    if X.shape[1] != M * ds:
+        raise ValueError(
+            f"{who}: vectors have {X.shape[1]} dims but the persisted "
+            f"codebooks tile {M}×{ds} — wrong corpus for this index.")
+    retrained = _train_subspace_codebooks(X, flagged, K, ds, iters)
+    new_books = [retrained.get(m, base_codebooks[m])
+                 for m in range(M)]
+    if check_coverage:
+        check_covers_ids(
+            rows.select(F.col("nn_id").alias(id_col)),
+            vectors, id_col, who)
+    joined = rows.join(
+        vectors.select(F.col(id_col).alias("nn_id"),
+                       _as_double(F.col(vec_col)).alias(vec_col)),
+        "nn_id")
+    new_rows = _splice_flagged_codes(joined, flagged, retrained,
+                                     K, ds, vec_col, keep_cols)
+    return new_books, new_rows
+
+
 def pq_retrain_subspaces(spark, path: str, subspaces, vectors,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id", *,
@@ -2560,10 +2608,12 @@ def pq_retrain_subspaces(spark, path: str, subspaces, vectors,
     splice untouched), so serve behavior changes only where the
     monitor said it had already decayed.
 
-    ``vectors`` must cover every indexed id (codes store M small ints,
-    not the vectors, so re-encoding needs the originals — pass the
-    full current corpus; the coverage guard fails LOUDLY on gaps
-    because an inner join would otherwise silently shrink the index).
+    ``vectors`` must cover every indexed id EXACTLY ONCE (codes store
+    M small ints, not the vectors, so re-encoding needs the originals
+    — pass the full current corpus; the guard fails LOUDLY on gaps
+    AND on duplicate ids, because the inner join would otherwise
+    silently shrink or fan out the index —
+    ``operators/audit.py:check_covers_ids``).
 
     Procedure (all content-deterministic, so a DuckDB replay oracle
     verifies it end to end — ``ann_pq_retrain_subspaces``):
@@ -2589,50 +2639,11 @@ def pq_retrain_subspaces(spark, path: str, subspaces, vectors,
     arithmetic; the write is a generation rewrite, the same IO class
     as compaction.  Changing K or M is deliberately out of scope —
     that renumbers code slots and is an honest full rebuild."""
-    import numpy as np
-
-    flagged = sorted({int(m) for m in subspaces})
-    if not flagged:
-        raise ValueError(
-            "pq_retrain_subspaces: empty subspaces — nothing to "
-            "retrain (the drift monitor found no subspace over "
-            "threshold?)")
     base = read_pq_index(spark, path, id_col)
-    M = len(base.codebooks)
-    K = len(base.codebooks[0])
-    ds = len(base.codebooks[0][0])
-    bad = [m for m in flagged if m < 0 or m >= M]
-    if bad:
-        raise ValueError(
-            f"pq_retrain_subspaces: subspace ids {bad} are outside the "
-            f"persisted codebooks (subspaces 0..{M - 1}) — the drift "
-            "report and the index disagree; re-run the monitor against "
-            "this index.")
-    pdf = (vectors.select(id_col, vec_col).orderBy(id_col)
-           .limit(sample).toPandas().sort_values(id_col))
-    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    if len(X) == 0:
-        raise ValueError(
-            "pq_retrain_subspaces: vectors is empty — nothing to "
-            "re-fit the codebooks on.")
-    if X.shape[1] != M * ds:
-        raise ValueError(
-            f"pq_retrain_subspaces: vectors have {X.shape[1]} dims but "
-            f"the persisted codebooks tile {M}×{ds} — wrong corpus for "
-            "this index.")
-    retrained = _train_subspace_codebooks(X, flagged, K, ds, iters)
-    new_books = [retrained.get(m, base.codebooks[m])
-                 for m in range(M)]
-    if check_coverage:
-        _check_vectors_cover_index(
-            base.codes.select(F.col("nn_id").alias(id_col)).distinct(),
-            vectors, id_col, "pq_retrain_subspaces")
-    joined = base.codes.select("nn_id", "pq_code").join(
-        vectors.select(F.col(id_col).alias("nn_id"),
-                       _as_double(F.col(vec_col)).alias(vec_col)),
-        "nn_id")
-    new_codes = _splice_flagged_codes(joined, flagged, retrained,
-                                      K, ds, vec_col, ["nn_id"])
+    new_books, new_codes = _retrain_subspaces_impl(
+        "pq_retrain_subspaces", subspaces, vectors, vec_col, id_col,
+        sample, iters, check_coverage, base.codebooks,
+        base.codes.select("nn_id", "pq_code"), ["nn_id"])
     write_pq_index(PqIndex(new_codes, new_books, id_col), path)
 
 
@@ -2651,52 +2662,11 @@ def ivfpq_retrain_subspaces(spark, path: str, subspaces, vectors,
     codebooks stream through unchanged.  The generation write
     repartitions by ``centroid_id`` (``write_ivfpq_index``), so probe
     partition pruning survives the retrain."""
-    import numpy as np
-
-    flagged = sorted({int(m) for m in subspaces})
-    if not flagged:
-        raise ValueError(
-            "ivfpq_retrain_subspaces: empty subspaces — nothing to "
-            "retrain (the drift monitor found no subspace over "
-            "threshold?)")
     base = read_ivfpq_index(spark, path, id_col)
-    M = len(base.codebooks)
-    K = len(base.codebooks[0])
-    ds = len(base.codebooks[0][0])
-    bad = [m for m in flagged if m < 0 or m >= M]
-    if bad:
-        raise ValueError(
-            f"ivfpq_retrain_subspaces: subspace ids {bad} are outside "
-            f"the persisted codebooks (subspaces 0..{M - 1}) — the "
-            "drift report and the index disagree; re-run the monitor "
-            "against this index.")
-    pdf = (vectors.select(base.id_col, vec_col).orderBy(base.id_col)
-           .limit(sample).toPandas().sort_values(base.id_col))
-    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    if len(X) == 0:
-        raise ValueError(
-            "ivfpq_retrain_subspaces: vectors is empty — nothing to "
-            "re-fit the codebooks on.")
-    if X.shape[1] != M * ds:
-        raise ValueError(
-            f"ivfpq_retrain_subspaces: vectors have {X.shape[1]} dims "
-            f"but the persisted codebooks tile {M}×{ds} — wrong corpus "
-            "for this index.")
-    retrained = _train_subspace_codebooks(X, flagged, K, ds, iters)
-    new_books = [retrained.get(m, base.codebooks[m])
-                 for m in range(M)]
-    if check_coverage:
-        _check_vectors_cover_index(
-            base.entries.select(F.col("nn_id").alias(base.id_col))
-            .distinct(),
-            vectors, base.id_col, "ivfpq_retrain_subspaces")
-    joined = base.entries.select("centroid_id", "nn_id",
-                                 "pq_code").join(
-        vectors.select(F.col(base.id_col).alias("nn_id"),
-                       _as_double(F.col(vec_col)).alias(vec_col)),
-        "nn_id")
-    new_entries = _splice_flagged_codes(
-        joined, flagged, retrained, K, ds, vec_col,
+    new_books, new_entries = _retrain_subspaces_impl(
+        "ivfpq_retrain_subspaces", subspaces, vectors, vec_col,
+        base.id_col, sample, iters, check_coverage, base.codebooks,
+        base.entries.select("centroid_id", "nn_id", "pq_code"),
         ["centroid_id", "nn_id"])
     write_ivfpq_index(
         IvfPqIndex(base.centroids, new_books, new_entries,

@@ -690,3 +690,20 @@ class TestIvfPqRetrainSubspaces:
         with pytest.raises(ValueError, match="does not cover"):
             S.ivfpq_retrain_subspaces(
                 spark, root, [0], df.where(F.col("vec_id") < 3))
+
+    def test_duplicate_id_guard(self, spark, tmp_path):
+        # the growth direction of the silent-corruption class: a
+        # source with a duplicated id would fan the re-encode join out
+        import orange3_timeseries_spark.operators.similarity as S
+
+        cents = [[0.0, 0.0], [1.0, 1.0]]
+        books = [[[0.0], [1.0]], [[0.0], [1.0]]]
+        rows = [(i, [float(i % 2), float(i % 2)]) for i in range(6)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        root = str(tmp_path / "ivfpq_rt_dup")
+        S.write_ivfpq_index(S.ivfpq_build_index(df, cents, books), root)
+        with pytest.raises(ValueError, match="duplicate ids"):
+            S.ivfpq_retrain_subspaces(
+                spark, root, [0], df.unionByName(
+                    df.where(F.col("vec_id") == 2)))

@@ -1079,3 +1079,32 @@ class TestAborts:
                                 "t").count() == 5
         with pytest.raises(ValueError, match="committed delta"):
             abort_delta(d1)
+
+class TestCasErrorPaths:
+    def test_erroring_hook_rolls_marker_back(self, spark, tmp_path):
+        # a CAS attempt that ERRORS (transport failure, not a lost
+        # race) must not leave a committed-but-never-published
+        # generation: the marker rolls back, the real cause surfaces
+        import orange3_timeseries_spark.operators.index_store as ist
+
+        def bad_hook(pointer_path, content, expected):
+            raise RuntimeError("simulated transport failure")
+
+        auth = "e" + os.path.basename(str(tmp_path)).replace("_", "")
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            f"fs.viewfs.mounttable.{auth}.link./idx",
+            "file://" + str(tmp_path))
+        root = f"viewfs://{auth}/idx/erridx"
+        v1 = begin_version(root)
+        commit_version(root, v1, cas=False)      # v=1 via legacy swap
+        ist.register_pointer_cas("viewfs", bad_hook)
+        try:
+            v2 = begin_version(root)
+            with pytest.raises(RuntimeError, match="transport"):
+                commit_version(root, v2)
+        finally:
+            ist.unregister_pointer_cas("viewfs")
+        assert current_version(root) == 1        # still serving v=1
+        assert resolve_index_path(root).endswith("v=1")
+        assert not os.path.isfile(
+            os.path.join(str(tmp_path), "erridx", "v=2", "_COMMITTED"))
