@@ -5543,3 +5543,168 @@ def q_ann_ivf_retrain_null_drift(spark, sf_dir):
     S.ivf_retrain_cells(spark, path, flagged)
     return S.ivf_topk_from_index(S.read_ivf_index(spark, path),
                                  _ann_seed_queries(e), k=5, nprobe=4)
+
+
+def _ivfpq_retrain_sql(M=8, ds=8, K=16, k=5, nprobe=4, n_queries=10,
+                       n_flag=2, sample=2048, iters=10):
+    """Composite-family fine-codebook retrain replay: the
+    ``_pq_retrain_sql`` drift→flag→Lloyd→splice stages composed with
+    ``_ivfpq_sql``'s coarse assignment/probe/ADC serve — the coarse
+    half is untouched by the retrain (entries keep their cells), so
+    its CTEs replay verbatim while the LUT/code side reads the
+    UPDATED codebooks."""
+    chain = " + ".join(
+        f"((s.sv[{i+1}]) - (b.cv[{i+1}])) * ((s.sv[{i+1}]) - (b.cv[{i+1}]))"
+        for i in range(ds))
+    stages = [f"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv,
+         list_inner_product(v, v) / 2.0 AS half_cc
+  FROM c WHERE vec_id < {K}),
+assign AS MATERIALIZED (
+  SELECT vec_id AS nn_id, cid
+  FROM c CROSS JOIN cent
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid) = 1),
+ms AS (SELECT unnest(generate_series(0, {M-1})) AS m),
+cb AS (SELECT x.vec_id AS j, ms.m,
+              list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS cv
+       FROM c x, ms WHERE x.vec_id < {K}),
+sl AS MATERIALIZED (
+  SELECT x.vec_id, ms.m,
+         list_slice(x.v, ms.m*{ds}+1, ms.m*{ds}+{ds}) AS sv
+  FROM c x, ms),
+enc AS MATERIALIZED (
+  SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+  FROM sl s JOIN cb b ON s.m = b.m),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, j AS code,
+         CAST(round(round(dist, 6) * 1000000.0) AS BIGINT) AS qe
+  FROM (SELECT vec_id, m, j, dist,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, j) AS rn
+        FROM enc) t
+  WHERE rn = 1),
+nwq AS (SELECT m, count(*)::BIGINT AS n_new, sum(qe)::BIGINT AS qe_tot
+        FROM codes WHERE vec_id % 2 = 1 GROUP BY 1),
+fl AS MATERIALIZED (
+  SELECT m FROM (
+    SELECT m, (qe_tot::DOUBLE / n_new::DOUBLE) / 1000000.0 AS mq
+    FROM nwq)
+  ORDER BY mq DESC NULLS LAST, m LIMIT {n_flag}),
+samp AS MATERIALIZED (
+  SELECT v, rn FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM c) t
+  WHERE rn < {sample}),
+nn AS (SELECT count(*) AS cnt FROM samp),
+sm AS MATERIALIZED (
+  SELECT f.m, s.rn,
+         list_slice(s.v, f.m*{ds}+1, f.m*{ds}+{ds}) AS sv
+  FROM samp s CROSS JOIN fl f),
+rc0 AS MATERIALIZED (
+  SELECT sm.m, g.j, sm.sv AS cv
+  FROM (SELECT unnest(generate_series(0, {K - 1})) AS j) g
+  CROSS JOIN nn
+  JOIN sm ON sm.rn = (g.j * nn.cnt) // {K})"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        stages.append(f"""ra{t} AS MATERIALIZED (
+  SELECT s.m, s.rn, s.sv, cc.j
+  FROM sm s JOIN rc{p} cc ON s.m = cc.m
+  QUALIFY row_number() OVER (PARTITION BY s.m, s.rn
+      ORDER BY list_inner_product(s.sv, cc.cv)
+               - list_inner_product(cc.cv, cc.cv) / 2.0 DESC, cc.j) = 1),
+rm{t} AS (
+  SELECT m, j, list(mv ORDER BY d) AS cv FROM (
+    SELECT m, j, d, round(avg(val), 6) AS mv
+    FROM (SELECT m, j, unnest(sv) AS val, generate_subscripts(sv, 1) AS d
+          FROM ra{t}) u
+    GROUP BY m, j, d) g
+  GROUP BY m, j),
+rc{t} AS MATERIALIZED (
+  SELECT p.m, p.j,
+         coalesce(q.cv, list_transform(p.cv, x -> round(x, 6))) AS cv
+  FROM rc{p} p LEFT JOIN rm{t} q ON p.m = q.m AND p.j = q.j)""")
+    stages.append(f"""cb2 AS MATERIALIZED (
+  SELECT m, j, cv FROM rc{iters}
+  UNION ALL
+  SELECT b.m, b.j, b.cv FROM cb b
+  WHERE b.m NOT IN (SELECT m FROM fl)),
+enc2 AS MATERIALIZED (
+  SELECT s.vec_id, s.m, b.j, ({chain}) AS dist
+  FROM sl s JOIN cb2 b ON s.m = b.m),
+codes2 AS MATERIALIZED (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT e2.vec_id, e2.m, e2.j, e2.dist,
+           row_number() OVER (PARTITION BY e2.vec_id, e2.m
+                              ORDER BY e2.dist, e2.j) AS rn
+    FROM enc2 e2 JOIN fl ON e2.m = fl.m) t
+  WHERE rn = 1
+  UNION ALL
+  SELECT cx.vec_id, cx.m, cx.code FROM codes cx
+  WHERE cx.m NOT IN (SELECT m FROM fl)),
+probes AS (
+  SELECT vec_id AS query_id, cid
+  FROM c CROSS JOIN cent
+  WHERE vec_id < {n_queries}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_inner_product(v, cv) - half_cc DESC, cid)
+      <= {nprobe}),
+adc AS (
+  SELECT p.query_id, a.nn_id, sum(qe2.dist) AS approx
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN codes2 cx ON cx.vec_id = a.nn_id
+  JOIN enc2 qe2 ON qe2.vec_id = p.query_id
+               AND qe2.m = cx.m AND qe2.j = cx.code
+  WHERE a.nn_id != p.query_id
+  GROUP BY 1, 2)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT query_id, nn_id, approx_l2, rank FROM (
+  SELECT query_id, nn_id, round(approx, 6) AS approx_l2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(approx, 6), nn_id) AS rank
+  FROM adc) t
+WHERE rank <= {k}"""
+
+
+@query("ann_ivfpq_retrain_subspaces", _ivfpq_retrain_sql())
+def q_ann_ivfpq_retrain_subspaces(spark, sf_dir):
+    """The composite family's fine-codebook drift loop, driver-
+    verified — the third and last cell of the monitor→remedy matrix
+    (IVF coarse cells r12, PQ subspaces this round, IVF-PQ fine
+    codebooks here): build the IVF-PQ index over the even-id half
+    under the deterministic seed models and WRITE it; run the PQ
+    subspace drift monitor against the arriving odd-id batch (the
+    entries' codes ARE a PQ code table — the monitor composes
+    directly); FLAG the 2 worst-error subspaces; journaled APPEND;
+    RETRAIN only the flagged subspaces
+    (operators/similarity.py:ivfpq_retrain_subspaces — the shared
+    `_retrain_subspaces_impl` kernel: per-subspace deterministic
+    Lloyd + one entries ⋈ vectors spliced re-encode; every entry
+    keeps its coarse cell bit-identically, cold code slots and cold
+    codebooks untouched); and serve the standard probes.  The oracle
+    composes the verified `_pq_retrain_sql` drift/Lloyd/splice stages
+    with `_ivfpq_sql`'s untouched coarse assignment/probe/ADC —
+    hash-green proves the composite retrain exact end to end."""
+    e = read_table(spark, sf_dir, "embeddings")
+    odd = e.where(F.col("vec_id") % 2 != 0)
+    path = _fresh_state_path("ivfpq_rt", sf_dir)
+    S.write_ivfpq_index(
+        S.ivfpq_build_index(e.where(F.col("vec_id") % 2 == 0),
+                            _ann_seed_centroids(e),
+                            _ann_seed_books(e)), path)
+    base = S.read_ivfpq_index(spark, path)
+    drift = S.pq_drift_by_subspace(
+        S.PqIndex(base.entries.select("nn_id", "pq_code"),
+                  base.codebooks, base.id_col), odd).collect()
+    drift.sort(key=lambda r: (
+        (r["mean_qerr_new"] is None),
+        -(r["mean_qerr_new"] or 0.0), r["m"]))
+    flagged = [int(r["m"]) for r in drift[:2]]
+    S.ivfpq_append_index(spark, path, odd)
+    S.ivfpq_retrain_subspaces(spark, path, flagged, e)
+    return S.ivfpq_topk_from_index(S.read_ivfpq_index(spark, path),
+                                   _ann_seed_queries(e), k=5,
+                                   nprobe=4)
