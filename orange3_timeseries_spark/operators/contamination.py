@@ -47,32 +47,35 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, text_col: str,
     so the output is a full audit table, filterable downstream).
 
     Plan: benchmark -> distinct exploded n-grams (small) -> broadcast;
-    corpus -> explode distinct n-grams [map-only] -> broadcast LEFT SEMI
-    hash join marks hits without shuffling the corpus -> count hits per
-    document [one skinny shuffle] -> left join back onto the per-document
-    n-gram totals (computed in the same corpus scan stage).
+    corpus -> ONE scan computing the shingle set, exploded (outer, so
+    gram-less documents keep their row) -> broadcast LEFT join marks
+    hits without shuffling the corpus -> ONE skinny per-document
+    aggregation counts grams and hits together.  (The previous shape
+    ran the shingle pass twice — a totals branch and a hits branch —
+    and re-joined them: two corpus passes and two shuffles for what one
+    of each computes; guide §2.3/§2.4.)
     """
     bench_grams = (benchmark
                    .select(F.explode(shingles_expr(F.col(text_col), n))
                            .alias("__g__"))
-                   .distinct())
-    base = widen_partitions(corpus.select(id_col, text_col)).select(
+                   .distinct()
+                   .withColumn("__hit__", F.lit(1)))
+    exploded = widen_partitions(corpus.select(id_col, text_col)).select(
         F.col(id_col),
-        shingles_expr(F.col(text_col), n).alias("__grams__"))
-    totals = base.select(id_col, F.size("__grams__").alias("n_ngrams"))
-    hits = (base.select(id_col, F.explode("__grams__").alias("__g__"))
-            .join(F.broadcast(bench_grams), "__g__", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_hit")))
-    return (totals.join(hits, id_col, "left")
-            .select(
-                id_col,
-                F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-                "n_ngrams",
-                F.when(F.col("n_ngrams") > 0,
-                       F.coalesce("n_hit", F.lit(0))
-                       / F.col("n_ngrams").cast("double"))
-                .otherwise(F.lit(0.0)).alias("contamination_frac")))
+        F.explode_outer(shingles_expr(F.col(text_col), n))
+        .alias("__g__"))
+    agg = (exploded
+           .join(F.broadcast(bench_grams), "__g__", "left")
+           .groupBy(id_col)
+           .agg(F.count("__hit__").alias("n_hit"),
+                F.count("__g__").cast("int").alias("n_ngrams")))
+    return agg.select(
+        id_col,
+        F.col("n_hit"),
+        "n_ngrams",
+        F.when(F.col("n_ngrams") > 0,
+               F.col("n_hit") / F.col("n_ngrams").cast("double"))
+        .otherwise(F.lit(0.0)).alias("contamination_frac"))
 
 
 def unigram_table(corpus: DataFrame, text_col: str,

@@ -954,27 +954,33 @@ def write_lsh_index(index: LshIndex, path: str) -> None:
         base_table_path,
         begin_version,
         commit_version,
+        run_concurrent,
+        write_small_table,
     )
 
     root = path
     path = begin_version(root)
     # entries/docs are appendable: base data under <table>/delta=0
     # (the journaled layout — appends become partition dirs of the
-    # SAME scan)
-    (index.entries.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(base_table_path(path, "entries")))
+    # SAME scan).  The two writes are independent — overlap them
+    # (guide §2.6)
     dbucket = F.pmod(F.xxhash64(F.col(index.id_col)),
                      F.lit(index.n_buckets)).cast("int")
-    (index.docs.withColumn("dbucket", dbucket).repartition("dbucket")
-     .write.mode("overwrite").partitionBy("dbucket")
-     .parquet(base_table_path(path, "docs")))
+    run_concurrent(
+        lambda: (index.entries.repartition("bucket")
+                 .write.mode("overwrite").partitionBy("bucket")
+                 .parquet(base_table_path(path, "entries"))),
+        lambda: (index.docs.withColumn("dbucket", dbucket)
+                 .repartition("dbucket")
+                 .write.mode("overwrite").partitionBy("dbucket")
+                 .parquet(base_table_path(path, "docs"))))
     spark = index.entries.sparkSession
-    params = spark.createDataFrame(
+    write_small_table(
+        spark, os.path.join(path, "params"),
         [(index.k, index.bands, index.n, index.n_buckets,
           index.hash_family, index.id_col, index.text_col)],
         "k int, bands int, n int, n_buckets int, hash_family string,"
         " id_col string, text_col string")
-    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
     commit_version(root, path)
 
 
@@ -989,7 +995,10 @@ def read_lsh_index(spark, path: str) -> LshIndex:
     )
 
     path = resolve_index_path(path)
-    p = spark.read.parquet(os.path.join(path, "params")).first()
+    from orange3_timeseries_spark.operators.index_store import (
+        read_small_table_row,
+    )
+    p = read_small_table_row(spark, os.path.join(path, "params"))
     # entries/docs union COMMITTED journaled append deltas — a torn
     # append is invisible (index_store.read_index_table)
     return LshIndex(
@@ -1152,14 +1161,22 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
                             n_buckets=base.n_buckets,
                             hash_family=base.hash_family)
     dpath = begin_delta(path)
-    (delta.entries.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket")
-     .parquet(delta_table_path(dpath, "entries")))
     dbucket = F.pmod(F.xxhash64(F.col(id_col)),
                      F.lit(base.n_buckets)).cast("int")
-    (delta.docs.select(id_col, text_col).withColumn("dbucket", dbucket)
-     .repartition("dbucket").write.mode("overwrite")
-     .partitionBy("dbucket").parquet(delta_table_path(dpath, "docs")))
+    # the two delta-table writes are independent — overlap them
+    # (guide §2.6); the commit marker lands strictly after both
+    from orange3_timeseries_spark.operators.index_store import (
+        run_concurrent,
+    )
+    run_concurrent(
+        lambda: (delta.entries.repartition("bucket")
+                 .write.mode("overwrite").partitionBy("bucket")
+                 .parquet(delta_table_path(dpath, "entries"))),
+        lambda: (delta.docs.select(id_col, text_col)
+                 .withColumn("dbucket", dbucket)
+                 .repartition("dbucket").write.mode("overwrite")
+                 .partitionBy("dbucket")
+                 .parquet(delta_table_path(dpath, "docs"))))
     commit_delta(dpath)
 
 
@@ -1257,12 +1274,15 @@ def write_simhash_index(index: SimHashIndex, path: str) -> None:
     (index.entries.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(base_table_path(path, "entries")))
     spark = index.entries.sparkSession
-    spark.createDataFrame(
+    from orange3_timeseries_spark.operators.index_store import (
+        write_small_table,
+    )
+    write_small_table(
+        spark, os.path.join(path, "params"),
         [(index.bits, index.band_bits, index.n_buckets, index.id_col,
           index.text_col)],
         "bits int, band_bits int, n_buckets int, id_col string,"
-        " text_col string"
-    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+        " text_col string")
     commit_version(root, path)
 
 
@@ -1275,10 +1295,11 @@ def read_simhash_index(spark, path: str) -> SimHashIndex:
     )
 
     path = resolve_index_path(path)
-    p = spark.read.parquet(os.path.join(path, "params")).first()
     from orange3_timeseries_spark.operators.index_store import (
         read_index_table,
+        read_small_table_row,
     )
+    p = read_small_table_row(spark, os.path.join(path, "params"))
 
     # entries union COMMITTED journaled append deltas
     return SimHashIndex(

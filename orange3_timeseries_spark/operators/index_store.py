@@ -1014,3 +1014,168 @@ def vacuum_index(path: str, keep_last: int = 1) -> List[int]:
             fs.delete(_join(root, f"v={v}"), recursive=True)
             removed.append(v)
     return removed
+
+
+# --------------------------------------------------------------- perf helpers
+# Round-13 optimization tier (spark_optimization_guide §2.6, §5):
+# - independent state-table writes of ONE generation/delta overlap as
+#   concurrent driver-thread jobs, so the tail of one write back-fills
+#   the cluster instead of leaving it idle;
+# - one-row metadata tables (params, stats, codebooks) move through the
+#   driver directly: scheduling a distributed job to persist or read a
+#   handful of rows is pure overhead at ANY scale, and the driver is
+#   already the single writer of the generation.  Remote schemes fall
+#   back to Spark jobs (the JVM owns those filesystems).
+
+
+def run_concurrent(*thunks):
+    """Run independent Spark actions (the state-table writes of one
+    index generation) concurrently from driver threads and return
+    their results in order.  Spark's scheduler interleaves the jobs
+    (FIFO), so the tail tasks of one write back-fill executors freed
+    by another — guide §2.6.  Exceptions re-raise (first by position);
+    a failed write aborts the enclosing begin/commit window anyway, so
+    partial sibling writes are unreferenced garbage, never visible."""
+    thunks = [t for t in thunks if t is not None]
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    # the JVM's active-SparkSession is THREAD-local (and PySpark pins
+    # Python threads to JVM threads), so a bare worker thread would see
+    # no active session — re-activate the caller's session in each
+    # worker before running its thunk (anything reaching
+    # SparkSession.getActiveSession(), e.g. the remote-scheme _HadoopFs
+    # backend, keeps working under concurrency)
+    sess = None
+    try:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+    except Exception:
+        pass
+
+    def _run(t):
+        if sess is not None:
+            try:
+                sess._jvm.org.apache.spark.sql.SparkSession \
+                    .setActiveSession(sess._jsparkSession)
+            except Exception:
+                pass
+        return t()
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(_run, t) for t in thunks]
+        return [f.result() for f in futures]
+
+
+_PA_TYPES = {"int": "int32", "integer": "int32", "bigint": "int64",
+             "long": "int64", "string": "string", "double": "float64",
+             "float": "float32", "boolean": "bool_"}
+
+
+def _pa_type(ddl: str):
+    import pyarrow as pa
+    ddl = ddl.strip().lower()
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        return pa.list_(_pa_type(ddl[6:-1]))
+    return getattr(pa, _PA_TYPES[ddl])()
+
+
+def write_small_table(spark, path: str, rows, schema: str) -> None:
+    """Persist a small driver-resident metadata table (params / stats /
+    codebooks — O(model) rows by contract) as ONE parquet file written
+    directly by the driver when the path is local, skipping the
+    createDataFrame→job→commit cycle entirely; remote schemes (and any
+    local-write surprise) fall back to the plain Spark write.  The
+    on-disk artifact is byte-compatible parquet either way — readers
+    (Spark or pyarrow) cannot tell which path wrote it."""
+    fs, p = _fs_for(path)
+    if not fs.remote:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            fields = [f.strip().rsplit(None, 1)
+                      for f in _split_ddl(schema)]
+            arrays = [pa.array([r[i] for r in rows], type=_pa_type(t))
+                      for i, (_n, t) in enumerate(fields)]
+            table = pa.Table.from_arrays(
+                arrays, names=[n for n, _t in fields])
+            fs.mkdirs(p, exist_ok=True)
+            pq.write_table(table, os.path.join(p, "part-00000.parquet"),
+                           compression="snappy")
+            return
+        except Exception:
+            pass
+    spark.createDataFrame(list(rows), schema) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _split_ddl(schema: str) -> List[str]:
+    """Split a DDL field list on TOP-LEVEL commas (array<…> commas
+    don't split)."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _read_small_local(path: str):
+    """All rows of a small local parquet table via pyarrow (driver-side,
+    no Spark job), as pyspark Rows; None when the fast path does not
+    apply (remote scheme, missing dir, unreadable file)."""
+    fs, p = _fs_for(path)
+    if fs.remote:
+        return None
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        parts = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+        if not parts:
+            return None
+        from pyspark.sql import Row
+
+        out = []
+        for part in parts:
+            t = pq.read_table(part)
+            cols = t.column_names
+            for i in range(t.num_rows):
+                out.append(Row(**{c: t.column(c)[i].as_py()
+                                  for c in cols}))
+        return out
+    except Exception:
+        return None
+
+
+def read_small_table_row(spark, path: str):
+    """First row of a metadata table — driver-side pyarrow on local
+    paths (no Spark job), Spark read otherwise.  A missing table
+    raises the SAME AnalysisException the plain Spark read raises
+    (callers' pre-params fallbacks key on it)."""
+    rows = _read_small_local(path)
+    if rows:
+        return rows[0]
+    return spark.read.parquet(path).first()
+
+
+def read_small_table_rows(spark, path: str):
+    """All rows of a metadata table (e.g. PQ codebooks — O(M·K) rows
+    by contract), driver-side on local paths."""
+    rows = _read_small_local(path)
+    if rows is not None and rows:
+        return rows
+    return spark.read.parquet(path).collect()
+
+
+__all__ += ["run_concurrent", "write_small_table",
+            "read_small_table_row", "read_small_table_rows"]

@@ -378,6 +378,8 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
         base_table_path,
         begin_version,
         commit_version,
+        run_concurrent,
+        write_small_table,
     )
 
     root = path
@@ -390,16 +392,36 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
     (index.postings.repartition("bucket").write.mode("overwrite")
      .partitionBy("bucket").parquet(base_table_path(path, "postings")))
     pr = spark.read.parquet(base_table_path(path, "postings"))
-    (pr.where(F.col("token").isNotNull())
-     .groupBy("token", "bucket")
-     .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-     .select("token", "df", "bucket")
-     .repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(base_table_path(path, "token_df")))
-    derived = (pr.groupBy(index.id_col).agg(F.max("dl").alias("__dl__"))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                    F.sum("__dl__").cast("bigint").alias("sum_dl"))
-               .first())
+
+    # token_df write, stats derivation, and the optional carried-stats
+    # cross-check are INDEPENDENT jobs over the written postings — run
+    # them concurrently (index_store.run_concurrent, guide §2.6) so
+    # one write's task tail back-fills the other's
+    def _write_token_df():
+        (pr.where(F.col("token").isNotNull())
+         .groupBy("token", "bucket")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+         .select("token", "df", "bucket")
+         .repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket").parquet(base_table_path(path,
+                                                        "token_df")))
+
+    def _derive_stats():
+        return (pr.groupBy(index.id_col)
+                .agg(F.max("dl").alias("__dl__"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                     F.sum("__dl__").cast("bigint").alias("sum_dl"))
+                .first())
+
+    def _carried_stats():
+        return index.stats.agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl")).first()
+
+    _, derived, carried = run_concurrent(
+        _write_token_df, _derive_stats,
+        None if index.stats_trusted else _carried_stats) + \
+        ([None] if index.stats_trusted else [])
     if not index.stats_trusted:
         # the derivation assumes postings are sentinel-complete (every
         # indexed id has >= 1 row).  An index whose base came from a
@@ -408,9 +430,6 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
         # in-memory index carried.  Cross-check against the carried
         # stats (SUM-aggregated: merged/fragmented stats may be
         # multi-row) and fail LOUDLY on mismatch.
-        carried = index.stats.agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs"),
-            F.sum("sum_dl").cast("bigint").alias("sum_dl")).first()
         if (carried["n_docs"], carried["sum_dl"]) != \
                 (derived["n_docs"], derived["sum_dl"]):
             raise ValueError(
@@ -421,16 +440,16 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
                 " — the postings are not a complete per-doc record "
                 "(legacy pre-sentinel base index, or externally edited "
                 "state). Rebuild the index from the source corpus.")
-    spark.createDataFrame(
+    write_small_table(
+        spark, base_table_path(path, "stats"),
         [(derived["n_docs"], derived["sum_dl"], int(index.n_buckets))],
-        "n_docs bigint, sum_dl bigint, n_buckets int"
-    ).write.mode("overwrite").parquet(base_table_path(path, "stats"))
+        "n_docs bigint, sum_dl bigint, n_buckets int")
     # one-row params table so the index reconstructs itself from disk
     # (the LSH/IVF families' contract): without it a reader had to
     # rediscover the build-time id column out-of-band
-    spark.createDataFrame([(index.id_col, int(index.n_buckets))],
-                          "id_col string, n_buckets int") \
-        .write.mode("overwrite").parquet(os.path.join(path, "params"))
+    write_small_table(spark, os.path.join(path, "params"),
+                      [(index.id_col, int(index.n_buckets))],
+                      "id_col string, n_buckets int")
     # every table of the generation is on disk — publish it
     commit_version(root, path)
 
@@ -463,7 +482,10 @@ def read_bm25_index(spark: SparkSession, path: str,
     # (index_store.read_index_table) — a torn append is invisible
     stats = read_index_table(spark, path, "stats")
     try:
-        p = spark.read.parquet(os.path.join(path, "params")).first()
+        from orange3_timeseries_spark.operators.index_store import (
+            read_small_table_row,
+        )
+        p = read_small_table_row(spark, os.path.join(path, "params"))
         if id_col is None:
             id_col = p["id_col"]
         n_buckets = int(p["n_buckets"])
@@ -657,6 +679,8 @@ def bm25_append_index(spark: SparkSession, path: str,
         delta_table_path,
         require_journaled_layout,
         resolve_index_path,
+        run_concurrent,
+        write_small_table,
     )
 
     # fail BEFORE allocating the delta dir on a pre-journal generation
@@ -676,23 +700,40 @@ def bm25_append_index(spark: SparkSession, path: str,
     # re-executes the explode+tf aggregation over the batch
     dp = delta.postings.localCheckpoint()
     dpath = begin_delta(path)
-    (dp.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(delta_table_path(dpath, "postings")))
     bucket = F.pmod(F.xxhash64(F.col("token")),
                     F.lit(base.n_buckets)).cast("int")
-    (dp.where(F.col("token").isNotNull())
-     .groupBy("token")
-     .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-     .select("token", "df", bucket.alias("bucket"))
-     .repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(delta_table_path(dpath, "token_df")))
-    # stats derived from the pinned postings — sentinel rows make them
-    # a complete per-doc record, exactly the write path's derivation
-    (dp.groupBy(base.id_col).agg(F.max("dl").alias("__dl__"))
-     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-          F.sum("__dl__").cast("bigint").alias("sum_dl"),
-          F.lit(int(base.n_buckets)).alias("n_buckets"))
-     .write.mode("overwrite").parquet(delta_table_path(dpath, "stats")))
+
+    # the three delta-table writes all read the PINNED postings and are
+    # independent of each other — overlap them (guide §2.6); the commit
+    # marker still lands strictly after all three complete
+    def _w_postings():
+        (dp.repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket")
+         .parquet(delta_table_path(dpath, "postings")))
+
+    def _w_token_df():
+        (dp.where(F.col("token").isNotNull())
+         .groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+         .select("token", "df", bucket.alias("bucket"))
+         .repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket")
+         .parquet(delta_table_path(dpath, "token_df")))
+
+    def _w_stats():
+        # stats derived from the pinned postings — sentinel rows make
+        # them a complete per-doc record, exactly the write path's
+        # derivation; the one-row result lands driver-side
+        st = (dp.groupBy(base.id_col).agg(F.max("dl").alias("__dl__"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                   F.sum("__dl__").cast("bigint").alias("sum_dl"))
+              .first())
+        write_small_table(
+            spark, delta_table_path(dpath, "stats"),
+            [(st["n_docs"], st["sum_dl"], int(base.n_buckets))],
+            "n_docs bigint, sum_dl bigint, n_buckets int")
+
+    run_concurrent(_w_postings, _w_token_df, _w_stats)
     # marker LAST — the atomic commit point for the whole batch
     commit_delta(dpath)
 

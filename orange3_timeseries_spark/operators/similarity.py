@@ -1008,20 +1008,52 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
         commit_version,
     )
 
+    from orange3_timeseries_spark.operators.index_store import (
+        run_concurrent,
+        write_small_table,
+    )
+
     root = path
     path = begin_version(root)
-    index.centroids.write.mode("overwrite").parquet(
-        os.path.join(path, "centroids"))
-    # lists are appendable: base data under lists/delta=0 (the
-    # journaled layout — appends become partition dirs of ONE scan)
-    (index.lists.repartition("centroid_id").write.mode("overwrite")
-     .partitionBy("centroid_id")
-     .parquet(base_table_path(path, "lists")))
+    # centroids and lists writes are independent — overlap them
+    # (guide §2.6); lists are appendable: base data under lists/delta=0
+    # (the journaled layout — appends become partition dirs of ONE scan)
+    run_concurrent(
+        lambda: index.centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")),
+        lambda: (index.lists.repartition("centroid_id")
+                 .write.mode("overwrite").partitionBy("centroid_id")
+                 .parquet(base_table_path(path, "lists"))))
     spark = index.lists.sparkSession
-    spark.createDataFrame([(bool(index.two_level),)],
-                          "two_level boolean").write.mode(
-        "overwrite").parquet(os.path.join(path, "params"))
+    write_small_table(spark, os.path.join(path, "params"),
+                      [(bool(index.two_level),)], "two_level boolean")
     commit_version(root, path)
+
+
+def _centroids_df_from_disk(spark, vpath: str):
+    """The persisted coarse-quantizer table as a DataFrame.  Centroids
+    are O(k·d) by contract ("broadcast/collected at serve time"), so on
+    local paths they load driver-side (index_store, no Spark job) and
+    come back as the SAME local-relation shape the live build path's
+    ``createDataFrame`` produces — every later ``collect()`` at a
+    serve/merge/append/drift site is then a LocalTableScan, not a
+    repeated parquet scan job.  Remote paths keep the plain Spark
+    read."""
+    import os
+
+    from orange3_timeseries_spark.operators.index_store import (
+        _read_small_local,
+    )
+
+    cpath = os.path.join(vpath, "centroids")
+    rows = _read_small_local(cpath)
+    if rows:
+        rows = sorted(rows, key=lambda r: int(r["centroid_id"]))
+        return spark.createDataFrame(
+            [(int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+             for r in rows],
+            "centroid_id int, centroid array<double>")
+    return spark.read.parquet(cpath)
 
 
 def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
@@ -1043,10 +1075,13 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
     )
 
     path = resolve_index_path(path)
+    from orange3_timeseries_spark.operators.index_store import (
+        read_small_table_row,
+    )
     try:
         two_level = bool(
-            spark.read.parquet(os.path.join(path, "params"))
-            .first()["two_level"])
+            read_small_table_row(spark, os.path.join(path, "params"))
+            ["two_level"])
     except Exception as exc:
         raise ValueError(
             f"read_ivf_index: no readable params table under {path!r} "
@@ -1057,7 +1092,7 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> IvfIndex:
             "the current write_ivf_index, or write the one-row params "
             "parquet yourself if the rule is known.") from exc
     return IvfIndex(
-        spark.read.parquet(os.path.join(path, "centroids")),
+        _centroids_df_from_disk(spark, path),
         # lists union COMMITTED journaled append deltas — a torn
         # append is invisible (index_store.read_index_table)
         read_index_table(spark, path, "lists"), id_col,
@@ -1640,9 +1675,11 @@ def write_pq_index(index: PqIndex, path: str) -> None:
     rows = [(int(m), int(j), [float(x) for x in c])
             for m, cb in enumerate(index.codebooks)
             for j, c in enumerate(cb)]
-    spark.createDataFrame(
-        rows, "m int, j int, centroid array<double>"
-    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    from orange3_timeseries_spark.operators.index_store import (
+        write_small_table,
+    )
+    write_small_table(spark, os.path.join(path, "codebooks"), rows,
+                      "m int, j int, centroid array<double>")
     commit_version(root, path)
 
 
@@ -1697,7 +1734,10 @@ def read_pq_index(spark, path: str, id_col: str = "vec_id") -> PqIndex:
     )
 
     path = resolve_index_path(path)
-    rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    from orange3_timeseries_spark.operators.index_store import (
+        read_small_table_rows,
+    )
+    rows = read_small_table_rows(spark, os.path.join(path, "codebooks"))
     codebooks = _codebooks_from_rows(rows, path, "read_pq_index")
     from orange3_timeseries_spark.operators.index_store import (
         read_index_table,
@@ -2295,22 +2335,29 @@ def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
         commit_version,
     )
 
+    from orange3_timeseries_spark.operators.index_store import (
+        run_concurrent,
+        write_small_table,
+    )
+
     root = path
     path = begin_version(root)
-    index.centroids.write.mode("overwrite").parquet(
-        os.path.join(path, "centroids"))
-    (index.entries.repartition("centroid_id").write.mode("overwrite")
-     .partitionBy("centroid_id")
-     .parquet(base_table_path(path, "entries")))
+    # centroids and entries writes are independent — overlap them
+    # (guide §2.6); codebooks/params rows are already driver-resident
+    run_concurrent(
+        lambda: index.centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")),
+        lambda: (index.entries.repartition("centroid_id")
+                 .write.mode("overwrite").partitionBy("centroid_id")
+                 .parquet(base_table_path(path, "entries"))))
     spark = index.entries.sparkSession
     rows = [(int(m), int(j), [float(x) for x in c])
             for m, cb in enumerate(index.codebooks)
             for j, c in enumerate(cb)]
-    spark.createDataFrame(
-        rows, "m int, j int, centroid array<double>"
-    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
-    spark.createDataFrame([(index.id_col,)], "id_col string") \
-        .write.mode("overwrite").parquet(os.path.join(path, "params"))
+    write_small_table(spark, os.path.join(path, "codebooks"), rows,
+                      "m int, j int, centroid array<double>")
+    write_small_table(spark, os.path.join(path, "params"),
+                      [(index.id_col,)], "id_col string")
     commit_version(root, path)
 
 
@@ -2327,15 +2374,20 @@ def read_ivfpq_index(spark, path: str,
         resolve_index_path,
     )
 
+    from orange3_timeseries_spark.operators.index_store import (
+        read_small_table_row,
+        read_small_table_rows,
+    )
+
     vpath = resolve_index_path(path)
-    rows = spark.read.parquet(
-        os.path.join(vpath, "codebooks")).collect()
+    rows = read_small_table_rows(spark,
+                                 os.path.join(vpath, "codebooks"))
     codebooks = _codebooks_from_rows(rows, vpath, "read_ivfpq_index")
     if id_col is None:
-        id_col = spark.read.parquet(
-            os.path.join(vpath, "params")).first()["id_col"]
+        id_col = read_small_table_row(
+            spark, os.path.join(vpath, "params"))["id_col"]
     return IvfPqIndex(
-        spark.read.parquet(os.path.join(vpath, "centroids")),
+        _centroids_df_from_disk(spark, vpath),
         codebooks, read_index_table(spark, vpath, "entries"), id_col)
 
 

@@ -59,6 +59,11 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     # keep byte-light CPU-heavy stages wide under AQE (cf. session._DEFAULTS)
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    try:  # committer v2 for driver-created sessions (cf. session._DEFAULTS)
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "2")
+    except Exception:
+        pass
     try:  # avoid 200 shuffle partitions for small-SF driver runs
         import os
         spark.conf.set("spark.sql.shuffle.partitions",

@@ -44,6 +44,15 @@ _DEFAULTS = {
     # enough to keep per-batch memory bounded at wide schemas.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # FileOutputCommitter v2: task commits move output directly into
+    # the destination instead of a second serial job-commit rename
+    # pass — halves the filesystem-metadata cost of every parquet
+    # write.  Safe for this engine's writes by construction: index
+    # state lands in fresh generation/delta directories whose
+    # VISIBILITY is gated by the _COMMITTED marker + pointer swap
+    # (operators/index_store.py), so a torn v2 write is unreferenced
+    # garbage, never served.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     "spark.ui.enabled": "false",
     # Stage-progress bars interleave with stdout and can push the bench's
     # final JSON line past the driver's bounded output capture.

@@ -49,12 +49,17 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
     from orange3_timeseries_spark.operators import (
+        contamination,
         dedup,
         index_store,
+        retrieval,
+        sampling,
         similarity,
+        text,
     )
     from orange3_timeseries_spark.operators import audit as audit_mod
-    for m in (dedup, similarity, index_store, audit_mod):
+    for m in (dedup, similarity, index_store, audit_mod, retrieval,
+              contamination, text, sampling):
         patch(m)
 
     import __spark_entry__ as entrymod
