@@ -115,22 +115,37 @@ def matrix_profile(df: DataFrame, time_col: str, value_col: str,
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in series_cols]
     pairs = a.join(b, cond).where(
         F.abs(F.col("a.__i__") - F.col("b.__i__")) >= F.lit(exclusion))
-    units = F.aggregate(
-        F.zip_with(F.col("a.__z__"), F.col("b.__z__"),
-                   lambda x, y: F.round((x - y) * (x - y) * F.lit(1e7), 0)
-                   .cast("bigint")),
-        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    # per-pair distance UNROLLED over the fixed window length m: the
+    # zip_with/aggregate lambda pair is evaluated by the higher-order-
+    # function interpreter per element, outside whole-stage codegen —
+    # m is a plan-time constant, so the same integer micro-unit terms
+    # compile as a flat codegen'd sum (identical values: BIGINT
+    # addition is order-free and the per-element round is unchanged)
+    def _term(k: int):
+        d = (F.element_at(F.col("a.__z__"), k)
+             - F.element_at(F.col("b.__z__"), k))
+        return F.round(d * d * F.lit(1e7), 0).cast("bigint")
+
+    terms = [_term(k) for k in range(1, m + 1)]
+    units = terms[0]
+    for t in terms[1:]:
+        units = units + t
     scored = pairs.select(
         *[F.col(f"a.{c}").alias(c) for c in series_cols],
         F.col("a.__i__").alias("idx"),
         F.col("b.__i__").alias("__j__"),
         units.alias("__u__"))
-    pick = Window.partitionBy(*series_cols, "idx").orderBy(
-        F.asc("__u__"), F.asc("__j__"))
-    profile = (scored.withColumn("__rk__", F.row_number().over(pick))
-               .where(F.col("__rk__") == 1)
+    # nearest-neighbor argmin as a map-side-combinable aggregation:
+    # min(struct(u, j)) is the lexicographic (units, index) minimum —
+    # exactly the row_number(orderBy u, j) == 1 pick, but with partial
+    # aggregation inside the join stage instead of shuffling and
+    # sorting every candidate pair (guide §2.3: aggregate before you
+    # shuffle).  The n²-per-series pair stream never materializes past
+    # the partial agg.
+    best = F.min(F.struct(F.col("__u__"), F.col("__j__"))).alias("__m__")
+    profile = (scored.groupBy(*series_cols, "idx").agg(best)
                .select(*series_cols, "idx",
-                       F.col("__j__").alias("nn_idx"),
-                       F.round(F.sqrt(F.col("__u__") / F.lit(1e7)), 6)
+                       F.col("__m__.__j__").alias("nn_idx"),
+                       F.round(F.sqrt(F.col("__m__.__u__") / F.lit(1e7)), 6)
                        .alias("nn_dist")))
     return profile.unionByName(capped)

@@ -53,6 +53,20 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     from orange3_timeseries_spark.session import ship_package
     ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Disable PySpark's per-API-call call-site capture (diagnostic only;
+    # a stack walk + JVM round-trip per Column/DataFrame call — measured
+    # 5x on expression-heavy plan construction, cf. session._DEFAULTS).
+    # The conf itself is STATIC (builder-time only, set in
+    # session._DEFAULTS); pyspark additionally caches the decision
+    # module-globally on first use, so for a session the driver created
+    # without that conf, flip the cache directly (guarded: private attr,
+    # best-effort across pyspark versions — worst case the capture just
+    # stays on).
+    try:
+        from pyspark.errors import utils as _errutils
+        _errutils._enable_debugging_cache = False
+    except Exception:
+        pass
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

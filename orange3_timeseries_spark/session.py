@@ -53,6 +53,16 @@ _DEFAULTS = {
     # (operators/index_store.py), so a torn v2 write is unreferenced
     # garbage, never served.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # PySpark 4 wraps EVERY DataFrame/Column API call with call-site
+    # capture for error enrichment (errors/utils._with_origin): a Python
+    # stack walk plus a JVM round-trip per call.  Query construction in
+    # this engine is expression-heavy (a 48-bit simhash plan makes ~7.5k
+    # py4j commands); disabling the purely-diagnostic capture measured
+    # 3.5 s -> 0.7 s for that single construction (guide §4: the Python
+    # boundary is also the DRIVER's plan-building boundary).  Runtime
+    # semantics and results are unchanged — only error messages lose the
+    # user-code line annotation.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.ui.enabled": "false",
     # Stage-progress bars interleave with stdout and can push the bench's
     # final JSON line past the driver's bounded output capture.
