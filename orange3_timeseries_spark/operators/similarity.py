@@ -25,6 +25,17 @@ from orange3_timeseries_spark.operators.partitioning import (
 )
 
 
+def _dbl_array_lit(vals) -> Column:
+    """Array-of-doubles literal as ONE parsed expr: element-by-element
+    ``F.array(F.lit(...))`` pays a py4j round-trip per element (~0.15 s
+    per 64-float vector of pure driver time — guide §4 applies to plan
+    construction too).  ``repr()`` emits the shortest exact round-trip
+    decimal and the ``D`` suffix parses to the identical DOUBLE Literal
+    node (verified bit-identical incl. subnormals)."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in vals)
+                  + ")")
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -116,9 +127,28 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
                              query_id_col, k, exclude=pos)
 
 
-def lsh_signature_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+def lsh_signature_expr(vec: Column | str,
+                       planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec . plane_i).  Planes are
-    deterministic (seeded) and broadcast as literals."""
+    deterministic (seeded) and broadcast as literals.
+
+    When ``vec`` is a column NAME the whole signature is built as ONE
+    parsed SQL expression: the per-object form pays ~n_planes·dim py4j
+    round-trips of driver time (16×64 planes measured ~1 s per call —
+    guide §4, the Python boundary includes plan construction).  The SQL
+    HOFs parse to the identical aggregate/zip_with lambda tree, `D`/`L`
+    suffixed literals round-trip exactly, and the `+` chain is
+    left-associative in both forms, so the resulting signature column is
+    bit-identical."""
+    if isinstance(vec, str):
+        name = f"`{vec}`"
+        terms = []
+        for i, p in enumerate(planes):
+            arr = "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+            dot = (f"aggregate(zip_with({name}, {arr}, (x, y) -> x * y), "
+                   "0.0D, (acc, v) -> acc + v)")
+            terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i}L ELSE 0L END")
+        return F.expr(" + ".join(terms))
     bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -148,10 +178,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
                                        _as_double(F.col(vec_col))
                                        .alias("cvec")))
-    c = c.withColumn("bucket", lsh_signature_expr(F.col("cvec"), planes))
+    c = c.withColumn("bucket", lsh_signature_expr("cvec", planes))
     q = queries.select(F.col(query_id_col),
                        _as_double(F.col(vec_col)).alias("qvec"))
-    q = q.withColumn("bucket", lsh_signature_expr(F.col("qvec"), planes))
+    q = q.withColumn("bucket", lsh_signature_expr("qvec", planes))
     scored = (c.join(F.broadcast(q), "bucket")
               .where(F.col(query_id_col) != F.col("nn_id"))
               .select(query_id_col, "nn_id",
@@ -581,7 +611,7 @@ def _dists_to_codebook(vec: Column, off: int, ds: int, cb) -> Column:
     cb_lit = F.expr(
         "array(" + ",".join(
             "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-            for c in cb) + ")")
+            for c in cb) + ")")  # nested form of _dbl_array_lit
 
     def dist(c):
         terms = []
@@ -1246,9 +1276,9 @@ def pca_top_component(corpus: DataFrame, vec_col: str = "embedding",
         m[r["__d__"]] = round(r["m"], 6)
 
     v = [round(1.0 / math.sqrt(dim), 6)] * dim
-    m_lit = F.array(*[F.lit(float(y)) for y in m])
+    m_lit = _dbl_array_lit(m)
     for _ in range(iters):
-        v_lit = F.array(*[F.lit(float(y)) for y in v])
+        v_lit = _dbl_array_lit(v)
         xc = F.zip_with(F.col("__x__"), m_lit, lambda a, b: a - b)
         d = F.aggregate(F.zip_with(xc, v_lit, lambda a, b: a * b),
                         F.lit(0.0), lambda acc, y: acc + y)
@@ -1274,7 +1304,7 @@ def pca_top_component(corpus: DataFrame, vec_col: str = "embedding",
     if v[pivot] < 0:
         v = [-y for y in v]
 
-    v_lit = F.array(*[F.lit(float(y)) for y in v])
+    v_lit = _dbl_array_lit(v)
     xc = F.zip_with(F.col("__x__"), m_lit, lambda a, b: a - b)
     d = F.aggregate(F.zip_with(xc, v_lit, lambda a, b: a * b),
                     F.lit(0.0), lambda acc, y: acc + y)
@@ -1395,8 +1425,7 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
                 F.round(
                     F.lit(1.0)
                     - F.round(dot_expr(F.col("__v__"),
-                                       F.array(*[F.lit(float(c))
-                                                 for c in cv])),
+                                       _dbl_array_lit(cv)),
                               quantize)
                     / F.sqrt(F.col("__nsq__") * F.lit(float(cn))), 6)
                 for cv, cn in centers]
