@@ -925,8 +925,35 @@ def read_index_table(spark, version_path: str, table: str):
                 df = df.unionByName(spark.read.parquet(t))
         return df
     keep = [0] + committed_delta_ids(version_path)
-    return (spark.read.parquet(tdir)
+    return (_read_parquet_cached_schema(spark, fs, tdir)
             .where(F.col("delta").isin(keep)).drop("delta"))
+
+
+# (tdir, mtime) -> StructType.  Schema METADATA only (never rows):
+# skipping per-read footer inference saves ~60 ms of driver time per
+# index read (lifecycle queries read their index 4-6 times).  Safe by
+# construction: a committed generation's table schema is immutable
+# (appends must match the base to read as one scan), and the key
+# carries the table dir's mtime — any append (new delta= subdir) or
+# out-of-band rewrite bumps it and forces re-inference.  Local paths
+# only: remote-scheme mtimes aren't uniformly cheap/reliable, so those
+# keep per-read inference.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached_schema(spark, fs, tdir: str):
+    if not isinstance(fs, _LocalFs):
+        return spark.read.parquet(tdir)
+    try:
+        key = (tdir, os.stat(tdir).st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(tdir)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(tdir)
+    df = spark.read.parquet(tdir)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def index_info(path: str) -> dict:

@@ -84,6 +84,13 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
                        str(os.cpu_count() or 8))
     except Exception:
         pass
+    # List partitioned index tables on the driver instead of launching a
+    # Spark job per read (delta= x bucket= dir counts trip the default
+    # threshold of 32; cf. session._DEFAULTS for the scale discussion).
+    import os as _os
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        _os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
     return spark
 
 
