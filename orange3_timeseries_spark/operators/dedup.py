@@ -286,16 +286,19 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     tok = df.select(F.col(id_col),
                     F.explode(tokens_expr(F.col(text_col))).alias("t"))
     th = tok.select(id_col, phash(F.col("t")).alias("h"))
+    # each vote sum / the bit fold is ONE parsed SQL expression, not
+    # ~12 py4j Column calls per bit: the parsed tree is the identical
+    # CaseWhen/Add chain (same literals, same left-assoc order), but
+    # plan construction drops from ~0.9s to ~0.05s per call at bits=48
     votes = th.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        F.expr(f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END)").alias(f"b{i}")
         for i in range(bits)])
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0,
-                           F.lit(1 << i).cast("long")) \
-                     .otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), sig.alias("sig"))
+    sig = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+           f"ELSE CAST(0 AS BIGINT) END)" for i in range(bits)])
+    return votes.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
