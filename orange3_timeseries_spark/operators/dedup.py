@@ -686,11 +686,12 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
         mapping = [(k, find(k)) for k in list(parent)]
         spark = df.sparkSession
         if mapping:
-            from pyspark.sql import types as T
-            id_type = df.schema[id_col].dataType
-            map_df = spark.createDataFrame(
-                mapping, T.StructType([T.StructField("n_m", id_type),
-                                       T.StructField("lab_m", id_type)]))
+            from orange3_timeseries_spark.operators.localrel import (
+                local_df,
+            )
+            id_ddl = df.schema[id_col].dataType.simpleString()
+            map_df = local_df(spark, mapping,
+                              f"n_m {id_ddl}, lab_m {id_ddl}")
             return (nodes.join(F.broadcast(map_df),
                                nodes.n == map_df.n_m, "left")
                     .select(F.col("n").alias(id_col),
@@ -1154,11 +1155,6 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
                              ("entries", "docs"))
     base = read_lsh_index(spark, path)
     id_col, text_col = base.id_col, base.text_col
-    if check_disjoint:
-        check_disjoint_ids(
-            base.docs, new_docs, id_col, "lsh_append_index",
-            "duplicate its band entries and self-pair on every later "
-            "probe")
     delta = lsh_build_index(new_docs, text_col=text_col, id_col=id_col,
                             k=base.k, bands=base.bands, n=base.n,
                             n_buckets=base.n_buckets,
@@ -1166,20 +1162,31 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame, *,
     dpath = begin_delta(path)
     dbucket = F.pmod(F.xxhash64(F.col(id_col)),
                      F.lit(base.n_buckets)).cast("int")
-    # the two delta-table writes are independent — overlap them
-    # (guide §2.6); the commit marker lands strictly after both
+    # the disjointness gate and the two delta-table writes are
+    # independent — overlap all three (guide §2.6); the commit marker
+    # lands strictly after the check passes and both writes complete,
+    # and a failed check aborts the (invisible) delta
     from orange3_timeseries_spark.operators.index_store import (
+        abort_delta,
         run_concurrent,
     )
-    run_concurrent(
-        lambda: (delta.entries.repartition("bucket")
-                 .write.mode("overwrite").partitionBy("bucket")
-                 .parquet(delta_table_path(dpath, "entries"))),
-        lambda: (delta.docs.select(id_col, text_col)
-                 .withColumn("dbucket", dbucket)
-                 .repartition("dbucket").write.mode("overwrite")
-                 .partitionBy("dbucket")
-                 .parquet(delta_table_path(dpath, "docs"))))
+    try:
+        run_concurrent(
+            (lambda: check_disjoint_ids(
+                base.docs, new_docs, id_col, "lsh_append_index",
+                "duplicate its band entries and self-pair on every "
+                "later probe")) if check_disjoint else None,
+            lambda: (delta.entries.repartition("bucket")
+                     .write.mode("overwrite").partitionBy("bucket")
+                     .parquet(delta_table_path(dpath, "entries"))),
+            lambda: (delta.docs.select(id_col, text_col)
+                     .withColumn("dbucket", dbucket)
+                     .repartition("dbucket").write.mode("overwrite")
+                     .partitionBy("dbucket")
+                     .parquet(delta_table_path(dpath, "docs"))))
+    except BaseException:
+        abort_delta(dpath)
+        raise
     commit_delta(dpath)
 
 
@@ -1397,16 +1404,28 @@ def simhash_append_index(spark, path: str, new_docs: DataFrame, *,
 
     require_journaled_layout(resolve_index_path(path), ("entries",))
     base = read_simhash_index(spark, path)
-    if check_disjoint:
-        check_disjoint_ids(
-            base.entries, new_docs, base.id_col, "simhash_append_index",
-            "duplicate its band entries and self-pair on every later "
-            "probe")
     delta = _simhash_entries(new_docs, base.text_col, base.id_col,
                              base.bits, base.band_bits, base.n_buckets)
     dpath = begin_delta(path)
-    (delta.repartition("bucket").write.mode("overwrite")
-     .partitionBy("bucket").parquet(delta_table_path(dpath, "entries")))
+    # disjointness gate and delta write overlap (guide §2.6); commit
+    # is still gated on the check, failure aborts the invisible delta
+    from orange3_timeseries_spark.operators.index_store import (
+        abort_delta,
+        run_concurrent,
+    )
+    try:
+        run_concurrent(
+            (lambda: check_disjoint_ids(
+                base.entries, new_docs, base.id_col,
+                "simhash_append_index",
+                "duplicate its band entries and self-pair on every "
+                "later probe")) if check_disjoint else None,
+            lambda: (delta.repartition("bucket").write.mode("overwrite")
+                     .partitionBy("bucket")
+                     .parquet(delta_table_path(dpath, "entries"))))
+    except BaseException:
+        abort_delta(dpath)
+        raise
     commit_delta(dpath)
 
 

@@ -687,10 +687,6 @@ def bm25_append_index(spark: SparkSession, path: str,
     require_journaled_layout(resolve_index_path(path),
                              ("postings", "token_df", "stats"))
     base = read_bm25_index(spark, path)
-    if check_disjoint:
-        check_disjoint_ids(base.postings, new_docs, base.id_col,
-                           "bm25_append_index",
-                           "double-count its postings")
     delta = bm25_build_index(new_docs, text_col=text_col,
                              id_col=base.id_col,
                              n_buckets=base.n_buckets)
@@ -733,7 +729,23 @@ def bm25_append_index(spark: SparkSession, path: str,
             [(st["n_docs"], st["sum_dl"], int(base.n_buckets))],
             "n_docs bigint, sum_dl bigint, n_buckets int")
 
-    run_concurrent(_w_postings, _w_token_df, _w_stats)
+    # the disjointness gate is one more independent job — overlap it
+    # with the three writes (guide §2.6); commit is still gated on the
+    # check, a failure aborts the (invisible) delta
+    from orange3_timeseries_spark.operators.index_store import (
+        abort_delta,
+    )
+    try:
+        run_concurrent(
+            (lambda: check_disjoint_ids(
+                base.postings, new_docs, base.id_col,
+                "bm25_append_index",
+                "double-count its postings")) if check_disjoint
+            else None,
+            _w_postings, _w_token_df, _w_stats)
+    except BaseException:
+        abort_delta(dpath)
+        raise
     # marker LAST — the atomic commit point for the whole batch
     commit_delta(dpath)
 

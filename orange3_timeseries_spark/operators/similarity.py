@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators.hashing import phash
+from orange3_timeseries_spark.operators.localrel import local_df
 from orange3_timeseries_spark.operators.partitioning import (
     scaled_width,
     widen_partitions,
@@ -36,18 +37,44 @@ def _dbl_array_lit(vals) -> Column:
                   + ")")
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+# The functional HOF builders (F.aggregate/zip_with with Python
+# lambdas) cost ~0.1 s of py4j round-trips PER construction; passing
+# the operands as SQL fragments (column names or literal-array text)
+# parses the whole expression once (~2 ms), to the semantically
+# identical tree — only the lambda variable names differ (__hx__ vs
+# the API's x_<n>), chosen obscure so they cannot shadow a real
+# column.  Column operands keep the functional path unchanged.
+
+_DOT_SQL = ("aggregate(zip_with(({a}), ({b}), (__hx__, __hy__) -> "
+            "__hx__ * __hy__), 0.0D, (__ha__, __hv__) -> __ha__ + __hv__)")
+_NORM_SQL = ("sqrt(aggregate(transform(({a}), __hx__ -> __hx__ * __hx__),"
+             " 0.0D, (__ha__, __hv__) -> __ha__ + __hv__))")
+
+
+def dot_expr(a: "Column | str", b: "Column | str") -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_DOT_SQL.format(a=a, b=b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm_expr(a: Column) -> Column:
+def norm_expr(a: "Column | str") -> Column:
+    if isinstance(a, str):
+        return F.expr(_NORM_SQL.format(a=a))
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays."""
+def cosine_expr(a: "Column | str", b: "Column | str") -> Column:
+    """Cosine similarity of two double arrays.  Operands may be
+    Columns or SQL fragments (column names / array-literal text) —
+    the fragment form parses the whole cosine once instead of paying
+    ~10 py4j lambda round-trips."""
+    if isinstance(a, str) and isinstance(b, str):
+        na = _NORM_SQL.format(a=a)
+        nb = _NORM_SQL.format(a=b)
+        return F.expr(f"({_DOT_SQL.format(a=a, b=b)}) / "
+                      f"nullif(({na}) * ({nb}), 0.0D)")
     return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
 
 
@@ -78,7 +105,7 @@ def _cosine_rank_topk(corpus: DataFrame, queries: DataFrame,
                              [query_id_col, "nn_id"], "left_anti")
     scored = scored.select(
         query_id_col, "nn_id",
-        F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
+        F.round(cosine_expr("cvec", "qvec"), 6)
         .alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
@@ -185,7 +212,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     scored = (c.join(F.broadcast(q), "bucket")
               .where(F.col(query_id_col) != F.col("nn_id"))
               .select(query_id_col, "nn_id",
-                      F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
+                      F.round(cosine_expr("cvec", "qvec"), 6)
                        .alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
@@ -492,7 +519,7 @@ def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
     scored = (lists.join(F.broadcast(q), "centroid_id")
               .where(F.col(query_id_col) != F.col("nn_id"))
               .select(query_id_col, "nn_id",
-                      F.round(cosine_expr(F.col("cvec"), F.col("qvec")), 6)
+                      F.round(cosine_expr("cvec", "qvec"), 6)
                        .alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
@@ -1018,7 +1045,8 @@ def ivf_build_index(corpus: DataFrame, vec_col: str = "embedding",
         centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
                                         sample=sample, id_col=id_col)
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>")
     lists = _assign_centroid(
@@ -1047,22 +1075,28 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     )
 
     from orange3_timeseries_spark.operators.index_store import (
-        run_concurrent,
         write_small_table,
     )
 
     root = path
     path = begin_version(root)
-    # centroids and lists writes are independent — overlap them
-    # (guide §2.6); lists are appendable: base data under lists/delta=0
-    # (the journaled layout — appends become partition dirs of ONE scan)
-    run_concurrent(
-        lambda: index.centroids.write.mode("overwrite").parquet(
-            os.path.join(path, "centroids")),
-        lambda: (index.lists.repartition("centroid_id")
-                 .write.mode("overwrite").partitionBy("centroid_id")
-                 .parquet(base_table_path(path, "lists"))))
     spark = index.lists.sparkSession
+    # centroids are O(k·d) by contract (collected/broadcast at serve
+    # time) and usually already a LocalRelation — persist them
+    # driver-side like params/codebooks instead of scheduling a Spark
+    # job for ~16 rows (guide §5.3); lists are appendable: base data
+    # under lists/delta=0 (the journaled layout — appends become
+    # partition dirs of ONE scan)
+    cent_rows = index.centroids.select("centroid_id",
+                                       "centroid").collect()
+    (index.lists.repartition("centroid_id")
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(base_table_path(path, "lists")))
+    write_small_table(spark, os.path.join(path, "centroids"),
+                      [(int(r["centroid_id"]),
+                        [float(x) for x in r["centroid"]])
+                       for r in cent_rows],
+                      "centroid_id int, centroid array<double>")
     write_small_table(spark, os.path.join(path, "params"),
                       [(bool(index.two_level),)], "two_level boolean")
     commit_version(root, path)
@@ -1087,7 +1121,8 @@ def _centroids_df_from_disk(spark, vpath: str):
     rows = _read_small_local(cpath)
     if rows:
         rows = sorted(rows, key=lambda r: int(r["centroid_id"]))
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(int(r["centroid_id"]), [float(x) for x in r["centroid"]])
              for r in rows],
             "centroid_id int, centroid array<double>")
@@ -1238,7 +1273,7 @@ def ivf_range_search(corpus: DataFrame, queries: DataFrame,
     return (c.join(F.broadcast(q), "centroid_id")
             .where(F.col(query_id_col) != F.col("nn_id"))
             .select(query_id_col, "nn_id",
-                    F.round(cosine_expr(F.col("cvec"), F.col("qvec")),
+                    F.round(cosine_expr("cvec", "qvec"),
                             6).alias("cosine"))
             .where(F.col("cosine") >= F.lit(float(radius))))
 
@@ -1445,7 +1480,7 @@ def kcenter_select(corpus: DataFrame, vec_col: str = "embedding",
         base.unpersist()
     schema = ("sel_order int, {} {}, sel_dist double"
               .format(id_col, dict(corpus.dtypes)[id_col]))
-    return spark.createDataFrame(sel, schema=schema)
+    return local_df(spark, sel, schema)
 
 
 def jl_project(df: DataFrame, vec_col: str = "embedding",
@@ -1895,11 +1930,6 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
 
     require_journaled_layout(resolve_index_path(path), ("lists",))
     base = read_ivf_index(spark, path, id_col)
-    if check_disjoint:
-        check_disjoint_ids(
-            base.lists.select(F.col("nn_id").alias(id_col)),
-            new_vectors, id_col, "ivf_append_index",
-            "duplicate its list entry")
     cent_rows = base.centroids.orderBy("centroid_id").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     delta = _assign_centroid(
@@ -1908,9 +1938,26 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
         "cvec", centroids, two_level=base.two_level
     ).select("centroid_id", "nn_id", "cvec")
     dpath = begin_delta(path)
-    (delta.repartition("centroid_id").write.mode("overwrite")
-     .partitionBy("centroid_id")
-     .parquet(delta_table_path(dpath, "lists")))
+    # the disjointness gate and the delta write are independent Spark
+    # jobs — overlap them (guide §2.6); the COMMIT marker still lands
+    # strictly after the check passes, and a failed check aborts the
+    # (invisible) delta, so the serving state is untouched either way
+    from orange3_timeseries_spark.operators.index_store import (
+        abort_delta,
+        run_concurrent,
+    )
+    try:
+        run_concurrent(
+            (lambda: check_disjoint_ids(
+                base.lists.select(F.col("nn_id").alias(id_col)),
+                new_vectors, id_col, "ivf_append_index",
+                "duplicate its list entry")) if check_disjoint else None,
+            lambda: (delta.repartition("centroid_id")
+                     .write.mode("overwrite").partitionBy("centroid_id")
+                     .parquet(delta_table_path(dpath, "lists"))))
+    except BaseException:
+        abort_delta(dpath)
+        raise
     commit_delta(dpath)
 
 
@@ -1952,17 +1999,28 @@ def pq_append_index(spark, path: str, new_vectors: DataFrame,
 
     require_journaled_layout(resolve_index_path(path), ("codes",))
     base = read_pq_index(spark, path, id_col)
-    if check_disjoint:
-        check_disjoint_ids(
-            base.codes.select(F.col("nn_id").alias(id_col)),
-            new_vectors, id_col, "pq_append_index",
-            "duplicate its code row")
     delta = pq_encode(
         new_vectors.select(F.col(id_col).alias("nn_id"), vec_col),
         base.codebooks, vec_col=vec_col, id_col="nn_id")
     dpath = begin_delta(path)
-    delta.select("nn_id", "pq_code").write.mode("overwrite").parquet(
-        delta_table_path(dpath, "codes"))
+    # disjointness gate and delta write overlap (guide §2.6); commit
+    # is still gated on the check, failure aborts the invisible delta
+    from orange3_timeseries_spark.operators.index_store import (
+        abort_delta,
+        run_concurrent,
+    )
+    try:
+        run_concurrent(
+            (lambda: check_disjoint_ids(
+                base.codes.select(F.col("nn_id").alias(id_col)),
+                new_vectors, id_col, "pq_append_index",
+                "duplicate its code row")) if check_disjoint else None,
+            lambda: (delta.select("nn_id", "pq_code")
+                     .write.mode("overwrite")
+                     .parquet(delta_table_path(dpath, "codes"))))
+    except BaseException:
+        abort_delta(dpath)
+        raise
     commit_delta(dpath)
 
 
@@ -2014,7 +2072,7 @@ def ivf_drift_stats(index: IvfIndex, new_vectors: DataFrame,
                                 F.col("centroid").alias("__cv__")))
 
     def cell_stats(assigned, n_name, cu_name):
-        cu = F.round(F.round(cosine_expr(F.col("cvec"), F.col("__cv__")),
+        cu = F.round(F.round(cosine_expr("cvec", "__cv__"),
                              6) * F.lit(unit)).cast("bigint")
         return (assigned.join(cents, "centroid_id")
                 .groupBy("centroid_id")
@@ -2155,7 +2213,8 @@ def ivf_retrain_cells(spark, path: str, cell_ids, *,
                   .select("centroid_id", "nn_id", "cvec"))
     by_j = {flagged[j]: [float(x) for x in new_cents[j]]
             for j in range(len(flagged))}
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(int(r["centroid_id"]),
           by_j.get(int(r["centroid_id"]),
                    [float(x) for x in r["centroid"]]))
@@ -2249,7 +2308,8 @@ def pq_drift_by_subspace(index: PqIndex, new_vectors: DataFrame,
                .groupBy("m", "j")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_idx_j")))
     spark = index.codes.sparkSession
-    spine = spark.createDataFrame(
+    spine = local_df(
+        spark,
         [(m, j) for m in range(M) for j in range(K)], "m int, j int")
     cell = (spine.join(idx_agg, ["m", "j"], "left")
             .join(new_agg, ["m", "j"], "left")
@@ -2347,7 +2407,8 @@ def ivfpq_build_index(corpus: DataFrame, centroids, codebooks,
     the corpus never shuffles.  The expensive pass is exactly what
     persisting avoids recomputing per query batch."""
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(int(i), [float(x) for x in c])
          for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>")
@@ -2373,21 +2434,25 @@ def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
     )
 
     from orange3_timeseries_spark.operators.index_store import (
-        run_concurrent,
         write_small_table,
     )
 
     root = path
     path = begin_version(root)
-    # centroids and entries writes are independent — overlap them
-    # (guide §2.6); codebooks/params rows are already driver-resident
-    run_concurrent(
-        lambda: index.centroids.write.mode("overwrite").parquet(
-            os.path.join(path, "centroids")),
-        lambda: (index.entries.repartition("centroid_id")
-                 .write.mode("overwrite").partitionBy("centroid_id")
-                 .parquet(base_table_path(path, "entries"))))
+    # centroids are O(k·d) by contract — persist them driver-side like
+    # codebooks/params instead of scheduling a Spark job for ~16 rows
+    # (guide §5.3); entries stay the one distributed write
+    cent_rows = index.centroids.select("centroid_id",
+                                       "centroid").collect()
+    (index.entries.repartition("centroid_id")
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(base_table_path(path, "entries")))
     spark = index.entries.sparkSession
+    write_small_table(spark, os.path.join(path, "centroids"),
+                      [(int(r["centroid_id"]),
+                        [float(x) for x in r["centroid"]])
+                       for r in cent_rows],
+                      "centroid_id int, centroid array<double>")
     rows = [(int(m), int(j), [float(x) for x in c])
             for m, cb in enumerate(index.codebooks)
             for j, c in enumerate(cb)]
@@ -2535,16 +2600,26 @@ def ivfpq_append_index(spark, path: str, new_vectors: DataFrame,
 
     require_journaled_layout(resolve_index_path(path), ("entries",))
     base = read_ivfpq_index(spark, path, id_col)
-    if check_disjoint:
-        check_disjoint_ids(
-            base.entries.select(F.col("nn_id").alias(base.id_col)),
-            new_vectors, base.id_col, "ivfpq_append_index",
-            "duplicate its entry")
     delta = _ivfpq_delta_entries(base, new_vectors, vec_col)
     dpath = begin_delta(path)
-    (delta.repartition("centroid_id").write.mode("overwrite")
-     .partitionBy("centroid_id")
-     .parquet(delta_table_path(dpath, "entries")))
+    # disjointness gate and delta write overlap (guide §2.6); commit
+    # is still gated on the check, failure aborts the invisible delta
+    from orange3_timeseries_spark.operators.index_store import (
+        abort_delta,
+        run_concurrent,
+    )
+    try:
+        run_concurrent(
+            (lambda: check_disjoint_ids(
+                base.entries.select(F.col("nn_id").alias(base.id_col)),
+                new_vectors, base.id_col, "ivfpq_append_index",
+                "duplicate its entry")) if check_disjoint else None,
+            lambda: (delta.repartition("centroid_id")
+                     .write.mode("overwrite").partitionBy("centroid_id")
+                     .parquet(delta_table_path(dpath, "entries"))))
+    except BaseException:
+        abort_delta(dpath)
+        raise
     commit_delta(dpath)
 
 

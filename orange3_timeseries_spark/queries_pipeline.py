@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from orange3_timeseries_spark.operators import dedup as D
+from orange3_timeseries_spark.operators.localrel import local_df
 from orange3_timeseries_spark.operators import similarity as S
 from orange3_timeseries_spark.operators import text as T
 from orange3_timeseries_spark.queries import query, r6
@@ -2147,7 +2148,8 @@ def q_bpe_train_merges(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     merges = train_bpe(d, "text", n_merges=16)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, lft string, rgt string")
 
@@ -2314,7 +2316,8 @@ def q_quality_classifier_coefs(spark, sf_dir):
 
     d, feats, label = _classifier_parts(spark, sf_dir)
     beta = logistic_train_irls(d, feats, label)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, round(b, 6)) for i, b in enumerate(beta)],
         "coef_idx int, coef double")
 
@@ -3024,7 +3027,8 @@ def q_pca_top_component(spark, sf_dir):
     oracle unrolls all 8 rounds as CTEs."""
     e = read_table(spark, sf_dir, "embeddings")
     v, lam, share, _m = S.pca_top_component(e, "embedding", iters=8)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, float(v[i]), float(lam),
           float(share) if share is not None else None)
          for i in range(len(v))],
