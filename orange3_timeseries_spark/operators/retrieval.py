@@ -102,6 +102,44 @@ def _query_terms(queries: DataFrame, query_text_col: str,
             .distinct())
 
 
+def _query_terms_local(queries: DataFrame, query_text_col: str,
+                       query_id_col: str, n_buckets=None):
+    """Collect the distinct (query, token) pairs ONCE and rebuild them
+    as JVM LocalRelations: ``(q_terms, qtok, buckets)``.
+
+    The serve plans otherwise RE-EXECUTE the query-side
+    tokenize+distinct subtree for every consumer — the bucket-prune
+    collect, the postings semi-join broadcast build, and the scoring
+    join broadcast build are three separate small jobs over the same
+    bounded data (guide §2.2: don't recompute what one pass already
+    produced).  Queries are small by the same contract that lets them
+    broadcast, so one driver collect carries exactly the bytes the
+    broadcasts were shipping anyway; the rebuilt LocalRelations make
+    every downstream broadcast build a zero-task driver read.  Content
+    is identical to the lazy form (same rows, same xxhash64 bucket
+    rule), so scores are bit-identical."""
+    from orange3_timeseries_spark.operators.localrel import local_df
+
+    q = _query_terms(queries, query_text_col, query_id_col)
+    spark = queries.sparkSession
+    if n_buckets is not None:
+        rows = q.withColumn(
+            "__b__", F.pmod(F.xxhash64(F.col("__tok__")),
+                            F.lit(int(n_buckets))).cast("int")).collect()
+        buckets = sorted({int(r["__b__"]) for r in rows})
+    else:
+        rows = q.collect()
+        buckets = None
+    id_ddl = dict(queries.dtypes)[query_id_col]
+    q_terms = local_df(
+        spark, [(r[query_id_col], r["__tok__"]) for r in rows],
+        f"{query_id_col} {id_ddl}, __tok__ string")
+    qtok = local_df(
+        spark, [(t,) for t in sorted({r["__tok__"] for r in rows})],
+        "__tok__ string")
+    return q_terms, qtok, buckets
+
+
 def bm25_topk(docs: DataFrame, queries: DataFrame, *,
               text_col: str = "text", id_col: str = "doc_id",
               query_text_col: str = "text", query_id_col: str = "query_id",
@@ -127,7 +165,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
                        F.size(toks).alias("__dl__"),
                        F.explode(toks).alias("__tok__"))
 
-    q_terms = _query_terms(queries, query_text_col, query_id_col)
+    q_terms, qtok, _ = _query_terms_local(queries, query_text_col,
+                                          query_id_col)
     # prune the postings to query tokens BEFORE the tf aggregation, not
     # after: the map-side broadcast semi-join means only matching-token
     # postings ever shuffle (for keyword queries that is ~1% of the
@@ -135,7 +174,7 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
     # 1.27 with the groupBy first, 0.9x after this reorder).  The df a
     # token gets is still its full-corpus document frequency, because
     # pruning drops whole tokens, never docs.
-    qtok_b = F.broadcast(q_terms.select("__tok__").distinct())
+    qtok_b = F.broadcast(qtok)
     hit = (posting.join(qtok_b, "__tok__")
            .groupBy(id_col, "__tok__", "__dl__")
            .agg(F.count(F.lit(1)).alias("__tf__")))
@@ -526,16 +565,13 @@ def bm25_topk_from_index(index: Bm25Index, queries: DataFrame, *,
             f"index postings have no {id_col!r} column (columns: "
             f"{index.postings.columns}) — pass the id_col the index "
             "was built with to read_bm25_index")
-    q_terms = _query_terms(queries, query_text_col, query_id_col)
-    qtok = q_terms.select("__tok__").distinct()
+    q_terms, qtok, bks = _query_terms_local(
+        queries, query_text_col, query_id_col,
+        n_buckets=int(index.n_buckets) if prune_buckets else None)
 
     post = index.postings
     tdf = index.token_df
     if prune_buckets:
-        n_buckets = int(index.n_buckets)
-        bks = sorted(r[0] for r in qtok.select(
-            F.pmod(F.xxhash64(F.col("__tok__")), F.lit(n_buckets))
-            .cast("int").alias("b")).distinct().collect())
         post = post.where(F.col("bucket").isin(bks))
         tdf = tdf.where(F.col("bucket").isin(bks))
 

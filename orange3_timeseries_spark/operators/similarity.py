@@ -496,26 +496,27 @@ def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
     :func:`ivf_topk_from_index` route here — bit-identical serving is
     structural."""
     import numpy as np
-    from pyspark.sql import types as T
 
     qbase = queries.select(F.col(query_id_col),
                            _as_double(F.col("__qv_in__")).alias("qvec"))
-    qschema = T.StructType(list(qbase.schema.fields)
-                           + [T.StructField("centroid_id", T.IntegerType())])
-
-    def probe(batches):
-        for pdf in batches:
-            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-            if not len(X):
-                continue
-            order = _ivf_probe_order(X, C, nprobe)
-            # repeat by the CLAMPED probe width the order actually has
-            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
-                .reset_index(drop=True)
-            rep["centroid_id"] = order.ravel().astype("int32")
-            yield rep
-
-    q = qbase.mapInPandas(probe, schema=qschema)
+    # queries are driver-bounded by the same contract that broadcasts
+    # them below — collect ONCE and run the probe GEMM on the driver
+    # (the identical _ivf_probe_order), emitting the probe table as a
+    # JVM LocalRelation: the serve plan loses its ArrowEvalPython/
+    # MapInPandas stage entirely (guide §4) and the broadcast build
+    # reads driver-local bytes instead of re-scanning the query source
+    rows = qbase.collect()
+    idt = dict(qbase.dtypes)[query_id_col]
+    if rows:
+        X = np.array([r["qvec"] for r in rows], dtype=np.float64)
+        order = _ivf_probe_order(X, C, nprobe)
+        prows = [(r[query_id_col], [float(x) for x in r["qvec"]],
+                  int(c)) for r, oc in zip(rows, order) for c in oc]
+    else:
+        prows = []
+    q = local_df(qbase.sparkSession, prows,
+                 f"{query_id_col} {idt}, qvec array<double>,"
+                 " centroid_id int")
     scored = (lists.join(F.broadcast(q), "centroid_id")
               .where(F.col(query_id_col) != F.col("nn_id"))
               .select(query_id_col, "nn_id",
@@ -851,28 +852,26 @@ def _ivfpq_probe_adc_topk(entries: DataFrame, qbase: DataFrame, C,
     import operator
 
     import numpy as np
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import types as T
 
     M = len(codebooks)
     ds = len(codebooks[0][0])
-    qschema = T.StructType(list(qbase.schema.fields)
-                           + [T.StructField("centroid_id",
-                                            T.IntegerType())])
-
-    def probe(batches):
-        for pdf in batches:
-            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-            if not len(X):
-                continue
-            order = _ivf_probe_order(X, C, nprobe)
-            # repeat by the CLAMPED probe width the order actually has
-            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
-                .reset_index(drop=True)
-            rep["centroid_id"] = order.ravel().astype("int32")
-            yield rep
-
-    q = qbase.mapInPandas(probe, schema=qschema)
+    # same driver-side probe as _ivf_probe_score_topk: queries are
+    # bounded by the broadcast contract, so one collect + the identical
+    # _ivf_probe_order GEMM replace the MapInPandas stage; the probe
+    # table is a JVM LocalRelation and the per-query ADC LUT arrays
+    # constant-fold over it at optimization time (guide §4)
+    rows = qbase.collect()
+    idt = dict(qbase.dtypes)[query_id_col]
+    if rows:
+        X = np.array([r["qvec"] for r in rows], dtype=np.float64)
+        order = _ivf_probe_order(X, C, nprobe)
+        prows = [(r[query_id_col], [float(x) for x in r["qvec"]],
+                  int(c)) for r, oc in zip(rows, order) for c in oc]
+    else:
+        prows = []
+    q = local_df(qbase.sparkSession, prows,
+                 f"{query_id_col} {idt}, qvec array<double>,"
+                 " centroid_id int")
     luts = q.select(
         query_id_col, "centroid_id",
         *[_dists_to_codebook(F.col("qvec"), m * ds, ds, cb)
@@ -1206,14 +1205,22 @@ def ivf_topk_from_index(index: IvfIndex, queries: DataFrame,
     qin = queries.select(F.col(query_id_col),
                          F.col(vec_col).alias("__qv_in__"))
     if prune_partitions:
-        # the probe set comes from the SAME GEMM the distributed probe
-        # runs; queries are driver-bounded by the contract that already
-        # broadcasts them, and the filter itself is ≤ n_centroids ints
-        qpd = qin.select("__qv_in__").toPandas()
-        if len(qpd):
-            X = np.array([list(v) for v in qpd["__qv_in__"]],
-                         dtype=np.float64)
-            # the SAME probe computation the distributed path runs
+        # ONE collect feeds both the partition prune and the kernel:
+        # queries are driver-bounded by the contract that already
+        # broadcasts them, and re-handing them down as a LocalRelation
+        # makes the kernel's own collect a zero-task driver read
+        qrows = qin.collect()
+        idt = dict(qin.dtypes)[query_id_col]
+        qin = local_df(
+            qin.sparkSession,
+            [(r[query_id_col],
+              [float(x) for x in r["__qv_in__"]]
+              if r["__qv_in__"] is not None else None) for r in qrows],
+            f"{query_id_col} {idt}, __qv_in__ array<double>")
+        if qrows:
+            X = np.array([[float(x) for x in r["__qv_in__"]]
+                          for r in qrows], dtype=np.float64)
+            # the SAME probe computation the serve kernel runs
             # (_ivf_probe_order) — the filter cannot desynchronize
             order = _ivf_probe_order(X, C, nprobe)
             probed = sorted({int(c) for c in order.ravel()})
@@ -2523,12 +2530,22 @@ def ivfpq_topk_from_index(index: IvfPqIndex, queries: DataFrame,
     qbase = queries.select(F.col(query_id_col),
                            _as_double(F.col(vec_col)).alias("qvec"))
     if prune_partitions:
-        # the SAME probe computation the kernel runs (_ivf_probe_order)
-        # — the partition filter cannot desynchronize from the probes
-        qpd = qbase.select("qvec").toPandas()
-        if len(qpd):
-            X = np.array([list(v) for v in qpd["qvec"]],
-                         dtype=np.float64)
+        # ONE collect feeds both the partition prune and the kernel
+        # (queries are driver-bounded by the broadcast contract); the
+        # LocalRelation hand-down makes the kernel's collect free
+        qrows = qbase.collect()
+        idt = dict(qbase.dtypes)[query_id_col]
+        qbase = local_df(
+            qbase.sparkSession,
+            [(r[query_id_col],
+              [float(x) for x in r["qvec"]]
+              if r["qvec"] is not None else None) for r in qrows],
+            f"{query_id_col} {idt}, qvec array<double>")
+        if qrows:
+            X = np.array([[float(x) for x in r["qvec"]]
+                          for r in qrows], dtype=np.float64)
+            # the SAME probe computation the kernel runs
+            # (_ivf_probe_order) — the filter cannot desynchronize
             order = _ivf_probe_order(X, C, nprobe)
             probed = sorted({int(c) for c in order.ravel()})
             entries = entries.where(F.col("centroid_id").isin(probed))
