@@ -75,10 +75,17 @@ def _bm25_score_topk(hit: DataFrame, stats: DataFrame,
         / (F.col("__tf__").cast("double") + norm)
     term_units = F.round(idf * weight * F.lit(unit)).cast("bigint")
 
+    # materialize term_units BEFORE the q_terms fan-out join: the unit
+    # value depends only on (doc, token), but evaluated inside the agg
+    # it would recompute the log/divide pipeline once per JOINED
+    # (query, doc, token) row — the fan-out is |queries sharing the
+    # token| per hit row, so the hoist cuts the transcendental work by
+    # that factor while summing the identical bigints (exact, order-free)
     per_doc = (scored
+               .select(id_col, "__tok__", term_units.alias("__u__"))
                .join(F.broadcast(q_terms), "__tok__")
                .groupBy(query_id_col, id_col)
-               .agg(F.sum(term_units).alias("__units__"),
+               .agg(F.sum("__u__").alias("__units__"),
                     F.count(F.lit(1)).cast("bigint").alias("n_terms")))
     wr = (Window.partitionBy(query_id_col)
           .orderBy(F.col("__units__").desc(), F.col(id_col).asc()))
