@@ -53,6 +53,19 @@ _DEFAULTS = {
     # (operators/index_store.py), so a torn v2 write is unreferenced
     # garbage, never served.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # file:// writes go through Hadoop's ChecksumFileSystem by default,
+    # which creates a sidecar .crc per written file — for the bucketed
+    # index layouts (64 bucket dirs x entries+docs per generation or
+    # delta) that DOUBLES the filesystem-metadata ops of every state
+    # write (measured: one LSH generation write 4.9 s -> 2.9 s raw).
+    # Production object stores (S3/GCS/ABFS) never write client-side
+    # .crc sidecars, so the raw local FS also makes local I/O behavior
+    # match the deployment target; data integrity on local disk is
+    # covered by parquet's own page/column checksums.  Export
+    # SPARK_GRAFT_LOCAL_CRC=1 to restore checksummed local writes.
+    **({} if os.environ.get("SPARK_GRAFT_LOCAL_CRC") else
+       {"spark.hadoop.fs.file.impl":
+        "org.apache.hadoop.fs.RawLocalFileSystem"}),
     # PySpark 4 wraps EVERY DataFrame/Column API call with call-site
     # capture for error enrichment (errors/utils._with_origin): a Python
     # stack walk plus a JVM round-trip per call.  Query construction in
