@@ -78,6 +78,21 @@ def cosine_expr(a: "Column | str", b: "Column | str") -> Column:
     return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
 
 
+def _cosine_prenorm_expr(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine from PRECOMPUTED norms: ``dot(a,b) / nullif(na*nb, 0)``
+    — the bit-identical value of :func:`cosine_expr` when ``na``/``nb``
+    hold exactly ``norm_expr(a)``/``norm_expr(b)`` (same IEEE sqrt,
+    multiply, nullif, divide).  A pair-scoring join evaluates its
+    select once per JOINED row, so inlined norms are recomputed
+    fan-out-many times even though each depends on only one side;
+    hoisting them into the join inputs (one projection per side)
+    evaluates each norm once per input row — the cosine twin of the
+    BM25 term-unit hoist (guide §2.2), cutting the per-pair work from
+    three array passes to one."""
+    return F.expr(f"({_DOT_SQL.format(a=a, b=b)}) / "
+                  f"nullif(({na}) * ({nb}), 0.0D)")
+
+
 def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -95,9 +110,11 @@ def _cosine_rank_topk(corpus: DataFrame, queries: DataFrame,
     structurally, not by copy-paste sync."""
     c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
                                        _as_double(F.col(vec_col))
-                                       .alias("cvec")))
+                                       .alias("cvec"))) \
+        .withColumn("__cn__", norm_expr("cvec"))
     q = queries.select(F.col(query_id_col),
-                       _as_double(F.col(vec_col)).alias("qvec"))
+                       _as_double(F.col(vec_col)).alias("qvec")) \
+        .withColumn("__qn__", norm_expr("qvec"))
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col(query_id_col) != F.col("nn_id")))
     if exclude is not None:
@@ -105,7 +122,8 @@ def _cosine_rank_topk(corpus: DataFrame, queries: DataFrame,
                              [query_id_col, "nn_id"], "left_anti")
     scored = scored.select(
         query_id_col, "nn_id",
-        F.round(cosine_expr("cvec", "qvec"), 6)
+        F.round(_cosine_prenorm_expr("cvec", "qvec", "__cn__", "__qn__"),
+                6)
         .alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
@@ -205,14 +223,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     c = widen_partitions(corpus.select(F.col(id_col).alias("nn_id"),
                                        _as_double(F.col(vec_col))
                                        .alias("cvec")))
-    c = c.withColumn("bucket", lsh_signature_expr("cvec", planes))
+    c = c.withColumn("bucket", lsh_signature_expr("cvec", planes)) \
+        .withColumn("__cn__", norm_expr("cvec"))
     q = queries.select(F.col(query_id_col),
                        _as_double(F.col(vec_col)).alias("qvec"))
-    q = q.withColumn("bucket", lsh_signature_expr("qvec", planes))
+    q = q.withColumn("bucket", lsh_signature_expr("qvec", planes)) \
+        .withColumn("__qn__", norm_expr("qvec"))
     scored = (c.join(F.broadcast(q), "bucket")
               .where(F.col(query_id_col) != F.col("nn_id"))
               .select(query_id_col, "nn_id",
-                      F.round(cosine_expr("cvec", "qvec"), 6)
+                      F.round(_cosine_prenorm_expr("cvec", "qvec",
+                                                   "__cn__", "__qn__"), 6)
                        .alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
@@ -516,11 +537,14 @@ def _ivf_probe_score_topk(lists: DataFrame, queries: DataFrame, C,
         prows = []
     q = local_df(qbase.sparkSession, prows,
                  f"{query_id_col} {idt}, qvec array<double>,"
-                 " centroid_id int")
-    scored = (lists.join(F.broadcast(q), "centroid_id")
+                 " centroid_id int").withColumn("__qn__",
+                                                norm_expr("qvec"))
+    scored = (lists.withColumn("__cn__", norm_expr("cvec"))
+              .join(F.broadcast(q), "centroid_id")
               .where(F.col(query_id_col) != F.col("nn_id"))
               .select(query_id_col, "nn_id",
-                      F.round(cosine_expr("cvec", "qvec"), 6)
+                      F.round(_cosine_prenorm_expr("cvec", "qvec",
+                                                   "__cn__", "__qn__"), 6)
                        .alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col("nn_id"))
@@ -1244,8 +1268,6 @@ def ivf_range_search(corpus: DataFrame, queries: DataFrame,
     rank window is replaced by a pushable cosine filter, so the
     operator is join + filter — no window at all."""
     import numpy as np
-    import pandas as pd  # noqa: F401  (Arrow batches)
-    from pyspark.sql import types as T
 
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
@@ -1258,29 +1280,29 @@ def ivf_range_search(corpus: DataFrame, queries: DataFrame,
         "cvec", centroids)
     qbase = queries.select(F.col(query_id_col),
                            _as_double(F.col(vec_col)).alias("qvec"))
-    qschema = T.StructType(list(qbase.schema.fields)
-                           + [T.StructField("centroid_id",
-                                            T.IntegerType())])
-
-    def probe(batches):
-        for pdf in batches:
-            X = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-            if not len(X):
-                continue
-            scores = X @ C.T - 0.5 * (C * C).sum(1)
-            order = np.argsort(-scores, axis=1,
-                               kind="stable")[:, :min(int(nprobe),
-                                                      C.shape[0])]
-            rep = pdf.loc[pdf.index.repeat(order.shape[1])] \
-                .reset_index(drop=True)
-            rep["centroid_id"] = order.ravel().astype("int32")
-            yield rep
-
-    q = qbase.mapInPandas(probe, schema=qschema)
-    return (c.join(F.broadcast(q), "centroid_id")
+    # same driver-side probe as _ivf_probe_score_topk: queries are
+    # driver-bounded by the broadcast contract, so one collect + the
+    # identical _ivf_probe_order GEMM replace the MapInPandas stage
+    # (guide §4) and the probe table is a JVM LocalRelation
+    rows = qbase.collect()
+    idt = dict(qbase.dtypes)[query_id_col]
+    if rows:
+        X = np.array([r["qvec"] for r in rows], dtype=np.float64)
+        order = _ivf_probe_order(X, C, nprobe)
+        prows = [(r[query_id_col], [float(x) for x in r["qvec"]],
+                  int(cid)) for r, oc in zip(rows, order) for cid in oc]
+    else:
+        prows = []
+    q = local_df(qbase.sparkSession, prows,
+                 f"{query_id_col} {idt}, qvec array<double>,"
+                 " centroid_id int").withColumn("__qn__",
+                                                norm_expr("qvec"))
+    return (c.withColumn("__cn__", norm_expr("cvec"))
+            .join(F.broadcast(q), "centroid_id")
             .where(F.col(query_id_col) != F.col("nn_id"))
             .select(query_id_col, "nn_id",
-                    F.round(cosine_expr("cvec", "qvec"),
+                    F.round(_cosine_prenorm_expr("cvec", "qvec",
+                                                 "__cn__", "__qn__"),
                             6).alias("cosine"))
             .where(F.col("cosine") >= F.lit(float(radius))))
 
@@ -2074,14 +2096,21 @@ def ivf_drift_stats(index: IvfIndex, new_vectors: DataFrame,
     ).select("centroid_id", "nn_id", "cvec")
 
     unit = float(10 ** unit_scale)
+    # the centroid norm is per-CELL, not per-row: hoist it into the
+    # broadcast side so the per-row cosine is dot + one hoisted row
+    # norm instead of re-deriving the centroid norm on every assigned
+    # row (bit-identical — see _cosine_prenorm_expr)
     cents = F.broadcast(index.centroids
                         .select("centroid_id",
-                                F.col("centroid").alias("__cv__")))
+                                F.col("centroid").alias("__cv__"))
+                        .withColumn("__cvn__", norm_expr("__cv__")))
 
     def cell_stats(assigned, n_name, cu_name):
-        cu = F.round(F.round(cosine_expr("cvec", "__cv__"),
+        cu = F.round(F.round(_cosine_prenorm_expr("cvec", "__cv__",
+                                                  "__cn__", "__cvn__"),
                              6) * F.lit(unit)).cast("bigint")
-        return (assigned.join(cents, "centroid_id")
+        return (assigned.withColumn("__cn__", norm_expr("cvec"))
+                .join(cents, "centroid_id")
                 .groupBy("centroid_id")
                 .agg(F.count(F.lit(1)).cast("bigint").alias(n_name),
                      F.sum(cu).alias(cu_name)))
