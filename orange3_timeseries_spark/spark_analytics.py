@@ -434,8 +434,12 @@ def granger_causality_pairs(tsf: TimeSeriesFrame, cols: Sequence[str],
             lambda s: s["v"]).alias(c)
         for c in cols])
     spark = df.sparkSession
-    pairs = spark.createDataFrame(
-        [(a, c) for a in cols for c in cols if a != c],
+    # JVM LocalRelation, not a Python-RDD-backed table: the broadcast
+    # build otherwise re-runs a Python worker job per action
+    # (operators/localrel.py)
+    from orange3_timeseries_spark.operators.localrel import local_df
+    pairs = local_df(
+        spark, [(a, c) for a in cols for c in cols if a != c],
         "antecedent string, consequent string")
     crossed = packed.crossJoin(F.broadcast(pairs)) \
         .repartition(len(cols) * (len(cols) - 1))
@@ -494,8 +498,10 @@ def granger_f_table(tsf: TimeSeriesFrame, cols: Sequence[str],
             lambda s: s["v"]).alias(c)
         for c in cols])
     spark = df.sparkSession
-    pairs = spark.createDataFrame(
-        [(a, c) for a in cols for c in cols if a != c],
+    # JVM LocalRelation, not a Python-RDD-backed table (localrel.py)
+    from orange3_timeseries_spark.operators.localrel import local_df
+    pairs = local_df(
+        spark, [(a, c) for a in cols for c in cols if a != c],
         "antecedent string, consequent string")
     crossed = packed.crossJoin(F.broadcast(pairs)) \
         .repartition(len(cols) * (len(cols) - 1))
