@@ -98,6 +98,46 @@ def main():
     except Exception:
         pass
     try:
+        # bm25-family warm-up, same rationale as the dedup block above:
+        # the tokenize/score/rank kernels plus the versioned index
+        # write/read path compile ~90 distinct codegen classes on first
+        # touch (3.3 s of janino measured at INFO logging, ~8 s
+        # first-run-vs-warm gap for bm25_registry_topk on a quiet box)
+        # — one-time session cost, not query cost, so pay it here on 64
+        # synthetic rows before the first timed bm25 query
+        import shutil
+        import tempfile
+
+        from orange3_timeseries_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_topk,
+            bm25_topk_from_index,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        tiny = spark.range(64).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("warm doc text number "),
+                     F.col("id").cast("string"),
+                     F.lit(" pad pad pad")).alias("text"))
+        tq = spark.range(8).select(
+            F.col("id").alias("query_id"),
+            F.concat(F.lit("warm doc text number "),
+                     F.col("id").cast("string")).alias("text"))
+        bm25_topk(tiny, tq, top_k=3) \
+            .write.format("noop").mode("overwrite").save()
+        wpath = os.path.join(tempfile.gettempdir(),
+                             f"bench_warm_bm25_{os.getpid()}")
+        shutil.rmtree(wpath, ignore_errors=True)
+        write_bm25_index(bm25_build_index(tiny), wpath)
+        bm25_topk_from_index(read_bm25_index(spark, wpath), tq,
+                             top_k=3) \
+            .write.format("noop").mode("overwrite").save()
+        shutil.rmtree(wpath, ignore_errors=True)
+    except Exception:
+        pass
+    try:
         # streaming-machinery warm-up (~5 s of one-time micro-batch /
         # state-store / checkpoint init otherwise billed to the first
         # streaming query): one tiny stateful availableNow replay
