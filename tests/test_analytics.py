@@ -729,3 +729,35 @@ class TestCroston:
         assert out[0].z_hat == pytest.approx(5.0, rel=1e-12)
         assert out[0].p_hat == pytest.approx(4 - 3 * 0.8 ** 9, rel=1e-9)
         assert 1.25 <= out[0].forecast <= 1.4
+
+
+class TestGrangerPairsLocalRelation:
+    def test_pairs_table_is_jvm_local_relation(self, spark):
+        """The (antecedent, consequent) pair fan-out table must plan as a
+        JVM LocalTableScan, not a Python-RDD-backed Scan ExistingRDD —
+        the r13 optimization (operators/localrel.local_df) that keeps the
+        broadcast build from re-running a Python worker job per action."""
+        import numpy as np
+
+        from orange3_timeseries_spark.frame import TimeSeriesFrame
+        from orange3_timeseries_spark.spark_analytics import granger_f_table
+
+        rng = np.random.RandomState(7)
+        n = 60
+        a = rng.standard_normal(n).cumsum()
+        b = np.roll(a, 1) + rng.standard_normal(n) * 0.1
+        rows = [(int(i), float(a[i]), float(b[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "__row_idx__ int, a double, b double")
+        tsf = TimeSeriesFrame(df)
+        out = granger_f_table(tsf, ["a", "b"], lag=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the pair table must plan as a LocalTableScan carrying exactly
+        # the pair columns (the test's own createDataFrame input is the
+        # only ExistingRDD allowed)
+        assert "LocalTableScan [antecedent" in plan
+        pair_rdd = [ln for ln in plan.splitlines()
+                    if "ExistingRDD" in ln and "antecedent" in ln]
+        assert not pair_rdd, pair_rdd
+        # and the values are the full ordered-pair set
+        got = {(r.antecedent, r.consequent) for r in out.collect()}
+        assert got == {("a", "b"), ("b", "a")}
